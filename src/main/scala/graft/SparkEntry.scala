@@ -1,13 +1,88 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cdc.ChangeFeed
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the north-star LLM-pipeline
+  * ops) registers here as a named query over the harness tables, with
+  * a DuckDB-equivalent oracle in [[oracleSql]]. Column names/types are
+  * aligned between both sides (the driver compare hashes values under
+  * sorted column names).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: materialize current state from the CDC event feed
+    * (latest-wins per key, deletes drop the key) — the derived
+    * capability that makes go-cdc's event model queryable.
+    * Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cdcLatestState(spark, "/root/testdata/sf0.001")
+
+  private def cdcLatestState(s: SparkSession, dir: String): DataFrame = {
+    val feed = ChangeFeed.fromEvents(Tables.events(s, dir))
+    ChangeFeed
+      .latestState(feed)
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k")
+      )
+      .orderBy("user_id")
+  }
+
+  /** TPC-H Q1-style pricing summary: the partial-agg showcase — one
+    * shuffle on two low-cardinality keys, everything else map-side.
+    */
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_latest_state" -> (cdcLatestState _),
+    "q1_pricing_summary" -> (q1PricingSummary _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_latest_state" ->
+      """SELECT user_id, last_pos, op, value, k FROM (
+        |  SELECT user_id, event_id AS last_pos,
+        |         CASE WHEN event_type = 'signup' THEN 'insert'
+        |              WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'update' END AS op,
+        |         value,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two numeric
+  * arrays, accumulated in Double in array order.
+  *
+  * This is the (b)-tier extension point of the design (custom
+  * `Expression` over UDF): one tight primitive loop over `ArrayData`,
+  * no per-element boxing and no intermediate arrays — unlike composing
+  * `zip_with` + `aggregate`, which allocates a zipped array per row
+  * and evaluates interpreted lambdas. On a 100 TB embedding table this
+  * is the hot inner loop of similarity search, so it must not allocate.
+  *
+  * Deterministic accumulation order (index 0..n-1, all in Double) is
+  * part of the contract: the DuckDB oracle computes the same
+  * left-to-right sum, so results hash-match bit-for-bit.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity expects array<float|double>, got ${left.dataType} / ${right.dataType}"
+      )
+  }
+
+  @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = elem(x, xf, i)
+      val yv = elem(y, yf, i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Dot product with the same contract as [[CosineSimilarity]]. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += elem(x, xf, i) * elem(y, yf, i)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Column-level entry points. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** Register `cosine_similarity` / `dot_product` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "scala_udf"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "scala_udf"
+    )
+  }
+}

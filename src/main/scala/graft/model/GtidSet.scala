@@ -1,0 +1,113 @@
+package graft.model
+
+/** One contiguous GTID interval, inclusive on both ends. */
+final case class GtidRange(start: Long, end: Long) {
+  require(start <= end, s"invalid GTID range $start-$end")
+}
+
+/** A MySQL GTID set: serverUUID -> sorted, disjoint interval list.
+  *
+  * Re-expresses the reference's GTID structure
+  * (`internal/model/gtid.go:9,58-77`) as an immutable value. Two
+  * reference quirks are deliberately normalized rather than cloned
+  * (they are bugs — see `internal/model/gtid.go:17-18,42-56`):
+  *   - single-point ranges like `uuid:5` parse fine here (the
+  *     reference indexes `split("-")[1]` and panics);
+  *   - serialization joins ranges of one uuid with `:` (MySQL
+  *     canonical `uuid:1-5:7-9`), not with `,` which
+  *     `mysql.ParseGTIDSet` would reject.
+  *
+  * This type doubles as the offset of a CDC stream (JSON/string
+  * serialized into a Structured Streaming checkpoint) and as the
+  * aggregation buffer of [[graft.functions.GtidRangesAgg]].
+  */
+final case class GtidSet(intervals: Map[String, Vector[GtidRange]]) {
+
+  /** Running-union append of one transaction id; the streaming-side
+    * analog of the reference's `SetGTID` (`gtid.go:58-72`), but
+    * order-insensitive: a gno landing inside/adjacent to any existing
+    * range merges correctly, not just the last one.
+    */
+  def add(uuid: String, gno: Long): GtidSet = addRange(uuid, GtidRange(gno, gno))
+
+  def addRange(uuid: String, r: GtidRange): GtidSet =
+    GtidSet(intervals.updated(uuid, GtidSet.normalize(intervals.getOrElse(uuid, Vector.empty) :+ r)))
+
+  def merge(other: GtidSet): GtidSet =
+    other.intervals.foldLeft(this) { case (acc, (u, rs)) =>
+      rs.foldLeft(acc)((a, r) => a.addRange(u, r))
+    }
+
+  def contains(uuid: String, gno: Long): Boolean =
+    intervals.get(uuid).exists(_.exists(r => r.start <= gno && gno <= r.end))
+
+  /** True iff every gno of `this` is also in `other`. */
+  def subsetOf(other: GtidSet): Boolean =
+    intervals.forall { case (u, rs) =>
+      rs.forall(r => (r.start to r.end).forall(g => other.contains(u, g)))
+    }
+
+  def isEmpty: Boolean = intervals.isEmpty
+
+  /** Canonical MySQL text form: `uuid:1-5:7:9-12,uuid2:1-3`
+    * (single-point ranges collapse to a bare number).
+    */
+  def serialize: String =
+    intervals.toSeq
+      .sortBy(_._1)
+      .map { case (u, rs) =>
+        u + ":" + rs
+          .map(r => if (r.start == r.end) s"${r.start}" else s"${r.start}-${r.end}")
+          .mkString(":")
+      }
+      .mkString(",")
+}
+
+object GtidSet {
+  val empty: GtidSet = GtidSet(Map.empty)
+
+  /** Sort + merge overlapping/adjacent ranges into the canonical
+    * disjoint form.
+    */
+  def normalize(rs: Vector[GtidRange]): Vector[GtidRange] = {
+    val sorted = rs.sortBy(r => (r.start, r.end))
+    sorted.foldLeft(Vector.empty[GtidRange]) { (acc, r) =>
+      acc.lastOption match {
+        case Some(last) if r.start <= last.end + 1 =>
+          acc.init :+ GtidRange(last.start, math.max(last.end, r.end))
+        case _ => acc :+ r
+      }
+    }
+  }
+
+  /** Parse the canonical text form. Tolerates single-point ranges and
+    * whitespace; empty string -> empty set.
+    */
+  def parse(s: String): GtidSet = {
+    if (s == null || s.trim.isEmpty) return empty
+    val perUuid = s
+      .split(",")
+      .iterator
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .map { part =>
+        val pieces = part.split(":")
+        require(pieces.length >= 2, s"malformed GTID component '$part'")
+        val uuid = pieces.head.trim
+        val ranges = pieces.tail.toVector.map { rp =>
+          rp.split("-").map(_.trim) match {
+            case Array(a) => GtidRange(a.toLong, a.toLong)
+            case Array(a, b) => GtidRange(a.toLong, b.toLong)
+            case _ => throw new IllegalArgumentException(s"malformed GTID range '$rp'")
+          }
+        }
+        uuid -> ranges
+      }
+      .toSeq
+    GtidSet(
+      perUuid
+        .groupMapReduce(_._1)(_._2)(_ ++ _)
+        .map { case (u, rs) => u -> normalize(rs) }
+    )
+  }
+}
