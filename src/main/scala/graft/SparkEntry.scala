@@ -46,12 +46,12 @@ object SparkEntry {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        graft.ops.Exact.dsum(col("l_quantity")).as("sum_qty"),
+        graft.ops.Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+        graft.ops.Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        graft.ops.Exact.davg(col("l_quantity")).as("avg_qty"),
+        graft.ops.Exact.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -59,7 +59,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest_state" -> (cdcLatestState _),
     "q1_pricing_summary" -> (q1PricingSummary _)
-  )
+  ) ++ graft.ops.Relational.queries
 
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" ->
@@ -74,15 +74,15 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ graft.ops.Relational.oracles
 }
