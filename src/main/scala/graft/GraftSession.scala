@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to construct the engine's SparkSession so every entry
+  * point (Verify / Bench / EntrySmoke / tests) runs with the same
+  * session-scoped settings:
+  *   - UTC session timezone (oracle determinism);
+  *   - shuffle partitions sized to the local core count (not 200 —
+  *     at cluster scale this would come from AQE + a real default);
+  *   - `nanosAsLong`: `events.parquet` stores TIMESTAMP(NANOS), which
+  *     Spark 4 refuses unless this legacy flag is set. It lives here,
+  *     at session construction, so table loaders stay side-effect
+  *     free (no hidden session mutation from a read path).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -25,16 +25,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses outright. Read it as a nanos-long (legacy conf)
-    * and truncate to a microsecond TimestampType — integer `DIV`, not
-    * `/`, because epoch-nanos (~1.7e18) exceeds double's 2^53 exact
-    * range. DuckDB performs the same ns->µs truncation on read, so
-    * oracle comparisons stay exact.
+    * Spark 4 reads as a plain nanos-long only under
+    * `spark.sql.legacy.parquet.nanosAsLong` — set once at session
+    * construction ([[GraftSession]]), never mutated here. Truncate to
+    * a microsecond TimestampType — integer `DIV`, not `/`, because
+    * epoch-nanos (~1.7e18) exceeds double's 2^53 exact range. DuckDB
+    * performs the same ns->µs truncation on read, so oracle
+    * comparisons stay exact.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -17,14 +17,21 @@ import graft.model.GtidSet
   * state is O(#gaps), not O(#gnos) — at 100 TB the buffer stays tiny
   * as long as streams are mostly contiguous per server uuid.
   */
-object GtidRangesAgg extends Aggregator[(String, Long), GtidSet, Seq[(Long, Long)]] {
+object GtidRangesAgg extends Aggregator[(String, Long), GtidSet, Seq[(String, Long, Long)]] {
   override def zero: GtidSet = GtidSet.empty
   override def reduce(b: GtidSet, a: (String, Long)): GtidSet = b.add(a._1, a._2)
   override def merge(b1: GtidSet, b2: GtidSet): GtidSet = b1.merge(b2)
-  override def finish(b: GtidSet): Seq[(Long, Long)] =
-    b.intervals.values.flatten.map(r => (r.start, r.end)).toSeq.sorted
+  /** The uuid dimension survives into the output — ranges from
+    * different server uuids can overlap numerically, so flattening
+    * them would be ambiguous for multi-uuid streams. Shape matches
+    * [[GtidStringAgg]]'s serialized `uuid:s-e` form, one row per range.
+    */
+  override def finish(b: GtidSet): Seq[(String, Long, Long)] =
+    b.intervals.toSeq.sortBy(_._1).flatMap { case (u, rs) =>
+      rs.map(r => (u, r.start, r.end))
+    }
   override def bufferEncoder: Encoder[GtidSet] = Encoders.kryo[GtidSet]
-  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+  override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 

@@ -1,10 +1,41 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Shared contract for the binary vector expressions: both inputs must
+  * be `array<float>` or `array<double>`; mismatched lengths and null
+  * elements yield SQL `NULL` (silently truncating to `min(n)` or
+  * reading a null slot as 0 would produce silently-wrong similarities).
+  */
+trait VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${left.dataType} / ${right.dataType}"
+      )
+  }
+
+  @inline protected final def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  @inline protected final def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @inline protected final def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
 
 /** Native Catalyst expression: cosine similarity of two numeric
   * arrays, accumulated in Double in array order.
@@ -19,41 +50,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Deterministic accumulation order (index 0..n-1, all in Double) is
   * part of the contract: the DuckDB oracle computes the same
   * left-to-right sum, so results hash-match bit-for-bit.
+  *
+  * Null semantics: NULL when either input is NULL, lengths differ, any
+  * element is NULL, or either vector has zero norm.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends VectorBinaryExpression {
 
-  override def dataType: DataType = DoubleType
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity expects array<float|double>, got ${left.dataType} / ${right.dataType}"
-      )
-  }
-
-  @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
-    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = leftIsFloat
+    val yf = rightIsFloat
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = elem(x, xf, i)
       val yv = elem(y, yf, i)
       dot += xv * yv
@@ -71,25 +89,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
-/** Dot product with the same contract as [[CosineSimilarity]]. */
+/** Dot product with the same type/null contract as
+  * [[CosineSimilarity]].
+  */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends VectorBinaryExpression {
 
-  override def dataType: DataType = DoubleType
-
-  @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  override def prettyName: String = "dot_product"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
-    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = leftIsFloat
+    val yf = rightIsFloat
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += elem(x, xf, i) * elem(y, yf, i)
       i += 1
     }

@@ -3,32 +3,33 @@ package graft.model
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** One include/exclude rule set over schema and table names.
-  *
-  * Semantics re-expressed from the reference's filter-rule model
-  * (`pkg/config/db.go:101-165`):
-  *   - a pattern with a trailing `_` is a prefix wildcard
-  *     (`db.go:155-158`), otherwise exact match;
-  *   - exclude beats include;
-  *   - an empty include list allows everything (default allow).
+/** One include/exclude pattern set over schema and table names — a
+  * faithful re-expression of the reference's `FilterPattern`
+  * (`pkg/config/db.go:63-67,126-165`):
+  *   - schema patterns are **exact-matched** against `includeSchemas`
+  *     only (`contains`, `db.go:146-152`); there is no schema exclude
+  *     list and no schema wildcard;
+  *   - table patterns support a trailing `_` **prefix wildcard**
+  *     (`containsPrefix`, `db.go:155-165`), otherwise exact;
+  *   - exclude beats include (`db.go:134-137`); a non-empty include
+  *     list means *only* its members pass (`db.go:139-141`); empty
+  *     lists allow everything.
   */
 final case class TableFilter(
     includeSchemas: Seq[String] = Nil,
-    excludeSchemas: Seq[String] = Nil,
     includeTables: Seq[String] = Nil,
     excludeTables: Seq[String] = Nil
 ) {
 
-  private def matches(pat: String, name: String): Boolean =
-    if (pat.endsWith("_")) name.startsWith(pat.dropRight(1)) else name == pat
+  private def tableMatches(pat: String, name: String): Boolean =
+    (pat.endsWith("_") && name.startsWith(pat.dropRight(1))) || pat == name
 
   def allowSchema(schema: String): Boolean =
-    !excludeSchemas.exists(matches(_, schema)) &&
-      (includeSchemas.isEmpty || includeSchemas.exists(matches(_, schema)))
+    includeSchemas.isEmpty || includeSchemas.contains(schema)
 
   def allowTable(table: String): Boolean =
-    !excludeTables.exists(matches(_, table)) &&
-      (includeTables.isEmpty || includeTables.exists(matches(_, table)))
+    !excludeTables.exists(tableMatches(_, table)) &&
+      (includeTables.isEmpty || includeTables.exists(tableMatches(_, table)))
 
   /** Compile the table-name part of the rule into a Catalyst `Column`
     * predicate, so the same rule that prunes tables at plan time can
@@ -46,53 +47,63 @@ final case class TableFilter(
     inc && !exc
   }
 
-  def schemaColumn(schemaCol: Column): Column = {
-    def one(pat: String): Column =
-      if (pat.endsWith("_")) schemaCol.startsWith(pat.dropRight(1)) else schemaCol === pat
-    val inc =
-      if (includeSchemas.isEmpty) lit(true)
-      else includeSchemas.map(one).reduce(_ || _)
-    val exc =
-      if (excludeSchemas.isEmpty) lit(false)
-      else excludeSchemas.map(one).reduce(_ || _)
-    inc && !exc
-  }
+  /** Schema gate as a `Column`: exact `IN`-list membership, mirroring
+    * the reference's `contains` (no wildcard for schemas).
+    */
+  def schemaColumn(schemaCol: Column): Column =
+    if (includeSchemas.isEmpty) lit(true)
+    else schemaCol.isin(includeSchemas.map(x => x: Any): _*)
 }
 
-/** A global rule plus optional per-schema overrides. A schema-level
-  * rule fully replaces the global table rule for that schema
-  * (`pkg/config/db.go:113-115`); schema-level allow/deny of the schema
-  * itself always comes from the global rule.
+/** A global rule plus optional per-schema overrides, mirroring the
+  * reference's `FilterRule.Allow` (`pkg/config/db.go:111-124`):
+  * when a per-schema rule exists for a schema it is used **alone** —
+  * the global rule (including its schema gate) is bypassed entirely
+  * (`db.go:113-115` pass `schema=""` into the override's `allow`).
+  * With no per-schema rule the global pattern gates both schema and
+  * table; with no configuration at all everything is allowed
+  * (`db.go:122-123`).
   */
 final case class FilterRule(
-    global: TableFilter = TableFilter(),
+    global: Option[TableFilter] = None,
     perSchema: Map[String, TableFilter] = Map.empty
 ) {
-
-  def ruleFor(schema: String): TableFilter = perSchema.getOrElse(schema, global)
 
   /** Driver-side evaluation, used for plan-time table pruning (the
     * analog of the reference pruning tables before any scan,
     * `fullamount_service.go:61-67`).
     */
   def allow(schema: String, table: String): Boolean =
-    global.allowSchema(schema) && ruleFor(schema).allowTable(table)
+    perSchema.get(schema) match {
+      case Some(sr) => sr.allowTable(table) // global gate bypassed (db.go:113-115)
+      case None => global.forall(g => g.allowSchema(schema) && g.allowTable(table))
+    }
 
-  def allowSchemas(schemas: Seq[String]): Seq[String] = schemas.filter(global.allowSchema)
+  /** Schema-level pruning (`AllowSchemas`, `db.go:101-109` — evaluates
+    * `Allow(schema, "")`, so schemas with a per-schema override always
+    * pass, and the empty table name trivially passes the table gate).
+    */
+  def allowSchemas(schemas: Seq[String]): Seq[String] =
+    schemas.filter(s => perSchema.contains(s) || global.forall(_.allowSchema(s)))
 
   /** Compile the whole rule into one `Column` predicate over
     * (schemaCol, tableCol) — per-schema overrides become a
-    * `CASE WHEN schema = s THEN <override> ... ELSE <global>` chain,
-    * all codegen-friendly (no UDF).
+    * `CASE WHEN schema = s THEN <override tables> ... ELSE <global>`
+    * chain, all codegen-friendly (no UDF).
     */
   def toColumn(schemaCol: Column, tableCol: Column): Column = {
-    val tablePred = perSchema.foldLeft(Option.empty[Column]) { case (acc, (s, tf)) =>
-      val branch = when(schemaCol === s, tf.tableColumn(tableCol))
-      Some(acc.fold(branch)(c => c.when(schemaCol === s, tf.tableColumn(tableCol))))
+    val fallback = global
+      .map(g => g.schemaColumn(schemaCol) && g.tableColumn(tableCol))
+      .getOrElse(lit(true))
+    perSchema.foldLeft(Option.empty[Column]) { case (acc, (s, tf)) =>
+      val branch = acc match {
+        case None => when(schemaCol === s, tf.tableColumn(tableCol))
+        case Some(c) => c.when(schemaCol === s, tf.tableColumn(tableCol))
+      }
+      Some(branch)
     } match {
-      case Some(chain) => chain.otherwise(global.tableColumn(tableCol))
-      case None => global.tableColumn(tableCol)
+      case Some(chain) => chain.otherwise(fallback)
+      case None => fallback
     }
-    global.schemaColumn(schemaCol) && tablePred
   }
 }

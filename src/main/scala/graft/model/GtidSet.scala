@@ -41,10 +41,31 @@ final case class GtidSet(intervals: Map[String, Vector[GtidRange]]) {
   def contains(uuid: String, gno: Long): Boolean =
     intervals.get(uuid).exists(_.exists(r => r.start <= gno && gno <= r.end))
 
-  /** True iff every gno of `this` is also in `other`. */
+  /** True iff every gno of `this` is also in `other`. Pure interval
+    * arithmetic — never enumerates gnos, so ranges spanning billions of
+    * transactions (normal for a long-lived MySQL server) cost O(log n)
+    * per interval, not O(width): both sides are sorted and disjoint, so
+    * a range is covered iff a single interval of `other` contains it
+    * (a gap inside the candidate would split the cover).
+    */
   def subsetOf(other: GtidSet): Boolean =
     intervals.forall { case (u, rs) =>
-      rs.forall(r => (r.start to r.end).forall(g => other.contains(u, g)))
+      other.intervals.get(u) match {
+        case None => rs.isEmpty
+        case Some(os) =>
+          rs.forall { r =>
+            // binary search: last interval with start <= r.start
+            var lo = 0
+            var hi = os.length - 1
+            var cand = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (os(mid).start <= r.start) { cand = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            cand >= 0 && os(cand).end >= r.end
+          }
+      }
     }
 
   def isEmpty: Boolean = intervals.isEmpty

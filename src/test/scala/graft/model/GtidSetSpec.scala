@@ -1,0 +1,98 @@
+package graft.model
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class GtidSetSpec extends AnyFunSuite {
+
+  private val u1 = "3E11FA47-71CA-11E1-9E33-C80AA9429562"
+  private val u2 = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+
+  test("parse/serialize round-trips canonical text") {
+    val s = GtidSet.parse(s"$u1:1-5:7:9-12,$u2:1-3")
+    assert(s.intervals(u1) == Vector(GtidRange(1, 5), GtidRange(7, 7), GtidRange(9, 12)))
+    assert(s.intervals(u2) == Vector(GtidRange(1, 3)))
+    assert(GtidSet.parse(s.serialize) == s)
+  }
+
+  test("single-point ranges parse (reference panics on these, gtid.go:17-18)") {
+    val s = GtidSet.parse(s"$u1:5")
+    assert(s.contains(u1, 5) && !s.contains(u1, 4))
+    assert(s.serialize == s"$u1:5")
+  }
+
+  test("empty / null input -> empty set") {
+    assert(GtidSet.parse("").isEmpty)
+    assert(GtidSet.parse(null).isEmpty)
+    assert(GtidSet.parse("  ").isEmpty)
+  }
+
+  test("normalize merges overlapping and adjacent ranges") {
+    val n = GtidSet.normalize(
+      Vector(GtidRange(5, 9), GtidRange(1, 3), GtidRange(4, 4), GtidRange(15, 20))
+    )
+    assert(n == Vector(GtidRange(1, 9), GtidRange(15, 20)))
+  }
+
+  test("add extends, bridges and appends like the reference SetGTID (gtid.go:58-72)") {
+    val base = GtidSet.empty.add(u1, 1).add(u1, 2).add(u1, 3)
+    assert(base.intervals(u1) == Vector(GtidRange(1, 3)))
+    val gap = base.add(u1, 5)
+    assert(gap.intervals(u1) == Vector(GtidRange(1, 3), GtidRange(5, 5)))
+    // order-insensitive: filling the hole merges back to one range
+    assert(gap.add(u1, 4).intervals(u1) == Vector(GtidRange(1, 5)))
+  }
+
+  test("merge is commutative and idempotent (seeded property)") {
+    val rnd = new Random(42)
+    (1 to 100).foreach { _ =>
+      def randSet(): GtidSet =
+        (1 to rnd.nextInt(20)).foldLeft(GtidSet.empty) { (s, _) =>
+          val u = if (rnd.nextBoolean()) u1 else u2
+          s.add(u, rnd.nextInt(50).toLong + 1)
+        }
+      val (a, b) = (randSet(), randSet())
+      assert(a.merge(b) == b.merge(a))
+      assert(a.merge(a) == a)
+      assert(a.merge(b).merge(b) == a.merge(b))
+    }
+  }
+
+  test("subsetOf: interval containment without enumeration") {
+    val small = GtidSet.parse(s"$u1:5-10:20-25")
+    val big = GtidSet.parse(s"$u1:1-30")
+    assert(small.subsetOf(big))
+    assert(!big.subsetOf(small))
+    // range crossing a gap in the cover is NOT a subset
+    val gappy = GtidSet.parse(s"$u1:1-9:11-30")
+    assert(!small.subsetOf(gappy))
+    // different uuid is never covered
+    assert(!GtidSet.parse(s"$u2:1-2").subsetOf(big))
+    assert(GtidSet.empty.subsetOf(big))
+  }
+
+  test("subsetOf on realistic billion-wide ranges returns instantly") {
+    val wide = GtidSet.parse(s"$u1:1-9999999999")
+    val inner = GtidSet.parse(s"$u1:5-9999999998")
+    val t0 = System.nanoTime()
+    assert(inner.subsetOf(wide))
+    assert(!wide.subsetOf(inner))
+    assert((System.nanoTime() - t0) < 1e9, "subsetOf must be interval arithmetic, not enumeration")
+  }
+
+  test("subsetOf agrees with brute-force enumeration on small random sets") {
+    val rnd = new Random(7)
+    (1 to 200).foreach { _ =>
+      def randSet(): GtidSet =
+        (1 to rnd.nextInt(12)).foldLeft(GtidSet.empty) { (s, _) =>
+          s.add(u1, rnd.nextInt(30).toLong + 1)
+        }
+      val (a, b) = (randSet(), randSet())
+      val brute = a.intervals.getOrElse(u1, Vector.empty).forall { r =>
+        (r.start to r.end).forall(g => b.contains(u1, g))
+      }
+      assert(a.subsetOf(b) == brute, s"a=${a.serialize} b=${b.serialize}")
+    }
+  }
+}
