@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, document fingerprinting — the
+  * text half of an LLM-training-data pipeline.
+  *
+  * Portability contract with the DuckDB oracle: every hash is an
+  * **unrolled polynomial over `ascii(substr(...))`** — plain integer
+  * arithmetic over functions both engines define identically, so the
+  * oracle evaluates the *same* formula (no engine-specific murmur/md5
+  * in results). Double-typed outputs are built from exact integers
+  * with the identical expression shape on both sides, so IEEE ops
+  * produce identical bits.
+  *
+  * Scale notes: every query here is a single narrow projection over
+  * the scan followed by at most one aggregation — no joins, no
+  * per-doc shuffles; array work happens inside the row (higher-order
+  * functions), so a 100 TB corpus runs embarrassingly parallel and
+  * the only exchange is the final per-source/per-lang rollup.
+  */
+object Text {
+
+  /** 31^k coefficient table for the unrolled polynomial hash. */
+  private def pow31(k: Int): Long = (0 until k).foldLeft(1L)((a, _) => a * 31L)
+
+  /** SQL fragment: polynomial hash of the first `width` chars of
+    * expression `e` — `sum ascii(substr(e,k,1)) * 31^(width-k)`.
+    * `ascii('') = 0` in both engines, so short strings pad with zeros.
+    * Valid Spark SQL *and* DuckDB SQL (same string).
+    */
+  def polyHashSql(e: String, width: Int): String =
+    (1 to width)
+      .map(k => s"ascii(substr($e,$k,1))*${pow31(width - k)}")
+      .mkString("(", " + ", ")")
+
+  /** Word list: trim, split on space, drop empties. Spark side. */
+  def wordsCol(text: Column): Column =
+    filter(split(trim(text), " "), w => w =!= "")
+
+  /** Same as [[wordsCol]] for the DuckDB oracle. */
+  def wordsSql(text: String): String =
+    s"list_filter(string_split(trim($text), ' '), x -> x <> '')"
+
+  // ---- t21: quality scoring ------------------------------------------------
+
+  /** Heuristic quality score per document: length saturation, lexical
+    * diversity, stopword pressure. All inputs are exact integers; the
+    * final formula is the same double expression on both sides.
+    */
+  private def t21Quality(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("words", wordsCol(col("text")))
+      .select(
+        col("doc_id"),
+        length(trim(col("text"))).as("n_chars_m"),
+        size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_uniq"),
+        size(filter(col("words"), w => w.isin("the", "a"))).as("n_stop")
+      )
+      .withColumn("avg_word_len",
+        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_words"))
+      .withColumn(
+        "quality",
+        least(col("n_words").cast("double") / 80.0, lit(1.0)) * 0.4 +
+          col("uniq_ratio") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.3
+      )
+      .select("doc_id", "n_words", "n_uniq", "n_stop", "avg_word_len",
+        "stop_ratio", "uniq_ratio", "quality")
+      .orderBy("doc_id")
+
+  private val t21Oracle: String = {
+    val ws = wordsSql("text")
+    s"""SELECT doc_id, n_words, n_uniq, n_stop,
+       |       CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+       |       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |       CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+       |       least(CAST(n_words AS DOUBLE) / 80.0, 1.0) * 0.4
+       |         + (CAST(n_uniq AS DOUBLE) / n_words) * 0.3
+       |         + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
+       |FROM (
+       |  SELECT doc_id, length(trim(text)) AS n_chars_m,
+       |         CAST(len($ws) AS INT) AS n_words,
+       |         CAST(len(list_distinct($ws)) AS INT) AS n_uniq,
+       |         CAST(len(list_filter($ws, x -> x IN ('the','a'))) AS INT) AS n_stop
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t22: language identification ---------------------------------------
+
+  /** Marker-word profiles. In a production pipeline these come from
+    * per-language frequency tables; here they are fixed sets chosen
+    * from the harness vocabulary so the classifier output is
+    * non-trivial. Scoring counts occurrences *with multiplicity*;
+    * ties resolve by fixed language order (the CASE chain).
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "row", "key"),
+    "en" -> Seq("hash", "order", "table"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("join", "small", "the")
+  )
+
+  private def t22LangId(s: SparkSession, d: String): DataFrame = {
+    val base = Tables
+      .documents(s, d)
+      .withColumn("words", wordsCol(col("text")))
+    val scored = markers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("words"), w => w.isin(ms.map(x => x: Any): _*))))
+    }
+    val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = markers.foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
+      c.when(col(s"s_$l") === col("best"), l)
+    }
+    scored
+      .withColumn("best", best)
+      .withColumn("pred_lang", pred.otherwise("und"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      .select(Seq(col("doc_id"), col("lang"), col("pred_lang"), col("best"), col("is_match")) ++
+        markers.map { case (l, _) => col(s"s_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  private val t22Oracle: String = {
+    val ws = wordsSql("text")
+    val scoreCols = markers
+      .map { case (l, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter($ws, x -> x IN ($inList))) AS INT) AS s_$l"
+      }
+      .mkString(",\n         ")
+    val bestExpr = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val caseExpr = markers
+      .map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    val sCols = markers.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""SELECT doc_id, lang, $caseExpr AS pred_lang, best,
+       |       CAST(($caseExpr) = lang AS INT) AS is_match, $sCols
+       |FROM (
+       |  SELECT doc_id, lang, $bestExpr AS best, s_de, s_en, s_es, s_fr, s_zh FROM (
+       |    SELECT doc_id, lang,
+       |         $scoreCols
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t23: token counting -------------------------------------------------
+
+  /** Whitespace tokens vs regex (BPE-ish pre-tokenizer) tokens,
+    * rolled up per source — the corpus-accounting query every
+    * training pipeline runs. One scan, one small shuffle on `source`.
+    */
+  private val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def t23TokenStats(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("source"),
+        col("n_chars"),
+        size(wordsCol(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).as("re_tokens")
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("re_tokens")).as("sum_re_tokens"),
+        (sum(col("ws_tokens")).cast("double") / count(lit(1))).as("avg_tokens_per_doc"),
+        (sum(col("n_chars")).cast("double") / sum(col("re_tokens"))).as("chars_per_token")
+      )
+      .orderBy("source")
+
+  private val t23Oracle: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+       |       CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens,
+       |       CAST(CAST(sum(ws_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens_per_doc,
+       |       CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / CAST(sum(re_tokens) AS BIGINT) AS chars_per_token
+       |FROM (
+       |  SELECT source, n_chars,
+       |         CAST(len(${wordsSql("text")}) AS INT) AS ws_tokens,
+       |         CAST(len(regexp_extract_all(text, '$tokenPattern')) AS INT) AS re_tokens
+       |  FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- t24: document fingerprinting (winnowing) ----------------------------
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling
+    * 5-gram char hashes, minimum per sliding window of 4, distinct.
+    * The per-doc fingerprint *set* is summarized by order-insensitive
+    * exact aggregates (count/min/max/sum) so the compare is stable.
+    * All row-local array work — zero shuffles beyond the final sort.
+    */
+  private def t24Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val h5 = polyHashSql("substr(text, CAST(i AS INT), 5)", 5)
+    Tables
+      .documents(s, d)
+      .withColumn("grams", expr(s"transform(sequence(1, length(text)-4), i -> $h5)"))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(1, size(grams)-3), j -> array_min(slice(grams, CAST(j AS INT), 4))))"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"),
+        expr("aggregate(fps, 0L, (acc, x) -> acc + x)").as("sum_fp")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val t24Oracle: String = {
+    val h5 = polyHashSql("substr(text, CAST(i AS INT), 5)", 5)
+    s"""SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+       |       list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+       |       CAST(list_sum(fps) AS BIGINT) AS sum_fp
+       |FROM (
+       |  SELECT doc_id, list_distinct(
+       |           list_transform(generate_series(1, len(grams)-3),
+       |                          j -> list_min(list_slice(grams, j, j+3)))) AS fps
+       |  FROM (
+       |    SELECT doc_id,
+       |           list_transform(generate_series(1, length(text)-4), i -> $h5) AS grams
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_quality_score" -> (t21Quality _),
+    "t22_lang_id" -> (t22LangId _),
+    "t23_token_stats" -> (t23TokenStats _),
+    "t24_fingerprint" -> (t24Fingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t21_quality_score" -> t21Oracle,
+    "t22_lang_id" -> t22Oracle,
+    "t23_token_stats" -> t23Oracle,
+    "t24_fingerprint" -> t24Oracle
+  )
+}
