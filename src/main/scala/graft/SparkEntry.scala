@@ -59,7 +59,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest_state" -> (cdcLatestState _),
     "q1_pricing_summary" -> (q1PricingSummary _)
-  ) ++ graft.ops.Relational.queries ++ graft.ops.Text.queries
+  ) ++ graft.ops.Relational.queries ++ graft.ops.Text.queries ++
+    graft.ops.Dedup.queries
 
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" ->
@@ -84,5 +85,6 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.ops.Relational.oracles ++ graft.ops.Text.oracles
+  ) ++ graft.ops.Relational.oracles ++ graft.ops.Text.oracles ++
+    graft.ops.Dedup.oracles
 }

@@ -1,0 +1,318 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Deduplication operators over `documents`: exact, bounded exact
+  * n-gram Jaccard, MinHash+LSH near-dup at corpus scale, and SimHash
+  * banding — the dedup half of an LLM-training-data pipeline.
+  *
+  * Oracle portability: all hashing is integer arithmetic over
+  * `ascii(substr(...))` polynomials ([[Text.polyHashSql]]) reduced
+  * mod P = 2^31-1, so DuckDB evaluates the identical formulas. The
+  * harness corpus has no exact duplicates, so the exact-dedup query
+  * *plants* them deterministically (re-ingest of the first 10 docs
+  * under shifted ids) — the realistic "same doc crawled twice" case.
+  *
+  * Scale design:
+  *   - d1/d3/d4 shuffle on content keys (text hash / band key), never
+  *     pairwise: candidate generation is O(docs x bands), and only
+  *     candidates pay the exact-verification cost;
+  *   - d2 (exact pairwise Jaccard) is intentionally bounded to a
+  *     fixed block — the quadratic op exists for verification, the
+  *     LSH path is the 100 TB route;
+  *   - all array work is row-local; band explosion multiplies rows by
+  *     a small constant (4), not by corpus size.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** MinHash permutation constants, fixed & embedded in both SQLs. */
+  private val numHashes = 16
+  private val mhA: Seq[Long] =
+    (1 to numHashes).map(j => (2654435761L * j) % P).map(a => if (a == 0) 1L else a)
+  private val mhB: Seq[Long] = (1 to numHashes).map(j => (40503L * j * 2654435761L) % P)
+
+  /** Spark-SQL/DuckDB-shared fragment: array of word hashes. */
+  private def wordHashSqlSpark = Text.polyHashSql("element_at(words, CAST(i AS INT))", 8)
+  private def wordHashSqlDuck = Text.polyHashSql("words[i]", 8)
+
+  /** Shingle hash from three consecutive word hashes, all mod-P:
+    * h = ((hw0 % P) * 1000003 + hw1) % P * 1000003 + hw2) % P —
+    * every intermediate stays below 2^63. `at(k)` renders the access
+    * to the word hash at offset k from the loop variable, because the
+    * engines disagree on indexing (Spark `element_at` is 1-based,
+    * Spark `arr[i]` would be 0-based, DuckDB `arr[i]` is 1-based).
+    */
+  private def shingleHashSql(at: Int => String): String =
+    s"((((${at(0)} % $P) * 1000003 + ${at(1)}) % $P) * 1000003 + ${at(2)}) % $P"
+
+  // ---- d1: exact dedup -----------------------------------------------------
+
+  /** Exact dedup by full text equality over the corpus plus a planted
+    * re-ingest of the first 10 docs (ids shifted by 1,000,000). At
+    * scale the groupBy key would be a 128-bit content hash instead of
+    * the raw text; the shape (one shuffle on content key, min-id
+    * canonical winner) is identical.
+    */
+  private def d1Exact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val replayed = docs
+      .filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    docs
+      .union(replayed)
+      .groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        max(col("doc_id")).as("dup_id"),
+        count(lit(1)).as("n_copies")
+      )
+      .filter(col("n_copies") > 1)
+      .select("canonical_id", "dup_id", "n_copies")
+      .orderBy("canonical_id")
+  }
+
+  private val d1Oracle: String =
+    """SELECT min(doc_id) AS canonical_id, max(doc_id) AS dup_id,
+      |       count(*) AS n_copies
+      |FROM (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+      |GROUP BY text HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
+  // ---- d2: bounded exact n-gram Jaccard -----------------------------------
+
+  /** Exact 3-gram-shingle Jaccard over a fixed 100-doc block: the
+    * quadratic reference op (cost is constant in corpus size — the
+    * block is the unit a verifier runs on candidates).
+    */
+  private def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables
+      .documents(s, d)
+      .filter(col("doc_id") < 100)
+      .withColumn("words", Text.wordsCol(col("text")))
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(words)-2),
+          |  i -> concat(element_at(words, CAST(i AS INT)), ' ',
+          |              element_at(words, CAST(i AS INT)+1), ' ',
+          |              element_at(words, CAST(i AS INT)+2))))""".stripMargin))
+      .select(col("doc_id"), col("sh"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("n_common"),
+        size(array_union(col("a.sh"), col("b.sh"))).as("n_union")
+      )
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d2Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""SELECT id_a, id_b, n_common, n_union,
+       |       CAST(n_common AS DOUBLE) / n_union AS jaccard
+       |FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_common,
+       |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT) AS n_union
+       |  FROM (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+       |                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       |        FROM (SELECT doc_id, $ws AS words FROM documents WHERE doc_id < 100)) a
+       |  JOIN (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+       |                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       |        FROM (SELECT doc_id, $ws AS words FROM documents WHERE doc_id < 100)) b
+       |    ON a.doc_id < b.doc_id)
+       |WHERE CAST(n_common AS DOUBLE) / n_union >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- d3: MinHash + LSH near-dup -----------------------------------------
+
+  /** Corpus-scale near-dup detection: 16 minhashes over distinct
+    * 3-gram shingle hashes, banded 4x4; docs sharing any band become
+    * candidates; candidates are verified by exact shingle-set Jaccard
+    * >= 0.5. Only the band join shuffles; the pairwise cost is paid
+    * solely by candidates (planted near-dups + rare band collisions),
+    * so the plan survives a 100x corpus without going quadratic.
+    */
+  /** Per-doc distinct shingle hashes. Expression discipline for
+    * interpreted HOFs: computed arrays are only referenced at
+    * *per-row* scope (slices outside lambdas) — referencing `hw`
+    * inside a per-element lambda would re-evaluate the whole word-hash
+    * chain once per element (CodegenFallback has no CSE), turning a
+    * linear pass quadratic.
+    */
+  private def shingleSetDF(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("words", Text.wordsCol(col("text")))
+      .withColumn("hw", expr(s"transform(words, w -> ${Text.polyHashSql("w", 8)})"))
+      .withColumn("shs", expr(
+        s"""array_distinct(transform(
+           |  arrays_zip(slice(hw, 1, size(hw)-2), slice(hw, 2, size(hw)-2), slice(hw, 3, size(hw)-2)),
+           |  t -> ${shingleHashSql(k => s"t['$k']")}))""".stripMargin))
+      .select(col("doc_id"), col("shs"))
+
+  private def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val aLit = mhA.mkString("array(", "L, ", "L)")
+    val bLit = mhB.mkString("array(", "L, ", "L)")
+    // Persist the shingle sets and signatures: higher-order functions
+    // are CodegenFallback (no whole-stage codegen, no common-subexpr
+    // elimination), so a downstream projection referencing `mh` 16
+    // times would otherwise re-evaluate the entire minhash chain per
+    // reference. Materializing is also the right call at scale — the
+    // band join reads the signature table twice.
+    val shs = shingleSetDF(s, d).persist()
+    val sig = shs
+      .withColumn("mh", expr(
+        s"""transform(sequence(1, $numHashes), j ->
+           |  array_min(transform(shs, x ->
+           |    (element_at($aLit, CAST(j AS INT)) * x + element_at($bLit, CAST(j AS INT))) % $P)))""".stripMargin))
+      .persist()
+    val withSig = sig
+      .withColumn("bands", expr(
+        """transform(sequence(0, 3), b -> concat(
+          |  b, ':', element_at(mh, CAST(b AS INT)*4+1), ',', element_at(mh, CAST(b AS INT)*4+2),
+          |  ',', element_at(mh, CAST(b AS INT)*4+3), ',', element_at(mh, CAST(b AS INT)*4+4)))""".stripMargin))
+      .select(col("doc_id"), col("shs"), explode(col("bands")).as("band"))
+    val cands = withSig.as("a")
+      .join(withSig.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shs").as("sa"), col("b.shs").as("sb")
+      )
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "n_common", "n_union", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d3Oracle: String = {
+    val ws = Text.wordsSql("text")
+    val aLit = mhA.mkString("[", ", ", "]")
+    val bLit = mhB.mkString("[", ", ", "]")
+    s"""WITH shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hw)-2),
+       |           i -> ${shingleHashSql(k => s"hw[i+$k]")})) AS shs
+       |  FROM (SELECT doc_id, list_transform(generate_series(1, len(words)), i -> $wordHashSqlDuck) AS hw
+       |        FROM (SELECT doc_id, $ws AS words FROM documents))),
+       |sig AS (
+       |  SELECT doc_id, shs,
+       |         list_transform(generate_series(1, $numHashes), j ->
+       |           list_min(list_transform(shs, x -> (($aLit)[j] * x + ($bLit)[j]) % $P))) AS mh
+       |  FROM shs),
+       |bands AS (
+       |  SELECT doc_id, shs, unnest(list_transform(generate_series(0, 3), b ->
+       |           b || ':' || mh[b*4+1] || ',' || mh[b*4+2] || ',' || mh[b*4+3] || ',' || mh[b*4+4])) AS band
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.shs AS sa, b.shs AS sb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, n_common, n_union,
+       |       CAST(n_common AS DOUBLE) / n_union AS jaccard
+       |FROM (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(sa, sb)) AS INT) AS n_common,
+       |         CAST(len(list_distinct(list_concat(sa, sb))) AS INT) AS n_union
+       |  FROM cand)
+       |WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- d4: SimHash banding -------------------------------------------------
+
+  /** 32-bit SimHash over the word multiset (bit b is set when the
+    * signed vote of all word-hash bits at position b is positive),
+    * byte-banded: pairs sharing any of the 4 byte positions are
+    * candidates; near-dups are candidates with Hamming distance <= 3.
+    * Votes use multiplicity (explode + groupBy), so the fingerprint
+    * is one narrow two-phase aggregation — no pairwise work before
+    * the band join.
+    */
+  private def d4Simhash(s: SparkSession, d: String): DataFrame = {
+    val voteCols = (0 until 32).map { b =>
+      sum(when(expr(s"shiftright(hw, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val fpExpr = (0 until 32)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
+      .mkString(" + ")
+    val fps = Tables
+      .documents(s, d)
+      .withColumn("words", Text.wordsCol(col("text")))
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .withColumn("hw", expr(Text.polyHashSql("w", 8)))
+      .groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .withColumn("fp", expr(fpExpr))
+      .select("doc_id", "fp")
+    val banded = fps.select(
+      col("doc_id"), col("fp"),
+      explode(expr("transform(sequence(0, 3), k -> concat(k, ':', shiftright(fp, CAST(k AS INT)*8) & 255))")).as("band")
+    )
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b")
+      )
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d4Oracle: String = {
+    val ws = Text.wordsSql("text")
+    val voteCols = (0 until 32)
+      .map(b => s"sum(CASE WHEN ((hw >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n         ")
+    val fpExpr = (0 until 32)
+      .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH fps AS (
+       |  SELECT doc_id, $fpExpr AS fp FROM (
+       |    SELECT doc_id,
+       |         $voteCols
+       |    FROM (SELECT doc_id, ${Text.polyHashSql("w", 8)} AS hw
+       |          FROM (SELECT doc_id, unnest($ws) AS w FROM documents))
+       |    GROUP BY doc_id)),
+       |banded AS (
+       |  SELECT doc_id, fp, unnest(list_transform(generate_series(0, 3),
+       |           k -> k || ':' || ((fp >> (k*8)) & 255))) AS band
+       |  FROM fps)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       a.fp AS fp_a, b.fp AS fp_b,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1Exact _),
+    "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Oracle,
+    "d2_ngram_jaccard" -> d2Oracle,
+    "d3_minhash_lsh" -> d3Oracle,
+    "d4_simhash" -> d4Oracle
+  )
+}

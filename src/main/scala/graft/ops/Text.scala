@@ -35,7 +35,7 @@ object Text {
     */
   def polyHashSql(e: String, width: Int): String =
     (1 to width)
-      .map(k => s"ascii(substr($e,$k,1))*${pow31(width - k)}")
+      .map(k => s"CAST(ascii(substr($e,$k,1)) AS BIGINT)*${pow31(width - k)}")
       .mkString("(", " + ", ")")
 
   /** Word list: trim, split on space, drop empties. Spark side. */
@@ -204,11 +204,18 @@ object Text {
     */
   private def t24Fingerprint(s: SparkSession, d: String): DataFrame = {
     val h5 = polyHashSql("substr(text, CAST(i AS INT), 5)", 5)
+    // `grams` is referenced only via per-row slices (never inside a
+    // per-element lambda): interpreted HOFs re-evaluate lambda-scoped
+    // references once per element, which would make winnowing
+    // quadratic in document length.
     Tables
       .documents(s, d)
       .withColumn("grams", expr(s"transform(sequence(1, length(text)-4), i -> $h5)"))
       .withColumn("fps", expr(
-        "array_distinct(transform(sequence(1, size(grams)-3), j -> array_min(slice(grams, CAST(j AS INT), 4))))"))
+        """array_distinct(transform(
+          |  arrays_zip(slice(grams, 1, size(grams)-3), slice(grams, 2, size(grams)-3),
+          |             slice(grams, 3, size(grams)-3), slice(grams, 4, size(grams)-3)),
+          |  t -> least(t['0'], t['1'], t['2'], t['3'])))""".stripMargin))
       .select(
         col("doc_id"),
         size(col("fps")).as("n_fps"),
