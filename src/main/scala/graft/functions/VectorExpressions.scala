@@ -80,7 +80,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) null
-    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    else {
+      // clamp: rounding can push |result| past 1 for near-identical
+      // vectors; cosine is by definition in [-1, 1] (DuckDB clamps
+      // identically, which keeps the oracle compare exact)
+      val raw = dot / (math.sqrt(nx) * math.sqrt(ny))
+      java.lang.Double.valueOf(math.max(-1.0, math.min(1.0, raw)))
+    }
   }
 
   override protected def withNewChildrenInternal(

@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, a
+  * random-hyperplane LSH bucket index as the scale path, and
+  * LSH-bucketed near-duplicate detection.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *   - cosine similarity accumulates left-to-right in double
+  *     ([[graft.functions.CosineSimilarity]]); DuckDB's
+  *     `list_cosine_similarity` over `DOUBLE[]` computes the same
+  *     sequence, verified bit-identical on the harness data;
+  *   - LSH signatures never touch floating point: vectors are
+  *     quantized to integers (`floor(x*1000)`) and hyperplanes are
+  *     integer-valued pseudo-random ((j*64+i)*2654435761 % 1000003 -
+  *     500001), so the bucket of every vector is exact integer
+  *     arithmetic — identical in any engine.
+  *
+  * Scale notes: the brute-force path is O(|Q| x N) with a broadcast
+  * of the query set — correct for small Q, the verifier role. The
+  * bucket index is the 100 TB route: one narrow signature pass, one
+  * shuffle on bucket id, candidate sets ~N/2^bits per probe. The
+  * signature table persists because the band join reads it twice and
+  * interpreted HOFs would otherwise re-evaluate the quantization
+  * chain per reference.
+  */
+object Similarity {
+
+  private val bits = 6
+
+  /** Double-cast view of the vectors (floats widen exactly). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
+      )
+
+  /** Attach the integer LSH signature: quantize, then one exact
+    * integer dot per hyperplane; bit j set iff dot > 0.
+    */
+  private def withBucket(df: DataFrame): DataFrame = {
+    val q = df.withColumn("q",
+      expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+    val dots = (0 until bits).foldLeft(q) { (acc, j) =>
+      acc.withColumn(s"dot$j", expr(
+        s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
+           |  acc + element_at(q, CAST(i AS INT)+1) * ((($j*64 + i) * 2654435761) % 1000003 - 500001))""".stripMargin))
+    }
+    val bucketExpr = (0 until bits)
+      .map(j => s"(CASE WHEN dot$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    dots.withColumn("bucket", expr(bucketExpr)).drop((0 until bits).map(j => s"dot$j"): _*)
+  }
+
+  /** Oracle-side CTE producing (vec_id, label, v, bucket) from a
+    * relation named `rel` with columns (vec_id, label, v DOUBLE[]).
+    */
+  private def bucketSqlFrom(rel: String): String = {
+    val dots = (0 until bits)
+      .map(j => s"""list_sum(list_transform(generate_series(0, 63),
+                   |           i -> q[i+1] * ((($j*64 + i) * 2654435761) % 1000003 - 500001))) AS dot$j""".stripMargin)
+      .mkString(",\n         ")
+    val bucket = (0 until bits)
+      .map(j => s"(CASE WHEN dot$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT vec_id, label, v, $bucket AS bucket FROM (
+       |  SELECT vec_id, label, v,
+       |         $dots
+       |  FROM (SELECT vec_id, label, v,
+       |               list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |        FROM $rel))""".stripMargin
+  }
+
+  // ---- s1: brute-force cosine top-k ---------------------------------------
+
+  /** Exact top-10 neighbours for the first five vectors: broadcast
+    * the tiny query side under the full scan — the fact table never
+    * shuffles; the final per-query top-k is a 5-partition window.
+    */
+  private def s1CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = all
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(queries))
+      .select(
+        col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+
+  private val s1Oracle: String =
+    """SELECT qid, vec_id, cos, rnk FROM (
+      |  SELECT qid, vec_id, cos,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rnk
+      |  FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+      |           list_cosine_similarity(q.v, c.v) AS cos
+      |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5) q,
+      |         (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5) c))
+      |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  // ---- s2: LSH-bucketed approximate top-k ---------------------------------
+
+  /** IVF-style probe: each query searches only its own LSH bucket
+    * (nprobe = 1). Candidate sets shrink by 2^bits, trading recall
+    * for a constant-factor scan — the structure that still works when
+    * N no longer fits a cross join.
+    */
+  private def s2AnnBucket(s: SparkSession, d: String): DataFrame = {
+    val bucketed = withBucket(vecs(s, d)).persist()
+    val queries = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+    val scored = bucketed
+      .join(queries, col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("vec_id"), col("bucket"),
+        VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
+  private val s2Oracle: String =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |bucketed AS (${bucketSqlFrom("base")})
+       |SELECT qid, vec_id, bucket, cos, rnk FROM (
+       |  SELECT qid, vec_id, bucket, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.bucket AS bucket,
+       |           list_cosine_similarity(q.v, c.v) AS cos
+       |    FROM bucketed q JOIN bucketed c
+       |      ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5))
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  // ---- s3: embedding near-duplicate detection -----------------------------
+
+  /** Near-dup pairs via LSH buckets: the corpus plus planted
+    * re-embeddings (first 20 vectors scaled by 1.0001 under shifted
+    * ids — cosine to the original ~1.0). Pairs sharing a bucket are
+    * verified exactly; only cos >= 0.999 survives. One shuffle on
+    * bucket id; pairwise cost is per-bucket, never corpus-wide.
+    */
+  private def s3EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val planted = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 20)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.0001)").as("v")
+      )
+    val bucketed = withBucket(base.union(planted)).persist()
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorFunctions.cosine_similarity(col("a.v"), col("b.v")).as("cos")
+      )
+      .filter(col("cos") >= 0.999)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val s3Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, label,
+       |         list_transform(embedding::DOUBLE[], x -> x * 1.0001)
+       |  FROM embeddings WHERE vec_id < 20),
+       |bucketed AS (${bucketSqlFrom("base")})
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       list_cosine_similarity(a.v, b.v) AS cos
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> (s1CosineTopk _),
+    "s2_ann_bucket" -> (s2AnnBucket _),
+    "s3_embedding_dedup" -> (s3EmbeddingDedup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_cosine_topk" -> s1Oracle,
+    "s2_ann_bucket" -> s2Oracle,
+    "s3_embedding_dedup" -> s3Oracle
+  )
+}
