@@ -60,7 +60,8 @@ object SparkEntry {
     "cdc_latest_state" -> (cdcLatestState _),
     "q1_pricing_summary" -> (q1PricingSummary _)
   ) ++ graft.ops.Relational.queries ++ graft.ops.Text.queries ++
-    graft.ops.Dedup.queries ++ graft.ops.Similarity.queries
+    graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
+    graft.ops.Relational2.queries
 
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" ->
@@ -86,5 +87,6 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.ops.Relational.oracles ++ graft.ops.Text.oracles ++
-    graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles
+    graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
+    graft.ops.Relational2.oracles
 }
