@@ -61,7 +61,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1PricingSummary _)
   ) ++ graft.ops.Relational.queries ++ graft.ops.Text.queries ++
     graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
-    graft.ops.Relational2.queries
+    graft.ops.Relational2.queries ++ graft.ops.Multimodal.queries
 
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" ->
@@ -88,5 +88,5 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.ops.Relational.oracles ++ graft.ops.Text.oracles ++
     graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
-    graft.ops.Relational2.oracles
+    graft.ops.Relational2.oracles ++ graft.ops.Multimodal.oracles
 }

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.Tables
+
+/** One multimodal asset: opaque bytes plus typed metadata. The
+  * harness has no real media files, so assets are derived
+  * deterministically from `documents` (content = UTF-8 bytes of the
+  * text, metadata from doc_id) — the *plumbing* (binary column,
+  * metadata struct, partition-parallel decode, feature schema) is the
+  * real thing; only the codec is a stub.
+  */
+final case class MmAsset(
+    doc_id: Long,
+    modality: String, // image | audio | video
+    content: Array[Byte],
+    width: Int, // image/video
+    height: Int,
+    sample_rate: Int // audio
+)
+
+/** Extracted features — what a real pipeline would hand to training. */
+final case class MmFeature(
+    doc_id: Long,
+    modality: String,
+    n_bytes: Int,
+    checksum: Long,
+    mean_byte: Double,
+    frames_sampled: Int,
+    thumb_bytes: Int
+)
+
+/** Multimodal-column operators: treat image/audio/video as `binary`
+  * columns with typed metadata; decode / feature-extract / resize /
+  * frame-sample run partition-parallel over a typed Dataset.
+  *
+  * STUB NOTICE: `decodeStub` stands in for a real codec (no media
+  * libraries in this container). It is a deterministic fake — byte
+  * statistics instead of pixel statistics — but the Spark-side
+  * contract is real: per-partition batch processing (one codec init
+  * per partition, the mapPartitions shape a JNI decoder needs),
+  * binary transport, typed metadata, explicit feature schema.
+  *
+  * Scale notes: assets read columnar (binary column stays packed in
+  * parquet pages); decode is embarrassingly parallel with zero
+  * shuffles; feature output is narrow. At 100 TB the only knobs are
+  * input split size (`maxPartitionBytes`) and executor memory per
+  * decode — nothing here collects to the driver.
+  */
+object Multimodal {
+
+  /** Deterministic asset table derived from `documents`. */
+  def assets(s: SparkSession, d: String): Dataset[MmAsset] = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        encode(col("text"), "UTF-8").as("content"),
+        (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 5) * 16).cast("int").as("height"),
+        element_at(array(lit(8000), lit(16000), lit(44100)),
+          (col("doc_id") % 3).cast("int") + 1).as("sample_rate")
+      )
+      .as[MmAsset]
+  }
+
+  /** STUB for the real decoder. Deterministic byte-level stand-ins:
+    * checksum = rolling sum, mean byte value, "frame sampling" =
+    * every `stride`-th byte, "thumbnail" = first w*h/64 bytes.
+    */
+  private[ops] def decodeStub(a: MmAsset): MmFeature = {
+    val bytes = a.content
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+    val mean =
+      if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / bytes.length
+    val stride = a.modality match {
+      case "video" => 24
+      case "audio" => 8
+      case _ => 1
+    }
+    MmFeature(
+      doc_id = a.doc_id,
+      modality = a.modality,
+      n_bytes = bytes.length,
+      checksum = sum,
+      mean_byte = mean,
+      frames_sampled = if (bytes.isEmpty) 0 else (bytes.length + stride - 1) / stride,
+      thumb_bytes = math.min(bytes.length, a.width * a.height / 64)
+    )
+  }
+
+  /** Partition-parallel feature extraction: one decoder per
+    * partition, batched iteration — the shape a real (JNI/FFI) codec
+    * integration requires.
+    */
+  def extractFeatures(assets: Dataset[MmAsset]): Dataset[MmFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real pipeline: init codec once per partition here
+      it.map(decodeStub)
+    }
+  }
+
+  /** mm1: asset catalog — binary sizes + typed metadata, fully
+    * oracle-checkable (byte lengths of UTF-8 text match DuckDB's
+    * octet_length over the encoded blob).
+    */
+  private def mm1Catalog(s: SparkSession, d: String): DataFrame =
+    assets(s, d)
+      .toDF()
+      .select(
+        col("doc_id"), col("modality"),
+        length(col("content")).as("n_bytes"),
+        col("width"), col("height"), col("sample_rate")
+      )
+      .orderBy("doc_id")
+
+  private val mm1Oracle: String =
+    """SELECT doc_id,
+      |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |       CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+      |       CAST(64 + (doc_id % 5) * 16 AS INT) AS height,
+      |       ([8000,16000,44100])[CAST(doc_id % 3 AS INT) + 1] AS sample_rate
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** mm2: per-modality rollup of extracted features. The decode stub
+    * is JVM-side, so this query has no SQL oracle — the driver
+    * records a rows-only check; determinism is covered by
+    * MultimodalSpec instead.
+    */
+  private def mm2Features(s: SparkSession, d: String): DataFrame =
+    extractFeatures(assets(s, d))
+      .toDF()
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("frames_sampled")).as("total_frames"),
+        min(col("checksum")).as("min_checksum"),
+        max(col("checksum")).as("max_checksum")
+      )
+      .orderBy("modality")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_catalog" -> (mm1Catalog _),
+    "mm2_features" -> (mm2Features _)
+  )
+
+  /** mm2 intentionally absent: non-SQL-expressible (JVM decode stub). */
+  val oracles: Map[String, String] = Map(
+    "mm1_catalog" -> mm1Oracle
+  )
+}

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("assets carry binary content with typed metadata") {
+    val a = Multimodal.assets(spark, sf).collect()
+    assert(a.length == 500)
+    assert(a.forall(x => x.content.nonEmpty && Set("image", "audio", "video")(x.modality)))
+    // content is the UTF-8 text bytes (ASCII corpus: 1 byte per char)
+    assert(a.forall(x => x.content.length > 0 && x.width >= 64 && x.height >= 64))
+  }
+
+  test("feature extraction is deterministic and partition-count-insensitive") {
+    val ds = Multimodal.assets(spark, sf)
+    val once = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
+    val again = Multimodal.extractFeatures(ds.repartition(13)).collect().sortBy(_.doc_id)
+    assert(once.length == 500)
+    assert(once.toSeq == again.toSeq)
+  }
+
+  test("decode stub honors per-modality frame stride") {
+    val f = Multimodal.extractFeatures(Multimodal.assets(spark, sf)).collect()
+    f.foreach { x =>
+      val stride = x.modality match {
+        case "video" => 24; case "audio" => 8; case _ => 1
+      }
+      assert(x.frames_sampled == (x.n_bytes + stride - 1) / stride)
+      assert(x.mean_byte > 0 && x.mean_byte < 256)
+    }
+  }
+}
