@@ -9,7 +9,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries that persist() intermediates (d3, s2, s3) would
+      // otherwise accumulate cached blocks across all 45+ queries in
+      // this one JVM — the round-2 bench regressed 3.1x from exactly
+      // that. Each query must pay only its own cost.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

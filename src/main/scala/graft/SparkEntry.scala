@@ -61,19 +61,11 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1PricingSummary _)
   ) ++ graft.ops.Relational.queries ++ graft.ops.Text.queries ++
     graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
-    graft.ops.Relational2.queries ++ graft.ops.Multimodal.queries
+    graft.ops.Relational2.queries ++ graft.ops.Multimodal.queries ++
+    graft.cdc.CdcQueries.queries
 
   def oracleSql: Map[String, String] = Map(
-    "cdc_latest_state" ->
-      """SELECT user_id, last_pos, op, value, k FROM (
-        |  SELECT user_id, event_id AS last_pos,
-        |         CASE WHEN event_type = 'signup' THEN 'insert'
-        |              WHEN event_type = 'error' THEN 'delete'
-        |              ELSE 'update' END AS op,
-        |         value,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+    "cdc_latest_state" -> graft.cdc.CdcQueries.latestStateOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -88,5 +80,6 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.ops.Relational.oracles ++ graft.ops.Text.oracles ++
     graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
-    graft.ops.Relational2.oracles ++ graft.ops.Multimodal.oracles
+    graft.ops.Relational2.oracles ++ graft.ops.Multimodal.oracles ++
+    graft.cdc.CdcQueries.oracles
 }

@@ -1,0 +1,243 @@
+package graft.cdc
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.model.{ChangeEvent, FilterRule, GtidSet, TableFilter}
+
+/** Driver-checked queries for the CDC subsystem (SURVEY §2 ops #1–#14,
+  * #16, #19–#20, #22): each one exercises a pipeline piece end-to-end
+  * and has a DuckDB oracle over the same parquet.
+  */
+object CdcQueries {
+
+  /** Shared oracle text: full latest-wins materialization of the
+    * events feed (the flagship derived capability). Both the gated
+    * two-phase computation and the map-transport roundtrip must
+    * reproduce exactly this — proving, against an independent engine,
+    * that neither the consistency protocol nor the generic transport
+    * loses or mangles events.
+    */
+  val latestStateOracle: String =
+    """SELECT user_id, last_pos, op, value, k FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
+
+  // ---- cdc_snapshot: the full-snapshot pipeline ---------------------------
+
+  /** Filter rule for the snapshot run: schema gate + a trailing-`_`
+    * prefix exclude (drops `events` and `embeddings`), so catalog
+    * pruning (#10) is exercised inside the snapshot path exactly as
+    * the reference applies it (`fullamount_service.go:61-67`).
+    */
+  private val snapshotRule = FilterRule(global = Some(TableFilter(
+    includeSchemas = Seq(SnapshotJob.schemaName),
+    excludeTables = Seq("e_")
+  )))
+
+  private val snapshotPos = "harness-src:1-1000000"
+
+  /** Envelope counts per (table, kind): every allowed table must emit
+    * exactly one `create_table`, one `end`, and count(*) `insert`s —
+    * the contract of `readOneTable` (`fullamount_service.go:136-191`).
+    */
+  private def cdcSnapshot(s: SparkSession, d: String): DataFrame =
+    SnapshotJob
+      .snapshot(s, d, snapshotRule, snapshotPos)
+      .groupBy(col("table").as("table_name"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("table_name", "kind")
+
+  private val cdcSnapshotOracle: String = {
+    val perTable = SnapshotJob.listTables(snapshotRule).map { t =>
+      s"""SELECT '$t' AS table_name, 'create_table' AS kind, CAST(1 AS BIGINT) AS n
+         |UNION ALL SELECT '$t', 'end', CAST(1 AS BIGINT)
+         |UNION ALL SELECT '$t', 'insert', (SELECT count(*) FROM $t)""".stripMargin
+    }
+    s"""SELECT table_name, kind, n FROM (
+       |${perTable.mkString("", "\nUNION ALL ", "")})
+       |ORDER BY table_name, kind""".stripMargin
+  }
+
+  // ---- cdc_snapshot_rows: envelope payload fidelity -----------------------
+
+  /** Row→map→typed roundtrip (#7 + the typed-materialization half of
+    * #22): customer flows through the insert envelopes' string map and
+    * is cast back to its `StructType`; the oracle reads the table
+    * directly. Exact match proves the generic transport is lossless
+    * for bigint/int/double/string.
+    */
+  private def cdcSnapshotRows(s: SparkSession, d: String): DataFrame = {
+    val env = SnapshotJob.tableEnvelopes(
+      s, Tables.customer(s, d), "customer",
+      SnapshotJob.primaryKeys.get("customer"), snapshotPos)
+    env
+      .filter(col("kind") === "insert")
+      .select(
+        element_at(col("data"), "c_custkey").cast("bigint").as("c_custkey"),
+        element_at(col("data"), "c_name").as("c_name"),
+        element_at(col("data"), "c_nationkey").cast("int").as("c_nationkey"),
+        element_at(col("data"), "c_acctbal").cast("double").as("c_acctbal"),
+        element_at(col("data"), "c_mktsegment").as("c_mktsegment")
+      )
+      .orderBy("c_custkey")
+  }
+
+  private val cdcSnapshotRowsOracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---- cdc_gated_state: the consistency protocol --------------------------
+
+  /** Snapshot-then-incremental with the GTID watermark gate
+    * (`docs/全量抓取逻辑.md:44-52`): materialize state from events
+    * covered by the watermark, replay only uncovered events on top,
+    * and the result must equal the direct full materialization — the
+    * protocol's core claim, checked against DuckDB computing the
+    * direct form. The gate is [[WatermarkGate.containsColumn]]: the
+    * watermark intervals unrolled into a codegen'd predicate.
+    *
+    * The watermark covers pos 0–5000: at sf0.01 that splits the feed
+    * roughly in half; at sf0.001 it covers everything (gate side
+    * empty) — the result is identical either way, which is the point.
+    */
+  private def cdcGatedState(s: SparkSession, d: String): DataFrame = {
+    val wm = GtidSet.parse("harness-src:0-5000")
+    val feed = ChangeFeed.fromEvents(Tables.events(s, d))
+    val inWm = WatermarkGate.containsColumn(wm, "harness-src", col("pos"))
+    val snapshotState = ChangeFeed.latestState(feed.filter(inWm))
+    val incremental = feed.filter(!inWm)
+    ChangeFeed
+      .latestState(snapshotState.unionByName(incremental))
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k")
+      )
+      .orderBy("user_id")
+  }
+
+  // ---- cdc_transport: the generic ChangeEvent envelope --------------------
+
+  /** The reference's event model in flight (#22 + `event.go:3-12`):
+    * feed rows become [[ChangeEvent]]s with `Map[String,String]`
+    * before/after images (before via `lag` over (pk, pos) — the
+    * reference pairs consecutive binlog rows,
+    * `handler.go:100-107`), then the maps are cast back to typed
+    * columns and materialized. Oracle = the direct materialization:
+    * the envelope roundtrip must be invisible.
+    */
+  private def cdcTransport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feed = ChangeFeed.fromEvents(Tables.events(s, d))
+    val w = Window.partitionBy(col("pk")).orderBy(col("pos"))
+    val events = feed
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(
+        lit("harness-src").as("dataSource"),
+        lit(SnapshotJob.schemaName).as("schema"),
+        lit("events").as("table"),
+        col("op"),
+        map(
+          lit("pk"), col("pk").cast("string"),
+          lit("value"), col("value").cast("string"),
+          lit("props"), col("props")
+        ).as("data"),
+        when(col("op").isin("update", "delete") && col("prev_value").isNotNull,
+          map(lit("pk"), col("pk").cast("string"),
+            lit("value"), col("prev_value").cast("string")))
+          .as("before"),
+        col("ts").cast("long").as("ts"),
+        col("pos").cast("string").as("pos")
+      )
+      .as[ChangeEvent] // typed transport: the envelope the engine ships
+    val typed = events
+      .toDF()
+      .select(
+        element_at(col("data"), "pk").cast("bigint").as("pk"),
+        col("pos").cast("bigint").as("pos"),
+        col("op"),
+        element_at(col("data"), "value").cast("double").as("value"),
+        element_at(col("data"), "props").as("props")
+      )
+    ChangeFeed
+      .latestState(typed)
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k")
+      )
+      .orderBy("user_id")
+  }
+
+  // ---- cdc_filter_rules: the compiled rule predicate ----------------------
+
+  /** Ops #10/#11/#19 under the driver gate: a (schema, table) relation
+    * derived from `nation`, filtered by a compiled [[FilterRule]] that
+    * exercises every semantic branch — per-schema override bypassing
+    * the global gate (db.go:113-115), trailing-`_` prefix wildcard
+    * (db.go:155-158), exclude-beats-include (db.go:134-141). The
+    * oracle hand-compiles the same rule instance to SQL.
+    */
+  private val filterRule = FilterRule(
+    global = Some(TableFilter(
+      includeSchemas = Seq("db0", "db1"),
+      includeTables = Seq("i_", "japan", "kenya"),
+      excludeTables = Seq("iran")
+    )),
+    perSchema = Map("db2" -> TableFilter(includeTables = Seq("u_", "brazil")))
+  )
+
+  private def cdcFilterRules(s: SparkSession, d: String): DataFrame = {
+    val rel = Tables
+      .nation(s, d)
+      .select(
+        concat(lit("db"), col("n_nationkey") % 3).as("table_schema"),
+        lower(col("n_name")).as("table_name")
+      )
+    rel
+      .withColumn("allowed",
+        filterRule.toColumn(col("table_schema"), col("table_name")))
+      .orderBy("table_schema", "table_name")
+  }
+
+  private val cdcFilterRulesOracle: String =
+    """SELECT table_schema, table_name,
+      |  CASE WHEN table_schema = 'db2'
+      |       THEN (table_name LIKE 'u%' OR table_name = 'brazil')
+      |       ELSE table_schema IN ('db0', 'db1')
+      |            AND (table_name LIKE 'i%' OR table_name IN ('japan', 'kenya'))
+      |            AND table_name <> 'iran'
+      |  END AS allowed
+      |FROM (SELECT 'db' || (n_nationkey % 3) AS table_schema,
+      |             lower(n_name) AS table_name FROM nation)
+      |ORDER BY table_schema, table_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot" -> (cdcSnapshot _),
+    "cdc_snapshot_rows" -> (cdcSnapshotRows _),
+    "cdc_gated_state" -> (cdcGatedState _),
+    "cdc_transport" -> (cdcTransport _),
+    "cdc_filter_rules" -> (cdcFilterRules _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_snapshot" -> cdcSnapshotOracle,
+    "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
+    "cdc_gated_state" -> latestStateOracle,
+    "cdc_transport" -> latestStateOracle,
+    "cdc_filter_rules" -> cdcFilterRulesOracle
+  )
+}

@@ -25,6 +25,25 @@ object ChangeFeed {
       .when(eventType === "error", "delete")
       .otherwise("update")
 
+  /** DDL statements the reference forwards to `OnDDL`, everything
+    * else dropped. */
+  val ddlKinds: Seq[String] = Seq("CREATE", "ALTER", "DROP", "RENAME", "TRUNCATE")
+
+  /** DDL classification gate (SURVEY op #16b): the reference inspects
+    * binlog QueryEvents and only forwards statements whose
+    * trimmed-uppercased text starts with
+    * CREATE/ALTER/DROP/RENAME/TRUNCATE
+    * (`internal/cannal/incremental.go:212-217` — `ToUpper(TrimSpace)`
+    * + `HasPrefix`). Returns the lowercase verb, or null for
+    * statements the gate drops (BEGIN, INSERT, SET, comments…).
+    */
+  def ddlKind(stmt: Column): Column = {
+    val t = upper(trim(stmt))
+    ddlKinds.foldLeft(lit(null).cast("string")) { (acc, kw) =>
+      when(t.startsWith(kw), lit(kw.toLowerCase)).otherwise(acc)
+    }
+  }
+
   /** events.parquet -> CDC feed. */
   def fromEvents(events: DataFrame): DataFrame =
     events.select(

@@ -65,7 +65,11 @@ object Dedup {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     docs
       .union(replayed)
-      .groupBy(col("text"))
+      // Shuffle on a 128-bit digest, never the raw text: at corpus
+      // scale the group key would otherwise BE the corpus. md5 is
+      // engine-shared (same hex in DuckDB), so the oracle groups on
+      // the identical key.
+      .groupBy(md5(col("text")).as("text_key"))
       .agg(
         min(col("doc_id")).as("canonical_id"),
         max(col("doc_id")).as("dup_id"),
@@ -83,7 +87,7 @@ object Dedup {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
-      |GROUP BY text HAVING count(*) > 1
+      |GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
   // ---- d2: bounded exact n-gram Jaccard -----------------------------------
@@ -97,11 +101,17 @@ object Dedup {
       .documents(s, d)
       .filter(col("doc_id") < 100)
       .withColumn("words", Text.wordsCol(col("text")))
+      // Guarded: Spark's sequence(1, n) with n < 1 yields a DESCENDING
+      // [1..n] (step -1), not the empty array DuckDB's generate_series
+      // gives — a <3-word doc would throw on element_at(words, 0). The
+      // CASE evaluates lazily, so short docs just get an empty set.
       .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, size(words)-2),
-          |  i -> concat(element_at(words, CAST(i AS INT)), ' ',
-          |              element_at(words, CAST(i AS INT)+1), ' ',
-          |              element_at(words, CAST(i AS INT)+2))))""".stripMargin))
+        """CASE WHEN size(words) >= 3 THEN
+          |  array_distinct(transform(sequence(1, size(words)-2),
+          |    i -> concat(element_at(words, CAST(i AS INT)), ' ',
+          |                element_at(words, CAST(i AS INT)+1), ' ',
+          |                element_at(words, CAST(i AS INT)+2))))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .select(col("doc_id"), col("sh"))
     sh.as("a")
       .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -156,10 +166,15 @@ object Dedup {
       .documents(s, d)
       .withColumn("words", Text.wordsCol(col("text")))
       .withColumn("hw", expr(s"transform(words, w -> ${Text.polyHashSql("w", 8)})"))
+      // Guarded for <3-word docs: slice() with a negative length
+      // throws; short docs get an empty shingle set (matching DuckDB's
+      // empty generate_series).
       .withColumn("shs", expr(
-        s"""array_distinct(transform(
-           |  arrays_zip(slice(hw, 1, size(hw)-2), slice(hw, 2, size(hw)-2), slice(hw, 3, size(hw)-2)),
-           |  t -> ${shingleHashSql(k => s"t['$k']")}))""".stripMargin))
+        s"""CASE WHEN size(hw) >= 3 THEN
+           |  array_distinct(transform(
+           |    arrays_zip(slice(hw, 1, size(hw)-2), slice(hw, 2, size(hw)-2), slice(hw, 3, size(hw)-2)),
+           |    t -> ${shingleHashSql(k => s"t['$k']")}))
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .select(col("doc_id"), col("shs"))
 
   private def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {

@@ -210,12 +210,21 @@ object Text {
     // quadratic in document length.
     Tables
       .documents(s, d)
-      .withColumn("grams", expr(s"transform(sequence(1, length(text)-4), i -> $h5)"))
+      // Guarded for short docs: Spark's sequence(1, n<1) is descending
+      // (not empty like DuckDB's generate_series) and slice() throws
+      // on negative length — a <5-char text or <4-gram doc yields an
+      // empty fingerprint set instead of an analysis exception.
+      .withColumn("grams", expr(
+        s"""CASE WHEN length(text) >= 5
+           |THEN transform(sequence(1, length(text)-4), i -> $h5)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .withColumn("fps", expr(
-        """array_distinct(transform(
-          |  arrays_zip(slice(grams, 1, size(grams)-3), slice(grams, 2, size(grams)-3),
-          |             slice(grams, 3, size(grams)-3), slice(grams, 4, size(grams)-3)),
-          |  t -> least(t['0'], t['1'], t['2'], t['3'])))""".stripMargin))
+        """CASE WHEN size(grams) >= 4 THEN
+          |  array_distinct(transform(
+          |    arrays_zip(slice(grams, 1, size(grams)-3), slice(grams, 2, size(grams)-3),
+          |               slice(grams, 3, size(grams)-3), slice(grams, 4, size(grams)-3)),
+          |    t -> least(t['0'], t['1'], t['2'], t['3'])))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .select(
         col("doc_id"),
         size(col("fps")).as("n_fps"),
