@@ -32,7 +32,20 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Bit width used by the registered s2/s3 queries — fixed so the
+    * DuckDB oracle evaluates the identical index. Library callers
+    * size the index with [[suggestedBits]] instead.
+    */
   private val bits = 6
+
+  /** Index sizing: bits grows with log2(N) so the expected bucket
+    * population stays ~`targetBucket` regardless of corpus size —
+    * the fix for a fixed 2^6 index whose buckets grow linearly with
+    * N (and whose within-bucket joins then go quadratic). At 100 TB
+    * this is the knob that keeps per-bucket work constant.
+    */
+  def suggestedBits(n: Long, targetBucket: Int = 64): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
   /** Double-cast view of the vectors (floats widen exactly). */
   private def vecs(s: SparkSession, d: String): DataFrame =
@@ -45,21 +58,38 @@ object Similarity {
       )
 
   /** Attach the integer LSH signature: quantize, then one exact
-    * integer dot per hyperplane; bit j set iff dot > 0.
+    * integer dot per hyperplane; bit j set iff dot > 0. Public (with
+    * an explicit width) so callers can size the index to their
+    * corpus; the registered queries pin `bits = 6` for the oracle.
     */
-  private def withBucket(df: DataFrame): DataFrame = {
+  def bucketed(df: DataFrame, nBits: Int): DataFrame = {
     val q = df.withColumn("q",
       expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"))
-    val dots = (0 until bits).foldLeft(q) { (acc, j) =>
+    val dots = (0 until nBits).foldLeft(q) { (acc, j) =>
       acc.withColumn(s"dot$j", expr(
         s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
            |  acc + element_at(q, CAST(i AS INT)+1) * ((($j*64 + i) * 2654435761) % 1000003 - 500001))""".stripMargin))
     }
-    val bucketExpr = (0 until bits)
+    val bucketExpr = (0 until nBits)
       .map(j => s"(CASE WHEN dot$j > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
-    dots.withColumn("bucket", expr(bucketExpr)).drop((0 until bits).map(j => s"dot$j"): _*)
+    dots.withColumn("bucket", expr(bucketExpr)).drop((0 until nBits).map(j => s"dot$j"): _*)
   }
+
+  private def withBucket(df: DataFrame): DataFrame = bucketed(df, bits)
+
+  /** Multi-probe set: the query's own bucket plus every single-bit
+    * flip (Hamming distance ≤ 1). A neighbour lands in a different
+    * bucket exactly when some hyperplane separates the pair; flipping
+    * one bit recovers all single-plane misses at a candidate cost of
+    * (1+nBits)/2^nBits of the corpus — the standard recall/cost knob
+    * of multi-probe LSH (probe count, not index rebuild).
+    */
+  def probeBuckets(bucket: Column, nBits: Int): Column =
+    array(bucket +: (0 until nBits).map(j => bucket.bitwiseXOR(lit(1 << j))): _*)
+
+  /** Double-cast corpus view, exposed for the recall spec. */
+  def corpus(s: SparkSession, d: String): DataFrame = vecs(s, d)
 
   /** Oracle-side CTE producing (vec_id, label, v, bucket) from a
     * relation named `rel` with columns (vec_id, label, v DOUBLE[]).

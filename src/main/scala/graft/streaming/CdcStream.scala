@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 
 /** One CDC feed row, the streaming shape of
   * [[graft.cdc.ChangeFeed]]'s column contract.
@@ -15,7 +15,11 @@ final case class FeedRow(
     value: Double
 )
 
-/** Current materialized state of one key. */
+/** Current materialized state of one key. A row with `op = delete` is
+  * a tombstone: the key is gone downstream, but the state (and its
+  * `pos`) is retained so late/replayed events older than the delete
+  * cannot resurrect the key.
+  */
 final case class KeyState(pk: Long, pos: Long, op: String, value: Double)
 
 /** One event inside a transaction envelope (SURVEY op #21: the
@@ -29,6 +33,14 @@ final case class TxEvent(
     payload: String
 )
 
+/** Transaction-buffer state: pending rows plus a `committed` marker.
+  * The marker outlives the flush so rows arriving in a later batch
+  * for an already-flushed transaction are dropped instead of
+  * re-opening the transaction (which would deliver a second partial
+  * batch downstream).
+  */
+final case class TxState(rows: Vector[TxEvent], committed: Boolean)
+
 /** A flushed transaction: all row payloads in sequence order. */
 final case class TxBatch(tx: Long, n_rows: Int, payloads: Seq[String])
 
@@ -37,7 +49,8 @@ final case class TxBatch(tx: Long, n_rows: Int, payloads: Seq[String])
   * unified API (the same DataFrame transforms run batch or stream):
   *
   *   - binlog tail (`incremental.go:180-232`) ⇒ `readStream` source
-  *     feeding [[graft.cdc.ChangeFeed.fromEvents]]-shaped rows;
+  *     feeding [[graft.cdc.ChangeFeed.fromEvents]]-shaped rows
+  *     ([[graft.cdc.CdcPipeline]] wires it end-to-end);
   *   - positions/offsets (`gtid.go`) ⇒ checkpointed offsets; in-plan
   *     GTID tracking via [[graft.functions.GtidRangesAgg]];
   *   - event filtering (`incremental_event.go:15-29`) ⇒
@@ -53,28 +66,36 @@ final case class TxBatch(tx: Long, n_rows: Int, payloads: Seq[String])
 object CdcStream {
 
   /** Streaming latest-wins materialization: one [[KeyState]] per key,
-    * updated as events arrive, emitted on every change (Update mode).
-    * Deletes clear the key (state removed, tombstone emitted with
-    * op = delete). The streaming equivalent of
-    * [[graft.cdc.ChangeFeed.latestState]].
+    * emitted on every *effective* change (Update mode). The streaming
+    * equivalent of [[graft.cdc.ChangeFeed.latestState]], with the
+    * GTID-watermark rule (`docs/全量抓取逻辑.md:44-52`) applied
+    * per key: only advance, never regress.
+    *
+    *   - a late/replayed event whose pos is older than the current
+    *     state emits nothing (re-emitting unchanged state would send
+    *     duplicate updates downstream);
+    *   - deletes keep a tombstone carrying the delete's pos, so an
+    *     older event arriving after the delete cannot resurrect the
+    *     key. Tombstone state is retained for the stream's lifetime —
+    *     bounded by the key space, the same bound the reference's
+    *     metadata table has; a TTL eviction would trade that for a
+    *     resurrection window.
     */
   def latestState(feed: Dataset[FeedRow]): Dataset[KeyState] = {
     implicit val ksEnc = Encoders.product[KeyState]
     implicit val lEnc = Encoders.scalaLong
     feed
       .groupByKey(_.pk)
-      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (pk, events, state: GroupState[KeyState]) =>
           val latest = events.maxBy(_.pos)
           val cur = state.getOption
-          // only advance, never regress: late/replayed events with an
-          // older pos must not overwrite newer state (the GTID-
-          // watermark rule, docs/全量抓取逻辑.md:44-52)
           if (cur.forall(_.pos <= latest.pos)) {
             val next = KeyState(pk, latest.pos, latest.op, latest.value)
-            if (latest.op == "delete") state.remove() else state.update(next)
-            next
-          } else cur.get
+            state.update(next) // delete ⇒ tombstone: pos survives
+            Iterator(next)
+          } else Iterator.empty
       }
   }
 
@@ -104,40 +125,60 @@ object CdcStream {
       )
 
   /** Transaction grouping: buffer row events per transaction id,
-    * flush the whole group when the commit marker arrives, or after
-    * a processing-time timeout (stragglers flush partial with
-    * n_rows < 0 marking abnormal completion is avoided — they flush
-    * as-is; the caller distinguishes by absence of a commit row).
+    * flush the whole group when the commit marker arrives, or after a
+    * processing-time timeout (stragglers flush as-is; the caller
+    * distinguishes by the absence of a commit row).
+    *
+    * After a flush (commit or timeout) a `committed` marker stays in
+    * state for one more timeout period: row events for that
+    * transaction arriving in a later batch are dropped rather than
+    * silently re-opening the transaction and double-delivering it.
     */
   def txGrouping(
       events: Dataset[TxEvent],
       timeout: String = "10 minutes"
   ): Dataset[TxBatch] = {
-    implicit val bufEnc = Encoders.kryo[Vector[TxEvent]]
+    implicit val stEnc = Encoders.kryo[TxState]
     implicit val outEnc = Encoders.product[TxBatch]
     implicit val lEnc = Encoders.scalaLong
+    def flush(tx: Long, rows: Vector[TxEvent]): Iterator[TxBatch] =
+      if (rows.isEmpty) Iterator.empty
+      else Iterator(TxBatch(tx, rows.length, rows.sortBy(_.seq).map(_.payload)))
     events
       .groupByKey(_.tx)
-      .flatMapGroupsWithState[Vector[TxEvent], TxBatch](
+      .flatMapGroupsWithState[TxState, TxBatch](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (tx, it, state: GroupState[Vector[TxEvent]]) =>
+        (tx, it, state: GroupState[TxState]) =>
           if (state.hasTimedOut) {
-            // straggler transaction: flush what we have, drop state
-            val rows = state.getOption.getOrElse(Vector.empty)
-            state.remove()
-            if (rows.isEmpty) Iterator.empty
-            else Iterator(TxBatch(tx, rows.length, rows.sortBy(_.seq).map(_.payload)))
-          } else {
-            val incoming = it.toVector
-            val buffered = state.getOption.getOrElse(Vector.empty) ++
-              incoming.filter(_.kind == "row")
-            if (incoming.exists(_.kind == "commit")) {
+            val st = state.getOption.getOrElse(TxState(Vector.empty, committed = false))
+            if (st.committed) {
+              // marker TTL expired — safe to forget the transaction
               state.remove()
-              Iterator(TxBatch(tx, buffered.length, buffered.sortBy(_.seq).map(_.payload)))
+              Iterator.empty
             } else {
-              state.update(buffered)
+              // straggler: flush partial, keep the marker one period
+              state.update(TxState(Vector.empty, committed = true))
+              state.setTimeoutDuration(timeout)
+              flush(tx, st.rows)
+            }
+          } else {
+            val st = state.getOption.getOrElse(TxState(Vector.empty, committed = false))
+            val incoming = it.toVector
+            if (st.committed) {
+              // late rows for an already-flushed transaction: drop
               state.setTimeoutDuration(timeout)
               Iterator.empty
+            } else {
+              val buffered = st.rows ++ incoming.filter(_.kind == "row")
+              if (incoming.exists(_.kind == "commit")) {
+                state.update(TxState(Vector.empty, committed = true))
+                state.setTimeoutDuration(timeout)
+                flush(tx, buffered)
+              } else {
+                state.update(TxState(buffered, committed = false))
+                state.setTimeoutDuration(timeout)
+                Iterator.empty
+              }
             }
           }
       }

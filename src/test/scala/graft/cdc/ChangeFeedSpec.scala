@@ -64,6 +64,28 @@ class ChangeFeedSpec extends AnyFunSuite {
     ))
   }
 
+  test("ddlKind gates statements by uppercase prefix (incremental.go:212-217)") {
+    val cases = Seq(
+      "CREATE TABLE t (x int)" -> Some("create"),
+      "  create index i on t(x)" -> Some("create"), // TrimSpace + ToUpper
+      "alter table t add y int" -> Some("alter"),
+      "DROP TABLE t" -> Some("drop"),
+      "RENAME TABLE a TO b" -> Some("rename"),
+      "truncate t" -> Some("truncate"),
+      "INSERT INTO t VALUES (1)" -> None, // row change, not DDL
+      "BEGIN" -> None,
+      "SET names utf8" -> None,
+      "GRANT ALL ON *.* TO x" -> None,
+      "-- CREATE nothing" -> None // comment prefix is not a verb
+    )
+    val got = cases.map(_._1).toDF("stmt")
+      .select(col("stmt"), ChangeFeed.ddlKind(col("stmt")).as("kind"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)))
+      .toMap
+    cases.foreach { case (stmt, want) => assert(got(stmt) == want, stmt) }
+  }
+
   test("opCol classification matches the reference switch semantics") {
     val df = Seq("signup", "error", "click", "purchase").toDF("event_type")
     val got = df.select(col("event_type"), ChangeFeed.opCol(col("event_type")).as("op"))

@@ -1,0 +1,118 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.model.{FilterRule, GtidSet, TableFilter}
+
+class SnapshotJobSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  test("tableEnvelopes rejects PK-less tables with a rollback envelope") {
+    val noPk = Seq((1, "a"), (2, "b")).toDF("x", "y")
+    val env = SnapshotJob.tableEnvelopes(spark, noPk, "mystery", None, "u:1-5").collect()
+    assert(env.length == 1)
+    assert(env.head.kind == "rollback")
+    assert(env.head.err.exists(_.contains("no primary key")))
+    // registered PK whose columns are missing from the frame: same fate
+    val bad = SnapshotJob.tableEnvelopes(spark, noPk, "m2", Some(Seq("zz")), "u:1").collect()
+    assert(bad.head.kind == "rollback" && bad.head.err.exists(_.contains("zz")))
+  }
+
+  test("snapshot emits create_table/insert/end per table with DDL and pos") {
+    val rule = FilterRule(global = Some(TableFilter(includeTables = Seq("region", "nation"))))
+    val env = SnapshotJob.snapshot(spark, sf, rule, "srv:1-100").collect()
+    val byKind = env.groupBy(_.kind).view.mapValues(_.length).toMap
+    assert(byKind("create_table") == 2 && byKind("end") == 2)
+    assert(byKind("insert") == 5 + 25) // region 5 + nation 25 at sf0.001
+    val ddl = env.filter(e => e.kind == "create_table" && e.table == "region").head.ddl.get
+    assert(ddl.contains("r_regionkey") && ddl.contains("r_name"))
+    assert(env.filter(_.kind == "end").forall(_.pos.contains("srv:1-100")))
+    // the insert after-image is the reference's map[string]any row (#7)
+    val row = env.filter(e => e.kind == "insert" && e.table == "region").head
+    assert(row.data.get.keySet == Set("r_regionkey", "r_name"))
+  }
+
+  test("chunked: partitions are disjoint in PK order and union to the table") {
+    val orders = graft.Tables.orders(spark, sf)
+    val chunks = SnapshotJob.chunked(orders, Seq("o_orderkey"), 8)
+    assert(chunks.count() == orders.count())
+    // per-partition (min, max, n): ranges must not overlap — the
+    // property the reference's keyset cursor hand-guarantees
+    val ranges = chunks
+      .select(col("o_orderkey"), spark_partition_id().as("p"))
+      .groupBy("p")
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"), count(lit(1)).as("n"))
+      .orderBy("lo")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    assert(ranges.map(_._3).sum == orders.count())
+  }
+
+  test("WatermarkStore upserts by merging GTID sets, covered() gates replays") {
+    val path = s"target/tmp/wmstore-${System.nanoTime()}"
+    val store = new WatermarkStore(path)
+    assert(store.watermark(spark, "s", "main", "t").isEmpty)
+    store.upsert(spark, Seq(TableWatermark("s", "main", "t", "u:1-5")))
+    store.upsert(spark, Seq(TableWatermark("s", "main", "t", "u:3-10"),
+      TableWatermark("s", "main", "t2", "u:1-2")))
+    assert(store.watermark(spark, "s", "main", "t").serialize == "u:1-10")
+    assert(store.watermark(spark, "s", "main", "t2").serialize == "u:1-2")
+    assert(store.covered(spark, "s", "main", "t", GtidSet.parse("u:2-7")))
+    assert(!store.covered(spark, "s", "main", "t", GtidSet.parse("u:9-12")))
+    // a replayed upsert is idempotent (positions only grow)
+    store.upsert(spark, Seq(TableWatermark("s", "main", "t", "u:1-5")))
+    assert(store.watermark(spark, "s", "main", "t").serialize == "u:1-10")
+  }
+
+  test("WatermarkGate.containsColumn matches GtidSet.contains") {
+    val wm = GtidSet.parse("u:1-5:8-10")
+    val got = Seq(0L, 1L, 3L, 5L, 6L, 8L, 10L, 11L)
+      .toDF("pos")
+      .select(col("pos"), WatermarkGate.containsColumn(wm, "u", col("pos")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    Seq(0L, 1L, 3L, 5L, 6L, 8L, 10L, 11L).foreach { p =>
+      assert(got(p) == wm.contains("u", p), s"pos $p")
+    }
+  }
+
+  test("consistency protocol: snapshot state + gated replay == direct state (seeded property)") {
+    // SURVEY §5.3(c) / docs/全量抓取逻辑.md:44-52 — for random feeds
+    // and random watermarks, materializing the covered prefix and
+    // replaying only uncovered events must equal the one-shot result.
+    val rnd = new Random(42)
+    (1 to 10).foreach { _ =>
+      val n = 100 + rnd.nextInt(200)
+      val events = (1L to n.toLong).map { pos =>
+        val op = rnd.nextInt(5) match {
+          case 0 => "insert"
+          case 4 => "delete"
+          case _ => "update"
+        }
+        (pos, rnd.nextInt(20).toLong, op, rnd.nextDouble())
+      }
+      val feed = spark.createDataset(Random.shuffle(events))
+        .toDF("pos", "pk", "op", "value").repartition(5)
+      val wm = GtidSet.parse(s"u:1-${1 + rnd.nextInt(n)}")
+      val inWm = WatermarkGate.containsColumn(wm, "u", col("pos"))
+      val snap = ChangeFeed.latestState(feed.filter(inWm))
+      val gated = ChangeFeed.latestState(snap.unionByName(feed.filter(!inWm)))
+      val direct = ChangeFeed.latestState(feed)
+      val k = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("pk", "pos", "op", "value").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(k(gated) == k(direct))
+    }
+  }
+}

@@ -32,6 +32,58 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed index: recall vs exact top-10 at two bit widths") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // exact top-10 per query (qid < 5) as ground truth
+    val all = Similarity.corpus(spark, sf)
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    def topk(scored: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      scored.withColumn("rnk", row_number().over(wExact)).filter(col("rnk") <= 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = topk(all.filter(col("vec_id") >= 5).join(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos")))
+    def recallAt(b: Int, multiProbe: Boolean): Double = {
+      val bucketed = Similarity.bucketed(all, b)
+      val qs0 = bucketed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+      val qs =
+        if (multiProbe)
+          qs0.select(col("qid"), col("qv"),
+            explode(Similarity.probeBuckets(col("qb"), b)).as("qb"))
+        else qs0
+      val annTop = topk(bucketed.filter(col("vec_id") >= 5)
+        .join(qs, col("bucket") === col("qb"))
+        .select(col("qid"), col("vec_id"),
+          graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos"))
+        .dropDuplicates("qid", "vec_id", "cos"))
+      val r = exact.map { case (q, want) =>
+        annTop.getOrElse(q, Set.empty).intersect(want).size / want.size.toDouble
+      }.sum / exact.size
+      info(f"bits=$b multiProbe=$multiProbe recall@10=$r%.2f")
+      r
+    }
+    val r4 = recallAt(4, multiProbe = false)
+    val r8 = recallAt(8, multiProbe = false)
+    val m4 = recallAt(4, multiProbe = true)
+    val m8 = recallAt(8, multiProbe = true)
+    // Measured on the harness corpus (near-random 64-dim vectors, the
+    // adversarial case for LSH): single-probe r4=0.18, r8=0.08;
+    // multi-probe m4=0.58, m8=0.30. The two knobs behave as designed:
+    // fewer bits -> bigger buckets -> more recall; +multi-probe
+    // recovers single-plane misses at (1+bits)/2^bits scan cost.
+    assert(r4 > r8, "coarser index must not lose to finer on recall")
+    assert(m4 > r4 && m8 > r8, "multi-probe must improve recall at fixed bits")
+    assert(m4 >= 0.3, s"multi-probe recall@10 at 4 bits: $m4")
+    assert(Similarity.suggestedBits(500) == 4)
+    assert(Similarity.suggestedBits(500000) == 13)
+    assert(Similarity.suggestedBits(10) == 4) // floor
+  }
+
   test("embedding dedup finds every planted re-embedding") {
     val rows = Similarity.queries("s3_embedding_dedup")(spark, sf).collect()
     val planted = rows
