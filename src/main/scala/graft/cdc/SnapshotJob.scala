@@ -71,8 +71,25 @@ object SnapshotJob {
   /** Harness schema name (one "database" per sf dir). */
   val schemaName = "main"
 
-  /** Ops #1/#2: enumerate the catalog, rule-pruned — never touches
-    * table data (the reference prunes before any scan).
+  /** Ops #1/#2: enumerate the catalog from storage — the harness
+    * analog of the `information_schema.schemata`/`tables` scans
+    * (`mysql_data_source.go:24-84`): one FS listing of the schema
+    * directory, no table data touched. Works against any Hadoop
+    * filesystem (local, HDFS, object store).
+    */
+  def discoverTables(spark: SparkSession, sfDir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(sfDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+  }
+
+  /** Static catalog + rule pruning — used where no session exists
+    * (oracle-SQL generation); [[snapshot]] discovers live via
+    * [[discoverTables]] and prunes with the same rule.
     */
   def listTables(rule: FilterRule): Seq[String] =
     Tables.all.filter(rule.allow(schemaName, _))
@@ -148,7 +165,8 @@ object SnapshotJob {
       rule: FilterRule = FilterRule(),
       pos: String
   ): Dataset[SnapshotEnvelope] =
-    listTables(rule)
+    discoverTables(spark, sfDir)
+      .filter(rule.allow(schemaName, _))
       .map { t =>
         tableEnvelopes(spark, Tables.t(spark, sfDir, t), t, primaryKeys.get(t), pos)
       }

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Relational wave 3: correlated subqueries, CUBE, lateral explode,
+  * window frames, regex scalars — the remaining breadth of the SQL
+  * surface, each with a DuckDB oracle.
+  *
+  * Determinism rules (same as waves 1–2): total sort keys everywhere;
+  * windowed sums go through DECIMAL(18,4) so frame association can't
+  * produce float drift (DuckDB evaluates windowed aggregates with a
+  * segment tree — a different addition order than Spark's running
+  * frame); regexes stay in the RE2 ∩ Java-regex common subset and the
+  * DuckDB `regexp_replace` gets the `'g'` flag Spark implies.
+  */
+object Relational3 {
+
+  // ---- q32: correlated EXISTS / NOT EXISTS --------------------------------
+
+  /** Planned through Spark's subquery rewrite (RewritePredicateSubquery
+    * turns these into semi/anti joins — `.explain` shows one of each):
+    * orders with a max-quantity line and no high-discount line.
+    */
+  private def q32Exists(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT o.o_orderkey, o.o_totalprice
+         |FROM parquet.`$d/orders.parquet` o
+         |WHERE EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l
+         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)
+         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l
+         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+         |ORDER BY o.o_orderkey""".stripMargin)
+
+  private val q32Oracle: String =
+    """SELECT o.o_orderkey, o.o_totalprice
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ---- q33: CUBE ----------------------------------------------------------
+
+  private def q33Cube(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status")
+      )
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"), col("g_flag"), col("g_status")
+      )
+      .orderBy("flag", "status", "g_flag", "g_status")
+
+  private val q33Oracle: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |       coalesce(l_linestatus, 'ALL') AS status,
+       |       count(*) AS n_rows,
+       |       ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       |       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY flag, status, g_flag, g_status""".stripMargin
+
+  // ---- q34: lateral explode (generator in the plan) -----------------------
+
+  /** posexplode = Spark's Generate node — the lateral-view form of
+    * unnest; bounded to the first 5 words of 20 docs so the output is
+    * small and totally ordered.
+    */
+  private def q34Lateral(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(slice(Text.wordsCol(col("text")), 1, 5)).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+
+  private val q34Oracle: String = {
+    // DuckDB 1.0's generate_series table function can't lateral-join
+    // on a column — unnest a per-row struct list instead
+    val ws = Text.wordsSql("text")
+    s"""SELECT doc_id, CAST(t.pos AS INT) AS pos, t.word AS word
+       |FROM (SELECT doc_id,
+       |             unnest(list_transform(generate_series(0, len(words)-1),
+       |                    i -> {'pos': i, 'word': words[i+1]})) AS t
+       |      FROM (SELECT doc_id, list_slice($ws, 1, 5) AS words
+       |            FROM documents WHERE doc_id < 20))
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  // ---- q35: window frames -------------------------------------------------
+
+  private def q35Frames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .over(w.rowsBetween(-2, Window.currentRow))
+          .cast("double").as("mov_sum"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        last_value(col("o_totalprice"))
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("last_price"),
+        ntile(4).over(w).as("quartile")
+      )
+      .orderBy("o_orderkey")
+  }
+
+  private val q35Oracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |           PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+      |       first_value(o_totalprice) OVER (
+      |           PARTITION BY o_orderpriority ORDER BY o_orderkey) AS first_price,
+      |       last_value(o_totalprice) OVER (
+      |           PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price,
+      |       CAST(ntile(4) OVER (
+      |           PARTITION BY o_orderpriority ORDER BY o_orderkey) AS INT) AS quartile
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- q36: regex scalars -------------------------------------------------
+
+  private def q36Regex(s: SparkSession, d: String): DataFrame =
+    Tables
+      .part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "(\\w+)$", 1).as("last_word"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("devoweled"),
+        col("p_brand").rlike("^Brand#[0-9]+$").as("brand_ok")
+      )
+      .orderBy("p_partkey")
+
+  private val q36Oracle: String =
+    """SELECT p_partkey,
+      |       regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+      |       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+      |       regexp_matches(p_brand, '^Brand#[0-9]+$') AS brand_ok
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_exists" -> (q32Exists _),
+    "q33_cube" -> (q33Cube _),
+    "q34_lateral" -> (q34Lateral _),
+    "q35_frames" -> (q35Frames _),
+    "q36_regex" -> (q36Regex _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_exists" -> q32Oracle,
+    "q33_cube" -> q33Oracle,
+    "q34_lateral" -> q34Oracle,
+    "q35_frames" -> q35Oracle,
+    "q36_regex" -> q36Oracle
+  )
+}

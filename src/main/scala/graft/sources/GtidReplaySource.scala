@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.GtidSet
+import graft.streaming.FeedRow
+
+/** A DataSource V2 streaming source whose **offsets are GTID sets** —
+  * SURVEY op #15, the binlog stream source
+  * (`internal/cannal/incremental.go:99-178`: `StartSyncGTID(gtidSet)`
+  * resumes the tail from the last persisted set).
+  *
+  * The part that matters for reference parity is the offset protocol:
+  * Structured Streaming checkpoints `GtidOffset` (the canonical
+  * `uuid:s-e:…` text), `latestOffset` advances it as transactions
+  * arrive, and `planInputPartitions(start, end)` delivers exactly the
+  * events in `end − start` — interval arithmetic over [[GtidSet]],
+  * never an enumeration. Restarting a query replays from the
+  * checkpointed set, exactly like the reference re-issuing
+  * `StartSyncGTID` with the stored watermark. The reference's
+  * reconnect/backoff loop (`incremental.go:100-114`) maps to Spark's
+  * own task/trigger retry machinery, not user code.
+  *
+  * The event *transport* is a driver-side replay buffer (the test
+  * harness has no MySQL socket): like Spark's own `MemoryStream`, rows
+  * ship to executors inside the serialized [[GtidReplayPartition]].
+  * That is faithful to the real topology — a binlog dump is one
+  * driver-side TCP stream in any engine; scale-out begins after
+  * ingestion, at the shuffle into [[graft.streaming.CdcStream]]
+  * operators. A production implementation would swap the buffer for
+  * the binlog protocol client and keep every class below unchanged.
+  */
+object GtidReplayBuffers {
+  private val buffers = TrieMap.empty[String, Vector[FeedRow]]
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def register(rows: Seq[FeedRow]): String = {
+    val id = s"buf-${counter.incrementAndGet()}"
+    buffers(id) = rows.toVector
+    id
+  }
+
+  /** Append more events — the harness analog of the binlog growing. */
+  def append(id: String, rows: Seq[FeedRow]): Unit =
+    buffers.updateWith(id)(cur => Some(cur.getOrElse(Vector.empty) ++ rows))
+
+  def get(id: String): Vector[FeedRow] = buffers.getOrElse(id, Vector.empty)
+}
+
+/** Offset = a GTID set in canonical text form. */
+final case class GtidOffset(set: GtidSet) extends Offset {
+  override def json(): String = set.serialize
+}
+
+final class GtidReplayProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GtidReplayProvider.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GtidReplayTable(
+      opts.get("bufferid"),
+      Option(opts.get("uuid")).getOrElse("harness-src"),
+      Option(opts.get("numpartitions")).map(_.toInt).getOrElse(4)
+    )
+  }
+}
+
+object GtidReplayProvider {
+  /** The CDC feed contract of [[graft.cdc.ChangeFeed]]. */
+  val schema: StructType = StructType(Seq(
+    StructField("pos", LongType),
+    StructField("ts", TimestampType),
+    StructField("pk", LongType),
+    StructField("op", StringType),
+    StructField("value", DoubleType)
+  ))
+}
+
+final class GtidReplayTable(bufferId: String, uuid: String, numPartitions: Int)
+    extends Table with SupportsRead {
+  require(bufferId != null, "option 'bufferId' is required")
+
+  override def name(): String = s"gtid-replay($bufferId)"
+  override def schema(): StructType = GtidReplayProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = GtidReplayProvider.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GtidReplayStream(bufferId, uuid, numPartitions)
+    }
+}
+
+final class GtidReplayStream(bufferId: String, uuid: String, numPartitions: Int)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = GtidOffset(GtidSet.empty)
+
+  /** The running union of everything currently in the buffer — the
+    * analog of the master's `gtid_executed` advancing.
+    */
+  override def latestOffset(): Offset =
+    GtidOffset(GtidReplayBuffers.get(bufferId)
+      .foldLeft(GtidSet.empty)((acc, r) => acc.add(uuid, r.pos)))
+
+  override def deserializeOffset(json: String): Offset =
+    GtidOffset(GtidSet.parse(json))
+
+  /** Exactly the events in `end − start`: covered by the new offset,
+    * not by the old — the per-batch form of "apply only above the
+    * watermark".
+    */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GtidOffset].set
+    val to = end.asInstanceOf[GtidOffset].set
+    val rows = GtidReplayBuffers.get(bufferId)
+      .filter(r => to.contains(uuid, r.pos) && !from.contains(uuid, r.pos))
+    if (rows.isEmpty) Array.empty
+    else rows
+      .grouped(math.max(1, math.ceil(rows.length.toDouble / numPartitions).toInt))
+      .map(chunk => GtidReplayPartition(chunk): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GtidReplayReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Rows travel inside the serialized partition (MemoryStream-style). */
+final case class GtidReplayPartition(rows: Seq[FeedRow]) extends InputPartition
+
+final class GtidReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[GtidReplayPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: FeedRow = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+      override def get(): InternalRow = InternalRow(
+        cur.pos,
+        DateTimeUtils.fromJavaTimestamp(cur.ts),
+        cur.pk,
+        UTF8String.fromString(cur.op),
+        cur.value
+      )
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -24,6 +24,10 @@ class SnapshotJobSpec extends AnyFunSuite {
     assert(bad.head.kind == "rollback" && bad.head.err.exists(_.contains("zz")))
   }
 
+  test("discoverTables enumerates the catalog from the filesystem") {
+    assert(SnapshotJob.discoverTables(spark, sf) == graft.Tables.all.sorted)
+  }
+
   test("snapshot emits create_table/insert/end per table with DDL and pos") {
     val rule = FilterRule(global = Some(TableFilter(includeTables = Seq("region", "nation"))))
     val env = SnapshotJob.snapshot(spark, sf, rule, "srv:1-100").collect()
