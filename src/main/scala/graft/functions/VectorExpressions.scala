@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -11,8 +11,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * be `array<float>` or `array<double>`; mismatched lengths and null
   * elements yield SQL `NULL` (silently truncating to `min(n)` or
   * reading a null slot as 0 would produce silently-wrong similarities).
+  *
+  * Both expressions generate code (`doGenCode`), so they stay inside
+  * whole-stage codegen — a CodegenFallback here would not only
+  * interpret the inner loop but break the WSCG span of the whole
+  * projection around it, exactly where similarity search spends its
+  * time (millions of candidate pairs × 64 elements).
   */
-trait VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+trait VectorBinaryExpression extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -35,6 +41,10 @@ trait VectorBinaryExpression extends BinaryExpression with CodegenFallback {
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @inline protected final def rightIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Java source for element i of one side, Double-widened. */
+  protected final def elemCode(arr: String, isFloat: Boolean, i: String): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 }
 
 /** Native Catalyst expression: cosine similarity of two numeric
@@ -89,6 +99,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val raw = ctx.freshName("raw")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xv = ${elemCode(x, leftIsFloat, i)};
+         |    final double $yv = ${elemCode(y, rightIsFloat, i)};
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if (${ev.isNull} || $nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    final double $raw = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    ${ev.value} = java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $raw));
+         |  }
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression
@@ -119,6 +161,26 @@ case class DotProduct(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += ${elemCode(x, leftIsFloat, i)} * ${elemCode(y, rightIsFloat, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

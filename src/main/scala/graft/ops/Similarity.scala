@@ -32,11 +32,20 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Bit width used by the registered s2/s3 queries — fixed so the
-    * DuckDB oracle evaluates the identical index. Library callers
-    * size the index with [[suggestedBits]] instead.
+  /** Bit width used by the registered s2 query — fixed so the DuckDB
+    * oracle evaluates the identical index. Library callers size the
+    * index with [[suggestedBits]] instead.
     */
   private val bits = 6
+
+  /** s3 (all-pairs near-dup) uses a finer index: its cost is the sum
+    * of squared bucket sizes, so halving bucket population pays
+    * quadratically (at sf0.1, 2^8 buckets cut the within-bucket pair
+    * count ~4× vs 2^6). Planted re-embeddings are scaled copies whose
+    * quantized signatures coincide, so recall of true near-dups is
+    * unaffected by the finer index.
+    */
+  private val dedupBits = 8
 
   /** Index sizing: bits grows with log2(N) so the expected bucket
     * population stays ~`targetBucket` regardless of corpus size —
@@ -61,19 +70,31 @@ object Similarity {
     * integer dot per hyperplane; bit j set iff dot > 0. Public (with
     * an explicit width) so callers can size the index to their
     * corpus; the registered queries pin `bits = 6` for the oracle.
+    *
+    * The dots run through the codegen'd [[VectorFunctions.dot_product]]
+    * against constant hyperplane arrays — an interpreted
+    * `aggregate(sequence(...))` HOF here costs nBits×64 lambda evals
+    * per row (CodegenFallback, no CSE), which dominated the signature
+    * pass. Arithmetic is integer-valued doubles throughout: |q|≤~10^3,
+    * plane ∈ (−500001, 500001], 64 terms → |dot| < 2^35, far inside
+    * double's exact range, so buckets are bit-identical to the
+    * oracle's BIGINT evaluation.
     */
   def bucketed(df: DataFrame, nBits: Int): DataFrame = {
     val q = df.withColumn("q",
-      expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))"))
     val dots = (0 until nBits).foldLeft(q) { (acc, j) =>
-      acc.withColumn(s"dot$j", expr(
-        s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
-           |  acc + element_at(q, CAST(i AS INT)+1) * ((($j*64 + i) * 2654435761) % 1000003 - 500001))""".stripMargin))
+      val plane = array((0 until 64).map { i =>
+        lit((((j * 64L + i) * 2654435761L) % 1000003L - 500001L).toDouble)
+      }: _*)
+      acc.withColumn(s"dot$j", VectorFunctions.dot_product(col("q"), plane))
     }
     val bucketExpr = (0 until nBits)
       .map(j => s"(CASE WHEN dot$j > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
-    dots.withColumn("bucket", expr(bucketExpr)).drop((0 until nBits).map(j => s"dot$j"): _*)
+    dots
+      .withColumn("bucket", expr(bucketExpr))
+      .drop("q" +: (0 until nBits).map(j => s"dot$j"): _*)
   }
 
   private def withBucket(df: DataFrame): DataFrame = bucketed(df, bits)
@@ -94,12 +115,12 @@ object Similarity {
   /** Oracle-side CTE producing (vec_id, label, v, bucket) from a
     * relation named `rel` with columns (vec_id, label, v DOUBLE[]).
     */
-  private def bucketSqlFrom(rel: String): String = {
-    val dots = (0 until bits)
+  private def bucketSqlFrom(rel: String, nBits: Int = bits): String = {
+    val dots = (0 until nBits)
       .map(j => s"""list_sum(list_transform(generate_series(0, 63),
                    |           i -> q[i+1] * ((($j*64 + i) * 2654435761) % 1000003 - 500001))) AS dot$j""".stripMargin)
       .mkString(",\n         ")
-    val bucket = (0 until bits)
+    val bucket = (0 until nBits)
       .map(j => s"(CASE WHEN dot$j > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
     s"""SELECT vec_id, label, v, $bucket AS bucket FROM (
@@ -202,7 +223,7 @@ object Similarity {
         col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.0001)").as("v")
       )
-    val bucketed = withBucket(base.union(planted)).persist()
+    val bucketed = Similarity.bucketed(base.union(planted), dedupBits).persist()
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -221,7 +242,7 @@ object Similarity {
        |  SELECT vec_id + 1000000, label,
        |         list_transform(embedding::DOUBLE[], x -> x * 1.0001)
        |  FROM embeddings WHERE vec_id < 20),
-       |bucketed AS (${bucketSqlFrom("base")})
+       |bucketed AS (${bucketSqlFrom("base", dedupBits)})
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |       list_cosine_similarity(a.v, b.v) AS cos
        |FROM bucketed a JOIN bucketed b
