@@ -178,35 +178,37 @@ object Dedup {
       .select(col("doc_id"), col("shs"))
 
   private def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val aLit = mhA.mkString("array(", "L, ", "L)")
-    val bLit = mhB.mkString("array(", "L, ", "L)")
-    // Persist the shingle sets and signatures: higher-order functions
-    // are CodegenFallback (no whole-stage codegen, no common-subexpr
-    // elimination), so a downstream projection referencing `mh` 16
-    // times would otherwise re-evaluate the entire minhash chain per
-    // reference. Materializing is also the right call at scale — the
-    // band join reads the signature table twice.
+    // The minhash signature as a codegen'd two-phase aggregation:
+    // explode the shingle hashes once and take 16 permuted minima in
+    // one groupBy — versus evaluating 16 interpreted
+    // array_min(transform(...)) HOF chains per row (CodegenFallback,
+    // no CSE). Map-side partial mins make the shuffle one row of 16
+    // longs per (doc, partition) — the same shape that holds at
+    // corpus scale.
     val shs = shingleSetDF(s, d).persist()
+    val sigCols = (1 to numHashes).map { j =>
+      min(expr(s"(${mhA(j - 1)} * x + ${mhB(j - 1)}) % $P")).as(s"mh$j")
+    }
     val sig = shs
-      .withColumn("mh", expr(
-        s"""transform(sequence(1, $numHashes), j ->
-           |  array_min(transform(shs, x ->
-           |    (element_at($aLit, CAST(j AS INT)) * x + element_at($bLit, CAST(j AS INT))) % $P)))""".stripMargin))
-      .persist()
-    val withSig = sig
-      .withColumn("bands", expr(
-        """transform(sequence(0, 3), b -> concat(
-          |  b, ':', element_at(mh, CAST(b AS INT)*4+1), ',', element_at(mh, CAST(b AS INT)*4+2),
-          |  ',', element_at(mh, CAST(b AS INT)*4+3), ',', element_at(mh, CAST(b AS INT)*4+4)))""".stripMargin))
-      .select(col("doc_id"), col("shs"), explode(col("bands")).as("band"))
-    val cands = withSig.as("a")
-      .join(withSig.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.shs").as("sa"), col("b.shs").as("sb")
-      )
+      .select(col("doc_id"), explode(col("shs")).as("x"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCol = explode(array((0 until 4).map { b =>
+      concat(lit(b), lit(":"),
+        col(s"mh${b * 4 + 1}"), lit(","), col(s"mh${b * 4 + 2}"), lit(","),
+        col(s"mh${b * 4 + 3}"), lit(","), col(s"mh${b * 4 + 4}"))
+    }: _*))
+    val banded = sig.select(col("doc_id"), bandCol.as("band"))
+    val cands = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact verification only for candidates: the shingle sets come
+    // back via two co-partitioned joins on doc_id (candidate count is
+    // tiny next to the corpus)
     cands
+      .join(shs.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(shs.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
       .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
