@@ -182,6 +182,31 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_gtid_agg: the distributed GTID union ---------------------------
+
+  /** Ops #17/#18 under the driver gate: the feed's positions union
+    * into one canonical GTID set via [[graft.functions.GtidStringAgg]]
+    * (the distributed form of the reference's mutex-guarded `SetGTID`,
+    * `gtid.go:58-72`) — partitioning-insensitive interval union, then
+    * the normalized `uuid:s-e` serialization. Event ids are contiguous
+    * per TESTDATA, so the oracle can state the expected set as
+    * `uuid:min-max`.
+    */
+  private def cdcGtidAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .select(lit("harness-src").as("uuid"), col("pos"))
+      .as[(String, Long)]
+      .select(graft.functions.GtidStringAgg.toColumn)
+      .toDF("gtid")
+  }
+
+  private val cdcGtidAggOracle: String =
+    """SELECT 'harness-src:' || CAST(min(event_id) AS VARCHAR) || '-'
+      |       || CAST(max(event_id) AS VARCHAR) AS gtid
+      |FROM events""".stripMargin
+
   // ---- cdc_filter_rules: the compiled rule predicate ----------------------
 
   /** Ops #10/#11/#19 under the driver gate: a (schema, table) relation
@@ -230,6 +255,7 @@ object CdcQueries {
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
     "cdc_transport" -> (cdcTransport _),
+    "cdc_gtid_agg" -> (cdcGtidAgg _),
     "cdc_filter_rules" -> (cdcFilterRules _)
   )
 
@@ -238,6 +264,7 @@ object CdcQueries {
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_transport" -> latestStateOracle,
+    "cdc_gtid_agg" -> cdcGtidAggOracle,
     "cdc_filter_rules" -> cdcFilterRulesOracle
   )
 }

@@ -255,26 +255,19 @@ object Dedup {
     * signed vote of all word-hash bits at position b is positive),
     * byte-banded: pairs sharing any of the 4 byte positions are
     * candidates; near-dups are candidates with Hamming distance <= 3.
-    * Votes use multiplicity (explode + groupBy), so the fingerprint
-    * is one narrow two-phase aggregation — no pairwise work before
-    * the band join.
+    *
+    * The fingerprint is [[graft.functions.SimHash32]] — a codegen'd
+    * row-local scalar, so phase one is a pure scan projection with NO
+    * shuffle (the earlier explode→groupBy form shuffled one row per
+    * word, ~100× the corpus row count, to reduce them straight back).
+    * The oracle keeps the equivalent SQL vote formulation.
     */
   private def d4Simhash(s: SparkSession, d: String): DataFrame = {
-    val voteCols = (0 until 32).map { b =>
-      sum(when(expr(s"shiftright(hw, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val fpExpr = (0 until 32)
-      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
-      .mkString(" + ")
     val fps = Tables
       .documents(s, d)
       .withColumn("words", Text.wordsCol(col("text")))
-      .select(col("doc_id"), explode(col("words")).as("w"))
-      .withColumn("hw", expr(Text.polyHashSql("w", 8)))
-      .groupBy("doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .withColumn("fp", expr(fpExpr))
-      .select("doc_id", "fp")
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash32(col("words")).as("fp"))
     val banded = fps.select(
       col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), k -> concat(k, ':', shiftright(fp, CAST(k AS INT)*8) & 255))")).as("band")

@@ -40,12 +40,13 @@ object Similarity {
 
   /** s3 (all-pairs near-dup) uses a finer index: its cost is the sum
     * of squared bucket sizes, so halving bucket population pays
-    * quadratically (at sf0.1, 2^8 buckets cut the within-bucket pair
-    * count ~4× vs 2^6). Planted re-embeddings are scaled copies whose
+    * quadratically (at sf0.1, 2^10 buckets cut the within-bucket pair
+    * count ~16× vs 2^6). Planted re-embeddings are scaled copies whose
     * quantized signatures coincide, so recall of true near-dups is
-    * unaffected by the finer index.
+    * unaffected by the finer index — `suggestedBits(50k) = 10` is
+    * exactly this value.
     */
-  private val dedupBits = 8
+  private val dedupBits = 10
 
   /** Index sizing: bits grows with log2(N) so the expected bucket
     * population stays ~`targetBucket` regardless of corpus size —
