@@ -156,12 +156,75 @@ object Relational3 {
       |       regexp_matches(p_brand, '^Brand#[0-9]+$') AS brand_ok
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---- q37: cohort retention ----------------------------------------------
+
+  /** Cohort analysis over the event feed: users grouped by first-seen
+    * day, activity counted per day offset — the standard retention
+    * matrix. Two hash aggs + one shuffle join on user_id; all date
+    * arithmetic is exact integers.
+    */
+  private def q37Retention(s: SparkSession, d: String): DataFrame = {
+    val days = Tables
+      .events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val q37Oracle: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |       CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+      |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+      |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+      |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, d.day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---- q38: salted skew-safe aggregation ----------------------------------
+
+  /** The salting pattern for skewed group keys: phase one aggregates
+    * on (key, salt) — spreading one hot key over 8 reducers — phase
+    * two merges the partials on the key alone. Result is identical to
+    * the direct aggregation (the oracle computes the direct form);
+    * decimal partials keep the merge exact. With 3 distinct
+    * returnflags over 32 partitions the skew is real: unsalted, 3
+    * reducers do all the work.
+    */
+  private def q38SaltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).as("part_qty"),
+        count(lit(1)).as("part_n")
+      )
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n_rows")
+      )
+      .orderBy("l_returnflag")
+
+  private val q38Oracle: String =
+    s"""SELECT l_returnflag, ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |       count(*) AS n_rows
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_exists" -> (q32Exists _),
     "q33_cube" -> (q33Cube _),
     "q34_lateral" -> (q34Lateral _),
     "q35_frames" -> (q35Frames _),
-    "q36_regex" -> (q36Regex _)
+    "q36_regex" -> (q36Regex _),
+    "q37_retention" -> (q37Retention _),
+    "q38_salted_agg" -> (q38SaltedAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +232,8 @@ object Relational3 {
     "q33_cube" -> q33Oracle,
     "q34_lateral" -> q34Oracle,
     "q35_frames" -> q35Oracle,
-    "q36_regex" -> q36Oracle
+    "q36_regex" -> q36Oracle,
+    "q37_retention" -> q37Oracle,
+    "q38_salted_agg" -> q38Oracle
   )
 }

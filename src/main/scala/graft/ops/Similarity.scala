@@ -251,15 +251,68 @@ object Similarity {
        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- s4: IVF cell assignment --------------------------------------------
+
+  /** The IVF half of the ANN toolbox (s2/s3 are the LSH half): a
+    * fixed seeded codebook (the first 8 vectors stand in for trained
+    * centroids — training is out of oracle scope), every vector
+    * assigned to its max-dot cell via one broadcast join, cells
+    * summarized. At scale this is the partition function of an IVF
+    * index: the codebook broadcasts (it is tiny by construction), the
+    * corpus never shuffles until the per-cell reduction, and a query
+    * would probe only its own cell's partition. Dot products ride the
+    * codegen'd [[VectorFunctions.dot_product]].
+    */
+  private def s4IvfCells(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val centroids = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = all.filter(col("vec_id") >= 8)
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        VectorFunctions.dot_product(col("v"), col("cv")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("cid").as("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec")
+      )
+      .orderBy("cell")
+  }
+
+  private val s4Oracle: String =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT b.vec_id, c.cid,
+      |         list_sum(list_transform(generate_series(1, 64),
+      |                  i -> b.v[i] * c.cv[i])) AS dot
+      |  FROM base b, cents c WHERE b.vec_id >= 8),
+      |best AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rnk
+      |    FROM scored) WHERE rnk = 1)
+      |SELECT cid AS cell, count(*) AS n_vecs,
+      |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
+      |FROM best GROUP BY cid ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopk _),
     "s2_ann_bucket" -> (s2AnnBucket _),
-    "s3_embedding_dedup" -> (s3EmbeddingDedup _)
+    "s3_embedding_dedup" -> (s3EmbeddingDedup _),
+    "s4_ivf_cells" -> (s4IvfCells _)
   )
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
     "s2_ann_bucket" -> s2Oracle,
-    "s3_embedding_dedup" -> s3Oracle
+    "s3_embedding_dedup" -> s3Oracle,
+    "s4_ivf_cells" -> s4Oracle
   )
 }

@@ -251,17 +251,61 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t25: TF-IDF term ranking -------------------------------------------
+
+  /** Top-3 distinguishing terms per document by tf/df (the idf factor
+    * `ln(N/df)` is monotone in 1/df, so ranking by the exact rational
+    * tf/df gives the same order as tf·idf without a transcendental —
+    * `ln` can differ in the last ulp across libm implementations,
+    * which a hash compare would catch).
+    *
+    * Scale shape: two hash aggregations (term frequency per doc,
+    * document frequency per term) and one shuffle join on the term —
+    * the canonical distributed TF-IDF plan; nothing is quadratic and
+    * no driver-side vocabulary.
+    */
+  private def t25Tfidf(s: SparkSession, d: String): DataFrame = {
+    val words = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("w"))
+    tf.join(df, "w")
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "w", "tf", "df", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val t25Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH words AS (SELECT doc_id, unnest($ws) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+       |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM words GROUP BY w)
+       |SELECT doc_id, w, tf, df, rnk FROM (
+       |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+       |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |              ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.w) AS INT) AS rnk
+       |  FROM tf JOIN df ON tf.w = df.w)
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t21_quality_score" -> (t21Quality _),
     "t22_lang_id" -> (t22LangId _),
     "t23_token_stats" -> (t23TokenStats _),
-    "t24_fingerprint" -> (t24Fingerprint _)
+    "t24_fingerprint" -> (t24Fingerprint _),
+    "t25_tfidf" -> (t25Tfidf _)
   )
 
   val oracles: Map[String, String] = Map(
     "t21_quality_score" -> t21Oracle,
     "t22_lang_id" -> t22Oracle,
     "t23_token_stats" -> t23Oracle,
-    "t24_fingerprint" -> t24Oracle
+    "t24_fingerprint" -> t24Oracle,
+    "t25_tfidf" -> t25Oracle
   )
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -78,7 +78,8 @@ final class GtidReplayProvider extends TableProvider {
     new GtidReplayTable(
       opts.get("bufferid"),
       Option(opts.get("uuid")).getOrElse("harness-src"),
-      Option(opts.get("numpartitions")).map(_.toInt).getOrElse(4)
+      Option(opts.get("numpartitions")).map(_.toInt).getOrElse(4),
+      Option(opts.get("maxrowsperbatch")).map(_.toLong)
     )
   }
 }
@@ -94,7 +95,8 @@ object GtidReplayProvider {
   ))
 }
 
-final class GtidReplayTable(bufferId: String, uuid: String, numPartitions: Int)
+final class GtidReplayTable(
+    bufferId: String, uuid: String, numPartitions: Int, maxRowsPerBatch: Option[Long])
     extends Table with SupportsRead {
   require(bufferId != null, "option 'bufferId' is required")
 
@@ -107,21 +109,44 @@ final class GtidReplayTable(bufferId: String, uuid: String, numPartitions: Int)
     () => new Scan {
       override def readSchema(): StructType = GtidReplayProvider.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GtidReplayStream(bufferId, uuid, numPartitions)
+        new GtidReplayStream(bufferId, uuid, numPartitions, maxRowsPerBatch)
     }
 }
 
-final class GtidReplayStream(bufferId: String, uuid: String, numPartitions: Int)
-    extends MicroBatchStream {
+final class GtidReplayStream(
+    bufferId: String, uuid: String, numPartitions: Int, maxRowsPerBatch: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = GtidOffset(GtidSet.empty)
 
+  /** Backpressure — the reference bounds in-flight events with a
+    * cap-1000 channel (`fullamount_service.go:27`); here the same
+    * bound is admission control: a `maxRowsPerBatch` option caps how
+    * far the offset may advance per micro-batch
+    * (`maxOffsetsPerTrigger`-style), and Spark sizes batches
+    * accordingly.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerBatch.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GtidOffset].set
+    val pending = GtidReplayBuffers.get(bufferId)
+      .filter(r => !from.contains(uuid, r.pos))
+      .sortBy(_.pos)
+    val admitted = limit match {
+      case mr: ReadMaxRows => pending.take(mr.maxRows().toInt)
+      case _ => pending
+    }
+    GtidOffset(admitted.foldLeft(from)((acc, r) => acc.add(uuid, r.pos)))
+  }
+
   /** The running union of everything currently in the buffer — the
-    * analog of the master's `gtid_executed` advancing.
+    * analog of the master's `gtid_executed` advancing. (Unlimited
+    * form; Spark calls the admission-control overload above.)
     */
   override def latestOffset(): Offset =
-    GtidOffset(GtidReplayBuffers.get(bufferId)
-      .foldLeft(GtidSet.empty)((acc, r) => acc.add(uuid, r.pos)))
+    latestOffset(initialOffset(), ReadLimit.allAvailable())
 
   override def deserializeOffset(json: String): Offset =
     GtidOffset(GtidSet.parse(json))

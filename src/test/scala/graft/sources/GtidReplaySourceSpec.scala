@@ -72,6 +72,30 @@ class GtidReplaySourceSpec extends AnyFunSuite {
     } finally query2.stop()
   }
 
+  test("maxRowsPerBatch admission control bounds each micro-batch") {
+    val id = GtidReplayBuffers.register((1L to 10L).map(p => row(p, p, "insert", p.toDouble)))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val query = spark.readStream
+      .format(classOf[GtidReplayProvider].getName)
+      .option("bufferId", id)
+      .option("maxRowsPerBatch", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        sizes.synchronized { if (n > 0) sizes += n }
+        ()
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = sizes.synchronized(sizes.toSeq)
+      assert(got.sum == 10, s"all rows delivered: $got")
+      assert(got.forall(_ <= 3), s"every batch bounded by the cap: $got")
+      assert(got.length >= 4, s"the cap forces multiple batches: $got")
+    } finally query.stop()
+  }
+
   test("feeds CdcStream.latestState like any other stream") {
     import org.apache.spark.sql.Encoders
     val id = GtidReplayBuffers.register(Seq(
