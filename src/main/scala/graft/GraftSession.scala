@@ -22,4 +22,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's SQL surface (cosine_similarity, dot_product,
+      // simhash32) resolves in every session built here
+      .withExtensions(new GraftExtensions)
 }

@@ -150,13 +150,48 @@ object Multimodal {
       )
       .orderBy("modality")
 
+  /** mm3: frame sampling — 4 evenly-strided slices per video asset,
+    * each fingerprinted (md5). In a real pipeline the codec supplies
+    * frame boundaries and the slices are pixel buffers; here the
+    * boundaries are byte strides over the asset content, which keeps
+    * the whole operator — offset arithmetic, slice, digest, one row
+    * per (asset, frame) — SQL-expressible and oracle-checked, unlike
+    * the mm2 stub. Row-local and shuffle-free up to the final sort.
+    */
+  private def mm3FrameSample(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .filter(col("doc_id") % 3 === 2) // the video modality of assets()
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / 4.0).cast("int").as("stride"))
+      .select(col("doc_id"), col("text"), col("stride"),
+        posexplode(sequence(lit(0), lit(3))).as(Seq("p", "frame_idx")))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (lit(1) + col("frame_idx") * col("stride")).as("frame_off"),
+        expr("md5(substr(text, 1 + frame_idx * stride, 16))").as("frame_md5")
+      )
+      .orderBy("doc_id", "frame_idx")
+
+  private val mm3Oracle: String =
+    """SELECT doc_id, frame_idx,
+      |       1 + frame_idx * stride AS frame_off,
+      |       md5(substr(text, 1 + frame_idx * stride, 16)) AS frame_md5
+      |FROM (SELECT doc_id, text, CAST(floor(length(text) / 4.0) AS INT) AS stride
+      |      FROM documents WHERE doc_id % 3 = 2),
+      |     (VALUES (0), (1), (2), (3)) f(frame_idx)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_catalog" -> (mm1Catalog _),
-    "mm2_features" -> (mm2Features _)
+    "mm2_features" -> (mm2Features _),
+    "mm3_frame_sample" -> (mm3FrameSample _)
   )
 
   /** mm2 intentionally absent: non-SQL-expressible (JVM decode stub). */
   val oracles: Map[String, String] = Map(
-    "mm1_catalog" -> mm1Oracle
+    "mm1_catalog" -> mm1Oracle,
+    "mm3_frame_sample" -> mm3Oracle
   )
 }
