@@ -217,7 +217,72 @@ object Relational3 {
        |       count(*) AS n_rows
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q39: analytic rank ratios ------------------------------------------
+
+  /** percent_rank / cume_dist / dense_rank — exact rationals
+    * ((rank−1)/(n−1), rank/n), so the doubles agree bit-for-bit across
+    * engines; o_orderkey makes every ordering total.
+    */
+  private def q39PercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        dense_rank().over(w).as("dr")
+      )
+      .orderBy("o_orderkey")
+  }
+
+  private val q39Oracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd,
+      |       CAST(dense_rank() OVER w AS INT) AS dr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q40: array higher-order functions ----------------------------------
+
+  /** The array-HOF scalar surface (transform / aggregate / zip_with /
+    * reverse / slice / sort) over quantized embeddings — all integer
+    * arithmetic so both engines agree exactly.
+    */
+  private def q40ArrayOps(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .filter(col("vec_id") < 1000)
+      .withColumn("q", expr("transform(embedding, x -> CAST(floor(x * 100) AS BIGINT))"))
+      .select(
+        col("vec_id"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+        expr("aggregate(zip_with(q, reverse(q), (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("pal_dot"),
+        // joined, not an array column: the driver compare hashes
+        // scalars (same convention as q27)
+        expr("array_join(sort_array(slice(q, 1, 5)), ',')").as("first5_csv")
+      )
+      .orderBy("vec_id")
+
+  private val q40Oracle: String =
+    """SELECT vec_id,
+      |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |       CAST(list_sum(list_transform(generate_series(1, len(q)),
+      |            i -> q[i] * q[len(q) - i + 1])) AS BIGINT) AS pal_dot,
+      |       array_to_string(list_sort(list_slice(q, 1, 5)), ',') AS first5_csv
+      |FROM (SELECT vec_id,
+      |             list_transform(embedding::DOUBLE[],
+      |                            x -> CAST(floor(x * 100) AS BIGINT)) AS q
+      |      FROM embeddings WHERE vec_id < 1000)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_percent_rank" -> (q39PercentRank _),
+    "q40_array_ops" -> (q40ArrayOps _),
     "q32_exists" -> (q32Exists _),
     "q33_cube" -> (q33Cube _),
     "q34_lateral" -> (q34Lateral _),
@@ -228,6 +293,8 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_percent_rank" -> q39Oracle,
+    "q40_array_ops" -> q40Oracle,
     "q32_exists" -> q32Oracle,
     "q33_cube" -> q33Oracle,
     "q34_lateral" -> q34Oracle,
