@@ -90,13 +90,11 @@ object CdcPipeline {
     val set = batchGtidSet(batch, source)
     if (set.isEmpty) return
     if (store.covered(spark, source, SnapshotJob.schemaName, "events", set)) return
-    val existing =
-      try {
-        // break lineage from the files we are about to overwrite
-        spark.read.parquet(stateDir).localCheckpoint(true)
-      } catch { case _: Throwable => null }
+    // break lineage from the files we are about to overwrite; None on
+    // the first batch (no state table yet — see MetaTables)
+    val existing = MetaTables.readIfExists(spark, stateDir).map(_.localCheckpoint(true))
     val merged = ChangeFeed.latestState(
-      if (existing == null) batch else existing.unionByName(batch))
+      existing.fold(batch)(_.unionByName(batch)))
     merged.write.mode("overwrite").parquet(stateDir)
     store.upsert(spark, Seq(
       TableWatermark(source, SnapshotJob.schemaName, "events", set.serialize)))

@@ -164,11 +164,15 @@ object SnapshotJob {
       sfDir: String,
       rule: FilterRule = FilterRule(),
       pos: String
-  ): Dataset[SnapshotEnvelope] =
-    discoverTables(spark, sfDir)
+  ): Dataset[SnapshotEnvelope] = {
+    import spark.implicits._
+    val perTable = discoverTables(spark, sfDir)
       .filter(rule.allow(schemaName, _))
       .map { t =>
         tableEnvelopes(spark, Tables.t(spark, sfDir, t), t, primaryKeys.get(t), pos)
       }
-      .reduce(_ union _)
+    // a rule that prunes everything is a valid (empty) snapshot, not a crash
+    if (perTable.isEmpty) spark.emptyDataset[SnapshotEnvelope]
+    else perTable.reduce(_ union _)
+  }
 }

@@ -1,9 +1,29 @@
 package graft.cdc
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Dataset, SparkSession}
 
 import graft.model.GtidSet
+
+/** Read-a-table-that-may-not-exist-yet, shared by the watermark store
+  * and the pipeline's state table. `None` covers exactly the two
+  * recoverable "no data yet" shapes: the path is absent
+  * (PATH_NOT_FOUND — first ever run) or present but file-less
+  * (UNABLE_TO_INFER_SCHEMA — an overwrite was torn mid-write, leaving
+  * only temporaries; both consumers are idempotent-replay safe, so
+  * treating a torn table as empty self-heals on the next write
+  * instead of crash-looping). Every other failure propagates.
+  */
+private[cdc] object MetaTables {
+  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        None
+    }
+}
 
 /** One per-table watermark row — the Spark analog of
   * `go_cdc_table_meta(data_source_id, sc, tb, last_pos)`
@@ -53,8 +73,10 @@ final class WatermarkStore(path: String) {
 
   def read(spark: SparkSession): Dataset[TableWatermark] = {
     import spark.implicits._
-    try spark.read.parquet(path).as[TableWatermark]
-    catch { case _: Throwable => spark.emptyDataset[TableWatermark] }
+    MetaTables.readIfExists(spark, path) match {
+      case Some(df) => df.as[TableWatermark]
+      case None => spark.emptyDataset[TableWatermark]
+    }
   }
 
   /** Current watermark for one table (empty set when absent). */

@@ -28,6 +28,11 @@ class SnapshotJobSpec extends AnyFunSuite {
     assert(SnapshotJob.discoverTables(spark, sf) == graft.Tables.all.sorted)
   }
 
+  test("a rule that prunes every table yields an empty snapshot, not a crash") {
+    val denyAll = FilterRule(global = Some(TableFilter(includeSchemas = Seq("no-such-schema"))))
+    assert(SnapshotJob.snapshot(spark, sf, denyAll, "u:1").count() == 0)
+  }
+
   test("snapshot emits create_table/insert/end per table with DDL and pos") {
     val rule = FilterRule(global = Some(TableFilter(includeTables = Seq("region", "nation"))))
     val env = SnapshotJob.snapshot(spark, sf, rule, "srv:1-100").collect()
