@@ -280,7 +280,54 @@ object Relational3 {
       |      FROM embeddings WHERE vec_id < 1000)
       |ORDER BY vec_id""".stripMargin
 
+  // ---- q41: date truncation + interval arithmetic -------------------------
+
+  private def q41DateTrunc(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("last_due"),
+        min(dayofweek(col("o_orderdate"))).as("min_dow")
+      )
+      .orderBy("month")
+
+  private val q41Oracle: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |       count(*) AS n_orders,
+      |       max(o_orderdate + INTERVAL 30 DAY) AS last_due,
+      |       CAST(min(dayofweek(o_orderdate) + 1) AS INT) AS min_dow
+      |FROM orders GROUP BY date_trunc('month', o_orderdate)
+      |ORDER BY month""".stripMargin
+
+  // ---- q42: conditional / boolean aggregates ------------------------------
+
+  private def q42CondAgg(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "F").as("any_final"),
+        Exact.dsum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0))
+          .as("open_total")
+      )
+      .orderBy("o_orderpriority")
+
+  private val q42Oracle: String =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      |       bool_and(o_totalprice > 0) AS all_positive,
+      |       bool_or(o_orderstatus = 'F') AS any_final,
+      |       CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END
+      |                     AS DECIMAL(18,4))) AS DOUBLE) AS open_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_date_trunc" -> (q41DateTrunc _),
+    "q42_cond_agg" -> (q42CondAgg _),
     "q39_percent_rank" -> (q39PercentRank _),
     "q40_array_ops" -> (q40ArrayOps _),
     "q32_exists" -> (q32Exists _),
@@ -293,6 +340,8 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_date_trunc" -> q41Oracle,
+    "q42_cond_agg" -> q42Oracle,
     "q39_percent_rank" -> q39Oracle,
     "q40_array_ops" -> q40Oracle,
     "q32_exists" -> q32Oracle,
