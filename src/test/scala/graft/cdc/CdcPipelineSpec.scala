@@ -72,6 +72,52 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(stateRows(state) == expectedState())
   }
 
+  test("incremental file arrival applies on top of existing state") {
+    // the real CDC shape: a first batch materializes, later binlog
+    // files arrive while the query is down, the next run applies only
+    // the delta on top — final state must equal the one-shot result
+    val base = s"target/tmp/cdcincr-${System.nanoTime()}"
+    val feedDir = new File(s"$base/feed")
+    feedDir.mkdirs()
+    val full = Tables.events(spark, sf)
+    val cut = 500L
+    full.filter(org.apache.spark.sql.functions.col("event_id") <= cut)
+      .coalesce(1).write.parquet(s"$base/half1")
+    full.filter(org.apache.spark.sql.functions.col("event_id") > cut)
+      .coalesce(1).write.parquet(s"$base/half2")
+    def stage(src: String, name: String): Unit = {
+      val f = new File(src).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, new File(feedDir, name).toPath)
+    }
+    // halves were written through Tables.events (ts already micros) —
+    // feed them through a stream that skips the nanos fix
+    def run(ckpt: String) = {
+      val store = new WatermarkStore(s"$base/wm")
+      ChangeFeed.fromEvents(
+        spark.readStream
+          .schema(full.schema)
+          .parquet(feedDir.getPath))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          CdcPipeline.applyBatch(b.sparkSession, store, s"$base/state", "harness-src", b)
+        }
+        .start()
+        .awaitTermination()
+    }
+    stage(s"$base/half1", "part1.parquet")
+    run(s"$base/ckpt")
+    val afterHalf = stateRows(s"$base/state")
+    stage(s"$base/half2", "part2.parquet")
+    run(s"$base/ckpt")
+    assert(stateRows(s"$base/state") == expectedState())
+    assert(afterHalf != expectedState(), "the first half alone must differ (sanity)")
+    val store = new WatermarkStore(s"$base/wm")
+    val wm = store.watermark(spark, "harness-src", "main", "events")
+    assert(wm.contains("harness-src", cut + 1))
+  }
+
   test("applyBatch is idempotent at the batch level") {
     val base = s"target/tmp/cdcbatch-${System.nanoTime()}"
     val store = new WatermarkStore(s"$base/wm")

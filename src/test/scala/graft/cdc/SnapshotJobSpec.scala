@@ -94,6 +94,14 @@ class SnapshotJobSpec extends AnyFunSuite {
     Seq(0L, 1L, 3L, 5L, 6L, 8L, 10L, 11L).foreach { p =>
       assert(got(p) == wm.contains("u", p), s"pos $p")
     }
+    // multi-uuid watermark: the gate compiles per-uuid interval lists;
+    // ranges of another server must not leak across
+    val multi = GtidSet.parse("u:1-5,v:100-200")
+    val gateU = Seq(3L, 150L).toDF("pos")
+      .select(WatermarkGate.containsColumn(multi, "u", col("pos"))).collect().map(_.getBoolean(0))
+    val gateV = Seq(3L, 150L).toDF("pos")
+      .select(WatermarkGate.containsColumn(multi, "v", col("pos"))).collect().map(_.getBoolean(0))
+    assert(gateU.toSeq == Seq(true, false) && gateV.toSeq == Seq(false, true))
   }
 
   test("consistency protocol: snapshot state + gated replay == direct state (seeded property)") {
