@@ -85,9 +85,12 @@ object Similarity {
     val q = df.withColumn("q",
       expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))"))
     val dots = (0 until nBits).foldLeft(q) { (acc, j) =>
-      val plane = array((0 until 64).map { i =>
-        lit((((j * 64L + i) * 2654435761L) % 1000003L - 500001L).toDouble)
-      }: _*)
+      // typedlit, not array(lit...): CreateArray would rebuild the
+      // 64-element plane per row; a typed literal is one shared
+      // ArrayData constant
+      val plane = typedlit((0 until 64).map { i =>
+        (((j * 64L + i) * 2654435761L) % 1000003L - 500001L).toDouble
+      })
       acc.withColumn(s"dot$j", VectorFunctions.dot_product(col("q"), plane))
     }
     val bucketExpr = (0 until nBits)
