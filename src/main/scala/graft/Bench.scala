@@ -6,6 +6,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up at the smallest SF (not timed): JIT + whole-stage-codegen
+    // compilation + filesystem first-touch otherwise dominate several
+    // sub-second plans and add run-to-run noise; the timed numbers
+    // below measure steady-state execution at the target SF.
+    // Disable with SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -272,15 +272,20 @@ object Dedup {
       col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), k -> concat(k, ':', shiftright(fp, CAST(k AS INT)*8) & 255))")).as("band")
     )
+    // Hamming filter BEFORE the pair dedup: unlike d3 (where exact
+    // verification is the expensive side and runs after dedup), the
+    // bit_count check is a codegen'd scalar — streaming all band
+    // collisions through it costs nothing, while dropDuplicates over
+    // the unfiltered pairs is a multi-million-row shuffle at sf0.1.
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b")
       )
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
       .filter(col("hamming") <= 3)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
       .orderBy("id_a", "id_b")
   }
