@@ -46,7 +46,12 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object SimHash32 {
+/** The engines' shared 8-char polynomial word hash
+  * (`Σ ascii(char_k) · 31^(7−k)`, missing chars pad 0) — the JVM twin
+  * of `Text.polyHashSql(e, 8)`, kept bit-identical so expressions
+  * built on it stay oracle-comparable.
+  */
+object PolyHash {
 
   /** 31^(7−k) coefficients of the 8-char polynomial. */
   private val POW: Array[Long] = {
@@ -56,6 +61,17 @@ object SimHash32 {
     while (k >= 0) { a(k) = v; v *= 31L; k -= 1 }
     a
   }
+
+  def hash8(s: String): Long = {
+    var h = 0L
+    val len = if (s.length < 8) s.length else 8
+    var k = 0
+    while (k < len) { h += s.charAt(k).toLong * POW(k); k += 1 }
+    h
+  }
+}
+
+object SimHash32 {
 
   /** Static (forwarder) entry point referenced by generated code.
     * Null elements vote nothing (wordsCol never produces them; being
@@ -67,11 +83,7 @@ object SimHash32 {
     var i = 0
     while (i < n) {
       if (!words.isNullAt(i)) {
-        val s = words.getUTF8String(i).toString
-        var h = 0L
-        val len = if (s.length < 8) s.length else 8
-        var k = 0
-        while (k < len) { h += s.charAt(k).toLong * POW(k); k += 1 }
+        val h = PolyHash.hash8(words.getUTF8String(i).toString)
         var b = 0
         while (b < 32) {
           if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -87,8 +99,67 @@ object SimHash32 {
   }
 }
 
+/** Distinct 3-gram shingle hashes of a word array as one codegen'd
+  * scalar — the JVM twin of the d3 oracle's SQL chain
+  * (`((hw0 % P)·1000003 + hw1) % P · 1000003 + hw2) % P` over the
+  * [[PolyHash.hash8]] word hashes, first-occurrence order like
+  * `array_distinct`). Replaces an interpreted transform/arrays_zip/
+  * slice HOF pipeline with a single primitive loop per row — the last
+  * interpreted island in the dedup suite's hot path.
+  */
+case class PolyShingles(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "poly_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PolyShingles.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyShingles.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyShingles {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  def compute(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hw(i) = if (words.isNullAt(i)) 0L else PolyHash.hash8(words.getUTF8String(i).toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - 3) {
+      val t1 = ((hw(i) % P) * 1000003L + hw(i + 1)) % P
+      seen.add((t1 * 1000003L + hw(i + 2)) % P)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimHashFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def simhash32(words: Column): Column = column(SimHash32(expression(words)))
+  def poly_shingles(words: Column): Column = column(PolyShingles(expression(words)))
 }

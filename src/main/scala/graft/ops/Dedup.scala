@@ -154,28 +154,18 @@ object Dedup {
     * solely by candidates (planted near-dups + rare band collisions),
     * so the plan survives a 100x corpus without going quadratic.
     */
-  /** Per-doc distinct shingle hashes. Expression discipline for
-    * interpreted HOFs: computed arrays are only referenced at
-    * *per-row* scope (slices outside lambdas) — referencing `hw`
-    * inside a per-element lambda would re-evaluate the whole word-hash
-    * chain once per element (CodegenFallback has no CSE), turning a
-    * linear pass quadratic.
+  /** Per-doc distinct shingle hashes, via the codegen'd
+    * [[graft.functions.PolyShingles]] scalar — one primitive loop per
+    * row (short docs yield the empty set). Bit-identical to the
+    * oracle's SQL chain: same 8-char polynomial word hash, same
+    * mod-P shingle combine, first-occurrence-distinct like
+    * `array_distinct`.
     */
   private def shingleSetDF(s: SparkSession, d: String): DataFrame =
     Tables
       .documents(s, d)
-      .withColumn("words", Text.wordsCol(col("text")))
-      .withColumn("hw", expr(s"transform(words, w -> ${Text.polyHashSql("w", 8)})"))
-      // Guarded for <3-word docs: slice() with a negative length
-      // throws; short docs get an empty shingle set (matching DuckDB's
-      // empty generate_series).
-      .withColumn("shs", expr(
-        s"""CASE WHEN size(hw) >= 3 THEN
-           |  array_distinct(transform(
-           |    arrays_zip(slice(hw, 1, size(hw)-2), slice(hw, 2, size(hw)-2), slice(hw, 3, size(hw)-2)),
-           |    t -> ${shingleHashSql(k => s"t['$k']")}))
-           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
-      .select(col("doc_id"), col("shs"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.poly_shingles(Text.wordsCol(col("text"))).as("shs"))
 
   private def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
     // The minhash signature as a codegen'd two-phase aggregation:
