@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.GtidRangesAgg
 import graft.model.{GtidSet, GtidRange}
@@ -76,9 +76,47 @@ object CdcPipeline {
     }
   }
 
-  /** Apply one micro-batch: GTID-gate, latest-wins merge into the
-    * state table, watermark upsert. Public so the batch spec can
-    * drive it directly.
+  /** Bucket count of the state table. 64 keeps the per-bucket rewrite
+    * unit small enough that a typical batch touches a fraction of the
+    * table, while staying far below the small-files regime (at 100 TB
+    * state that is ~1.5 TB/bucket — in a real deployment this knob
+    * scales with state size, the mechanism is unchanged).
+    */
+  val stateBuckets: Int = 64
+
+  // NOT underscore-prefixed: Spark's file index treats `_`-prefixed
+  // paths as hidden and would skip the partition directories
+  private[cdc] val bucketCol = "bucket"
+
+  /** Deterministic pk → bucket assignment (Murmur3, same function a
+    * shuffle-hash-partitioning of the state would use).
+    */
+  private def bucketOf: Column = pmod(hash(col("pk")), lit(stateBuckets))
+
+  /** Apply one micro-batch: GTID-gate, then a bucketed copy-on-write
+    * MERGE into the state table, then the watermark upsert. Public so
+    * the batch spec can drive it directly.
+    *
+    * The state parquet is hash-partitioned on `pmod(hash(pk), 64)`
+    * (directory layout `bucket=N/`). A batch only ever
+    * reads-and-rewrites the buckets its keys hash into — partition
+    * pruning limits the read, dynamic partition-overwrite limits the
+    * write — so apply cost is O(batch ∪ touched-bucket state), not
+    * O(state): the Delta/Iceberg copy-on-write MERGE pattern without
+    * the dependency. Untouched buckets' files are never opened: the
+    * pruned read takes its schema from the sidecar (no footer
+    * inference), and the dynamic overwrite replaces only the
+    * partitions present in the written frame.
+    *
+    * Schema lives in a tiny sidecar file (the single-table analog of
+    * Delta's transaction-log schema — parquet footers can't speak for
+    * a table whose buckets were written at different times). A batch
+    * arriving with an evolved schema — the downstream meaning of a
+    * gated additive DDL event, which the reference drops in its no-op
+    * `OnDDL` (`internal/cannal/incremental_event.go:31-33`) — triggers
+    * a one-off full-table migration ([[SchemaEvolution.conform]]:
+    * old rows null-fill new columns), amortized O(state) once per DDL;
+    * every schema-stable batch takes the O(batch) COW path.
     */
   def applyBatch(
       spark: SparkSession,
@@ -90,14 +128,83 @@ object CdcPipeline {
     val set = batchGtidSet(batch, source)
     if (set.isEmpty) return
     if (store.covered(spark, source, SnapshotJob.schemaName, "events", set)) return
-    // break lineage from the files we are about to overwrite; None on
-    // the first batch (no state table yet — see MetaTables)
-    val existing = MetaTables.readIfExists(spark, stateDir).map(_.localCheckpoint(true))
-    val merged = ChangeFeed.latestState(
-      existing.fold(batch)(_.unionByName(batch)))
-    merged.write.mode("overwrite").parquet(stateDir)
+
+    val bucketed = batch.withColumn(bucketCol, bucketOf)
+
+    def write(df: DataFrame, dynamic: Boolean): Unit = {
+      val w = df
+        .repartition(col(bucketCol)) // one file per bucket
+        .write
+        .mode("overwrite")
+        .partitionBy(bucketCol)
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .parquet(stateDir)
+      MetaTables.writeStateSchema(stateDir, df.schema)
+    }
+
+    MetaTables.readStateSchema(spark, stateDir) match {
+      case None =>
+        // first batch: no state yet
+        write(ChangeFeed.latestState(bucketed), dynamic = false)
+
+      case Some(old) =>
+        val target = mergedSchema(old, bucketed.schema)
+        if (target != old) {
+          // evolved batch → one-off migration: conform ALL buckets so
+          // the table has a single schema again
+          val st = spark.read.schema(old).parquet(stateDir).localCheckpoint(true)
+          write(
+            ChangeFeed.latestState(
+              SchemaEvolution.conform(st, target)
+                .unionByName(SchemaEvolution.conform(bucketed, target))),
+            dynamic = false)
+        } else {
+          // steady state: O(batch) COW. Touched buckets = one small
+          // distinct over the batch (≤ stateBuckets values — control
+          // plane); localCheckpoint breaks lineage from the files the
+          // dynamic overwrite replaces, materializing only the touched
+          // fraction of state.
+          val touched = bucketed.select(bucketCol).distinct().collect().map(_.getInt(0))
+          val st = spark.read.schema(old).parquet(stateDir)
+            .filter(col(bucketCol).isin(touched.map(Integer.valueOf): _*))
+          // the eager checkpoint both breaks lineage from the files the
+          // overwrite replaces AND materializes the merged buckets once
+          // (reused by the write and the `present` collect below)
+          val out = ChangeFeed.latestState(
+            st.unionByName(SchemaEvolution.conform(bucketed, target)))
+            .localCheckpoint(true)
+          write(out, dynamic = true)
+          // a bucket whose every key was just deleted is absent from
+          // the written frame — dynamic overwrite would leave its old
+          // files, resurrecting dropped rows. Remove those partition
+          // dirs explicitly (same local-FS seam as the sidecar).
+          val present =
+            out.select(bucketCol).distinct().collect().map(_.getInt(0)).toSet
+          touched.filterNot(present).foreach { b =>
+            val dir = java.nio.file.Paths.get(stateDir, s"$bucketCol=$b")
+            if (java.nio.file.Files.exists(dir)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.delete)
+            }
+          }
+        }
+    }
     store.upsert(spark, Seq(
       TableWatermark(source, SnapshotJob.schemaName, "events", set.serialize)))
+  }
+
+  /** Union schema for additive evolution: existing field order first
+    * (batch types win on retype — the DDL is authoritative), then
+    * batch-new fields appended.
+    */
+  private def mergedSchema(old: StructType, next0: StructType): StructType = {
+    val next = MetaTables.normalized(next0)
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    StructType(
+      old.fields.map(f => nextByName.getOrElse(f.name, f)) ++
+        next.fields.filterNot(f => old.fieldNames.contains(f.name)))
   }
 
   /** Start the checkpointed stream. `Trigger.AvailableNow` drains

@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Dataset, SparkSession}
 
 import graft.model.GtidSet
@@ -23,6 +24,55 @@ private[cdc] object MetaTables {
             e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         None
     }
+
+  // ---- state-table schema sidecar ----------------------------------------
+  // The single-table analog of Delta's transaction-log schema: a
+  // bucketed COW table's parquet footers can disagree mid-evolution,
+  // so the authoritative schema lives beside the data. `_`-prefixed:
+  // Spark's file listing treats it as hidden, so the parquet reader
+  // never sees it. java.nio is fine here — the harness is local-FS;
+  // a cluster deployment swaps in the Hadoop FileSystem API at this
+  // one seam.
+
+  private def sidecar(dir: String) = java.nio.file.Paths.get(dir, "_graft_schema.json")
+
+  /** Nullability/metadata-insensitive view of a schema: parquet reads
+    * come back all-nullable, while freshly-projected batches carry
+    * tighter nullability — without normalizing, every batch would look
+    * like a schema evolution. (Shallow by design: state columns are
+    * flat primitives.)
+    */
+  def normalized(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(f.name, f.dataType, nullable = true)))
+
+  /** The state table's schema: the sidecar when present; self-heals
+    * from a footer-merged read when the sidecar was lost to a torn
+    * write (possible only between the data and sidecar writes of one
+    * apply — single-writer control plane, same contract as
+    * [[WatermarkStore.upsert]]).
+    */
+  def readStateSchema(spark: SparkSession, dir: String): Option[StructType] = {
+    val p = sidecar(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      Some(normalized(DataType.fromJson(json).asInstanceOf[StructType]))
+    } else {
+      try Some(normalized(
+        spark.read.option("mergeSchema", "true").parquet(dir).schema))
+      catch {
+        case e: AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          None
+      }
+    }
+  }
+
+  def writeStateSchema(dir: String, schema: StructType): Unit = {
+    val p = sidecar(dir)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, normalized(schema).json.getBytes("UTF-8"))
+  }
 }
 
 /** One per-table watermark row — the Spark analog of

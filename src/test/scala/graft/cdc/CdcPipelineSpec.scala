@@ -118,6 +118,86 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(wm.contains("harness-src", cut + 1))
   }
 
+  test("bucketed COW merge rewrites only touched buckets") {
+    import org.apache.spark.sql.functions.col
+    val base = s"target/tmp/cdccow-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val full = ChangeFeed.fromEvents(Tables.events(spark, sf))
+
+    // batch 1: the whole feed — populates one bucket per pk (mod
+    // hash collisions)
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", full)
+    def bucketFiles(): Map[String, Long] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(s"$base/state"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified())
+        .toMap
+    }
+    val before = bucketFiles()
+    assert(before.size >= 5, s"expected several buckets, got ${before.size}")
+
+    // batch 2: later events for two keys only — must touch at most
+    // two buckets
+    val b2 = full.filter(col("pk").isin(0L, 1L))
+      .withColumn("pos", col("pos") + 10000)
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", b2)
+    val after = bucketFiles()
+    val untouched = before.filter { case (p, t) => after.get(p).contains(t) }
+    val rewritten = after.size - untouched.size
+    assert(untouched.nonEmpty, "some buckets must survive untouched")
+    assert(rewritten <= 2,
+      s"a 2-key batch must rewrite <=2 bucket files (rewrote $rewritten of ${after.size})")
+    // and the merged state must equal the one-shot materialization of
+    // the full event sequence
+    val expected = ChangeFeed
+      .latestState(full.unionByName(b2))
+      .select("pk", "pos", "op")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(stateRows(s"$base/state") == expected)
+  }
+
+  test("additive schema evolution conforms old state rows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = s"target/tmp/cdcevo-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val full = ChangeFeed.fromEvents(Tables.events(spark, sf))
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", full)
+    // batch 2 arrives with an evolved schema (a new column) for two
+    // keys — the downstream effect of a gated additive DDL event; the
+    // migration must conform the other keys' rows with typed nulls
+    val b2 = full.filter(col("pk").isin(0L, 1L))
+      .withColumn("pos", col("pos") + 10000)
+      .withColumn("region", lit("emea"))
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", b2)
+    val state = spark.read.parquet(s"$base/state")
+    assert(state.columns.contains("region"), "state schema must evolve")
+    val (nulls, filled) = (
+      state.filter(col("region").isNull).count(),
+      state.filter(col("region") === "emea").count())
+    assert(nulls > 0, "pre-evolution rows must null-fill the new column")
+    assert(filled > 0, "post-evolution rows must carry the new column")
+    val expected = ChangeFeed
+      .latestState(full.unionByName(b2.drop("region")))
+      .select("pk", "pos", "op")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(
+      state.select("pk", "pos", "op").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        == expected)
+    // a third, schema-stable batch takes the COW path against the
+    // evolved table (sidecar now carries `region`)
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src",
+      full.filter(col("pk") === 2L).withColumn("pos", col("pos") + 10000)
+        .withColumn("region", lit("apac")))
+    assert(spark.read.parquet(s"$base/state").columns.contains("region"))
+  }
+
   test("applyBatch is idempotent at the batch level") {
     val base = s"target/tmp/cdcbatch-${System.nanoTime()}"
     val store = new WatermarkStore(s"$base/wm")
