@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, SimHash32}
+import graft.functions.{CosineSimilarity, DotProduct, SimHash32, SimHash37}
 
 /** The engine's `SparkSessionExtensions` hook — the idiomatic way to
   * ship custom Catalyst pieces with a library: sessions built with
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       info("simhash32", classOf[SimHash32]),
       (args: Seq[Expression]) => SimHash32(args(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("simhash37"),
+      info("simhash37", classOf[SimHash37]),
+      (args: Seq[Expression]) => SimHash37(args(0))
     ))
   }
 }

@@ -53,14 +53,21 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   */
 object PolyHash {
 
-  /** 31^(7−k) coefficients of the 8-char polynomial. */
-  private val POW: Array[Long] = {
+  private def pows(base: Long): Array[Long] = {
     val a = new Array[Long](8)
     var v = 1L
     var k = 7
-    while (k >= 0) { a(k) = v; v *= 31L; k -= 1 }
+    while (k >= 0) { a(k) = v; v *= base; k -= 1 }
     a
   }
+
+  /** 31^(7−k) coefficients of the 8-char polynomial. */
+  private val POW: Array[Long] = pows(31L)
+
+  /** 37^(7−k) — the independent second hash backing the upper half of
+    * the 64-bit SimHash fingerprint.
+    */
+  private val POW37: Array[Long] = pows(37L)
 
   def hash8(s: String): Long = {
     var h = 0L
@@ -69,21 +76,28 @@ object PolyHash {
     while (k < len) { h += s.charAt(k).toLong * POW(k); k += 1 }
     h
   }
+
+  def hash8b37(s: String): Long = {
+    var h = 0L
+    val len = if (s.length < 8) s.length else 8
+    var k = 0
+    while (k < len) { h += s.charAt(k).toLong * POW37(k); k += 1 }
+    h
+  }
 }
 
 object SimHash32 {
 
-  /** Static (forwarder) entry point referenced by generated code.
-    * Null elements vote nothing (wordsCol never produces them; being
-    * lenient here beats a per-row branch to null-out the whole doc).
+  /** The shared 32-bit vote loop: per word hash, a ±1 vote per bit;
+    * fingerprint sets bit b iff the vote is positive.
     */
-  def compute(words: ArrayData): Long = {
+  private[functions] def voteFp(words: ArrayData, hash: String => Long): Long = {
     val votes = new Array[Int](32)
     val n = words.numElements()
     var i = 0
     while (i < n) {
       if (!words.isNullAt(i)) {
-        val h = PolyHash.hash8(words.getUTF8String(i).toString)
+        val h = hash(words.getUTF8String(i).toString)
         var b = 0
         while (b < 32) {
           if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -97,6 +111,44 @@ object SimHash32 {
     while (b < 32) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
     fp
   }
+
+  /** Static (forwarder) entry point referenced by generated code.
+    * Null elements vote nothing (wordsCol never produces them; being
+    * lenient here beats a per-row branch to null-out the whole doc).
+    */
+  def compute(words: ArrayData): Long = voteFp(words, PolyHash.hash8)
+}
+
+/** The base-37 twin of [[SimHash32]]: an independent 32-bit SimHash
+  * that forms the upper half of the engine's 64-bit fingerprint. Two
+  * 32-bit halves instead of one signed 64-bit value because the
+  * DuckDB oracle's BIGINT errors on overflow and arithmetic-shifts
+  * differently on negatives — two non-negative halves keep every
+  * band/Hamming formula identical in both engines.
+  */
+case class SimHash37(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash37"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash37.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash37.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash37 {
+  def compute(words: ArrayData): Long = SimHash32.voteFp(words, PolyHash.hash8b37)
 }
 
 /** Distinct 3-gram shingle hashes of a word array as one codegen'd
@@ -161,5 +213,6 @@ object SimHashFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def simhash32(words: Column): Column = column(SimHash32(expression(words)))
+  def simhash37(words: Column): Column = column(SimHash37(expression(words)))
   def poly_shingles(words: Column): Column = column(PolyShingles(expression(words)))
 }

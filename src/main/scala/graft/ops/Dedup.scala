@@ -241,26 +241,51 @@ object Dedup {
 
   // ---- d4: SimHash banding -------------------------------------------------
 
-  /** 32-bit SimHash over the word multiset (bit b is set when the
-    * signed vote of all word-hash bits at position b is positive),
-    * byte-banded: pairs sharing any of the 4 byte positions are
-    * candidates; near-dups are candidates with Hamming distance <= 3.
+  /** 64-bit SimHash (two independent 32-bit halves: base-31 and
+    * base-37 word-hash votes), banded into 4 × 16-bit bands: pairs
+    * sharing any band are candidates; near-dups are candidates with
+    * Hamming distance <= 6 over all 64 bits. Like d1, the query
+    * *plants* re-ingests of the first 10 docs (ids shifted by
+    * 2,000,000) so the result deterministically contains exact-copy
+    * pairs (hamming 0) regardless of the corpus's natural near-dups.
     *
-    * The fingerprint is [[graft.functions.SimHash32]] — a codegen'd
-    * row-local scalar, so phase one is a pure scan projection with NO
-    * shuffle (the earlier explode→groupBy form shuffled one row per
-    * word, ~100× the corpus row count, to reduce them straight back).
-    * The oracle keeps the equivalent SQL vote formulation.
+    * Why two BIGINT halves instead of one 64-bit value: the DuckDB
+    * oracle's BIGINT errors on overflow (bit 63 is unreachable
+    * without wrapping) and shifts negatives arithmetically — two
+    * non-negative 32-bit halves make every band/Hamming formula
+    * evaluate identically in both engines.
+    *
+    * Why 16-bit bands: 8-bit bands have 256 values per position, so
+    * at >=10^6 docs every band bucket degenerates toward all-pairs
+    * (candidate count ~n²/256). 65,536 values per position keep the
+    * expected random-collision count at n²/2^16 per band — linear-ish
+    * in n up to ~10^8 docs, and the Hamming filter still runs before
+    * the pair-dedup shuffle.
+    *
+    * The fingerprint halves are [[graft.functions.SimHash32]] /
+    * [[graft.functions.SimHash37]] — codegen'd row-local scalars, so
+    * phase one is a pure scan projection with NO shuffle. The oracle
+    * keeps the equivalent SQL vote formulation.
     */
   private def d4Simhash(s: SparkSession, d: String): DataFrame = {
-    val fps = Tables
-      .documents(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs
+      .filter(col("doc_id") < 10)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val fps = docs
+      .union(planted)
       .withColumn("words", Text.wordsCol(col("text")))
       .select(col("doc_id"),
-        graft.functions.SimHashFunctions.simhash32(col("words")).as("fp"))
+        graft.functions.SimHashFunctions.simhash32(col("words")).as("fp_lo"),
+        graft.functions.SimHashFunctions.simhash37(col("words")).as("fp_hi"))
     val banded = fps.select(
-      col("doc_id"), col("fp"),
-      explode(expr("transform(sequence(0, 3), k -> concat(k, ':', shiftright(fp, CAST(k AS INT)*8) & 255))")).as("band")
+      col("doc_id"), col("fp_lo"), col("fp_hi"),
+      explode(expr(
+        """array(
+          |  concat('0:', fp_lo & 65535),
+          |  concat('1:', shiftright(fp_lo, 16) & 65535),
+          |  concat('2:', fp_hi & 65535),
+          |  concat('3:', shiftright(fp_hi, 16) & 65535))""".stripMargin)).as("band")
     )
     // Hamming filter BEFORE the pair dedup: unlike d3 (where exact
     // verification is the expensive side and runs after dedup), the
@@ -271,39 +296,50 @@ object Dedup {
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b")
+        col("a.fp_lo").as("fp_lo_a"), col("a.fp_hi").as("fp_hi_a"),
+        col("b.fp_lo").as("fp_lo_b"), col("b.fp_hi").as("fp_hi_b")
       )
-      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
-      .filter(col("hamming") <= 3)
+      .withColumn("hamming",
+        expr("bit_count(fp_lo_a ^ fp_lo_b) + bit_count(fp_hi_a ^ fp_hi_b)"))
+      .filter(col("hamming") <= 6)
       .dropDuplicates("id_a", "id_b")
-      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
+      .select("id_a", "id_b", "fp_lo_a", "fp_hi_a", "fp_lo_b", "fp_hi_b", "hamming")
       .orderBy("id_a", "id_b")
   }
 
   private val d4Oracle: String = {
     val ws = Text.wordsSql("text")
-    val voteCols = (0 until 32)
-      .map(b => s"sum(CASE WHEN ((hw >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+    def voteCols(src: String, prefix: String) = (0 until 32)
+      .map(b => s"sum(CASE WHEN (($src >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS $prefix$b")
       .mkString(",\n         ")
-    val fpExpr = (0 until 32)
-      .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+    def fpExpr(prefix: String) = (0 until 32)
+      .map(b => s"(CASE WHEN $prefix$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH fps AS (
-       |  SELECT doc_id, $fpExpr AS fp FROM (
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+       |fps AS (
+       |  SELECT doc_id, ${fpExpr("v")} AS fp_lo, ${fpExpr("u")} AS fp_hi FROM (
        |    SELECT doc_id,
-       |         $voteCols
-       |    FROM (SELECT doc_id, ${Text.polyHashSql("w", 8)} AS hw
-       |          FROM (SELECT doc_id, unnest($ws) AS w FROM documents))
+       |         ${voteCols("hw1", "v")},
+       |         ${voteCols("hw2", "u")}
+       |    FROM (SELECT doc_id, ${Text.polyHashSql("w", 8)} AS hw1,
+       |                 ${Text.polyHashSqlB("w", 8, 37L)} AS hw2
+       |          FROM (SELECT doc_id, unnest($ws) AS w FROM corpus))
        |    GROUP BY doc_id)),
        |banded AS (
-       |  SELECT doc_id, fp, unnest(list_transform(generate_series(0, 3),
-       |           k -> k || ':' || ((fp >> (k*8)) & 255))) AS band
+       |  SELECT doc_id, fp_lo, fp_hi, unnest([
+       |           '0:' || (fp_lo & 65535), '1:' || ((fp_lo >> 16) & 65535),
+       |           '2:' || (fp_hi & 65535), '3:' || ((fp_hi >> 16) & 65535)]) AS band
        |  FROM fps)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |       a.fp AS fp_a, b.fp AS fp_b,
-       |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |       a.fp_lo AS fp_lo_a, a.fp_hi AS fp_hi_a,
+       |       b.fp_lo AS fp_lo_b, b.fp_hi AS fp_hi_b,
+       |       CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+       |            + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
        |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -25,18 +25,24 @@ import graft.Tables
   */
 object Text {
 
-  /** 31^k coefficient table for the unrolled polynomial hash. */
-  private def pow31(k: Int): Long = (0 until k).foldLeft(1L)((a, _) => a * 31L)
+  /** base^k coefficient for the unrolled polynomial hash. */
+  private def powb(base: Long, k: Int): Long =
+    (0 until k).foldLeft(1L)((a, _) => a * base)
 
   /** SQL fragment: polynomial hash of the first `width` chars of
-    * expression `e` — `sum ascii(substr(e,k,1)) * 31^(width-k)`.
+    * expression `e` — `sum ascii(substr(e,k,1)) * base^(width-k)`.
     * `ascii('') = 0` in both engines, so short strings pad with zeros.
-    * Valid Spark SQL *and* DuckDB SQL (same string).
+    * Valid Spark SQL *and* DuckDB SQL (same string). Every value stays
+    * far below 2^63 (base 37, width 8: < 2^47), so DuckDB's
+    * overflow-checking BIGINT arithmetic never errors.
     */
-  def polyHashSql(e: String, width: Int): String =
+  def polyHashSqlB(e: String, width: Int, base: Long): String =
     (1 to width)
-      .map(k => s"CAST(ascii(substr($e,$k,1)) AS BIGINT)*${pow31(width - k)}")
+      .map(k => s"CAST(ascii(substr($e,$k,1)) AS BIGINT)*${powb(base, width - k)}")
       .mkString("(", " + ", ")")
+
+  /** [[polyHashSqlB]] at the default base 31. */
+  def polyHashSql(e: String, width: Int): String = polyHashSqlB(e, width, 31L)
 
   /** Word list: trim, split on space, drop empties. Spark side. */
   def wordsCol(text: Column): Column =

@@ -48,8 +48,39 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.queries("d4_simhash")(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.forall { r =>
-      java.lang.Long.bitCount(r.getAs[Long]("fp_a") ^ r.getAs[Long]("fp_b")) ==
-        r.getAs[Int]("hamming") && r.getAs[Int]("hamming") <= 3
+      java.lang.Long.bitCount(r.getAs[Long]("fp_lo_a") ^ r.getAs[Long]("fp_lo_b")) +
+        java.lang.Long.bitCount(r.getAs[Long]("fp_hi_a") ^ r.getAs[Long]("fp_hi_b")) ==
+        r.getAs[Int]("hamming") && r.getAs[Int]("hamming") <= 6
     })
+    // the planted exact re-ingests must surface with hamming 0
+    val planted = rows.filter(_.getAs[Long]("id_b") >= 2000000L)
+    assert(planted.count(_.getAs[Int]("hamming") == 0) >= 10)
+  }
+
+  test("16-bit bands keep simhash candidates near-linear at 1e5 docs") {
+    // 10^5 synthetic docs of 30 random words each: with 8-bit bands
+    // the expected band-collision count is 4·n²/2/256 ≈ 78M pairs —
+    // the saturation ceiling; with 16-bit bands it is 4·n²/2/65536
+    // ≈ 0.3M. Assert the candidate stage stays within 10·n, i.e. the
+    // band join cannot degenerate toward all-pairs.
+    val n = 100000L
+    val fps = spark.range(n)
+      .select(col("id").as("doc_id"),
+        expr("transform(sequence(1, 30), i -> substring(md5(concat(id, '-', i)), 1, 8))")
+          .as("words"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash32(col("words")).as("fp_lo"),
+        graft.functions.SimHashFunctions.simhash37(col("words")).as("fp_hi"))
+    val banded = fps.select(col("doc_id"), explode(expr(
+      """array(
+        |  concat('0:', fp_lo & 65535),
+        |  concat('1:', shiftright(fp_lo, 16) & 65535),
+        |  concat('2:', fp_hi & 65535),
+        |  concat('3:', shiftright(fp_hi, 16) & 65535))""".stripMargin)).as("band"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(cands < 10L * n, s"candidate explosion: $cands pairs for $n docs")
   }
 }
