@@ -254,31 +254,79 @@ object Similarity {
        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
        |ORDER BY id_a, id_b""".stripMargin
 
-  // ---- s4: IVF cell assignment --------------------------------------------
+  // ---- s4: IVF cell assignment (trained codebook) --------------------------
 
-  /** The IVF half of the ANN toolbox (s2/s3 are the LSH half): a
-    * fixed seeded codebook (the first 8 vectors stand in for trained
-    * centroids — training is out of oracle scope), every vector
-    * assigned to its max-dot cell via one broadcast join, cells
-    * summarized. At scale this is the partition function of an IVF
-    * index: the codebook broadcasts (it is tiny by construction), the
-    * corpus never shuffles until the per-cell reduction, and a query
-    * would probe only its own cell's partition. Dot products ride the
-    * codegen'd [[VectorFunctions.dot_product]].
+  /** Quantized corpus view for IVF training: integer-valued doubles
+    * (`floor(x*1000)`), the same exactness trick the LSH signatures
+    * use — every downstream sum and dot is an exact integer carried in
+    * doubles (max |dot(q, sumvec)| < 2^42, far inside 2^53), so the
+    * trained codebook is bit-identical in any engine.
     */
-  private def s4IvfCells(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d)
-    val centroids = all.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val scored = all.filter(col("vec_id") >= 8)
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("cid"),
-        VectorFunctions.dot_product(col("v"), col("cv")).as("dot"))
+  def quantized(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))").as("q"))
+
+  /** Seed codebook: the first 8 quantized vectors as singleton cells.
+    * Centroids are carried UN-normalized as `(sv = Σ members, n)` so
+    * all training arithmetic stays integer-exact; the only float op is
+    * the assignment score `dot(q, sv) / n` — one exactly-rounded IEEE
+    * division, deterministic across engines.
+    */
+  def seedCodebook(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("sv"), lit(1L).as("n"))
+
+  /** Nearest-cell assignment by max mean-dot (ties → lowest cid): the
+    * codebook broadcasts (8 rows), the corpus never shuffles until the
+    * per-vector argmax window — the probe/partition function of an IVF
+    * index at any scale.
+    */
+  def assignCells(base: DataFrame, codebook: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
-    scored
+      .partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+    base
+      .join(broadcast(codebook))
+      .select(col("vec_id"), col("q"), col("cid"),
+        (VectorFunctions.dot_product(col("q"), col("sv")) / col("n")).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
+      .select("vec_id", "q", "cid")
+  }
+
+  /** Lloyd update: per-cell element-wise sum + count. 64 map-side
+    * partial sums in ONE tiny groupBy (8 output rows) — no per-dim
+    * explode, no extra shuffle.
+    */
+  def updateCodebook(assigned: DataFrame): DataFrame = {
+    val sums = (0 until 64).map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+    assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"),
+        array((0 until 64).map(i => col(s"s$i")): _*).as("sv"), col("n"))
+  }
+
+  /** `iters` deterministic Lloyd iterations from the seeded codebook. */
+  def trainCodebook(base: DataFrame, iters: Int): DataFrame =
+    (1 to iters).foldLeft(seedCodebook(base)) { (cb, _) =>
+      updateCodebook(assignCells(base, cb))
+    }
+
+  /** The IVF half of the ANN toolbox (s2/s3 are the LSH half): a
+    * TRAINED codebook — two deterministic k-means (Lloyd) iterations
+    * seeded from the first 8 vectors — then every vector assigned to
+    * its max-mean-dot cell, cells summarized. At scale this is the
+    * partition function of an IVF index: training touches the corpus
+    * 2× with a broadcast codebook (classic distributed k-means: all
+    * heavy work is map-side partial sums), and a query probes only its
+    * own cell. Dots ride the codegen'd [[VectorFunctions.dot_product]];
+    * every quantity is integer-exact except the single score division,
+    * which both engines round identically — that is what keeps a
+    * 2-iteration iterative algorithm oracle-checkable.
+    */
+  private def s4IvfCells(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    assignCells(base, trainCodebook(base, iters = 2))
       .groupBy(col("cid").as("cell"))
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -288,22 +336,31 @@ object Similarity {
       .orderBy("cell")
   }
 
-  private val s4Oracle: String =
-    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
-      |scored AS (
-      |  SELECT b.vec_id, c.cid,
-      |         list_sum(list_transform(generate_series(1, 64),
-      |                  i -> b.v[i] * c.cv[i])) AS dot
-      |  FROM base b, cents c WHERE b.vec_id >= 8),
-      |best AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rnk
-      |    FROM scored) WHERE rnk = 1)
-      |SELECT cid AS cell, count(*) AS n_vecs,
-      |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
-      |FROM best GROUP BY cid ORDER BY cell""".stripMargin
+  private val s4Oracle: String = {
+    val sumList = (1 to 64).map(i => s"sum(q[$i])").mkString("[", ", ", "]")
+    def dotSql(q: String, sv: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $q[i] * $sv[i]))"
+    def assignSql(cents: String) =
+      s"""SELECT vec_id, q, cid FROM (
+         |    SELECT vec_id, q, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rnk
+         |    FROM (SELECT b.vec_id, b.q, c.cid,
+         |                 CAST(${dotSql("b.q", "c.sv")} AS DOUBLE) / c.n AS score
+         |          FROM base b, $cents c)) WHERE rnk = 1""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS sv, CAST(1 AS BIGINT) AS n FROM base WHERE vec_id < 8),
+       |a1 AS (${assignSql("c0")}),
+       |c1 AS (SELECT cid, $sumList AS sv, count(*) AS n FROM a1 GROUP BY cid),
+       |a2 AS (${assignSql("c1")}),
+       |c2 AS (SELECT cid, $sumList AS sv, count(*) AS n FROM a2 GROUP BY cid),
+       |a3 AS (${assignSql("c2")})
+       |SELECT cid AS cell, count(*) AS n_vecs,
+       |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM a3 GROUP BY cid ORDER BY cell""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopk _),

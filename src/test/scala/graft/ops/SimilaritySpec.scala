@@ -84,6 +84,99 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.suggestedBits(10) == 4) // floor
   }
 
+  test("trained IVF codebook: cells balance and recall does not regress") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = Similarity.quantized(spark, sf)
+    val all = Similarity.corpus(spark, sf)
+    // exact top-10 ground truth per query (qid < 5), like the LSH test
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    def topk(scored: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      scored.withColumn("rnk", row_number().over(wExact)).filter(col("rnk") <= 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = topk(all.filter(col("vec_id") >= 5).join(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos")))
+    def recallWith(codebook: org.apache.spark.sql.DataFrame): (Double, Seq[Long]) = {
+      val cells = Similarity.assignCells(base, codebook)
+        .select(col("vec_id"), col("cid"))
+      val sizes = cells.groupBy("cid").count()
+        .collect().map(_.getAs[Long]("count")).toSeq.sorted
+      val withCell = all.join(cells, "vec_id")
+      val qs = withCell.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("qcid"))
+      val probe = topk(withCell.filter(col("vec_id") >= 5)
+        .join(broadcast(qs), col("cid") === col("qcid"))
+        .select(col("qid"), col("vec_id"),
+          graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos")))
+      val r = exact.map { case (q, want) =>
+        probe.getOrElse(q, Set.empty).intersect(want).size / want.size.toDouble
+      }.sum / exact.size
+      (r, sizes)
+    }
+    val (r0, sizes0) = recallWith(Similarity.seedCodebook(base))
+    val (r2, sizes2) = recallWith(Similarity.trainCodebook(base, 2))
+    info(f"seeded recall@10=$r0%.2f cells=$sizes0; trained recall@10=$r2%.2f cells=$sizes2")
+    // The harness corpus is near-random 64-dim noise — there are no
+    // clusters to learn, so single-probe recall is a coin-flip metric
+    // (measured: seeded 0.88, trained 0.82). What training MUST do
+    // here is balance the partition without collapsing recall; the
+    // clustered-corpus test below is where training has signal to win.
+    assert(r2 >= r0 - 0.1, s"training collapsed recall: seeded $r0, trained $r2")
+    assert(sizes2.max <= sizes0.max,
+      s"training must not concentrate cells further: $sizes0 -> $sizes2")
+  }
+
+  test("trained IVF beats the seeded codebook on clustered data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 8 clusters x 50 vectors (cluster c strong at dim c, deterministic
+    // +/-50 noise), ids ordered by cluster — so the first-8 seed
+    // centroids all sit inside cluster 0, the degenerate init. Two
+    // Lloyd iterations must recover real structure.
+    val base = spark.range(400).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63),
+             |  i -> CAST(CASE WHEN i = CAST(id DIV 50 AS INT) THEN 900 ELSE 0 END
+             |       + ((id*64 + i) * 2654435761) % 101 - 50 AS DOUBLE))""".stripMargin).as("q"))
+    val all = base.select(col("vec_id"), col("q").as("v"))
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    def topk(scored: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      scored.withColumn("rnk", row_number().over(wExact)).filter(col("rnk") <= 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val qids = Seq(10L, 60L, 110L, 210L, 310L)
+    val queries = all.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = topk(all.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos")))
+    def recallWith(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cells = Similarity.assignCells(base, cb).select(col("vec_id"), col("cid"))
+      val withCell = all.join(cells, "vec_id")
+      val qs = withCell.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("qcid"))
+      val probe = topk(withCell.join(broadcast(qs),
+          col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos")))
+      exact.map { case (q, want) =>
+        probe.getOrElse(q, Set.empty).intersect(want).size / want.size.toDouble
+      }.sum / exact.size
+    }
+    val rSeed = recallWith(Similarity.seedCodebook(base))
+    val rTrained = recallWith(Similarity.trainCodebook(base, 2))
+    info(f"clustered: seeded recall@10=$rSeed%.2f, trained(2)=$rTrained%.2f")
+    // measured: seeded 0.90 (degenerate init still catches same-cell
+    // luck), trained 1.00 with per-cluster cells
+    assert(rTrained > rSeed,
+      s"training must beat the seeded codebook on clustered data: $rSeed -> $rTrained")
+    assert(rTrained >= 0.95, s"trained recall@10 on separable clusters: $rTrained")
+  }
+
   test("embedding dedup finds every planted re-embedding") {
     val rows = Similarity.queries("s3_embedding_dedup")(spark, sf).collect()
     val planted = rows
