@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query repetitions; the reported time is the MEDIAN (this
+    // host's bench is documented-noisy: single-run totals bounce 2-3x
+    // with random multi-second spikes on individual queries — a median
+    // of 3 reports the plan's cost, not the host's mood).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up at the smallest SF (not timed): JIT + whole-stage-codegen
@@ -20,21 +25,43 @@ object Bench {
         }
       }
     }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries that persist() intermediates (d3, s2, s3) would
-      // otherwise accumulate cached blocks across all 45+ queries in
-      // this one JVM — the round-2 bench regressed 3.1x from exactly
-      // that. Each query must pay only its own cost.
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              // record, don't swallow: a broken query must not
+              // masquerade as a fast one
+              errors.getOrElseUpdate(name, e.toString.take(200))
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries that persist() intermediates (d3, s2, s3) would
+        // otherwise accumulate cached blocks across all 45+ queries in
+        // this one JVM — the round-2 bench regressed 3.1x from exactly
+        // that. Each query must pay only its own cost.
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.length / 2)
+      name -> median
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
