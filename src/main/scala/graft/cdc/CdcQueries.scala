@@ -207,6 +207,37 @@ object CdcQueries {
       |       || CAST(max(event_id) AS VARCHAR) AS gtid
       |FROM events""".stripMargin
 
+  // ---- cdc_gtid_multi: the multi-master GTID union ------------------------
+
+  /** The multi-source shape (`cmd/cdc/main.go:21-27` runs one holder
+    * per configured server; [[graft.sources.GtidReplayStream]] unions
+    * them under ONE checkpointed set): a two-uuid feed — each event
+    * attributed to one of two servers — aggregates into a single
+    * canonical multi-uuid GTID set. The oracle states the expected
+    * serialization (`src-a:…,src-b:…`, uuid-sorted) from the same
+    * split.
+    */
+  private def cdcGtidMulti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .select(
+        when(col("pos") <= 500, "src-a").otherwise("src-b").as("uuid"),
+        col("pos"))
+      .as[(String, Long)]
+      .select(graft.functions.GtidStringAgg.toColumn)
+      .toDF("gtid")
+  }
+
+  private val cdcGtidMultiOracle: String =
+    """SELECT 'src-a:'
+      |  || CAST(min(CASE WHEN event_id <= 500 THEN event_id END) AS VARCHAR) || '-'
+      |  || CAST(max(CASE WHEN event_id <= 500 THEN event_id END) AS VARCHAR)
+      |  || ',src-b:'
+      |  || CAST(min(CASE WHEN event_id > 500 THEN event_id END) AS VARCHAR) || '-'
+      |  || CAST(max(CASE WHEN event_id > 500 THEN event_id END) AS VARCHAR) AS gtid
+      |FROM events""".stripMargin
+
   // ---- cdc_filter_rules: the compiled rule predicate ----------------------
 
   /** Ops #10/#11/#19 under the driver gate: a (schema, table) relation
@@ -256,6 +287,7 @@ object CdcQueries {
     "cdc_gated_state" -> (cdcGatedState _),
     "cdc_transport" -> (cdcTransport _),
     "cdc_gtid_agg" -> (cdcGtidAgg _),
+    "cdc_gtid_multi" -> (cdcGtidMulti _),
     "cdc_filter_rules" -> (cdcFilterRules _)
   )
 
@@ -265,6 +297,7 @@ object CdcQueries {
     "cdc_gated_state" -> latestStateOracle,
     "cdc_transport" -> latestStateOracle,
     "cdc_gtid_agg" -> cdcGtidAggOracle,
+    "cdc_gtid_multi" -> cdcGtidMultiOracle,
     "cdc_filter_rules" -> cdcFilterRulesOracle
   )
 }

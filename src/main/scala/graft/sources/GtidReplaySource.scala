@@ -75,9 +75,21 @@ final class GtidReplayProvider extends TableProvider {
       properties: util.Map[String, String]
   ): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // multi-source form: sources = "uuidA=bufId1,uuidB=bufId2" — one
+    // configured holder per server, like the reference's per-source
+    // holder list (`cmd/cdc/main.go:21-27`, `data_source.go:41-75`);
+    // single-source options stay as the back-compat spelling.
+    val sources = Option(opts.get("sources")) match {
+      case Some(spec) =>
+        spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+          val Array(u, b) = part.split("=", 2)
+          (u.trim, b.trim)
+        }
+      case None =>
+        Seq((Option(opts.get("uuid")).getOrElse("harness-src"), opts.get("bufferid")))
+    }
     new GtidReplayTable(
-      opts.get("bufferid"),
-      Option(opts.get("uuid")).getOrElse("harness-src"),
+      sources,
       Option(opts.get("numpartitions")).map(_.toInt).getOrElse(4),
       Option(opts.get("maxrowsperbatch")).map(_.toLong)
     )
@@ -85,22 +97,28 @@ final class GtidReplayProvider extends TableProvider {
 }
 
 object GtidReplayProvider {
-  /** The CDC feed contract of [[graft.cdc.ChangeFeed]]. */
+  /** The CDC feed contract of [[graft.cdc.ChangeFeed]], plus the
+    * originating server uuid (`source`, appended LAST so single-source
+    * consumers reading positionally or via `as[FeedRow]` are
+    * unaffected).
+    */
   val schema: StructType = StructType(Seq(
     StructField("pos", LongType),
     StructField("ts", TimestampType),
     StructField("pk", LongType),
     StructField("op", StringType),
-    StructField("value", DoubleType)
+    StructField("value", DoubleType),
+    StructField("source", StringType)
   ))
 }
 
 final class GtidReplayTable(
-    bufferId: String, uuid: String, numPartitions: Int, maxRowsPerBatch: Option[Long])
+    sources: Seq[(String, String)], numPartitions: Int, maxRowsPerBatch: Option[Long])
     extends Table with SupportsRead {
-  require(bufferId != null, "option 'bufferId' is required")
+  require(sources.nonEmpty && sources.forall(_._2 != null),
+    "option 'bufferId' (or 'sources') is required")
 
-  override def name(): String = s"gtid-replay($bufferId)"
+  override def name(): String = s"gtid-replay(${sources.map(_._2).mkString(",")})"
   override def schema(): StructType = GtidReplayProvider.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
@@ -109,13 +127,17 @@ final class GtidReplayTable(
     () => new Scan {
       override def readSchema(): StructType = GtidReplayProvider.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GtidReplayStream(bufferId, uuid, numPartitions, maxRowsPerBatch)
+        new GtidReplayStream(sources, numPartitions, maxRowsPerBatch)
     }
 }
 
 final class GtidReplayStream(
-    bufferId: String, uuid: String, numPartitions: Int, maxRowsPerBatch: Option[Long] = None)
+    sources: Seq[(String, String)], numPartitions: Int, maxRowsPerBatch: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Single-source convenience constructor (spec/back-compat). */
+  def this(bufferId: String, uuid: String, numPartitions: Int, maxRowsPerBatch: Option[Long]) =
+    this(Seq((uuid, bufferId)), numPartitions, maxRowsPerBatch)
 
   override def initialOffset(): Offset = GtidOffset(GtidSet.empty)
 
@@ -124,26 +146,33 @@ final class GtidReplayStream(
     * bound is admission control: a `maxRowsPerBatch` option caps how
     * far the offset may advance per micro-batch
     * (`maxOffsetsPerTrigger`-style), and Spark sizes batches
-    * accordingly.
+    * accordingly. With multiple sources the cap applies to the union,
+    * drained in deterministic (uuid, pos) order.
     */
   override def getDefaultReadLimit: ReadLimit =
     maxRowsPerBatch.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GtidOffset].set
-    val pending = GtidReplayBuffers.get(bufferId)
-      .filter(r => !from.contains(uuid, r.pos))
-      .sortBy(_.pos)
+    val pending = sources
+      .flatMap { case (uuid, bufferId) =>
+        GtidReplayBuffers.get(bufferId)
+          .filter(r => !from.contains(uuid, r.pos))
+          .map(r => (uuid, r.pos))
+      }
+      .sortBy(identity)
     val admitted = limit match {
       case mr: ReadMaxRows => pending.take(mr.maxRows().toInt)
       case _ => pending
     }
-    GtidOffset(admitted.foldLeft(from)((acc, r) => acc.add(uuid, r.pos)))
+    GtidOffset(admitted.foldLeft(from) { case (acc, (u, p)) => acc.add(u, p) })
   }
 
-  /** The running union of everything currently in the buffer — the
-    * analog of the master's `gtid_executed` advancing. (Unlimited
-    * form; Spark calls the admission-control overload above.)
+  /** The running union of everything currently in the buffers — the
+    * analog of each master's `gtid_executed` advancing. All uuids
+    * share ONE checkpointed [[GtidSet]]: the offset json reads
+    * `uuidA:1-500,uuidB:1-300`. (Unlimited form; Spark calls the
+    * admission-control overload above.)
     */
   override def latestOffset(): Offset =
     latestOffset(initialOffset(), ReadLimit.allAvailable())
@@ -153,18 +182,20 @@ final class GtidReplayStream(
 
   /** Exactly the events in `end − start`: covered by the new offset,
     * not by the old — the per-batch form of "apply only above the
-    * watermark".
+    * watermark". Each source contributes its own partitions, so one
+    * slow server never serializes another's read.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GtidOffset].set
     val to = end.asInstanceOf[GtidOffset].set
-    val rows = GtidReplayBuffers.get(bufferId)
-      .filter(r => to.contains(uuid, r.pos) && !from.contains(uuid, r.pos))
-    if (rows.isEmpty) Array.empty
-    else rows
-      .grouped(math.max(1, math.ceil(rows.length.toDouble / numPartitions).toInt))
-      .map(chunk => GtidReplayPartition(chunk): InputPartition)
-      .toArray
+    sources.flatMap { case (uuid, bufferId) =>
+      val rows = GtidReplayBuffers.get(bufferId)
+        .filter(r => to.contains(uuid, r.pos) && !from.contains(uuid, r.pos))
+      if (rows.isEmpty) Iterator.empty
+      else rows
+        .grouped(math.max(1, math.ceil(rows.length.toDouble / numPartitions).toInt))
+        .map(chunk => GtidReplayPartition(chunk, uuid): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -175,11 +206,14 @@ final class GtidReplayStream(
 }
 
 /** Rows travel inside the serialized partition (MemoryStream-style). */
-final case class GtidReplayPartition(rows: Seq[FeedRow]) extends InputPartition
+final case class GtidReplayPartition(rows: Seq[FeedRow], source: String)
+    extends InputPartition
 
 final class GtidReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[GtidReplayPartition].rows.iterator
+    val p = partition.asInstanceOf[GtidReplayPartition]
+    val rows = p.rows.iterator
+    val src = UTF8String.fromString(p.source)
     new PartitionReader[InternalRow] {
       private var cur: FeedRow = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
@@ -188,7 +222,8 @@ final class GtidReplayReaderFactory extends PartitionReaderFactory {
         DateTimeUtils.fromJavaTimestamp(cur.ts),
         cur.pk,
         UTF8String.fromString(cur.op),
-        cur.value
+        cur.value,
+        src
       )
       override def close(): Unit = ()
     }

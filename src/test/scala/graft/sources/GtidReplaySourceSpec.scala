@@ -96,6 +96,54 @@ class GtidReplaySourceSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("multi-source: two uuids share one checkpointed GtidSet and resume per-uuid") {
+    val idA = GtidReplayBuffers.register(Seq(
+      row(1, 1, "insert", 1.0), row(2, 2, "insert", 2.0)))
+    val idB = GtidReplayBuffers.register(Seq(row(1, 50, "insert", 9.0)))
+    val ckpt = s"target/tmp/gtidmulti-${System.nanoTime()}"
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def start() = spark.readStream
+      .format(classOf[GtidReplayProvider].getName)
+      .option("sources", s"srcA=$idA,srcB=$idB")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getString(5)))
+        delivered.synchronized { delivered ++= rows }
+        ()
+      }
+      .start()
+
+    val query = start()
+    try {
+      query.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) ==
+        Set((1L, 1L, "srcA"), (2L, 2L, "srcA"), (1L, 50L, "srcB")),
+        "both servers' events delivered, tagged with their uuid")
+      // ONE offset carries BOTH servers' positions — the canonical
+      // multi-uuid GTID set
+      val offsetFiles = new File(s"$ckpt/offsets").listFiles().sortBy(_.getName)
+      val last = scala.io.Source.fromFile(offsetFiles.last).getLines().toSeq.last
+      assert(last.contains("srcA:1-2") && last.contains("srcB:1"),
+        s"offset line must union both uuids: $last")
+    } finally query.stop()
+
+    // both binlogs grow while the query is down; resume delivers
+    // exactly each server's delta
+    GtidReplayBuffers.append(idA, Seq(row(3, 3, "insert", 3.0)))
+    GtidReplayBuffers.append(idB, Seq(row(2, 51, "update", 8.0)))
+    delivered.synchronized(delivered.clear())
+    val query2 = start()
+    try {
+      query2.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) ==
+        Set((3L, 3L, "srcA"), (2L, 51L, "srcB")),
+        "resume must deliver only events above each uuid's checkpointed range")
+    } finally query2.stop()
+  }
+
   test("feeds CdcStream.latestState like any other stream") {
     import org.apache.spark.sql.Encoders
     val id = GtidReplayBuffers.register(Seq(
