@@ -238,6 +238,63 @@ object CdcQueries {
       |  || CAST(max(CASE WHEN event_id > 500 THEN event_id END) AS VARCHAR) AS gtid
       |FROM events""".stripMargin
 
+  // ---- cdc_tx_batches: tx buffering under the driver gate -----------------
+
+  /** Op #21 (the reference's designed-but-disabled tx buffering,
+    * `internal/cannal/handler.go:55-82`) driver-checked end-to-end: a
+    * deterministic transaction feed derived from `events` (10 events
+    * per tx, the last one the commit marker) streams through
+    * [[graft.streaming.CdcStream.txGrouping]] via `MemoryStream` +
+    * `Trigger.AvailableNow` — real micro-batches through the state
+    * store, flush-on-commit semantics — and the flushed batches must
+    * equal DuckDB's per-committed-tx `list(payload ORDER BY seq)`.
+    * `AvailableNow` sidesteps the ProcessingTimeTimeout/
+    * processAllAvailable livelock: commit flushes happen in data
+    * batches, and only committed transactions ever reach the sink.
+    *
+    * The driver-side collect feeds the harness stream (the binlog
+    * socket stand-in, like [[graft.sources.GtidReplayBuffers]]) — it
+    * is the source's transport, not an operator collect.
+    */
+  private def cdcTxBatches(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcStream, TxEvent}
+    val rows = Tables
+      .events(s, d)
+      .select(
+        expr("event_id DIV 10").as("tx"),
+        (col("event_id") % 10).cast("int").as("seq"),
+        when(col("event_id") % 10 === 9, "commit").otherwise("row").as("kind"),
+        col("event_id").cast("string").as("payload"))
+      .orderBy("tx", "seq")
+      .collect()
+      .map(r => TxEvent(r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val input = MemoryStream[TxEvent](org.apache.spark.sql.Encoders.product[TxEvent], s)
+    input.addData(rows.toSeq)
+    val name = "cdc_tx_batches_sink"
+    val q = CdcStream
+      .txGrouping(input.toDS(), stragglerTimeout = false)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("tx")
+  }
+
+  private val cdcTxBatchesOracle: String =
+    """WITH t AS (
+      |  SELECT event_id // 10 AS tx, CAST(event_id % 10 AS INT) AS seq,
+      |         CASE WHEN event_id % 10 = 9 THEN 'commit' ELSE 'row' END AS kind,
+      |         CAST(event_id AS VARCHAR) AS payload
+      |  FROM events)
+      |SELECT tx, CAST(count(*) AS INT) AS n_rows,
+      |       list(payload ORDER BY seq) AS payloads
+      |FROM t
+      |WHERE kind = 'row'
+      |  AND tx IN (SELECT tx FROM t WHERE kind = 'commit')
+      |GROUP BY tx ORDER BY tx""".stripMargin
+
   // ---- cdc_filter_rules: the compiled rule predicate ----------------------
 
   /** Ops #10/#11/#19 under the driver gate: a (schema, table) relation
@@ -288,6 +345,7 @@ object CdcQueries {
     "cdc_transport" -> (cdcTransport _),
     "cdc_gtid_agg" -> (cdcGtidAgg _),
     "cdc_gtid_multi" -> (cdcGtidMulti _),
+    "cdc_tx_batches" -> (cdcTxBatches _),
     "cdc_filter_rules" -> (cdcFilterRules _)
   )
 
@@ -298,6 +356,7 @@ object CdcQueries {
     "cdc_transport" -> latestStateOracle,
     "cdc_gtid_agg" -> cdcGtidAggOracle,
     "cdc_gtid_multi" -> cdcGtidMultiOracle,
+    "cdc_tx_batches" -> cdcTxBatchesOracle,
     "cdc_filter_rules" -> cdcFilterRulesOracle
   )
 }

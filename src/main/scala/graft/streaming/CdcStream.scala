@@ -133,10 +133,18 @@ object CdcStream {
     * state for one more timeout period: row events for that
     * transaction arriving in a later batch are dropped rather than
     * silently re-opening the transaction and double-delivering it.
+    *
+    * `stragglerTimeout = false` disables the processing-time timers
+    * entirely (commit-only flushing, markers retained for the run):
+    * the mode for bounded replays under `Trigger.AvailableNow`, which
+    * otherwise never terminates — pending timers force no-data batch
+    * after no-data batch, the same livelock that makes
+    * `processAllAvailable` hang with timers registered.
     */
   def txGrouping(
       events: Dataset[TxEvent],
-      timeout: String = "10 minutes"
+      timeout: String = "10 minutes",
+      stragglerTimeout: Boolean = true
   ): Dataset[TxBatch] = {
     implicit val stEnc = Encoders.kryo[TxState]
     implicit val outEnc = Encoders.product[TxBatch]
@@ -144,10 +152,17 @@ object CdcStream {
     def flush(tx: Long, rows: Vector[TxEvent]): Iterator[TxBatch] =
       if (rows.isEmpty) Iterator.empty
       else Iterator(TxBatch(tx, rows.length, rows.sortBy(_.seq).map(_.payload)))
+    val timeoutConf =
+      if (stragglerTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    // setTimeoutDuration throws under NoTimeout — arm timers only in
+    // straggler mode
+    def arm(state: GroupState[TxState]): Unit =
+      if (stragglerTimeout) state.setTimeoutDuration(timeout)
     events
       .groupByKey(_.tx)
       .flatMapGroupsWithState[TxState, TxBatch](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (tx, it, state: GroupState[TxState]) =>
           if (state.hasTimedOut) {
             val st = state.getOption.getOrElse(TxState(Vector.empty, committed = false))
@@ -158,7 +173,7 @@ object CdcStream {
             } else {
               // straggler: flush partial, keep the marker one period
               state.update(TxState(Vector.empty, committed = true))
-              state.setTimeoutDuration(timeout)
+              arm(state)
               flush(tx, st.rows)
             }
           } else {
@@ -166,17 +181,17 @@ object CdcStream {
             val incoming = it.toVector
             if (st.committed) {
               // late rows for an already-flushed transaction: drop
-              state.setTimeoutDuration(timeout)
+              arm(state)
               Iterator.empty
             } else {
               val buffered = st.rows ++ incoming.filter(_.kind == "row")
               if (incoming.exists(_.kind == "commit")) {
                 state.update(TxState(Vector.empty, committed = true))
-                state.setTimeoutDuration(timeout)
+                arm(state)
                 flush(tx, buffered)
               } else {
                 state.update(TxState(buffered, committed = false))
-                state.setTimeoutDuration(timeout)
+                arm(state)
                 Iterator.empty
               }
             }

@@ -48,8 +48,19 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows differ oracle={len(want)} spark={len(got)}")
         fail += 1
         continue
-    w = want[wc].sort_values(by=wc).reset_index(drop=True)
-    g = got[wc].sort_values(by=wc).reset_index(drop=True)
+    # list-typed cells (DuckDB LIST / Spark array) come back as numpy
+    # arrays — unhashable, so sort_values can't factorize them; fold
+    # them to tuples first (the driver's hash compare stringifies, so
+    # this stays at-least-as-strict)
+    def canon(df):
+        out = df.copy()
+        for c in out.columns:
+            out[c] = out[c].map(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist") and
+                getattr(v, "ndim", 0) >= 1 else v)
+        return out
+    w = canon(want[wc]).sort_values(by=wc).reset_index(drop=True)
+    g = canon(got[wc]).sort_values(by=wc).reset_index(drop=True)
     bad = None
     for c in wc:
         wv, gv = w[c].tolist(), g[c].tolist()
