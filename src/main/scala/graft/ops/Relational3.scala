@@ -325,7 +325,52 @@ object Relational3 {
       |                     AS DECIMAL(18,4))) AS DOUBLE) AS open_total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q43: skew-safe salted join -----------------------------------------
+
+  /** A deliberately skewed equi-join — 80% of lineitem rows share one
+    * hot key — made shuffle-safe by salting (the join-side twin of
+    * q38's salted aggregation): the big side adds a uniform salt in
+    * [0, 8), the dim side replicates 8x, and the join key becomes
+    * (sk, salt), spreading the hot key over 8 reducers instead of one
+    * straggler. The join is hinted SHUFFLE_HASH — a broadcast would
+    * mask the very skew the query demonstrates; AQE's skew-join does
+    * this re-split adaptively for sort-merge plans, salting is the
+    * plan-stable form that also covers pre-AQE engines. The oracle
+    * runs the plain UNSALTED join — the rewrite must be invisible in
+    * the result.
+    */
+  private def q43SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val R = 8
+    val line = Tables
+      .lineitem(s, d)
+      .select(
+        expr("CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey % 1000 END").as("sk"),
+        col("l_extendedprice"),
+        pmod(hash(col("l_partkey"), col("l_suppkey")), lit(R)).as("salt"))
+    val dim = s.range(0, 1000)
+      .select(col("id").as("sk"), concat(lit("grp-"), col("id") % 7).as("label"))
+      .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+    line
+      .join(dim.hint("shuffle_hash"), Seq("sk", "salt"))
+      .groupBy(col("label"))
+      .agg(
+        Exact.dsum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("label")
+  }
+
+  private val q43Oracle: String =
+    """SELECT 'grp-' || (sk % 7) AS label,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |       count(*) AS n_items
+      |FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+      |             ELSE l_orderkey % 1000 END AS sk, l_extendedprice
+      |      FROM lineitem) l
+      |JOIN (SELECT i AS sk FROM generate_series(0, 999) t(i)) d USING (sk)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_salted_join" -> (q43SaltedJoin _),
     "q41_date_trunc" -> (q41DateTrunc _),
     "q42_cond_agg" -> (q42CondAgg _),
     "q39_percent_rank" -> (q39PercentRank _),
@@ -340,6 +385,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_salted_join" -> q43Oracle,
     "q41_date_trunc" -> q41Oracle,
     "q42_cond_agg" -> q42Oracle,
     "q39_percent_rank" -> q39Oracle,
