@@ -276,20 +276,33 @@ object Similarity {
     base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("q").as("sv"), lit(1L).as("n"))
 
-  /** Nearest-cell assignment by max mean-dot (ties → lowest cid): the
-    * codebook broadcasts (8 rows), the corpus never shuffles until the
-    * per-vector argmax window — the probe/partition function of an IVF
-    * index at any scale.
+  /** Nearest-cell assignment by max mean-dot (ties → lowest cid),
+    * computed WITHOUT any shuffle: the codebook is collected to the
+    * driver (control-plane — ≤8 rows of 64 sums, the same pattern as
+    * the watermark store) and unrolled into per-centroid literal
+    * score columns, so assignment is a pure scan projection with a
+    * row-local argmax. The cross-join + per-vector window formulation
+    * would re-shuffle the whole corpus once per training pass — at
+    * 100 TB that is 3 full-corpus shuffles for nothing, since every
+    * per-row decision only needs 8 broadcast constants.
+    *
+    * `array_position(scores, array_max(scores))` takes the FIRST
+    * maximal position; the codebook is sorted by cid, so ties break
+    * to the lowest cid — identical semantics to `ORDER BY score DESC,
+    * cid`.
     */
   def assignCells(base: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+    val cents = codebook.select("cid", "sv", "n").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+      .sortBy(_._1)
+    val scoreCols = cents.map { case (_, sv, n) =>
+      VectorFunctions.dot_product(col("q"), typedlit(sv)) / lit(n.toDouble)
+    }
+    val cids = typedlit(cents.map(_._1).toSeq)
     base
-      .join(broadcast(codebook))
-      .select(col("vec_id"), col("q"), col("cid"),
-        (VectorFunctions.dot_product(col("q"), col("sv")) / col("n")).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+      .withColumn("scores", array(scoreCols.toIndexedSeq: _*))
+      .withColumn("cid",
+        element_at(cids, array_position(col("scores"), array_max(col("scores"))).cast("int")))
       .select("vec_id", "q", "cid")
   }
 
