@@ -295,6 +295,102 @@ object CdcQueries {
       |  AND tx IN (SELECT tx FROM t WHERE kind = 'commit')
       |GROUP BY tx ORDER BY tx""".stripMargin
 
+  // ---- cdc_window_stream: streaming windowed aggregation under the gate ---
+
+  /** [[graft.streaming.CdcStream.windowedCounts]] driver-checked: the
+    * CDC feed replays through `MemoryStream` as REAL micro-batches and
+    * the streaming tumbling-window aggregate (update mode — every
+    * window's final row lands in the sink) must equal DuckDB's
+    * `time_bucket` aggregation over the same events. The streaming
+    * twin of batch q31: same epoch-aligned UTC buckets, exact
+    * aggregates only.
+    */
+  private def cdcWindowStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcStream, FeedRow}
+    val rows = ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .select("pos", "ts", "pk", "op", "value")
+      .collect()
+      .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+    input.addData(rows.toSeq)
+    val name = "cdc_window_stream_sink"
+    val q = CdcStream
+      .windowedCounts(input.toDS().toDF(), watermark = "1 hour", windowLen = "1 day")
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("w_start", "op")
+  }
+
+  private val cdcWindowStreamOracle: String =
+    """SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_start,
+      |       CASE WHEN event_type = 'signup' THEN 'insert'
+      |            WHEN event_type = 'error' THEN 'delete'
+      |            ELSE 'update' END AS op,
+      |       count(*) AS n, max(event_id) AS max_pos
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, op""".stripMargin
+
+  // ---- cdc_session_stream: streaming session windows under the gate ------
+
+  /** [[graft.streaming.CdcStream.sessionCounts]] driver-checked, like
+    * [[cdcWindowStream]] — but in APPEND mode (session-window
+    * aggregation rejects update mode), which makes the WATERMARK
+    * CONTRACT itself part of what the oracle checks: a session is
+    * emitted only once the event-time watermark (max ts − 1h) passes
+    * its end, so the trailing sessions of each key stay open and must
+    * be ABSENT. The oracle rebuilds Spark's session semantics as
+    * gaps-and-islands — half-open `[ts, ts+gap)` intervals merged on
+    * overlap (new session at gap `>= 6h`; the batch q30 uses the `>`
+    * convention — both are valid sessionizations, this one matches
+    * Structured Streaming's), end = `last_ts + gap` — and applies the
+    * same watermark cutoff.
+    */
+  private def cdcSessionStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcStream, FeedRow}
+    val rows = ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .select("pos", "ts", "pk", "op", "value")
+      .collect()
+      .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+    input.addData(rows.toSeq)
+    val name = "cdc_session_stream_sink"
+    val q = CdcStream
+      .sessionCounts(input.toDS().toDF(), watermark = "1 hour", gap = "6 hours")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("pk", "s_start")
+  }
+
+  private val cdcSessionStreamOracle: String =
+    """SELECT s_start, s_end, pk, n_events FROM (
+      |  SELECT min(ts) AS s_start,
+      |         max(ts) + INTERVAL 6 HOUR AS s_end,
+      |         user_id AS pk, count(*) AS n_events
+      |  FROM (
+      |    SELECT user_id, ts,
+      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |             CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                    OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 21600000000
+      |                  THEN 1 ELSE 0 END AS new_session
+      |      FROM events))
+      |  GROUP BY user_id, session_id)
+      |WHERE s_end < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      |ORDER BY pk, s_start""".stripMargin
+
   // ---- cdc_filter_rules: the compiled rule predicate ----------------------
 
   /** Ops #10/#11/#19 under the driver gate: a (schema, table) relation
@@ -346,6 +442,8 @@ object CdcQueries {
     "cdc_gtid_agg" -> (cdcGtidAgg _),
     "cdc_gtid_multi" -> (cdcGtidMulti _),
     "cdc_tx_batches" -> (cdcTxBatches _),
+    "cdc_window_stream" -> (cdcWindowStream _),
+    "cdc_session_stream" -> (cdcSessionStream _),
     "cdc_filter_rules" -> (cdcFilterRules _)
   )
 
@@ -357,6 +455,8 @@ object CdcQueries {
     "cdc_gtid_agg" -> cdcGtidAggOracle,
     "cdc_gtid_multi" -> cdcGtidMultiOracle,
     "cdc_tx_batches" -> cdcTxBatchesOracle,
+    "cdc_window_stream" -> cdcWindowStreamOracle,
+    "cdc_session_stream" -> cdcSessionStreamOracle,
     "cdc_filter_rules" -> cdcFilterRulesOracle
   )
 }
