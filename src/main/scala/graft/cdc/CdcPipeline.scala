@@ -131,16 +131,8 @@ object CdcPipeline {
 
     val bucketed = batch.withColumn(bucketCol, bucketOf)
 
-    def write(df: DataFrame, dynamic: Boolean): Unit = {
-      val w = df
-        .repartition(col(bucketCol)) // one file per bucket
-        .write
-        .mode("overwrite")
-        .partitionBy(bucketCol)
-      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-        .parquet(stateDir)
-      MetaTables.writeStateSchema(stateDir, df.schema)
-    }
+    def write(df: DataFrame, dynamic: Boolean): Unit =
+      writeBucketed(stateDir, df, dynamic)
 
     MetaTables.readStateSchema(spark, stateDir) match {
       case None =>
@@ -193,6 +185,45 @@ object CdcPipeline {
     }
     store.upsert(spark, Seq(
       TableWatermark(source, SnapshotJob.schemaName, "events", set.serialize)))
+  }
+
+  /** Write a state frame in the bucketed layout: one file per bucket
+    * (hash repartition on the partition column), sidecar updated
+    * after the data. Dynamic mode overwrites only the partitions
+    * present in `df`; static mode replaces the whole table.
+    */
+  private def writeBucketed(stateDir: String, df: DataFrame, dynamic: Boolean): Unit = {
+    val w = df
+      .repartition(col(bucketCol))
+      .write
+      .mode("overwrite")
+      .partitionBy(bucketCol)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(stateDir)
+    MetaTables.writeStateSchema(stateDir, df.schema)
+  }
+
+  /** Bootstrap the state table from a full snapshot — the reference's
+    * snapshot-then-stream protocol (`docs/全量抓取逻辑.md:12-52`): the
+    * snapshot's materialized rows land in the bucketed layout and the
+    * watermark is set to the PINNED snapshot position (`pos`), not to
+    * a data-derived set — the snapshot is consistent as-of `pos` even
+    * for keys it never saw, so incremental batches at or below `pos`
+    * must gate to a no-op. After this, [[applyBatch]] keeps the table
+    * fresh.
+    */
+  def bootstrapSnapshot(
+      spark: SparkSession,
+      store: WatermarkStore,
+      stateDir: String,
+      source: String,
+      snapshotFeed: DataFrame,
+      pos: String
+  ): Unit = {
+    val bucketed = snapshotFeed.withColumn(bucketCol, bucketOf)
+    writeBucketed(stateDir, ChangeFeed.latestState(bucketed), dynamic = false)
+    store.upsert(spark, Seq(
+      TableWatermark(source, SnapshotJob.schemaName, "events", pos)))
   }
 
   /** Union schema for additive evolution: existing field order first

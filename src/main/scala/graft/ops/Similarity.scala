@@ -325,6 +325,17 @@ object Similarity {
       updateCodebook(assignCells(base, cb))
     }
 
+  /** Persist a trained codebook beside the data (train once, probe
+    * many — at corpus scale retraining per query would rescan
+    * everything the index exists to avoid). A codebook is ≤k rows of
+    * exact integer sums, so one parquet file is the whole artifact.
+    */
+  def saveCodebook(codebook: DataFrame, path: String): Unit =
+    codebook.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadCodebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** The IVF half of the ANN toolbox (s2/s3 are the LSH half): a
     * TRAINED codebook — two deterministic k-means (Lloyd) iterations
     * seeded from the first 8 vectors — then every vector assigned to

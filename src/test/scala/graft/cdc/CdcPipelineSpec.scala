@@ -198,6 +198,27 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/state").columns.contains("region"))
   }
 
+  test("snapshot bootstrap + incremental apply reproduces the full materialization") {
+    import org.apache.spark.sql.functions.col
+    val base = s"target/tmp/cdcboot-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val full = ChangeFeed.fromEvents(Tables.events(spark, sf))
+    // snapshot is consistent as-of the PINNED position 0-500
+    CdcPipeline.bootstrapSnapshot(spark, store, s"$base/state", "src",
+      full.filter(col("pos") <= 500), "src:0-500")
+    val t1 = maxMtime(s"$base/state")
+    // an incremental batch wholly below the snapshot position must
+    // gate to a no-op — the docs' "apply only above the watermark"
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src",
+      full.filter(col("pos") <= 400))
+    assert(maxMtime(s"$base/state") == t1,
+      "covered incremental batch must not touch state")
+    // the delta applies on top; final state = one-shot materialization
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src",
+      full.filter(col("pos") > 500))
+    assert(stateRows(s"$base/state") == expectedState())
+  }
+
   test("applyBatch is idempotent at the batch level") {
     val base = s"target/tmp/cdcbatch-${System.nanoTime()}"
     val store = new WatermarkStore(s"$base/wm")

@@ -177,6 +177,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rTrained >= 0.95, s"trained recall@10 on separable clusters: $rTrained")
   }
 
+  test("persisted codebook assigns identically to the in-memory one") {
+    val base = Similarity.quantized(spark, sf)
+    val trained = Similarity.trainCodebook(base, 2)
+    val path = s"target/tmp/codebook-${System.nanoTime()}"
+    Similarity.saveCodebook(trained, path)
+    val direct = Similarity.assignCells(base, trained)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loaded = Similarity.assignCells(base, Similarity.loadCodebook(spark, path))
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == loaded, "roundtripped codebook must assign identically")
+  }
+
   test("embedding dedup finds every planted re-embedding") {
     val rows = Similarity.queries("s3_embedding_dedup")(spark, sf).collect()
     val planted = rows
