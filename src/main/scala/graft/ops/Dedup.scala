@@ -343,7 +343,49 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- d5: intra-document repetition --------------------------------------
+
+  /** Within-document repetition — the dedup family's row-local
+    * member: boilerplate and looped generations repeat the same
+    * shingles INSIDE one document, which cross-document dedup never
+    * sees. `rep_ratio = 1 − distinct/total` over 3-word shingles,
+    * entirely row-local via the codegen'd
+    * [[graft.functions.PolyShingles]] scalar (its distinct count) vs
+    * the raw shingle count — a pure scan projection, no shuffle until
+    * the final top-k sort. The ratio is one exact integer division —
+    * bit-identical in both engines.
+    */
+  private def d5IntradocRep(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("words", Text.wordsCol(col("text")))
+      .withColumn("n_total", greatest(size(col("words")) - 2, lit(0)))
+      .withColumn("n_uniq",
+        size(graft.functions.SimHashFunctions.poly_shingles(col("words"))))
+      .filter(col("n_total") >= 20)
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_uniq").cast("double") / col("n_total"))
+      .select("doc_id", "n_total", "n_uniq", "rep_ratio")
+      .orderBy(col("rep_ratio").desc, col("doc_id"))
+      .limit(100)
+
+  private val d5Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""SELECT doc_id, n_total, n_uniq,
+       |       1.0 - CAST(n_uniq AS DOUBLE) / n_total AS rep_ratio
+       |FROM (
+       |  SELECT doc_id,
+       |         CAST(greatest(len(hw) - 2, 0) AS INT) AS n_total,
+       |         CAST(len(list_distinct(list_transform(generate_series(1, len(hw)-2),
+       |              i -> ${shingleHashSql(k => s"hw[i+$k]")}))) AS INT) AS n_uniq
+       |  FROM (SELECT doc_id, list_transform($ws, w -> ${Text.polyHashSql("w", 8)}) AS hw
+       |        FROM documents))
+       |WHERE n_total >= 20
+       |ORDER BY rep_ratio DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d5_intradoc_rep" -> (d5IntradocRep _),
     "d1_exact_dedup" -> (d1Exact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -351,6 +393,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d5_intradoc_rep" -> d5Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_ngram_jaccard" -> d2Oracle,
     "d3_minhash_lsh" -> d3Oracle,

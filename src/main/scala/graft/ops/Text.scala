@@ -299,7 +299,46 @@ object Text {
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   }
 
+  // ---- t26: deterministic train/val/test split ----------------------------
+
+  /** Content-hash dataset split — the canonical train/val/test
+    * assignment of a training-data pipeline. The split key hashes the
+    * TEXT, not the id: a re-crawled or re-ingested copy of the same
+    * content lands in the same split, so near-identical documents
+    * can't leak across the train/test boundary via a new id. The hash
+    * is the engines' shared polynomial, so assignment is
+    * deterministic and reproducible anywhere — no RNG, no seed file.
+    * Scan-only: one row-local projection, one tiny (source, split)
+    * rollup.
+    */
+  private def t26TrainSplit(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("h", expr(s"${polyHashSql("text", 8)} % 100"))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("doc_id")).as("min_doc")
+      )
+      .orderBy("source", "split")
+
+  private val t26Oracle: String =
+    s"""SELECT source, split, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       |       min(doc_id) AS min_doc
+       |FROM (
+       |  SELECT source, n_chars, doc_id,
+       |         CASE WHEN ${polyHashSql("text", 8)} % 100 < 80 THEN 'train'
+       |              WHEN ${polyHashSql("text", 8)} % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY source, split ORDER BY source, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_train_split" -> (t26TrainSplit _),
     "t21_quality_score" -> (t21Quality _),
     "t22_lang_id" -> (t22LangId _),
     "t23_token_stats" -> (t23TokenStats _),
@@ -308,6 +347,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "t26_train_split" -> t26Oracle,
     "t21_quality_score" -> t21Oracle,
     "t22_lang_id" -> t22Oracle,
     "t23_token_stats" -> t23Oracle,
