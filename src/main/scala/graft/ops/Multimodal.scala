@@ -70,14 +70,18 @@ object Multimodal {
   }
 
   /** STUB for the real decoder. Deterministic byte-level stand-ins:
-    * checksum = rolling sum, mean byte value, "frame sampling" =
-    * every `stride`-th byte, "thumbnail" = first w*h/64 bytes.
+    * checksum = mod-P rolling hash (P = 2³¹−1, the repo's shared
+    * modulus — kept inside BIGINT range so the DuckDB oracle can fold
+    * the identical recurrence with `list_reduce`; a wrapping Long
+    * would silently overflow there), mean byte value, "frame
+    * sampling" = every `stride`-th byte, "thumbnail" = first w*h/64
+    * bytes.
     */
   private[ops] def decodeStub(a: MmAsset): MmFeature = {
     val bytes = a.content
     var sum = 0L
     var i = 0
-    while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+    while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
     val mean =
       if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / bytes.length
@@ -133,9 +137,12 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** mm2: per-modality rollup of extracted features. The decode stub
-    * is JVM-side, so this query has no SQL oracle — the driver
-    * records a rows-only check; determinism is covered by
-    * MultimodalSpec instead.
+    * runs JVM-side in `mapPartitions`, but every stand-in statistic
+    * is arithmetic over the ASCII byte stream, so the oracle can
+    * recompute it in SQL — including the rolling checksum, folded
+    * with `list_reduce` over the identical mod-P recurrence. The
+    * mapPartitions plumbing is what a real codec needs; the oracle
+    * proves the plumbing delivers every byte to it unmangled.
     */
   private def mm2Features(s: SparkSession, d: String): DataFrame =
     extractFeatures(assets(s, d))
@@ -189,9 +196,30 @@ object Multimodal {
     "mm3_frame_sample" -> (mm3FrameSample _)
   )
 
-  /** mm2 intentionally absent: non-SQL-expressible (JVM decode stub). */
+  private val mm2Oracle: String =
+    """WITH f AS (
+      |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |         CAST(length(text) AS INT) AS n_bytes,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(generate_series(1, length(text)),
+      |               i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647) AS checksum,
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              ELSE CAST((length(text) + s - 1) // s AS INT) END AS frames_sampled
+      |  FROM (SELECT doc_id, text,
+      |               CASE CAST(doc_id % 3 AS INT)
+      |                    WHEN 2 THEN 24 WHEN 1 THEN 8 ELSE 1 END AS s
+      |        FROM documents))
+      |SELECT modality, count(*) AS n_assets,
+      |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |       CAST(sum(frames_sampled) AS BIGINT) AS total_frames,
+      |       min(checksum) AS min_checksum, max(checksum) AS max_checksum
+      |FROM f GROUP BY modality ORDER BY modality""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm1_catalog" -> mm1Oracle,
+    "mm2_features" -> mm2Oracle,
     "mm3_frame_sample" -> mm3Oracle
   )
 }
