@@ -62,7 +62,8 @@ object SparkEntry {
   ) ++ graft.ops.Relational.queries ++ graft.ops.Text.queries ++
     graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
     graft.ops.Relational2.queries ++ graft.ops.Multimodal.queries ++
-    graft.ops.Relational3.queries ++ graft.cdc.CdcQueries.queries
+    graft.ops.Relational3.queries ++ graft.ops.Pipeline.queries ++
+    graft.cdc.CdcQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" -> graft.cdc.CdcQueries.latestStateOracle,
@@ -81,5 +82,6 @@ object SparkEntry {
   ) ++ graft.ops.Relational.oracles ++ graft.ops.Text.oracles ++
     graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
     graft.ops.Relational2.oracles ++ graft.ops.Multimodal.oracles ++
-    graft.ops.Relational3.oracles ++ graft.cdc.CdcQueries.oracles
+    graft.ops.Relational3.oracles ++ graft.ops.Pipeline.oracles ++
+    graft.cdc.CdcQueries.oracles
 }

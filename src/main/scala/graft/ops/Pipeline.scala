@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The capstone composite: a miniature training-data curation
+  * pipeline — quality-score → filter → exact-dedup → split — run as
+  * ONE declarative plan. Each stage exists standalone (t21, d1, t26);
+  * composing them is the point: Catalyst fuses the scoring and split
+  * projections into the scan, the dedup is the only shuffle, and the
+  * final rollup is map-side-combinable — the whole curation pass over
+  * 100 TB is scan → one content-hash shuffle → tiny agg.
+  *
+  * Determinism: quality is built from exact integer counts with the
+  * identical double expression on both engines; the dedup canonical
+  * row is `arg_min`/`min_by` on the unique doc_id; the split key is
+  * the engines' shared polynomial hash of the TEXT (copies collapse
+  * to one row AND would land in the same split anyway — no
+  * train/test leakage through duplicates).
+  */
+object Pipeline {
+
+  private def p1Curation(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables
+      .documents(s, d)
+      .withColumn("words", Text.wordsCol(col("text")))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("quality",
+        least(col("n_words").cast("double") / 80.0, lit(1.0)) * 0.4 +
+          (size(array_distinct(col("words"))).cast("double") / col("n_words")) * 0.3 +
+          (lit(1.0) -
+            size(filter(col("words"), w => w.isin("the", "a"))).cast("double")
+              / col("n_words")) * 0.3)
+      .filter(col("quality") >= 0.5)
+    val deduped = scored
+      .groupBy(md5(col("text")).as("text_key"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min_by(col("quality"), col("doc_id")).as("quality"),
+        min_by(col("text"), col("doc_id")).as("text")
+      )
+    deduped
+      .withColumn("h", expr(s"${Text.polyHashSql("text", 8)} % 100"))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_q"),
+        max(col("quality")).as("max_q")
+      )
+      .orderBy("source", "split")
+  }
+
+  private val p1Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, text, quality FROM (
+       |    SELECT doc_id, source, text,
+       |           least(CAST(n_words AS DOUBLE) / 80.0, 1.0) * 0.4
+       |             + (CAST(n_uniq AS DOUBLE) / n_words) * 0.3
+       |             + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
+       |    FROM (SELECT doc_id, source, text,
+       |                 CAST(len($ws) AS INT) AS n_words,
+       |                 CAST(len(list_distinct($ws)) AS INT) AS n_uniq,
+       |                 CAST(len(list_filter($ws, x -> x IN ('the','a'))) AS INT) AS n_stop
+       |          FROM documents))
+       |  WHERE quality >= 0.5),
+       |deduped AS (
+       |  SELECT min(doc_id) AS doc_id,
+       |         arg_min(source, doc_id) AS source,
+       |         arg_min(quality, doc_id) AS quality,
+       |         arg_min(text, doc_id) AS text
+       |  FROM scored GROUP BY md5(text))
+       |SELECT source, split, count(*) AS n_docs,
+       |       min(quality) AS min_q, max(quality) AS max_q
+       |FROM (
+       |  SELECT source, quality,
+       |         CASE WHEN ${Text.polyHashSql("text", 8)} % 100 < 80 THEN 'train'
+       |              WHEN ${Text.polyHashSql("text", 8)} % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM deduped)
+       |GROUP BY source, split ORDER BY source, split""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_curation" -> (p1Curation _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_curation" -> p1Oracle
+  )
+}
