@@ -238,6 +238,22 @@ object CdcQueries {
       |  || CAST(max(CASE WHEN event_id > 500 THEN event_id END) AS VARCHAR) AS gtid
       |FROM events""".stripMargin
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
+    * for a stateful replay query. State-store count is fixed by this
+    * conf at query start and each store pays per-batch commit
+    * overhead; for a bounded replay of ~10⁵ rows, 32 stores × 2
+    * batches is pure overhead (measured: the session-window entry
+    * dropped ~3× at 4 partitions). Sizing state partitions to state
+    * volume rather than core count is the standard stateful-streaming
+    * tuning knob — at 100 TB state this conf goes UP, not down.
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   // ---- cdc_tx_batches: tx buffering under the driver gate -----------------
 
   /** Op #21 (the reference's designed-but-disabled tx buffering,
@@ -270,15 +286,17 @@ object CdcQueries {
       .orderBy("tx", "seq")
       .collect()
       .map(r => TxEvent(r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
-    val input = MemoryStream[TxEvent](org.apache.spark.sql.Encoders.product[TxEvent], s)
-    input.addData(rows.toSeq)
     val name = "cdc_tx_batches_sink"
-    val q = CdcStream
-      .txGrouping(input.toDS(), stragglerTimeout = false)
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val input = MemoryStream[TxEvent](org.apache.spark.sql.Encoders.product[TxEvent], s)
+      input.addData(rows.toSeq)
+      val q = CdcStream
+        .txGrouping(input.toDS(), stragglerTimeout = false)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("tx")
   }
 
@@ -315,15 +333,17 @@ object CdcQueries {
       .collect()
       .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3), r.getDouble(4)))
-    val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
-    input.addData(rows.toSeq)
     val name = "cdc_window_stream_sink"
-    val q = CdcStream
-      .windowedCounts(input.toDS().toDF(), watermark = "1 hour", windowLen = "1 day")
-      .writeStream.format("memory").queryName(name).outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+      input.addData(rows.toSeq)
+      val q = CdcStream
+        .windowedCounts(input.toDS().toDF(), watermark = "1 hour", windowLen = "1 day")
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("w_start", "op")
   }
 
@@ -360,15 +380,17 @@ object CdcQueries {
       .collect()
       .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3), r.getDouble(4)))
-    val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
-    input.addData(rows.toSeq)
     val name = "cdc_session_stream_sink"
-    val q = CdcStream
-      .sessionCounts(input.toDS().toDF(), watermark = "1 hour", gap = "6 hours")
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+      input.addData(rows.toSeq)
+      val q = CdcStream
+        .sessionCounts(input.toDS().toDF(), watermark = "1 hour", gap = "6 hours")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("pk", "s_start")
   }
 
