@@ -297,7 +297,12 @@ object CdcQueries {
         .start()
       q.awaitTermination()
     }
-    s.table(name).orderBy("tx")
+    // Flatten the payload list to a joined string: the driver's pandas
+    // compare sorts cell values, and array cells are unhashable there.
+    s.table(name)
+      .select(col("tx"), col("n_rows"),
+        concat_ws("|", col("payloads")).as("payloads"))
+      .orderBy("tx")
   }
 
   private val cdcTxBatchesOracle: String =
@@ -307,7 +312,7 @@ object CdcQueries {
       |         CAST(event_id AS VARCHAR) AS payload
       |  FROM events)
       |SELECT tx, CAST(count(*) AS INT) AS n_rows,
-      |       list(payload ORDER BY seq) AS payloads
+      |       string_agg(payload, '|' ORDER BY seq) AS payloads
       |FROM t
       |WHERE kind = 'row'
       |  AND tx IN (SELECT tx FROM t WHERE kind = 'commit')

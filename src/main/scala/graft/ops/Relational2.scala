@@ -29,16 +29,36 @@ object Relational2 {
     * then highest orderkey.
     */
   private def q21AsofJoin(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"))
-    val ord = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    ev.join(ord, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    // As-of WITHOUT a join: tag-union-sort. The textbook plan (equi-join
+    // on the key, then rank-1 per event) materializes every
+    // (event, earlier-order) pair first — quadratic per key when both
+    // sides are dense, the classic as-of blow-up at scale. Here orders
+    // and events union into one stream, shuffle ONCE on the key, and a
+    // single ordered window pass gives each event the most recent order
+    // via last(ignoreNulls) over the running frame: O(n log n) per key,
+    // no intermediate explosion. Sort ties: at equal time the order row
+    // sorts before the event row (tag 0 < 1 ⇒ `o_orderdate <= ts` is
+    // inclusive); among same-date orders the max o_orderkey wins
+    // (matches the oracle's ORDER BY o_orderdate DESC, o_orderkey DESC
+    // rank 1).
+    val oType = "struct<o_orderkey:bigint,o_orderdate:timestamp,o_totalprice:double>"
+    val ord = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("tag"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")).as("o"))
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+      col("event_id"), lit(null).cast(oType).as("o"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tag"), col("o.o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("last_o", last(col("o"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("last_o").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("last_o.o_orderkey").as("o_orderkey"),
+        col("last_o.o_orderdate").as("o_orderdate"),
+        col("last_o.o_totalprice").as("o_totalprice"))
       .orderBy("event_id")
   }
 
