@@ -63,7 +63,7 @@ object SparkEntry {
     graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
     graft.ops.Relational2.queries ++ graft.ops.Multimodal.queries ++
     graft.ops.Relational3.queries ++ graft.ops.Pipeline.queries ++
-    graft.cdc.CdcQueries.queries
+    graft.ops.Sketch.queries ++ graft.cdc.CdcQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" -> graft.cdc.CdcQueries.latestStateOracle,
@@ -83,5 +83,5 @@ object SparkEntry {
     graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
     graft.ops.Relational2.oracles ++ graft.ops.Multimodal.oracles ++
     graft.ops.Relational3.oracles ++ graft.ops.Pipeline.oracles ++
-    graft.cdc.CdcQueries.oracles
+    graft.ops.Sketch.oracles ++ graft.cdc.CdcQueries.oracles
 }

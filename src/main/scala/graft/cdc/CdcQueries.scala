@@ -318,6 +318,61 @@ object CdcQueries {
       |  AND tx IN (SELECT tx FROM t WHERE kind = 'commit')
       |GROUP BY tx ORDER BY tx""".stripMargin
 
+  // ---- cdc_dedup_stream: streaming exact dedup under the gate -------------
+
+  /** Streaming exact deduplication — the at-least-once transport's
+    * mandatory companion (the reference's channel send precedes its
+    * watermark persist, `fullamount_service.go:143`, so replays after
+    * a crash are BY DESIGN): `dropDuplicatesWithinWatermark` on the
+    * change position turns at-least-once delivery into exactly-once
+    * materialization downstream. The replay plants a second delivery
+    * of every 20th event in a later micro-batch; the oracle is the
+    * plain (undeduplicated) feed — duplicates must vanish whether the
+    * state store catches them (in-watermark replay) or the watermark
+    * discards them as late. State is bounded by the watermark delay —
+    * the property that lets this run forever at 100 TB where a plain
+    * `dropDuplicates` would accrete unbounded state.
+    *
+    * `ts` is surfaced as epoch micros: exact integers compare across
+    * engines without timestamp-precision coupling.
+    */
+  private def cdcDedupStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.FeedRow
+    val rows = ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .select("pos", "ts", "pk", "op", "value")
+      .collect()
+      .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val name = "cdc_dedup_stream_sink"
+    withStatePartitions(s, 4) {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+      input.addData(rows.toSeq)
+      input.addData(rows.filter(_.pos % 20 == 0).toSeq) // replayed delivery
+      val q = input.toDS().toDF()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("pos")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(col("pos"), unix_micros(col("ts")).as("ts_us"),
+        col("pk"), col("op"), col("value"))
+      .orderBy("pos")
+  }
+
+  private val cdcDedupStreamOracle: String =
+    """SELECT event_id AS pos, epoch_us(ts) AS ts_us, user_id AS pk,
+      |       CASE WHEN event_type = 'signup' THEN 'insert'
+      |            WHEN event_type = 'error' THEN 'delete'
+      |            ELSE 'update' END AS op,
+      |       value
+      |FROM events ORDER BY pos""".stripMargin
+
   // ---- cdc_window_stream: streaming windowed aggregation under the gate ---
 
   /** [[graft.streaming.CdcStream.windowedCounts]] driver-checked: the
@@ -469,6 +524,7 @@ object CdcQueries {
     "cdc_gtid_agg" -> (cdcGtidAgg _),
     "cdc_gtid_multi" -> (cdcGtidMulti _),
     "cdc_tx_batches" -> (cdcTxBatches _),
+    "cdc_dedup_stream" -> (cdcDedupStream _),
     "cdc_window_stream" -> (cdcWindowStream _),
     "cdc_session_stream" -> (cdcSessionStream _),
     "cdc_filter_rules" -> (cdcFilterRules _)
@@ -482,6 +538,7 @@ object CdcQueries {
     "cdc_gtid_agg" -> cdcGtidAggOracle,
     "cdc_gtid_multi" -> cdcGtidMultiOracle,
     "cdc_tx_batches" -> cdcTxBatchesOracle,
+    "cdc_dedup_stream" -> cdcDedupStreamOracle,
     "cdc_window_stream" -> cdcWindowStreamOracle,
     "cdc_session_stream" -> cdcSessionStreamOracle,
     "cdc_filter_rules" -> cdcFilterRulesOracle

@@ -209,10 +209,77 @@ object PolyShingles {
   }
 }
 
+/** Distinct n-gram hashes of a word array — [[PolyShingles]]
+  * generalized to any gram length (d6 decontamination uses n=13).
+  * Same chain as the oracle SQL: `acc = hw(i); acc = (acc·1000003 +
+  * hw(i+k)) % P` for k in 1..n−1 (the raw first word hash is < 2^42,
+  * so `acc·1000003` stays below 2^63 — no overflow in either engine).
+  *
+  * Why an Expression: the SQL formulation
+  * `transform(sequence(...), i -> chain(element_at(hw, i+k)...))`
+  * is interpreted (HOFs are CodegenFallback) AND collapses the `hw`
+  * projection into every element_at reference — the enclosing
+  * transform re-evaluates the full per-word hash pass for each of the
+  * n offsets of each gram, turning a linear scan quadratic in
+  * document length. One primitive loop per row removes both problems.
+  */
+case class PolyGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def prettyName: String = "poly_grams"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string> and n >= 1, got $other / n=$n")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PolyGrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyGrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyGrams {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hw = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      hw(i) = if (words.isNullAt(i)) 0L else PolyHash.hash8(words.getUTF8String(i).toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= len - n) {
+      var acc = hw(i)
+      var k = 1
+      while (k < n) { acc = (acc * 1000003L + hw(i + k)) % P; k += 1 }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimHashFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def simhash32(words: Column): Column = column(SimHash32(expression(words)))
   def simhash37(words: Column): Column = column(SimHash37(expression(words)))
   def poly_shingles(words: Column): Column = column(PolyShingles(expression(words)))
+  def poly_grams(words: Column, n: Int): Column = column(PolyGrams(expression(words), n))
 }

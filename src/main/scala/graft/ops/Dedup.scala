@@ -384,12 +384,81 @@ object Dedup {
        |ORDER BY rep_ratio DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  // ---- d6: benchmark decontamination --------------------------------------
+
+  /** 13-gram combine over word hashes, all mod-P (same guarantees as
+    * [[shingleHashSql]]; 13 is the n-gram length the decontamination
+    * literature settled on — long enough that chance collisions
+    * vanish, short enough to catch partial inclusions).
+    */
+  private def gram13Sql(at: Int => String): String =
+    (1 until 13).foldLeft(at(0))((acc, k) => s"(($acc) * 1000003 + ${at(k)}) % $P")
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 13-word-gram with a held-out benchmark set (here: `doc_id % 11 =
+    * 0`, standing in for the eval suites a training pipeline must
+    * exclude). Contaminated docs are near-dups whose copies straddle
+    * the benchmark/corpus boundary — exactly what n-gram overlap is
+    * meant to catch and id-based splits miss.
+    *
+    * Scale shape: both sides reduce to 64-bit gram hashes before any
+    * shuffle (raw text never leaves the scan). The benchmark gram set
+    * is broadcast — benchmark suites are bounded-small by nature
+    * (thousands of docs), the one side of this join that does NOT
+    * grow with the corpus. The corpus side is explode → broadcast-join
+    * → per-doc count: embarrassingly parallel, no corpus shuffle at
+    * all.
+    */
+  private def d6Decontam(s: SparkSession, d: String): DataFrame = {
+    // Gram extraction is the codegen'd [[graft.functions.PolyGrams]]
+    // scalar: the SQL HOF formulation is interpreted AND projection
+    // collapse inlines the per-word hash pass into every one of the
+    // 13 element_at references of every gram — quadratic in document
+    // length (measured: minutes at sf0.1 vs sub-second for the loop).
+    val grams = Tables
+      .documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions
+          .poly_grams(Text.wordsCol(col("text")), 13).as("g"))
+    val bench = grams.filter(col("doc_id") % 11 === 0)
+      .select(explode(col("g")).as("gram")).distinct()
+    val corpus = grams.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gram"))
+    corpus
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hits"), max(col("n_grams")).as("n_grams"))
+      .withColumn("contam", col("n_hits").cast("double") / col("n_grams"))
+      .select("doc_id", "n_grams", "n_hits", "contam")
+      .orderBy("doc_id")
+  }
+
+  private val d6Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, greatest(len(hw)-12, 0)),
+       |           i -> ${gram13Sql(k => s"hw[i+$k]")})) AS g
+       |  FROM (SELECT doc_id, list_transform($ws, w -> ${Text.polyHashSql("w", 8)}) AS hw
+       |        FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 11 = 0),
+       |corpus AS (SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS gram
+       |           FROM g WHERE doc_id % 11 <> 0)
+       |SELECT c.doc_id,
+       |       max(c.n_grams) AS n_grams,
+       |       CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hits,
+       |       CAST(count(DISTINCT c.gram) AS DOUBLE) / max(c.n_grams) AS contam
+       |FROM corpus c JOIN bench b ON c.gram = b.gram
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d5_intradoc_rep" -> (d5IntradocRep _),
     "d1_exact_dedup" -> (d1Exact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
-    "d4_simhash" -> (d4Simhash _)
+    "d4_simhash" -> (d4Simhash _),
+    "d6_decontam" -> (d6Decontam _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,6 +466,7 @@ object Dedup {
     "d1_exact_dedup" -> d1Oracle,
     "d2_ngram_jaccard" -> d2Oracle,
     "d3_minhash_lsh" -> d3Oracle,
-    "d4_simhash" -> d4Oracle
+    "d4_simhash" -> d4Oracle,
+    "d6_decontam" -> d6Oracle
   )
 }

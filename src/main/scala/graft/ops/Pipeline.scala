@@ -86,11 +86,67 @@ object Pipeline {
        |GROUP BY source, split ORDER BY source, split""".stripMargin
   }
 
+  // ---- p2: sequence packing ------------------------------------------------
+
+  /** Context-window packing: assign documents to fixed-token-budget
+    * training sequences (budget 2048, whitespace tokens). Sharded
+    * contiguous fill: docs are ordered within `doc_id % 8` shards and
+    * a running token sum assigns bin `(cum−1) DIV budget` — every
+    * step is integer, so both engines agree exactly.
+    *
+    * Scale design: packing is a RUNNING-SUM problem, which naively
+    * wants a global order (single-partition window — the classic
+    * scale-killer). Sharding first makes it embarrassingly parallel:
+    * each shard packs independently and the shard count scales with
+    * the cluster, at the cost of at most one under-filled trailing
+    * bin per shard — the standard distributed-packing tradeoff. The
+    * rollup reports per-bin fill so that waste is visible.
+    */
+  private def p2SeqPack(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(Text.wordsCol(col("text"))).as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin", expr("(cum - 1) DIV 2048"))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc")
+      )
+      .orderBy("shard", "bin")
+  }
+
+  private val p2Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""SELECT shard, bin, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (
+       |  SELECT doc_id, shard, tokens,
+       |         (CAST(cum AS BIGINT) - 1) // 2048 AS bin FROM (
+       |    SELECT doc_id, shard, tokens,
+       |           sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (SELECT doc_id, doc_id % 8 AS shard,
+       |                 CAST(len($ws) AS INT) AS tokens
+       |          FROM documents)))
+       |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_curation" -> (p1Curation _)
+    "p1_curation" -> (p1Curation _),
+    "p2_seq_pack" -> (p2SeqPack _)
   )
 
   val oracles: Map[String, String] = Map(
-    "p1_curation" -> p1Oracle
+    "p1_curation" -> p1Oracle,
+    "p2_seq_pack" -> p2Oracle
   )
 }

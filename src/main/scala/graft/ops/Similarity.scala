@@ -386,17 +386,65 @@ object Similarity {
        |FROM a3 GROUP BY cid ORDER BY cell""".stripMargin
   }
 
+  // ---- s5: int8 embedding quantization ------------------------------------
+
+  /** Symmetric int8 quantization — the storage/serving compression
+    * every large embedding store runs (4× smaller than float32, 8×
+    * smaller than the double working type). Per-vector absmax scale:
+    * `q_i = floor(x_i/amax · 127) ∈ [−127, 127]`. Row-local scan
+    * projection, no shuffle. Determinism: one IEEE division + one
+    * multiplication + floor per element, the same expression shape in
+    * both engines (the trained-IVF trick) — then all OUTPUTS are
+    * integers, so the compare is exact. Zero vectors quantize to zero
+    * (guard, not NaN).
+    */
+  private def s5EmbedQuant(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("q", expr(
+        """CASE WHEN amax > 0
+          |THEN transform(e, x -> CAST(floor((x / amax) * 127) AS INT))
+          |ELSE transform(e, x -> 0) END""".stripMargin))
+      .select(
+        col("vec_id"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("q_sum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))").as("q_l1"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        expr("size(filter(q, x -> x = 127 OR x = -127))").as("n_sat")
+      )
+      .orderBy("vec_id")
+
+  private val s5Oracle: String =
+    """SELECT vec_id,
+      |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+      |       list_min(q) AS q_min, list_max(q) AS q_max,
+      |       CAST(len(list_filter(q, x -> x = 127 OR x = -127)) AS INT) AS n_sat
+      |FROM (
+      |  SELECT vec_id,
+      |         CASE WHEN amax > 0
+      |         THEN list_transform(e, x -> CAST(floor((x / amax) * 127) AS INT))
+      |         ELSE list_transform(e, x -> 0) END AS q
+      |  FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)))
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopk _),
     "s2_ann_bucket" -> (s2AnnBucket _),
     "s3_embedding_dedup" -> (s3EmbeddingDedup _),
-    "s4_ivf_cells" -> (s4IvfCells _)
+    "s4_ivf_cells" -> (s4IvfCells _),
+    "s5_embed_quant" -> (s5EmbedQuant _)
   )
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
     "s2_ann_bucket" -> s2Oracle,
     "s3_embedding_dedup" -> s3Oracle,
-    "s4_ivf_cells" -> s4Oracle
+    "s4_ivf_cells" -> s4Oracle,
+    "s5_embed_quant" -> s5Oracle
   )
 }

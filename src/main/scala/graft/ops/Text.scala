@@ -337,7 +337,105 @@ object Text {
        |  FROM documents)
        |GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  // ---- t27: repetition-based quality filters (Gopher rules) ----------------
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): a doc
+    * whose mass concentrates in few distinct words — or in ONE top
+    * word — is boilerplate or a generation loop, not training text.
+    * Word-level here (the harness corpus has no line structure; the
+    * line/paragraph variants are the same two-level aggregation over
+    * a different tokenizer). Shape: explode → (doc, word) count →
+    * per-doc rollup — two map-side-combinable hash aggregations, no
+    * joins; the largest shuffle key set is the per-doc vocabulary.
+    */
+  private def t27Repetition(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_uniq"),
+        max(col("cnt")).as("top_cnt")
+      )
+      .withColumn("top_frac", col("top_cnt").cast("double") / col("n_words"))
+      .withColumn("dup_frac", lit(1.0) - col("n_uniq").cast("double") / col("n_words"))
+      .withColumn("keep",
+        (col("n_words") >= 30 && col("top_frac") <= 0.08).cast("int"))
+      .select("doc_id", "n_words", "n_uniq", "top_cnt", "top_frac", "dup_frac", "keep")
+      .orderBy("doc_id")
+
+  private val t27Oracle: String = {
+    val ws = wordsSql("text")
+    s"""SELECT doc_id, n_words, n_uniq, top_cnt,
+       |       CAST(top_cnt AS DOUBLE) / n_words AS top_frac,
+       |       1.0 - CAST(n_uniq AS DOUBLE) / n_words AS dup_frac,
+       |       CAST(n_words >= 30 AND CAST(top_cnt AS DOUBLE) / n_words <= 0.08 AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |         count(*) AS n_uniq, max(cnt) AS top_cnt
+       |  FROM (SELECT doc_id, w, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest($ws) AS w FROM documents)
+       |        GROUP BY doc_id, w)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t28: PII redaction ---------------------------------------------------
+
+  /** PII scrubbing: count and redact email / IPv4 / phone patterns.
+    * The corpus carries no natural PII, so the query PLANTS a
+    * deterministic contact line per doc (both engines build the same
+    * string), then redacts it — the assertion is that counting and
+    * replacement behave identically at any scale. Row-local regex
+    * over the scan: zero shuffles; the redacted text is summarized by
+    * its md5 (engine-shared digest) rather than returned wholesale.
+    * Parity notes: patterns stay in the RE2 ∩ java.util.regex common
+    * subset (char classes, +, \\.), and the DuckDB side needs the 'g'
+    * flag to match Spark's replace-all default.
+    */
+  private val emailRe = "[a-z0-9]+@[a-z0-9.]+"
+  private val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  private val telRe = "555-[0-9]+"
+  private val plantSql =
+    "text || ' contact u' || doc_id || '@ex.com or 10.0.' || (doc_id % 256) || " +
+      "'.' || (doc_id % 100) || ' tel 555-0' || (doc_id % 1000)"
+
+  private def t28PiiRedact(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("full_text", expr(plantSql))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("full_text"), lit(emailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("full_text"), lit(ipRe), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("full_text"), lit(telRe), lit(0))).as("n_tel"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("full_text"), lit(emailRe), lit("<EMAIL>")),
+              lit(ipRe), lit("<IP>")),
+            lit(telRe), lit("<TEL>"))).as("red_md5")
+      )
+      .orderBy("doc_id")
+
+  private val t28Oracle: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(full_text, '[a-z0-9]+@[a-z0-9.]+')) AS INT) AS n_email,
+       |       CAST(len(regexp_extract_all(full_text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS INT) AS n_ip,
+       |       CAST(len(regexp_extract_all(full_text, '555-[0-9]+')) AS INT) AS n_tel,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+       |           '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+       |           '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'),
+       |           '555-[0-9]+', '<TEL>', 'g')) AS red_md5
+       |FROM (SELECT doc_id, $plantSql AS full_text FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_repetition" -> (t27Repetition _),
+    "t28_pii_redact" -> (t28PiiRedact _),
     "t26_train_split" -> (t26TrainSplit _),
     "t21_quality_score" -> (t21Quality _),
     "t22_lang_id" -> (t22LangId _),
@@ -347,6 +445,8 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "t27_repetition" -> t27Oracle,
+    "t28_pii_redact" -> t28Oracle,
     "t26_train_split" -> t26Oracle,
     "t21_quality_score" -> t21Oracle,
     "t22_lang_id" -> t22Oracle,

@@ -7,6 +7,36 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("poly_grams matches a reference n-gram chain and guards short docs") {
+    import graft.functions.{PolyHash, SimHashFunctions}
+    val P = 2147483647L
+    val words = Seq("alpha", "beta", "gamma", "delta", "beta", "gamma")
+    def refGrams(ws: Seq[String], n: Int): Seq[Long] =
+      ws.sliding(n).filter(_.length == n).map { g =>
+        g.map(PolyHash.hash8).reduceLeft((acc, h) => (acc * 1000003L + h) % P)
+      }.toSeq.distinct
+    val df = spark.createDataFrame(Seq(Tuple1(words))).toDF("words")
+    for (n <- Seq(2, 3, 13)) {
+      val got = df.select(SimHashFunctions.poly_grams(col("words"), n).as("g"))
+        .collect()(0).getSeq[Long](0)
+      assert(got == refGrams(words, n), s"n=$n")
+    }
+    // shorter than n: empty, not an error (the descending-sequence trap)
+    val short = df.select(SimHashFunctions.poly_grams(col("words"), 7).as("g"))
+      .collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("decontamination flags exactly the docs sharing a 13-gram with the benchmark") {
+    // contaminated docs straddle the doc_id % 11 boundary by construction
+    val rows = Dedup.queries("d6_decontam")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 11 != 0)) // benchmark never flags itself
+    assert(rows.forall { r =>
+      r.getAs[Long]("n_hits") >= 1 && r.getAs[Long]("n_hits") <= r.getAs[Int]("n_grams")
+    })
+  }
+
   test("exact dedup finds exactly the planted re-ingests") {
     val rows = Dedup.queries("d1_exact_dedup")(spark, sf).collect()
     assert(rows.length == 10)
