@@ -73,6 +73,28 @@ private[cdc] object MetaTables {
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, normalized(schema).json.getBytes("UTF-8"))
   }
+
+  // ---- state-table bucket-count sidecar -----------------------------------
+  // The partitioning FUNCTION (pmod(hash(pk), n)) must travel with the
+  // table, not the code: after a bucket split, readers and writers
+  // using a stale n would scatter keys across the wrong directories.
+  // Same hidden-file seam as the schema sidecar.
+
+  private def bucketSidecar(dir: String) =
+    java.nio.file.Paths.get(dir, "_graft_buckets.json")
+
+  def readBucketCount(dir: String, default: Int): Int = {
+    val p = bucketSidecar(dir)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+    else default
+  }
+
+  def writeBucketCount(dir: String, n: Int): Unit = {
+    val p = bucketSidecar(dir)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, n.toString.getBytes("UTF-8"))
+  }
 }
 
 /** One per-table watermark row — the Spark analog of

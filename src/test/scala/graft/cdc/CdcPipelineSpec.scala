@@ -229,4 +229,45 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(maxMtime(s"$base/state") == t1)
     assert(stateRows(s"$base/state") == expectedState())
   }
+
+  test("state metrics report every bucket; split doubles the count and preserves state") {
+    import org.apache.spark.sql.functions._
+    val base = s"target/tmp/cdcsplit-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    CdcPipeline.applyBatch(spark, store, dir, "src",
+      ChangeFeed.fromEvents(Tables.events(spark, sf)))
+    val before = stateRows(dir)
+    val m = CdcPipeline.stateMetrics(spark, dir).collect()
+    assert(m.nonEmpty && m.forall(_.getAs[Long]("bytes") > 0))
+    assert(m.map(_.getAs[Long]("n_rows")).sum == before.size)
+
+    // under-threshold: no split
+    assert(CdcPipeline.maybeSplit(spark, dir, maxBucketBytes = Long.MaxValue).isEmpty)
+    assert(CdcPipeline.bucketCount(dir) == CdcPipeline.stateBuckets)
+
+    // 1-byte threshold forces the split: count doubles, rows unchanged,
+    // and the doubling invariant holds (old bucket b fans out only to
+    // b and b + n)
+    assert(CdcPipeline.maybeSplit(spark, dir, maxBucketBytes = 1L)
+      .contains(CdcPipeline.stateBuckets * 2))
+    assert(CdcPipeline.bucketCount(dir) == CdcPipeline.stateBuckets * 2)
+    assert(stateRows(dir) == before)
+    val n = CdcPipeline.stateBuckets
+    val invariantViolations = spark.read
+      .schema(MetaTables.readStateSchema(spark, dir).get).parquet(dir)
+      .select(col("pk"), col("bucket"))
+      .withColumn("oldb", pmod(hash(col("pk")), lit(n)))
+      .filter(col("bucket") =!= col("oldb") && col("bucket") =!= col("oldb") + n)
+      .count()
+    assert(invariantViolations == 0)
+
+    // applyBatch after the split routes by the NEW count (sidecar wins
+    // over the code default) and stays a no-op-safe COW apply
+    CdcPipeline.applyBatch(spark, store, dir, "src2",
+      ChangeFeed.fromEvents(Tables.events(spark, sf)))
+    assert(stateRows(dir) == before)
+    assert(CdcPipeline.stateMetrics(spark, dir).agg(sum(col("n_rows"))).collect()(0)
+      .getLong(0) == before.size)
+  }
 }
