@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, SimHash32, SimHash37}
+import graft.functions.{CosineSimilarity, DotProduct, PolyGrams, PolyShingles, SimHash32, SimHash37}
 
 /** The engine's `SparkSessionExtensions` hook — the idiomatic way to
   * ship custom Catalyst pieces with a library: sessions built with
@@ -43,6 +43,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash37"),
       info("simhash37", classOf[SimHash37]),
       (args: Seq[Expression]) => SimHash37(args(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("poly_shingles"),
+      info("poly_shingles", classOf[PolyShingles]),
+      (args: Seq[Expression]) => PolyShingles(args(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("poly_grams"),
+      info("poly_grams", classOf[PolyGrams]),
+      // gram length must be a foldable literal — it parameterizes the
+      // generated code, it is not data
+      (args: Seq[Expression]) => PolyGrams(args(0),
+        args(1).eval().asInstanceOf[Int])
     ))
   }
 }

@@ -369,7 +369,61 @@ object Relational3 {
       |JOIN (SELECT i AS sk FROM generate_series(0, 999) t(i)) d USING (sk)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q44: runtime bloom-filter join --------------------------------------
+
+  /** Runtime-filter demonstration: a selective dimension filter whose
+    * predicate cannot be pushed to the fact scan statically — Spark's
+    * runtime bloom filter (`spark.sql.optimizer.runtime.bloomFilter`)
+    * builds a bloom of the surviving join keys at execution time and
+    * injects `bloom_filter_might_contain` INTO the fact scan, pruning
+    * most of the 100 TB side before the shuffle. The default
+    * application-side threshold (10 GB) is tuned for real clusters;
+    * the query lowers it so the plan at harness scale is the plan at
+    * 100 TB (temporarily — conf restored after the plan is built;
+    * PLANS.md carries the evidence). Results are independent of
+    * whether the filter fires — the oracle checks semantics, the plan
+    * carries the scale story.
+    */
+  private def q44BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // broadcast would bypass the runtime filter (and its demo): at
+      // real scale the filtered dim is over the broadcast threshold
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      Tables.lineitem(s, d)
+        .join(
+          Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_extendedprice")).as("total_price"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+        // force plan+execution inside the conf window
+        .localCheckpoint(true)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val q44Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_bloom_join" -> (q44BloomJoin _),
     "q43_salted_join" -> (q43SaltedJoin _),
     "q41_date_trunc" -> (q41DateTrunc _),
     "q42_cond_agg" -> (q42CondAgg _),
@@ -385,6 +439,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_bloom_join" -> q44Oracle,
     "q43_salted_join" -> q43Oracle,
     "q41_date_trunc" -> q41Oracle,
     "q42_cond_agg" -> q42Oracle,

@@ -87,11 +87,98 @@ object Sketch {
        |ORDER BY sk.grp""".stripMargin
   }
 
+  // ---- sk2: Bloom membership sketch ---------------------------------------
+
+  /** 63-bit, two-hash Bloom filter per group, built and probed with
+    * exact integer arithmetic — the set-membership sketch next to
+    * sk1's cardinality sketch. Positions are two independent md5-hex
+    * hashes mod 63 (bit 63 stays clear: both engines' BIGINT shifts
+    * stay positive); the filter is a `bit_or` aggregate — order- and
+    * partition-insensitive, one long per (group, partition) partial,
+    * the join-pruning sketch shape (ships to the probe side instead
+    * of the key set). The probe half counts maybe-hits for suppkeys
+    * 1..100 against each group's filter next to the exact answer, so
+    * the false-positive rate is part of the checked result.
+    */
+  private def h63Sql(e: String, off: Int): String = {
+    def hexv(k: Int) =
+      s"CAST(CASE WHEN ascii(substr(md5($e),${k + off},1)) >= 97 " +
+        s"THEN ascii(substr(md5($e),${k + off},1)) - 87 " +
+        s"ELSE ascii(substr(md5($e),${k + off},1)) - 48 END AS BIGINT)"
+    val h = (1 to 8).map(k => s"(${hexv(k)}) * ${1L << (4 * (8 - k))}")
+      .mkString("(", " + ", ")")
+    s"($h % 63)"
+  }
+
+  private def sk2BloomFilter(s: SparkSession, d: String): DataFrame = {
+    val key = "CAST(l_suppkey AS STRING)"
+    val p1 = h63Sql(key, 0)
+    val p2 = h63Sql(key, 8)
+    val bloom = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"), col("l_suppkey"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p1 AS INT)) | " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($p2 AS INT))").as("bits"))
+      .groupBy("grp")
+      .agg(expr("bit_or(bits)").as("bloom"),
+        countDistinct(col("l_suppkey")).as("n_keys"))
+    val probeKey = "CAST(pk AS STRING)"
+    val q1 = h63Sql(probeKey, 0)
+    val q2 = h63Sql(probeKey, 8)
+    val probes = s.range(1, 101).select(col("id").as("pk"))
+      .select(col("pk"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($q1 AS INT)) | " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($q2 AS INT))").as("pbits"))
+    val truth = Tables.lineitem(s, d)
+      .filter(col("l_suppkey").between(1, 100))
+      .select(col("l_returnflag").as("grp"), col("l_suppkey")).distinct()
+      .groupBy("grp").agg(count(lit(1)).as("n_true"))
+    bloom.join(broadcast(probes))
+      .groupBy(col("grp"), col("bloom"), col("n_keys"))
+      .agg(sum(when(expr("(bloom & pbits) = pbits"), 1L).otherwise(0L)).as("n_maybe"))
+      .join(truth, Seq("grp"), "left")
+      .select(col("grp"), col("bloom"), col("n_keys"),
+        col("n_maybe"), coalesce(col("n_true"), lit(0L)).as("n_true"))
+      .orderBy("grp")
+  }
+
+  private val sk2Oracle: String = {
+    val key = "CAST(l_suppkey AS VARCHAR)"
+    val p1 = h63Sql(key, 0)
+    val p2 = h63Sql(key, 8)
+    val probeKey = "CAST(pk AS VARCHAR)"
+    val q1 = h63Sql(probeKey, 0)
+    val q2 = h63Sql(probeKey, 8)
+    s"""WITH bloom AS (
+       |  SELECT grp, bit_or(bits) AS bloom, n_keys FROM (
+       |    SELECT l_returnflag AS grp,
+       |           (CAST(1 AS BIGINT) << CAST($p1 AS INT)) |
+       |           (CAST(1 AS BIGINT) << CAST($p2 AS INT)) AS bits,
+       |           count(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_keys
+       |    FROM lineitem)
+       |  GROUP BY grp, n_keys),
+       |probes AS (
+       |  SELECT pk,
+       |         (CAST(1 AS BIGINT) << CAST($q1 AS INT)) |
+       |         (CAST(1 AS BIGINT) << CAST($q2 AS INT)) AS pbits
+       |  FROM (SELECT unnest(generate_series(1, 100)) AS pk)),
+       |truth AS (
+       |  SELECT l_returnflag AS grp, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_true
+       |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 100 GROUP BY 1)
+       |SELECT b.grp, b.bloom, b.n_keys,
+       |       CAST(sum(CASE WHEN (b.bloom & p.pbits) = p.pbits THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       |       coalesce(max(t.n_true), 0) AS n_true
+       |FROM bloom b CROSS JOIN probes p LEFT JOIN truth t ON b.grp = t.grp
+       |GROUP BY b.grp, b.bloom, b.n_keys
+       |ORDER BY b.grp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk1_kmv_distinct" -> (sk1KmvDistinct _)
+    "sk1_kmv_distinct" -> (sk1KmvDistinct _),
+    "sk2_bloom_filter" -> (sk2BloomFilter _)
   )
 
   val oracles: Map[String, String] = Map(
-    "sk1_kmv_distinct" -> sk1Oracle
+    "sk1_kmv_distinct" -> sk1Oracle,
+    "sk2_bloom_filter" -> sk2Oracle
   )
 }

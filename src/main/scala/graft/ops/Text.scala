@@ -433,7 +433,52 @@ object Text {
        |FROM (SELECT doc_id, $plantSql AS full_text FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- t29: document chunking ----------------------------------------------
+
+  /** Context-window chunking with overlap — the tokenize-and-chunk
+    * step between curation and training: windows of 32 tokens at
+    * stride 24 (8-token overlap so no span is split across a chunk
+    * boundary unseen). Chunk count `1 + ceil((n−32)/24)` is computed
+    * with positive-operand integer division only (DuckDB `//` floors,
+    * Spark DIV truncates — they agree exactly on non-negatives, which
+    * the CASE guarantees). Row-local explode: each doc fans out to
+    * O(n/stride) chunk rows with no shuffle; each chunk is summarized
+    * by its md5 (engine-shared) rather than materialized.
+    */
+  private def t29Chunk(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("words", wordsCol(col("text")))
+      .withColumn("n", size(col("words")))
+      .withColumn("n_chunks", expr(
+        "CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) DIV 24 END"))
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        (col("chunk_id") * 24 + 1).cast("int").as("start"),
+        expr("size(slice(words, CAST(chunk_id * 24 + 1 AS INT), 32))").as("n_tokens"),
+        md5(expr("array_join(slice(words, CAST(chunk_id * 24 + 1 AS INT), 32), ' ')"))
+          .as("chunk_md5")
+      )
+      .orderBy("doc_id", "chunk_id")
+
+  private val t29Oracle: String = {
+    val ws = wordsSql("text")
+    s"""SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |       CAST(chunk_id * 24 + 1 AS INT) AS start,
+       |       CAST(len(list_slice(words, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INT) AS n_tokens,
+       |       md5(array_to_string(list_slice(words, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_md5
+       |FROM (
+       |  SELECT doc_id, words,
+       |         unnest(generate_series(0, CASE WHEN len(words) <= 32 THEN 0
+       |                ELSE (len(words) - 32 + 23) // 24 END)) AS chunk_id
+       |  FROM (SELECT doc_id, $ws AS words FROM documents))
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_chunk" -> (t29Chunk _),
     "t27_repetition" -> (t27Repetition _),
     "t28_pii_redact" -> (t28PiiRedact _),
     "t26_train_split" -> (t26TrainSplit _),
@@ -445,6 +490,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "t29_chunk" -> t29Oracle,
     "t27_repetition" -> t27Oracle,
     "t28_pii_redact" -> t28Oracle,
     "t26_train_split" -> t26Oracle,
