@@ -318,6 +318,100 @@ object CdcQueries {
       |  AND tx IN (SELECT tx FROM t WHERE kind = 'commit')
       |GROUP BY tx ORDER BY tx""".stripMargin
 
+  // ---- cdc_agg_maint: incremental aggregate maintenance under the gate ----
+
+  /** [[AggMaintenance]] driver-checked: the feed replays in two
+    * batches (split at the median position — per-key order preserved,
+    * the stream contract) through `applyDelta`, and the maintained
+    * rollup must equal DuckDB's direct aggregate over latest-wins
+    * state. The telescoping-delta property is what's under test:
+    * updates retract their before-image, deletes retract without
+    * adding, re-inserts after delete re-add — across a batch
+    * boundary, with per-batch cost O(batch + rollup) and no state
+    * read.
+    */
+  private def cdcAggMaint(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-aggmaint").toString + "/rollup"
+    val imaged = AggMaintenance
+      .withImages(ChangeFeed.fromEvents(Tables.events(s, d))
+        .select("pos", "pk", "op", "value"))
+      .localCheckpoint(true) // one pass; both batches slice from it
+    val mid = imaged.agg(expr("percentile_approx(pos, 0.5)")).collect()(0).getLong(0)
+    AggMaintenance.applyDelta(s, dir, imaged.filter(col("pos") <= mid))
+    AggMaintenance.applyDelta(s, dir, imaged.filter(col("pos") > mid))
+    AggMaintenance.read(s, dir)
+  }
+
+  private val cdcAggMaintOracle: String =
+    """SELECT user_id % 10 AS cohort,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, value,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND op <> 'delete'
+      |GROUP BY 1 ORDER BY cohort""".stripMargin
+
+  // ---- cdc_state_stream: streaming latest-wins state under the gate -------
+
+  /** [[graft.streaming.CdcStream.latestState]] driver-checked: the
+    * feed replays in real micro-batches (two `addData` segments split
+    * mid-stream) and the sink's last emission per key — update mode
+    * emits on every effective change — must equal DuckDB's rank-1
+    * state INCLUDING delete tombstones (the stream keeps them so late
+    * events can't resurrect; the consumer filters). The only-advance
+    * rule is exercised across the batch boundary.
+    */
+  private def cdcStateStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcStream, FeedRow}
+    val rows = ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .select("pos", "ts", "pk", "op", "value")
+      .collect()
+      .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mid = rows.map(_.pos).sorted.apply(rows.length / 2)
+    val name = "cdc_state_stream_sink"
+    withStatePartitions(s, 4) {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+      input.addData(rows.filter(_.pos <= mid).toSeq)
+      input.addData(rows.filter(_.pos > mid).toSeq)
+      val q = CdcStream
+        .latestState(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // last emission per key = current state (incl. tombstones)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("pos").desc)
+    s.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("pk", "pos", "op", "value")
+      .orderBy("pk")
+  }
+
+  private val cdcStateStreamOracle: String =
+    """SELECT user_id AS pk, event_id AS pos,
+      |       CASE WHEN event_type = 'signup' THEN 'insert'
+      |            WHEN event_type = 'error' THEN 'delete'
+      |            ELSE 'update' END AS op,
+      |       value
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY pk""".stripMargin
+
   // ---- cdc_dedup_stream: streaming exact dedup under the gate -------------
 
   /** Streaming exact deduplication — the at-least-once transport's
@@ -524,6 +618,8 @@ object CdcQueries {
     "cdc_gtid_agg" -> (cdcGtidAgg _),
     "cdc_gtid_multi" -> (cdcGtidMulti _),
     "cdc_tx_batches" -> (cdcTxBatches _),
+    "cdc_agg_maint" -> (cdcAggMaint _),
+    "cdc_state_stream" -> (cdcStateStream _),
     "cdc_dedup_stream" -> (cdcDedupStream _),
     "cdc_window_stream" -> (cdcWindowStream _),
     "cdc_session_stream" -> (cdcSessionStream _),
@@ -538,6 +634,8 @@ object CdcQueries {
     "cdc_gtid_agg" -> cdcGtidAggOracle,
     "cdc_gtid_multi" -> cdcGtidMultiOracle,
     "cdc_tx_batches" -> cdcTxBatchesOracle,
+    "cdc_agg_maint" -> cdcAggMaintOracle,
+    "cdc_state_stream" -> cdcStateStreamOracle,
     "cdc_dedup_stream" -> cdcDedupStreamOracle,
     "cdc_window_stream" -> cdcWindowStreamOracle,
     "cdc_session_stream" -> cdcSessionStreamOracle,

@@ -94,12 +94,22 @@ object Dedup {
 
   /** Exact 3-gram-shingle Jaccard over a fixed 100-doc block: the
     * quadratic reference op (cost is constant in corpus size — the
-    * block is the unit a verifier runs on candidates).
+    * block is the unit a verifier runs on candidates). Like d1/d4 the
+    * block PLANTS near-dups deterministically (60%-prefix truncations
+    * of the first five docs under shifted ids — the "same page,
+    * partial re-crawl" case), so the result demonstrably contains
+    * high-Jaccard pairs instead of depending on the corpus's natural
+    * overlap.
     */
   private def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables
-      .documents(s, d)
-      .filter(col("doc_id") < 100)
+    val block = Tables.documents(s, d)
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        expr("substr(text, 1, CAST(length(text) * 3 DIV 5 AS INT))").as("text"))
+    val sh = block
+      .union(planted)
       .withColumn("words", Text.wordsCol(col("text")))
       // Guarded: Spark's sequence(1, n) with n < 1 yields a DESCENDING
       // [1..n] (step -1), not the empty array DuckDB's generate_series
@@ -128,19 +138,22 @@ object Dedup {
 
   private val d2Oracle: String = {
     val ws = Text.wordsSql("text")
-    s"""SELECT id_a, id_b, n_common, n_union,
+    s"""WITH block AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 1000, substr(text, 1, CAST(length(text) * 3 // 5 AS INT))
+       |  FROM documents WHERE doc_id < 5),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+       |           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       |  FROM (SELECT doc_id, $ws AS words FROM block))
+       |SELECT id_a, id_b, n_common, n_union,
        |       CAST(n_common AS DOUBLE) / n_union AS jaccard
        |FROM (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |         CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_common,
        |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT) AS n_union
-       |  FROM (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-       |                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-       |        FROM (SELECT doc_id, $ws AS words FROM documents WHERE doc_id < 100)) a
-       |  JOIN (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-       |                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-       |        FROM (SELECT doc_id, $ws AS words FROM documents WHERE doc_id < 100)) b
-       |    ON a.doc_id < b.doc_id)
+       |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
        |WHERE CAST(n_common AS DOUBLE) / n_union >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
   }
