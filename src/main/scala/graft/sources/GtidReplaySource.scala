@@ -31,8 +31,11 @@ import graft.streaming.FeedRow
   * never an enumeration. Restarting a query replays from the
   * checkpointed set, exactly like the reference re-issuing
   * `StartSyncGTID` with the stored watermark. The reference's
-  * reconnect/backoff loop (`incremental.go:100-114`) maps to Spark's
-  * own task/trigger retry machinery, not user code.
+  * reconnect/backoff loop (`incremental.go:100-114`) is implemented
+  * at the [[BinlogTransport]] seam: every configured source reads
+  * through a [[ReconnectingTransport]] carrying the same policy
+  * (1 s → ×2 → 30 s cap, give up after 10 consecutive failures,
+  * reset on success).
   *
   * The event *transport* is a driver-side replay buffer (the test
   * harness has no MySQL socket): like Spark's own `MemoryStream`, rows
@@ -40,8 +43,9 @@ import graft.streaming.FeedRow
   * That is faithful to the real topology — a binlog dump is one
   * driver-side TCP stream in any engine; scale-out begins after
   * ingestion, at the shuffle into [[graft.streaming.CdcStream]]
-  * operators. A production implementation would swap the buffer for
-  * the binlog protocol client and keep every class below unchanged.
+  * operators. A production implementation implements [[BinlogTransport]]
+  * with the binlog protocol client and keeps every class below
+  * unchanged.
   */
 object GtidReplayBuffers {
   private val buffers = TrieMap.empty[String, Vector[FeedRow]]
@@ -132,12 +136,21 @@ final class GtidReplayTable(
 }
 
 final class GtidReplayStream(
-    sources: Seq[(String, String)], numPartitions: Int, maxRowsPerBatch: Option[Long] = None)
+    sources: Seq[(String, String)], numPartitions: Int, maxRowsPerBatch: Option[Long] = None,
+    transportFactory: String => BinlogTransport =
+      id => new ReconnectingTransport(new BufferTransport(id)))
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Single-source convenience constructor (spec/back-compat). */
   def this(bufferId: String, uuid: String, numPartitions: Int, maxRowsPerBatch: Option[Long]) =
     this(Seq((uuid, bufferId)), numPartitions, maxRowsPerBatch)
+
+  /** One (reconnecting) transport per configured source — the analog
+    * of the reference's per-holder syncer, with its backoff policy
+    * ([[ReconnectingTransport]]) between this stream and the wire.
+    */
+  private val transports: Seq[(String, BinlogTransport)] =
+    sources.map { case (uuid, bufferId) => (uuid, transportFactory(bufferId)) }
 
   override def initialOffset(): Offset = GtidOffset(GtidSet.empty)
 
@@ -154,9 +167,9 @@ final class GtidReplayStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GtidOffset].set
-    val pending = sources
-      .flatMap { case (uuid, bufferId) =>
-        GtidReplayBuffers.get(bufferId)
+    val pending = transports
+      .flatMap { case (uuid, transport) =>
+        transport.fetch()
           .filter(r => !from.contains(uuid, r.pos))
           .map(r => (uuid, r.pos))
       }
@@ -188,8 +201,8 @@ final class GtidReplayStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GtidOffset].set
     val to = end.asInstanceOf[GtidOffset].set
-    sources.flatMap { case (uuid, bufferId) =>
-      val rows = GtidReplayBuffers.get(bufferId)
+    transports.flatMap { case (uuid, transport) =>
+      val rows = transport.fetch()
         .filter(r => to.contains(uuid, r.pos) && !from.contains(uuid, r.pos))
       if (rows.isEmpty) Iterator.empty
       else rows
