@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PLANS.md as enforced contracts: the load-bearing physical-plan
+  * properties — the ones that make operators survive 100× data — are
+  * asserted here so a refactor that silently regresses a plan (a lost
+  * pushdown, a reintroduced join explosion, a dropped runtime filter)
+  * fails the build instead of only the bench.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q2: predicates and projection reach the parquet scan") {
+    val plan = formatted("q2_filter_pushdown")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThan(l_discount"), "discount filter must push down")
+    // column pruning: untouched wide columns never enter the scan
+    assert(!plan.contains("l_tax"), "ReadSchema must not include unused columns")
+  }
+
+  test("q21: the as-of is join-free — one window pass, no pair explosion") {
+    val plan = formatted("q21_asof_join")
+    val joins = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+    joins.foreach(j => assert(!plan.contains(j), s"unexpected $j in as-of plan"))
+    assert(plan.contains("Window"), "the running-frame window must remain")
+  }
+
+  test("q44: the runtime bloom filter is injected into the fact side") {
+    val df = graft.SparkEntry.queries("q44_bloom_join")(spark, sf)
+    // q44 materializes via localCheckpoint (conf-scoped); re-derive the
+    // optimized plan under the same confs to audit injection
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val q = graft.Tables.lineitem(spark, sf)
+        .join(graft.Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), "runtime bloom filter must inject")
+      assert(optimized.contains("bloom_filter_agg"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(df.columns.contains("n_orders")) // and the query itself still runs
+  }
+
+  test("d1: the dedup shuffle key is the digest, never the raw text") {
+    val plan = formatted("d1_exact_dedup")
+    assert(plan.contains("md5"), "the digest key must be computed below the agg")
+    assert(!plan.matches("(?s).*hashpartitioning\\(text#.*"),
+      "raw text must not be an exchange key")
+  }
+
+  test("sk1: the KMV sketch aggregates partially before the exchange") {
+    val plan = formatted("sk1_kmv_distinct")
+    // ObjectHashAggregate appears for partial and final mode — the
+    // sketch merges map-side, shipping <=k values per partition
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial"), "partial aggregation must precede the shuffle")
+  }
+}
