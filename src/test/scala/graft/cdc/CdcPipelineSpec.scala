@@ -230,6 +230,47 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(stateRows(s"$base/state") == expectedState())
   }
 
+  test("DSv2 GTID source streams end-to-end into the bucketed COW sink and resumes") {
+    import graft.sources.{GtidReplayBuffers, GtidReplayProvider}
+    import graft.streaming.FeedRow
+    def row(pos: Long) = FeedRow(pos, new java.sql.Timestamp(pos * 1000L), pos % 7,
+      if (pos % 11 == 0) "delete" else if (pos % 3 == 0) "update" else "insert",
+      pos.toDouble)
+    val phase1 = (1L to 30L).map(row)
+    val phase2 = (31L to 60L).map(row)
+    val id = GtidReplayBuffers.register(phase1)
+    val base = s"target/tmp/cdce2e-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[GtidReplayProvider].getName)
+        .option("bufferId", id)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          CdcPipeline.applyBatch(b.sparkSession, store, s"$base/state", "harness-src", b)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def expect(rows: Seq[FeedRow]): Set[(Long, Long, String)] = {
+      import spark.implicits._
+      ChangeFeed.latestState(rows.toDF()).select("pk", "pos", "op").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    run()
+    assert(stateRows(s"$base/state") == expect(phase1))
+    // binlog grows; a NEW run resumes from the checkpointed GTID set
+    GtidReplayBuffers.append(id, phase2)
+    run()
+    assert(stateRows(s"$base/state") == expect(phase1 ++ phase2))
+    // watermark advanced over both phases
+    assert(store.watermark(spark, "harness-src", SnapshotJob.schemaName, "events")
+      .serialize == "harness-src:1-60")
+  }
+
   test("state metrics report every bucket; split doubles the count and preserves state") {
     import org.apache.spark.sql.functions._
     val base = s"target/tmp/cdcsplit-${System.nanoTime()}"
