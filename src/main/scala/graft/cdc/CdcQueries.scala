@@ -412,6 +412,77 @@ object CdcQueries {
       |  FROM events)
       |WHERE rn = 1 ORDER BY pk""".stripMargin
 
+  // ---- cdc_join_stream: stream-stream interval join under the gate --------
+
+  /** Stream–stream INNER JOIN with an event-time range — the batch
+    * q22 interval join as two live streams: each insert pairs with
+    * the same key's updates in the following day. Both sides carry
+    * watermarks and the join carries the time constraint, so Spark
+    * can expire join state (`state cleanup requires the range
+    * condition` — without it, both sides buffer forever; WITH it,
+    * state is bounded by the interval + watermark delay, the property
+    * that lets this run indefinitely at 100 TB). The replay splits
+    * each side mid-stream so pairs whose halves arrive in DIFFERENT
+    * micro-batches must still match from buffered state.
+    */
+  private def cdcJoinStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.FeedRow
+    val rows = ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .filter(col("pk") % 17 === 0)
+      .select("pos", "ts", "pk", "op", "value")
+      .collect()
+      .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val ins = rows.filter(_.op == "insert")
+    val upd = rows.filter(_.op == "update")
+    val name = "cdc_join_stream_sink"
+    withStatePartitions(s, 4) {
+      val insIn = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+      val updIn = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+      // split both sides mid-stream: cross-batch pairs exercise state
+      insIn.addData(ins.take(ins.length / 2).toSeq)
+      updIn.addData(upd.take(upd.length / 2).toSeq)
+      insIn.addData(ins.drop(ins.length / 2).toSeq)
+      updIn.addData(upd.drop(upd.length / 2).toSeq)
+      val left = insIn.toDS().toDF()
+        .select(col("pos").as("ins_pos"), col("ts").as("ins_ts"), col("pk"))
+        .withWatermark("ins_ts", "1 hour")
+      val right = updIn.toDS().toDF()
+        .select(col("pos").as("upd_pos"), col("ts").as("upd_ts"),
+          col("pk").as("upd_pk"))
+        .withWatermark("upd_ts", "1 hour")
+      val q = left
+        .join(right,
+          col("pk") === col("upd_pk") &&
+            col("upd_ts") >= col("ins_ts") &&
+            col("upd_ts") <= col("ins_ts") + expr("INTERVAL 1 DAY"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .select(col("pk"), col("ins_pos"), col("upd_pos"))
+      .orderBy("pk", "ins_pos", "upd_pos")
+  }
+
+  private val cdcJoinStreamOracle: String =
+    """WITH feed AS (
+      |  SELECT event_id AS pos, ts, user_id AS pk,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op
+      |  FROM events WHERE user_id % 17 = 0),
+      |ins AS (SELECT pos, ts, pk FROM feed WHERE op = 'insert'),
+      |upd AS (SELECT pos, ts, pk FROM feed WHERE op = 'update')
+      |SELECT i.pk AS pk, i.pos AS ins_pos, u.pos AS upd_pos
+      |FROM ins i JOIN upd u
+      |  ON i.pk = u.pk AND u.ts >= i.ts AND u.ts <= i.ts + INTERVAL 1 DAY
+      |ORDER BY i.pk, ins_pos, upd_pos""".stripMargin
+
   // ---- cdc_dedup_stream: streaming exact dedup under the gate -------------
 
   /** Streaming exact deduplication — the at-least-once transport's
@@ -620,6 +691,7 @@ object CdcQueries {
     "cdc_tx_batches" -> (cdcTxBatches _),
     "cdc_agg_maint" -> (cdcAggMaint _),
     "cdc_state_stream" -> (cdcStateStream _),
+    "cdc_join_stream" -> (cdcJoinStream _),
     "cdc_dedup_stream" -> (cdcDedupStream _),
     "cdc_window_stream" -> (cdcWindowStream _),
     "cdc_session_stream" -> (cdcSessionStream _),
@@ -636,6 +708,7 @@ object CdcQueries {
     "cdc_tx_batches" -> cdcTxBatchesOracle,
     "cdc_agg_maint" -> cdcAggMaintOracle,
     "cdc_state_stream" -> cdcStateStreamOracle,
+    "cdc_join_stream" -> cdcJoinStreamOracle,
     "cdc_dedup_stream" -> cdcDedupStreamOracle,
     "cdc_window_stream" -> cdcWindowStreamOracle,
     "cdc_session_stream" -> cdcSessionStreamOracle,

@@ -100,34 +100,38 @@ object Sketch {
     * 1..100 against each group's filter next to the exact answer, so
     * the false-positive rate is part of the checked result.
     */
+  /** `e` must reference an ALREADY-COMPUTED md5 hex column: hoisting
+    * the digest out of the 48 ascii/substr references keeps it one
+    * call per row without leaning on subexpression elimination, and
+    * halves the generated code.
+    */
   private def h63Sql(e: String, off: Int): String = {
     def hexv(k: Int) =
-      s"CAST(CASE WHEN ascii(substr(md5($e),${k + off},1)) >= 97 " +
-        s"THEN ascii(substr(md5($e),${k + off},1)) - 87 " +
-        s"ELSE ascii(substr(md5($e),${k + off},1)) - 48 END AS BIGINT)"
+      s"CAST(CASE WHEN ascii(substr($e,${k + off},1)) >= 97 " +
+        s"THEN ascii(substr($e,${k + off},1)) - 87 " +
+        s"ELSE ascii(substr($e,${k + off},1)) - 48 END AS BIGINT)"
     val h = (1 to 8).map(k => s"(${hexv(k)}) * ${1L << (4 * (8 - k))}")
       .mkString("(", " + ", ")")
     s"($h % 63)"
   }
 
   private def sk2BloomFilter(s: SparkSession, d: String): DataFrame = {
-    val key = "CAST(l_suppkey AS STRING)"
-    val p1 = h63Sql(key, 0)
-    val p2 = h63Sql(key, 8)
+    val p1 = h63Sql("mh", 0)
+    val p2 = h63Sql("mh", 8)
     val bloom = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("grp"), col("l_suppkey"),
+        md5(col("l_suppkey").cast("string")).as("mh"))
+      .select(col("grp"), col("l_suppkey"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p1 AS INT)) | " +
           s"shiftleft(CAST(1 AS BIGINT), CAST($p2 AS INT))").as("bits"))
       .groupBy("grp")
       .agg(expr("bit_or(bits)").as("bloom"),
         countDistinct(col("l_suppkey")).as("n_keys"))
-    val probeKey = "CAST(pk AS STRING)"
-    val q1 = h63Sql(probeKey, 0)
-    val q2 = h63Sql(probeKey, 8)
     val probes = s.range(1, 101).select(col("id").as("pk"))
+      .select(col("pk"), md5(col("pk").cast("string")).as("mh"))
       .select(col("pk"),
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($q1 AS INT)) | " +
-          s"shiftleft(CAST(1 AS BIGINT), CAST($q2 AS INT))").as("pbits"))
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p1 AS INT)) | " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($p2 AS INT))").as("pbits"))
     val truth = Tables.lineitem(s, d)
       .filter(col("l_suppkey").between(1, 100))
       .select(col("l_returnflag").as("grp"), col("l_suppkey")).distinct()
@@ -142,25 +146,23 @@ object Sketch {
   }
 
   private val sk2Oracle: String = {
-    val key = "CAST(l_suppkey AS VARCHAR)"
-    val p1 = h63Sql(key, 0)
-    val p2 = h63Sql(key, 8)
-    val probeKey = "CAST(pk AS VARCHAR)"
-    val q1 = h63Sql(probeKey, 0)
-    val q2 = h63Sql(probeKey, 8)
+    val p1 = h63Sql("mh", 0)
+    val p2 = h63Sql("mh", 8)
     s"""WITH bloom AS (
        |  SELECT grp, bit_or(bits) AS bloom, n_keys FROM (
-       |    SELECT l_returnflag AS grp,
+       |    SELECT grp,
        |           (CAST(1 AS BIGINT) << CAST($p1 AS INT)) |
        |           (CAST(1 AS BIGINT) << CAST($p2 AS INT)) AS bits,
-       |           count(DISTINCT l_suppkey) OVER (PARTITION BY l_returnflag) AS n_keys
-       |    FROM lineitem)
+       |           count(DISTINCT l_suppkey) OVER (PARTITION BY grp) AS n_keys
+       |    FROM (SELECT l_returnflag AS grp, l_suppkey,
+       |                 md5(CAST(l_suppkey AS VARCHAR)) AS mh FROM lineitem))
        |  GROUP BY grp, n_keys),
        |probes AS (
        |  SELECT pk,
-       |         (CAST(1 AS BIGINT) << CAST($q1 AS INT)) |
-       |         (CAST(1 AS BIGINT) << CAST($q2 AS INT)) AS pbits
-       |  FROM (SELECT unnest(generate_series(1, 100)) AS pk)),
+       |         (CAST(1 AS BIGINT) << CAST($p1 AS INT)) |
+       |         (CAST(1 AS BIGINT) << CAST($p2 AS INT)) AS pbits
+       |  FROM (SELECT pk, md5(CAST(pk AS VARCHAR)) AS mh
+       |        FROM (SELECT unnest(generate_series(1, 100)) AS pk))),
        |truth AS (
        |  SELECT l_returnflag AS grp, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_true
        |  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 100 GROUP BY 1)
