@@ -465,13 +465,92 @@ object Dedup {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
+  // ---- d7: duplicate-cluster resolution (connected components) ------------
+
+  /** Pairs → CLUSTERS: near-dup detectors emit pairwise edges, but
+    * keep/drop decisions need the transitive closure — if A≈B and
+    * B≈C, all three are one cluster with one canonical survivor even
+    * when (A, C) was never emitted as a pair. Connected components by
+    * iterative min-label propagation over the d4 edge set: each round
+    * every node takes the minimum label in its neighborhood, run to
+    * fixpoint. That is the Spark-shaped iterative algorithm — a
+    * driver loop of a few DISTRIBUTED join+aggregate rounds
+    * (`localCheckpoint` per round caps lineage), converging in
+    * O(component diameter) rounds; near-dup clusters are shallow, so
+    * 3–4 rounds in practice. At extreme scale the round count drops
+    * to O(log n) with the large-star/small-star transforms
+    * (Kiveris et al., "Connected Components in MapReduce"); the
+    * per-round plan here is the same join+min shape.
+    *
+    * The oracle computes the same closure with a recursive CTE — a
+    * completely different evaluation strategy, which makes the
+    * fixpoint itself the thing being cross-checked. Output: every
+    * clustered doc with its canonical (minimum) doc id; keep = the
+    * canonical, drop = the rest.
+    */
+  private def d7DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d4Simhash(s, d).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("src_lbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .join(labels, col("lbl") === col("cluster"))
+      .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
+        (col("id") === col("cluster")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val d7Oracle: String =
+    s"""WITH RECURSIVE pairs AS ($d4Oracle),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+       |SELECT l.id AS doc_id, l.cluster, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(l.id = l.cluster AS INT) AS keep
+       |FROM labels l JOIN sizes s ON l.cluster = s.cluster
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d5_intradoc_rep" -> (d5IntradocRep _),
     "d1_exact_dedup" -> (d1Exact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
-    "d6_decontam" -> (d6Decontam _)
+    "d6_decontam" -> (d6Decontam _),
+    "d7_dup_clusters" -> (d7DupClusters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -480,6 +559,7 @@ object Dedup {
     "d2_ngram_jaccard" -> d2Oracle,
     "d3_minhash_lsh" -> d3Oracle,
     "d4_simhash" -> d4Oracle,
-    "d6_decontam" -> d6Oracle
+    "d6_decontam" -> d6Oracle,
+    "d7_dup_clusters" -> d7Oracle
   )
 }
