@@ -70,41 +70,88 @@ object AggMaintenance {
       (contribAfter - contribBefore).as("d_sum"))
   }
 
+  /** The general IVM delta: when the GROUP KEY is itself a function
+    * of event attributes (not just of the immutable pk), an update
+    * can MOVE a key between groups — the retraction must then target
+    * the before-image's group and the addition the after-image's.
+    * Each event fans out to (at most) two delta rows:
+    *
+    *   (group(after),  +contrib(after))
+    *   (group(before), −contrib(before))
+    *
+    * [[deltas]] is the special case group(after) = group(before)
+    * (cohort is pk-derived), where the two rows collapse into one.
+    * `groupOf(prefix)` renders the group key from the `after` ("")
+    * or `before` ("prev_") image columns.
+    */
+  def movingDeltas(imaged: DataFrame, groupOf: String => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val contribAfter = when(col("op") =!= "delete",
+      col("value").cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)"))
+    val contribBefore = when(col("prev_op").isNotNull && col("prev_op") =!= "delete",
+      col("prev_value").cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)"))
+    val existsAfter = when(col("op") =!= "delete", 1L).otherwise(0L)
+    val existsBefore = when(col("prev_op").isNotNull && col("prev_op") =!= "delete", 1L)
+      .otherwise(0L)
+    val add = imaged.select(groupOf("").as("grp"),
+      existsAfter.as("d_n"), contribAfter.as("d_sum"))
+    val retract = imaged.select(groupOf("prev_").as("grp"),
+      (-existsBefore).as("d_n"), (-contribBefore).as("d_sum"))
+    add.unionByName(retract).filter(col("grp").isNotNull)
+  }
+
   /** Merge one batch's deltas into the rollup table (read-modify-
     * overwrite — the rollup is one row per cohort).
     */
-  def applyDelta(spark: SparkSession, rollupDir: String, batchImaged: DataFrame): Unit = {
-    val d = deltas(batchImaged)
-      .groupBy("cohort")
+  def applyDelta(spark: SparkSession, rollupDir: String, batchImaged: DataFrame): Unit =
+    mergeDeltaRows(spark, rollupDir,
+      deltas(batchImaged).withColumnRenamed("cohort", "grp"), keyName = "cohort")
+
+  /** [[movingDeltas]] variant of [[applyDelta]]: one batch of
+    * group-moving deltas merged into the rollup under `keyName`.
+    */
+  def applyMovingDelta(
+      spark: SparkSession, rollupDir: String, batchImaged: DataFrame,
+      groupOf: String => org.apache.spark.sql.Column, keyName: String): Unit =
+    mergeDeltaRows(spark, rollupDir, movingDeltas(batchImaged, groupOf), keyName)
+
+  /** Shared merge: aggregate (grp, d_n, d_sum) delta rows, add to the
+    * existing rollup, drop zeroed groups, overwrite.
+    */
+  private def mergeDeltaRows(
+      spark: SparkSession, rollupDir: String, deltaRows: DataFrame,
+      keyName: String): Unit = {
+    val d = deltaRows
+      .groupBy(col("grp").as(keyName))
       .agg(sum(col("d_n")).as("n_rows"), sum(col("d_sum")).as("sum_value"))
     val merged = MetaTables.readIfExists(spark, rollupDir) match {
       case None => d
       case Some(existing) =>
-        existing.select(col("cohort"), col("n_rows"), col("sum_value"))
+        existing.select(col(keyName), col("n_rows"), col("sum_value"))
           .unionByName(d)
-          .groupBy("cohort")
+          .groupBy(keyName)
           .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
     }
     // pin the sum's decimal type so repeated merge cycles don't widen
     // precision round-trip over parquet (sum(decimal) grows precision)
     val out = merged
-      .select(col("cohort"), col("n_rows"),
+      .select(col(keyName), col("n_rows"),
         col("sum_value").cast("decimal(28,4)").as("sum_value"))
       .filter(col("n_rows") =!= 0 || col("sum_value") =!= 0)
       .localCheckpoint(true)
     out.coalesce(1).write.mode("overwrite").parquet(rollupDir)
   }
 
-  /** The maintained rollup, typed for output: cohort, live row count,
-    * decimal-exact sum surfaced as double.
+  /** The maintained rollup, typed for output: group key, live row
+    * count, decimal-exact sum surfaced as double.
     */
-  def read(spark: SparkSession, rollupDir: String): DataFrame =
+  def read(spark: SparkSession, rollupDir: String, keyName: String = "cohort"): DataFrame =
     MetaTables.readIfExists(spark, rollupDir) match {
       case None => spark.emptyDataFrame
       case Some(df) => df.select(
-        col("cohort"),
+        col(keyName),
         col("n_rows"),
         col("sum_value").cast("double").as("sum_value"))
-        .orderBy("cohort")
+        .orderBy(keyName)
     }
 }

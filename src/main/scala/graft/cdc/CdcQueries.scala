@@ -357,6 +357,46 @@ object CdcQueries {
       |WHERE rn = 1 AND op <> 'delete'
       |GROUP BY 1 ORDER BY cohort""".stripMargin
 
+  // ---- cdc_agg_moving: group-MOVING incremental maintenance ---------------
+
+  /** The general IVM case ([[AggMaintenance.movingDeltas]]): the
+    * rollup groups by the state row's CURRENT op — an update moves a
+    * key from the `insert` group to the `update` group, so its delta
+    * must retract from the old group and add to the new one (two
+    * delta rows per event). The oracle aggregates latest-wins state
+    * by op directly; matching it across a two-batch replay proves the
+    * retraction targeting, not just additive accumulation.
+    */
+  private def cdcAggMoving(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-aggmoving").toString + "/rollup"
+    val imaged = AggMaintenance
+      .withImages(ChangeFeed.fromEvents(Tables.events(s, d))
+        .select("pos", "pk", "op", "value"))
+      .localCheckpoint(true)
+    val mid = imaged.agg(expr("percentile_approx(pos, 0.5)")).collect()(0).getLong(0)
+    val groupOf = (p: String) => col(s"${p}op")
+    AggMaintenance.applyMovingDelta(s, dir, imaged.filter(col("pos") <= mid),
+      groupOf, "op_grp")
+    AggMaintenance.applyMovingDelta(s, dir, imaged.filter(col("pos") > mid),
+      groupOf, "op_grp")
+    AggMaintenance.read(s, dir, "op_grp")
+  }
+
+  private val cdcAggMovingOracle: String =
+    """SELECT op AS op_grp,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT value,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND op <> 'delete'
+      |GROUP BY 1 ORDER BY op_grp""".stripMargin
+
   // ---- cdc_state_stream: streaming latest-wins state under the gate -------
 
   /** [[graft.streaming.CdcStream.latestState]] driver-checked: the
@@ -690,6 +730,7 @@ object CdcQueries {
     "cdc_gtid_multi" -> (cdcGtidMulti _),
     "cdc_tx_batches" -> (cdcTxBatches _),
     "cdc_agg_maint" -> (cdcAggMaint _),
+    "cdc_agg_moving" -> (cdcAggMoving _),
     "cdc_state_stream" -> (cdcStateStream _),
     "cdc_join_stream" -> (cdcJoinStream _),
     "cdc_dedup_stream" -> (cdcDedupStream _),
@@ -707,6 +748,7 @@ object CdcQueries {
     "cdc_gtid_multi" -> cdcGtidMultiOracle,
     "cdc_tx_batches" -> cdcTxBatchesOracle,
     "cdc_agg_maint" -> cdcAggMaintOracle,
+    "cdc_agg_moving" -> cdcAggMovingOracle,
     "cdc_state_stream" -> cdcStateStreamOracle,
     "cdc_join_stream" -> cdcJoinStreamOracle,
     "cdc_dedup_stream" -> cdcDedupStreamOracle,

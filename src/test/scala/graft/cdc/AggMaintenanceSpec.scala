@@ -63,6 +63,24 @@ class AggMaintenanceSpec extends AnyFunSuite {
     assert(maintained((1L to 9L)) == want) // one event per batch
   }
 
+  test("group-moving deltas retarget retractions when an update changes the group") {
+    // group = current op: pk 1 moves insert -> update; pk 2 leaves via
+    // delete; pk 3 returns as insert after a delete
+    val dir = s"target/tmp/aggmove-${System.nanoTime()}/rollup"
+    val imaged = AggMaintenance.withImages(feed)
+    val groupOf = (p: String) => col(s"${p}op")
+    // one event per batch — worst-case slicing
+    (1L to 10L).foreach { pos =>
+      val b = imaged.filter(col("pos") === pos)
+      if (!b.isEmpty) AggMaintenance.applyMovingDelta(spark, dir, b, groupOf, "op_grp")
+    }
+    val got = AggMaintenance.read(spark, dir, "op_grp").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value")))
+      .toMap
+    // final state: pk1=update 13.0, pk3=insert 6.0, pk4=update 8.0, pk11=insert 2.5
+    assert(got == Map("insert" -> (2L, 8.5), "update" -> (2L, 21.0)))
+  }
+
   test("cohorts whose rows all die are absent, not zero") {
     val dir = s"target/tmp/aggmaint-${System.nanoTime()}/rollup"
     val death = Seq((1L, 2L, "insert", 7.0), (2L, 2L, "delete", 0.0))
