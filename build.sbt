@@ -16,6 +16,11 @@ run / fork := true
 // which breaks any consumer that json-parses Bench's single JSON
 // output line from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line so the
+// forked app's final stdout line (Bench's single JSON object) really
+// is the last line of the process output — consumers parse it from
+// there.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

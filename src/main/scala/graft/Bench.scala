@@ -56,12 +56,16 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the whole line within a ~2000-char tail
+    // window; ms precision is below this host's noise floor anyway.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so no shutdown logging can land after
+    // the JSON line — it must be the process's final stdout line.
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }
