@@ -124,17 +124,48 @@ object CdcPipeline {
     * old rows null-fill new columns), amortized O(state) once per DDL;
     * every schema-stable batch takes the O(batch) COW path.
     */
+  /** Run `body` only if the batch's GTID set is non-empty and not
+    * already covered by the watermark; advance the watermark after.
+    * The shared dedupe/resume protocol of every apply flavor.
+    */
+  private def gatedApply(
+      spark: SparkSession,
+      store: WatermarkStore,
+      source: String,
+      batch: DataFrame
+  )(body: => Unit): Unit = {
+    val set = batchGtidSet(batch, source)
+    if (set.isEmpty) return
+    if (store.covered(spark, source, SnapshotJob.schemaName, "events", set)) return
+    body
+    store.upsert(spark, Seq(
+      TableWatermark(source, SnapshotJob.schemaName, "events", set.serialize)))
+  }
+
+  /** A bucket whose every key was just deleted is absent from the
+    * written frame — a dynamic partition overwrite would leave its old
+    * files behind, resurrecting dropped rows. Remove those partition
+    * dirs explicitly (same local-FS seam as the sidecar).
+    */
+  private def removeEmptiedBuckets(
+      stateDir: String, touched: Seq[Int], present: Set[Int]): Unit =
+    touched.filterNot(present).foreach { b =>
+      val dir = java.nio.file.Paths.get(stateDir, s"$bucketCol=$b")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+
   def applyBatch(
       spark: SparkSession,
       store: WatermarkStore,
       stateDir: String,
       source: String,
       batch: DataFrame
-  ): Unit = {
-    val set = batchGtidSet(batch, source)
-    if (set.isEmpty) return
-    if (store.covered(spark, source, SnapshotJob.schemaName, "events", set)) return
-
+  ): Unit = gatedApply(spark, store, source, batch) {
     val bucketed = batch.withColumn(bucketCol, bucketOf(bucketCount(stateDir)))
 
     def write(df: DataFrame, dynamic: Boolean): Unit =
@@ -172,25 +203,94 @@ object CdcPipeline {
             st.unionByName(SchemaEvolution.conform(bucketed, target)))
             .localCheckpoint(true)
           write(out, dynamic = true)
-          // a bucket whose every key was just deleted is absent from
-          // the written frame — dynamic overwrite would leave its old
-          // files, resurrecting dropped rows. Remove those partition
-          // dirs explicitly (same local-FS seam as the sidecar).
           val present =
             out.select(bucketCol).distinct().collect().map(_.getInt(0)).toSet
-          touched.filterNot(present).foreach { b =>
-            val dir = java.nio.file.Paths.get(stateDir, s"$bucketCol=$b")
-            if (java.nio.file.Files.exists(dir)) {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-                .sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.delete)
-            }
-          }
+          removeEmptiedBuckets(stateDir, touched.toSeq, present)
         }
     }
-    store.upsert(spark, Seq(
-      TableWatermark(source, SnapshotJob.schemaName, "events", set.serialize)))
+  }
+
+  /** Merge-on-read alternative to [[applyBatch]]: append the batch's
+    * raw feed rows as DELTA FILES inside the bucket directories and
+    * defer the latest-wins merge to read time — strict O(batch) write
+    * cost with zero state reads, where the COW path pays
+    * O(touched-bucket state) per batch. The Hudi/Iceberg MOR pattern
+    * without the dependency: base files are earlier latest-wins
+    * compactions, delta files are raw feed rows (including `delete`
+    * tombstones), and both speak the same schema, so
+    * [[readState]]'s single `latestState` pass over ALL files is the
+    * whole merge — no base/delta bookkeeping. [[compact]] folds a
+    * bucket back to one file when its file count (the read-amp)
+    * exceeds a threshold; [[applyBatch]] on a delta-carrying bucket
+    * also folds it, so the two apply flavors compose freely.
+    *
+    * An evolved batch schema falls back to the COW path's one-off
+    * migration (delta files narrower than the sidecar schema are
+    * fine — missing columns read as null — but a WIDER batch must
+    * migrate the table).
+    */
+  def appendDeltas(
+      spark: SparkSession,
+      store: WatermarkStore,
+      stateDir: String,
+      source: String,
+      batch: DataFrame
+  ): Unit = MetaTables.readStateSchema(spark, stateDir) match {
+    case None => applyBatch(spark, store, stateDir, source, batch)
+    case Some(old) =>
+      val bucketed = batch.withColumn(bucketCol, bucketOf(bucketCount(stateDir)))
+      if (mergedSchema(old, bucketed.schema) != old)
+        applyBatch(spark, store, stateDir, source, batch)
+      else gatedApply(spark, store, source, batch) {
+        SchemaEvolution.conform(bucketed, old)
+          .repartition(col(bucketCol))
+          .write
+          .mode("append")
+          .partitionBy(bucketCol)
+          .parquet(stateDir)
+      }
+  }
+
+  /** Current state under merge-on-read: one latest-wins pass over
+    * base + delta files. On a fully compacted table this is a no-op
+    * window over already-unique keys.
+    */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val schema = MetaTables.readStateSchema(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"no state table at $stateDir"))
+    ChangeFeed.latestState(spark.read.schema(schema).parquet(stateDir))
+  }
+
+  /** Fold every bucket whose file count exceeds `maxFilesPerBucket`
+    * back to a single latest-wins base file. Only the over-threshold
+    * buckets are read and rewritten (partition-pruned read, dynamic
+    * partition overwrite) — untouched buckets' files are never
+    * opened. Tombstones drop out here, exactly as they do on the COW
+    * path; a bucket left empty (every key deleted) loses its
+    * directory. Returns the compacted bucket ids.
+    */
+  def compact(
+      spark: SparkSession,
+      stateDir: String,
+      maxFilesPerBucket: Int = 4
+  ): Seq[Int] = {
+    val targets = stateMetrics(spark, stateDir)
+      .filter(col("n_files") > maxFilesPerBucket)
+      .select(bucketCol).collect().map(_.getInt(0)).toSeq
+    if (targets.isEmpty) Seq.empty
+    else {
+      val schema = MetaTables.readStateSchema(spark, stateDir).getOrElse(
+        throw new IllegalStateException(s"no state table at $stateDir"))
+      val merged = ChangeFeed.latestState(
+        spark.read.schema(schema).parquet(stateDir)
+          .filter(col(bucketCol).isin(targets.map(Integer.valueOf): _*)))
+        .localCheckpoint(true)
+      writeBucketed(stateDir, merged, dynamic = true)
+      val present =
+        merged.select(bucketCol).distinct().collect().map(_.getInt(0)).toSet
+      removeEmptiedBuckets(stateDir, targets, present)
+      targets
+    }
   }
 
   /** Write a state frame in the bucketed layout: one file per bucket

@@ -127,6 +127,43 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_mor_state: merge-on-read deltas + compaction --------------------
+
+  /** [[CdcPipeline.appendDeltas]]/[[CdcPipeline.readState]]/
+    * [[CdcPipeline.compact]] under the gate: the feed lands as a COW
+    * base plus two O(batch) delta appends, hot buckets are compacted,
+    * and the merge-on-read result must equal DuckDB's direct
+    * latest-wins materialization — the same oracle the COW path
+    * answers to, proving the two apply flavors are interchangeable.
+    * Deletes ride the deltas as tombstones, so the oracle also checks
+    * that read-time merge hides deleted keys before compaction folds
+    * them away.
+    */
+  private def cdcMorState(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mor").toString
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
+    val Array(q1, q2) = feed.stat.approxQuantile("pos", Array(0.33, 0.66), 0.0)
+    CdcPipeline.applyBatch(s, store, dir, "harness-src",
+      feed.filter(col("pos") <= q1.toLong))
+    CdcPipeline.appendDeltas(s, store, dir, "harness-src",
+      feed.filter(col("pos") > q1.toLong && col("pos") <= q2.toLong))
+    CdcPipeline.appendDeltas(s, store, dir, "harness-src",
+      feed.filter(col("pos") > q2.toLong))
+    CdcPipeline.compact(s, dir, maxFilesPerBucket = 2)
+    CdcPipeline.readState(s, dir)
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k")
+      )
+      .orderBy("user_id")
+  }
+
   // ---- cdc_transport: the generic ChangeEvent envelope --------------------
 
   /** The reference's event model in flight (#22 + `event.go:3-12`):
@@ -725,6 +762,7 @@ object CdcQueries {
     "cdc_snapshot" -> (cdcSnapshot _),
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
+    "cdc_mor_state" -> (cdcMorState _),
     "cdc_transport" -> (cdcTransport _),
     "cdc_gtid_agg" -> (cdcGtidAgg _),
     "cdc_gtid_multi" -> (cdcGtidMulti _),
@@ -743,6 +781,7 @@ object CdcQueries {
     "cdc_snapshot" -> cdcSnapshotOracle,
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
+    "cdc_mor_state" -> latestStateOracle,
     "cdc_transport" -> latestStateOracle,
     "cdc_gtid_agg" -> cdcGtidAggOracle,
     "cdc_gtid_multi" -> cdcGtidMultiOracle,

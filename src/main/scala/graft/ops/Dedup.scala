@@ -490,10 +490,34 @@ object Dedup {
     */
   private def d7DupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = d4Simhash(s, d).select(col("id_a"), col("id_b"))
-    val edges = pairs
+    val edgesWide = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .localCheckpoint(true)
+    // The CC working set (edges emitted by the near-dup detector) is
+    // orders of magnitude smaller than the corpus, so the corpus's
+    // partitioning is the wrong unit for the iterative phase: size it
+    // to the measured edge count instead (~1M edges/partition), or
+    // every round pays full-width task overhead to move a few rows.
+    val nParts = math.max(1L,
+      math.min(s.sparkContext.defaultParallelism.toLong,
+        edgesWide.count() / 1000000L + 1L)).toInt
+    val edges =
+      if (edgesWide.rdd.getNumPartitions > nParts)
+        edgesWide.coalesce(nParts).localCheckpoint(true)
+      else edgesWide
+    // For a working set this small, AQE's stage-by-stage re-planning
+    // costs more wall-clock than it saves (each round is already a
+    // known single-partition plan); at a large measured edge count
+    // nParts > 1 and AQE stays on to handle skewed label joins.
+    val conf = s.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled")
+    val sp0 = conf.get("spark.sql.shuffle.partitions")
+    if (nParts < edgesWide.rdd.getNumPartitions) {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    }
+    try {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
@@ -504,16 +528,20 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
         .groupBy(col("dst").as("nid"))
         .agg(min(col("src_lbl")).as("nbr_lbl"))
+      // The improvement flag rides along in the same pass (nbr_lbl <
+      // lbl ⇔ this round changed the label), so convergence detection
+      // is a scan of the just-checkpointed frame — not the extra
+      // shuffle join-back against the previous labels it used to be.
       val next = labels
         .join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl"))
+            .cast("long").as("chg"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old"))
-        .count()
-      labels = next
+      val changed =
+        next.agg(sum(col("chg"))).head().getLong(0)
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       rounds += 1
     }
@@ -524,6 +552,13 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
         (col("id") === col("cluster")).cast("int").as("keep"))
       .orderBy("doc_id")
+      // materialize inside the conf scope (q44 pattern) so the final
+      // rollup also runs under the loop's sizing, then restore
+      .localCheckpoint(true)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", sp0)
+    }
   }
 
   private val d7Oracle: String =

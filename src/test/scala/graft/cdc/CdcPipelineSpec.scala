@@ -311,4 +311,84 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(CdcPipeline.stateMetrics(spark, dir).agg(sum(col("n_rows"))).collect()(0)
       .getLong(0) == before.size)
   }
+
+  test("merge-on-read deltas read back correctly and compact folds only hot buckets") {
+    import org.apache.spark.sql.functions.col
+    val base = s"target/tmp/cdcmor-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    val full = ChangeFeed.fromEvents(Tables.events(spark, sf))
+      .localCheckpoint(true)
+    val Array(q1, q2) = full.stat.approxQuantile("pos", Array(0.33, 0.66), 0.0)
+    val (c1, c2) = (q1.toLong, q2.toLong)
+
+    // base via COW, then two O(batch) delta appends
+    CdcPipeline.applyBatch(spark, store, dir, "src", full.filter(col("pos") <= c1))
+    CdcPipeline.appendDeltas(spark, store, dir, "src",
+      full.filter(col("pos") > c1 && col("pos") <= c2))
+    CdcPipeline.appendDeltas(spark, store, dir, "src", full.filter(col("pos") > c2))
+
+    // merge-on-read equals the one-shot materialization
+    def morRows(): Set[(Long, Long, String)] =
+      CdcPipeline.readState(spark, dir).select("pk", "pos", "op").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(morRows() == expectedState())
+
+    // deltas really did stack: some bucket carries base + 2 delta files
+    val m1 = CdcPipeline.stateMetrics(spark, dir).collect()
+    assert(m1.exists(_.getAs[Int]("n_files") >= 3),
+      "delta appends must accumulate files in hot buckets")
+
+    // replayed delta batch is GTID-gated into a no-op (same protocol
+    // as the COW path)
+    val t1 = maxMtime(dir)
+    CdcPipeline.appendDeltas(spark, store, dir, "src", full.filter(col("pos") > c2))
+    assert(maxMtime(dir) == t1, "replayed deltas must be gated to a no-op")
+
+    // compact(2): buckets with <=2 files keep their exact files;
+    // hotter ones fold to one file; state content is unchanged
+    val cold = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val hot = m1.filter(_.getAs[Int]("n_files") > 2).map(_.getAs[Int]("bucket")).toSet
+      walk(new File(dir)).filter(_.getName.endsWith(".parquet"))
+        .filterNot(f => hot.exists(b => f.getPath.contains(s"bucket=$b/")))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val compacted = CdcPipeline.compact(spark, dir, maxFilesPerBucket = 2)
+    assert(compacted.nonEmpty)
+    assert(morRows() == expectedState(), "compaction must not change state content")
+    val m2 = CdcPipeline.stateMetrics(spark, dir).collect()
+    assert(m2.forall(_.getAs[Int]("n_files") <= 2), "hot buckets must fold")
+    cold.foreach { case (p, t) =>
+      assert(new File(p).lastModified() == t, s"cold bucket file rewritten: $p")
+    }
+  }
+
+  test("MOR delete tombstones survive until compaction and emptied buckets vanish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = s"target/tmp/cdcmortomb-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    def feed(rows: (Long, Long, String)*) =
+      rows.toSeq.toDF("pos", "pk", "op")
+        .select(col("pos"), lit(new java.sql.Timestamp(0L)).as("ts"), col("pk"),
+          col("op"), lit(1.0).as("value"), lit("{}").as("props"))
+    // two keys in (very likely) different buckets
+    CdcPipeline.applyBatch(spark, store, dir, "src",
+      feed((1L, 10L, "insert"), (2L, 11L, "insert")))
+    // delta deletes key 10 — merge-on-read must hide it immediately
+    CdcPipeline.appendDeltas(spark, store, dir, "src", feed((3L, 10L, "delete")))
+    assert(CdcPipeline.readState(spark, dir).select("pk").as[Long].collect().toSet
+      == Set(11L))
+    // compaction folds the tombstone away; if the delete emptied its
+    // bucket the directory itself must go
+    CdcPipeline.compact(spark, dir, maxFilesPerBucket = 1)
+    assert(CdcPipeline.readState(spark, dir).select("pk").as[Long].collect().toSet
+      == Set(11L))
+    val buckets = CdcPipeline.stateMetrics(spark, dir).collect()
+    assert(buckets.forall(_.getAs[Long]("n_rows") > 0),
+      "no bucket directory may survive with zero live rows")
+  }
 }
