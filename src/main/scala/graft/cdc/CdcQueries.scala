@@ -145,13 +145,19 @@ object CdcQueries {
     val store = new WatermarkStore(s"$base/wm")
     val dir = s"$base/state"
     val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
-    val Array(q1, q2) = feed.stat.approxQuantile("pos", Array(0.33, 0.66), 0.0)
+    // Batch boundaries at thirds of the pos RANGE: one narrow min/max
+    // agg over the checkpointed feed (replacing a full approxQuantile
+    // sketch pass — the boundaries only need to land SOME events in
+    // each batch, which thirds of the range do for any TESTDATA sf).
+    val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (q1, q2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
     CdcPipeline.applyBatch(s, store, dir, "harness-src",
-      feed.filter(col("pos") <= q1.toLong))
+      feed.filter(col("pos") <= q1))
     CdcPipeline.appendDeltas(s, store, dir, "harness-src",
-      feed.filter(col("pos") > q1.toLong && col("pos") <= q2.toLong))
+      feed.filter(col("pos") > q1 && col("pos") <= q2))
     CdcPipeline.appendDeltas(s, store, dir, "harness-src",
-      feed.filter(col("pos") > q2.toLong))
+      feed.filter(col("pos") > q2))
     CdcPipeline.compact(s, dir, maxFilesPerBucket = 2)
     CdcPipeline.readState(s, dir)
       .select(

@@ -143,24 +143,38 @@ object WatermarkGate {
   */
 final class WatermarkStore(path: String) {
 
+  /** In-process cache of the table's rows. The store is single-writer
+    * control-plane state (the contract [[upsert]] already documents),
+    * so within one store instance every read after the first — and
+    * after every upsert — is answered from memory instead of a parquet
+    * job. A fresh instance (restart, another process's run) re-reads
+    * disk; the reference makes the same session-cache assumption of
+    * its metadata MySQL connection.
+    */
+  @volatile private var cached: Option[Seq[TableWatermark]] = None
+
+  private def rows(spark: SparkSession): Seq[TableWatermark] =
+    cached.getOrElse {
+      import spark.implicits._
+      val r = MetaTables.readIfExists(spark, path) match {
+        case Some(df) => df.as[TableWatermark].collect().toSeq
+        case None => Seq.empty
+      }
+      cached = Some(r)
+      r
+    }
+
   def read(spark: SparkSession): Dataset[TableWatermark] = {
     import spark.implicits._
-    MetaTables.readIfExists(spark, path) match {
-      case Some(df) => df.as[TableWatermark]
-      case None => spark.emptyDataset[TableWatermark]
-    }
+    rows(spark).toDS()
   }
 
   /** Current watermark for one table (empty set when absent). */
-  def watermark(spark: SparkSession, source: String, schema: String, table: String): GtidSet = {
-    import spark.implicits._
-    read(spark)
-      .filter($"source" === source && $"schema" === schema && $"table" === table)
-      .collect()
-      .headOption
+  def watermark(spark: SparkSession, source: String, schema: String, table: String): GtidSet =
+    rows(spark)
+      .find(w => w.source == source && w.schema == schema && w.table == table)
       .map(w => GtidSet.parse(w.pos))
       .getOrElse(GtidSet.empty)
-  }
 
   /** True iff `candidate` brings nothing new for the table — every
     * GTID already covered ([[GtidSet.subsetOf]]): the replay/resume
@@ -176,10 +190,9 @@ final class WatermarkStore(path: String) {
     * single-writer control-plane state (same assumption the reference
     * makes of its metadata DB).
     */
-  def upsert(spark: SparkSession, rows: Seq[TableWatermark]): Unit = {
+  def upsert(spark: SparkSession, newRows: Seq[TableWatermark]): Unit = {
     import spark.implicits._
-    val existing = read(spark).collect()
-    val merged = (existing ++ rows)
+    val merged = (rows(spark) ++ newRows)
       .groupBy(w => (w.source, w.schema, w.table))
       .map { case ((src, sc, tb), ws) =>
         val set = ws.foldLeft(GtidSet.empty)((acc, w) => acc.merge(GtidSet.parse(w.pos)))
@@ -188,5 +201,6 @@ final class WatermarkStore(path: String) {
       .toSeq
       .sortBy(w => (w.source, w.schema, w.table))
     merged.toDS().coalesce(1).write.mode("overwrite").parquet(path)
+    cached = Some(merged)
   }
 }

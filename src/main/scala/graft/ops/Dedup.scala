@@ -209,7 +209,7 @@ object Dedup {
     // exact verification only for candidates: the shingle sets come
     // back via two co-partitioned joins on doc_id (candidate count is
     // tiny next to the corpus)
-    cands
+    val out = cands
       .join(shs.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
       .join(shs.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
       .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
@@ -218,6 +218,12 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
       .orderBy("id_a", "id_b")
+      // eager-materialize the (tiny) result while the shingle cache is
+      // hot, then RELEASE the cache: the operator owns its persist()
+      // lifecycle instead of leaking blocks into a long-lived session
+      .localCheckpoint(true)
+    shs.unpersist(blocking = false)
+    out
   }
 
   private val d3Oracle: String = {
@@ -467,20 +473,73 @@ object Dedup {
 
   // ---- d7: duplicate-cluster resolution (connected components) ------------
 
+  /** Min-label propagation with per-round POINTER JUMPING (path
+    * compression): each round every node takes
+    * `min(own label, neighbors' labels)` and then jumps once more to
+    * that candidate's OWN label — label(label(v)) — so the distance a
+    * label has travelled doubles per round instead of growing by one.
+    * A duplication *chain* of length n (the adversarial diameter case)
+    * converges in O(log n) rounds, same fixpoint as plain propagation
+    * (stable ⟺ labels constant along edges ⟺ component minimum).
+    * This is the alternating-contraction idea of Kiveris et al.,
+    * "Connected Components in MapReduce" (large-star/small-star), in
+    * the join+min shape; two distributed joins per round,
+    * `localCheckpoint` per round caps lineage.
+    *
+    * `edges` must carry both directions (src, dst). Returns the
+    * (id, lbl) labels and the round count (spec-bounded to
+    * ~2·log₂(n) on a planted chain).
+    *
+    * `broadcastLabels = true` map-side-joins the label frames (no
+    * exchange inside a round) — correct ONLY when the caller has
+    * measured the working set small (the nParts == 1 regime below);
+    * at corpus scale the label frame is data-sized and the rounds
+    * must shuffle hash-partitioned instead.
+    */
+  private[ops] def clusterLabels(
+      edges: DataFrame,
+      broadcastLabels: Boolean = false,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    def hint(df: DataFrame): DataFrame = if (broadcastLabels) broadcast(df) else df
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(hint(labels.select(col("id").as("src"), col("lbl").as("src_lbl"))), "src")
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("src_lbl")).as("nbr_lbl"))
+      val cand = labels
+        .join(hint(nbrMin), col("id") === col("nid"), "left")
+        .select(col("id"), col("lbl").as("lbl0"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("cand"))
+      // pointer jump: follow the candidate to ITS label (label(x) ≤ x
+      // invariantly, so the jump only ever improves); the convergence
+      // flag rides the same pass — no join-back against old labels
+      val next = cand
+        .join(hint(labels.select(col("id").as("pid"), col("lbl").as("plbl"))),
+          col("cand") === col("pid"), "left")
+        .select(col("id"),
+          least(col("cand"), coalesce(col("plbl"), col("cand"))).as("lbl"),
+          (least(col("cand"), coalesce(col("plbl"), col("cand"))) < col("lbl0"))
+            .cast("long").as("chg"))
+        .localCheckpoint(true)
+      val changed = next.agg(sum(col("chg"))).head().getLong(0)
+      labels = next.select(col("id"), col("lbl"))
+      converged = changed == 0
+      rounds += 1
+    }
+    (labels, rounds)
+  }
+
   /** Pairs → CLUSTERS: near-dup detectors emit pairwise edges, but
     * keep/drop decisions need the transitive closure — if A≈B and
     * B≈C, all three are one cluster with one canonical survivor even
     * when (A, C) was never emitted as a pair. Connected components by
-    * iterative min-label propagation over the d4 edge set: each round
-    * every node takes the minimum label in its neighborhood, run to
-    * fixpoint. That is the Spark-shaped iterative algorithm — a
-    * driver loop of a few DISTRIBUTED join+aggregate rounds
-    * (`localCheckpoint` per round caps lineage), converging in
-    * O(component diameter) rounds; near-dup clusters are shallow, so
-    * 3–4 rounds in practice. At extreme scale the round count drops
-    * to O(log n) with the large-star/small-star transforms
-    * (Kiveris et al., "Connected Components in MapReduce"); the
-    * per-round plan here is the same join+min shape.
+    * [[clusterLabels]] (pointer-jumping min-label propagation — a
+    * driver loop of a few DISTRIBUTED join+aggregate rounds).
     *
     * The oracle computes the same closure with a recursive CTE — a
     * completely different evaluation strategy, which makes the
@@ -488,7 +547,12 @@ object Dedup {
     * clustered doc with its canonical (minimum) doc id; keep = the
     * canonical, drop = the rest.
     */
-  private def d7DupClusters(s: SparkSession, d: String): DataFrame = {
+  private def d7DupClusters(s0: SparkSession, d: String): DataFrame = {
+    // Conf isolation: the iterative loop wants its own shuffle width
+    // and AQE setting. A CHILD session (shared SparkContext, isolated
+    // SQL conf) scopes them to this operator — the parent session's
+    // conf is never touched, so concurrent queries on it are safe.
+    val s = s0.newSession()
     val pairs = d4Simhash(s, d).select(col("id_a"), col("id_b"))
     val edgesWide = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
@@ -510,41 +574,13 @@ object Dedup {
     // costs more wall-clock than it saves (each round is already a
     // known single-partition plan); at a large measured edge count
     // nParts > 1 and AQE stays on to handle skewed label joins.
-    val conf = s.conf
-    val aqe0 = conf.get("spark.sql.adaptive.enabled")
-    val sp0 = conf.get("spark.sql.shuffle.partitions")
     if (nParts < edgesWide.rdd.getNumPartitions) {
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions", nParts.toString)
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", nParts.toString)
     }
-    try {
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("src_lbl")).as("nbr_lbl"))
-      // The improvement flag rides along in the same pass (nbr_lbl <
-      // lbl ⇔ this round changed the label), so convergence detection
-      // is a scan of the just-checkpointed frame — not the extra
-      // shuffle join-back against the previous labels it used to be.
-      val next = labels
-        .join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl"))
-            .cast("long").as("chg"))
-        .localCheckpoint(true)
-      val changed =
-        next.agg(sum(col("chg"))).head().getLong(0)
-      labels = next.select(col("id"), col("lbl"))
-      converged = changed == 0
-      rounds += 1
-    }
+    // single-partition working set ⟹ the label frames are broadcast-
+    // joinable by construction (measured ≤ ~1M edges)
+    val (labels, _) = clusterLabels(edges, broadcastLabels = nParts == 1)
     labels
       .groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -552,13 +588,10 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
         (col("id") === col("cluster")).cast("int").as("keep"))
       .orderBy("doc_id")
-      // materialize inside the conf scope (q44 pattern) so the final
-      // rollup also runs under the loop's sizing, then restore
+      // materialize while the child session is current (q44 pattern):
+      // the rollup runs under the loop's sizing; the returned frame is
+      // checkpointed blocks, independent of the child's conf
       .localCheckpoint(true)
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqe0)
-      conf.set("spark.sql.shuffle.partitions", sp0)
-    }
   }
 
   private val d7Oracle: String =

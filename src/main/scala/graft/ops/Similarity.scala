@@ -190,10 +190,15 @@ object Similarity {
       )
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored
+    val out = scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .orderBy("qid", "rnk")
+      // materialize the top-k while the bucketed cache is hot, then
+      // release it — the operator owns its persist() lifecycle
+      .localCheckpoint(true)
+    bucketed.unpersist(blocking = false)
+    out
   }
 
   private val s2Oracle: String =
@@ -228,7 +233,7 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.0001)").as("v")
       )
     val bucketed = Similarity.bucketed(base.union(planted), dedupBits).persist()
-    bucketed.as("a")
+    val out = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -237,6 +242,11 @@ object Similarity {
       )
       .filter(col("cos") >= 0.999)
       .orderBy("id_a", "id_b")
+      // materialize the pair list while the bucketed cache is hot,
+      // then release it — no leaked blocks outside the harness loop
+      .localCheckpoint(true)
+    bucketed.unpersist(blocking = false)
+    out
   }
 
   private val s3Oracle: String =

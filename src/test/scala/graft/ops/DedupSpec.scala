@@ -113,4 +113,38 @@ class DedupSpec extends AnyFunSuite {
       .count()
     assert(cands < 10L * n, s"candidate explosion: $cands pairs for $n docs")
   }
+
+  test("cluster labels converge in O(log n) rounds on a planted duplication chain") {
+    // A 100-node CHAIN is the adversarial diameter case for connected
+    // components: plain min-label propagation needs ~n rounds (the min
+    // label travels one hop per round); pointer jumping doubles the
+    // travelled distance per round, so ≤ ~2·log₂(n) rounds must
+    // suffice — the property that keeps a pathological duplication
+    // chain from turning d7 into a 100-round job at corpus scale.
+    import spark.implicits._
+    val n = 100
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.toDF("src", "dst").select(col("dst"), col("src")))
+      .localCheckpoint(true)
+    val (labels, rounds) = Dedup.clusterLabels(edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      "every chain node must resolve to the minimum label")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"chain of $n converged in $rounds rounds (bound $bound)")
+  }
+
+  test("d7 leaves the shared session's conf untouched") {
+    val conf = spark.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled")
+    val sp0 = conf.get("spark.sql.shuffle.partitions")
+    val rows = Dedup.queries("d7_dup_clusters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(conf.get("spark.sql.adaptive.enabled") == aqe0)
+    assert(conf.get("spark.sql.shuffle.partitions") == sp0)
+    // canonical member is its own cluster and carries keep = 1
+    assert(rows.filter(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster"))
+      .forall(_.getAs[Int]("keep") == 1))
+  }
 }

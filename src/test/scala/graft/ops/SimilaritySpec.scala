@@ -200,4 +200,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"missing planted pairs: ${(0L until 20L).toSet -- planted}")
     assert(rows.forall(_.getAs[Double]("cos") >= 0.999))
   }
+
+  test("persisting operators release their caches: d3/s2/s3 back-to-back leak nothing") {
+    // Outside the harness's clearCache-between-queries loop, a
+    // long-lived session embedding these operators must not accrete
+    // cached intermediates: each one persists its shingle/bucket
+    // table, materializes its (tiny) result, and unpersists. The only
+    // blocks allowed to remain are the eager result checkpoints —
+    // ≤ 1 net persistent RDD per query.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    def nCached = sc.getPersistentRDDs.size
+    val base = nCached
+    graft.ops.Dedup.queries("d3_minhash_lsh")(spark, sf).count()
+    assert(nCached - base <= 1, s"d3 leaked ${nCached - base} cached RDDs")
+    Similarity.queries("s2_ann_bucket")(spark, sf).count()
+    assert(nCached - base <= 2, s"s2 leaked ${nCached - base - 1} cached RDDs")
+    Similarity.queries("s3_embedding_dedup")(spark, sf).count()
+    assert(nCached - base <= 3, s"s3 leaked ${nCached - base - 2} cached RDDs")
+  }
 }
