@@ -170,6 +170,50 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_jdbc_catalog: the snapshot pipeline through the JDBC seam ------
+
+  /** Ops #1–#4 + #12 through [[JdbcCatalog]] against an embedded
+    * Derby database ([[DerbyHarness]]): schema discovery via the
+    * reference's `information_schema.schemata` query, table listing +
+    * rule pruning (the SCRATCH schema never reaches a scan), DDL
+    * extraction, PK discovery with the composite-key ORDERS table,
+    * and the no-PK AUDIT_LOG rejected as a rollback envelope without
+    * being read (`mysql_data_source.go:24-125`,
+    * `fullamount_service.go:158-166`). The oracle states the envelope
+    * contract as literals — the data is harness-created, so the
+    * counts are exact; everything dynamic (catalog queries, JDBC
+    * scans, envelope assembly) happens Spark-side.
+    */
+  private def cdcJdbcCatalog(s: SparkSession, d: String): DataFrame = {
+    val name = s"graftcat${System.nanoTime()}"
+    val url = DerbyHarness.create(name)
+    try {
+      val rule = FilterRule(global = Some(TableFilter(includeSchemas = Seq("SHOP"))))
+      SnapshotJob
+        .snapshotFromCatalog(s, new JdbcCatalog(url, DerbyHarness.systemSchemas),
+          rule, snapshotPos)
+        .groupBy(col("schema").as("table_schema"), col("table").as("table_name"),
+          col("kind"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("table_schema", "table_name", "kind")
+        // materialize before the database is dropped — the returned
+        // frame must not re-read a connection that no longer exists
+        .localCheckpoint(true)
+    } finally DerbyHarness.drop(name)
+  }
+
+  private val cdcJdbcCatalogOracle: String =
+    """SELECT table_schema, table_name, kind, n FROM (VALUES
+      |  ('SHOP', 'AUDIT_LOG', 'rollback',     CAST(1 AS BIGINT)),
+      |  ('SHOP', 'CUSTOMERS', 'create_table', CAST(1 AS BIGINT)),
+      |  ('SHOP', 'CUSTOMERS', 'insert',       CAST(3 AS BIGINT)),
+      |  ('SHOP', 'CUSTOMERS', 'end',          CAST(1 AS BIGINT)),
+      |  ('SHOP', 'ORDERS',    'create_table', CAST(1 AS BIGINT)),
+      |  ('SHOP', 'ORDERS',    'insert',       CAST(4 AS BIGINT)),
+      |  ('SHOP', 'ORDERS',    'end',          CAST(1 AS BIGINT))
+      |) t(table_schema, table_name, kind, n)
+      |ORDER BY table_schema, table_name, kind""".stripMargin
+
   // ---- cdc_transport: the generic ChangeEvent envelope --------------------
 
   /** The reference's event model in flight (#22 + `event.go:3-12`):
@@ -769,6 +813,7 @@ object CdcQueries {
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
     "cdc_mor_state" -> (cdcMorState _),
+    "cdc_jdbc_catalog" -> (cdcJdbcCatalog _),
     "cdc_transport" -> (cdcTransport _),
     "cdc_gtid_agg" -> (cdcGtidAgg _),
     "cdc_gtid_multi" -> (cdcGtidMulti _),
@@ -788,6 +833,7 @@ object CdcQueries {
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,
+    "cdc_jdbc_catalog" -> cdcJdbcCatalogOracle,
     "cdc_transport" -> latestStateOracle,
     "cdc_gtid_agg" -> cdcGtidAggOracle,
     "cdc_gtid_multi" -> cdcGtidMultiOracle,

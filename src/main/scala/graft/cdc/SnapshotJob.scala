@@ -121,27 +121,28 @@ object SnapshotJob {
       df: DataFrame,
       table: String,
       pks: Option[Seq[String]],
-      pos: String
+      pos: String,
+      schema: String = schemaName
   ): Dataset[SnapshotEnvelope] = {
     import spark.implicits._
     pks match {
       case None | Some(Nil) =>
-        Seq(SnapshotEnvelope("rollback", schemaName, table, None, None, None,
+        Seq(SnapshotEnvelope("rollback", schema, table, None, None, None,
           Some(s"table $table has no primary key"))).toDS()
       case Some(keys) =>
         val missing = keys.filterNot(df.columns.contains)
         if (missing.nonEmpty)
-          Seq(SnapshotEnvelope("rollback", schemaName, table, None, None, None,
+          Seq(SnapshotEnvelope("rollback", schema, table, None, None, None,
             Some(s"table $table missing PK columns ${missing.mkString(",")}"))).toDS()
         else {
-          val create = Seq(SnapshotEnvelope("create_table", schemaName, table,
+          val create = Seq(SnapshotEnvelope("create_table", schema, table,
             Some(df.schema.toDDL), None, None, None)).toDS()
-          val end = Seq(SnapshotEnvelope("end", schemaName, table,
+          val end = Seq(SnapshotEnvelope("end", schema, table,
             None, None, Some(pos), None)).toDS()
           val inserts = df
             .select(
               lit("insert").as("kind"),
-              lit(schemaName).as("schema"),
+              lit(schema).as("schema"),
               lit(table).as("table"),
               lit(null).cast("string").as("ddl"),
               rowAsMap(df).as("data"),
@@ -172,6 +173,33 @@ object SnapshotJob {
         tableEnvelopes(spark, Tables.t(spark, sfDir, t), t, primaryKeys.get(t), pos)
       }
     // a rule that prunes everything is a valid (empty) snapshot, not a crash
+    if (perTable.isEmpty) spark.emptyDataset[SnapshotEnvelope]
+    else perTable.reduce(_ union _)
+  }
+
+  /** [[snapshot]] generalized over a [[CatalogSource]] — the SPI form
+    * of the reference's bootstrap (`data_source.go:77-112` walks the
+    * `DataSource` holder exactly like this): discover schemas, list
+    * and rule-prune tables BEFORE any scan, reject PK-less tables
+    * with a rollback envelope, and fan the allowed tables out as one
+    * lazy unioned plan. [[snapshot]] ≡ this over [[FsCatalog]]
+    * (spec-asserted); a JDBC deployment passes [[JdbcCatalog]].
+    */
+  def snapshotFromCatalog(
+      spark: SparkSession,
+      catalog: CatalogSource,
+      rule: FilterRule,
+      pos: String
+  ): Dataset[SnapshotEnvelope] = {
+    import spark.implicits._
+    val perTable = catalog
+      .listTables(catalog.listSchemas())
+      .filter { case (sc, t) => rule.allow(sc, t) }
+      .map { case (sc, t) =>
+        val pks = catalog.primaryKeys(sc, t)
+        tableEnvelopes(spark, catalog.readTable(spark, sc, t), t,
+          if (pks.isEmpty) None else Some(pks), pos, sc)
+      }
     if (perTable.isEmpty) spark.emptyDataset[SnapshotEnvelope]
     else perTable.reduce(_ union _)
   }

@@ -132,4 +132,79 @@ class SnapshotJobSpec extends AnyFunSuite {
       assert(k(gated) == k(direct))
     }
   }
+
+  test("snapshotFromCatalog over FsCatalog equals the inline FS snapshot") {
+    val rule = graft.model.FilterRule(global = Some(graft.model.TableFilter(
+      includeSchemas = Seq(SnapshotJob.schemaName), excludeTables = Seq("e_"))))
+    def key(df: org.apache.spark.sql.Dataset[graft.model.SnapshotEnvelope]) =
+      df.groupBy("schema", "table", "kind").count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val direct = key(SnapshotJob.snapshot(spark, sf, rule, "src:1-10"))
+    val seam = key(SnapshotJob.snapshotFromCatalog(
+      spark, new FsCatalog(spark, sf), rule, "src:1-10"))
+    assert(seam == direct, "the SPI path must reproduce the inline path exactly")
+  }
+
+  test("JdbcCatalog discovers the live Derby catalog through information_schema views") {
+    val name = s"graftcatspec${System.nanoTime()}"
+    val url = DerbyHarness.create(name)
+    try {
+      val cat = new JdbcCatalog(url, DerbyHarness.systemSchemas)
+      // op #1: user schemas only — Derby's system schemas excluded the
+      // way the reference excludes MySQL's (mysql_data_source.go:28)
+      assert(cat.listSchemas() == Seq("SCRATCH", "SHOP"))
+      // op #2: base tables per schema; the information_schema views
+      // themselves must not appear (table_type filter)
+      assert(cat.listTables(Seq("SHOP")).map(_._2).sorted ==
+        Seq("AUDIT_LOG", "CUSTOMERS", "ORDERS"))
+      // op #4: single and COMPOSITE keys in key order; empty for no-PK
+      assert(cat.primaryKeys("SHOP", "CUSTOMERS") == Seq("ID"))
+      assert(cat.primaryKeys("SHOP", "ORDERS") == Seq("ID", "ITEM"))
+      assert(cat.primaryKeys("SHOP", "AUDIT_LOG").isEmpty)
+      // op #3: DDL extraction through the engine schema
+      val ddl = cat.tableDDL(spark, "SHOP", "CUSTOMERS")
+      assert(ddl.contains("ID") && ddl.contains("NAME") && ddl.contains("BAL"))
+      // discovery is DYNAMIC: a table created after the fixture shows
+      // up without touching the views
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().executeUpdate(
+        "CREATE TABLE SHOP.LATECOMER(K INT NOT NULL PRIMARY KEY)")
+      finally c.close()
+      assert(cat.listTables(Seq("SHOP")).map(_._2).contains("LATECOMER"))
+      // the scan half round-trips typed data through spark.read.jdbc
+      val rows = cat.readTable(spark, "SHOP", "CUSTOMERS")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(rows == Set((1, "ada"), (2, "bob"), (3, "eve")))
+    } finally DerbyHarness.drop(name)
+  }
+
+  test("snapshot through the JDBC seam: pruning, rejection, and payload fidelity") {
+    import org.apache.spark.sql.functions.element_at
+    val name = s"graftcatsnap${System.nanoTime()}"
+    val url = DerbyHarness.create(name)
+    try {
+      val rule = graft.model.FilterRule(global = Some(graft.model.TableFilter(
+        includeSchemas = Seq("SHOP"))))
+      val env = SnapshotJob.snapshotFromCatalog(
+        spark, new JdbcCatalog(url, DerbyHarness.systemSchemas), rule, "src:1-99")
+        .localCheckpoint(true)
+      // SCRATCH pruned before any scan; AUDIT_LOG rejected, not read
+      assert(env.filter(col("schema") === "SCRATCH").count() == 0)
+      val audit = env.filter(col("table") === "AUDIT_LOG").collect()
+      assert(audit.length == 1 && audit(0).kind == "rollback"
+        && audit(0).err.exists(_.contains("no primary key")))
+      // envelope payloads carry the JDBC rows faithfully (op #7 over
+      // the seam): stringified map round-trip of a typed row
+      val ada = env
+        .filter(col("table") === "CUSTOMERS" && col("kind") === "insert")
+        .select(element_at(col("data"), "ID").cast("int").as("id"),
+          element_at(col("data"), "NAME").as("name"),
+          element_at(col("data"), "BAL").cast("double").as("bal"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+      assert(ada == Set((1, "ada", 10.5), (2, "bob", 0.25), (3, "eve", -3.0)))
+      // end envelopes carry the pinned position
+      assert(env.filter(col("kind") === "end").collect()
+        .forall(_.pos.contains("src:1-99")))
+    } finally DerbyHarness.drop(name)
+  }
 }
