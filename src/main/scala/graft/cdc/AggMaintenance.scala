@@ -50,9 +50,13 @@ object AggMaintenance {
   def withImages(feed: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pk")).orderBy(col("pos"))
-    feed
+    val base = feed
       .withColumn("prev_op", lag(col("op"), 1).over(w))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
+    // event-time rides along when present, so a WINDOWED rollup can
+    // target the before-image's window for its retraction
+    if (feed.columns.contains("ts")) base.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+    else base
   }
 
   /** Per-event rollup deltas (decimal-exact). */
@@ -140,6 +144,70 @@ object AggMaintenance {
       .filter(col("n_rows") =!= 0 || col("sum_value") =!= 0)
       .localCheckpoint(true)
     out.coalesce(1).write.mode("overwrite").parquet(rollupDir)
+  }
+
+  /** [[applyMovingDelta]] against a BUCKETED rollup layout — for
+    * rollups whose group key is data-sized (per-window, per-entity)
+    * rather than a handful of cohorts. The rollup parquet is
+    * hash-partitioned on `pmod(hash(grp), nBuckets)` exactly like the
+    * [[CdcPipeline]] state table, and one apply:
+    *
+    *   1. aggregates the batch's deltas (O(batch), map-side partial);
+    *   2. collects the touched bucket ids (≤ nBuckets — control
+    *      plane);
+    *   3. reads ONLY the touched buckets of the existing rollup
+    *      (partition-pruned), merges, and dynamic-overwrites those
+    *      buckets.
+    *
+    * Per-batch cost is O(batch + touched-bucket rollup) ON DISK TOO —
+    * the property the flat layout loses once the rollup outgrows a
+    * single overwrite. A bucket whose every group zeroes out loses
+    * its directory (same emptied-bucket rule as the state sink).
+    */
+  def applyMovingDeltaBucketed(
+      spark: SparkSession, rollupDir: String, batchImaged: DataFrame,
+      groupOf: String => org.apache.spark.sql.Column, keyName: String,
+      nBuckets: Int = 16): Unit = {
+    val d = movingDeltas(batchImaged, groupOf)
+      .groupBy(col("grp").as(keyName))
+      .agg(sum(col("d_n")).as("n_rows"), sum(col("d_sum")).as("sum_value"))
+      .withColumn("rbucket", pmod(hash(col(keyName)), lit(nBuckets)))
+      .localCheckpoint(true) // reused by the touched-list and the merge
+    val touched = d.select("rbucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val merged = MetaTables.readIfExists(spark, rollupDir) match {
+      case None => d
+      case Some(existing) =>
+        existing
+          .filter(col("rbucket").isin(touched.map(Integer.valueOf): _*))
+          .select(col(keyName), col("n_rows"), col("sum_value"), col("rbucket"))
+          .unionByName(d)
+          .groupBy(col(keyName), col("rbucket"))
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
+    }
+    val out = merged
+      .select(col(keyName), col("n_rows"),
+        col("sum_value").cast("decimal(28,4)").as("sum_value"), col("rbucket"))
+      .filter(col("n_rows") =!= 0 || col("sum_value") =!= 0)
+      .localCheckpoint(true) // break lineage from the files the overwrite replaces
+    out
+      .repartition(math.min(nBuckets, touched.length), col("rbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("rbucket")
+      .parquet(rollupDir)
+    // dynamic overwrite leaves a fully-zeroed bucket's old files in
+    // place — drop those directories explicitly
+    val present = out.select("rbucket").distinct().collect().map(_.getInt(0)).toSet
+    touched.filterNot(present).foreach { b =>
+      val dir = java.nio.file.Paths.get(rollupDir, s"rbucket=$b")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
   }
 
   /** The maintained rollup, typed for output: group key, live row

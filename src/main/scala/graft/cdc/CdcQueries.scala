@@ -484,6 +484,50 @@ object CdcQueries {
       |WHERE rn = 1 AND op <> 'delete'
       |GROUP BY 1 ORDER BY op_grp""".stripMargin
 
+  // ---- cdc_agg_window: windowed rollup over the bucketed layout -----------
+
+  /** [[AggMaintenance.applyMovingDeltaBucketed]] driver-checked: a
+    * per-DAY rollup of latest-wins state, maintained incrementally
+    * across a two-batch replay. The group key is the event-time day
+    * window of the state row — an update whose new ts lands in a
+    * different day MOVES the key between windows, so the retraction
+    * must target the before-image's window (that is what `prev_ts`
+    * in [[AggMaintenance.withImages]] exists for). The rollup itself
+    * lives in the hash-bucketed layout: each apply reads and rewrites
+    * only the buckets its windows hash into. The oracle aggregates
+    * latest-wins state by `time_bucket(1 day)` directly.
+    */
+  private def cdcAggWindow(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-aggwin").toString + "/rollup"
+    val imaged = AggMaintenance
+      .withImages(ChangeFeed.fromEvents(Tables.events(s, d))
+        .select("pos", "ts", "pk", "op", "value"))
+      .localCheckpoint(true) // one pass; both batches slice from it
+    val mm = imaged.agg(min(col("pos")), max(col("pos"))).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val groupOf = (p: String) => date_trunc("DAY", col(s"${p}ts"))
+    AggMaintenance.applyMovingDeltaBucketed(s, dir,
+      imaged.filter(col("pos") <= mid), groupOf, "w_day")
+    AggMaintenance.applyMovingDeltaBucketed(s, dir,
+      imaged.filter(col("pos") > mid), groupOf, "w_day")
+    AggMaintenance.read(s, dir, "w_day")
+  }
+
+  private val cdcAggWindowOracle: String =
+    """SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_day,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT ts, value,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND op <> 'delete'
+      |GROUP BY 1 ORDER BY w_day""".stripMargin
+
   // ---- cdc_state_stream: streaming latest-wins state under the gate -------
 
   /** [[graft.streaming.CdcStream.latestState]] driver-checked: the
@@ -820,6 +864,7 @@ object CdcQueries {
     "cdc_tx_batches" -> (cdcTxBatches _),
     "cdc_agg_maint" -> (cdcAggMaint _),
     "cdc_agg_moving" -> (cdcAggMoving _),
+    "cdc_agg_window" -> (cdcAggWindow _),
     "cdc_state_stream" -> (cdcStateStream _),
     "cdc_join_stream" -> (cdcJoinStream _),
     "cdc_dedup_stream" -> (cdcDedupStream _),
@@ -840,6 +885,7 @@ object CdcQueries {
     "cdc_tx_batches" -> cdcTxBatchesOracle,
     "cdc_agg_maint" -> cdcAggMaintOracle,
     "cdc_agg_moving" -> cdcAggMovingOracle,
+    "cdc_agg_window" -> cdcAggWindowOracle,
     "cdc_state_stream" -> cdcStateStreamOracle,
     "cdc_join_stream" -> cdcJoinStreamOracle,
     "cdc_dedup_stream" -> cdcDedupStreamOracle,

@@ -88,4 +88,107 @@ class AggMaintenanceSpec extends AnyFunSuite {
     AggMaintenance.applyDelta(spark, dir, AggMaintenance.withImages(death))
     assert(AggMaintenance.read(spark, dir).collect().isEmpty)
   }
+
+  // (pos, ts, pk, op, value) — every window-crossing shape:
+  //   pk 1: insert day1 → update day2   (the key MOVES windows: retract
+  //                                      day1, add day2)
+  //   pk 2: insert day1 → delete day2   (retraction targets day1 — the
+  //                                      before-image's window, not the
+  //                                      delete event's)
+  //   pk 3: insert day1 → update day1   (same window, value change only)
+  //   pk 4: insert day2 → delete day2 → insert day3 (re-add lands in a
+  //                                      third window)
+  //   pk 5: lone insert day1            (control)
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val wfeed = Seq(
+    (1L, ts("2024-01-01 05:00:00"), 1L, "insert", 10.0),
+    (6L, ts("2024-01-02 07:00:00"), 1L, "update", 13.0),
+    (2L, ts("2024-01-01 06:00:00"), 2L, "insert", 7.0),
+    (7L, ts("2024-01-02 08:00:00"), 2L, "delete", 0.0),
+    (3L, ts("2024-01-01 07:00:00"), 3L, "insert", 5.0),
+    (5L, ts("2024-01-01 22:00:00"), 3L, "update", 6.0),
+    (4L, ts("2024-01-02 01:00:00"), 4L, "insert", 8.0),
+    (8L, ts("2024-01-02 23:00:00"), 4L, "delete", 0.0),
+    (9L, ts("2024-01-03 03:00:00"), 4L, "insert", 9.0),
+    (10L, ts("2024-01-01 12:00:00"), 5L, "insert", 1.0)
+  ).toDF("pos", "ts", "pk", "op", "value")
+
+  private def directWindows(): Map[java.sql.Timestamp, (Long, Double)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("pos").desc)
+    wfeed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .groupBy(date_trunc("DAY", col("ts")).as("w_day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> (r.getAs[Long]("n"), r.getAs[Double]("s")))
+      .toMap
+  }
+
+  private def maintainedWindows(splits: Seq[Long], dir: String)
+      : Map[java.sql.Timestamp, (Long, Double)] = {
+    val imaged = AggMaintenance.withImages(wfeed)
+    val groupOf = (p: String) => date_trunc("DAY", col(s"${p}ts"))
+    val bounds = (Seq(Long.MinValue) ++ splits).zip(splits ++ Seq(Long.MaxValue))
+    bounds.foreach { case (lo, hi) =>
+      val b = imaged.filter(col("pos") > lo && col("pos") <= hi)
+      if (!b.isEmpty)
+        AggMaintenance.applyMovingDeltaBucketed(spark, dir, b, groupOf, "w_day",
+          nBuckets = 8)
+    }
+    AggMaintenance.read(spark, dir, "w_day").collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value")))
+      .toMap
+  }
+
+  test("windowed bucketed rollup: window-crossing updates across any batch split") {
+    val want = directWindows()
+    // sanity on the adversarial construction itself
+    assert(want == Map(
+      ts("2024-01-01 00:00:00") -> (2L, 7.0),   // pk3 (6.0) + pk5 (1.0)
+      ts("2024-01-02 00:00:00") -> (1L, 13.0),  // pk1 moved here
+      ts("2024-01-03 00:00:00") -> (1L, 9.0)))  // pk4 re-added here
+    // one batch, a mid split, and one-event batches must all converge
+    assert(maintainedWindows(Seq.empty,
+      s"target/tmp/aggwin-${System.nanoTime()}/r") == want)
+    assert(maintainedWindows(Seq(5L),
+      s"target/tmp/aggwin-${System.nanoTime()}/r") == want)
+    assert(maintainedWindows((1L to 9L),
+      s"target/tmp/aggwin-${System.nanoTime()}/r") == want)
+  }
+
+  test("bucketed rollup applies rewrite only the touched buckets") {
+    val dir = s"target/tmp/aggwinprune-${System.nanoTime()}/r"
+    maintainedWindows(Seq.empty, dir)
+    def bucketMtimes(): Map[String, Long] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.getName.startsWith("rbucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()))
+        .toMap
+    }
+    val before = bucketMtimes()
+    assert(before.nonEmpty)
+    // a new key in the day-3 window touches exactly day-3's bucket
+    val extra = AggMaintenance.withImages(Seq(
+      (11L, ts("2024-01-03 09:00:00"), 6L, "insert", 4.0))
+      .toDF("pos", "ts", "pk", "op", "value"))
+    AggMaintenance.applyMovingDeltaBucketed(spark, dir, extra,
+      p => date_trunc("DAY", col(s"${p}ts")), "w_day", nBuckets = 8)
+    val after = bucketMtimes()
+    val day3Bucket = wfeed.sparkSession.range(1)
+      .select(pmod(hash(date_trunc("DAY", lit(ts("2024-01-03 00:00:00")))), lit(8)))
+      .head().getInt(0)
+    val untouched = before.keys.filterNot(_.contains(s"rbucket=$day3Bucket/"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)), s"cold bucket file rewritten: $p")
+    }
+    // and the rollup is still exact
+    assert(AggMaintenance.read(spark, dir, "w_day").collect()
+      .map(r => r.getTimestamp(0) -> (r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value")))
+      .toMap == directWindows().updatedWith(ts("2024-01-03 00:00:00")) {
+        case Some((n, s)) => Some((n + 1, s + 4.0)); case None => Some((1L, 4.0)) })
+  }
 }
