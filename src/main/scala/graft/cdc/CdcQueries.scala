@@ -325,20 +325,21 @@ object CdcQueries {
       |  || CAST(max(CASE WHEN event_id > 500 THEN event_id END) AS VARCHAR) AS gtid
       |FROM events""".stripMargin
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
-    * for a stateful replay query. State-store count is fixed by this
-    * conf at query start and each store pays per-batch commit
-    * overhead; for a bounded replay of ~10⁵ rows, 32 stores × 2
-    * batches is pure overhead (measured: the session-window entry
-    * dropped ~3× at 4 partitions). Sizing state partitions to state
-    * volume rather than core count is the standard stateful-streaming
-    * tuning knob — at 100 TB state this conf goes UP, not down.
+  /** A CHILD session with `spark.sql.shuffle.partitions` sized for a
+    * stateful replay query. State-store count is fixed by this conf
+    * at query start and each store pays per-batch commit overhead;
+    * for a bounded replay of ~10⁵ rows, 32 stores × 2 batches is pure
+    * overhead (measured: the session-window entry dropped ~3× at 4
+    * partitions). Sizing state partitions to state volume rather than
+    * core count is the standard stateful-streaming tuning knob — at
+    * 100 TB state this conf goes UP, not down. A child session (not a
+    * save/restore on the caller's conf) keeps the sizing invisible to
+    * concurrent queries — the same isolation d7's loop uses.
     */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  private def statePartitionedSession(s: SparkSession, n: Int): SparkSession = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", n.toString)
+    child
   }
 
   // ---- cdc_tx_batches: tx buffering under the driver gate -----------------
@@ -374,8 +375,9 @@ object CdcQueries {
       .collect()
       .map(r => TxEvent(r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
     val name = "cdc_tx_batches_sink"
-    withStatePartitions(s, 4) {
-      val input = MemoryStream[TxEvent](org.apache.spark.sql.Encoders.product[TxEvent], s)
+    val cs = statePartitionedSession(s, 4)
+    locally {
+      val input = MemoryStream[TxEvent](org.apache.spark.sql.Encoders.product[TxEvent], cs)
       input.addData(rows.toSeq)
       val q = CdcStream
         .txGrouping(input.toDS(), stragglerTimeout = false)
@@ -386,7 +388,7 @@ object CdcQueries {
     }
     // Flatten the payload list to a joined string: the driver's pandas
     // compare sorts cell values, and array cells are unhashable there.
-    s.table(name)
+    cs.table(name)
       .select(col("tx"), col("n_rows"),
         concat_ws("|", col("payloads")).as("payloads"))
       .orderBy("tx")
@@ -550,8 +552,9 @@ object CdcQueries {
         r.getString(3), r.getDouble(4)))
     val mid = rows.map(_.pos).sorted.apply(rows.length / 2)
     val name = "cdc_state_stream_sink"
-    withStatePartitions(s, 4) {
-      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+    val cs = statePartitionedSession(s, 4)
+    locally {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], cs)
       input.addData(rows.filter(_.pos <= mid).toSeq)
       input.addData(rows.filter(_.pos > mid).toSeq)
       val q = CdcStream
@@ -564,7 +567,7 @@ object CdcQueries {
     // last emission per key = current state (incl. tombstones)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pk")).orderBy(col("pos").desc)
-    s.table(name)
+    cs.table(name)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("pk", "pos", "op", "value")
@@ -610,9 +613,10 @@ object CdcQueries {
     val ins = rows.filter(_.op == "insert")
     val upd = rows.filter(_.op == "update")
     val name = "cdc_join_stream_sink"
-    withStatePartitions(s, 4) {
-      val insIn = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
-      val updIn = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+    val cs = statePartitionedSession(s, 4)
+    locally {
+      val insIn = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], cs)
+      val updIn = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], cs)
       // split both sides mid-stream: cross-batch pairs exercise state
       insIn.addData(ins.take(ins.length / 2).toSeq)
       updIn.addData(upd.take(upd.length / 2).toSeq)
@@ -635,7 +639,7 @@ object CdcQueries {
         .start()
       q.awaitTermination()
     }
-    s.table(name)
+    cs.table(name)
       .select(col("pk"), col("ins_pos"), col("upd_pos"))
       .orderBy("pk", "ins_pos", "upd_pos")
   }
@@ -683,8 +687,9 @@ object CdcQueries {
       .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3), r.getDouble(4)))
     val name = "cdc_dedup_stream_sink"
-    withStatePartitions(s, 4) {
-      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+    val cs = statePartitionedSession(s, 4)
+    locally {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], cs)
       input.addData(rows.toSeq)
       input.addData(rows.filter(_.pos % 20 == 0).toSeq) // replayed delivery
       val q = input.toDS().toDF()
@@ -695,7 +700,7 @@ object CdcQueries {
         .start()
       q.awaitTermination()
     }
-    s.table(name)
+    cs.table(name)
       .select(col("pos"), unix_micros(col("ts")).as("ts_us"),
         col("pk"), col("op"), col("value"))
       .orderBy("pos")
@@ -730,8 +735,9 @@ object CdcQueries {
       .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3), r.getDouble(4)))
     val name = "cdc_window_stream_sink"
-    withStatePartitions(s, 4) {
-      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+    val cs = statePartitionedSession(s, 4)
+    locally {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], cs)
       input.addData(rows.toSeq)
       val q = CdcStream
         .windowedCounts(input.toDS().toDF(), watermark = "1 hour", windowLen = "1 day")
@@ -740,7 +746,7 @@ object CdcQueries {
         .start()
       q.awaitTermination()
     }
-    s.table(name).orderBy("w_start", "op")
+    cs.table(name).orderBy("w_start", "op")
   }
 
   private val cdcWindowStreamOracle: String =
@@ -777,8 +783,9 @@ object CdcQueries {
       .map(r => FeedRow(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3), r.getDouble(4)))
     val name = "cdc_session_stream_sink"
-    withStatePartitions(s, 4) {
-      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], s)
+    val cs = statePartitionedSession(s, 4)
+    locally {
+      val input = MemoryStream[FeedRow](org.apache.spark.sql.Encoders.product[FeedRow], cs)
       input.addData(rows.toSeq)
       val q = CdcStream
         .sessionCounts(input.toDS().toDF(), watermark = "1 hour", gap = "6 hours")
@@ -787,7 +794,7 @@ object CdcQueries {
         .start()
       q.awaitTermination()
     }
-    s.table(name).orderBy("pk", "s_start")
+    cs.table(name).orderBy("pk", "s_start")
   }
 
   private val cdcSessionStreamOracle: String =

@@ -477,6 +477,47 @@ object Text {
        |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---- t30: deterministic source mixing (weighted sampling) ----------------
+
+  /** Training-mixture construction: source `srcI` keeps a per-mill
+    * fraction `min((I+1)·50, 1000)` of its documents, selected by a
+    * DETERMINISTIC doc-id coin — the base-31 polynomial over the
+    * first 8 md5 hex chars of the id, mod 1000 (md5 is engine-shared,
+    * so the oracle replays the identical coin). Deterministic
+    * sampling is what makes a 100 TB mixture reproducible and
+    * incrementally extendable: re-running over a grown corpus keeps
+    * every earlier keep/drop decision, so only new documents need
+    * downstream processing. Pure scan projection + one low-cardinality
+    * agg — the corpus rows themselves never shuffle.
+    */
+  private def t30DataMix(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("per_mill",
+        least((expr("CAST(substr(source, 4, 8) AS INT)") + 1) * 50, lit(1000)))
+      .withColumn("coin",
+        expr(s"${polyHashSql("md5(CAST(doc_id AS STRING))", 8)} % 1000"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("per_mill")).as("per_mill"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("coin") < col("per_mill"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("coin") < col("per_mill"), col("n_chars")).otherwise(0L))
+          .as("kept_chars")
+      )
+      .orderBy("source")
+
+  private val t30Oracle: String =
+    s"""SELECT source, max(per_mill) AS per_mill, count(*) AS n_total,
+       |       CAST(sum(CASE WHEN coin < per_mill THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN coin < per_mill THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM (
+       |  SELECT source, n_chars,
+       |         least((CAST(substr(source, 4, 8) AS INT) + 1) * 50, 1000) AS per_mill,
+       |         ${polyHashSql("md5(CAST(doc_id AS VARCHAR))", 8)} % 1000 AS coin
+       |  FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_chunk" -> (t29Chunk _),
     "t27_repetition" -> (t27Repetition _),
@@ -486,7 +527,8 @@ object Text {
     "t22_lang_id" -> (t22LangId _),
     "t23_token_stats" -> (t23TokenStats _),
     "t24_fingerprint" -> (t24Fingerprint _),
-    "t25_tfidf" -> (t25Tfidf _)
+    "t25_tfidf" -> (t25Tfidf _),
+    "t30_data_mix" -> (t30DataMix _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -498,6 +540,7 @@ object Text {
     "t22_lang_id" -> t22Oracle,
     "t23_token_stats" -> t23Oracle,
     "t24_fingerprint" -> t24Oracle,
-    "t25_tfidf" -> t25Oracle
+    "t25_tfidf" -> t25Oracle,
+    "t30_data_mix" -> t30Oracle
   )
 }

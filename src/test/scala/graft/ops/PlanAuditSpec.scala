@@ -95,4 +95,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"))
     assert(plan.contains("partial"), "partial aggregation must precede the shuffle")
   }
+
+  test("d2: the verifier block bound reaches the scan — corpus skew cannot enter the pair join") {
+    // d2 is the quadratic verifier: its cost contract is that the
+    // 100-doc block filter cuts BEFORE the self-join, so a corpus-
+    // sized near-dup clique (the adversarial skew case) can never
+    // reach the pairwise stage. Enforced structurally: every
+    // documents scan in the plan carries the doc_id bound as a pushed
+    // filter, and no scan feeds the join unfiltered.
+    val plan = formatted("d2_ngram_jaccard")
+    assert(plan.contains("LessThan(doc_id,100)"),
+      "block bound must push into the documents scan")
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("LessThan(doc_id,")),
+      s"every documents scan must carry a doc_id bound:\n${scans.mkString("\n")}")
+  }
+
+  test("d2: pair-join input is block-bounded under a planted corpus-wide clique") {
+    // Dynamic twin of the structural check: a 20k-doc corpus where
+    // EVERY doc is a near-copy of one template — the giant clique.
+    // The d2 shape (block filter -> shingle -> self-join) must feed
+    // the join exactly block² candidate pairs, not corpus²; 20k docs
+    // unbounded would be 2·10^8 pairs and this test would not return.
+    import org.apache.spark.sql.functions._
+    val n = 20000L
+    val block = 100L
+    val corpus = spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa doc "),
+          col("id")).as("text"))
+    val sh = corpus
+      .filter(col("doc_id") < block) // the bound under test
+      .withColumn("words", Text.wordsCol(col("text")))
+      .withColumn("sh", expr(
+        """CASE WHEN size(words) >= 3 THEN
+          |  array_distinct(transform(sequence(1, size(words)-2),
+          |    i -> concat(element_at(words, CAST(i AS INT)), ' ',
+          |                element_at(words, CAST(i AS INT)+1), ' ',
+          |                element_at(words, CAST(i AS INT)+2))))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(col("doc_id"), col("sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(pairs == block * (block - 1) / 2,
+      s"pair join must see exactly the block's pairs, got $pairs")
+  }
 }
