@@ -455,6 +455,37 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(stateRows(dir) == shifted)
   }
 
+  test("MOR delta with a WIDER schema falls back to the COW migration") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = s"target/tmp/cdcmorevo-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    val full = ChangeFeed.fromEvents(Tables.events(spark, sf))
+    CdcPipeline.applyBatch(spark, store, dir, "src", full)
+    // an evolved delta (new column) cannot append under the old
+    // sidecar schema — appendDeltas must take the one-off migration
+    // path instead, after which old rows null-fill the new column
+    CdcPipeline.appendDeltas(spark, store, dir, "src",
+      full.filter(col("pk").isin(0L, 1L))
+        .withColumn("pos", col("pos") + 10000)
+        .withColumn("region", lit("emea")))
+    val st = CdcPipeline.readState(spark, dir)
+    assert(st.columns.contains("region"), "sidecar schema must evolve")
+    assert(st.filter(col("region") === "emea").count() == 2)
+    assert(st.filter(col("region").isNull).count() > 0)
+    // a NARROWER delta (schema-stable subset) appends as a plain MOR
+    // delta afterwards: missing columns read as null at merge time
+    val b3 = full.filter(col("pk") === 2L).withColumn("pos", col("pos") + 20000)
+    CdcPipeline.appendDeltas(spark, store, dir, "src", b3)
+    val expected = ChangeFeed.latestState(full.unionByName(b3))
+      .filter(col("pk") === 2L).select("pk", "pos", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = CdcPipeline.readState(spark, dir)
+      .filter(col("pk") === 2L).select("pk", "pos", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected, "narrow delta must merge exactly under the evolved schema")
+  }
+
   test("MOR delete tombstones survive until compaction and emptied buckets vanish") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

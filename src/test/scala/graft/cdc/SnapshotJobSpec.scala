@@ -81,6 +81,17 @@ class SnapshotJobSpec extends AnyFunSuite {
     // a replayed upsert is idempotent (positions only grow)
     store.upsert(spark, Seq(TableWatermark("s", "main", "t", "u:1-5")))
     assert(store.watermark(spark, "s", "main", "t").serialize == "u:1-10")
+    // the in-process cache is an optimization, not the source of
+    // truth: a FRESH instance (restart, another process) reads the
+    // same merged state back from disk
+    val reopened = new WatermarkStore(path)
+    assert(reopened.watermark(spark, "s", "main", "t").serialize == "u:1-10")
+    assert(reopened.watermark(spark, "s", "main", "t2").serialize == "u:1-2")
+    // and an upsert through the fresh instance is visible to yet
+    // another reader — write-through, not write-behind
+    reopened.upsert(spark, Seq(TableWatermark("s", "main", "t", "u:12-14")))
+    assert(new WatermarkStore(path).watermark(spark, "s", "main", "t")
+      .serialize == "u:1-10:12-14")
   }
 
   test("WatermarkGate.containsColumn matches GtidSet.contains") {
