@@ -190,10 +190,71 @@ object Multimodal {
       |     (VALUES (0), (1), (2), (3)) f(frame_idx)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** mm4: duplicate-video grouping by frame-fingerprint set — the
+    * multimodal member of the dedup family. A video's identity is the
+    * digest of its sampled frames' digests (mm3's exact frames), so
+    * re-encodes that share content collapse to one group even though
+    * the pipeline never compares raw bytes pairwise — the perceptual-
+    * dedup shape (pHash per frame → content signature → hash-group)
+    * with mm3's byte-stride frames standing in for decoded frames.
+    * Planted re-ingests of the first 7 video assets (ids shifted by
+    * 3,000,000 — divisible by 3, so the modality assignment is
+    * preserved) guarantee duplicate groups exist. One scan + one
+    * shuffle on the signature, identical to d1's scale shape.
+    */
+  private def mm4VideoDedup(s: SparkSession, d: String): DataFrame = {
+    val vids = Tables
+      .documents(s, d)
+      .filter(col("doc_id") % 3 === 2) // the video modality of assets()
+      .select(col("doc_id"), col("text"))
+    val planted = vids
+      .filter(col("doc_id") < 21)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    vids
+      .union(planted)
+      .select(col("doc_id"), col("text"),
+        floor(length(col("text")) / 4.0).cast("int").as("stride"))
+      .select(col("doc_id"), expr(
+        """md5(concat_ws('|',
+          |  md5(substr(text, 1, 16)),
+          |  md5(substr(text, 1 + stride, 16)),
+          |  md5(substr(text, 1 + 2 * stride, 16)),
+          |  md5(substr(text, 1 + 3 * stride, 16))))""".stripMargin).as("vfp"))
+      .groupBy(col("vfp"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        max(col("doc_id")).as("dup_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("canonical_id", "dup_id", "n_copies")
+      .orderBy("canonical_id")
+  }
+
+  private val mm4Oracle: String =
+    """SELECT min(doc_id) AS canonical_id, max(doc_id) AS dup_id,
+      |       count(*) AS n_copies
+      |FROM (
+      |  SELECT doc_id,
+      |         md5(concat_ws('|',
+      |           md5(substr(text, 1, 16)),
+      |           md5(substr(text, 1 + stride, 16)),
+      |           md5(substr(text, 1 + 2 * stride, 16)),
+      |           md5(substr(text, 1 + 3 * stride, 16)))) AS vfp
+      |  FROM (
+      |    SELECT doc_id, text, CAST(floor(length(text) / 4.0) AS INT) AS stride
+      |    FROM (
+      |      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+      |      UNION ALL
+      |      SELECT doc_id + 3000000, text FROM documents
+      |      WHERE doc_id % 3 = 2 AND doc_id < 21)))
+      |GROUP BY vfp HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_catalog" -> (mm1Catalog _),
     "mm2_features" -> (mm2Features _),
-    "mm3_frame_sample" -> (mm3FrameSample _)
+    "mm3_frame_sample" -> (mm3FrameSample _),
+    "mm4_video_dedup" -> (mm4VideoDedup _)
   )
 
   private val mm2Oracle: String =
@@ -220,6 +281,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm1_catalog" -> mm1Oracle,
     "mm2_features" -> mm2Oracle,
-    "mm3_frame_sample" -> mm3Oracle
+    "mm3_frame_sample" -> mm3Oracle,
+    "mm4_video_dedup" -> mm4Oracle
   )
 }

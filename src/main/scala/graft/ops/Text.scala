@@ -518,6 +518,44 @@ object Text {
        |  FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- t31: per-source frequency cap with sampled overflow -----------------
+
+  /** Domain/source frequency capping — the curation rule that stops a
+    * single over-crawled source from dominating the mixture: each
+    * source keeps its top `cap` documents outright (quality proxy:
+    * longest first, doc id as the tiebreak), and the overflow is NOT
+    * discarded wholesale but thinned by the same deterministic
+    * md5-coin as [[t30DataMix]] at 10% — the two-tier keep/sample
+    * policy real pipelines use so capped sources still contribute
+    * long-tail diversity. One window pass per source partition plus a
+    * row-local coin: no corpus-wide shuffle beyond the rank.
+    */
+  private def t31SourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables
+      .documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("coin",
+        expr(s"${polyHashSql("md5(CAST(doc_id AS STRING))", 8)} % 1000"))
+      .filter(col("rk") <= 15 || col("coin") < 100)
+      .select(col("doc_id"), col("source"), col("rk"),
+        when(col("rk") <= 15, "top").otherwise("sampled").as("tier"))
+      .orderBy("doc_id")
+  }
+
+  private val t31Oracle: String =
+    s"""SELECT doc_id, source, rk,
+       |       CASE WHEN rk <= 15 THEN 'top' ELSE 'sampled' END AS tier
+       |FROM (
+       |  SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |                                 ORDER BY n_chars DESC, doc_id) AS INT) AS rk,
+       |         ${polyHashSql("md5(CAST(doc_id AS VARCHAR))", 8)} % 1000 AS coin
+       |  FROM documents)
+       |WHERE rk <= 15 OR coin < 100
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_chunk" -> (t29Chunk _),
     "t27_repetition" -> (t27Repetition _),
@@ -528,7 +566,8 @@ object Text {
     "t23_token_stats" -> (t23TokenStats _),
     "t24_fingerprint" -> (t24Fingerprint _),
     "t25_tfidf" -> (t25Tfidf _),
-    "t30_data_mix" -> (t30DataMix _)
+    "t30_data_mix" -> (t30DataMix _),
+    "t31_source_cap" -> (t31SourceCap _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -541,6 +580,7 @@ object Text {
     "t23_token_stats" -> t23Oracle,
     "t24_fingerprint" -> t24Oracle,
     "t25_tfidf" -> t25Oracle,
-    "t30_data_mix" -> t30Oracle
+    "t30_data_mix" -> t30Oracle,
+    "t31_source_cap" -> t31Oracle
   )
 }
