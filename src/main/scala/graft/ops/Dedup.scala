@@ -174,21 +174,23 @@ object Dedup {
     * mod-P shingle combine, first-occurrence-distinct like
     * `array_distinct`.
     */
-  private def shingleSetDF(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.SimHashFunctions.poly_shingles(Text.wordsCol(col("text"))).as("shs"))
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFunctions.poly_shingles(Text.wordsCol(col("text"))).as("shs"))
 
-  private def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // The minhash signature as a codegen'd two-phase aggregation:
-    // explode the shingle hashes once and take 16 permuted minima in
-    // one groupBy — versus evaluating 16 interpreted
-    // array_min(transform(...)) HOF chains per row (CodegenFallback,
-    // no CSE). Map-side partial mins make the shuffle one row of 16
-    // longs per (doc, partition) — the same shape that holds at
-    // corpus scale.
-    val shs = shingleSetDF(s, d).persist()
+  private def shingleSetDF(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** (doc_id, band) rows: the minhash signature as a codegen'd
+    * two-phase aggregation — explode the shingle hashes once and take
+    * 16 permuted minima in one groupBy — versus evaluating 16
+    * interpreted array_min(transform(...)) HOF chains per row
+    * (CodegenFallback, no CSE). Map-side partial mins make the
+    * shuffle one row of 16 longs per (doc, partition) — the same
+    * shape that holds at corpus scale. Shared by the batch self-join
+    * (d3) and the incremental probe (d8).
+    */
+  private def minhashBands(shs: DataFrame): DataFrame = {
     val sigCols = (1 to numHashes).map { j =>
       min(expr(s"(${mhA(j - 1)} * x + ${mhB(j - 1)}) % $P")).as(s"mh$j")
     }
@@ -201,7 +203,12 @@ object Dedup {
         col(s"mh${b * 4 + 1}"), lit(","), col(s"mh${b * 4 + 2}"), lit(","),
         col(s"mh${b * 4 + 3}"), lit(","), col(s"mh${b * 4 + 4}"))
     }: _*))
-    val banded = sig.select(col("doc_id"), bandCol.as("band"))
+    sig.select(col("doc_id"), bandCol.as("band"))
+  }
+
+  private def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val shs = shingleSetDF(s, d).persist()
+    val banded = minhashBands(shs)
     val cands = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -226,24 +233,31 @@ object Dedup {
     out
   }
 
-  private val d3Oracle: String = {
+  /** DuckDB CTE pair `<p>shs` / `<p>bands` (shingle sets and LSH band
+    * rows) over relation `src` — the oracle-side twin of
+    * [[shinglesOf]] + [[minhashBands]], shared by d3 and d8.
+    */
+  private def lshCtesSql(src: String, p: String): String = {
     val ws = Text.wordsSql("text")
     val aLit = mhA.mkString("[", ", ", "]")
     val bLit = mhB.mkString("[", ", ", "]")
-    s"""WITH shs AS (
+    s"""${p}shs AS (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hw)-2),
        |           i -> ${shingleHashSql(k => s"hw[i+$k]")})) AS shs
        |  FROM (SELECT doc_id, list_transform(generate_series(1, len(words)), i -> $wordHashSqlDuck) AS hw
-       |        FROM (SELECT doc_id, $ws AS words FROM documents))),
-       |sig AS (
-       |  SELECT doc_id, shs,
-       |         list_transform(generate_series(1, $numHashes), j ->
-       |           list_min(list_transform(shs, x -> (($aLit)[j] * x + ($bLit)[j]) % $P))) AS mh
-       |  FROM shs),
-       |bands AS (
+       |        FROM (SELECT doc_id, $ws AS words FROM $src))),
+       |${p}bands AS (
        |  SELECT doc_id, shs, unnest(list_transform(generate_series(0, 3), b ->
        |           b || ':' || mh[b*4+1] || ',' || mh[b*4+2] || ',' || mh[b*4+3] || ',' || mh[b*4+4])) AS band
-       |  FROM sig),
+       |  FROM (
+       |    SELECT doc_id, shs,
+       |           list_transform(generate_series(1, $numHashes), j ->
+       |             list_min(list_transform(shs, x -> (($aLit)[j] * x + ($bLit)[j]) % $P))) AS mh
+       |    FROM ${p}shs))""".stripMargin
+  }
+
+  private val d3Oracle: String =
+    s"""WITH ${lshCtesSql("documents", "")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.shs AS sa, b.shs AS sb
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
@@ -256,7 +270,72 @@ object Dedup {
        |  FROM cand)
        |WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- d8: incremental dedup against a standing LSH index ------------------
+
+  /** The shape that actually runs daily at 100 TB: dedup TODAY'S
+    * increment against the standing corpus index, without ever
+    * re-joining the corpus to itself. The corpus side streams through
+    * ONE band join; the increment's bands and shingle sets are
+    * broadcast (an increment is bounded-small next to the corpus —
+    * the d6 benchmark asymmetry, applied to dedup). Candidates are
+    * verified exactly, like d3. Planted increment: 3 exact copies of
+    * corpus docs (band collision certain — the gate always has rows)
+    * plus 5 60%-prefix truncations (the partial re-crawl case, caught
+    * when their bands collide — the oracle replays the identical
+    * minhashes, so both engines agree on exactly which).
+    */
+  private def d8IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpusShs = shingleSetDF(s, d).persist()
+    val corpusBands = minhashBands(corpusShs)
+    val newDocs = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") >= 3 && col("doc_id") < 8)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          expr("substr(text, 1, CAST(length(text) * 3 DIV 5 AS INT))").as("text")))
+    val newShs = shinglesOf(newDocs).persist()
+    val newBands = minhashBands(newShs)
+    val cands = corpusBands
+      .join(broadcast(newBands.select(col("doc_id").as("new_id"), col("band"))), "band")
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val out = cands
+      .join(broadcast(newShs.select(col("doc_id").as("new_id"), col("shs").as("sn"))), "new_id")
+      .join(corpusShs.select(col("doc_id").as("corpus_id"), col("shs").as("sc")), "corpus_id")
+      .withColumn("n_common", size(array_intersect(col("sn"), col("sc"))))
+      .withColumn("n_union", size(array_union(col("sn"), col("sc"))))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select("new_id", "corpus_id", "n_common", "n_union", "jaccard")
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+    corpusShs.unpersist(blocking = false)
+    newShs.unpersist(blocking = false)
+    out
   }
+
+  private val d8Oracle: String =
+    s"""WITH newdocs AS (
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id < 3
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, substr(text, 1, CAST(length(text) * 3 // 5 AS INT))
+       |  FROM documents WHERE doc_id >= 3 AND doc_id < 8),
+       |${lshCtesSql("documents", "")},
+       |${lshCtesSql("newdocs", "n")},
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       |         n.shs AS sn, c.shs AS sc
+       |  FROM nbands n JOIN bands c ON n.band = c.band)
+       |SELECT new_id, corpus_id, n_common, n_union,
+       |       CAST(n_common AS DOUBLE) / n_union AS jaccard
+       |FROM (
+       |  SELECT new_id, corpus_id,
+       |         CAST(len(list_intersect(sn, sc)) AS INT) AS n_common,
+       |         CAST(len(list_distinct(list_concat(sn, sc))) AS INT) AS n_union
+       |  FROM cand)
+       |WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
+       |ORDER BY new_id, corpus_id""".stripMargin
 
   // ---- d4: SimHash banding -------------------------------------------------
 
@@ -618,7 +697,8 @@ object Dedup {
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d6_decontam" -> (d6Decontam _),
-    "d7_dup_clusters" -> (d7DupClusters _)
+    "d7_dup_clusters" -> (d7DupClusters _),
+    "d8_incremental_dedup" -> (d8IncrementalDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -628,6 +708,7 @@ object Dedup {
     "d3_minhash_lsh" -> d3Oracle,
     "d4_simhash" -> d4Oracle,
     "d6_decontam" -> d6Oracle,
-    "d7_dup_clusters" -> d7Oracle
+    "d7_dup_clusters" -> d7Oracle,
+    "d8_incremental_dedup" -> d8Oracle
   )
 }

@@ -135,6 +135,21 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= bound, s"chain of $n converged in $rounds rounds (bound $bound)")
   }
 
+  test("incremental dedup: planted exact copies always hit the standing index") {
+    // exact copies share every minhash, so their bands collide with
+    // certainty — the increment gate can never be vacuous; truncated
+    // near-dups surface whenever their bands collide (probabilistic,
+    // but engine-identical, so the oracle pins whichever occur)
+    val rows = Dedup.queries("d8_incremental_dedup")(spark, sf).collect()
+    val exact = rows.filter { r =>
+      r.getAs[Long]("new_id") == r.getAs[Long]("corpus_id") + 5000000L &&
+        r.getAs[Double]("jaccard") == 1.0
+    }
+    assert(exact.map(_.getAs[Long]("corpus_id")).toSet.intersect(Set(0L, 1L, 2L)).size == 3,
+      "all three exact-copy plants must match their originals at jaccard 1.0")
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
   test("d7 leaves the shared session's conf untouched") {
     val conf = spark.conf
     val aqe0 = conf.get("spark.sql.adaptive.enabled")
