@@ -174,13 +174,91 @@ object Sketch {
        |ORDER BY b.grp""".stripMargin
   }
 
+  // ---- sk3: count-min sketch (heavy-hitter estimation) --------------------
+
+  /** Count-min constants: depth 4, width 256, pairwise hash
+    * `((a_j·key + b_j) mod P) mod W` — plain integer arithmetic, so
+    * the oracle rebuilds the identical sketch.
+    */
+  private val cmW = 256
+  private val cmP = 2147483647L
+  private val cmHashes = Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L))
+
+  private def cmCellSql(j: Int, key: String): String = {
+    val (a, b) = cmHashes(j)
+    s"CAST((($a * $key + $b) % $cmP) % $cmW AS INT)"
+  }
+
+  /** Count-min sketch over the event stream's key frequencies — the
+    * heavy-hitter detector that tells a 100 TB pipeline WHICH keys to
+    * salt (q38/q43's prerequisite). Build: every occurrence
+    * increments one cell per depth row; as a groupBy over (row, cell)
+    * the sketch is a mergeable partial aggregate whose shuffled size
+    * is ≤ depth·width counters — constant in input rows, the whole
+    * point of the sketch. Probe: estimate(key) = min over rows of its
+    * cells, never under the true count (CMS one-sided error — checked
+    * per key in the result against the exact count). All integer
+    * arithmetic, so the DuckDB oracle rebuilds sketch AND estimates
+    * bit-for-bit.
+    */
+  private def sk3CountMin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val cells = ev
+      .select(explode(array((0 until 4).map { j =>
+        struct(lit(j).as("j"), expr(cmCellSql(j, "user_id")).as("cell"))
+      }: _*)).as("rc"))
+      .select(col("rc.j").as("j"), col("rc.cell").as("cell"))
+      .groupBy("j", "cell")
+      .agg(count(lit(1)).as("n"))
+    val truth = ev.filter(col("user_id") < 10)
+      .groupBy("user_id").agg(count(lit(1)).as("n_true"))
+    val probes = truth.select(col("user_id"), col("n_true"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("j"), expr(cmCellSql(j, "user_id")).as("cell"))
+      }: _*)).as("rc"))
+      .select(col("user_id"), col("n_true"),
+        col("rc.j").as("j"), col("rc.cell").as("cell"))
+    probes
+      .join(cells, Seq("j", "cell"))
+      .groupBy(col("user_id"), col("n_true"))
+      .agg(min(col("n")).as("n_est"))
+      .withColumn("over_ok", (col("n_est") >= col("n_true")).cast("int"))
+      .select("user_id", "n_true", "n_est", "over_ok")
+      .orderBy("user_id")
+  }
+
+  private val sk3Oracle: String = {
+    val hs = cmHashes.zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH h(j, a, b) AS (VALUES $hs),
+       |cells AS (
+       |  SELECT j, CAST(((a * user_id + b) % $cmP) % $cmW AS INT) AS cell,
+       |         count(*) AS n
+       |  FROM events CROSS JOIN h
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT user_id, count(*) AS n_true FROM events
+       |  WHERE user_id < 10 GROUP BY user_id),
+       |probes AS (
+       |  SELECT t.user_id, t.n_true, h.j,
+       |         CAST(((h.a * t.user_id + h.b) % $cmP) % $cmW AS INT) AS cell
+       |  FROM truth t CROSS JOIN h)
+       |SELECT p.user_id, p.n_true, min(c.n) AS n_est,
+       |       CAST(min(c.n) >= p.n_true AS INT) AS over_ok
+       |FROM probes p JOIN cells c ON p.j = c.j AND p.cell = c.cell
+       |GROUP BY p.user_id, p.n_true
+       |ORDER BY p.user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_kmv_distinct" -> (sk1KmvDistinct _),
-    "sk2_bloom_filter" -> (sk2BloomFilter _)
+    "sk2_bloom_filter" -> (sk2BloomFilter _),
+    "sk3_count_min" -> (sk3CountMin _)
   )
 
   val oracles: Map[String, String] = Map(
     "sk1_kmv_distinct" -> sk1Oracle,
-    "sk2_bloom_filter" -> sk2Oracle
+    "sk2_bloom_filter" -> sk2Oracle,
+    "sk3_count_min" -> sk3Oracle
   )
 }
