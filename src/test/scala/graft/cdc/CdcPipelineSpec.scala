@@ -455,6 +455,38 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(stateRows(dir) == shifted)
   }
 
+  test("bucket split with unmerged MOR deltas preserves merge-on-read state") {
+    import org.apache.spark.sql.functions.col
+    val base = s"target/tmp/cdcmorsplit-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    val full = ChangeFeed.fromEvents(Tables.events(spark, sf)).localCheckpoint(true)
+    // COW base + a delta layer that has NOT been compacted: the split
+    // must redistribute every key-version (base rows, delta rows,
+    // tombstones) into the doubled layout so read-time latest-wins
+    // still resolves each key from exactly one bucket
+    CdcPipeline.applyBatch(spark, store, dir, "src",
+      full.filter(col("pos") <= 500))
+    CdcPipeline.appendDeltas(spark, store, dir, "src",
+      full.filter(col("pos") > 500))
+    val before = CdcPipeline.readState(spark, dir)
+      .select("pk", "pos", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(before == expectedState())
+    val next = CdcPipeline.splitBuckets(spark, dir)
+    assert(next == CdcPipeline.stateBuckets * 2)
+    assert(CdcPipeline.readState(spark, dir)
+      .select("pk", "pos", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == before,
+      "split must not change merge-on-read state")
+    // and compaction after the split still folds to ≤1 file per bucket
+    CdcPipeline.compact(spark, dir, maxFilesPerBucket = 1)
+    assert(CdcPipeline.bucketFileStats(dir).forall(_._2 <= 1))
+    assert(CdcPipeline.readState(spark, dir)
+      .select("pk", "pos", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == before)
+  }
+
   test("MOR delta with a WIDER schema falls back to the COW migration") {
     import org.apache.spark.sql.functions.{col, lit}
     val base = s"target/tmp/cdcmorevo-${System.nanoTime()}"
