@@ -442,12 +442,79 @@ object Similarity {
       |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)))
       |ORDER BY vec_id""".stripMargin
 
+  // ---- s6: quantized coarse scan + exact rerank ----------------------------
+
+  /** Two-stage retrieval — the shape a 100 TB vector store actually
+    * serves: a COARSE pass scores every corpus vector against the
+    * query in int8 (s5's absmax quantization — the store reads 4×
+    * fewer bytes and the dot product is integer arithmetic), keeps
+    * the top 20 candidates per query, and only those are RERANKED
+    * with full-precision cosine for the final top 5. The expensive
+    * exact math runs on 20 rows per query instead of the corpus.
+    * Exactness of the gate: integer dot products (≤ 64·127² — far
+    * inside the exact-double range) and one final IEEE cosine, both
+    * reproduced by the oracle bit-for-bit.
+    */
+  private def s6QuantRerank(s: SparkSession, d: String): DataFrame = {
+    val quant = vecs(s, d)
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr(
+        """CASE WHEN amax > 0
+          |THEN transform(v, x -> CAST(floor((x / amax) * 127) AS BIGINT))
+          |ELSE transform(v, x -> CAST(0 AS BIGINT)) END""".stripMargin))
+    val queries = quant.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("q").as("qq"))
+    val coarse = quant.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("v"), col("q"))
+      .join(broadcast(queries))
+      .withColumn("dot_q", expr(
+        "aggregate(zip_with(qq, q, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot_q").desc, col("vec_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    coarse
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= 20)
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id", "dot_q", "cos", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  private val s6Oracle: String =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |quant AS (
+      |  SELECT vec_id, v,
+      |         CASE WHEN amax > 0
+      |         THEN list_transform(v, x -> CAST(floor((x / amax) * 127) AS BIGINT))
+      |         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+      |        FROM base)),
+      |coarse AS (
+      |  SELECT qs.vec_id AS qid, c.vec_id, c.v, qs.v AS qv,
+      |         CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+      |                i -> c.q[i] * qs.q[i])) AS BIGINT) AS dot_q
+      |  FROM quant c JOIN quant qs ON qs.vec_id < 5 AND c.vec_id >= 5),
+      |cands AS (
+      |  SELECT qid, vec_id, v, qv, dot_q,
+      |         row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS crk
+      |  FROM coarse)
+      |SELECT qid, vec_id, dot_q, cos, rnk FROM (
+      |  SELECT qid, vec_id, dot_q, list_cosine_similarity(qv, v) AS cos,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |                ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS INT) AS rnk
+      |  FROM cands WHERE crk <= 20)
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopk _),
     "s2_ann_bucket" -> (s2AnnBucket _),
     "s3_embedding_dedup" -> (s3EmbeddingDedup _),
     "s4_ivf_cells" -> (s4IvfCells _),
-    "s5_embed_quant" -> (s5EmbedQuant _)
+    "s5_embed_quant" -> (s5EmbedQuant _),
+    "s6_quant_rerank" -> (s6QuantRerank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -455,6 +522,7 @@ object Similarity {
     "s2_ann_bucket" -> s2Oracle,
     "s3_embedding_dedup" -> s3Oracle,
     "s4_ivf_cells" -> s4Oracle,
-    "s5_embed_quant" -> s5Oracle
+    "s5_embed_quant" -> s5Oracle,
+    "s6_quant_rerank" -> s6Oracle
   )
 }

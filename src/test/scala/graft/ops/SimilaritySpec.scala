@@ -201,6 +201,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("cos") >= 0.999))
   }
 
+  test("quantized rerank recovers the exact top-5 almost everywhere") {
+    // the coarse int8 pass keeps 20 candidates per query; if absmax
+    // quantization is doing its job, the exact top-5 survive into the
+    // reranked result for nearly every query
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.queries("s1_cosine_topk")(spark, sf)
+      .filter(col("rnk") <= 5).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reranked = Similarity.queries("s6_quant_rerank")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = reranked.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, f"quantized rerank recall@5 = $recall%.2f (exact=${exact.size})")
+    // and within the reranked set, exact cosine order is respected
+    val rows = Similarity.queries("s6_quant_rerank")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRnk = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("persisting operators release their caches: d3/s2/s3 back-to-back leak nothing") {
     // Outside the harness's clearCache-between-queries loop, a
     // long-lived session embedding these operators must not accrete
