@@ -140,13 +140,63 @@ object Pipeline {
        |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
   }
 
+  // ---- p3: deterministic shard shuffle (training-order permutation) --------
+
+  /** The last step of a curation pipeline: hand the trainer a
+    * reproducible pseudo-random READING ORDER over the corpus. A
+    * naive global shuffle is `ORDER BY random()` — non-reproducible
+    * AND, done as one global row_number, a single-partition window
+    * (the classic scale-killer, same trap p2 dodges). The distributed
+    * answer: a deterministic md5-derived coin both engines compute
+    * identically gives every doc a (shard, position) — shard = h % 16
+    * spreads docs uniformly, position = rank of h within the shard —
+    * and each of the 16 shards sorts independently (one hash exchange,
+    * parallel intra-shard sorts; shard count scales with the cluster).
+    * A trainer reading shards round-robin sees a fixed global
+    * permutation with no coordination. The result pins that
+    * permutation, not just membership: `ord_sig` folds position into
+    * an order-sensitive checksum, so both engines must agree on the
+    * EXACT order within every shard, byte for byte.
+    */
+  private def p3ShardShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr(Text.polyHashSql("md5(CAST(doc_id AS STRING))", 8)).as("h"))
+      .withColumn("shard", col("h") % 16)
+      .withColumn("pos", row_number().over(w))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("pos") * (col("doc_id") % 997)).as("ord_sig"))
+      .orderBy("shard")
+  }
+
+  private val p3Oracle: String = {
+    val h = Text.polyHashSql("md5(CAST(doc_id AS VARCHAR))", 8)
+    s"""SELECT shard, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS ord_sig
+       |FROM (
+       |  SELECT doc_id, n_chars, shard,
+       |         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+       |  FROM (SELECT doc_id, n_chars, $h AS h, $h % 16 AS shard
+       |        FROM documents))
+       |GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation" -> (p1Curation _),
-    "p2_seq_pack" -> (p2SeqPack _)
+    "p2_seq_pack" -> (p2SeqPack _),
+    "p3_shard_shuffle" -> (p3ShardShuffle _)
   )
 
   val oracles: Map[String, String] = Map(
     "p1_curation" -> p1Oracle,
-    "p2_seq_pack" -> p2Oracle
+    "p2_seq_pack" -> p2Oracle,
+    "p3_shard_shuffle" -> p3Oracle
   )
 }

@@ -422,7 +422,140 @@ object Relational3 {
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q45: bucketed co-located join (zero-exchange sort-merge) -----------
+
+  /** The layout investment a 100 TB warehouse makes once and amortizes
+    * over every subsequent join on the key: both fact tables are
+    * pre-bucketed on their join key (`bucketBy(8)`, one file per
+    * bucket via a matching `repartition` — Spark's bucketing and
+    * `repartition` share the Murmur3 hash, so partition i IS bucket
+    * i), after which the orderkey join plans as a sort-merge whose
+    * join subtree contains NO Exchange: each task reads bucket i of
+    * both tables and merges locally. The only shuffle left in the
+    * query is the tiny 5-group rollup above the join. `hint("merge")`
+    * pins the strategy so an sf-scale broadcast can't bypass the
+    * demonstration (at real scale neither side broadcasts). The write
+    * happens once per (JVM, sf dir) — the amortization is the point —
+    * into the gitignored `spark-warehouse/`.
+    */
+  private val bucketedWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def q45BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (liT, ordT) = bucketedWritten.computeIfAbsent(
+      d, { _ =>
+        val sfx = (d.hashCode.toLong & 0xffffffffL).toHexString
+        val (lt, ot) = (s"graft_b_li_$sfx", s"graft_b_ord_$sfx")
+        // a previous JVM may have left the managed-table directories
+        // behind while THIS session's in-memory catalog has no entry —
+        // saveAsTable then refuses with LOCATION_ALREADY_EXISTS; drop
+        // both the (possible) catalog entry and the stale location
+        Seq(lt, ot).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(lt)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ot)
+        (lt, ot)
+      })
+    s.table(ordT).hint("merge")
+      .join(s.table(liT).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q45Oracle: String =
+    s"""SELECT o_orderpriority,
+       |       ${Exact.sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |       count(*) AS n_items
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q46: z-order clustering (multi-dimensional data skipping) ----------
+
+  /** Bit j of `x`, arithmetic-only (`DIV`/`%`/`*` — identical in both
+    * engines; `divOp` spells the integer division, Spark `DIV` vs
+    * DuckDB `//`), interleaved x↔even bits, y↔odd bits.
+    */
+  private def zSql(x: String, y: String, divOp: String): String =
+    (0 until 8).flatMap { j =>
+      Seq(
+        s"(($x $divOp ${1L << j}) % 2) * ${1L << (2 * j)}",
+        s"(($y $divOp ${1L << j}) % 2) * ${1L << (2 * j + 1)}")
+    }.mkString("(", " + ", ")")
+
+  /** Z-order clustering — the multi-dimensional answer to single-key
+    * range layout: interleaving the bits of (partkey, suppkey) maps
+    * each row to a point on a space-filling curve, so any contiguous
+    * z-range covers a small rectangle in (x, y). Range-partitioned by
+    * z at 100 TB, every file's parquet min/max stats then bound BOTH
+    * columns at once and a two-column box predicate prunes files the
+    * way a one-column predicate prunes a sorted layout. The query
+    * materializes exactly that argument as data: 64 z-buckets standing
+    * in for files, each with its min/max footer stats, `hits_box`
+    * (would the pruner touch it for x∈[32,63] ∧ y∈[96,127]?) and
+    * `n_box` (rows actually in the box) — every skipped bucket
+    * provably contains zero matching rows, and the box concentrates in
+    * ~1/16 of the buckets instead of all of them.
+    */
+  private def q46ZOrder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        (col("l_partkey") % 256).as("x"),
+        (col("l_suppkey") % 256).as("y"))
+      .select(col("x"), col("y"),
+        expr(zSql("x", "y", "DIV")).as("z"))
+      .groupBy(expr("z DIV 1024").as("zb"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        sum(when(col("x").between(32, 63) && col("y").between(96, 127), 1L)
+          .otherwise(0L)).as("n_box"))
+      .withColumn("hits_box",
+        (col("x_min") <= 63 && col("x_max") >= 32 &&
+          col("y_min") <= 127 && col("y_max") >= 96).cast("int"))
+      .select("zb", "n", "x_min", "x_max", "y_min", "y_max", "n_box", "hits_box")
+      .orderBy("zb")
+
+  private val q46Oracle: String = {
+    val z = zSql("x", "y", "//")
+    s"""WITH pts AS (
+       |  SELECT x, y, $z AS z FROM (
+       |    SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem)),
+       |b AS (
+       |  SELECT z // 1024 AS zb, count(*) AS n,
+       |         min(x) AS x_min, max(x) AS x_max,
+       |         min(y) AS y_min, max(y) AS y_max,
+       |         CAST(sum(CASE WHEN x BETWEEN 32 AND 63 AND y BETWEEN 96 AND 127
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_box
+       |  FROM pts GROUP BY 1)
+       |SELECT zb, n, x_min, x_max, y_min, y_max, n_box,
+       |       CAST(x_min <= 63 AND x_max >= 32 AND
+       |            y_min <= 127 AND y_max >= 96 AS INT) AS hits_box
+       |FROM b ORDER BY zb""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_bucketed_join" -> (q45BucketedJoin _),
+    "q46_zorder" -> (q46ZOrder _),
     "q44_bloom_join" -> (q44BloomJoin _),
     "q43_salted_join" -> (q43SaltedJoin _),
     "q41_date_trunc" -> (q41DateTrunc _),
@@ -439,6 +572,8 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_bucketed_join" -> q45Oracle,
+    "q46_zorder" -> q46Oracle,
     "q44_bloom_join" -> q44Oracle,
     "q43_salted_join" -> q43Oracle,
     "q41_date_trunc" -> q41Oracle,

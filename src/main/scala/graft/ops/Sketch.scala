@@ -250,15 +250,107 @@ object Sketch {
        |ORDER BY p.user_id""".stripMargin
   }
 
+  // ---- sk4: HLL-register sketch (bucketed leading-zero cardinality) -------
+
+  /** 32-bit integer from the first 8 hex chars of an already-computed
+    * md5 hex column `e` — same hoisting rationale as [[h63Sql]].
+    */
+  private def h32Sql(e: String): String = {
+    def hexv(k: Int) =
+      s"CAST(CASE WHEN ascii(substr($e,$k,1)) >= 97 " +
+        s"THEN ascii(substr($e,$k,1)) - 87 " +
+        s"ELSE ascii(substr($e,$k,1)) - 48 END AS BIGINT)"
+    (1 to 8).map(k => s"(${hexv(k)}) * ${1L << (4 * (8 - k))}")
+      .mkString("(", " + ", ")")
+  }
+
+  /** HLL geometry: p=6 → m=64 buckets from the hash's top 6 bits; the
+    * remaining 26 bits feed rho (leading zeros + 1, so rho ∈ [1,27]).
+    * Estimate arithmetic is kept integer-exact: with S' =
+    * Σ_buckets 2^(27−register) (empty bucket ⇒ register 0 ⇒ 2^27),
+    * the standard alpha·m²/Σ2^(−M[j]) becomes
+    * `(709·m²·2^27) DIV (1000·S')` — one BIGINT division both engines
+    * compute identically (alpha_64 = 0.709 as the rational 709/1000).
+    */
+  private val hllW = 1L << 26 // 67108864: bucket = h DIV hllW, w = h % hllW
+  private val hllNum = 709L * 64L * 64L * (1L << 27)
+
+  /** HyperLogLog-shaped distinct sketch next to sk1's KMV: the same
+    * cardinality question answered with 64 tiny registers instead of
+    * 64 kept minima. Where KMV ships the k smallest hashes, HLL ships
+    * max-of-leading-zeros per bucket — `max` is idempotent and
+    * order-insensitive, so the register table is a two-level hash agg
+    * whose shuffled size is ≤ groups × 64 single-byte registers no
+    * matter how many rows feed it; that register map is also the
+    * mergeable state a 1000-executor cluster would combine. The exact
+    * `countDistinct` column rides along as the yardstick (at 100 TB it
+    * is the expensive column — the sketch is what a real pipeline
+    * keeps). rho's bit-length comes from `length(bin(w))`, identical
+    * minimal-width binary strings in both engines, so registers AND
+    * estimate are oracle-checkable bit-for-bit.
+    */
+  private def sk4HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val regs = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        md5(col("o_custkey").cast("string")).as("mh"))
+      .select(col("grp"), expr(h32Sql("mh")).as("h"))
+      .select(col("grp"), expr(s"h DIV $hllW").as("bucket"),
+        expr(s"CASE WHEN h % $hllW = 0 THEN 27 " +
+          s"ELSE 27 - length(bin(h % $hllW)) END").as("rho"))
+      .groupBy("grp", "bucket")
+      .agg(max("rho").as("reg"))
+    val summ = regs
+      .groupBy("grp")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - reg)")).as("s_present"),
+        count(lit(1)).as("m_present"))
+      .select(col("grp"), col("m_present").cast("int").as("m_used"),
+        expr(s"$hllNum DIV (1000 * (s_present + (64 - m_present) * ${1L << 27}))")
+          .as("est"))
+    val exact = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    summ
+      .join(exact, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("m_used"), col("est"))
+      .orderBy("grp")
+  }
+
+  private val sk4Oracle: String = {
+    val h = h32Sql("mh")
+    s"""WITH hv AS (
+       |  SELECT o_orderpriority AS grp,
+       |         md5(CAST(o_custkey AS VARCHAR)) AS mh FROM orders),
+       |h AS (SELECT grp, $h AS h FROM hv),
+       |regs AS (
+       |  SELECT grp, h // $hllW AS bucket,
+       |         max(CASE WHEN h % $hllW = 0 THEN 27
+       |                  ELSE 27 - length(bin(h % $hllW)) END) AS reg
+       |  FROM h GROUP BY 1, 2),
+       |summ AS (
+       |  SELECT grp,
+       |         CAST(sum(CAST(1 AS BIGINT) << (27 - reg)) AS BIGINT) AS s_present,
+       |         count(*) AS m_present
+       |  FROM regs GROUP BY grp)
+       |SELECT s.grp, e.n_exact, CAST(s.m_present AS INT) AS m_used,
+       |       $hllNum // (1000 * (s_present + (64 - m_present) * ${1L << 27})) AS est
+       |FROM summ s JOIN (
+       |  SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS n_exact
+       |  FROM orders GROUP BY 1) e ON s.grp = e.grp
+       |ORDER BY s.grp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_kmv_distinct" -> (sk1KmvDistinct _),
     "sk2_bloom_filter" -> (sk2BloomFilter _),
-    "sk3_count_min" -> (sk3CountMin _)
+    "sk3_count_min" -> (sk3CountMin _),
+    "sk4_hll_distinct" -> (sk4HllDistinct _)
   )
 
   val oracles: Map[String, String] = Map(
     "sk1_kmv_distinct" -> sk1Oracle,
     "sk2_bloom_filter" -> sk2Oracle,
-    "sk3_count_min" -> sk3Oracle
+    "sk3_count_min" -> sk3Oracle,
+    "sk4_hll_distinct" -> sk4Oracle
   )
 }

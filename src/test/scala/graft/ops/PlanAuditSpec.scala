@@ -141,4 +141,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pairs == block * (block - 1) / 2,
       s"pair join must see exactly the block's pairs, got $pairs")
   }
+
+  test("q45: the bucketed sort-merge join plans with zero exchanges on the join keys") {
+    // the whole point of the bucketed layout: the orderkey join must
+    // NOT shuffle either side — the only exchanges left in the plan
+    // belong to the 5-group rollup and final sort above the join
+    val plan = formatted("q45_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), "merge hint must pin SMJ")
+    assert(!plan.contains("hashpartitioning(l_orderkey"),
+      "lineitem side must read pre-bucketed, not shuffle")
+    assert(!plan.contains("hashpartitioning(o_orderkey"),
+      "orders side must read pre-bucketed, not shuffle")
+    assert(plan.contains("Bucketed: true"), "both scans must select bucketed reading")
+  }
+
+  test("q46: z-order is a scan projection — pruned read, one aggregation shuffle") {
+    val plan = formatted("q46_zorder")
+    // column pruning: the z-value needs exactly two columns
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_orderkey"),
+      "ReadSchema must carry only partkey/suppkey")
+    // no join, no extra shuffle: z is row-local arithmetic
+    assert(!plan.contains("Join"))
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"z-bucket agg + final sort only, got $exchanges exchanges")
+  }
 }
