@@ -859,7 +859,67 @@ object CdcQueries {
       |             lower(n_name) AS table_name FROM nation)
       |ORDER BY table_schema, table_name""".stripMargin
 
+  // ---- cdc_dlq: dead-letter routing for unapplyable events -----------------
+
+  /** A CDC consumer must ROUTE what it cannot apply, not crash on it
+    * and not drop it silently — the reference's failure modes are the
+    * panic on a bad GTID (`gtid.go`) and the silent `OnDDL` drop; a
+    * durable pipeline replaces both with a dead-letter queue carrying
+    * a reason. The harness feed is clean, so the three classic
+    * corruption classes are PLANTED deterministically (id-modulus
+    * rules both engines replicate): a nulled-out primary key, an op
+    * verb outside the insert/update/delete contract, and truncated
+    * payload JSON. Classification is one row-local CASE with fixed
+    * precedence (null_pk ≻ unknown_op ≻ bad_json) — pure scan
+    * projection; the only shuffle is the 4-row reason rollup, and at
+    * 100 TB the same predicate splits the stream into apply-side and
+    * quarantine-side writes without a second pass.
+    */
+  private def cdcDlq(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        when(col("event_id") % 101 === 0, lit(null).cast("bigint"))
+          .otherwise(col("user_id")).as("pk"),
+        when(col("event_id") % 89 === 0, lit("upsert"))
+          .otherwise(ChangeFeed.opCol(col("event_type"))).as("op"),
+        when(col("event_id") % 97 === 0, expr("substr(props, 1, 4)"))
+          .otherwise(col("props")).as("props"))
+      .withColumn("reason",
+        when(col("pk").isNull, "null_pk")
+          .when(!col("op").isin("insert", "update", "delete"), "unknown_op")
+          .when(!col("props").endsWith("}"), "bad_json")
+          .otherwise("ok"))
+      .groupBy(col("reason"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_pos"),
+        max(col("event_id")).as("max_pos"))
+      .orderBy("reason")
+
+  private val cdcDlqOracle: String =
+    """SELECT reason, count(*) AS n,
+      |       min(event_id) AS min_pos, max(event_id) AS max_pos
+      |FROM (
+      |  SELECT event_id,
+      |         CASE WHEN pk IS NULL THEN 'null_pk'
+      |              WHEN op NOT IN ('insert', 'update', 'delete') THEN 'unknown_op'
+      |              WHEN NOT props LIKE '%}' THEN 'bad_json'
+      |              ELSE 'ok' END AS reason
+      |  FROM (
+      |    SELECT event_id,
+      |           CASE WHEN event_id % 101 = 0 THEN NULL ELSE user_id END AS pk,
+      |           CASE WHEN event_id % 89 = 0 THEN 'upsert'
+      |                WHEN event_type = 'signup' THEN 'insert'
+      |                WHEN event_type = 'error' THEN 'delete'
+      |                ELSE 'update' END AS op,
+      |           CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 4)
+      |                ELSE props END AS props
+      |    FROM events))
+      |GROUP BY reason ORDER BY reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_dlq" -> (cdcDlq _),
     "cdc_snapshot" -> (cdcSnapshot _),
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
@@ -882,6 +942,7 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" -> cdcSnapshotOracle,
+    "cdc_dlq" -> cdcDlqOracle,
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,

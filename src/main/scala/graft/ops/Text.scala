@@ -567,10 +567,80 @@ object Text {
     "t24_fingerprint" -> (t24Fingerprint _),
     "t25_tfidf" -> (t25Tfidf _),
     "t30_data_mix" -> (t30DataMix _),
-    "t31_source_cap" -> (t31SourceCap _)
+    "t31_source_cap" -> (t31SourceCap _),
+    "t32_bigram_lm" -> (t32BigramLm _)
   )
 
+  // ---- t32: bigram language-model scoring ----------------------------------
+
+  /** Statistical-LM quality scoring (the KenLM-shaped filter of a
+    * curation pipeline, arithmetic kept cross-engine-exact): train a
+    * bigram MLE model ON the corpus itself — c(w₁w₂) and its prefix
+    * total c(w₁·) — then score every document by the mean scaled
+    * conditional probability of its bigrams,
+    * `avg_score = (Σ (10⁶·c(w₁w₂)) DIV c(w₁·)) DIV n_bigrams`.
+    * Log-prob would be the textbook form but `ln` is libm-dependent;
+    * integer-scaled probability ranks documents the same way for a
+    * fixed model and hashes identically in both engines (same trick
+    * as t25's rational tf/df).
+    *
+    * Scale shape: the MODEL is vocabulary²-bounded — orders of
+    * magnitude smaller than the corpus — so at 100 TB it broadcasts
+    * to the scoring join (here AQE makes that call); the corpus-side
+    * cost is one explode + one shuffle on the bigram key, the same
+    * topology as word count. Docs with < 2 words have no bigrams and
+    * drop out (both engines agree: empty `sequence`/`generate_series`).
+    */
+  private def t32BigramLm(s: SparkSession, d: String): DataFrame = {
+    val bigrams = Tables
+      .documents(s, d)
+      .select(col("doc_id"), wordsCol(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> " +
+          "concat(element_at(ws, CAST(i AS INT)), ' ', " +
+          "element_at(ws, CAST(i AS INT) + 1)))")).as("bg"))
+    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val w1Counts = bgCounts
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
+    val model = bgCounts
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .join(w1Counts, Seq("w1"))
+      .select(col("bg"), col("c_bg"), col("c_w1"))
+    bigrams
+      .join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000 * c_bg) DIV c_w1")).as("score_sum"))
+      .withColumn("avg_score", expr("score_sum DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private val t32Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+       |                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+       |  FROM w),
+       |m AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+       |m1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+       |              CAST(sum(c_bg) AS BIGINT) AS c_w1
+       |       FROM m GROUP BY 1),
+       |model AS (
+       |  SELECT m.bg, m.c_bg, m1.c_w1 FROM m
+       |  JOIN m1 ON string_split(m.bg, ' ')[1] = m1.w1)
+       |SELECT b.doc_id, count(*) AS n_bigrams,
+       |       CAST(sum((1000000 * c_bg) // c_w1) AS BIGINT) AS score_sum,
+       |       CAST(CAST(sum((1000000 * c_bg) // c_w1) AS BIGINT) // count(*) AS BIGINT) AS avg_score
+       |FROM bg b JOIN model ON b.bg = model.bg
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t32_bigram_lm" -> t32Oracle,
     "t29_chunk" -> t29Oracle,
     "t27_repetition" -> t27Oracle,
     "t28_pii_redact" -> t28Oracle,
