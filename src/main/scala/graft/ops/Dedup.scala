@@ -698,10 +698,67 @@ object Dedup {
     "d4_simhash" -> (d4Simhash _),
     "d6_decontam" -> (d6Decontam _),
     "d7_dup_clusters" -> (d7DupClusters _),
-    "d8_incremental_dedup" -> (d8IncrementalDedup _)
+    "d8_incremental_dedup" -> (d8IncrementalDedup _),
+    "d9_gram_coverage" -> (d9GramCoverage _)
   )
 
+  // ---- d9: inter-document n-gram duplication coverage ---------------------
+
+  /** The RefinedWeb/Gopher-style EXACT duplication diagnostic that
+    * sits between d1 (whole-document) and d3/d4 (approximate
+    * near-dup): for every document, what fraction of its distinct
+    * 13-grams also appears in at least one OTHER document? High
+    * coverage flags boilerplate/templated text that document-level
+    * dedup misses. Same codegen'd [[graft.functions.PolyGrams]] scan
+    * as d6; the gram-frequency table is the canonical word-count
+    * shuffle on a LONG key (never raw text), and the coverage rollup
+    * is one more hash agg. At 100 TB this is the expensive exact
+    * diagnostic (gram table ~ token count) — d3's MinHash is the
+    * cheap standing proxy; this op is what you run on samples or
+    * suspect slices to calibrate it, and the integer per-mille output
+    * keeps the gate hash-exact.
+    */
+  private def d9GramCoverage(s: SparkSession, d: String): DataFrame = {
+    val exploded = Tables
+      .documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions
+          .poly_grams(Text.wordsCol(col("text")), 13).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        explode(col("g")).as("gram"))
+    val df = exploded
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+    exploded
+      .join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_grams")).as("n_grams"),
+        sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_permille", expr("(1000 * n_dup_grams) DIV n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val d9Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, greatest(len(hw)-12, 0)),
+       |           i -> ${gram13Sql(k => s"hw[i+$k]")})) AS g
+       |  FROM (SELECT doc_id, list_transform($ws, w -> ${Text.polyHashSql("w", 8)}) AS hw
+       |        FROM documents)),
+       |e AS (SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS gram FROM g),
+       |f AS (SELECT gram, count(DISTINCT doc_id) AS gram_df FROM e GROUP BY gram)
+       |SELECT e.doc_id, max(e.n_grams) AS n_grams,
+       |       CAST(sum(CASE WHEN f.gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |       CAST((1000 * sum(CASE WHEN f.gram_df >= 2 THEN 1 ELSE 0 END))
+       |            // max(e.n_grams) AS BIGINT) AS dup_permille
+       |FROM e JOIN f USING (gram)
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d9_gram_coverage" -> d9Oracle,
     "d5_intradoc_rep" -> d5Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_ngram_jaccard" -> d2Oracle,

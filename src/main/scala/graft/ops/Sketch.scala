@@ -340,17 +340,73 @@ object Sketch {
        |ORDER BY s.grp""".stripMargin
   }
 
+  // ---- sk5: mergeable histogram sketch with quantile estimation -----------
+
+  /** The percentile question at 100 TB: exact quantiles need a full
+    * sort (or Spark's `approxQuantile`, whose Greenwald-Khanna state
+    * no external engine reproduces) — the scalable, gate-checkable
+    * answer is a FIXED-BIN HISTOGRAM: binning is row-local integer
+    * arithmetic (prices to cents first, so the bin edge can't move
+    * with float division), the histogram is a (group × bins) count
+    * map — a partial-agg-safe shuffle bounded by bin count, the same
+    * mergeable-state shape as sk4's registers — and any quantile
+    * reads off the cumulative counts: `p_q = min bin with
+    * 100·cum ≥ q·n` (integer cross-multiplication, no division at
+    * all). Estimates are bin LOWER BOUNDS in cents — deterministic,
+    * resolution = bin width, exactly what a 500-unit bin promises.
+    */
+  private def sk5Histogram(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV 50000").as("bin"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n_bin"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bin")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    def qLo(q: Int) =
+      min(when(col("cum") * 100 >= col("n") * q, col("bin") * 50000))
+        .as(s"p${q}_lo_cents")
+    hist
+      .withColumn("cum", sum(col("n_bin")).over(wOrd))
+      .withColumn("n", sum(col("n_bin")).over(wAll))
+      .groupBy("grp")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        qLo(50), qLo(90), qLo(99))
+      .orderBy("grp")
+  }
+
+  private val sk5Oracle: String =
+    """WITH h AS (
+      |  SELECT grp, bin, count(*) AS n_bin FROM (
+      |    SELECT l_returnflag AS grp,
+      |           CAST(round(l_extendedprice * 100) AS BIGINT) // 50000 AS bin
+      |    FROM lineitem)
+      |  GROUP BY grp, bin),
+      |c AS (
+      |  SELECT grp, bin, n_bin,
+      |         sum(n_bin) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+      |         sum(n_bin) OVER (PARTITION BY grp) AS n
+      |  FROM h)
+      |SELECT grp, CAST(max(n) AS BIGINT) AS n, count(*) AS n_bins,
+      |       min(CASE WHEN cum * 100 >= n * 50 THEN bin * 50000 END) AS p50_lo_cents,
+      |       min(CASE WHEN cum * 100 >= n * 90 THEN bin * 50000 END) AS p90_lo_cents,
+      |       min(CASE WHEN cum * 100 >= n * 99 THEN bin * 50000 END) AS p99_lo_cents
+      |FROM c GROUP BY grp ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk1_kmv_distinct" -> (sk1KmvDistinct _),
     "sk2_bloom_filter" -> (sk2BloomFilter _),
     "sk3_count_min" -> (sk3CountMin _),
-    "sk4_hll_distinct" -> (sk4HllDistinct _)
+    "sk4_hll_distinct" -> (sk4HllDistinct _),
+    "sk5_histogram" -> (sk5Histogram _)
   )
 
   val oracles: Map[String, String] = Map(
     "sk1_kmv_distinct" -> sk1Oracle,
     "sk2_bloom_filter" -> sk2Oracle,
     "sk3_count_min" -> sk3Oracle,
-    "sk4_hll_distinct" -> sk4Oracle
+    "sk4_hll_distinct" -> sk4Oracle,
+    "sk5_histogram" -> sk5Oracle
   )
 }

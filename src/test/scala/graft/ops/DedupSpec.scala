@@ -162,4 +162,30 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter(r => r.getAs[Long]("doc_id") == r.getAs[Long]("cluster"))
       .forall(_.getAs[Int]("keep") == 1))
   }
+
+  test("d9: planted shared boilerplate dominates coverage; unique docs score zero") {
+    // 30 docs = 15 unique-text docs + 15 docs that append a shared
+    // 20-word boilerplate tail to otherwise-unique prefixes. Every
+    // 13-gram fully inside the tail appears in 15 docs; grams of the
+    // unique bodies appear once. The coverage metric must separate
+    // the two populations with no overlap.
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val boiler = (1 to 20).map(i => s"tail$i").mkString(" ")
+    val docs = (0 until 30).map { i =>
+      val body = (1 to 30).map(j => s"u${i}w$j").mkString(" ")
+      (i.toLong, if (i >= 15) s"$body $boiler" else body)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d9").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.queries("d9_gram_coverage")(spark, dir).collect()
+    val (tailed, unique) = rows.partition(_.getAs[Long]("doc_id") >= 15)
+    assert(unique.forall(_.getAs[Long]("n_dup_grams") == 0L),
+      "unique docs must report zero duplicated grams")
+    // 20-word tail ⇒ 8 fully-internal 13-grams per tailed doc, all shared
+    assert(tailed.length == 15 &&
+      tailed.forall(_.getAs[Long]("n_dup_grams") >= 8L),
+      "every boilerplate tail must surface as duplicated grams")
+  }
 }

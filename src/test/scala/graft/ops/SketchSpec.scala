@@ -40,6 +40,32 @@ class SketchSpec extends AnyFunSuite {
       "CMS estimates must dominate true counts")
   }
 
+  test("sk5: histogram quantiles track the exact percentile within a bin width") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("sk5_histogram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)").as("p50"),
+        expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)").as("p90"))
+      .collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    rows.foreach { r =>
+      val (p50e, p90e) = exact(r.getAs[String]("grp"))
+      val p50lo = r.getAs[Long]("p50_lo_cents")
+      val p90lo = r.getAs[Long]("p90_lo_cents")
+      // the sketch reports the bin holding the ceil(q·n)-th value; the
+      // interpolated exact percentile sits within one 50000-cent bin
+      assert(p50e >= p50lo - 50000 && p50e < p50lo + 50000,
+        s"p50: exact $p50e outside bin of $p50lo")
+      assert(p90e >= p90lo - 50000 && p90e < p90lo + 50000,
+        s"p90: exact $p90e outside bin of $p90lo")
+    }
+  }
+
   test("sk2: the bloom maybe-set contains every true member") {
     val rows = graft.SparkEntry
       .queries("sk2_bloom_filter")(spark, "/root/testdata/sf0.001")
