@@ -508,7 +508,65 @@ object Similarity {
       |  FROM cands WHERE crk <= 20)
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  // ---- s7: bucket-diverse top-k (diversified retrieval) -------------------
+
+  /** Diversified retrieval as an IN-PLAN constraint instead of a
+    * post-hoc rerank loop: results per query are capped at 2 per LSH
+    * cell before the global top-10, so one dense semantic
+    * neighborhood (in training-data terms: one over-crawled template)
+    * cannot monopolize the result list — the declarative cousin of
+    * MMR, with the diversity radius set by the cell width. Two
+    * stacked windows on the same (qid)-partitioned shuffle: the cell
+    * cap prunes before the global rank, both deterministic
+    * (cos DESC, vec_id tiebreak). Scoring reuses s1's shape —
+    * broadcast queries, codegen'd [[VectorFunctions.cosine_similarity]],
+    * fact side never shuffles for the scoring itself.
+    */
+  private def s7DiverseTopk(s: SparkSession, d: String): DataFrame = {
+    val all = withBucket(vecs(s, d))
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = all
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(queries))
+      .select(col("qid"), col("vec_id"), col("bucket"),
+        VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("bucket"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("cell_rnk", row_number().over(wCell))
+      .filter(col("cell_rnk") <= 2)
+      .withColumn("rnk", row_number().over(wAll))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id", "bucket", "cell_rnk", "cos", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  private val s7Oracle: String =
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |bucketed AS (${bucketSqlFrom("base")}),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.bucket AS bucket,
+       |         list_cosine_similarity(q.v, c.v) AS cos
+       |  FROM bucketed q JOIN bucketed c ON c.vec_id >= 5
+       |  WHERE q.vec_id < 5),
+       |capped AS (
+       |  SELECT qid, vec_id, bucket, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid, bucket
+       |              ORDER BY cos DESC, vec_id) AS INT) AS cell_rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, bucket, cell_rnk, cos, rnk FROM (
+       |  SELECT qid, vec_id, bucket, cell_rnk, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |              ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM capped WHERE cell_rnk <= 2)
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_diverse_topk" -> (s7DiverseTopk _),
     "s1_cosine_topk" -> (s1CosineTopk _),
     "s2_ann_bucket" -> (s2AnnBucket _),
     "s3_embedding_dedup" -> (s3EmbeddingDedup _),
@@ -518,6 +576,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s7_diverse_topk" -> s7Oracle,
     "s1_cosine_topk" -> s1Oracle,
     "s2_ann_bucket" -> s2Oracle,
     "s3_embedding_dedup" -> s3Oracle,

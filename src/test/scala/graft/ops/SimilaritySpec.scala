@@ -240,4 +240,18 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.queries("s3_embedding_dedup")(spark, sf).count()
     assert(nCached - base <= 3, s"s3 leaked ${nCached - base - 2} cached RDDs")
   }
+
+  test("s7: no cell exceeds the diversity cap in any result list") {
+    val rows = Similarity.queries("s7_diverse_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perCell = rows.groupBy(r =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("bucket"))).view.mapValues(_.length)
+    assert(perCell.forall(_._2 <= 2),
+      s"diversity cap violated: ${perCell.filter(_._2 > 2).toMap}")
+    // and the cap binds: some query must actually have been diversified
+    // (a top-10 drawn from >= 6 distinct cells per query is the cap's effect)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("bucket")).distinct.length >= rs.length / 2)
+    }
+  }
 }
