@@ -170,6 +170,59 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_evolve_state: additive DDL mid-stream, oracle-checked ----------
+
+  /** Schema evolution as a DRIVER-GATED behavior, not just a spec:
+    * the first half of the feed applies with the pre-DDL schema (no
+    * `props` column — the table as originally created), the second
+    * half arrives post-additive-DDL carrying `props`. The reference
+    * drops the DDL on the floor (`OnDDL` no-op,
+    * `internal/cannal/incremental_event.go:31-33`); a materializing
+    * engine must instead widen the state table once and null-backfill
+    * — so every key whose LATEST event predates the DDL must read
+    * back with a NULL `k`, and every later key with its JSON payload.
+    * That per-key nullability pattern is exactly what the oracle
+    * recomputes from scratch, making the migration's latest-wins
+    * interaction (not merely its schema) the thing under test.
+    */
+  private def cdcEvolveState(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-evolve").toString
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
+    val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    CdcPipeline.applyBatch(s, store, dir, "harness-src",
+      feed.filter(col("pos") <= mid).drop("props"))
+    CdcPipeline.applyBatch(s, store, dir, "harness-src",
+      feed.filter(col("pos") > mid))
+    CdcPipeline.readState(s, dir)
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("user_id")
+  }
+
+  private val cdcEvolveStateOracle: String =
+    """WITH mm AS (
+      |  SELECT min(event_id) + (max(event_id) - min(event_id)) // 2 AS mid
+      |  FROM events)
+      |SELECT user_id, last_pos, op, value, k FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         CASE WHEN event_id <= (SELECT mid FROM mm) THEN NULL
+      |              ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
+
   // ---- cdc_jdbc_catalog: the snapshot pipeline through the JDBC seam ------
 
   /** Ops #1–#4 + #12 through [[JdbcCatalog]] against an embedded
@@ -920,6 +973,7 @@ object CdcQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_dlq" -> (cdcDlq _),
+    "cdc_evolve_state" -> (cdcEvolveState _),
     "cdc_snapshot" -> (cdcSnapshot _),
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
@@ -943,6 +997,7 @@ object CdcQueries {
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" -> cdcSnapshotOracle,
     "cdc_dlq" -> cdcDlqOracle,
+    "cdc_evolve_state" -> cdcEvolveStateOracle,
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,

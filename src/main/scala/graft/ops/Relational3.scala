@@ -553,7 +553,112 @@ object Relational3 {
        |FROM b ORDER BY zb""".stripMargin
   }
 
+  // ---- q47: blocked fuzzy join (edit-distance matching) -------------------
+
+  /** Fuzzy string matching as a JOIN, made scale-shaped by BLOCKING:
+    * an edit-distance join is a cross product by definition, so the
+    * plan first equi-joins on a block key (the 7-char brand prefix a
+    * single-char typo can't move) and only runs codegen'd
+    * `levenshtein` inside each tiny block — the same
+    * bucket-then-verify topology as LSH dedup, applied to data
+    * cleaning. Typos are PLANTED deterministically (every 7th part's
+    * brand gets its last char replaced by 'X', a character no clean
+    * brand contains), and the result counts exact and distance-1
+    * matches per clean brand — including the honest ambiguity of a
+    * typo sitting at distance 1 from several brands.
+    */
+  private def q47FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val dirty = Tables.part(s, d)
+      .select(when(col("p_partkey") % 7 === 0,
+        expr("concat(substr(p_brand, 1, length(p_brand) - 1), 'X')"))
+        .otherwise(col("p_brand")).as("brand_dirty"))
+      .withColumn("blk", expr("substr(brand_dirty, 1, 7)"))
+    val dict = Tables.part(s, d)
+      .select(col("p_brand").as("brand")).distinct()
+      .withColumn("blk", expr("substr(brand, 1, 7)"))
+    dirty
+      .join(broadcast(dict), Seq("blk"))
+      .filter(expr("levenshtein(brand_dirty, brand) <= 1"))
+      .groupBy(col("brand"))
+      .agg(
+        sum(when(col("brand_dirty") === col("brand"), 1L).otherwise(0L))
+          .as("n_exact"),
+        sum(when(col("brand_dirty") =!= col("brand"), 1L).otherwise(0L))
+          .as("n_fuzzy"))
+      .orderBy("brand")
+  }
+
+  private val q47Oracle: String =
+    """SELECT brand,
+      |       CAST(sum(CASE WHEN brand_dirty = brand THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |       CAST(sum(CASE WHEN brand_dirty <> brand THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy
+      |FROM (
+      |  SELECT CASE WHEN p_partkey % 7 = 0
+      |              THEN substr(p_brand, 1, length(p_brand) - 1) || 'X'
+      |              ELSE p_brand END AS brand_dirty
+      |  FROM part) dirty
+      |JOIN (SELECT DISTINCT p_brand AS brand FROM part) dict
+      |  ON substr(brand_dirty, 1, 7) = substr(brand, 1, 7)
+      | AND levenshtein(brand_dirty, brand) <= 1
+      |GROUP BY brand ORDER BY brand""".stripMargin
+
+  // ---- q48: funnel analysis (ordered event-sequence matching) -------------
+
+  /** Sequenced funnel: how many users VIEW, then CLICK after that
+    * view, then PURCHASE after that click — order matters, so each
+    * stage anchors on the previous stage's position, not mere
+    * co-occurrence. Three aggregates all shuffled on the SAME key
+    * (user_id), so a cluster co-partitions the whole funnel after one
+    * exchange; each stage is a conditional min over a filtered scan,
+    * and the final rollup is a count of non-nulls — no window with an
+    * unbounded frame, no self-join explosion.
+    */
+  private def q48Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("event_id"))).as("v_pos"))
+    val c = ev.join(v, Seq("user_id"))
+      .groupBy("user_id", "v_pos")
+      .agg(min(when(col("event_type") === "click" && col("event_id") > col("v_pos"),
+        col("event_id"))).as("c_pos"))
+    val p = ev.join(c, Seq("user_id"))
+      .groupBy("user_id", "v_pos", "c_pos")
+      .agg(min(when(col("event_type") === "purchase" && col("event_id") > col("c_pos"),
+        col("event_id"))).as("p_pos"))
+    p.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("v_pos").isNotNull.cast("long")).as("n_view"),
+      sum(col("c_pos").isNotNull.cast("long")).as("n_view_click"),
+      sum(col("p_pos").isNotNull.cast("long")).as("n_full_funnel"))
+  }
+
+  private val q48Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN event_id END) AS v_pos
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.v_pos,
+      |         min(CASE WHEN e.event_type = 'click' AND e.event_id > v.v_pos
+      |                  THEN e.event_id END) AS c_pos
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  GROUP BY e.user_id, v.v_pos),
+      |p AS (
+      |  SELECT e.user_id, c.v_pos, c.c_pos,
+      |         min(CASE WHEN e.event_type = 'purchase' AND e.event_id > c.c_pos
+      |                  THEN e.event_id END) AS p_pos
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY e.user_id, c.v_pos, c.c_pos)
+      |SELECT count(*) AS n_users,
+      |       CAST(sum(CASE WHEN v_pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |       CAST(sum(CASE WHEN c_pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |       CAST(sum(CASE WHEN p_pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_fuzzy_join" -> (q47FuzzyJoin _),
+    "q48_funnel" -> (q48Funnel _),
     "q45_bucketed_join" -> (q45BucketedJoin _),
     "q46_zorder" -> (q46ZOrder _),
     "q44_bloom_join" -> (q44BloomJoin _),
@@ -572,6 +677,8 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_fuzzy_join" -> q47Oracle,
+    "q48_funnel" -> q48Oracle,
     "q45_bucketed_join" -> q45Oracle,
     "q46_zorder" -> q46Oracle,
     "q44_bloom_join" -> q44Oracle,
