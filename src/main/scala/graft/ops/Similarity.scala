@@ -565,7 +565,111 @@ object Similarity {
        |  FROM capped WHERE cell_rnk <= 2)
        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  // ---- s8: exact MMR re-ranking (unrolled greedy, oracle-checked) ---------
+
+  /** Maximal Marginal Relevance, the exact greedy form: from each
+    * query's top-20 relevance candidates, pick 5 results one at a
+    * time maximizing `0.7·rel − 0.3·max_sim(picked)` — relevance
+    * traded against redundancy with what's already chosen. Greedy
+    * selection is inherently sequential, but k is a CONSTANT (5), so
+    * the loop unrolls into k bounded plan steps — a driver loop like
+    * d7's, each step a (candidates × picked) join that is at most
+    * 20·step rows per query, followed by a per-query argmax window.
+    * Each step localCheckpoints, so lineage stays k-deep, not
+    * k²-deep. Every arithmetic op (cosine, 0.7·x − 0.3·y, argmax with
+    * vec_id tiebreak) is IEEE-identical in DuckDB, which recomputes
+    * the full greedy unrolled as chained CTEs — the oracle checks the
+    * SELECTION SEQUENCE, not just the final set. s7 is the cheap
+    * in-plan diversity cap; this is the exact reranker you run on the
+    * final-stage candidates it leaves behind.
+    */
+  private def s8MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wRel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+    val cand = all.filter(col("vec_id") >= 5)
+      .join(broadcast(queries))
+      .select(col("qid"), col("vec_id"), col("v"),
+        VectorFunctions.cosine_similarity(col("qv"), col("v")).as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= 20)
+      .drop("rn")
+      .localCheckpoint(true)
+    val wMmr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))
+    var picked = cand
+      .withColumn("mmr", col("rel"))
+      .withColumn("rn", row_number().over(wMmr))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("v"), col("rel"), col("mmr"),
+        lit(1).as("step"))
+      .localCheckpoint(true)
+    for (step <- 2 to 5) {
+      val remaining = cand.join(
+        picked.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      val maxsim = remaining
+        .join(picked.select(col("qid"), col("v").as("pv")), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosine_similarity(col("v"), col("pv")).as("sim"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val next = remaining
+        .join(maxsim, Seq("qid", "vec_id"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("v"), col("rel"), col("mmr"),
+          lit(step).as("step"))
+      picked = picked.unionByName(next).localCheckpoint(true)
+    }
+    picked.select("qid", "step", "vec_id", "rel", "mmr").orderBy("qid", "step")
+  }
+
+  private val s8Oracle: String = {
+    // unrolled greedy: pick_i = argmax over (cand minus picks<i) of
+    // 0.7·rel − 0.3·max sim to picks<i; chained CTEs, no recursion
+    def pickStep(i: Int): String = {
+      val prev = (1 until i).map(j => s"p$j").mkString(" UNION ALL SELECT * FROM ")
+      s"""r$i AS (
+         |  SELECT c.qid, c.vec_id, c.v, c.rel,
+         |         0.7 * c.rel - 0.3 * max(list_cosine_similarity(c.v, p.v)) AS mmr
+         |  FROM cand c
+         |  JOIN (SELECT * FROM $prev) p ON c.qid = p.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM (SELECT * FROM $prev) x
+         |                    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |  GROUP BY c.qid, c.vec_id, c.v, c.rel),
+         |p$i AS (
+         |  SELECT qid, vec_id, v, rel, mmr, $i AS step FROM (
+         |    SELECT qid, vec_id, v, rel, mmr,
+         |           row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM r$i) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cand AS (
+       |  SELECT qid, vec_id, v, rel FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id, c.v,
+       |           list_cosine_similarity(q.v, c.v) AS rel,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+       |    FROM base q JOIN base c ON c.vec_id >= 5
+       |    WHERE q.vec_id < 5) WHERE rn <= 20),
+       |p1 AS (
+       |  SELECT qid, vec_id, v, rel, rel AS mmr, 1 AS step FROM (
+       |    SELECT qid, vec_id, v, rel,
+       |           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |${(2 to 5).map(pickStep).mkString(",\n")}
+       |SELECT qid, step, vec_id, rel, mmr
+       |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL
+       |      SELECT * FROM p3 UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
+       |ORDER BY qid, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_mmr_rerank" -> (s8MmrRerank _),
     "s7_diverse_topk" -> (s7DiverseTopk _),
     "s1_cosine_topk" -> (s1CosineTopk _),
     "s2_ann_bucket" -> (s2AnnBucket _),
@@ -576,6 +680,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s8_mmr_rerank" -> s8Oracle,
     "s7_diverse_topk" -> s7Oracle,
     "s1_cosine_topk" -> s1Oracle,
     "s2_ann_bucket" -> s2Oracle,

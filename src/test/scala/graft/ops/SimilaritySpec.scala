@@ -241,6 +241,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nCached - base <= 3, s"s3 leaked ${nCached - base - 2} cached RDDs")
   }
 
+  test("s8: MMR picks are distinct, anchored on relevance, and less redundant than plain top-5") {
+    import org.apache.spark.sql.functions._
+    val mmr = Similarity.queries("s8_mmr_rerank")(spark, sf).collect()
+    assert(mmr.length == 25, "5 queries x 5 picks")
+    mmr.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("vec_id")).distinct.length == 5, "no repicks")
+      // step 1 is pure relevance: its mmr equals its rel
+      val s1r = rs.find(_.getAs[Int]("step") == 1).get
+      assert(s1r.getAs[Double]("mmr") == s1r.getAs[Double]("rel"))
+    }
+    // the tradeoff must bind overall: summed pairwise similarity among
+    // MMR picks is below that of the pure-relevance top-5
+    val top5 = Similarity.queries("s1_cosine_topk")(spark, sf)
+      .filter(col("rnk") <= 5).collect()
+    def pairSim(picks: Map[Long, Seq[Long]]): Double = {
+      val vs = Similarity.corpus(spark, sf).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](2)).toMap
+      picks.values.flatMap { ids =>
+        for (a <- ids; b <- ids if a < b) yield {
+          val (x, y) = (vs(a), vs(b))
+          val dot = x.zip(y).map { case (p, q) => p * q }.sum
+          dot / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+        }
+      }.sum
+    }
+    val mmrPicks = mmr.groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSeq }
+    val relPicks = top5.groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSeq }
+    assert(pairSim(mmrPicks) < pairSim(relPicks),
+      "MMR must reduce total intra-result redundancy vs pure relevance")
+  }
+
   test("s7: no cell exceeds the diversity cap in any result list") {
     val rows = Similarity.queries("s7_diverse_topk")(spark, sf).collect()
     assert(rows.nonEmpty)
