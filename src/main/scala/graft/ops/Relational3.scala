@@ -602,6 +602,65 @@ object Relational3 {
       | AND levenshtein(brand_dirty, brand) <= 1
       |GROUP BY brand ORDER BY brand""".stripMargin
 
+  // ---- q49: dynamic partition pruning (runtime partition skipping) --------
+
+  /** The runtime companion to q45's static layout: the fact table is
+    * written PARTITIONED by a derived month column (the once-per-table
+    * layout investment again), and the month filter arrives only
+    * through a JOIN against a tiny dimension — no literal predicate on
+    * the fact anywhere in the query. Dynamic partition pruning turns
+    * the dim's broadcast into an IN-subquery on the fact scan
+    * (`dynamicpruning#` in the plan, PlanAuditSpec-asserted), so the
+    * scan opens 3 of 12 month directories at RUNTIME. At 100 TB this
+    * is the difference between reading a quarter and reading the
+    * decade: star-schema queries prune by what the dim filter selects,
+    * with no ETL-time knowledge of the predicate.
+    */
+  private val dppWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q49Dpp(s: SparkSession, d: String): DataFrame = {
+    val factT = dppWritten.computeIfAbsent(
+      d, { _ =>
+        val sfx = (d.hashCode.toLong & 0xffffffffL).toHexString
+        val t = s"graft_p_li_$sfx"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Tables.lineitem(s, d)
+          .select(col("l_extendedprice"), col("l_discount"),
+            month(col("l_shipdate")).as("l_month"))
+          .repartition(col("l_month"))
+          .write.mode("overwrite").partitionBy("l_month")
+          .saveAsTable(t)
+        t
+      })
+    val dim = s.range(1, 13)
+      .select(col("id").cast("int").as("m_month"),
+        (((col("id") - 1) / 3).cast("int") + 1).as("m_quarter"))
+    s.table(factT)
+      .join(broadcast(dim.filter(col("m_quarter") === 1)),
+        col("l_month") === col("m_month"))
+      .groupBy(col("l_month"))
+      .agg(
+        Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_month")
+  }
+
+  private val q49Oracle: String =
+    s"""SELECT l_month, ${Exact.sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |       count(*) AS n_items
+       |FROM (SELECT l_extendedprice, l_discount,
+       |             CAST(month(l_shipdate) AS INT) AS l_month FROM lineitem) f
+       |JOIN (SELECT m_month, ((m_month - 1) // 3) + 1 AS m_quarter
+       |      FROM (SELECT CAST(unnest(generate_series(1, 12)) AS INT) AS m_month)) d
+       |  ON f.l_month = d.m_month
+       |WHERE d.m_quarter = 1
+       |GROUP BY l_month ORDER BY l_month""".stripMargin
+
   // ---- q48: funnel analysis (ordered event-sequence matching) -------------
 
   /** Sequenced funnel: how many users VIEW, then CLICK after that
@@ -657,6 +716,7 @@ object Relational3 {
       |FROM p""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_dpp" -> (q49Dpp _),
     "q47_fuzzy_join" -> (q47FuzzyJoin _),
     "q48_funnel" -> (q48Funnel _),
     "q45_bucketed_join" -> (q45BucketedJoin _),
@@ -677,6 +737,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_dpp" -> q49Oracle,
     "q47_fuzzy_join" -> q47Oracle,
     "q48_funnel" -> q48Oracle,
     "q45_bucketed_join" -> q45Oracle,

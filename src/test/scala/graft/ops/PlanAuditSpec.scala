@@ -155,6 +155,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Bucketed: true"), "both scans must select bucketed reading")
   }
 
+  test("q49: the dim filter prunes fact partitions at runtime (DPP)") {
+    // no literal month predicate exists on the fact side; the scan
+    // must still carry a dynamic pruning subquery fed by the dim
+    val plan = formatted("q49_dpp")
+    assert(plan.contains("dynamicpruning"),
+      "fact scan must carry a runtime partition-pruning subquery")
+    assert(plan.contains("PartitionFilters"),
+      "the pruning must land in the scan's partition filters")
+  }
+
   test("q46: z-order is a scan projection — pruned read, one aggregation shuffle") {
     val plan = formatted("q46_zorder")
     // column pruning: the z-value needs exactly two columns
