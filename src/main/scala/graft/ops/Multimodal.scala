@@ -250,7 +250,57 @@ object Multimodal {
       |GROUP BY vfp HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
+  /** mm5: audio windowing + VAD-style gating — the audio member of
+    * the family next to mm3's video frames: fixed-duration windows at
+    * 50% overlap (width derived from the asset's sample rate, the
+    * metadata-driven arithmetic a real resampler needs), each scored
+    * and gated so "silent" windows drop before featurization — the
+    * voice-activity-detection shape of a speech curation pipeline.
+    * Per the family's stub contract the energy score is an md5-coin
+    * over the window bytes (deterministic, oracle-foldable) standing
+    * in for RMS over decoded samples; everything else — metadata
+    * join-free derivation, strided full-window enumeration, overlap
+    * arithmetic, the gate — is the real operator. Row-local explode
+    * (≤6 windows/asset), zero shuffles before the final sort.
+    */
+  private def mm5AudioWindows(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .filter(col("doc_id") % 3 === 1) // the audio modality of assets()
+      // sample_rate matches assets() metadata (audio ⇒ 16000); window
+      // width = 1 ms of samples, stride = half a window (50% overlap)
+      .select(col("doc_id"), col("text"), lit(16000).as("sample_rate"))
+      .withColumn("width", (col("sample_rate") / 1000).cast("int"))
+      .withColumn("stride", (col("width") / 2).cast("int"))
+      .select(col("doc_id"), col("text"), col("sample_rate"), col("width"),
+        col("stride"), posexplode(sequence(lit(0), lit(5))).as(Seq("p", "win_idx")))
+      .withColumn("win_off", lit(1) + col("win_idx") * col("stride"))
+      .filter(col("win_off") + col("width") <= length(col("text")) + 1)
+      .withColumn("energy", expr(
+        s"${graft.ops.Text.polyHashSql("md5(substr(text, win_off, width))", 8)} % 1000"))
+      .filter(col("energy") >= 200)
+      .select("doc_id", "win_idx", "win_off", "sample_rate", "energy")
+      .orderBy("doc_id", "win_idx")
+
+  private val mm5Oracle: String = {
+    val h = graft.ops.Text.polyHashSql(
+      "md5(substr(text, 1 + win_idx * stride, width))", 8)
+    s"""SELECT doc_id, win_idx, 1 + win_idx * stride AS win_off,
+       |       sample_rate, $h % 1000 AS energy
+       |FROM (
+       |  SELECT a.doc_id, a.text, a.sample_rate, a.width,
+       |         a.width // 2 AS stride, f.win_idx
+       |  FROM (SELECT doc_id, text, 16000 AS sample_rate,
+       |               16000 // 1000 AS width
+       |        FROM documents WHERE doc_id % 3 = 1) a,
+       |       (VALUES (0), (1), (2), (3), (4), (5)) f(win_idx))
+       |WHERE 1 + win_idx * stride + width <= length(text) + 1
+       |  AND $h % 1000 >= 200
+       |ORDER BY doc_id, win_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm5_audio_windows" -> (mm5AudioWindows _),
     "mm1_catalog" -> (mm1Catalog _),
     "mm2_features" -> (mm2Features _),
     "mm3_frame_sample" -> (mm3FrameSample _),
@@ -279,6 +329,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm5_audio_windows" -> mm5Oracle,
     "mm1_catalog" -> mm1Oracle,
     "mm2_features" -> mm2Oracle,
     "mm3_frame_sample" -> mm3Oracle,
