@@ -48,3 +48,21 @@ object KmvAgg extends Aggregator[Long, KmvBuffer, (Int, Long)] {
   override def outputEncoder: Encoder[(Int, Long)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
+
+/** Bottom-k SET sketch: [[KmvAgg]]'s buffer, but `finish` hands back
+  * the kept minima themselves (ascending) — the representation KMV
+  * set ALGEBRA needs: a union sketch is the bottom-k of two sketches'
+  * concatenation, and the Jaccard numerator counts union-sketch
+  * members present in both inputs (Beyer et al., SIGMOD'07 §4). The
+  * shuffle stays O(k) per (group, partition) partial, same as the
+  * summary form.
+  */
+object KmvSetAgg extends Aggregator[Long, KmvBuffer, Array[Long]] {
+  override def zero: KmvBuffer = KmvAgg.zero
+  override def reduce(b: KmvBuffer, v: Long): KmvBuffer = b.add(v)
+  override def merge(b1: KmvBuffer, b2: KmvBuffer): KmvBuffer = b1.mergeWith(b2)
+  override def finish(b: KmvBuffer): Array[Long] = b.values.toArray
+  override def bufferEncoder: Encoder[KmvBuffer] = Encoders.kryo[KmvBuffer]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

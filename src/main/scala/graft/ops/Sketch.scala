@@ -394,7 +394,89 @@ object Sketch {
       |       min(CASE WHEN cum * 100 >= n * 99 THEN bin * 50000 END) AS p99_lo_cents
       |FROM c GROUP BY grp ORDER BY grp""".stripMargin
 
+  // ---- sk6: KMV set algebra (union / intersection estimation) -------------
+
+  /** Sketches as an ALGEBRA, not just per-group summaries: the
+    * bottom-64 minima sets ([[graft.functions.KmvSetAgg]]) of two
+    * groups compose — `bottom64(A ∪ B)` is computable from the two
+    * sketches alone, its k-th minimum estimates |A∪B|, and the
+    * fraction of union-sketch members present in BOTH input sketches
+    * estimates Jaccard, hence |A∩B| (Beyer et al., SIGMOD'07). That
+    * composability is the 100 TB point: per-group sketches are
+    * O(k)-shuffled once, and any of the 2^groups set questions is
+    * answered afterwards from k-long arrays with row-local array ops
+    * — no second pass over data. The exact union cardinality rides
+    * along as the yardstick (the column a real pipeline would NOT
+    * compute). Integer arithmetic end-to-end, so DuckDB rebuilds
+    * sketches AND estimates bit-for-bit.
+    */
+  private def sk6KmvSetops(s: SparkSession, d: String): DataFrame = {
+    val kmvSet = udaf(graft.functions.KmvSetAgg)
+    val sk = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        expr(h48Sql("CAST(l_partkey AS STRING)")).as("h"))
+      .groupBy("grp")
+      .agg(kmvSet(col("h")).as("mins"))
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        col("a.mins").as("ma"), col("b.mins").as("mb"))
+      .withColumn("u", expr("slice(array_sort(array_union(ma, mb)), 1, 64)"))
+      .withColumn("est_union", expr(
+        "CASE WHEN size(u) < 64 THEN CAST(size(u) AS BIGINT) " +
+          "ELSE 17732923532771328 DIV element_at(u, 64) END"))
+      .withColumn("m_inter", expr(
+        "size(filter(u, x -> array_contains(ma, x) AND array_contains(mb, x)))"))
+      .withColumn("est_inter",
+        expr("(m_inter * est_union) DIV CAST(size(u) AS BIGINT)"))
+    val exact = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
+    pairs
+      .join(exact,
+        col("flag") === col("grp_a") || col("flag") === col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"),
+        col("est_union"), col("m_inter"), col("est_inter"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact_union"))
+      .select("grp_a", "grp_b", "est_union", "m_inter", "est_inter",
+        "n_exact_union")
+      .orderBy("grp_a", "grp_b")
+  }
+
+  private val sk6Oracle: String = {
+    val h = h48Sql("CAST(l_partkey AS VARCHAR)")
+    s"""WITH hv AS (
+       |  SELECT DISTINCT l_returnflag AS grp, $h AS h FROM lineitem),
+       |r AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |  FROM hv),
+       |sk AS (SELECT grp, list(h ORDER BY h) AS mins FROM r WHERE rn <= 64 GROUP BY grp),
+       |pairs AS (
+       |  SELECT a.grp AS grp_a, b.grp AS grp_b, a.mins AS ma, b.mins AS mb,
+       |         list_sort(list_distinct(a.mins || b.mins))[1:64] AS u
+       |  FROM sk a JOIN sk b ON a.grp < b.grp),
+       |est AS (
+       |  SELECT grp_a, grp_b,
+       |         CASE WHEN len(u) < 64 THEN CAST(len(u) AS BIGINT)
+       |              ELSE 17732923532771328 // u[64] END AS est_union,
+       |         CAST(len(list_filter(u, x -> list_contains(ma, x)
+       |                                  AND list_contains(mb, x))) AS INT) AS m_inter,
+       |         CAST(len(u) AS BIGINT) AS usz
+       |  FROM pairs),
+       |ex AS (
+       |  SELECT p.grp_a, p.grp_b, count(DISTINCT l.l_partkey) AS n_exact_union
+       |  FROM (SELECT a.grp AS grp_a, b.grp AS grp_b
+       |        FROM sk a JOIN sk b ON a.grp < b.grp) p
+       |  JOIN lineitem l ON l.l_returnflag IN (p.grp_a, p.grp_b)
+       |  GROUP BY 1, 2)
+       |SELECT e.grp_a, e.grp_b, e.est_union, e.m_inter,
+       |       (e.m_inter * e.est_union) // e.usz AS est_inter,
+       |       x.n_exact_union
+       |FROM est e JOIN ex x ON e.grp_a = x.grp_a AND e.grp_b = x.grp_b
+       |ORDER BY e.grp_a, e.grp_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk6_kmv_setops" -> (sk6KmvSetops _),
     "sk1_kmv_distinct" -> (sk1KmvDistinct _),
     "sk2_bloom_filter" -> (sk2BloomFilter _),
     "sk3_count_min" -> (sk3CountMin _),
@@ -403,6 +485,7 @@ object Sketch {
   )
 
   val oracles: Map[String, String] = Map(
+    "sk6_kmv_setops" -> sk6Oracle,
     "sk1_kmv_distinct" -> sk1Oracle,
     "sk2_bloom_filter" -> sk2Oracle,
     "sk3_count_min" -> sk3Oracle,

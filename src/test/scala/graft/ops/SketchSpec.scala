@@ -31,6 +31,25 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sk6: union estimates track exact cardinality; intersection stays bounded") {
+    val rows = graft.SparkEntry
+      .queries("sk6_kmv_setops")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 3, "3 return-flag pairs")
+    rows.foreach { r =>
+      val (est, exact) =
+        (r.getAs[Long]("est_union"), r.getAs[Long]("n_exact_union"))
+      val (mInter, estInter) =
+        (r.getAs[Int]("m_inter"), r.getAs[Long]("est_inter"))
+      // k=64 ⇒ ~1/√62 ≈ 13% std error; 50% band rejects broken algebra
+      assert(math.abs(est - exact).toDouble / exact < 0.5,
+        s"union est $est vs exact $exact")
+      assert(mInter >= 0 && mInter <= 64)
+      assert(estInter >= 0 && estInter <= est,
+        "intersection can never exceed the union")
+    }
+  }
+
   test("sk3: count-min never underestimates (one-sided error)") {
     val rows = graft.SparkEntry
       .queries("sk3_count_min")(spark, "/root/testdata/sf0.001")
