@@ -719,6 +719,9 @@ object Dedup {
     * keeps the gate hash-exact.
     */
   private def d9GramCoverage(s: SparkSession, d: String): DataFrame = {
+    // persist: the gram extraction feeds BOTH the df aggregation and
+    // the coverage join — without it the 13-gram scan runs twice
+    // (d3's persist-then-release pattern)
     val exploded = Tables
       .documents(s, d)
       .select(col("doc_id"),
@@ -726,10 +729,11 @@ object Dedup {
           .poly_grams(Text.wordsCol(col("text")), 13).as("g"))
       .select(col("doc_id"), size(col("g")).as("n_grams"),
         explode(col("g")).as("gram"))
+      .persist()
     val df = exploded
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("gram_df"))
-    exploded
+    val out = exploded
       .join(df, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(
@@ -737,6 +741,9 @@ object Dedup {
         sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_permille", expr("(1000 * n_dup_grams) DIV n_grams"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    exploded.unpersist(blocking = false)
+    out
   }
 
   private val d9Oracle: String = {

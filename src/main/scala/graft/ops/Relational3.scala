@@ -438,38 +438,49 @@ object Relational3 {
     * happens once per (JVM, sf dir) — the amortization is the point —
     * into the gitignored `spark-warehouse/`.
     */
-  private val bucketedWritten =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** Once-per-(JVM, sf dir) managed-table writer, shared by the
+    * layout-investment queries (q45, q49): drops any stale catalog
+    * entry AND leftover warehouse location from a previous JVM
+    * (`saveAsTable` refuses with LOCATION_ALREADY_EXISTS otherwise),
+    * runs the writer, and caches the table name per sf dir.
+    */
+  private def writeOnce(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      s: SparkSession, d: String, prefix: String)(
+      writer: String => Unit): String =
+    cache.computeIfAbsent(
+      d, { _ =>
+        val t = s"${prefix}_${(d.hashCode.toLong & 0xffffffffL).toHexString}"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        writer(t)
+        t
+      })
+
+  private val q45LiWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q45OrdWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def q45BucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val (liT, ordT) = bucketedWritten.computeIfAbsent(
-      d, { _ =>
-        val sfx = (d.hashCode.toLong & 0xffffffffL).toHexString
-        val (lt, ot) = (s"graft_b_li_$sfx", s"graft_b_ord_$sfx")
-        // a previous JVM may have left the managed-table directories
-        // behind while THIS session's in-memory catalog has no entry —
-        // saveAsTable then refuses with LOCATION_ALREADY_EXISTS; drop
-        // both the (possible) catalog entry and the stale location
-        Seq(lt, ot).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val p = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        }
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .repartition(8, col("l_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(lt)
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .repartition(8, col("o_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(ot)
-        (lt, ot)
-      })
+    val liT = writeOnce(q45LiWritten, s, d, "graft_b_li") { t =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(t)
+    }
+    val ordT = writeOnce(q45OrdWritten, s, d, "graft_b_ord") { t =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(t)
+    }
     s.table(ordT).hint("merge")
       .join(s.table(liT).hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
@@ -620,22 +631,14 @@ object Relational3 {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def q49Dpp(s: SparkSession, d: String): DataFrame = {
-    val factT = dppWritten.computeIfAbsent(
-      d, { _ =>
-        val sfx = (d.hashCode.toLong & 0xffffffffL).toHexString
-        val t = s"graft_p_li_$sfx"
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        Tables.lineitem(s, d)
-          .select(col("l_extendedprice"), col("l_discount"),
-            month(col("l_shipdate")).as("l_month"))
-          .repartition(col("l_month"))
-          .write.mode("overwrite").partitionBy("l_month")
-          .saveAsTable(t)
-        t
-      })
+    val factT = writeOnce(dppWritten, s, d, "graft_p_li") { t =>
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_discount"),
+          month(col("l_shipdate")).as("l_month"))
+        .repartition(col("l_month"))
+        .write.mode("overwrite").partitionBy("l_month")
+        .saveAsTable(t)
+    }
     val dim = s.range(1, 13)
       .select(col("id").cast("int").as("m_month"),
         (((col("id") - 1) / 3).cast("int") + 1).as("m_quarter"))

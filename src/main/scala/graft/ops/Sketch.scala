@@ -21,19 +21,27 @@ import graft.Tables
   */
 object Sketch {
 
-  /** Shared Spark-SQL/DuckDB fragment: 48-bit integer from the first
-    * 12 hex chars of md5 of `e` — uniform on [0, 2^48), identical in
-    * both engines (md5 hex + ascii arithmetic only; both parse the
-    * int-overflowing coefficient literals as BIGINT).
+  /** Weighted hex-digit decode shared by every sketch hash: `n` hex
+    * chars of string expression `e` starting after `off` → integer in
+    * [0, 16^n), identical in both engines (md5 hex + ascii arithmetic
+    * only; both parse the int-overflowing coefficient literals as
+    * BIGINT). All h*Sql variants below are thin wrappers.
     */
-  private def h48Sql(e: String): String = {
+  private def hexIntSql(e: String, off: Int, n: Int): String = {
     def hexv(k: Int) =
-      s"CAST(CASE WHEN ascii(substr(md5($e),$k,1)) >= 97 " +
-        s"THEN ascii(substr(md5($e),$k,1)) - 87 " +
-        s"ELSE ascii(substr(md5($e),$k,1)) - 48 END AS BIGINT)"
-    (1 to 12).map(k => s"(${hexv(k)}) * ${1L << (4 * (12 - k))}")
+      s"CAST(CASE WHEN ascii(substr($e,${k + off},1)) >= 97 " +
+        s"THEN ascii(substr($e,${k + off},1)) - 87 " +
+        s"ELSE ascii(substr($e,${k + off},1)) - 48 END AS BIGINT)"
+    (1 to n).map(k => s"(${hexv(k)}) * ${1L << (4 * (n - k))}")
       .mkString("(", " + ", ")")
   }
+
+  /** 48-bit integer from the first 12 hex chars of md5 of `e` —
+    * uniform on [0, 2^48). The md5 call is inline (12 references —
+    * leans on subexpression elimination; hoist when it matters, see
+    * [[h63Sql]]).
+    */
+  private def h48Sql(e: String): String = hexIntSql(s"md5($e)", 0, 12)
 
   // ---- sk1: KMV distinct-count sketch -------------------------------------
 
@@ -105,15 +113,8 @@ object Sketch {
     * call per row without leaning on subexpression elimination, and
     * halves the generated code.
     */
-  private def h63Sql(e: String, off: Int): String = {
-    def hexv(k: Int) =
-      s"CAST(CASE WHEN ascii(substr($e,${k + off},1)) >= 97 " +
-        s"THEN ascii(substr($e,${k + off},1)) - 87 " +
-        s"ELSE ascii(substr($e,${k + off},1)) - 48 END AS BIGINT)"
-    val h = (1 to 8).map(k => s"(${hexv(k)}) * ${1L << (4 * (8 - k))}")
-      .mkString("(", " + ", ")")
-    s"($h % 63)"
-  }
+  private def h63Sql(e: String, off: Int): String =
+    s"(${hexIntSql(e, off, 8)} % 63)"
 
   private def sk2BloomFilter(s: SparkSession, d: String): DataFrame = {
     val p1 = h63Sql("mh", 0)
@@ -255,14 +256,7 @@ object Sketch {
   /** 32-bit integer from the first 8 hex chars of an already-computed
     * md5 hex column `e` — same hoisting rationale as [[h63Sql]].
     */
-  private def h32Sql(e: String): String = {
-    def hexv(k: Int) =
-      s"CAST(CASE WHEN ascii(substr($e,$k,1)) >= 97 " +
-        s"THEN ascii(substr($e,$k,1)) - 87 " +
-        s"ELSE ascii(substr($e,$k,1)) - 48 END AS BIGINT)"
-    (1 to 8).map(k => s"(${hexv(k)}) * ${1L << (4 * (8 - k))}")
-      .mkString("(", " + ", ")")
-  }
+  private def h32Sql(e: String): String = hexIntSql(e, 0, 8)
 
   /** HLL geometry: p=6 → m=64 buckets from the hash's top 6 bits; the
     * remaining 26 bits feed rho (leading zeros + 1, so rho ∈ [1,27]).

@@ -589,16 +589,23 @@ object Text {
     * to the scoring join (here AQE makes that call); the corpus-side
     * cost is one explode + one shuffle on the bigram key, the same
     * topology as word count. Docs with < 2 words have no bigrams and
-    * drop out (both engines agree: empty `sequence`/`generate_series`).
+    * drop out (the Spark side needs the explicit size guard below;
+    * DuckDB's `generate_series(1, 0)` is empty on its own).
     */
   private def t32BigramLm(s: SparkSession, d: String): DataFrame = {
+    // CASE-guarded like t24/d2: Spark's sequence(1, 0) is the
+    // DESCENDING [1, 0] (step -1), so an unguarded transform would
+    // evaluate element_at(ws, 0) and throw on a 0/1-word document —
+    // the guard makes both engines agree on "no bigrams" instead
     val bigrams = Tables
       .documents(s, d)
       .select(col("doc_id"), wordsCol(col("text")).as("ws"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> " +
-          "concat(element_at(ws, CAST(i AS INT)), ' ', " +
-          "element_at(ws, CAST(i AS INT) + 1)))")).as("bg"))
+        """CASE WHEN size(ws) >= 2 THEN
+          |  transform(sequence(1, size(ws) - 1), i ->
+          |    concat(element_at(ws, CAST(i AS INT)), ' ',
+          |           element_at(ws, CAST(i AS INT) + 1)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bg"))
     val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val w1Counts = bgCounts
       .withColumn("w1", expr("split(bg, ' ')[0]"))

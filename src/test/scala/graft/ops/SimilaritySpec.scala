@@ -281,10 +281,31 @@ class SimilaritySpec extends AnyFunSuite {
       (r.getAs[Long]("qid"), r.getAs[Int]("bucket"))).view.mapValues(_.length)
     assert(perCell.forall(_._2 <= 2),
       s"diversity cap violated: ${perCell.filter(_._2 > 2).toMap}")
-    // and the cap binds: some query must actually have been diversified
-    // (a top-10 drawn from >= 6 distinct cells per query is the cap's effect)
-    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
-      assert(rs.map(_.getAs[Int]("bucket")).distinct.length >= rs.length / 2)
+    // and the cap BINDS on this corpus: the capped list must differ
+    // from the uncapped top-10 for at least one query, and every
+    // candidate the cap excluded must outrank (by cos) something that
+    // made the list — i.e. the difference is the cap's doing, not a
+    // scoring change
+    import org.apache.spark.sql.functions.col
+    val s7 = rows.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap).toMap
+    val s1 = Similarity.queries("s1_cosine_topk")(spark, sf)
+      .filter(col("rnk") <= 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap).toMap
+    val excluded = s1.map { case (q, top) =>
+      q -> (top.keySet -- s7(q).keySet)
+    }.filter(_._2.nonEmpty)
+    assert(excluded.nonEmpty,
+      "the diversity cap never rewrote any result list — vacuous demo")
+    excluded.foreach { case (q, ex) =>
+      val minKept = s7(q).values.min
+      ex.foreach { v =>
+        assert(s1(q)(v) >= minKept,
+          s"qid=$q: excluded $v ranks below kept results — not a cap effect")
+      }
     }
   }
 }
