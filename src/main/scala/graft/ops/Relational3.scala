@@ -664,6 +664,57 @@ object Relational3 {
        |WHERE d.m_quarter = 1
        |GROUP BY l_month ORDER BY l_month""".stripMargin
 
+  // ---- q50: key-skew profile (the salting decision input) -----------------
+
+  /** The DETECT half whose MITIGATE halves are q38 (salted agg), q43
+    * (salted join) and AQE's skew split, and whose streaming sibling
+    * is sk3's count-min: before choosing a skew strategy you measure
+    * the key distribution. One shuffle on the key builds the
+    * key-frequency table (the same exchange any aggregate on this key
+    * would pay anyway); the profile itself is then a constant-size
+    * rollup — row/key counts, the heaviest key's per-mille share, the
+    * top-10 keys' combined share, and a `skew_flag` that trips when
+    * one key exceeds a 32-partition fair share (the local[32] analog
+    * of "one task gets more than its slice"). All integer arithmetic;
+    * ties broken by key so top-10 is deterministic.
+    */
+  private def q50SkewProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val top10 = counts
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+      .agg(sum(col("n")).as("top10_rows"))
+    counts
+      .agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_key_rows"))
+      .crossJoin(top10)
+      .select(
+        col("n_rows"), col("n_keys"), col("max_key_rows"),
+        expr("(1000 * max_key_rows) DIV n_rows").as("top1_permille"),
+        expr("(1000 * top10_rows) DIV n_rows").as("top10_permille"),
+        expr("CAST(32 * max_key_rows >= n_rows AS INT)").as("skew_flag"))
+  }
+
+  private val q50Oracle: String =
+    """WITH counts AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      |top10 AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS top10_rows FROM (
+      |    SELECT n FROM counts ORDER BY n DESC, user_id LIMIT 10)),
+      |prof AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+      |         max(n) AS max_key_rows
+      |  FROM counts)
+      |SELECT n_rows, n_keys, max_key_rows,
+      |       (1000 * max_key_rows) // n_rows AS top1_permille,
+      |       (1000 * top10_rows) // n_rows AS top10_permille,
+      |       CAST(32 * max_key_rows >= n_rows AS INT) AS skew_flag
+      |FROM prof, top10""".stripMargin
+
   // ---- q48: funnel analysis (ordered event-sequence matching) -------------
 
   /** Sequenced funnel: how many users VIEW, then CLICK after that
@@ -720,6 +771,7 @@ object Relational3 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_dpp" -> (q49Dpp _),
+    "q50_skew_profile" -> (q50SkewProfile _),
     "q47_fuzzy_join" -> (q47FuzzyJoin _),
     "q48_funnel" -> (q48Funnel _),
     "q45_bucketed_join" -> (q45BucketedJoin _),
@@ -741,6 +793,7 @@ object Relational3 {
 
   val oracles: Map[String, String] = Map(
     "q49_dpp" -> q49Oracle,
+    "q50_skew_profile" -> q50Oracle,
     "q47_fuzzy_join" -> q47Oracle,
     "q48_funnel" -> q48Oracle,
     "q45_bucketed_join" -> q45Oracle,

@@ -30,6 +30,20 @@ class KmvAggSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("set sketch equals brute-force bottom-k under any partitioning") {
+    // KmvSetAgg's whole contract: finish() IS the k smallest distinct
+    // values, regardless of partial/merge order — checked against a
+    // driver-side brute force over the same multiset
+    val vals = scala.util.Random.shuffle(
+      (1L to 3000L).map(v => v * 6053L % 2048L) ++ (1L to 500L))
+    val expect = vals.distinct.sorted.take(KmvAgg.K)
+    Seq(1, 7, 32).foreach { parts =>
+      val got = spark.createDataset(vals).repartition(parts)
+        .select(KmvSetAgg.toColumn.name("mins")).collect()(0).toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
   test("estimate lands near exact on uniform 48-bit hashes") {
     // the sk1 pipeline shape: md5-hex 48-bit hash of 20k distinct keys
     val df = spark.range(20000).select(col("id").cast("string").as("s"))
