@@ -568,7 +568,8 @@ object Text {
     "t25_tfidf" -> (t25Tfidf _),
     "t30_data_mix" -> (t30DataMix _),
     "t31_source_cap" -> (t31SourceCap _),
-    "t32_bigram_lm" -> (t32BigramLm _)
+    "t32_bigram_lm" -> (t32BigramLm _),
+    "t33_token_mask" -> (t33TokenMask _)
   )
 
   // ---- t32: bigram language-model scoring ----------------------------------
@@ -646,7 +647,54 @@ object Text {
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   }
 
+  // ---- t33: deterministic masking augmentation -----------------------------
+
+  /** Training-data augmentation that must be REPRODUCIBLE: BERT-style
+    * token masking where the mask decision for word i of doc d is a
+    * pure function of (d, i) — an md5 coin at 15% — so any re-run,
+    * any engine, any partitioning produces the identical corrupted
+    * corpus (the property that makes training runs comparable and
+    * ablations honest; `rand()` masking loses it). Row-local
+    * transform, zero shuffles; the gate pins the masked text itself
+    * via md5, not just the mask counts.
+    */
+  private def t33TokenMask(s: SparkSession, d: String): DataFrame = {
+    val coin = polyHashSql("md5(concat(CAST(doc_id AS STRING), '-', CAST(i AS STRING)))", 8)
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), wordsCol(col("text")).as("ws"))
+      // the standard empty-guard (t32/t24/d2): sequence(1, 0) descends
+      .withColumn("masked", expr(
+        s"""CASE WHEN size(ws) >= 1 THEN
+           |  transform(sequence(1, size(ws)), i ->
+           |    CASE WHEN $coin % 100 < 15 THEN '<MASK>'
+           |         ELSE element_at(ws, CAST(i AS INT)) END)
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("size(filter(masked, x -> x = '<MASK>'))").as("n_masked"),
+        md5(array_join(col("masked"), " ")).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val t33Oracle: String = {
+    val ws = wordsSql("text")
+    val coin = polyHashSql(
+      "md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR))", 8)
+    s"""SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+       |       CAST(len(list_filter(masked, x -> x = '<MASK>')) AS INT) AS n_masked,
+       |       md5(array_to_string(masked, ' ')) AS masked_md5
+       |FROM (
+       |  SELECT doc_id, ws,
+       |         list_transform(generate_series(1, len(ws)), i ->
+       |           CASE WHEN $coin % 100 < 15 THEN '<MASK>' ELSE ws[i] END) AS masked
+       |  FROM (SELECT doc_id, $ws AS ws FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t33_token_mask" -> t33Oracle,
     "t32_bigram_lm" -> t32Oracle,
     "t29_chunk" -> t29Oracle,
     "t27_repetition" -> t27Oracle,
