@@ -170,6 +170,48 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_history_state: bounded version history (SCD-2 flavor) ----------
+
+  /** The audit flavor of materialization: latest-wins keeps N=1
+    * version per key; compliance and debugging pipelines keep the
+    * last N (here 3) INCLUDING deletes — a delete is a visible
+    * version in the history, not an absence (contrast
+    * `cdc_latest_state`, where it drops the key). Same single
+    * pk-shuffle + window topology as latest-wins — bounding N is what
+    * keeps per-key state O(N) instead of O(history) at 100 TB; an
+    * unbounded SCD-2 table is the classic compliance-table
+    * scale-killer.
+    */
+  private def cdcHistoryState(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("pk")).orderBy(col("pos").desc)
+    ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .withColumn("version_rank", row_number().over(w))
+      .filter(col("version_rank") <= 3)
+      .select(
+        col("pk").as("user_id"),
+        col("version_rank"),
+        col("pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("user_id", "version_rank")
+  }
+
+  private val cdcHistoryStateOracle: String =
+    """SELECT user_id, version_rank, pos, op, value, k FROM (
+      |  SELECT user_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |              ORDER BY event_id DESC) AS INT) AS version_rank,
+      |         event_id AS pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |WHERE version_rank <= 3 ORDER BY user_id, version_rank""".stripMargin
+
   // ---- cdc_evolve_state: additive DDL mid-stream, oracle-checked ----------
 
   /** Schema evolution as a DRIVER-GATED behavior, not just a spec:
@@ -974,6 +1016,7 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_dlq" -> (cdcDlq _),
     "cdc_evolve_state" -> (cdcEvolveState _),
+    "cdc_history_state" -> (cdcHistoryState _),
     "cdc_snapshot" -> (cdcSnapshot _),
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
@@ -998,6 +1041,7 @@ object CdcQueries {
     "cdc_snapshot" -> cdcSnapshotOracle,
     "cdc_dlq" -> cdcDlqOracle,
     "cdc_evolve_state" -> cdcEvolveStateOracle,
+    "cdc_history_state" -> cdcHistoryStateOracle,
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,
