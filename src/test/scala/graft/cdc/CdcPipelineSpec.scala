@@ -219,6 +219,45 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(stateRows(s"$base/state") == expectedState())
   }
 
+  test("random batch slicings converge: COW and MOR == direct, any cut points (seeded)") {
+    // the protocol's slicing-invariance as a seeded property: however
+    // the feed is cut into batches, incremental COW apply and MOR
+    // append+compact both reproduce the one-shot materialization.
+    // Fixed-slicing variants exist above; this drives 3 random K-way
+    // slicings through BOTH flavors.
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val feed = ChangeFeed.fromEvents(Tables.events(spark, sf)).localCheckpoint(true)
+    val maxPos = feed.agg(org.apache.spark.sql.functions.max(col("pos")))
+      .head().getLong(0)
+    val want = expectedState()
+    (1 to 3).foreach { trial =>
+      val cuts = (Seq(-1L, maxPos) ++
+        Seq.fill(2 + rnd.nextInt(3))(rnd.nextLong(maxPos))).distinct.sorted
+      val slices = cuts.zip(cuts.tail).map { case (lo, hi) =>
+        feed.filter(col("pos") > lo && col("pos") <= hi)
+      }
+      val cowBase = s"target/tmp/cdcslice-cow-$trial-${System.nanoTime()}"
+      val cowStore = new WatermarkStore(s"$cowBase/wm")
+      slices.foreach(b =>
+        CdcPipeline.applyBatch(spark, cowStore, s"$cowBase/state", "src", b))
+      assert(stateRows(s"$cowBase/state") == want, s"COW trial $trial cuts $cuts")
+      val morBase = s"target/tmp/cdcslice-mor-$trial-${System.nanoTime()}"
+      val morStore = new WatermarkStore(s"$morBase/wm")
+      slices.zipWithIndex.foreach { case (b, i) =>
+        if (i == 0)
+          CdcPipeline.applyBatch(spark, morStore, s"$morBase/state", "src", b)
+        else
+          CdcPipeline.appendDeltas(spark, morStore, s"$morBase/state", "src", b)
+      }
+      CdcPipeline.compact(spark, s"$morBase/state", maxFilesPerBucket = 2)
+      val morRows = CdcPipeline.readState(spark, s"$morBase/state")
+        .select("pk", "pos", "op").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(morRows == want, s"MOR trial $trial cuts $cuts")
+    }
+  }
+
   test("applyBatch is idempotent at the batch level") {
     val base = s"target/tmp/cdcbatch-${System.nanoTime()}"
     val store = new WatermarkStore(s"$base/wm")
