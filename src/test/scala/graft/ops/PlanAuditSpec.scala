@@ -165,6 +165,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "the pruning must land in the scan's partition filters")
   }
 
+  // d9's returned frame is an eager localCheckpoint (persist-release
+  // pattern), so its interesting plan is not audit-able post-hoc; its
+  // shuffle-key contract is inherited from the d1/d6 family tests.
+
+  test("t32: the LM scan is pruned to (doc_id, text); no cartesian anywhere") {
+    val plan = formatted("t32_bigram_lm")
+    assert(!plan.contains("n_chars") && !plan.contains("source"),
+      "ReadSchema must carry only the scored columns")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "model scoring must stay an equi-join on the bigram key")
+  }
+
   test("q46: z-order is a scan projection — pruned read, one aggregation shuffle") {
     val plan = formatted("q46_zorder")
     // column pruning: the z-value needs exactly two columns
