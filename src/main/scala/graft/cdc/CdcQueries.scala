@@ -170,6 +170,45 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_gap_audit: stream-integrity position audit ---------------------
+
+  /** The integrity check a CDC consumer runs after a reconnect storm:
+    * are any positions missing? Gaps are PLANTED (every 97th event
+    * dropped) so the audit provably finds them. Scale shape matters
+    * here: the tempting formulation is `lead(pos) - pos` over a
+    * global ORDER BY — a single-partition window, the classic
+    * scale-killer. The aggregate form instead blocks positions into
+    * 1000-wide ranges and reports per-block `span − present` — pure
+    * hash aggregation, embarrassingly parallel, and it localizes the
+    * damage (which block, how many missing) the way an operator
+    * paging through a 100 TB history needs. (A wholly-missing block
+    * is invisible by construction; the companion watermark/GTID-set
+    * coverage check — `cdc_gated_state` — owns that case.)
+    */
+  private def cdcGapAudit(s: SparkSession, d: String): DataFrame =
+    ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .filter(col("pos") % 97 =!= 0)
+      .groupBy(expr("pos DIV 1000").as("blk"))
+      .agg(
+        count(lit(1)).as("n_present"),
+        min(col("pos")).as("lo"),
+        max(col("pos")).as("hi"))
+      .withColumn("n_missing", col("hi") - col("lo") + 1 - col("n_present"))
+      .filter(col("n_missing") > 0)
+      .select("blk", "n_present", "lo", "hi", "n_missing")
+      .orderBy("blk")
+
+  private val cdcGapAuditOracle: String =
+    """SELECT blk, n_present, lo, hi, hi - lo + 1 - n_present AS n_missing
+      |FROM (
+      |  SELECT event_id // 1000 AS blk, count(*) AS n_present,
+      |         min(event_id) AS lo, max(event_id) AS hi
+      |  FROM events WHERE event_id % 97 <> 0
+      |  GROUP BY 1)
+      |WHERE hi - lo + 1 - n_present > 0
+      |ORDER BY blk""".stripMargin
+
   // ---- cdc_history_state: bounded version history (SCD-2 flavor) ----------
 
   /** The audit flavor of materialization: latest-wins keeps N=1
@@ -1017,6 +1056,7 @@ object CdcQueries {
     "cdc_dlq" -> (cdcDlq _),
     "cdc_evolve_state" -> (cdcEvolveState _),
     "cdc_history_state" -> (cdcHistoryState _),
+    "cdc_gap_audit" -> (cdcGapAudit _),
     "cdc_snapshot" -> (cdcSnapshot _),
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
@@ -1042,6 +1082,7 @@ object CdcQueries {
     "cdc_dlq" -> cdcDlqOracle,
     "cdc_evolve_state" -> cdcEvolveStateOracle,
     "cdc_history_state" -> cdcHistoryStateOracle,
+    "cdc_gap_audit" -> cdcGapAuditOracle,
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,
