@@ -450,7 +450,13 @@ object Relational3 {
       writer: String => Unit): String =
     cache.computeIfAbsent(
       d, { _ =>
-        val t = s"${prefix}_${(d.hashCode.toLong & 0xffffffffL).toHexString}"
+        // Collision-resistant per-dir table name: a 32-bit hashCode
+        // collision between two data dirs in one JVM would DROP and
+        // silently serve the wrong table; 64 bits of md5 cannot.
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString
+        val t = s"${prefix}_$dig"
         s.sql(s"DROP TABLE IF EXISTS $t")
         val p = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)

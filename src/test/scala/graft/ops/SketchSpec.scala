@@ -59,29 +59,37 @@ class SketchSpec extends AnyFunSuite {
       "CMS estimates must dominate true counts")
   }
 
-  test("sk5: histogram quantiles track the exact percentile within a bin width") {
+  test("sk5: histogram bin contains the exact ceil(q·n)-th order statistic") {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("sk5_histogram")(spark, sf).collect()
     assert(rows.nonEmpty)
-    val exact = graft.Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag").as("grp"))
-      .agg(
-        expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)").as("p50"),
-        expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)").as("p90"))
-      .collect()
-      .map(r => r.getAs[String]("grp") ->
-        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    // The sketch picks the first bin whose cumulative count reaches
+    // rank ceil(q·n) — so that ORDER STATISTIC (not the interpolated
+    // percentile, which interpolation can pull into a neighboring bin
+    // on a sparse distribution) is guaranteed to lie in
+    // [p_lo, p_lo + 50000).
+    val ranked = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("grp"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    // integer cross-multiplication for the rank, same as the sketch —
+    // ceil(n * 0.9) in doubles can overshoot the rank by one
+    def orderStat(qPct: Int): Map[String, Long] = ranked
+      .filter(col("rn") === expr(s"CAST((n * $qPct + 99) DIV 100 AS INT)"))
+      .select("grp", "v").collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("v")).toMap
+    val (os50, os90) = (orderStat(50), orderStat(90))
     rows.foreach { r =>
-      val (p50e, p90e) = exact(r.getAs[String]("grp"))
+      val grp = r.getAs[String]("grp")
       val p50lo = r.getAs[Long]("p50_lo_cents")
       val p90lo = r.getAs[Long]("p90_lo_cents")
-      // the sketch reports the bin holding the ceil(q·n)-th value; the
-      // interpolated exact percentile sits within one 50000-cent bin
-      assert(p50e >= p50lo - 50000 && p50e < p50lo + 50000,
-        s"p50: exact $p50e outside bin of $p50lo")
-      assert(p90e >= p90lo - 50000 && p90e < p90lo + 50000,
-        s"p90: exact $p90e outside bin of $p90lo")
+      assert(os50(grp) >= p50lo && os50(grp) < p50lo + 50000,
+        s"p50: order stat ${os50(grp)} outside bin [$p50lo, ${p50lo + 50000})")
+      assert(os90(grp) >= p90lo && os90(grp) < p90lo + 50000,
+        s"p90: order stat ${os90(grp)} outside bin [$p90lo, ${p90lo + 50000})")
     }
   }
 
