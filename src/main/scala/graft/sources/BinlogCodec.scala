@@ -1,0 +1,558 @@
+package graft.sources
+
+import java.util.zip.CRC32
+
+import graft.streaming.FeedRow
+
+/** Binary binlog-event codec — the last buildable slice of the
+  * reference's only unported surface. The wire SOCKET stays blocked
+  * (no MySQL server in the harness), but the binlog FORMAT is public,
+  * so everything between the TCP handshake and [[FeedRow]]s exists
+  * here: a byte-level decoder for the minimal event subset the
+  * reference's event loop dispatches on
+  * (`/root/reference/internal/cannal/incremental.go:180-232` —
+  * GTID / Query-DDL / TableMap / Write/Update/Delete rows / Xid), and
+  * the transaction assembly its designed-but-disabled handler
+  * describes (`internal/cannal/handler.go:55-125`: buffer per GTID,
+  * flush on XID commit). A production build implements `fetch()` as
+  * socket-read-then-[[BinlogDecoder.decode]]; nothing above the
+  * [[BinlogTransport]] seam changes.
+  *
+  * Layout facts used below are the public binlog v4 format: 4-byte
+  * magic `0xfe 'b' 'i' 'n'`; 19-byte event header (timestamp u4,
+  * type u1, server-id u4, event-size u4, next-pos u4, flags u2), all
+  * integers little-endian; FORMAT_DESCRIPTION carries the checksum
+  * algorithm in its final pre-checksum byte; when CRC32 checksums are
+  * on, every event ends with a CRC32 of its remaining bytes;
+  * length-encoded ("packed") integers use the 0xfc/0xfd/0xfe
+  * prefixes; rows events reference the preceding TABLE_MAP by
+  * table-id and encode NULLs in a little-endian-bit null bitmap.
+  */
+object BinlogCodec {
+
+  // -- event type codes (binlog v4) --
+  val QUERY = 0x02
+  val ROTATE = 0x04
+  val FORMAT_DESCRIPTION = 0x0f
+  val XID = 0x10
+  val TABLE_MAP = 0x13
+  val WRITE_ROWS_V2 = 0x1e
+  val UPDATE_ROWS_V2 = 0x1f
+  val DELETE_ROWS_V2 = 0x20
+  val GTID = 0x21
+  val ANONYMOUS_GTID = 0x22
+
+  // -- column type codes (subset) --
+  val TYPE_LONG = 3 // 4-byte signed
+  val TYPE_DOUBLE = 5 // 8-byte IEEE, metadata byte = 8
+  val TYPE_LONGLONG = 8 // 8-byte signed
+  val TYPE_VARCHAR = 15 // metadata u2 = max length
+
+  val HeaderLen = 19
+  val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
+
+  /** Decoded event — only what the reference's loop dispatches on;
+    * anything else surfaces as [[Skipped]] (the loop's silent default
+    * branch, `incremental.go:228-230`).
+    */
+  sealed trait Event { def tsSec: Long }
+  final case class FormatDescription(serverVersion: String, crc32: Boolean,
+      tsSec: Long) extends Event
+  final case class Gtid(uuid: String, gno: Long, tsSec: Long) extends Event
+  final case class TableMap(tableId: Long, schema: String, table: String,
+      colTypes: Vector[Int], colMeta: Vector[Int], tsSec: Long) extends Event
+  /** `before`/`after` are aligned per row: inserts have empty
+    * `before`, deletes empty `after`, updates both (the reference's
+    * consecutive before/after row pairing, `handler.go:100-107`).
+    */
+  final case class Rows(tableId: Long, op: String,
+      before: Vector[Vector[Option[Any]]],
+      after: Vector[Vector[Option[Any]]], tsSec: Long) extends Event
+  final case class Xid(xid: Long, tsSec: Long) extends Event
+  final case class Query(schema: String, sql: String, tsSec: Long) extends Event {
+    /** The reference's DDL gate: uppercase-trimmed prefix ∈
+      * {CREATE, ALTER, DROP, RENAME, TRUNCATE}
+      * (`incremental.go:212-217`); everything else (BEGIN, DML…) is
+      * dropped.
+      */
+    def ddlKind: Option[String] = {
+      val t = sql.trim.toUpperCase
+      graft.cdc.ChangeFeed.ddlKinds.find(t.startsWith).map(_.toLowerCase)
+    }
+  }
+  final case class Skipped(typeCode: Int, tsSec: Long) extends Event
+
+  private[sources] def uuidToBytes(uuid: String): Array[Byte] = {
+    val hex = uuid.replace("-", "")
+    require(hex.length == 32, s"not a uuid: $uuid")
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  private[sources] def bytesToUuid(b: Array[Byte]): String = {
+    val h = b.map(x => f"${x & 0xff}%02x").mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20)}"
+  }
+}
+
+/** Streaming-order binlog byte decoder. Corruption — bad magic, a
+  * truncated event, a CRC32 mismatch — throws [[TransportException]]:
+  * it is exactly the class of failure the reference's syncer surfaces
+  * as an error for the reconnect loop to handle.
+  */
+object BinlogDecoder {
+  import BinlogCodec._
+
+  private final class Cursor(val buf: Array[Byte], var off: Int, val end: Int) {
+    def remaining: Int = end - off
+    def u1(): Int = { require(remaining >= 1); val v = buf(off) & 0xff; off += 1; v }
+    def u2(): Int = u1() | (u1() << 8)
+    def u4(): Long = u2().toLong | (u2().toLong << 16)
+    def u6(): Long = u4() | (u2().toLong << 32)
+    def i8(): Long = u4() | (u4() << 32)
+    def f8(): Double = java.lang.Double.longBitsToDouble(i8())
+    def bytes(n: Int): Array[Byte] = {
+      require(remaining >= n, s"need $n bytes, have $remaining")
+      val out = java.util.Arrays.copyOfRange(buf, off, off + n); off += n; out
+    }
+    def skip(n: Int): Unit = { require(remaining >= n); off += n }
+    /** MySQL length-encoded integer. */
+    def packed(): Long = u1() match {
+      case 0xfc => u2().toLong
+      case 0xfd => u2().toLong | (u1().toLong << 16)
+      case 0xfe => i8()
+      case v => v.toLong
+    }
+  }
+
+  /** Decode one complete binlog byte stream (file or segment). */
+  def decode(bytes: Array[Byte]): Vector[Event] = {
+    if (bytes.length < 4 || !Magic.indices.forall(i => bytes(i) == Magic(i)))
+      throw new TransportException("bad binlog magic")
+    val out = Vector.newBuilder[Event]
+    var tableMaps = Map.empty[Long, TableMap]
+    var crcOn = false
+    var pos = 4
+    var sawFde = false
+    while (pos < bytes.length) {
+      if (bytes.length - pos < HeaderLen)
+        throw new TransportException(
+          s"truncated event header at $pos (${bytes.length - pos} bytes)")
+      val h = new Cursor(bytes, pos, bytes.length)
+      val tsSec = h.u4()
+      val typeCode = h.u1()
+      h.u4() // server id
+      val eventLen = h.u4().toInt
+      h.u4() // next pos
+      h.u2() // flags
+      if (eventLen < HeaderLen || pos + eventLen > bytes.length)
+        throw new TransportException(s"truncated event at $pos (len $eventLen)")
+      if (typeCode == FORMAT_DESCRIPTION && !sawFde) {
+        // checksum mode is self-identifying: the alg byte precedes the
+        // (optional) trailing CRC32 of the FDE itself
+        sawFde = true
+        crcOn = eventLen >= HeaderLen + 5 && {
+          val alg = bytes(pos + eventLen - 5) & 0xff
+          alg == 1 && crc32Of(bytes, pos, eventLen - 4) == leU4(bytes, pos + eventLen - 4)
+        }
+      }
+      if (crcOn) {
+        val want = leU4(bytes, pos + eventLen - 4)
+        val got = crc32Of(bytes, pos, eventLen - 4)
+        if (want != got)
+          throw new TransportException(
+            f"CRC32 mismatch on event type 0x$typeCode%02x at $pos: " +
+              f"stored 0x$want%08x computed 0x$got%08x")
+      }
+      val bodyEnd = pos + eventLen - (if (crcOn) 4 else 0)
+      val c = new Cursor(bytes, pos + HeaderLen, bodyEnd)
+      val ev: Event =
+        try parseBody(typeCode, tsSec, c, tableMaps, crcOn)
+        catch {
+          case e: TransportException => throw e
+          case e: Throwable =>
+            throw new TransportException(
+              f"malformed event type 0x$typeCode%02x at $pos", e)
+        }
+      ev match {
+        case tm: TableMap => tableMaps += (tm.tableId -> tm)
+        case _ => ()
+      }
+      out += ev
+      pos += eventLen
+    }
+    out.result()
+  }
+
+  private def parseBody(typeCode: Int, tsSec: Long, c: Cursor,
+      tableMaps: Map[Long, TableMap], crcOn: Boolean): Event = typeCode match {
+    case FORMAT_DESCRIPTION =>
+      c.u2() // binlog version (4)
+      val ver = new String(c.bytes(50), "UTF-8").takeWhile(_ != 0)
+      FormatDescription(ver, crcOn, tsSec)
+    case GTID =>
+      c.u1() // flags
+      val uuid = bytesToUuid(c.bytes(16))
+      Gtid(uuid, c.i8(), tsSec)
+    case TABLE_MAP =>
+      val tableId = c.u6()
+      c.u2() // flags
+      val schema = new String(c.bytes(c.u1()), "UTF-8"); c.skip(1)
+      val table = new String(c.bytes(c.u1()), "UTF-8"); c.skip(1)
+      val nCols = c.packed().toInt
+      val types = Vector.fill(nCols)(c.u1())
+      val metaBytes = c.bytes(c.packed().toInt)
+      val metaBlock = new Cursor(metaBytes, 0, metaBytes.length)
+      val meta = types.map {
+        case TYPE_DOUBLE => metaBlock.u1()
+        case TYPE_VARCHAR => metaBlock.u2()
+        case _ => 0
+      }
+      // trailing null-ability bitmap ignored (nullability is per-row)
+      TableMap(tableId, schema, table, types, meta, tsSec)
+    case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
+      val tableId = c.u6()
+      c.u2() // flags
+      val extraLen = c.u2()
+      c.skip(extraLen - 2) // v2 extra data (length includes itself)
+      val tm = tableMaps.getOrElse(tableId,
+        throw new TransportException(s"rows event for unmapped table id $tableId"))
+      val nCols = c.packed().toInt
+      val present1 = bitmap(c, nCols)
+      val present2 = if (typeCode == UPDATE_ROWS_V2) bitmap(c, nCols) else present1
+      val before = Vector.newBuilder[Vector[Option[Any]]]
+      val after = Vector.newBuilder[Vector[Option[Any]]]
+      while (c.remaining > 0) typeCode match {
+        case WRITE_ROWS_V2 => after += image(c, tm, present1)
+        case DELETE_ROWS_V2 => before += image(c, tm, present1)
+        case UPDATE_ROWS_V2 =>
+          before += image(c, tm, present1)
+          after += image(c, tm, present2)
+      }
+      val op = typeCode match {
+        case WRITE_ROWS_V2 => "insert"
+        case UPDATE_ROWS_V2 => "update"
+        case DELETE_ROWS_V2 => "delete"
+      }
+      Rows(tableId, op, before.result(), after.result(), tsSec)
+    case XID =>
+      Xid(c.i8(), tsSec)
+    case QUERY =>
+      c.u4() // thread id
+      c.u4() // exec time
+      val schemaLen = c.u1()
+      c.u2() // error code
+      val statusLen = c.u2()
+      c.skip(statusLen)
+      val schema = new String(c.bytes(schemaLen), "UTF-8"); c.skip(1)
+      Query(schema, new String(c.bytes(c.remaining), "UTF-8"), tsSec)
+    case other =>
+      Skipped(other, tsSec)
+  }
+
+  /** Little-endian-bit bitmap over `n` flags. */
+  private def bitmap(c: Cursor, n: Int): Vector[Boolean] = {
+    val raw = c.bytes((n + 7) / 8)
+    Vector.tabulate(n)(i => ((raw(i / 8) >> (i % 8)) & 1) == 1)
+  }
+
+  /** One row image: null bitmap over present columns, then values. */
+  private def image(c: Cursor, tm: TableMap,
+      present: Vector[Boolean]): Vector[Option[Any]] = {
+    val idx = present.indices.filter(present)
+    val nulls = bitmap(c, idx.length)
+    idx.zipWithIndex.map { case (col, pi) =>
+      if (nulls(pi)) None
+      else Some(tm.colTypes(col) match {
+        case TYPE_LONG => c.u4().toInt.toLong
+        case TYPE_LONGLONG => c.i8()
+        case TYPE_DOUBLE => c.f8()
+        case TYPE_VARCHAR =>
+          val len = if (tm.colMeta(col) > 255) c.u2() else c.u1()
+          new String(c.bytes(len), "UTF-8")
+        case t => throw new TransportException(s"unsupported column type $t")
+      })
+    }.toVector
+  }
+
+  /** Transaction assembly into the engine's feed rows — the
+    * designed-but-disabled handler's contract
+    * (`internal/cannal/handler.go:55-82`): row events buffer under the
+    * current GTID and flush downstream only on the XID commit marker;
+    * a transaction the stream ends inside is never emitted (the
+    * at-least-once replay re-delivers it after reconnect). `pos` is
+    * the transaction gno; updates emit their after-image, deletes
+    * their before-image; `pk`/`value` are the first/second table
+    * columns.
+    */
+  def toFeedRows(events: Vector[Event]): Vector[FeedRow] = {
+    val out = Vector.newBuilder[FeedRow]
+    var gtid: Option[Gtid] = None
+    var tx = Vector.newBuilder[FeedRow]
+    events.foreach {
+      case g: Gtid =>
+        gtid = Some(g) // an uncommitted predecessor is dropped
+        tx = Vector.newBuilder[FeedRow]
+      case r: Rows =>
+        val g = gtid.getOrElse(
+          throw new TransportException("rows event outside a transaction"))
+        val images = if (r.op == "delete") r.before else r.after
+        images.foreach { cols =>
+          val pk = cols.headOption.flatten match {
+            case Some(l: Long) => l
+            case v => throw new TransportException(s"non-long pk: $v")
+          }
+          val value = cols.lift(1).flatten match {
+            case Some(dbl: Double) => dbl
+            case _ => 0.0
+          }
+          tx += FeedRow(g.gno, new java.sql.Timestamp(r.tsSec * 1000), pk,
+            r.op, value)
+        }
+      case _: Xid =>
+        out ++= tx.result()
+        gtid = None
+        tx = Vector.newBuilder[FeedRow]
+      case _ => () // FDE, TableMap (already applied), Query, Skipped
+    }
+    out.result()
+  }
+
+  private def crc32Of(buf: Array[Byte], off: Int, len: Int): Long = {
+    val c = new CRC32
+    c.update(buf, off, len)
+    c.getValue
+  }
+
+  private def leU4(buf: Array[Byte], off: Int): Long =
+    (buf(off) & 0xffL) | ((buf(off + 1) & 0xffL) << 8) |
+      ((buf(off + 2) & 0xffL) << 16) | ((buf(off + 3) & 0xffL) << 24)
+}
+
+/** Binlog byte-stream writer — the fixture/archive half of the codec
+  * (what a `mysqlbinlog`-style archiver or the spec harness produces).
+  * Follows the same public v4 layout the decoder reads; used by the
+  * `cdc_binlog_replay` gate to round-trip the events feed through
+  * real binlog bytes under the DuckDB oracle.
+  */
+object BinlogWriter {
+  import BinlogCodec._
+
+  final class Stream(crc32: Boolean = true, serverId: Long = 1L,
+      serverVersion: String = "8.0.0-graft-harness") {
+    private val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic, 0, Magic.length)
+    private var colTypes = Map.empty[Long, (Vector[Int], Vector[Int])]
+    fde()
+
+    private def w1(b: java.io.ByteArrayOutputStream, v: Int): Unit =
+      b.write(v & 0xff)
+    private def w2(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      w1(b, v); w1(b, v >> 8)
+    }
+    private def w4(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      w2(b, (v & 0xffff).toInt); w2(b, ((v >> 16) & 0xffff).toInt)
+    }
+    private def w6(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      w4(b, v & 0xffffffffL); w2(b, ((v >> 32) & 0xffff).toInt)
+    }
+    private def w8(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      w4(b, v & 0xffffffffL); w4(b, (v >> 32) & 0xffffffffL)
+    }
+    private def packed(b: java.io.ByteArrayOutputStream, v: Long): Unit =
+      if (v < 251) w1(b, v.toInt)
+      else if (v < (1L << 16)) { w1(b, 0xfc); w2(b, v.toInt) }
+      else if (v < (1L << 24)) { w1(b, 0xfd); w2(b, (v & 0xffff).toInt); w1(b, (v >> 16).toInt) }
+      else { w1(b, 0xfe); w8(b, v) }
+
+    /** Frame `body` as one event: header, body, optional CRC32. */
+    private def event(typeCode: Int, tsSec: Long, body: Array[Byte]): this.type = {
+      val crcLen = if (crc32) 4 else 0
+      val eventLen = HeaderLen + body.length + crcLen
+      val ev = new java.io.ByteArrayOutputStream(eventLen)
+      w4(ev, tsSec)
+      w1(ev, typeCode)
+      w4(ev, serverId)
+      w4(ev, eventLen.toLong)
+      w4(ev, (out.size() + eventLen).toLong) // next position
+      w2(ev, 0) // flags
+      ev.write(body, 0, body.length)
+      if (crc32) {
+        val c = new CRC32
+        val framed = ev.toByteArray
+        c.update(framed, 0, framed.length)
+        w4(ev, c.getValue)
+      }
+      ev.writeTo(out)
+      this
+    }
+
+    private def fde(): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      w2(b, 4) // binlog version
+      val ver = serverVersion.getBytes("UTF-8").take(50)
+      b.write(ver, 0, ver.length)
+      (ver.length until 50).foreach(_ => w1(b, 0))
+      w4(b, 0) // create timestamp
+      w1(b, HeaderLen)
+      (0 until 39).foreach(_ => w1(b, 0)) // post-header length table
+      w1(b, if (crc32) 1 else 0) // checksum algorithm
+      event(FORMAT_DESCRIPTION, 0, b.toByteArray)
+    }
+
+    def gtid(uuid: String, gno: Long, tsSec: Long): this.type = {
+      val b = new java.io.ByteArrayOutputStream()
+      w1(b, 1) // commit flag
+      val sid = uuidToBytes(uuid)
+      b.write(sid, 0, sid.length)
+      w8(b, gno)
+      event(GTID, tsSec, b.toByteArray)
+    }
+
+    def tableMap(tableId: Long, schema: String, table: String,
+        types: Seq[Int], meta: Seq[Int], tsSec: Long): this.type = {
+      colTypes += (tableId -> (types.toVector, meta.toVector))
+      val b = new java.io.ByteArrayOutputStream()
+      w6(b, tableId)
+      w2(b, 0) // flags
+      val sc = schema.getBytes("UTF-8"); w1(b, sc.length); b.write(sc, 0, sc.length); w1(b, 0)
+      val tb = table.getBytes("UTF-8"); w1(b, tb.length); b.write(tb, 0, tb.length); w1(b, 0)
+      packed(b, types.length.toLong)
+      types.foreach(w1(b, _))
+      val mb = new java.io.ByteArrayOutputStream()
+      types.zip(meta).foreach {
+        case (TYPE_DOUBLE, m) => w1(mb, m)
+        case (TYPE_VARCHAR, m) => w2(mb, m)
+        case _ => ()
+      }
+      packed(b, mb.size().toLong)
+      mb.writeTo(b)
+      // nullability bitmap: all nullable
+      (0 until (types.length + 7) / 8).foreach(_ => w1(b, 0xff))
+      event(TABLE_MAP, tsSec, b.toByteArray)
+    }
+
+    private def rowsBody(tableId: Long, typeCode: Int,
+        images: Seq[Seq[Option[Any]]]): Array[Byte] = {
+      val (types, meta) = colTypes(tableId)
+      val n = types.length
+      val b = new java.io.ByteArrayOutputStream()
+      w6(b, tableId)
+      w2(b, 0) // flags
+      w2(b, 2) // v2 extra-data length (just itself)
+      packed(b, n.toLong)
+      val fullBitmap = Array.tabulate((n + 7) / 8)(i =>
+        (0 until 8).map(j => if (i * 8 + j < n) 1 << j else 0).sum)
+      fullBitmap.foreach(w1(b, _))
+      if (typeCode == UPDATE_ROWS_V2) fullBitmap.foreach(w1(b, _))
+      images.foreach { cols =>
+        require(cols.length == n, s"row has ${cols.length} cols, table has $n")
+        val nulls = Array.ofDim[Int]((n + 7) / 8)
+        cols.zipWithIndex.foreach { case (v, i) =>
+          if (v.isEmpty) nulls(i / 8) |= (1 << (i % 8))
+        }
+        nulls.foreach(w1(b, _))
+        cols.zipWithIndex.foreach {
+          case (None, _) => ()
+          case (Some(v), i) => types(i) match {
+            case TYPE_LONG => w4(b, v.asInstanceOf[Long])
+            case TYPE_LONGLONG => w8(b, v.asInstanceOf[Long])
+            case TYPE_DOUBLE =>
+              w8(b, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+            case TYPE_VARCHAR =>
+              val s = v.asInstanceOf[String].getBytes("UTF-8")
+              if (meta(i) > 255) w2(b, s.length) else w1(b, s.length)
+              b.write(s, 0, s.length)
+            case t => throw new IllegalArgumentException(s"unsupported type $t")
+          }
+        }
+      }
+      b.toByteArray
+    }
+
+    def writeRows(tableId: Long, rows: Seq[Seq[Option[Any]]], tsSec: Long): this.type =
+      event(WRITE_ROWS_V2, tsSec, rowsBody(tableId, WRITE_ROWS_V2, rows))
+
+    def deleteRows(tableId: Long, rows: Seq[Seq[Option[Any]]], tsSec: Long): this.type =
+      event(DELETE_ROWS_V2, tsSec, rowsBody(tableId, DELETE_ROWS_V2, rows))
+
+    /** `pairs` = (before, after) per updated row, interleaved on the
+      * wire exactly as the binlog does.
+      */
+    def updateRows(tableId: Long, pairs: Seq[(Seq[Option[Any]], Seq[Option[Any]])],
+        tsSec: Long): this.type =
+      event(UPDATE_ROWS_V2, tsSec,
+        rowsBody(tableId, UPDATE_ROWS_V2, pairs.flatMap(p => Seq(p._1, p._2))))
+
+    def xid(n: Long, tsSec: Long): this.type = {
+      val b = new java.io.ByteArrayOutputStream()
+      w8(b, n)
+      event(XID, tsSec, b.toByteArray)
+    }
+
+    def query(schema: String, sql: String, tsSec: Long): this.type = {
+      val b = new java.io.ByteArrayOutputStream()
+      w4(b, 0) // thread id
+      w4(b, 0) // exec time
+      val sc = schema.getBytes("UTF-8")
+      w1(b, sc.length)
+      w2(b, 0) // error code
+      w2(b, 0) // status vars length
+      b.write(sc, 0, sc.length); w1(b, 0)
+      val q = sql.getBytes("UTF-8")
+      b.write(q, 0, q.length)
+      event(QUERY, tsSec, b.toByteArray)
+    }
+
+    /** An event type the decoder doesn't model (ROTATE & friends) —
+      * exercises the skip-unknown default branch.
+      */
+    def opaque(typeCode: Int, payload: Array[Byte], tsSec: Long): this.type =
+      event(typeCode, tsSec, payload)
+
+    def bytes: Array[Byte] = out.toByteArray
+  }
+}
+
+/** [[BinlogTransport]] over decoded binlog bytes: what `fetch()`
+  * looks like once the socket half exists — read bytes, decode,
+  * assemble transactions. Wrapped in [[ReconnectingTransport]] it
+  * carries the reference's full failure envelope.
+  */
+final class BinlogFileTransport(bytes: () => Array[Byte]) extends BinlogTransport {
+  def this(fixed: Array[Byte]) = this(() => fixed)
+  override def fetch(): Vector[FeedRow] =
+    BinlogDecoder.toFeedRows(BinlogDecoder.decode(bytes()))
+}
+
+/** Registry of binary binlog SEGMENTS (each a self-contained
+  * magic+FDE stream — the shape of rotated/archived binlog files).
+  * `append` models rotation: the binlog growing by another file while
+  * a query runs or is down.
+  */
+object BinlogBuffers {
+  private val buffers =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[Array[Byte]]]
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def register(segments: Array[Byte]*): String = {
+    val id = s"binlog-${counter.incrementAndGet()}"
+    buffers(id) = segments.toVector
+    id
+  }
+
+  def append(id: String, segment: Array[Byte]): Unit =
+    buffers.updateWith(id)(cur => Some(cur.getOrElse(Vector.empty) :+ segment))
+
+  def get(id: String): Vector[Array[Byte]] = buffers.getOrElse(id, Vector.empty)
+}
+
+/** The registry-backed decoding transport the `binlog:<id>` buffer-id
+  * spelling routes to ([[GtidReplayStream.defaultTransport]]): every
+  * fetch decodes the currently-visible segment list.
+  */
+final class BinlogBufferTransport(id: String) extends BinlogTransport {
+  override def fetch(): Vector[FeedRow] =
+    BinlogBuffers.get(id).flatMap(seg =>
+      BinlogDecoder.toFeedRows(BinlogDecoder.decode(seg)))
+}

@@ -135,10 +135,22 @@ final class GtidReplayTable(
     }
 }
 
+object GtidReplayStream {
+  /** Default transport routing: a `binlog:<id>` buffer id reads
+    * binary binlog segments through [[BinlogDecoder]] (registered in
+    * [[BinlogBuffers]]); anything else is a plain [[FeedRow]] replay
+    * buffer. Either way the reference's reconnect/backoff policy
+    * wraps the wire.
+    */
+  def defaultTransport(id: String): BinlogTransport =
+    new ReconnectingTransport(
+      if (id.startsWith("binlog:")) new BinlogBufferTransport(id.stripPrefix("binlog:"))
+      else new BufferTransport(id))
+}
+
 final class GtidReplayStream(
     sources: Seq[(String, String)], numPartitions: Int, maxRowsPerBatch: Option[Long] = None,
-    transportFactory: String => BinlogTransport =
-      id => new ReconnectingTransport(new BufferTransport(id)))
+    transportFactory: String => BinlogTransport = GtidReplayStream.defaultTransport)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Single-source convenience constructor (spec/back-compat). */

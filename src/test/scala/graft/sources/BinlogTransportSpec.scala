@@ -88,4 +88,160 @@ class BinlogTransportSpec extends AnyFunSuite {
     assert(delivered == 200L)
     assert(flaky.calls > 2) // the outage really happened and was ridden out
   }
+
+  // ---- the binary binlog codec behind the same seam -----------------------
+
+  import BinlogCodec._
+
+  private val U = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+  private val cols = Seq(TYPE_LONGLONG, TYPE_DOUBLE)
+  private val meta = Seq(0, 8)
+
+  /** Segment 1: two committed transactions (a 2-row insert, then a
+    * 1-row insert).
+    */
+  private def segment1(crc: Boolean = true): Array[Byte] =
+    new BinlogWriter.Stream(crc32 = crc)
+      .gtid(U, 1, 100)
+      .tableMap(7, "shop", "events", cols, meta, 100)
+      .writeRows(7, Seq(Seq(Some(1L), Some(1.0)), Seq(Some(2L), Some(2.0))), 100)
+      .xid(1, 100)
+      .gtid(U, 2, 101)
+      .tableMap(7, "shop", "events", cols, meta, 101)
+      .writeRows(7, Seq(Seq(Some(3L), Some(3.0))), 101)
+      .xid(2, 101)
+      .bytes
+
+  /** Segment 2: an update (before/after pair), a delete, then an
+    * UNCOMMITTED insert the stream ends inside.
+    */
+  private def segment2: Array[Byte] =
+    new BinlogWriter.Stream()
+      .gtid(U, 3, 102)
+      .tableMap(7, "shop", "events", cols, meta, 102)
+      .updateRows(7, Seq((Seq(Some(2L), Some(2.0)), Seq(Some(2L), Some(20.0)))), 102)
+      .xid(3, 102)
+      .gtid(U, 4, 103)
+      .tableMap(7, "shop", "events", cols, meta, 103)
+      .deleteRows(7, Seq(Seq(Some(1L), Some(1.0))), 103)
+      .xid(4, 103)
+      .gtid(U, 5, 104)
+      .tableMap(7, "shop", "events", cols, meta, 104)
+      .writeRows(7, Seq(Seq(Some(9L), Some(9.0))), 104)
+      // no XID: at-least-once replay owns this transaction
+      .bytes
+
+  test("binlog roundtrip: events decode and assemble into the seam's FeedRows") {
+    val evs = BinlogDecoder.decode(segment1())
+    assert(evs.collect { case g: Gtid => g.gno } == Vector(1L, 2L))
+    assert(evs.collect { case t: TableMap => (t.schema, t.table) }.distinct ==
+      Vector(("shop", "events")))
+    val rows = BinlogDecoder.toFeedRows(evs)
+    assert(rows == Vector(
+      FeedRow(1, new java.sql.Timestamp(100000), 1, "insert", 1.0),
+      FeedRow(1, new java.sql.Timestamp(100000), 2, "insert", 2.0),
+      FeedRow(2, new java.sql.Timestamp(101000), 3, "insert", 3.0)))
+    // update emits the after-image, delete the before-image, and the
+    // uncommitted tail transaction is NEVER emitted
+    val rows2 = BinlogDecoder.toFeedRows(BinlogDecoder.decode(segment2))
+    assert(rows2 == Vector(
+      FeedRow(3, new java.sql.Timestamp(102000), 2, "update", 20.0),
+      FeedRow(4, new java.sql.Timestamp(103000), 1, "delete", 1.0)))
+  }
+
+  test("binlog: NULL columns ride the null bitmap; varchar and int32 decode") {
+    val w = new BinlogWriter.Stream()
+      .gtid(U, 1, 50)
+      .tableMap(3, "s", "t",
+        Seq(TYPE_LONGLONG, TYPE_DOUBLE, TYPE_VARCHAR, TYPE_LONG),
+        Seq(0, 8, 255, 0), 50)
+      .writeRows(3, Seq(
+        Seq(Some(42L), None, Some("héllo"), Some(-5L)),
+        Seq(Some(43L), Some(4.5), None, None)), 50)
+      .xid(1, 50)
+    val rows = BinlogDecoder.decode(w.bytes).collect { case r: Rows => r }
+    assert(rows.head.after == Vector(
+      Vector(Some(42L), None, Some("héllo"), Some(-5L)),
+      Vector(Some(43L), Some(4.5), None, None)))
+    // a NULL double maps to the feed's 0.0 (payload absence), pk stays
+    val feed = BinlogDecoder.toFeedRows(BinlogDecoder.decode(w.bytes))
+    assert(feed.map(r => (r.pk, r.value)) == Vector((42L, 0.0), (43L, 4.5)))
+  }
+
+  test("binlog: CRC32 corruption and truncation are transport failures") {
+    val good = segment1()
+    // flip one payload byte -> CRC mismatch
+    val bad = good.clone()
+    bad(bad.length - 10) = (bad(bad.length - 10) ^ 0x40).toByte
+    val e1 = intercept[TransportException](BinlogDecoder.decode(bad))
+    assert(e1.getMessage.contains("CRC32"))
+    // cut the stream mid-event -> truncation
+    val cut = java.util.Arrays.copyOf(good, good.length - 7)
+    val e2 = intercept[TransportException](BinlogDecoder.decode(cut))
+    assert(e2.getMessage.contains("truncated"))
+    // wrong magic
+    val nomagic = good.clone(); nomagic(0) = 0x00
+    assert(intercept[TransportException](BinlogDecoder.decode(nomagic))
+      .getMessage.contains("magic"))
+  }
+
+  test("binlog: checksum-off streams decode; unknown event types are skipped") {
+    val w = new BinlogWriter.Stream(crc32 = false)
+      .gtid(U, 1, 60)
+      .opaque(ROTATE, Array.fill[Byte](12)(0x01), 60) // not modeled: skipped
+      .tableMap(1, "s", "t", cols, meta, 60)
+      .writeRows(1, Seq(Seq(Some(5L), Some(5.5))), 60)
+      .xid(1, 60)
+    val evs = BinlogDecoder.decode(w.bytes)
+    assert(evs.exists { case Skipped(ROTATE, _) => true; case _ => false })
+    assert(BinlogDecoder.toFeedRows(evs) ==
+      Vector(FeedRow(1, new java.sql.Timestamp(60000), 5, "insert", 5.5)))
+  }
+
+  test("binlog: QUERY events classify DDL by the reference's prefix gate") {
+    val w = new BinlogWriter.Stream()
+      .query("shop", "CREATE TABLE t (id INT)", 70)
+      .query("shop", "  alter table t add column v2 int", 70)
+      .query("shop", "TRUNCATE t", 70)
+      .query("shop", "BEGIN", 70)
+      .query("shop", "INSERT INTO t VALUES (1)", 70)
+    val kinds = BinlogDecoder.decode(w.bytes)
+      .collect { case q: Query => q.ddlKind }
+    assert(kinds == Vector(
+      Some("create"), Some("alter"), Some("truncate"), None, None))
+  }
+
+  test("binlog segments flow through the DSv2 source into pipeline state") {
+    val spark = graft.TestSpark.spark
+    val id = BinlogBuffers.register(segment1())
+    val base = s"target/tmp/binlog-e2e-${System.nanoTime()}"
+    val store = new graft.cdc.WatermarkStore(s"$base/wm")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[GtidReplayProvider].getName)
+        .option("bufferId", s"binlog:$id")
+        .option("uuid", U)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.cdc.CdcPipeline.applyFor(
+            graft.cdc.CdcPipeline.Cow, store, s"$base/state", U)(batch, bid)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    // the binlog rotates: a second file with an update, a delete, and
+    // an uncommitted tail; resume decodes and applies only the new txs
+    BinlogBuffers.append(id, segment2)
+    drain()
+    val state = graft.cdc.CdcPipeline.readState(spark, s"$base/state")
+      .collect().map(r => r.getAs[Long]("pk") ->
+        (r.getAs[Long]("pos"), r.getAs[String]("op"), r.getAs[Double]("value")))
+      .toMap
+    assert(state == Map(
+      2L -> (3L, "update", 20.0), // updated in the second segment
+      3L -> (2L, "insert", 3.0))) // pk=1 deleted; pk=9 never committed
+  }
 }
