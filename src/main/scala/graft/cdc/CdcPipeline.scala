@@ -133,14 +133,15 @@ object CdcPipeline {
       spark: SparkSession,
       store: WatermarkStore,
       source: String,
-      batch: DataFrame
+      batch: DataFrame,
+      table: String = "events"
   )(body: => Unit): Unit = {
     val set = batchGtidSet(batch, source)
     if (set.isEmpty) return
-    if (store.covered(spark, source, SnapshotJob.schemaName, "events", set)) return
+    if (store.covered(spark, source, SnapshotJob.schemaName, table, set)) return
     body
     store.upsert(spark, Seq(
-      TableWatermark(source, SnapshotJob.schemaName, "events", set.serialize)))
+      TableWatermark(source, SnapshotJob.schemaName, table, set.serialize)))
   }
 
   /** A bucket whose every key was just deleted is absent from the
@@ -165,8 +166,9 @@ object CdcPipeline {
       store: WatermarkStore,
       stateDir: String,
       source: String,
-      batch: DataFrame
-  ): Unit = gatedApply(spark, store, source, batch) {
+      batch: DataFrame,
+      table: String = "events"
+  ): Unit = gatedApply(spark, store, source, batch, table) {
     val bucketed = batch.withColumn(bucketCol, bucketOf(bucketCount(stateDir)))
 
     def write(df: DataFrame, dynamic: Boolean): Unit =
@@ -235,14 +237,15 @@ object CdcPipeline {
       store: WatermarkStore,
       stateDir: String,
       source: String,
-      batch: DataFrame
+      batch: DataFrame,
+      table: String = "events"
   ): Unit = MetaTables.readStateSchema(spark, stateDir) match {
-    case None => applyBatch(spark, store, stateDir, source, batch)
+    case None => applyBatch(spark, store, stateDir, source, batch, table)
     case Some(old) =>
       val bucketed = batch.withColumn(bucketCol, bucketOf(bucketCount(stateDir)))
       if (mergedSchema(old, bucketed.schema) != old)
-        applyBatch(spark, store, stateDir, source, batch)
-      else gatedApply(spark, store, source, batch) {
+        applyBatch(spark, store, stateDir, source, batch, table)
+      else gatedApply(spark, store, source, batch, table) {
         SchemaEvolution.conform(bucketed, old)
           .repartition(bucketCount(stateDir), col(bucketCol))
           .write
@@ -251,6 +254,133 @@ object CdcPipeline {
           .parquet(stateDir)
       }
   }
+
+  /** Demultiplex one micro-batch carrying rows for N logical tables
+    * (a `table` column) into per-table gated applies — the
+    * reference's per-table protocol: it snapshots and tails many
+    * tables through one pipeline
+    * (`internal/cannal/fullamount_service.go:112-134`) and persists
+    * one watermark row PER TABLE (`tablemeta.go:56-82`,
+    * `go_cdc_table_meta`). Each table here gates on its own
+    * [[TableWatermark]] row and lands under `stateRoot/<table>` in
+    * the bucketed layout, so one table's redelivery can never
+    * suppress another table's first delivery — the property the
+    * `cdc_multi_table` gate makes hash-checkable. The distinct-table
+    * read is control-plane (≤ table count, the reference's configured
+    * table list).
+    */
+  def applyBatchMulti(
+      spark: SparkSession,
+      store: WatermarkStore,
+      stateRoot: String,
+      source: String,
+      batch: DataFrame
+  ): Unit = {
+    val tables = batch.select("table").distinct()
+      .collect().map(_.getString(0)).sorted
+    tables.foreach { t =>
+      applyBatch(spark, store, s"$stateRoot/$t", source,
+        batch.filter(col("table") === t).drop("table"), table = t)
+    }
+  }
+
+  /** Multi-table streaming form: ONE checkpointed stream, one
+    * consumer, N gated per-table sinks — the topology of the
+    * reference's single event loop feeding per-table metadata rows.
+    * `demux` assigns each feed row its logical table.
+    */
+  def runMulti(
+      spark: SparkSession,
+      eventsDir: String,
+      stateRoot: String,
+      watermarkPath: String,
+      checkpointDir: String,
+      demux: DataFrame => DataFrame,
+      source: String = "harness-src"
+  ): StreamingQuery = {
+    val store = new WatermarkStore(watermarkPath)
+    demux(feedStream(spark, eventsDir)).writeStream
+      .queryName("cdc-apply-multi")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatchMulti(spark, store, stateRoot, source, batch)
+      }
+      .start()
+  }
+
+  /** Non-additive DDL, parsed and migrated. The reference's gate
+    * forwards CREATE/ALTER/DROP/RENAME/TRUNCATE statements and then
+    * drops them in the no-op `OnDDL`
+    * (`internal/cannal/incremental.go:212-217`,
+    * `incremental_event.go:31-33`); a materializing sink must choose
+    * semantics. Policy here (each a one-off O(state) migration, like
+    * the additive path):
+    *
+    *   - **drop column** = retain-and-null: the column stays in the
+    *     schema (downstream readers keep working) but its values null
+    *     out — the reversible form of a destructive DDL; physical
+    *     removal is an explicit later cleanup, never implicit;
+    *   - **rename column** = add-new + tombstone-old: the new name
+    *     carries the values, the old column retains-and-nulls;
+    *   - **truncate** = state reset: every bucket directory is
+    *     removed, the sidecar (schema + bucket count) survives, and
+    *     the WATERMARK is deliberately untouched — positions already
+    *     covered stay covered, so a redelivered pre-truncate batch
+    *     gates to a no-op instead of resurrecting truncated rows.
+    *
+    * All three are idempotent under redelivery of the same statement
+    * (re-null, rename-to-existing no-ops, re-truncate of empty).
+    */
+  sealed trait DdlOp
+  object DdlOp {
+    final case class DropColumn(name: String) extends DdlOp
+    final case class RenameColumn(from: String, to: String) extends DdlOp
+    case object Truncate extends DdlOp
+
+    private val DropRe =
+      """(?is)\s*ALTER\s+TABLE\s+\S+\s+DROP\s+(?:COLUMN\s+)?`?(\w+)`?\s*""".r
+    private val RenameRe =
+      """(?is)\s*ALTER\s+TABLE\s+\S+\s+RENAME\s+(?:COLUMN\s+)?`?(\w+)`?\s+TO\s+`?(\w+)`?\s*""".r
+    private val TruncRe = """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?\S+\s*""".r
+
+    /** Statement → migration op, for the statements the reference's
+      * prefix gate forwards; `None` for additive/unknown DDL (ADD
+      * COLUMN needs no eager migration — the next batch's wider
+      * schema triggers it in [[applyBatch]]).
+      */
+    def parse(stmt: String): Option[DdlOp] = stmt match {
+      case DropRe(c) => Some(DropColumn(c))
+      case RenameRe(a, b) => Some(RenameColumn(a, b))
+      case TruncRe() => Some(Truncate)
+      case _ => None
+    }
+  }
+
+  def applyDdl(spark: SparkSession, stateDir: String, op: DdlOp): Unit =
+    MetaTables.readStateSchema(spark, stateDir) match {
+      case None => () // DDL ahead of any state: nothing to migrate
+      case Some(old) => op match {
+        case DdlOp.Truncate =>
+          val buckets = bucketFileStats(stateDir).map(_._1)
+          removeEmptiedBuckets(stateDir, buckets, present = Set.empty)
+        case DdlOp.DropColumn(c) =>
+          old.fields.find(_.name == c).foreach { f =>
+            val st = spark.read.schema(old).parquet(stateDir).localCheckpoint(true)
+            writeBucketed(stateDir,
+              st.withColumn(c, lit(null).cast(f.dataType)), dynamic = false)
+          }
+        case DdlOp.RenameColumn(from, to) =>
+          if (old.fieldNames.contains(from) && !old.fieldNames.contains(to)) {
+            val f = old(from)
+            val st = spark.read.schema(old).parquet(stateDir).localCheckpoint(true)
+            writeBucketed(stateDir,
+              st.withColumn(to, col(from))
+                .withColumn(from, lit(null).cast(f.dataType)),
+              dynamic = false)
+          }
+      }
+    }
 
   /** Current state under merge-on-read: one latest-wins pass over
     * base + delta files. On a fully compacted table this is a no-op

@@ -1113,6 +1113,195 @@ object CdcQueries {
       |    FROM events))
       |GROUP BY reason ORDER BY reason""".stripMargin
 
+  // ---- cdc_multi_table: per-table watermark independence ------------------
+
+  /** The reference tails N tables through one pipeline with one
+    * watermark row PER TABLE (`fullamount_service.go:112-134`,
+    * `go_cdc_table_meta`). This gate makes the independence of those
+    * rows hash-checkable: the feed demuxes into two logical tables
+    * (even/odd keys), table A's first half applies ALONE, then the
+    * transport redelivers the ENTIRE first half — A's rows are
+    * already covered (no-op), B's rows see their first delivery and
+    * MUST apply. An implementation with one global watermark would
+    * gate B's first half away, and every odd key whose latest event
+    * sits in the first half would be missing from the state DuckDB
+    * recomputes directly. The second half then applies normally and
+    * both tables' materialized states are emitted under a `tbl`
+    * column.
+    */
+  private def cdcMultiTable(s: SparkSession, d: String): DataFrame = {
+    val base = GateTmp.once("multi-table", d) { base =>
+      val store = new WatermarkStore(s"$base/wm")
+      val feed = ChangeFeed.fromEvents(Tables.events(s, d))
+        .withColumn("table",
+          when(col("pk") % 2 === 0, "events_even").otherwise("events_odd"))
+        .localCheckpoint(true)
+      val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      // table A runs ahead: its first half applies alone
+      CdcPipeline.applyBatchMulti(s, store, s"$base/state", "harness-src",
+        feed.filter(col("table") === "events_even" && col("pos") <= mid))
+      // full first-half redelivery: A covered (no-op), B first delivery
+      CdcPipeline.applyBatchMulti(s, store, s"$base/state", "harness-src",
+        feed.filter(col("pos") <= mid))
+      CdcPipeline.applyBatchMulti(s, store, s"$base/state", "harness-src",
+        feed.filter(col("pos") > mid))
+    }
+    def st(t: String): DataFrame =
+      CdcPipeline.readState(s, s"$base/state/$t").withColumn("tbl", lit(t))
+    st("events_even").unionByName(st("events_odd"))
+      .select(
+        col("tbl"),
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("tbl", "user_id")
+  }
+
+  private val cdcMultiTableOracle: String =
+    """SELECT CASE WHEN user_id % 2 = 0 THEN 'events_even'
+      |            ELSE 'events_odd' END AS tbl,
+      |       user_id, last_pos, op, value, k FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY tbl, user_id""".stripMargin
+
+  // ---- cdc_evolve_rename / _drop / _truncate: non-additive DDL ------------
+
+  /** Shared two-phase scaffold for the non-additive DDL gates: apply
+    * the first half-feed, run one parsed DDL migration
+    * ([[CdcPipeline.applyDdl]]), apply the second half (shaped as the
+    * post-DDL feed), optionally replay the first half to prove the
+    * watermark still gates it.
+    */
+  private def evolveScaffold(s: SparkSession, d: String, key: String,
+      ddl: String,
+      reshapeSecond: DataFrame => DataFrame,
+      replayFirst: Boolean = false): String =
+    GateTmp.once(key, d) { base =>
+      val store = new WatermarkStore(s"$base/wm")
+      val dir = s"$base/state"
+      val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
+      val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val first = feed.filter(col("pos") <= mid)
+      CdcPipeline.applyBatch(s, store, dir, "harness-src", first)
+      CdcPipeline.applyDdl(s, dir, CdcPipeline.DdlOp.parse(ddl).getOrElse(
+        throw new IllegalArgumentException(s"unparsed DDL: $ddl")))
+      CdcPipeline.applyBatch(s, store, dir, "harness-src",
+        reshapeSecond(feed.filter(col("pos") > mid)))
+      if (replayFirst) // pre-DDL redelivery must gate to a no-op
+        CdcPipeline.applyBatch(s, store, dir, "harness-src", first)
+    }
+
+  /** RENAME = add-new + tombstone-old, under the oracle: the first
+    * half applies with `value`, the DDL renames it to `amount`, the
+    * second half arrives already speaking `amount`. Every key whose
+    * latest event predates the DDL must carry its value IN `amount`
+    * (the migration moved it), every later key likewise (the feed
+    * delivered it) — and the tombstoned `value` column must read NULL
+    * everywhere. DuckDB recomputes that from scratch, so a migration
+    * that loses the moved values (or forgets the tombstone) breaks
+    * the hash.
+    */
+  private def cdcEvolveRename(s: SparkSession, d: String): DataFrame = {
+    val base = evolveScaffold(s, d, "evolve-rename",
+      "ALTER TABLE events RENAME COLUMN value TO amount",
+      _.withColumnRenamed("value", "amount"))
+    CdcPipeline.readState(s, s"$base/state")
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("amount"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("user_id")
+  }
+
+  private val cdcEvolveRenameOracle: String =
+    """SELECT user_id, last_pos, op, amount, CAST(NULL AS DOUBLE) AS value, k
+      |FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value AS amount,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
+
+  /** DROP = retain-and-null: after the DDL, `props` stays in the
+    * schema but every value — including keys whose latest event
+    * predates the DDL and would otherwise still carry their payload —
+    * reads NULL. The post-DDL feed no longer carries the column at
+    * all.
+    */
+  private def cdcEvolveDrop(s: SparkSession, d: String): DataFrame = {
+    val base = evolveScaffold(s, d, "evolve-drop",
+      "ALTER TABLE events DROP COLUMN props",
+      _.drop("props"))
+    CdcPipeline.readState(s, s"$base/state")
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("user_id")
+  }
+
+  private val cdcEvolveDropOracle: String =
+    """SELECT user_id, last_pos, op, value, CAST(NULL AS BIGINT) AS k FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
+
+  /** TRUNCATE = state reset with the watermark deliberately kept: the
+    * final state is the latest-wins of the post-truncate half alone,
+    * AND a redelivered pre-truncate batch (the at-least-once window
+    * again) gates to a no-op instead of resurrecting truncated rows —
+    * the oracle would catch any resurrected key.
+    */
+  private def cdcEvolveTruncate(s: SparkSession, d: String): DataFrame = {
+    val base = evolveScaffold(s, d, "evolve-trunc",
+      "TRUNCATE TABLE events", identity, replayFirst = true)
+    CdcPipeline.readState(s, s"$base/state")
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("user_id")
+  }
+
+  private val cdcEvolveTruncateOracle: String =
+    """WITH mm AS (
+      |  SELECT min(event_id) + (max(event_id) - min(event_id)) // 2 AS mid
+      |  FROM events)
+      |SELECT user_id, last_pos, op, value, k FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_id > (SELECT mid FROM mm))
+      |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
+
   // ---- cdc_replay_idempotent: the at-least-once crash window --------------
 
   /** The reference's at-least-once window, oracle-gated: it sends
@@ -1253,6 +1442,10 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_binlog_replay" -> (cdcBinlogReplay _),
     "cdc_replay_idempotent" -> (cdcReplayIdempotent _),
+    "cdc_multi_table" -> (cdcMultiTable _),
+    "cdc_evolve_rename" -> (cdcEvolveRename _),
+    "cdc_evolve_drop" -> (cdcEvolveDrop _),
+    "cdc_evolve_truncate" -> (cdcEvolveTruncate _),
     "cdc_dlq" -> (cdcDlq _),
     "cdc_evolve_state" -> (cdcEvolveState _),
     "cdc_history_state" -> (cdcHistoryState _),
@@ -1280,6 +1473,10 @@ object CdcQueries {
   val oracles: Map[String, String] = Map(
     "cdc_binlog_replay" -> cdcBinlogReplayOracle,
     "cdc_replay_idempotent" -> cdcReplayIdempotentOracle,
+    "cdc_multi_table" -> cdcMultiTableOracle,
+    "cdc_evolve_rename" -> cdcEvolveRenameOracle,
+    "cdc_evolve_drop" -> cdcEvolveDropOracle,
+    "cdc_evolve_truncate" -> cdcEvolveTruncateOracle,
     "cdc_snapshot" -> cdcSnapshotOracle,
     "cdc_dlq" -> cdcDlqOracle,
     "cdc_evolve_state" -> cdcEvolveStateOracle,

@@ -369,6 +369,67 @@ object Relational3 {
       |JOIN (SELECT i AS sk FROM generate_series(0, 999) t(i)) d USING (sk)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q51: AQE skew-join split (the adaptive half of the triangle) -------
+
+  /** The ADAPTIVE answer to the skew q50 detects and q43/q38 mitigate
+    * by hand: the same planted 90%-hot-key join, deliberately left
+    * UNSALTED, with AQE's `OptimizeSkewedJoin` doing the re-split at
+    * runtime — the oversized shuffle partition is cut into
+    * advisory-sized slices and the dim side's matching partition is
+    * replicated per slice, exactly what q43's (key, salt) rewrite
+    * does statically. Runs in a CHILD session (the d7 isolation
+    * pattern): the skew thresholds are tuned so the harness-scale
+    * shuffle exhibits the same relative skew a 100 TB shuffle would
+    * against the production defaults, broadcast is disabled (it would
+    * dissolve the demonstration — at real scale the dim exceeds the
+    * threshold), and the parent session's conf is never touched. The
+    * oracle runs the plain join: the adaptive split must be invisible
+    * in the result. PlanAuditSpec pins the `skew=true` marker on the
+    * executed sort-merge join, so a regression that stops the split
+    * from firing fails CI, not just the bench.
+    */
+  private def q51AqeSkew(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4k")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val line = Tables
+      .lineitem(s, d)
+      // AQE splits a skewed reduce partition by MAP-INDEX ranges, so a
+      // single-mapper shuffle (the harness table is one parquet file →
+      // one scan task) is structurally unsplittable no matter how
+      // skewed. A real 100 TB scan has thousands of map tasks; the
+      // round-robin repartition restores that topology at harness
+      // scale so the demonstration exercises the production mechanism.
+      .repartition(16)
+      .select(
+        expr("CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 1000 END")
+          .as("sk"),
+        col("l_extendedprice"))
+    val dim = s.range(0, 1000)
+      .select(col("id").as("sk"), concat(lit("grp-"), col("id") % 7).as("label"))
+    line
+      .join(dim, Seq("sk"))
+      .groupBy(col("label"))
+      .agg(
+        Exact.dsum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("label")
+  }
+
+  private val q51Oracle: String =
+    """SELECT 'grp-' || (sk % 7) AS label,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |       count(*) AS n_items
+      |FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+      |             ELSE l_orderkey % 1000 END AS sk, l_extendedprice
+      |      FROM lineitem) l
+      |JOIN (SELECT i AS sk FROM generate_series(0, 999) t(i)) d USING (sk)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q44: runtime bloom-filter join --------------------------------------
 
   /** Runtime-filter demonstration: a selective dimension filter whose
@@ -776,6 +837,7 @@ object Relational3 {
       |FROM p""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_aqe_skew" -> (q51AqeSkew _),
     "q49_dpp" -> (q49Dpp _),
     "q50_skew_profile" -> (q50SkewProfile _),
     "q47_fuzzy_join" -> (q47FuzzyJoin _),
@@ -798,6 +860,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_aqe_skew" -> q51Oracle,
     "q49_dpp" -> q49Oracle,
     "q50_skew_profile" -> q50Oracle,
     "q47_fuzzy_join" -> q47Oracle,

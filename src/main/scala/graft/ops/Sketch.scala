@@ -119,30 +119,34 @@ object Sketch {
   private def sk2BloomFilter(s: SparkSession, d: String): DataFrame = {
     val p1 = h63Sql("mh", 0)
     val p2 = h63Sql("mh", 8)
+    // distinct (group, key) FIRST: bit_or is idempotent so the filter
+    // is unchanged, the distinct dedupes map-side before its shuffle,
+    // md5 runs once per DISTINCT key instead of once per row, and
+    // n_keys/n_true become plain counts — no countDistinct expand,
+    // and the old standalone truth query (a second full scan) folds
+    // into the same tiny aggregate
     val bloom = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("grp"), col("l_suppkey"),
+      .select(col("l_returnflag").as("grp"), col("l_suppkey")).distinct()
+      .select(col("grp"), col("l_suppkey"),
         md5(col("l_suppkey").cast("string")).as("mh"))
       .select(col("grp"), col("l_suppkey"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p1 AS INT)) | " +
           s"shiftleft(CAST(1 AS BIGINT), CAST($p2 AS INT))").as("bits"))
       .groupBy("grp")
       .agg(expr("bit_or(bits)").as("bloom"),
-        countDistinct(col("l_suppkey")).as("n_keys"))
+        count(lit(1)).as("n_keys"),
+        sum(when(col("l_suppkey").between(1, 100), 1L).otherwise(0L))
+          .as("n_true"))
     val probes = s.range(1, 101).select(col("id").as("pk"))
       .select(col("pk"), md5(col("pk").cast("string")).as("mh"))
       .select(col("pk"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p1 AS INT)) | " +
           s"shiftleft(CAST(1 AS BIGINT), CAST($p2 AS INT))").as("pbits"))
-    val truth = Tables.lineitem(s, d)
-      .filter(col("l_suppkey").between(1, 100))
-      .select(col("l_returnflag").as("grp"), col("l_suppkey")).distinct()
-      .groupBy("grp").agg(count(lit(1)).as("n_true"))
     bloom.join(broadcast(probes))
-      .groupBy(col("grp"), col("bloom"), col("n_keys"))
+      .groupBy(col("grp"), col("bloom"), col("n_keys"), col("n_true"))
       .agg(sum(when(expr("(bloom & pbits) = pbits"), 1L).otherwise(0L)).as("n_maybe"))
-      .join(truth, Seq("grp"), "left")
       .select(col("grp"), col("bloom"), col("n_keys"),
-        col("n_maybe"), coalesce(col("n_true"), lit(0L)).as("n_true"))
+        col("n_maybe"), col("n_true"))
       .orderBy("grp")
   }
 
@@ -425,12 +429,17 @@ object Sketch {
         expr("(m_inter * est_union) DIV CAST(size(u) AS BIGINT)"))
     val exact = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
-    pairs
-      .join(exact,
+    // the exact yardstick joins against the SLIM pair list (group
+    // names only, broadcast) — the sketch arrays must not ride the
+    // |distinct| × pairs nested-loop join; sketch results re-attach
+    // afterwards at pair granularity (3 rows vs 3 rows)
+    val exactU = exact
+      .join(broadcast(pairs.select("grp_a", "grp_b")),
         col("flag") === col("grp_a") || col("flag") === col("grp_b"))
-      .groupBy(col("grp_a"), col("grp_b"),
-        col("est_union"), col("m_inter"), col("est_inter"))
+      .groupBy(col("grp_a"), col("grp_b"))
       .agg(countDistinct(col("l_partkey")).as("n_exact_union"))
+    pairs
+      .join(exactU, Seq("grp_a", "grp_b"))
       .select("grp_a", "grp_b", "est_union", "m_inter", "est_inter",
         "n_exact_union")
       .orderBy("grp_a", "grp_b")

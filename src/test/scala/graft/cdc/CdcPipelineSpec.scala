@@ -557,6 +557,43 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(got == expected, "narrow delta must merge exactly under the evolved schema")
   }
 
+  test("multi-table: one stream, per-table watermark rows, independent gating") {
+    import org.apache.spark.sql.functions._
+    val base = s"target/tmp/cdcmulti-${System.nanoTime()}"
+    val feedDir = new File(s"$base/feed"); feedDir.mkdirs()
+    java.nio.file.Files.copy(
+      new File(s"$sf/events.parquet").toPath,
+      new File(feedDir, "events.parquet").toPath)
+    val demux = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("table",
+        when(col("pk") % 2 === 0, "t_even").otherwise("t_odd"))
+
+    // one checkpointed stream, N per-table sinks
+    CdcPipeline.runMulti(spark, feedDir.getPath, s"$base/state", s"$base/wm",
+      s"$base/ckpt", demux).awaitTermination()
+    val store = new WatermarkStore(s"$base/wm")
+    val wmRows = store.read(spark).collect().map(w => w.table -> w.pos).toMap
+    assert(wmRows.keySet == Set("t_even", "t_odd"),
+      "one watermark row per logical table (go_cdc_table_meta shape)")
+    val exp = expectedState()
+    assert(stateRows(s"$base/state/t_even") == exp.filter(_._1 % 2 == 0))
+    assert(stateRows(s"$base/state/t_odd") == exp.filter(_._1 % 2 != 0))
+
+    // independence: a batch fully covered for t_even but unseen by
+    // t_odd must still apply to t_odd — a single global watermark
+    // would suppress it and lose t_odd's rows
+    val feed = demux(ChangeFeed.fromEvents(Tables.events(spark, sf)))
+    val store2 = new WatermarkStore(s"$base/wm2")
+    CdcPipeline.applyBatchMulti(spark, store2, s"$base/state2", "harness-src",
+      feed.filter(col("table") === "t_even"))
+    val t1 = maxMtime(s"$base/state2/t_even")
+    CdcPipeline.applyBatchMulti(spark, store2, s"$base/state2", "harness-src", feed)
+    assert(maxMtime(s"$base/state2/t_even") == t1,
+      "covered table's redelivery must be a no-op")
+    assert(stateRows(s"$base/state2/t_odd") == exp.filter(_._1 % 2 != 0),
+      "the other table's first delivery must apply")
+  }
+
   test("MOR delete tombstones survive until compaction and emptied buckets vanish") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -65,4 +65,64 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(conformedOld.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       v2schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
+
+  test("DdlOp.parse: the reference-gated non-additive statements") {
+    import graft.cdc.CdcPipeline.DdlOp
+    assert(DdlOp.parse("ALTER TABLE s.t DROP COLUMN props") ==
+      Some(DdlOp.DropColumn("props")))
+    assert(DdlOp.parse("alter table t drop c") == Some(DdlOp.DropColumn("c")))
+    assert(DdlOp.parse("ALTER TABLE t RENAME COLUMN `value` TO `amount`") ==
+      Some(DdlOp.RenameColumn("value", "amount")))
+    assert(DdlOp.parse("TRUNCATE TABLE shop.events") == Some(DdlOp.Truncate))
+    assert(DdlOp.parse("truncate t") == Some(DdlOp.Truncate))
+    // additive / unknown DDL needs no eager migration
+    assert(DdlOp.parse("ALTER TABLE t ADD COLUMN props STRING").isEmpty)
+    assert(DdlOp.parse("CREATE TABLE t (id INT)").isEmpty)
+    assert(DdlOp.parse("INSERT INTO t VALUES (1)").isEmpty)
+  }
+
+  test("applyDdl: drop nulls in place, rename moves values, both idempotent") {
+    import graft.cdc.{CdcPipeline, WatermarkStore}
+    import org.apache.spark.sql.functions.col
+    val base = s"target/tmp/ddlmig-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val feed = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "insert", 1.5, "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 11L, "insert", 2.5, "b")
+    ).toDF("pos", "ts", "pk", "op", "value", "props")
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", feed)
+    CdcPipeline.applyDdl(spark, s"$base/state",
+      CdcPipeline.DdlOp.RenameColumn("value", "amount"))
+    CdcPipeline.applyDdl(spark, s"$base/state",
+      CdcPipeline.DdlOp.RenameColumn("value", "amount")) // redelivered: no-op
+    CdcPipeline.applyDdl(spark, s"$base/state",
+      CdcPipeline.DdlOp.DropColumn("props"))
+    CdcPipeline.applyDdl(spark, s"$base/state",
+      CdcPipeline.DdlOp.DropColumn("props")) // redelivered: no-op
+    val st = CdcPipeline.readState(spark, s"$base/state")
+      .select("pk", "amount", "value", "props")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.isNullAt(2), r.isNullAt(3)))
+      .sortBy(_._1)
+    assert(st.toSeq == Seq((10L, 1.5, true, true), (11L, 2.5, true, true)))
+  }
+
+  test("applyDdl: truncate resets state, keeps layout, and later applies work") {
+    import graft.cdc.{CdcPipeline, WatermarkStore}
+    val base = s"target/tmp/ddltrunc-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    def batch(pos: Long, pk: Long, v: Double) = Seq(
+      (pos, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), pk, "insert", v)
+    ).toDF("pos", "ts", "pk", "op", "value")
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", batch(1, 10, 1.0))
+    CdcPipeline.applyDdl(spark, s"$base/state", CdcPipeline.DdlOp.Truncate)
+    assert(CdcPipeline.readState(spark, s"$base/state").count() == 0)
+    // post-truncate applies land in the surviving layout
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", batch(2, 20, 2.0))
+    // the watermark survived the truncate: redelivering the
+    // pre-truncate batch is a no-op, not a resurrection
+    CdcPipeline.applyBatch(spark, store, s"$base/state", "src", batch(1, 10, 1.0))
+    val pks = CdcPipeline.readState(spark, s"$base/state")
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(pks == Set(20L))
+  }
 }

@@ -142,6 +142,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair join must see exactly the block's pairs, got $pairs")
   }
 
+  test("q51: AQE splits the planted skewed partition (skew=true on the executed join)") {
+    // sf0.01: the hot partition must be big enough in BYTES to trip
+    // the (lowered) skew threshold — plan contracts elsewhere audit
+    // static shape, this one audits a runtime re-plan, so it needs
+    // the execution, not just the plan
+    val df = graft.SparkEntry.queries("q51_aqe_skew")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("skew=true"),
+      s"OptimizeSkewedJoin must split the hot partition; executed plan:\n" +
+        executed.take(3000))
+  }
+
   test("q45: the bucketed sort-merge join plans with zero exchanges on the join keys") {
     // the whole point of the bucketed layout: the orderkey join must
     // NOT shuffle either side — the only exchanges left in the plan
