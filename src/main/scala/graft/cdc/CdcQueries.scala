@@ -1372,10 +1372,11 @@ object CdcQueries {
   // ---- cdc_binlog_replay: the binary binlog codec, distributed ------------
 
   /** The events feed round-trips through REAL binlog v4 bytes under
-    * the oracle gate: each event becomes one self-contained binlog
-    * segment (magic + FORMAT_DESCRIPTION + GTID + TABLE_MAP +
-    * WRITE/UPDATE/DELETE_ROWS + XID, CRC32-checksummed — the
-    * archived/rotated binlog-file shape), then a
+    * the oracle gate: each PARTITION becomes one self-contained
+    * binlog file (magic + FORMAT_DESCRIPTION amortized over the
+    * partition, then per event a GTID + TABLE_MAP +
+    * WRITE/UPDATE/DELETE_ROWS + XID transaction, CRC32-checksummed —
+    * exactly the rotated-archive-file shape), then a
     * [[graft.sources.BinlogDecoder]] pass reassembles FeedRows from
     * the bytes (CRC-verified, transactions gated on the XID commit
     * marker exactly as `internal/cannal/handler.go:55-82` buffers
@@ -1398,23 +1399,31 @@ object CdcQueries {
       .select(col("pos"), col("ts"), col("pk"), col("op"), col("value"))
       .as[FeedRow]
       .mapPartitions { it =>
-        it.map { r =>
-          val tsSec = r.ts.getTime / 1000
+        // ONE binlog file per partition (magic + FDE amortized over
+        // the partition's transactions — the shape of a rotated
+        // archive file), one tx per event inside it
+        if (it.isEmpty) Iterator.empty
+        else {
           val w = new BinlogWriter.Stream()
-            .gtid(uuid, r.pos, tsSec)
-            .tableMap(1L, "harness", "events",
-              Seq(BinlogCodec.TYPE_LONGLONG, BinlogCodec.TYPE_DOUBLE),
-              Seq(0, 8), tsSec)
-          r.op match {
-            case "insert" =>
-              w.writeRows(1L, Seq(Seq(Some(r.pk), Some(r.value))), tsSec)
-            case "update" =>
-              w.updateRows(1L,
-                Seq((Seq(Some(r.pk), None), Seq(Some(r.pk), Some(r.value)))), tsSec)
-            case _ =>
-              w.deleteRows(1L, Seq(Seq(Some(r.pk), Some(r.value))), tsSec)
+          it.foreach { r =>
+            val tsSec = r.ts.getTime / 1000
+            w.gtid(uuid, r.pos, tsSec)
+              .tableMap(1L, "harness", "events",
+                Seq(BinlogCodec.TYPE_LONGLONG, BinlogCodec.TYPE_DOUBLE),
+                Seq(0, 8), tsSec)
+            r.op match {
+              case "insert" =>
+                w.writeRows(1L, Seq(Seq(Some(r.pk), Some(r.value))), tsSec)
+              case "update" =>
+                w.updateRows(1L,
+                  Seq((Seq(Some(r.pk), None), Seq(Some(r.pk), Some(r.value)))),
+                  tsSec)
+              case _ =>
+                w.deleteRows(1L, Seq(Seq(Some(r.pk), Some(r.value))), tsSec)
+            }
+            w.xid(r.pos, tsSec)
           }
-          w.xid(r.pos, tsSec).bytes
+          Iterator.single(w.bytes)
         }
       }
     val decoded = segments.mapPartitions { it =>

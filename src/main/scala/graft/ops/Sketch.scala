@@ -478,7 +478,39 @@ object Sketch {
        |ORDER BY e.grp_a, e.grp_b""".stripMargin
   }
 
+  // ---- sk7: deterministic bottom-k-by-hash sample -------------------------
+
+  /** Per-source deterministic k-sample via
+    * [[graft.functions.BottomKSampleAgg]] — "reservoir sampling" as a
+    * mergeable algebra: md5-uniform hashes make the k smallest a
+    * uniform sample, bottom-k idempotence makes it a safe shuffle
+    * partial (each (group, partition) ships ≤ k pairs — no window
+    * over all rows, no per-group sort, no RNG), and determinism makes
+    * the SAMPLE ITSELF oracle-checkable: DuckDB recomputes the exact
+    * same k rows via a rank over the same hash. The eval-set /
+    * spot-check sampling shape for a 100 TB corpus.
+    */
+  private def sk7Sample(s: SparkSession, d: String): DataFrame = {
+    val bottomK = udaf(graft.functions.BottomKSampleAgg)
+    Tables.documents(s, d)
+      .select(col("source"),
+        md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+      .groupBy("source")
+      .agg(bottomK(col("h"), col("doc_id")).as("picks"))
+      .select(col("source"), explode(col("picks")).as("p"))
+      .select(col("source"), col("p._1").as("h"), col("p._2").as("doc_id"))
+      .orderBy("source", "h")
+  }
+
+  private val sk7Oracle: String =
+    """SELECT source, h, doc_id FROM (
+      |  SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 4 ORDER BY source, h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk7_sample" -> (sk7Sample _),
     "sk6_kmv_setops" -> (sk6KmvSetops _),
     "sk1_kmv_distinct" -> (sk1KmvDistinct _),
     "sk2_bloom_filter" -> (sk2BloomFilter _),
@@ -488,6 +520,7 @@ object Sketch {
   )
 
   val oracles: Map[String, String] = Map(
+    "sk7_sample" -> sk7Oracle,
     "sk6_kmv_setops" -> sk6Oracle,
     "sk1_kmv_distinct" -> sk1Oracle,
     "sk2_bloom_filter" -> sk2Oracle,

@@ -187,8 +187,25 @@ final class GtidReplayStream(
       }
       .sortBy(identity)
     val admitted = limit match {
-      case mr: ReadMaxRows => pending.take(mr.maxRows().toInt)
-      case _ => pending
+      case mr: ReadMaxRows =>
+        // Admit whole TRANSACTIONS: a multi-row tx shares one GTID
+        // (every row the same (uuid, pos) — the binlog decoder emits
+        // exactly this shape), and a GTID-set offset cannot address
+        // half of one — admitting part of a pos-group would advance
+        // the offset past the unadmitted rows and silently drop them.
+        // So the cap counts rows but cuts on tx boundaries, always
+        // letting at least one tx through (a tx larger than the cap
+        // must still ship whole, as the reference's channel does with
+        // its per-event sends inside one tx).
+        val budget = mr.maxRows().toInt
+        val byTx = pending.groupBy(identity).toSeq.sortBy(_._1)
+        var taken = 0
+        byTx.takeWhile { case (_, rows) =>
+          val first = taken == 0
+          taken += rows.length
+          first || taken <= budget
+        }.map(_._1)
+      case _ => pending.distinct
     }
     GtidOffset(admitted.foldLeft(from) { case (acc, (u, p)) => acc.add(u, p) })
   }

@@ -93,6 +93,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sk7: the sample is a pure function of the data — any partitioning, same rows") {
+    import org.apache.spark.sql.functions._
+    val bottomK = udaf(graft.functions.BottomKSampleAgg)
+    def sampleWith(parts: Int): Seq[(String, String, Long)] =
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .repartition(parts)
+        .select(col("source"), md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+        .groupBy("source")
+        .agg(bottomK(col("h"), col("doc_id")).as("picks"))
+        .select(col("source"), explode(col("picks")).as("p"))
+        .select(col("source"), col("p._1"), col("p._2"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val a = sampleWith(1)
+    val b = sampleWith(7)
+    val c = sampleWith(32)
+    assert(a == b && b == c, "merge order must not change the sample")
+    assert(a.groupBy(_._1).forall(_._2.length <= 4), "at most k per group")
+  }
+
   test("sk2: the bloom maybe-set contains every true member") {
     val rows = graft.SparkEntry
       .queries("sk2_bloom_filter")(spark, "/root/testdata/sf0.001")

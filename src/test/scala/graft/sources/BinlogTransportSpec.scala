@@ -89,6 +89,35 @@ class BinlogTransportSpec extends AnyFunSuite {
     assert(flaky.calls > 2) // the outage really happened and was ridden out
   }
 
+  test("admission control admits whole transactions — shared-pos rows never split") {
+    // a multi-row transaction shares one GTID pos (the decoder's
+    // output shape); if the cap could cut inside the pos-group, the
+    // offset would advance past the unadmitted rows and drop them
+    val rows = Vector(
+      row(1), row(1), row(1), // 3-row tx at pos 1
+      row(2), // 1-row tx
+      row(3), row(3)) // 2-row tx
+    val stream = new GtidReplayStream(
+      Seq(("srv-1", "unused")), numPartitions = 2, maxRowsPerBatch = Some(2),
+      transportFactory = _ => new BinlogTransport {
+        override def fetch(): Vector[FeedRow] = rows
+      })
+    var off = stream.initialOffset()
+    var batches = Vector.empty[Seq[Long]]
+    var continue = true
+    while (continue) {
+      val next = stream.latestOffset(off, stream.getDefaultReadLimit)
+      val got = stream.planInputPartitions(off, next)
+        .flatMap(_.asInstanceOf[GtidReplayPartition].rows.map(_.pos)).toSeq.sorted
+      if (got.isEmpty) continue = false else batches :+= got
+      off = next
+    }
+    // tx at pos 1 exceeds the cap but ships whole; pos 2+3 txs pack
+    // to the cap's tx boundary
+    assert(batches.map(_.toList) == Vector(
+      List(1L, 1L, 1L), List(2L), List(3L, 3L)))
+  }
+
   // ---- the binary binlog codec behind the same seam -----------------------
 
   import BinlogCodec._
