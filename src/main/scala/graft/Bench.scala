@@ -70,7 +70,9 @@ object Bench {
     // per-query record also goes to a repo file the judge reads directly.
     val line = f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"queries_unit":"ms","full":"BENCH_full_latest.json","errors":$errJson,"value":$total%.3f}"""
     try {
-      val p = java.nio.file.Paths.get("/root/repo/BENCH_full_latest.json")
+      // cwd-relative (sbt runs from the repo root): a checkout at any
+      // path gets its own record instead of clobbering a hardcoded one
+      val p = java.nio.file.Paths.get("BENCH_full_latest.json").toAbsolutePath
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench must still print on a read-only FS
     // Stop Spark BEFORE printing so no shutdown logging can land after

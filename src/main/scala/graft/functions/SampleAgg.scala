@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Buffer for [[BottomKSampleAgg]]: the k (hash, id) pairs with the
-  * smallest hashes seen so far, kept sorted. Insertion and merge are
-  * order-insensitive and idempotent, so the aggregate is safe as a
-  * shuffle partial — each (group, partition) ships at most k pairs.
+  * smallest hashes seen so far, kept sorted. MULTISET semantics — a
+  * duplicated input row occupies two sample slots, exactly as a
+  * rank-over-hash formulation counts it (the oracle's `row_number`),
+  * so the two stay row-for-row comparable even on data with duplicate
+  * keys. Insertion and merge are order-insensitive, so the aggregate
+  * is safe as a shuffle partial — each (group, partition) ships at
+  * most k pairs, and every input row is aggregated exactly once.
   */
 final case class SampleBuffer(k: Int, rows: Vector[(String, Long)]) {
   def add(r: (String, Long)): SampleBuffer =
-    if (rows.contains(r)) this
-    else if (rows.length < k) copy(rows = (rows :+ r).sorted)
+    if (rows.length < k) copy(rows = (rows :+ r).sorted)
     else if (Ordering[(String, Long)].lt(r, rows.last))
       copy(rows = (rows.init :+ r).sorted)
     else this

@@ -483,8 +483,8 @@ object Sketch {
   /** Per-source deterministic k-sample via
     * [[graft.functions.BottomKSampleAgg]] — "reservoir sampling" as a
     * mergeable algebra: md5-uniform hashes make the k smallest a
-    * uniform sample, bottom-k idempotence makes it a safe shuffle
-    * partial (each (group, partition) ships ≤ k pairs — no window
+    * uniform sample, bottom-k order-insensitivity makes it a safe
+    * shuffle partial (each (group, partition) ships ≤ k pairs — no window
     * over all rows, no per-group sort, no RNG), and determinism makes
     * the SAMPLE ITSELF oracle-checkable: DuckDB recomputes the exact
     * same k rows via a rank over the same hash. The eval-set /

@@ -40,6 +40,12 @@ object BinlogCodec {
   val UPDATE_ROWS_V2 = 0x1f
   val DELETE_ROWS_V2 = 0x20
   val GTID = 0x21
+  /** Recognized for classification only: an anonymous-GTID stream
+    * (`gtid_mode=OFF`) has no GTID-set positions, and the reference
+    * itself cannot tail one (`StartSyncGTID`, `incremental.go:149`) —
+    * rows following an anonymous marker fail tx assembly explicitly
+    * rather than being misattributed.
+    */
   val ANONYMOUS_GTID = 0x22
 
   // -- column type codes (subset) --
@@ -112,10 +118,12 @@ object BinlogDecoder {
     def i8(): Long = u4() | (u4() << 32)
     def f8(): Double = java.lang.Double.longBitsToDouble(i8())
     def bytes(n: Int): Array[Byte] = {
-      require(remaining >= n, s"need $n bytes, have $remaining")
+      require(n >= 0 && remaining >= n, s"need $n bytes, have $remaining")
       val out = java.util.Arrays.copyOfRange(buf, off, off + n); off += n; out
     }
-    def skip(n: Int): Unit = { require(remaining >= n); off += n }
+    // n must be non-negative: a negative skip from a malformed length
+    // field would silently REWIND the cursor into already-read bytes
+    def skip(n: Int): Unit = { require(n >= 0 && remaining >= n); off += n }
     /** MySQL length-encoded integer. */
     def packed(): Long = u1() match {
       case 0xfc => u2().toLong
@@ -214,7 +222,9 @@ object BinlogDecoder {
       val tableId = c.u6()
       c.u2() // flags
       val extraLen = c.u2()
-      c.skip(extraLen - 2) // v2 extra data (length includes itself)
+      if (extraLen < 2) // the length includes its own 2 bytes
+        throw new TransportException(s"malformed v2 extra-data length $extraLen")
+      c.skip(extraLen - 2)
       val tm = tableMaps.getOrElse(tableId,
         throw new TransportException(s"rows event for unmapped table id $tableId"))
       val nCols = c.packed().toInt
@@ -548,11 +558,21 @@ object BinlogBuffers {
 }
 
 /** The registry-backed decoding transport the `binlog:<id>` buffer-id
-  * spelling routes to ([[GtidReplayStream.defaultTransport]]): every
-  * fetch decodes the currently-visible segment list.
+  * spelling routes to ([[GtidReplayStream.defaultTransport]]).
+  * Segments are immutable once registered and the list is append-only,
+  * so each segment is decoded exactly ONCE per transport and cached —
+  * `fetch()` runs twice per micro-batch (latestOffset +
+  * planInputPartitions) and a long-lived stream over a growing archive
+  * would otherwise pay O(segments²) cumulative CRC+parse work.
+  * Single-threaded like the stream that drives it.
   */
 final class BinlogBufferTransport(id: String) extends BinlogTransport {
-  override def fetch(): Vector[FeedRow] =
-    BinlogBuffers.get(id).flatMap(seg =>
-      BinlogDecoder.toFeedRows(BinlogDecoder.decode(seg)))
+  private var decoded = Vector.empty[Vector[FeedRow]]
+  override def fetch(): Vector[FeedRow] = {
+    val segs = BinlogBuffers.get(id)
+    if (segs.length > decoded.length)
+      decoded = decoded ++ segs.drop(decoded.length)
+        .map(seg => BinlogDecoder.toFeedRows(BinlogDecoder.decode(seg)))
+    decoded.flatten
+  }
 }

@@ -214,6 +214,23 @@ class BinlogTransportSpec extends AnyFunSuite {
       .getMessage.contains("magic"))
   }
 
+  test("binlog: malformed v2 extra-data length fails cleanly, never rewinds") {
+    // hand-frame a WRITE_ROWS event whose extra-data length field is 0
+    // (the length includes its own 2 bytes, so <2 is nonsense) — the
+    // decoder must refuse rather than skip(-2) back into parsed bytes
+    val body = {
+      val b = new java.io.ByteArrayOutputStream()
+      // table id 7 (u6), flags (u2), extraLen = 0 (u2)
+      Seq(7, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(v => b.write(v & 0xff))
+      b.toByteArray
+    }
+    val w = new BinlogWriter.Stream()
+      .tableMap(7, "s", "t", cols, meta, 10)
+      .opaque(WRITE_ROWS_V2, body, 10)
+    val e = intercept[TransportException](BinlogDecoder.decode(w.bytes))
+    assert(e.getMessage.contains("extra-data length"))
+  }
+
   test("binlog: checksum-off streams decode; unknown event types are skipped") {
     val w = new BinlogWriter.Stream(crc32 = false)
       .gtid(U, 1, 60)
