@@ -1113,6 +1113,70 @@ object CdcQueries {
       |    FROM events))
       |GROUP BY reason ORDER BY reason""".stripMargin
 
+  // ---- cdc_full_protocol: the reference's whole main(), one oracle --------
+
+  /** CAPSTONE: the reference's entire `main()` flow
+    * (`cmd/cdc/main.go:15-33` — bootstrap → full snapshot at a pinned
+    * consistency point → GTID-gated incremental tail) composed as ONE
+    * hash-checked query, with the incremental half arriving as REAL
+    * binlog bytes:
+    *
+    *   1. [[CdcPipeline.bootstrapSnapshot]] materializes the
+    *      first-half feed into the bucketed state table and pins the
+    *      watermark to the snapshot position `lo-mid` (the
+    *      `REPEATABLE READ` + `gtid_executed` consistency point);
+    *   2. the post-snapshot feed rides the binlog: encoded to
+    *      per-partition binlog files, decoded by [[graft.sources
+    *      .BinlogDecoder]], applied via the gated COW merge — the
+    *      binlog transport carries no `props` column (the decoder's
+    *      FeedRow shape), so second-half keys read back NULL `k`
+    *      while snapshot keys keep theirs: the oracle checks that
+    *      per-key provenance pattern, which only comes out right if
+    *      the snapshot, the codec, the gate, AND the merge all do;
+    *   3. the decoded batch REDELIVERS (the at-least-once transport)
+    *      and must gate to a no-op on the covered watermark.
+    */
+  private def cdcFullProtocol(s: SparkSession, d: String): DataFrame = {
+    val base = GateTmp.once("full-protocol", d) { base =>
+      val store = new WatermarkStore(s"$base/wm")
+      val dir = s"$base/state"
+      val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
+      val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      CdcPipeline.bootstrapSnapshot(s, store, dir, "harness-src",
+        feed.filter(col("pos") <= mid), s"harness-src:$lo-$mid")
+      val incremental = binlogRoundtrip(s, feed.filter(col("pos") > mid))
+        .localCheckpoint(true) // decode once; apply + redelivery slice from it
+      CdcPipeline.applyBatch(s, store, dir, "harness-src", incremental)
+      CdcPipeline.applyBatch(s, store, dir, "harness-src", incremental) // redelivery
+    }
+    CdcPipeline.readState(s, s"$base/state")
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("user_id")
+  }
+
+  private val cdcFullProtocolOracle: String =
+    """WITH mm AS (
+      |  SELECT min(event_id) + (max(event_id) - min(event_id)) // 2 AS mid
+      |  FROM events)
+      |SELECT user_id, last_pos, op, value, k FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         CASE WHEN event_id <= (SELECT mid FROM mm)
+      |              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |              ELSE NULL END AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
+
   // ---- cdc_multi_table: per-table watermark independence ------------------
 
   /** The reference tails N tables through one pipeline with one
@@ -1390,18 +1454,23 @@ object CdcQueries {
     * carry a NULL before-image value so the null-bitmap path runs in
     * the data plane, not just the spec.
     */
-  private def cdcBinlogReplay(s: SparkSession, d: String): DataFrame = {
+  /** Round-trip a feed slice through real binlog v4 bytes, fully
+    * distributed: encode one binlog FILE per partition (magic + FDE
+    * amortized, one GTID/TABLE_MAP/ROWS/XID transaction per event),
+    * decode with [[graft.sources.BinlogDecoder]] (CRC-verified,
+    * XID-gated tx assembly). Returns the decoded feed
+    * (pos, ts, pk, op, value). Shared by `cdc_binlog_replay` and the
+    * `cdc_full_protocol` capstone.
+    */
+  private def binlogRoundtrip(s: SparkSession, slice: DataFrame): DataFrame = {
     import s.implicits._
     import graft.sources.{BinlogCodec, BinlogDecoder, BinlogWriter}
     import graft.streaming.FeedRow
     val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
-    val segments = ChangeFeed.fromEvents(Tables.events(s, d))
+    val segments = slice
       .select(col("pos"), col("ts"), col("pk"), col("op"), col("value"))
       .as[FeedRow]
       .mapPartitions { it =>
-        // ONE binlog file per partition (magic + FDE amortized over
-        // the partition's transactions — the shape of a rotated
-        // archive file), one tx per event inside it
         if (it.isEmpty) Iterator.empty
         else {
           val w = new BinlogWriter.Stream()
@@ -1426,10 +1495,14 @@ object CdcQueries {
           Iterator.single(w.bytes)
         }
       }
-    val decoded = segments.mapPartitions { it =>
+    segments.mapPartitions { it =>
       it.flatMap(seg => BinlogDecoder.toFeedRows(BinlogDecoder.decode(seg)))
-    }
-    ChangeFeed.latestState(decoded.toDF())
+    }.toDF()
+  }
+
+  private def cdcBinlogReplay(s: SparkSession, d: String): DataFrame = {
+    ChangeFeed.latestState(
+      binlogRoundtrip(s, ChangeFeed.fromEvents(Tables.events(s, d))))
       .select(
         col("pk").as("user_id"),
         col("pos").as("last_pos"),
@@ -1451,6 +1524,7 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_binlog_replay" -> (cdcBinlogReplay _),
     "cdc_replay_idempotent" -> (cdcReplayIdempotent _),
+    "cdc_full_protocol" -> (cdcFullProtocol _),
     "cdc_multi_table" -> (cdcMultiTable _),
     "cdc_evolve_rename" -> (cdcEvolveRename _),
     "cdc_evolve_drop" -> (cdcEvolveDrop _),
@@ -1482,6 +1556,7 @@ object CdcQueries {
   val oracles: Map[String, String] = Map(
     "cdc_binlog_replay" -> cdcBinlogReplayOracle,
     "cdc_replay_idempotent" -> cdcReplayIdempotentOracle,
+    "cdc_full_protocol" -> cdcFullProtocolOracle,
     "cdc_multi_table" -> cdcMultiTableOracle,
     "cdc_evolve_rename" -> cdcEvolveRenameOracle,
     "cdc_evolve_drop" -> cdcEvolveDropOracle,
