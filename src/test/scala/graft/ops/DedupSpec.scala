@@ -177,7 +177,7 @@ class DedupSpec extends AnyFunSuite {
       val body = (1 to 30).map(j => s"u${i}w$j").mkString(" ")
       (i.toLong, if (i >= 15) s"$body $boiler" else body)
     }.toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-d9").toString
+    val dir = s"target/tmp/graft-d9-${System.nanoTime()}" // build dir, not /tmp
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = Dedup.queries("d9_gram_coverage")(spark, dir).collect()
     val (tailed, unique) = rows.partition(_.getAs[Long]("doc_id") >= 15)

@@ -20,7 +20,7 @@ class TextSpec extends AnyFunSuite {
       (3L, "alpha beta alpha beta gamma"),
       (4L, "alpha beta gamma delta")
     ).toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-t32").toString
+    val dir = s"target/tmp/graft-t32-${System.nanoTime()}" // build dir, not /tmp
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = Text.queries("t32_bigram_lm")(spark, dir).collect()
     val ids = rows.map(_.getAs[Long]("doc_id")).toSet
