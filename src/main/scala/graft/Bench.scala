@@ -70,9 +70,15 @@ object Bench {
     // per-query record also goes to a repo file the judge reads directly.
     val line = f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"queries_unit":"ms","full":"BENCH_full_latest.json","errors":$errJson,"value":$total%.3f}"""
     try {
-      // cwd-relative (sbt runs from the repo root): a checkout at any
-      // path gets its own record instead of clobbering a hardcoded one
-      val p = java.nio.file.Paths.get("BENCH_full_latest.json").toAbsolutePath
+      // anchor to the nearest enclosing build root (walk up from the
+      // JVM cwd to the dir holding build.sbt): any checkout gets its
+      // own record, and a forked JVM with a sub-dir cwd still updates
+      // the canonical repo-root copy instead of a stray one
+      var root = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      while (root != null && !java.nio.file.Files.exists(root.resolve("build.sbt")))
+        root = root.getParent
+      val p = (if (root != null) root else java.nio.file.Paths.get("."))
+        .resolve("BENCH_full_latest.json")
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench must still print on a read-only FS
     // Stop Spark BEFORE printing so no shutdown logging can land after

@@ -1435,32 +1435,22 @@ object CdcQueries {
 
   // ---- cdc_binlog_replay: the binary binlog codec, distributed ------------
 
-  /** The events feed round-trips through REAL binlog v4 bytes under
-    * the oracle gate: each PARTITION becomes one self-contained
-    * binlog file (magic + FORMAT_DESCRIPTION amortized over the
-    * partition, then per event a GTID + TABLE_MAP +
-    * WRITE/UPDATE/DELETE_ROWS + XID transaction, CRC32-checksummed —
-    * exactly the rotated-archive-file shape), then a
-    * [[graft.sources.BinlogDecoder]] pass reassembles FeedRows from
-    * the bytes (CRC-verified, transactions gated on the XID commit
-    * marker exactly as `internal/cannal/handler.go:55-82` buffers
-    * them), and the latest-wins materialization of the DECODED feed
-    * must equal DuckDB's direct materialization of the original
-    * events — any drift in the byte layout, checksum, null bitmap, or
-    * tx assembly breaks the hash. Encode and decode both run inside
-    * `mapPartitions`: the corpus never collects to the driver — this
-    * is the distributed-backfill shape for a 100 TB binlog archive,
-    * where each file decodes independently in its own task. Updates
-    * carry a NULL before-image value so the null-bitmap path runs in
-    * the data plane, not just the spec.
-    */
   /** Round-trip a feed slice through real binlog v4 bytes, fully
-    * distributed: encode one binlog FILE per partition (magic + FDE
-    * amortized, one GTID/TABLE_MAP/ROWS/XID transaction per event),
-    * decode with [[graft.sources.BinlogDecoder]] (CRC-verified,
-    * XID-gated tx assembly). Returns the decoded feed
-    * (pos, ts, pk, op, value). Shared by `cdc_binlog_replay` and the
-    * `cdc_full_protocol` capstone.
+    * distributed: each PARTITION becomes one self-contained binlog
+    * file (magic + FORMAT_DESCRIPTION amortized over the partition,
+    * then per event a GTID + TABLE_MAP + WRITE/UPDATE/DELETE_ROWS +
+    * XID transaction, CRC32-checksummed — exactly the
+    * rotated-archive-file shape), decoded back by
+    * [[graft.sources.BinlogDecoder]] (CRC-verified, transactions
+    * gated on the XID commit marker exactly as
+    * `internal/cannal/handler.go:55-82` buffers them). Encode and
+    * decode both run inside `mapPartitions`: the corpus never
+    * collects to the driver — the distributed-backfill shape for a
+    * 100 TB binlog archive, where each file decodes independently in
+    * its own task. Updates carry a NULL before-image value so the
+    * null-bitmap path runs in the data plane, not just the spec.
+    * Returns the decoded feed (pos, ts, pk, op, value). Shared by
+    * `cdc_binlog_replay` and the `cdc_full_protocol` capstone.
     */
   private def binlogRoundtrip(s: SparkSession, slice: DataFrame): DataFrame = {
     import s.implicits._
@@ -1500,6 +1490,12 @@ object CdcQueries {
     }.toDF()
   }
 
+  /** The whole events feed through [[binlogRoundtrip]], then
+    * latest-wins: the materialization of the DECODED feed must equal
+    * DuckDB's direct materialization of the original events — any
+    * drift in the byte layout, checksum, null bitmap, or tx assembly
+    * breaks the hash.
+    */
   private def cdcBinlogReplay(s: SparkSession, d: String): DataFrame = {
     ChangeFeed.latestState(
       binlogRoundtrip(s, ChangeFeed.fromEvents(Tables.events(s, d))))

@@ -24,9 +24,11 @@ final case class SampleBuffer(k: Int, rows: Vector[(String, Long)]) {
 /** Deterministic bottom-k-by-hash row sampler — the mergeable answer
   * to "give me a uniform sample per group" that a 100 TB curation
   * pipeline needs: because md5 is uniform, the k rows with the
-  * smallest hashes ARE a uniform k-sample, and because bottom-k is an
-  * order-insensitive, idempotent algebra (the same property
-  * [[KmvAgg]] exploits for cardinality), the sample computes with
+  * smallest hashes ARE a uniform k-sample, and because bottom-k is
+  * an order-insensitive algebra (multiset flavor — unlike [[KmvAgg]]
+  * it deliberately KEEPS duplicate pairs, matching a rank-over-hash
+  * count; every input row must be aggregated exactly once, which
+  * Spark's aggregation path guarantees), the sample computes with
   * map-side partials — no per-group full sort, no window over all
   * rows, no RNG state, and any re-run / repartitioning / engine
   * yields the IDENTICAL sample (the same determinism contract as

@@ -567,12 +567,15 @@ object BinlogBuffers {
   * Single-threaded like the stream that drives it.
   */
 final class BinlogBufferTransport(id: String) extends BinlogTransport {
-  private var decoded = Vector.empty[Vector[FeedRow]]
+  private var segCount = 0
+  private var rows = Vector.empty[FeedRow]
   override def fetch(): Vector[FeedRow] = {
     val segs = BinlogBuffers.get(id)
-    if (segs.length > decoded.length)
-      decoded = decoded ++ segs.drop(decoded.length)
-        .map(seg => BinlogDecoder.toFeedRows(BinlogDecoder.decode(seg)))
-    decoded.flatten
+    if (segs.length > segCount) {
+      rows = rows ++ segs.drop(segCount)
+        .flatMap(seg => BinlogDecoder.toFeedRows(BinlogDecoder.decode(seg)))
+      segCount = segs.length
+    }
+    rows // flattened once per new segment, not per fetch
   }
 }
