@@ -58,17 +58,39 @@ object Bench {
       } + "\""
     // Integer milliseconds: ~40% fewer bytes than 3-decimal seconds, and
     // ms precision is below this host's noise floor anyway. -1 = errored.
-    val qs = results.map { case (k, v) =>
-      val ms = if (v < 0) -1L else math.round(v * 1000)
-      "\"" + k + "\":" + ms
-    }.mkString("{", ",", "}")
+    def qsJson(entries: Iterable[(String, Double)]): String =
+      entries.map { case (k, v) =>
+        val ms = if (v < 0) -1L else math.round(v * 1000)
+        "\"" + k + "\":" + ms
+      }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    // The driver keeps only a ~2000-char TAIL of stdout, which cannot hold
-    // 117 per-query timings no matter the encoding — so the COMPLETE
-    // per-query record also goes to a repo file the judge reads directly.
-    val line = f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"queries_unit":"ms","full":"BENCH_full_latest.json","errors":$errJson,"value":$total%.3f}"""
+    def record(qs: String, omitted: Int): String =
+      f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errJson,"value":$total%.3f}"""
+    // The driver keeps only a ~2000-char TAIL of stdout and JSON-parses
+    // it: 130 per-query timings overflow that window and truncate the
+    // line's HEAD, making the whole line unparseable (round 8's
+    // "parsed": null). The COMPLETE record goes to a repo file the
+    // judge reads directly; the PRINTED line caps itself at a safe
+    // budget, keeping the slowest queries inline (the interesting ones)
+    // and counting the rest in "queries_omitted".
+    val line = record(qsJson(results), 0)
+    val printedLine = {
+      val budget = 1800
+      if (line.length <= budget) line
+      else {
+        val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+        val overhead = record("{}", results.size).length
+        var used = overhead
+        val keep = bySlowest.takeWhile { case (k, v) =>
+          val entry = k.length + 3 + math.round(math.max(v, 0) * 1000).toString.length + 1
+          used += entry
+          used <= budget
+        }
+        record(qsJson(keep), results.size - keep.size)
+      }
+    }
     try {
       // anchor to the nearest enclosing build root (walk up from the
       // JVM cwd to the dir holding build.sbt): any checkout gets its
@@ -84,10 +106,6 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown logging can land after
     // the JSON line — it must be the process's final stdout line.
     spark.stop()
-    // Field order matters: the long per-query map goes FIRST and the
-    // summary fields (total/errors) go LAST — tail truncation then costs
-    // the oldest query timings (recoverable from the full file), never
-    // the total.
-    println(line)
+    println(printedLine)
   }
 }

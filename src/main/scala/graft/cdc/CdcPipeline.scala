@@ -392,6 +392,32 @@ object CdcPipeline {
     ChangeFeed.latestState(spark.read.schema(schema).parquet(stateDir))
   }
 
+  /** Time-travel read: the state AS OF transaction `pos` — the
+    * latest-wins view over only the rows at or below it. The
+    * Delta/Iceberg `VERSION AS OF` capability, derived from the MOR
+    * layout for free: delta files keep every raw feed row (including
+    * tombstones), so filtering `pos <= asOf` before the merge replays
+    * exactly the prefix of history — one scan, same cost shape as
+    * [[readState]], the pos predicate pushed into the parquet scan.
+    *
+    * Retention contract: compaction (and COW applies) fold history —
+    * a base file only retains each key's LATEST pre-compaction row.
+    * An `asOf` OLDER than a fold point returns the folded view of
+    * that prefix (keys whose history was compacted away resolve to
+    * their folded row if it has `pos <= asOf`, else disappear),
+    * exactly like a lakehouse table after `VACUUM`: time travel
+    * reaches back to the retention horizon, not before it. Callers
+    * who need deep history keep deltas uncompacted, or maintain the
+    * SCD-2 version table (the `cdc_history_state` gate), which
+    * retains versions by design.
+    */
+  def readStateAsOf(spark: SparkSession, stateDir: String, asOf: Long): DataFrame = {
+    val schema = MetaTables.readStateSchema(spark, stateDir).getOrElse(
+      throw new IllegalStateException(s"no state table at $stateDir"))
+    ChangeFeed.latestState(
+      spark.read.schema(schema).parquet(stateDir).filter(col("pos") <= asOf))
+  }
+
   /** Fold every bucket whose file count exceeds `maxFilesPerBucket`
     * back to a single latest-wins base file. Only the over-threshold
     * buckets are read and rewritten (partition-pruned read, dynamic

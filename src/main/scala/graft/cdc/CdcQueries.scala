@@ -207,6 +207,77 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_time_travel: AS OF reads from the MOR delta history ------------
+
+  /** Time travel over the merge-on-read state: the SAME table answers
+    * "state now" and "state as of transaction P" — the lakehouse
+    * `VERSION AS OF` capability ([[CdcPipeline.readStateAsOf]]),
+    * falling out of the delta layout because uncompacted deltas ARE
+    * the history. Build: bootstrap the first third (base files),
+    * append the rest as two delta batches, NO compact — the retention
+    * horizon for this gate is the bootstrap fold, and both probed
+    * positions sit above it. Probes: `t2` (end of the second batch —
+    * the last delta batch must vanish from the view) and `head`
+    * (the full state — asOf at the tip must equal [[CdcPipeline
+    * .readState]]). The oracle recomputes both prefixes from the raw
+    * events; matching hashes prove the pos filter slices delta
+    * history exactly, with no leakage from rows the probe should not
+    * see. The scan stays one pruned parquet pass — the pos predicate
+    * is pushed down, so "read yesterday's state" costs the same as
+    * "read today's" at 100 TB.
+    */
+  private def cdcTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = GateTmp.once("time-travel", d) { base =>
+      val store = new WatermarkStore(s"$base/wm")
+      val dir = s"$base/state"
+      val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
+      val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (q1, q2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      CdcPipeline.applyBatch(s, store, dir, "harness-src",
+        feed.filter(col("pos") <= q1))
+      CdcPipeline.appendDeltas(s, store, dir, "harness-src",
+        feed.filter(col("pos") > q1 && col("pos") <= q2))
+      CdcPipeline.appendDeltas(s, store, dir, "harness-src",
+        feed.filter(col("pos") > q2))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "cuts"), s"$q2,$hi")
+    }
+    val Array(q2, hi) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "cuts")).split(",").map(_.toLong)
+    def view(label: String, asOf: Long): DataFrame =
+      CdcPipeline.readStateAsOf(s, s"$base/state", asOf)
+        .select(
+          lit(label).as("asof"),
+          col("pk").as("user_id"),
+          col("pos").as("last_pos"),
+          col("op"),
+          col("value"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    view("head", hi).unionByName(view("t2", q2)).orderBy("asof", "user_id")
+  }
+
+  private val cdcTimeTravelOracle: String =
+    """WITH mm AS (
+      |  SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+      |cuts AS (
+      |  SELECT 'head' AS asof, hi AS p FROM mm
+      |  UNION ALL
+      |  SELECT 't2', lo + (hi - lo) * 2 // 3 FROM mm)
+      |SELECT c.asof, st.user_id, st.last_pos, st.op, st.value, st.k
+      |FROM cuts c CROSS JOIN LATERAL (
+      |  SELECT user_id, last_pos, op, value, k FROM (
+      |    SELECT user_id, event_id AS last_pos,
+      |           CASE WHEN event_type = 'signup' THEN 'insert'
+      |                WHEN event_type = 'error' THEN 'delete'
+      |                ELSE 'update' END AS op,
+      |           value,
+      |           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id <= c.p)
+      |  WHERE rn = 1 AND op <> 'delete') st
+      |ORDER BY c.asof, st.user_id""".stripMargin
+
   // ---- cdc_gap_audit: stream-integrity position audit ---------------------
 
   /** The integrity check a CDC consumer runs after a reconnect storm:
@@ -1452,14 +1523,22 @@ object CdcQueries {
     * Returns the decoded feed (pos, ts, pk, op, value). Shared by
     * `cdc_binlog_replay` and the `cdc_full_protocol` capstone.
     */
-  private def binlogRoundtrip(s: SparkSession, slice: DataFrame): DataFrame = {
+  private[cdc] def binlogRoundtrip(s: SparkSession, slice: DataFrame): DataFrame = {
     import s.implicits._
     import graft.sources.{BinlogCodec, BinlogDecoder, BinlogWriter}
     import graft.streaming.FeedRow
     val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    // One binlog file per TASK: the parquet slice arrives as 1-2 scan
+    // partitions (it's a few MB), which would serialize ~2 s of
+    // encode+CRC+decode on one thread — spread it across the cluster
+    // first. Partition by pos RANGE, not round-robin: a real archive
+    // file is a contiguous gno span, and downstream GTID-set aggregates
+    // stay at one range per partition instead of degenerating into
+    // thousands of stride singletons.
     val segments = slice
       .select(col("pos"), col("ts"), col("pk"), col("op"), col("value"))
       .as[FeedRow]
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("pos"))
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
@@ -1533,6 +1612,7 @@ object CdcQueries {
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
     "cdc_mor_state" -> (cdcMorState _),
+    "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_jdbc_catalog" -> (cdcJdbcCatalog _),
     "cdc_transport" -> (cdcTransport _),
     "cdc_gtid_agg" -> (cdcGtidAgg _),
@@ -1565,6 +1645,7 @@ object CdcQueries {
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,
+    "cdc_time_travel" -> cdcTimeTravelOracle,
     "cdc_jdbc_catalog" -> cdcJdbcCatalogOracle,
     "cdc_transport" -> latestStateOracle,
     "cdc_gtid_agg" -> cdcGtidAggOracle,

@@ -31,7 +31,7 @@ final case class GtidSet(intervals: Map[String, Vector[GtidRange]]) {
   def add(uuid: String, gno: Long): GtidSet = addRange(uuid, GtidRange(gno, gno))
 
   def addRange(uuid: String, r: GtidRange): GtidSet =
-    GtidSet(intervals.updated(uuid, GtidSet.normalize(intervals.getOrElse(uuid, Vector.empty) :+ r)))
+    GtidSet(intervals.updated(uuid, GtidSet.insert(intervals.getOrElse(uuid, Vector.empty), r)))
 
   def merge(other: GtidSet): GtidSet =
     other.intervals.foldLeft(this) { case (acc, (u, rs)) =>
@@ -86,6 +86,40 @@ final case class GtidSet(intervals: Map[String, Vector[GtidRange]]) {
 
 object GtidSet {
   val empty: GtidSet = GtidSet(Map.empty)
+
+  /** Insert one range into an already-canonical (sorted, disjoint)
+    * list: binary-search the insertion point, coalesce with the
+    * overlapping/adjacent neighbors, splice. O(log n) search +
+    * O(n) splice — NOT a full re-sort: `addRange` runs once per
+    * transaction in the per-batch GTID aggregate, and a re-sorting
+    * insert turns a scattered batch (any shuffle breaks pos order)
+    * into quadratic work on the agg buffer.
+    */
+  def insert(rs: Vector[GtidRange], r: GtidRange): Vector[GtidRange] = {
+    if (rs.isEmpty) return Vector(r)
+    // fast path: the running-union append (pos-ordered streams)
+    val last = rs.last
+    if (r.start > last.end + 1) return rs :+ r
+    if (r.start >= last.start)
+      return if (r.end <= last.end) rs
+      else rs.init :+ GtidRange(last.start, math.max(last.end, r.end))
+    // general path: first range that could touch r (end >= r.start - 1)
+    var lo = 0
+    var hi = rs.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (rs(mid).end >= r.start - 1) hi = mid else lo = mid + 1
+    }
+    val from = lo
+    if (rs(from).start > r.end + 1) // r fits wholly in the gap before `from`
+      return (rs.take(from) :+ r) ++ rs.drop(from)
+    // coalesce r with rs(from..to), the touching run
+    var to = from
+    while (to + 1 < rs.length && rs(to + 1).start <= r.end + 1) to += 1
+    val merged = GtidRange(
+      math.min(rs(from).start, r.start), math.max(rs(to).end, r.end))
+    (rs.take(from) :+ merged) ++ rs.drop(to + 1)
+  }
 
   /** Sort + merge overlapping/adjacent ranges into the canonical
     * disjoint form.

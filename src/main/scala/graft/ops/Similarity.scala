@@ -668,7 +668,150 @@ object Similarity {
        |ORDER BY qid, step""".stripMargin
   }
 
+  // ---- s9: product quantization + asymmetric-distance search ---------------
+
+  /** Number of PQ subspaces (64 dims → 8 subvectors of 8) and
+    * centroids per subspace. 8×8 keeps the oracle tractable; the
+    * production knob is the same code with m=8, k=256 (one byte per
+    * subspace — 64-dim float32 compressed 32×).
+    */
+  private val pqM = 8
+  private val pqK = 8
+
+  /** The third leg of the ANN toolbox (LSH s2/s3, IVF s4, int8 s5/s6):
+    * PRODUCT QUANTIZATION with asymmetric-distance scoring — the
+    * compression that makes billion-vector search feasible, and at
+    * 100 TB the difference between scanning vectors and scanning
+    * CODES. Each vector is cut into [[pqM]] subvectors; a per-subspace
+    * codebook (one deterministic Lloyd pass over seed cells, the s4
+    * recipe) maps every subvector to a centroid id, so the stored
+    * corpus is pqM small ints per vector. A query stays FULL precision
+    * (asymmetric): per subspace it precomputes a k-entry lookup table
+    * of `dot(querySub, centroid)` scores, and a corpus vector's
+    * approximate dot is just pqM table lookups summed in fixed order —
+    * `dot(q, reconstruction(x))` without ever reconstructing.
+    *
+    * Scale shape: training is map-side partial sums into a ≤ m·k-row
+    * control-plane collect (the s4 pattern, one explode-shuffle);
+    * encoding is a pure scan projection against broadcast literal
+    * codebooks (no shuffle, no join); search broadcasts the query LUTs
+    * and scans CODES ONLY — the 64-dim arrays never move. Determinism:
+    * integer-exact sums and dots, one exactly-rounded division per
+    * (query, subspace, centroid), totals added in fixed subspace
+    * order — the same bit pattern in both engines.
+    */
+  private def s9PqAdc(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val subs = (0 until pqM).foldLeft(base) { (acc, m) =>
+      acc.withColumn(s"sub$m", expr(s"slice(q, ${m * 8 + 1}, 8)"))
+    }.drop("q").localCheckpoint(true) // 3 passes below slice from here
+    type Cb = Array[(Long, Seq[Double], Long)]
+    def codeCols(df: DataFrame, cb: Int => Cb): DataFrame =
+      (0 until pqM).foldLeft(df) { (acc, m) =>
+        val cents = cb(m)
+        val scores = array(cents.map { case (_, sv, n) =>
+          VectorFunctions.dot_product(col(s"sub$m"), typedlit(sv)) / lit(n.toDouble)
+        }.toIndexedSeq: _*)
+        acc
+          .withColumn(s"scores$m", scores)
+          .withColumn(s"c$m", element_at(typedlit(cents.map(_._1).toSeq),
+            array_position(col(s"scores$m"), array_max(col(s"scores$m"))).cast("int")))
+          .drop(s"scores$m")
+      }
+    // seed: subvectors of the first pqK vectors, singleton cells
+    val seedRows = subs.filter(col("vec_id") < pqK)
+      .select(col("vec_id") +: (0 until pqM).map(m => col(s"sub$m")): _*)
+      .collect().sortBy(_.getLong(0))
+    def seedCb(m: Int): Cb =
+      seedRows.map(r => (r.getLong(0), r.getSeq[Double](m + 1), 1L))
+    // one Lloyd pass: assign all subspaces in one scan, then ONE
+    // explode + tiny groupBy (≤ m·k rows out) for every subspace's
+    // element-wise sums — the control-plane collect of the codebook
+    val a1 = codeCols(subs, seedCb)
+    val longForm = a1.select(explode(array((0 until pqM).map(m =>
+      struct(lit(m).as("m"), col(s"sub$m").as("sub"), col(s"c$m").as("c"))): _*)).as("x"))
+      .select(col("x.m"), col("x.sub"), col("x.c"))
+    val cbRows = longForm.groupBy(col("m"), col("c"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 8).map(i => sum(expr(s"sub[$i]")).as(s"s$i")): _*)
+      .collect()
+    def cb1(m: Int): Cb = cbRows.filter(_.getInt(0) == m)
+      .map(r => (r.getLong(1),
+        (0 until 8).map(i => r.getDouble(3 + i)).toSeq: Seq[Double],
+        r.getLong(2)))
+      .sortBy(_._1)
+    // encode the corpus against the trained codebook: codes only
+    val coded = codeCols(subs, cb1)
+      .select(col("vec_id") +: (0 until pqM).map(m => col(s"c$m")): _*)
+    // queries stay full precision; per-subspace LUT over the codebook
+    val queries = (0 until pqM).foldLeft(subs.filter(col("vec_id") < 5)) {
+      (acc, m) =>
+        acc.withColumn(s"lut$m", array(cb1(m).map { case (_, sv, n) =>
+          VectorFunctions.dot_product(col(s"sub$m"), typedlit(sv)) / lit(n.toDouble)
+        }.toIndexedSeq: _*))
+    }.select(col("vec_id").as("qid") +: (0 until pqM).map(m => col(s"lut$m")): _*)
+    // ADC: codes × broadcast LUTs; fixed-order sum of 8 lookups
+    val terms = (0 until pqM).map { m =>
+      element_at(col(s"lut$m"),
+        array_position(typedlit(cb1(m).map(_._1).toSeq), col(s"c$m")).cast("int"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    coded.filter(col("vec_id") >= 5)
+      .join(broadcast(queries))
+      .withColumn("score", terms.reduceLeft(_ + _))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id", "score", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  private val s9Oracle: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 8), i -> $a[i] * $b[i]))"
+    def assign(cb: String) =
+      s"""SELECT vec_id, m, sub, cid FROM (
+         |    SELECT s.vec_id, s.m, s.sub, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY CAST(${dot("s.sub", "c.sv")} AS DOUBLE) / c.n DESC, c.cid) AS rnk
+         |    FROM subs s JOIN $cb c ON c.m = s.m) WHERE rnk = 1""".stripMargin
+    val svSums = (1 to 8).map(i => s"sum(sub[$i])").mkString("[", ", ", "]")
+    val pivots = (0 until pqM)
+      .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
+    val total = (0 until pqM).map(m => s"t$m").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, g.m, list_slice(q, g.m * 8 + 1, g.m * 8 + 8) AS sub
+       |  FROM base CROSS JOIN generate_series(0, ${pqM - 1}) AS g(m)),
+       |seed AS (
+       |  SELECT m, vec_id AS cid, sub AS sv, CAST(1 AS BIGINT) AS n
+       |  FROM subs WHERE vec_id < $pqK),
+       |a1 AS (${assign("seed")}),
+       |c1 AS (SELECT m, cid, $svSums AS sv, count(*) AS n FROM a1 GROUP BY m, cid),
+       |codes AS (${assign("c1")}),
+       |terms AS (
+       |  SELECT q.vec_id AS qid, x.vec_id, x.m,
+       |         CAST(${dot("q.sub", "c.sv")} AS DOUBLE) / c.n AS t
+       |  FROM codes x
+       |  JOIN c1 c ON c.m = x.m AND c.cid = x.cid
+       |  JOIN subs q ON q.m = x.m AND q.vec_id < 5
+       |  WHERE x.vec_id >= 5),
+       |piv AS (
+       |  SELECT qid, vec_id,
+       |         $pivots
+       |  FROM terms GROUP BY qid, vec_id)
+       |SELECT qid, vec_id, score, rnk FROM (
+       |  SELECT qid, vec_id, $total AS score,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY $total DESC, vec_id) AS INT) AS rnk
+       |  FROM piv) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_pq_adc" -> (s9PqAdc _),
     "s8_mmr_rerank" -> (s8MmrRerank _),
     "s7_diverse_topk" -> (s7DiverseTopk _),
     "s1_cosine_topk" -> (s1CosineTopk _),
@@ -680,6 +823,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s9_pq_adc" -> s9Oracle,
     "s8_mmr_rerank" -> s8Oracle,
     "s7_diverse_topk" -> s7Oracle,
     "s1_cosine_topk" -> s1Oracle,

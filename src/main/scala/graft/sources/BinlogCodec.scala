@@ -109,21 +109,46 @@ object BinlogCodec {
 object BinlogDecoder {
   import BinlogCodec._
 
+  /** Byte cursor with ONE bounds check per primitive (this is the
+    * per-cell hot path of a 100 TB binlog backfill — a per-byte
+    * `require` chain shows up as GC-free but branch-heavy overhead)
+    * and [[CorruptStreamException]] on underrun, so malformed lengths
+    * fail fast instead of walking a reconnect backoff ladder.
+    */
   private final class Cursor(val buf: Array[Byte], var off: Int, val end: Int) {
     def remaining: Int = end - off
-    def u1(): Int = { require(remaining >= 1); val v = buf(off) & 0xff; off += 1; v }
-    def u2(): Int = u1() | (u1() << 8)
-    def u4(): Long = u2().toLong | (u2().toLong << 16)
-    def u6(): Long = u4() | (u2().toLong << 32)
-    def i8(): Long = u4() | (u4() << 32)
+    private def need(n: Int): Unit =
+      if (n < 0 || end - off < n)
+        throw new CorruptStreamException(s"need $n bytes, have ${end - off}")
+    def u1(): Int = { need(1); val v = buf(off) & 0xff; off += 1; v }
+    def u2(): Int = {
+      need(2)
+      val v = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8)
+      off += 2; v
+    }
+    def u4(): Long = {
+      need(4)
+      val v = (buf(off) & 0xffL) | ((buf(off + 1) & 0xffL) << 8) |
+        ((buf(off + 2) & 0xffL) << 16) | ((buf(off + 3) & 0xffL) << 24)
+      off += 4; v
+    }
+    def u6(): Long = { val lo = u4(); lo | (u2().toLong << 32) }
+    def i8(): Long = { val lo = u4(); lo | (u4() << 32) }
     def f8(): Double = java.lang.Double.longBitsToDouble(i8())
     def bytes(n: Int): Array[Byte] = {
-      require(n >= 0 && remaining >= n, s"need $n bytes, have $remaining")
+      need(n)
       val out = java.util.Arrays.copyOfRange(buf, off, off + n); off += n; out
+    }
+    def string(n: Int): String = {
+      need(n)
+      val s = new String(buf, off, n, "UTF-8"); off += n; s
     }
     // n must be non-negative: a negative skip from a malformed length
     // field would silently REWIND the cursor into already-read bytes
-    def skip(n: Int): Unit = { require(n >= 0 && remaining >= n); off += n }
+    def skip(n: Int): Unit = { need(n); off += n }
+    /** Read bit `i` of a little-endian-bit bitmap starting at `at`. */
+    def bit(at: Int, i: Int): Boolean =
+      ((buf(at + (i >> 3)) >> (i & 7)) & 1) == 1
     /** MySQL length-encoded integer. */
     def packed(): Long = u1() match {
       case 0xfc => u2().toLong
@@ -136,7 +161,7 @@ object BinlogDecoder {
   /** Decode one complete binlog byte stream (file or segment). */
   def decode(bytes: Array[Byte]): Vector[Event] = {
     if (bytes.length < 4 || !Magic.indices.forall(i => bytes(i) == Magic(i)))
-      throw new TransportException("bad binlog magic")
+      throw new CorruptStreamException("bad binlog magic")
     val out = Vector.newBuilder[Event]
     var tableMaps = Map.empty[Long, TableMap]
     var crcOn = false
@@ -144,7 +169,7 @@ object BinlogDecoder {
     var sawFde = false
     while (pos < bytes.length) {
       if (bytes.length - pos < HeaderLen)
-        throw new TransportException(
+        throw new CorruptStreamException(
           s"truncated event header at $pos (${bytes.length - pos} bytes)")
       val h = new Cursor(bytes, pos, bytes.length)
       val tsSec = h.u4()
@@ -154,21 +179,27 @@ object BinlogDecoder {
       h.u4() // next pos
       h.u2() // flags
       if (eventLen < HeaderLen || pos + eventLen > bytes.length)
-        throw new TransportException(s"truncated event at $pos (len $eventLen)")
+        throw new CorruptStreamException(s"truncated event at $pos (len $eventLen)")
       if (typeCode == FORMAT_DESCRIPTION && !sawFde) {
         // checksum mode is self-identifying: the alg byte precedes the
-        // (optional) trailing CRC32 of the FDE itself
+        // (optional) trailing CRC32 of the FDE itself. When the alg
+        // byte says CRC32, the FDE's own checksum must VERIFY — a
+        // corrupted FDE surfaces as an error rather than silently
+        // downgrading every subsequent event to unchecked parsing
+        // (which would misread their 4 CRC bytes as body).
         sawFde = true
-        crcOn = eventLen >= HeaderLen + 5 && {
-          val alg = bytes(pos + eventLen - 5) & 0xff
-          alg == 1 && crc32Of(bytes, pos, eventLen - 4) == leU4(bytes, pos + eventLen - 4)
+        if (eventLen >= HeaderLen + 5 && (bytes(pos + eventLen - 5) & 0xff) == 1) {
+          if (crc32Of(bytes, pos, eventLen - 4) != leU4(bytes, pos + eventLen - 4))
+            throw new CorruptStreamException(
+              "CRC32 mismatch on FORMAT_DESCRIPTION")
+          crcOn = true
         }
       }
       if (crcOn) {
         val want = leU4(bytes, pos + eventLen - 4)
         val got = crc32Of(bytes, pos, eventLen - 4)
         if (want != got)
-          throw new TransportException(
+          throw new CorruptStreamException(
             f"CRC32 mismatch on event type 0x$typeCode%02x at $pos: " +
               f"stored 0x$want%08x computed 0x$got%08x")
       }
@@ -179,7 +210,7 @@ object BinlogDecoder {
         catch {
           case e: TransportException => throw e
           case e: Throwable =>
-            throw new TransportException(
+            throw new CorruptStreamException(
               f"malformed event type 0x$typeCode%02x at $pos", e)
         }
       ev match {
@@ -205,8 +236,8 @@ object BinlogDecoder {
     case TABLE_MAP =>
       val tableId = c.u6()
       c.u2() // flags
-      val schema = new String(c.bytes(c.u1()), "UTF-8"); c.skip(1)
-      val table = new String(c.bytes(c.u1()), "UTF-8"); c.skip(1)
+      val schema = c.string(c.u1()); c.skip(1)
+      val table = c.string(c.u1()); c.skip(1)
       val nCols = c.packed().toInt
       val types = Vector.fill(nCols)(c.u1())
       val metaBytes = c.bytes(c.packed().toInt)
@@ -223,21 +254,25 @@ object BinlogDecoder {
       c.u2() // flags
       val extraLen = c.u2()
       if (extraLen < 2) // the length includes its own 2 bytes
-        throw new TransportException(s"malformed v2 extra-data length $extraLen")
+        throw new CorruptStreamException(s"malformed v2 extra-data length $extraLen")
       c.skip(extraLen - 2)
       val tm = tableMaps.getOrElse(tableId,
-        throw new TransportException(s"rows event for unmapped table id $tableId"))
+        throw new CorruptStreamException(s"rows event for unmapped table id $tableId"))
       val nCols = c.packed().toInt
-      val present1 = bitmap(c, nCols)
-      val present2 = if (typeCode == UPDATE_ROWS_V2) bitmap(c, nCols) else present1
+      // present-column index arrays are computed ONCE per event, not
+      // per row — rows events carry thousands of rows in a backfill
+      val present1 = bitmapIdx(c, nCols)
+      val present2 = if (typeCode == UPDATE_ROWS_V2) bitmapIdx(c, nCols) else present1
+      val types = tm.colTypes.toArray
+      val meta = tm.colMeta.toArray
       val before = Vector.newBuilder[Vector[Option[Any]]]
       val after = Vector.newBuilder[Vector[Option[Any]]]
       while (c.remaining > 0) typeCode match {
-        case WRITE_ROWS_V2 => after += image(c, tm, present1)
-        case DELETE_ROWS_V2 => before += image(c, tm, present1)
+        case WRITE_ROWS_V2 => after += image(c, types, meta, present1)
+        case DELETE_ROWS_V2 => before += image(c, types, meta, present1)
         case UPDATE_ROWS_V2 =>
-          before += image(c, tm, present1)
-          after += image(c, tm, present2)
+          before += image(c, types, meta, present1)
+          after += image(c, types, meta, present2)
       }
       val op = typeCode match {
         case WRITE_ROWS_V2 => "insert"
@@ -254,35 +289,52 @@ object BinlogDecoder {
       c.u2() // error code
       val statusLen = c.u2()
       c.skip(statusLen)
-      val schema = new String(c.bytes(schemaLen), "UTF-8"); c.skip(1)
-      Query(schema, new String(c.bytes(c.remaining), "UTF-8"), tsSec)
+      val schema = c.string(schemaLen); c.skip(1)
+      Query(schema, c.string(c.remaining), tsSec)
     case other =>
       Skipped(other, tsSec)
   }
 
-  /** Little-endian-bit bitmap over `n` flags. */
-  private def bitmap(c: Cursor, n: Int): Vector[Boolean] = {
+  /** Little-endian-bit bitmap over `n` flags, as the indices of the
+    * SET bits (the columns present in each row image).
+    */
+  private def bitmapIdx(c: Cursor, n: Int): Array[Int] = {
     val raw = c.bytes((n + 7) / 8)
-    Vector.tabulate(n)(i => ((raw(i / 8) >> (i % 8)) & 1) == 1)
+    val out = new Array[Int](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (((raw(i >> 3) >> (i & 7)) & 1) == 1) { out(k) = i; k += 1 }
+      i += 1
+    }
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
   }
 
-  /** One row image: null bitmap over present columns, then values. */
-  private def image(c: Cursor, tm: TableMap,
-      present: Vector[Boolean]): Vector[Option[Any]] = {
-    val idx = present.indices.filter(present)
-    val nulls = bitmap(c, idx.length)
-    idx.zipWithIndex.map { case (col, pi) =>
-      if (nulls(pi)) None
-      else Some(tm.colTypes(col) match {
+  /** One row image: null bitmap over present columns, then values.
+    * Tuple-free inner loop — this runs once per ROW per image.
+    */
+  private def image(c: Cursor, colTypes: Array[Int], colMeta: Array[Int],
+      idx: Array[Int]): Vector[Option[Any]] = {
+    val nullsAt = c.off
+    c.skip((idx.length + 7) / 8)
+    val out = Vector.newBuilder[Option[Any]]
+    out.sizeHint(idx.length)
+    var pi = 0
+    while (pi < idx.length) {
+      val col = idx(pi)
+      out += (if (c.bit(nullsAt, pi)) None
+      else Some(colTypes(col) match {
         case TYPE_LONG => c.u4().toInt.toLong
         case TYPE_LONGLONG => c.i8()
         case TYPE_DOUBLE => c.f8()
         case TYPE_VARCHAR =>
-          val len = if (tm.colMeta(col) > 255) c.u2() else c.u1()
-          new String(c.bytes(len), "UTF-8")
-        case t => throw new TransportException(s"unsupported column type $t")
-      })
-    }.toVector
+          val len = if (colMeta(col) > 255) c.u2() else c.u1()
+          c.string(len)
+        case t => throw new CorruptStreamException(s"unsupported column type $t")
+      }))
+      pi += 1
+    }
+    out.result()
   }
 
   /** Transaction assembly into the engine's feed rows — the
@@ -303,14 +355,22 @@ object BinlogDecoder {
       case g: Gtid =>
         gtid = Some(g) // an uncommitted predecessor is dropped
         tx = Vector.newBuilder[FeedRow]
+      case Skipped(ANONYMOUS_GTID, _) =>
+        // gtid_mode=OFF marker: the transaction that follows has no
+        // addressable position, so clear any pending GTID — rows then
+        // fail assembly explicitly (doc above) instead of being
+        // silently attributed to the PRIOR transaction's GTID
+        gtid = None
+        tx = Vector.newBuilder[FeedRow]
       case r: Rows =>
         val g = gtid.getOrElse(
-          throw new TransportException("rows event outside a transaction"))
+          throw new CorruptStreamException(
+            "rows event outside a GTID transaction (anonymous or missing marker)"))
         val images = if (r.op == "delete") r.before else r.after
         images.foreach { cols =>
           val pk = cols.headOption.flatten match {
             case Some(l: Long) => l
-            case v => throw new TransportException(s"non-long pk: $v")
+            case v => throw new CorruptStreamException(s"non-long pk: $v")
           }
           val value = cols.lift(1).flatten match {
             case Some(dbl: Double) => dbl
@@ -375,25 +435,34 @@ object BinlogWriter {
       else if (v < (1L << 24)) { w1(b, 0xfd); w2(b, (v & 0xffff).toInt); w1(b, (v >> 16).toInt) }
       else { w1(b, 0xfe); w8(b, v) }
 
-    /** Frame `body` as one event: header, body, optional CRC32. */
+    /** Frame `body` as one event: header, body, optional CRC32 —
+      * written into one exactly-sized array (an archiver encodes four
+      * events per transaction; the intermediate-stream double copy was
+      * the encoder's hottest allocation).
+      */
     private def event(typeCode: Int, tsSec: Long, body: Array[Byte]): this.type = {
       val crcLen = if (crc32) 4 else 0
       val eventLen = HeaderLen + body.length + crcLen
-      val ev = new java.io.ByteArrayOutputStream(eventLen)
-      w4(ev, tsSec)
-      w1(ev, typeCode)
-      w4(ev, serverId)
-      w4(ev, eventLen.toLong)
-      w4(ev, (out.size() + eventLen).toLong) // next position
-      w2(ev, 0) // flags
-      ev.write(body, 0, body.length)
+      val ev = new Array[Byte](eventLen)
+      def le4(at: Int, v: Long): Unit = {
+        ev(at) = (v & 0xff).toByte
+        ev(at + 1) = ((v >> 8) & 0xff).toByte
+        ev(at + 2) = ((v >> 16) & 0xff).toByte
+        ev(at + 3) = ((v >> 24) & 0xff).toByte
+      }
+      le4(0, tsSec)
+      ev(4) = typeCode.toByte
+      le4(5, serverId)
+      le4(9, eventLen.toLong)
+      le4(13, (out.size() + eventLen).toLong) // next position
+      // flags at 17-18 stay 0
+      System.arraycopy(body, 0, ev, HeaderLen, body.length)
       if (crc32) {
         val c = new CRC32
-        val framed = ev.toByteArray
-        c.update(framed, 0, framed.length)
-        w4(ev, c.getValue)
+        c.update(ev, 0, eventLen - 4)
+        le4(eventLen - 4, c.getValue)
       }
-      ev.writeTo(out)
+      out.write(ev, 0, eventLen)
       this
     }
 
@@ -410,36 +479,54 @@ object BinlogWriter {
       event(FORMAT_DESCRIPTION, 0, b.toByteArray)
     }
 
+    // An archiver emits one GTID + TABLE_MAP per transaction with the
+    // same uuid/table over and over — memoize the constant body bytes
+    // (only the per-event header and gno differ between occurrences).
+    private var sidCache = Map.empty[String, Array[Byte]]
+    private var tmBodyCache =
+      Map.empty[(Long, String, String, Vector[Int], Vector[Int]), Array[Byte]]
+
     def gtid(uuid: String, gno: Long, tsSec: Long): this.type = {
-      val b = new java.io.ByteArrayOutputStream()
-      w1(b, 1) // commit flag
-      val sid = uuidToBytes(uuid)
-      b.write(sid, 0, sid.length)
-      w8(b, gno)
-      event(GTID, tsSec, b.toByteArray)
+      val sid = sidCache.getOrElse(uuid, {
+        val s = uuidToBytes(uuid); sidCache += (uuid -> s); s
+      })
+      val b = new Array[Byte](1 + 16 + 8)
+      b(0) = 1 // commit flag
+      System.arraycopy(sid, 0, b, 1, 16)
+      var i = 0
+      while (i < 8) { b(17 + i) = ((gno >> (8 * i)) & 0xff).toByte; i += 1 }
+      event(GTID, tsSec, b)
     }
 
     def tableMap(tableId: Long, schema: String, table: String,
         types: Seq[Int], meta: Seq[Int], tsSec: Long): this.type = {
-      colTypes += (tableId -> (types.toVector, meta.toVector))
-      val b = new java.io.ByteArrayOutputStream()
-      w6(b, tableId)
-      w2(b, 0) // flags
-      val sc = schema.getBytes("UTF-8"); w1(b, sc.length); b.write(sc, 0, sc.length); w1(b, 0)
-      val tb = table.getBytes("UTF-8"); w1(b, tb.length); b.write(tb, 0, tb.length); w1(b, 0)
-      packed(b, types.length.toLong)
-      types.foreach(w1(b, _))
-      val mb = new java.io.ByteArrayOutputStream()
-      types.zip(meta).foreach {
-        case (TYPE_DOUBLE, m) => w1(mb, m)
-        case (TYPE_VARCHAR, m) => w2(mb, m)
-        case _ => ()
-      }
-      packed(b, mb.size().toLong)
-      mb.writeTo(b)
-      // nullability bitmap: all nullable
-      (0 until (types.length + 7) / 8).foreach(_ => w1(b, 0xff))
-      event(TABLE_MAP, tsSec, b.toByteArray)
+      val typesV = types.toVector
+      val metaV = meta.toVector
+      colTypes += (tableId -> (typesV, metaV))
+      val key = (tableId, schema, table, typesV, metaV)
+      val body = tmBodyCache.getOrElse(key, {
+        val b = new java.io.ByteArrayOutputStream()
+        w6(b, tableId)
+        w2(b, 0) // flags
+        val sc = schema.getBytes("UTF-8"); w1(b, sc.length); b.write(sc, 0, sc.length); w1(b, 0)
+        val tb = table.getBytes("UTF-8"); w1(b, tb.length); b.write(tb, 0, tb.length); w1(b, 0)
+        packed(b, types.length.toLong)
+        types.foreach(w1(b, _))
+        val mb = new java.io.ByteArrayOutputStream()
+        types.zip(meta).foreach {
+          case (TYPE_DOUBLE, m) => w1(mb, m)
+          case (TYPE_VARCHAR, m) => w2(mb, m)
+          case _ => ()
+        }
+        packed(b, mb.size().toLong)
+        mb.writeTo(b)
+        // nullability bitmap: all nullable
+        (0 until (types.length + 7) / 8).foreach(_ => w1(b, 0xff))
+        val bytes = b.toByteArray
+        tmBodyCache += (key -> bytes)
+        bytes
+      })
+      event(TABLE_MAP, tsSec, body)
     }
 
     private def rowsBody(tableId: Long, typeCode: Int,
@@ -495,9 +582,10 @@ object BinlogWriter {
         rowsBody(tableId, UPDATE_ROWS_V2, pairs.flatMap(p => Seq(p._1, p._2))))
 
     def xid(n: Long, tsSec: Long): this.type = {
-      val b = new java.io.ByteArrayOutputStream()
-      w8(b, n)
-      event(XID, tsSec, b.toByteArray)
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((n >> (8 * i)) & 0xff).toByte; i += 1 }
+      event(XID, tsSec, b)
     }
 
     def query(schema: String, sql: String, tsSec: Long): this.type = {

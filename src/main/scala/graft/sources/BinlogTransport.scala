@@ -6,8 +6,19 @@ import graft.streaming.FeedRow
   * auth error, server gone — anything the reference's syncer returns
   * an `err` for.
   */
-final class TransportException(msg: String, cause: Throwable = null)
+class TransportException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
+
+/** Deterministic stream-CONTENT failure — bad magic, a truncated or
+  * malformed event, a CRC32 mismatch, an unaddressable anonymous-GTID
+  * stream. Unlike a dropped connection this cannot heal on retry: the
+  * same bytes decode to the same error, so [[ReconnectingTransport]]
+  * fails fast instead of walking the full backoff ladder (which would
+  * burn ~2 minutes of driver-thread sleeps per fetch, twice per
+  * micro-batch, before surfacing the error).
+  */
+final class CorruptStreamException(msg: String, cause: Throwable = null)
+    extends TransportException(msg, cause)
 
 /** The seam between [[GtidReplayStream]] and the wire: `fetch()`
   * returns the source's currently-visible event tail (the analog of
@@ -59,6 +70,7 @@ final class ReconnectingTransport(
         backoffMs = initialBackoffMs // successful (re)connect resets
         return rows
       } catch {
+        case e: CorruptStreamException => throw e // retry cannot fix bytes
         case e: TransportException =>
           failures += 1
           if (failures > maxConsecutiveFailures)

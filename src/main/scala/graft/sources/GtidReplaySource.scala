@@ -197,9 +197,11 @@ final class GtidReplayStream(
         // letting at least one tx through (a tx larger than the cap
         // must still ship whole, as the reference's channel does with
         // its per-event sends inside one tx).
-        val budget = mr.maxRows().toInt
+        // kept as Long: a cap above Int.MaxValue must mean "huge", not
+        // overflow to a negative budget that admits one tx per batch
+        val budget = mr.maxRows()
         val byTx = pending.groupBy(identity).toSeq.sortBy(_._1)
-        var taken = 0
+        var taken = 0L
         byTx.takeWhile { case (_, rows) =>
           val first = taken == 0
           taken += rows.length

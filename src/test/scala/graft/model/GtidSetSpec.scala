@@ -44,6 +44,31 @@ class GtidSetSpec extends AnyFunSuite {
     assert(gap.add(u1, 4).intervals(u1) == Vector(GtidRange(1, 5)))
   }
 
+  test("insert agrees with full normalize on random range soups (seeded property)") {
+    val rnd = new Random(7)
+    (1 to 200).foreach { _ =>
+      val ranges = Vector.fill(rnd.nextInt(30) + 1) {
+        val s = rnd.nextInt(100).toLong
+        GtidRange(s, s + rnd.nextInt(10))
+      }
+      val viaInsert = ranges.foldLeft(Vector.empty[GtidRange])(GtidSet.insert)
+      assert(viaInsert == GtidSet.normalize(ranges))
+    }
+  }
+
+  test("scattered adds stay fast: 100k stride inserts, not quadratic re-sorts") {
+    // a shuffled batch hands the GTID aggregate positions in stride
+    // order (worst case for a re-sorting insert); budget is generous —
+    // the quadratic version takes minutes
+    val t0 = System.nanoTime()
+    var s = GtidSet.empty
+    var i = 0L
+    while (i < 100000) { s = s.add(u1, (i * 37) % 100000); i += 1 }
+    (1L until 37L).foreach(r => s = s.add(u1, r)) // won't all merge; fill
+    assert(s.contains(u1, 0) && s.contains(u1, 99999 - 2))
+    assert((System.nanoTime() - t0) / 1e9 < 20.0)
+  }
+
   test("merge is commutative and idempotent (seeded property)") {
     val rnd = new Random(42)
     (1 to 100).foreach { _ =>

@@ -231,6 +231,73 @@ class BinlogTransportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("extra-data length"))
   }
 
+  test("corrupt bytes fail FAST through the reconnect policy — no backoff ladder") {
+    // a deterministic decode failure re-fails identically on every
+    // retry; the policy must surface it immediately instead of
+    // sleeping through 10 backoffs (~2 min of driver time per fetch)
+    val sleeps = ArrayBuffer.empty[Long]
+    val corrupt = new BinlogTransport {
+      override def fetch(): Vector[FeedRow] =
+        throw new CorruptStreamException("CRC32 mismatch")
+    }
+    val t = new ReconnectingTransport(corrupt, sleep = sleeps += _)
+    val e = intercept[CorruptStreamException](t.fetch())
+    assert(e.getMessage.contains("CRC32"))
+    assert(sleeps.isEmpty) // zero retries, zero sleeps
+  }
+
+  test("admission budget above Int.MaxValue admits everything (no overflow)") {
+    val rows = (1L to 100L).map(row).toVector
+    val stream = new GtidReplayStream(
+      Seq(("srv-1", "unused")), numPartitions = 2,
+      maxRowsPerBatch = Some(Int.MaxValue.toLong + 5L),
+      transportFactory = _ => new BinlogTransport {
+        override def fetch(): Vector[FeedRow] = rows
+      })
+    val off = stream.initialOffset()
+    val next = stream.latestOffset(off, stream.getDefaultReadLimit)
+    val n = stream.planInputPartitions(off, next)
+      .map(_.asInstanceOf[GtidReplayPartition].rows.length.toLong).sum
+    assert(n == 100L) // a truncated-to-negative budget would admit 1 tx
+  }
+
+  test("binlog: a corrupted FORMAT_DESCRIPTION surfaces, never downgrades to no-CRC") {
+    val good = segment1()
+    // FDE is the first event (pos 4); its alg byte says CRC32 — flip a
+    // byte inside its serverVersion so the FDE's own CRC fails
+    val bad = good.clone()
+    bad(4 + HeaderLen + 4) = (bad(4 + HeaderLen + 4) ^ 0x01).toByte
+    val e = intercept[CorruptStreamException](BinlogDecoder.decode(bad))
+    assert(e.getMessage.contains("FORMAT_DESCRIPTION"))
+  }
+
+  test("binlog: rows after an ANONYMOUS_GTID marker fail assembly, never misattribute") {
+    // the marker arrives INSIDE an open transaction (between the GTID
+    // and its XID) — the exact window where rows following it would
+    // otherwise be silently attributed to gno=1
+    val w = new BinlogWriter.Stream()
+      .gtid(U, 1, 80)
+      .tableMap(7, "s", "t", cols, meta, 80)
+      .writeRows(7, Seq(Seq(Some(1L), Some(1.0))), 80)
+      .opaque(ANONYMOUS_GTID, Array.fill[Byte](25)(0), 81)
+      .tableMap(7, "s", "t", cols, meta, 81)
+      .writeRows(7, Seq(Seq(Some(2L), Some(2.0))), 81)
+      .xid(1, 81)
+    val e = intercept[CorruptStreamException](
+      BinlogDecoder.toFeedRows(BinlogDecoder.decode(w.bytes)))
+    assert(e.getMessage.contains("anonymous"))
+    // an anonymous marker with NO rows is harmless: the next real GTID
+    // transaction assembles normally
+    val w2 = new BinlogWriter.Stream()
+      .opaque(ANONYMOUS_GTID, Array.fill[Byte](25)(0), 90)
+      .gtid(U, 7, 91)
+      .tableMap(7, "s", "t", cols, meta, 91)
+      .writeRows(7, Seq(Seq(Some(3L), Some(3.0))), 91)
+      .xid(7, 91)
+    assert(BinlogDecoder.toFeedRows(BinlogDecoder.decode(w2.bytes)) ==
+      Vector(FeedRow(7, new java.sql.Timestamp(91000), 3, "insert", 3.0)))
+  }
+
   test("binlog: checksum-off streams decode; unknown event types are skipped") {
     val w = new BinlogWriter.Stream(crc32 = false)
       .gtid(U, 1, 60)
@@ -242,6 +309,51 @@ class BinlogTransportSpec extends AnyFunSuite {
     assert(evs.exists { case Skipped(ROTATE, _) => true; case _ => false })
     assert(BinlogDecoder.toFeedRows(evs) ==
       Vector(FeedRow(1, new java.sql.Timestamp(60000), 5, "insert", 5.5)))
+  }
+
+  test("binlog roundtrip property: random transactions survive encode→decode bit-exact") {
+    val rnd = new scala.util.Random(1337)
+    (1 to 20).foreach { _ =>
+      val crc = rnd.nextBoolean()
+      val w = new BinlogWriter.Stream(crc32 = crc)
+      val types = Seq(TYPE_LONGLONG, TYPE_DOUBLE, TYPE_VARCHAR, TYPE_LONG)
+      val mta = Seq(0, 8, if (rnd.nextBoolean()) 255 else 300, 0)
+      var expected = Vector.empty[FeedRow]
+      val nTx = rnd.nextInt(20) + 1
+      (1 to nTx).foreach { g =>
+        val ts = 1000L + g
+        w.gtid(U, g.toLong, ts).tableMap(9, "db", "t", types, mta, ts)
+        def cell(): Seq[Option[Any]] = Seq(
+          Some(rnd.nextLong(1000000)),
+          if (rnd.nextBoolean()) Some(rnd.nextDouble()) else None,
+          // length ≤ meta: the writer emits a u1 length for meta ≤ 255
+          // (the format's own constraint), u2 above — exercise both
+          if (rnd.nextBoolean())
+            Some(rnd.alphanumeric.take(rnd.nextInt(if (mta(2) > 255) 299 else 200)).mkString)
+          else None,
+          if (rnd.nextBoolean()) Some(rnd.nextInt().toLong) else None)
+        val rows = Vector.fill(rnd.nextInt(5) + 1)(cell())
+        rnd.nextInt(3) match {
+          case 0 =>
+            w.writeRows(9, rows, ts)
+            expected ++= rows.map(r => FeedRow(g.toLong, new java.sql.Timestamp(ts * 1000),
+              r.head.get.asInstanceOf[Long], "insert",
+              r(1).map(_.asInstanceOf[Double]).getOrElse(0.0)))
+          case 1 =>
+            w.updateRows(9, rows.map(r => (cell(), r)), ts)
+            expected ++= rows.map(r => FeedRow(g.toLong, new java.sql.Timestamp(ts * 1000),
+              r.head.get.asInstanceOf[Long], "update",
+              r(1).map(_.asInstanceOf[Double]).getOrElse(0.0)))
+          case 2 =>
+            w.deleteRows(9, rows, ts)
+            expected ++= rows.map(r => FeedRow(g.toLong, new java.sql.Timestamp(ts * 1000),
+              r.head.get.asInstanceOf[Long], "delete",
+              r(1).map(_.asInstanceOf[Double]).getOrElse(0.0)))
+        }
+        w.xid(g.toLong, ts)
+      }
+      assert(BinlogDecoder.toFeedRows(BinlogDecoder.decode(w.bytes)) == expected)
+    }
   }
 
   test("binlog: QUERY events classify DDL by the reference's prefix gate") {
