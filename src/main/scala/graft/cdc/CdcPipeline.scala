@@ -499,6 +499,85 @@ object CdcPipeline {
       TableWatermark(source, SnapshotJob.schemaName, "events", pos)))
   }
 
+  /** [[bootstrapSnapshot]] made CRASH-RESUMABLE by chunk: at 100 TB a
+    * snapshot runs for days, and the reference's one-shot design
+    * (`fullamount_service.go:72-110` — all tables in one pass, meta
+    * saved only at the end) restarts from zero on any failure. Here
+    * the table splits into `numChunks` contiguous PK ranges (the
+    * chunked-scan shape of [[SnapshotJob.chunked]], re-derived
+    * deterministically from the pinned snapshot read's min/max, so a
+    * restarted driver computes the SAME chunks), and completion is
+    * tracked per chunk in the watermark store — as a GTID set over a
+    * synthetic `chunks` uuid, so finished chunk ids compress to
+    * intervals (`chunks:0-41`) and resume is one `contains` per chunk,
+    * the exact machinery the incremental gate already uses.
+    *
+    * Each chunk appends its bucketed rows, then records its id; the
+    * crash window between those two writes re-appends that chunk on
+    * resume, and the duplicate rows collapse in the latest-wins read —
+    * the same at-least-once contract as [[applyBatch]] redelivery
+    * (chunks are PK-disjoint, so cross-chunk appends never conflict).
+    * The TABLE watermark `pos` is pinned only after every chunk is
+    * covered: a half-done snapshot can never admit incremental events.
+    *
+    * `failAfterChunks` is the crash-injection seam (spec + gate): the
+    * run throws after that many chunk writes, BEFORE the chunk's
+    * completion upsert — the worst-case window.
+    *
+    * Returns the chunk ids this run completed.
+    */
+  def resumableSnapshot(
+      spark: SparkSession,
+      store: WatermarkStore,
+      stateDir: String,
+      source: String,
+      snapshotFeed: DataFrame,
+      chunkBy: String,
+      numChunks: Int,
+      pos: String,
+      failAfterChunks: Int = Int.MaxValue,
+      table: String = "events"
+  ): Seq[Int] = {
+    require(numChunks > 0, "numChunks must be positive")
+    val chunksTable = s"$table#chunks"
+    val schemaName = SnapshotJob.schemaName
+    val mm = snapshotFeed.agg(min(col(chunkBy)), max(col(chunkBy))).head()
+    if (mm.isNullAt(0)) { // empty table: a complete (empty) snapshot
+      store.upsert(spark, Seq(
+        TableWatermark(source, schemaName, chunksTable,
+          GtidSet.empty.addRange("chunks", GtidRange(0, numChunks - 1)).serialize),
+        TableWatermark(source, schemaName, table, pos)))
+      return Seq.empty
+    }
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / numChunks + 1)
+    val done = store.watermark(spark, source, schemaName, chunksTable)
+    val pending = (0 until numChunks).filterNot(k => done.contains("chunks", k.toLong))
+    val completed = Seq.newBuilder[Int]
+    var written = 0
+    pending.foreach { k =>
+      val (cLo, cHi) = (lo + k * width, lo + (k + 1) * width - 1)
+      val chunk = snapshotFeed.filter(col(chunkBy) >= cLo && col(chunkBy) <= cHi)
+      val bucketed = chunk.withColumn(bucketCol, bucketOf(bucketCount(stateDir)))
+      if (MetaTables.readStateSchema(spark, stateDir).isEmpty)
+        MetaTables.writeStateSchema(stateDir, bucketed.schema)
+      bucketed
+        .repartition(bucketCount(stateDir), col(bucketCol))
+        .write.mode("append").partitionBy(bucketCol).parquet(stateDir)
+      written += 1
+      if (written > failAfterChunks)
+        throw new IllegalStateException(
+          s"injected crash: chunk $k written but not recorded")
+      store.upsert(spark, Seq(TableWatermark(source, schemaName, chunksTable,
+        GtidSet.empty.add("chunks", k.toLong).serialize)))
+      completed += k
+    }
+    val covered = store.watermark(spark, source, schemaName, chunksTable)
+    if ((0 until numChunks).forall(k => covered.contains("chunks", k.toLong)))
+      store.upsert(spark, Seq(TableWatermark(source, schemaName, table, pos)))
+    completed.result()
+  }
+
   /** Union schema for additive evolution: existing field order first
     * (batch types win on retype — the DDL is authoritative), then
     * batch-new fields appended.

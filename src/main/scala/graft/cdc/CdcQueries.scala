@@ -207,6 +207,61 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  // ---- cdc_snapshot_resume: crash-resumable chunked snapshot --------------
+
+  /** The snapshot protocol made restartable
+    * ([[CdcPipeline.resumableSnapshot]]): at 100 TB the bootstrap scan
+    * runs for days, and the reference's one-shot flow loses everything
+    * on a crash. The gate runs the WORST-CASE schedule: snapshot the
+    * `customer` table in 8 PK-range chunks with an injected crash
+    * after chunk 3's data lands but before its completion record —
+    * the at-least-once window — then resumes (which must re-append
+    * exactly that chunk and finish the rest), then runs a third time
+    * (which must be a covered no-op). The materialized state must
+    * equal a direct read of the table: any chunk lost, skipped, or
+    * double-counted by the resume logic breaks the hash; the
+    * re-appended chunk's duplicates must collapse in the latest-wins
+    * read. Chunk completion rides the watermark store as a GTID set
+    * over a synthetic `chunks` uuid — finished ids compress to
+    * intervals, resume is interval arithmetic, no per-chunk rows.
+    */
+  private def cdcSnapshotResume(s: SparkSession, d: String): DataFrame = {
+    val base = GateTmp.once("snap-resume", d) { base =>
+      val store = new WatermarkStore(s"$base/wm")
+      val dir = s"$base/state"
+      val snap = Tables.customer(s, d).select(
+        lit(0L).as("pos"),
+        lit(new java.sql.Timestamp(0L)).as("ts"),
+        col("c_custkey").as("pk"),
+        lit("insert").as("op"),
+        col("c_acctbal").cast("double").as("value"))
+      def run(failAfter: Int): Unit =
+        try {
+          CdcPipeline.resumableSnapshot(s, store, dir, "harness-src", snap,
+            chunkBy = "pk", numChunks = 8, pos = "harness-src:1-1",
+            failAfterChunks = failAfter)
+          ()
+        } catch { case _: IllegalStateException => () }
+      run(failAfter = 3) // crash: chunk 3 written, not recorded
+      run(failAfter = Int.MaxValue) // resume to completion
+      val third = CdcPipeline.resumableSnapshot(s, store, dir, "harness-src",
+        snap, chunkBy = "pk", numChunks = 8, pos = "harness-src:1-1")
+      require(third.isEmpty, s"covered snapshot re-ran chunks $third")
+    }
+    CdcPipeline.readState(s, s"$base/state")
+      .select(
+        col("pk").as("cust_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"))
+      .orderBy("cust_id")
+  }
+
+  private val cdcSnapshotResumeOracle: String =
+    """SELECT c_custkey AS cust_id, CAST(0 AS BIGINT) AS last_pos,
+      |       'insert' AS op, c_acctbal AS value
+      |FROM customer ORDER BY cust_id""".stripMargin
+
   // ---- cdc_time_travel: AS OF reads from the MOR delta history ------------
 
   /** Time travel over the merge-on-read state: the SAME table answers
@@ -1613,6 +1668,7 @@ object CdcQueries {
     "cdc_gated_state" -> (cdcGatedState _),
     "cdc_mor_state" -> (cdcMorState _),
     "cdc_time_travel" -> (cdcTimeTravel _),
+    "cdc_snapshot_resume" -> (cdcSnapshotResume _),
     "cdc_jdbc_catalog" -> (cdcJdbcCatalog _),
     "cdc_transport" -> (cdcTransport _),
     "cdc_gtid_agg" -> (cdcGtidAgg _),
@@ -1646,6 +1702,7 @@ object CdcQueries {
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,
     "cdc_time_travel" -> cdcTimeTravelOracle,
+    "cdc_snapshot_resume" -> cdcSnapshotResumeOracle,
     "cdc_jdbc_catalog" -> cdcJdbcCatalogOracle,
     "cdc_transport" -> latestStateOracle,
     "cdc_gtid_agg" -> cdcGtidAggOracle,

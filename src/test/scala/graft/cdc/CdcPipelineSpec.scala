@@ -405,6 +405,52 @@ class CdcPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resumableSnapshot: crash between chunk write and record, resume completes exactly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = s"target/tmp/cdcresume-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    val snap = Tables.customer(spark, sf).select(
+      lit(0L).as("pos"),
+      lit(new java.sql.Timestamp(0L)).as("ts"),
+      col("c_custkey").as("pk"),
+      lit("insert").as("op"),
+      col("c_acctbal").cast("double").as("value"))
+      .localCheckpoint(true)
+    val n = 6
+    def run(failAfter: Int): Seq[Int] =
+      CdcPipeline.resumableSnapshot(spark, store, dir, "src", snap,
+        chunkBy = "pk", numChunks = n, pos = "src:1-1", failAfterChunks = failAfter)
+
+    // crash after chunk 2's data lands, before its completion record
+    intercept[IllegalStateException](run(failAfter = 2))
+    val partial = store.watermark(spark, "src", SnapshotJob.schemaName, "events#chunks")
+    assert((0 until n).count(k => partial.contains("chunks", k.toLong)) == 2,
+      "exactly the two recorded chunks are covered")
+    assert(store.watermark(spark, "src", SnapshotJob.schemaName, "events").isEmpty,
+      "a half-done snapshot must NOT pin the table watermark")
+
+    // resume: completes the unrecorded chunk (re-append) + the rest
+    val resumed = run(failAfter = Int.MaxValue)
+    assert(resumed.length == n - 2, "resume runs only unrecorded chunks")
+    val full = store.watermark(spark, "src", SnapshotJob.schemaName, "events#chunks")
+    assert((0 until n).forall(k => full.contains("chunks", k.toLong)))
+    assert(!store.watermark(spark, "src", SnapshotJob.schemaName, "events").isEmpty,
+      "a finished snapshot pins the table watermark")
+
+    // the re-appended chunk's duplicates collapse; state == the table
+    val got = CdcPipeline.readState(spark, dir).select("pk", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = snap.select("pk", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == want)
+
+    // third run: covered no-op, zero chunks, zero file churn
+    val t1 = maxMtime(dir)
+    assert(run(failAfter = Int.MaxValue).isEmpty)
+    assert(maxMtime(dir) == t1, "a covered snapshot must not rewrite state")
+  }
+
   test("readStateAsOf: delta history answers AS OF; compaction sets the horizon") {
     import org.apache.spark.sql.functions.col
     val base = s"target/tmp/cdcasof-${System.nanoTime()}"
