@@ -690,6 +690,69 @@ object Dedup {
        |FROM labels l JOIN sizes s ON l.cluster = s.cluster
        |ORDER BY doc_id""".stripMargin
 
+  // ---- d10: corpus-level exact span dedup with reconstruction -------------
+
+  /** C4-style SPAN dedup — the operator that REMOVES boilerplate
+    * repeated across documents instead of dropping whole docs (d1's
+    * granularity) or merely measuring overlap (d9): every document
+    * splits into consecutive 10-word segments, a segment survives
+    * only at its FIRST corpus occurrence (global order =
+    * (doc_id, position) — deterministic, no hash coin), and documents
+    * reconstruct from their surviving segments in order. Scale shape:
+    * one shuffle keyed by segment text electing first occurrences
+    * (min-struct aggregate, map-side combinable — never pairwise),
+    * one shuffle back on doc_id to reassemble; both linear in corpus
+    * size. The gate pins the RECONSTRUCTED text by md5, so the kept
+    * set and the reassembly order are both hash-checked, not just
+    * counts.
+    */
+  private def d10SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val span = 10
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), Text.wordsCol(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(ws) >= 1 THEN
+           |  transform(sequence(0, CAST((size(ws) + ${span - 1}) / $span AS INT) - 1),
+           |    i -> array_join(slice(ws, CAST(i * $span AS INT) + 1, $span), ' '))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as(Seq("idx", "seg")))
+    val firsts = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    segs.join(firsts, Seq("seg"))
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(expr(
+          """array_join(transform(
+            |  array_sort(collect_list(CASE WHEN keep THEN struct(idx, seg) END)),
+            |  x -> x.seg), ' ')""".stripMargin)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val d10Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+       |segs AS (
+       |  SELECT doc_id, u.idx, u.seg FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(
+       |             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+       |             i -> {'idx': i, 'seg': array_to_string(ws[(i-1)*10+1 : i*10], ' ')})) AS u
+       |    FROM w WHERE len(ws) >= 1)),
+       |ranked AS (
+       |  SELECT doc_id, idx, seg,
+       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+       |  FROM segs)
+       |SELECT doc_id, count(*) AS n_spans,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), ''))
+       |         AS clean_md5
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d5_intradoc_rep" -> (d5IntradocRep _),
     "d1_exact_dedup" -> (d1Exact _),
@@ -699,7 +762,8 @@ object Dedup {
     "d6_decontam" -> (d6Decontam _),
     "d7_dup_clusters" -> (d7DupClusters _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
-    "d9_gram_coverage" -> (d9GramCoverage _)
+    "d9_gram_coverage" -> (d9GramCoverage _),
+    "d10_span_dedup" -> (d10SpanDedup _)
   )
 
   // ---- d9: inter-document n-gram duplication coverage ---------------------
@@ -773,6 +837,7 @@ object Dedup {
     "d4_simhash" -> d4Oracle,
     "d6_decontam" -> d6Oracle,
     "d7_dup_clusters" -> d7Oracle,
-    "d8_incremental_dedup" -> d8Oracle
+    "d8_incremental_dedup" -> d8Oracle,
+    "d10_span_dedup" -> d10Oracle
   )
 }

@@ -201,4 +201,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"z-bucket agg + final sort only, got $exchanges exchanges")
   }
+
+  test("d10: span dedup is linear — keyed shuffles only, no pair explosion") {
+    val plan = formatted("d10_span_dedup")
+    // first-occurrence election must be an equi-join on the span key,
+    // never any flavor of pairwise work
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in span-dedup plan"))
+    // map-side combinable election: partial min-struct before the
+    // segment exchange
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      "first-occurrence election must partial-aggregate map-side")
+  }
+
+  test("s9: ADC search joins codes to a BROADCAST query side — codes never shuffle") {
+    val plan = formatted("s9_pq_adc")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the 5-row query/LUT side must broadcast under the code scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle for the search join")
+  }
 }
