@@ -451,6 +451,43 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(maxMtime(dir) == t1, "a covered snapshot must not rewrite state")
   }
 
+  test("resumableSnapshot property: any crash schedule converges to the direct read (seeded)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = Tables.customer(spark, sf).select(
+      lit(0L).as("pos"),
+      lit(new java.sql.Timestamp(0L)).as("ts"),
+      col("c_custkey").as("pk"),
+      lit("insert").as("op"),
+      col("c_acctbal").cast("double").as("value"))
+      .localCheckpoint(true)
+    val want = snap.select("pk", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val base = s"target/tmp/cdcresprop-$trial-${System.nanoTime()}"
+      val store = new WatermarkStore(s"$base/wm")
+      var attempts = 0
+      var finished = false
+      while (!finished) {
+        attempts += 1
+        assert(attempts <= 8, s"trial $trial: did not converge in $attempts attempts")
+        // failAfter >= 1 guarantees progress: at least one chunk is
+        // recorded per attempt even when the crash fires every time
+        try {
+          CdcPipeline.resumableSnapshot(spark, store, s"$base/state", "src",
+            snap, chunkBy = "pk", numChunks = 5, pos = "src:1-1",
+            failAfterChunks = rnd.nextInt(3) + 1)
+          finished = true
+        } catch { case _: IllegalStateException => () }
+      }
+      val got = CdcPipeline.readState(spark, s"$base/state")
+        .select("pk", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want, s"trial $trial diverged after $attempts attempts")
+      assert(!store.watermark(spark, "src", SnapshotJob.schemaName, "events").isEmpty)
+    }
+  }
+
   test("readStateAsOf: delta history answers AS OF; compaction sets the horizon") {
     import org.apache.spark.sql.functions.col
     val base = s"target/tmp/cdcasof-${System.nanoTime()}"

@@ -308,4 +308,34 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("s9: PQ-ADC retrieval quality — selected top-5 beats the corpus mean per query") {
+    import org.apache.spark.sql.functions._
+    // the oracle pins s9's exact values; this spec pins its WORTH as
+    // an index: the 5 vectors the quantized search selects must score
+    // better against the query (true dot product) than an average
+    // corpus vector — compressing 64 dims to 8 codes must still
+    // preserve enough geometry to beat random selection
+    val out = Similarity.queries("s9_pq_adc")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val all = Similarity.corpus(spark, sf)
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dots = all.filter(col("vec_id") >= 5)
+      .join(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.dot_product(col("qv"), col("v")).as("dot"))
+      .collect()
+      .groupBy(_.getLong(0))
+    out.foreach { case (qid, picked) =>
+      val rows = dots(qid)
+      val meanAll = rows.map(_.getDouble(2)).sum / rows.length
+      val sel = rows.filter(r => picked.contains(r.getLong(1)))
+      val meanPq = sel.map(_.getDouble(2)).sum / sel.length
+      info(f"qid=$qid meanPq=$meanPq%.4f meanAll=$meanAll%.4f")
+      assert(meanPq > meanAll,
+        s"qid=$qid: quantized search selected no-better-than-random vectors")
+    }
+  }
 }
