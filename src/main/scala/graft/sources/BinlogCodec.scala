@@ -180,6 +180,13 @@ object BinlogDecoder {
       h.u2() // flags
       if (eventLen < HeaderLen || pos + eventLen > bytes.length)
         throw new CorruptStreamException(s"truncated event at $pos (len $eventLen)")
+      // a binlog file's first event is ALWAYS the FORMAT_DESCRIPTION
+      // (mysqlbinlog enforces the same): without this check, one
+      // corrupted type byte in the FDE header silently disables
+      // checksum mode for the whole stream
+      if (pos == 4 && typeCode != FORMAT_DESCRIPTION)
+        throw new CorruptStreamException(
+          f"first event is type 0x$typeCode%02x, not FORMAT_DESCRIPTION")
       if (typeCode == FORMAT_DESCRIPTION && !sawFde) {
         // checksum mode is self-identifying: the alg byte precedes the
         // (optional) trailing CRC32 of the FDE itself. When the alg

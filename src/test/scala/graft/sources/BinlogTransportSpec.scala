@@ -298,6 +298,40 @@ class BinlogTransportSpec extends AnyFunSuite {
       Vector(FeedRow(7, new java.sql.Timestamp(91000), 3, "insert", 3.0)))
   }
 
+  test("binlog fuzz property: every single-byte flip throws cleanly, never decodes garbage") {
+    // CRC32 detects all single-byte corruption, the first-event-is-FDE
+    // check covers the FDE's own header, and cursor bounds checks cover
+    // length-field damage — so EVERY flipped byte must surface as a
+    // TransportException (clean, classified), never an
+    // ArrayIndexOutOfBounds/NPE/ClassCast and never a silent success.
+    // The ONE structurally unprotectable byte is the FDE's checksum-
+    // algorithm byte itself (flipping 1 -> 0 legitimately reads as "a
+    // checksum-off stream"); a real deployment pins checksum mode from
+    // the connection handshake, which has no in-file equivalent.
+    val good = segment1()
+    val fdeLen = leU4At(good, 4 + 9).toInt
+    val algPos = 4 + fdeLen - 5
+    val rnd = new scala.util.Random(99)
+    var thrown = 0
+    (1 to 300).foreach { _ =>
+      val at = rnd.nextInt(good.length)
+      if (at != algPos) {
+        val bad = good.clone()
+        val bit = 1 << rnd.nextInt(8)
+        bad(at) = (bad(at) ^ bit).toByte
+        val e = intercept[TransportException] {
+          BinlogDecoder.toFeedRows(BinlogDecoder.decode(bad))
+        }
+        assert(e.isInstanceOf[TransportException]); thrown += 1
+      }
+    }
+    assert(thrown > 250, s"fuzz coverage too small: $thrown flips exercised")
+  }
+
+  private def leU4At(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
   test("binlog: checksum-off streams decode; unknown event types are skipped") {
     val w = new BinlogWriter.Stream(crc32 = false)
       .gtid(U, 1, 60)
