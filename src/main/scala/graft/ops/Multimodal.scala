@@ -32,6 +32,21 @@ final case class MmFeature(
     thumb_bytes: Int
 )
 
+/** Resized asset: integer aspect-fit into a 224×224 training box plus
+  * an 8×8 nearest-neighbor thumbnail checksum over the (stand-in)
+  * pixel buffer.
+  */
+final case class MmResized(
+    doc_id: Long,
+    modality: String,
+    out_w: Int,
+    out_h: Int,
+    out_bytes: Long, // the resized RGB buffer a real codec would emit
+    pad_x: Int, // letterbox padding to the square box
+    pad_y: Int,
+    grid_checksum: Long
+)
+
 /** Multimodal-column operators: treat image/audio/video as `binary`
   * columns with typed metadata; decode / feature-extract / resize /
   * frame-sample run partition-parallel over a typed Dataset.
@@ -111,6 +126,52 @@ object Multimodal {
       // real pipeline: init codec once per partition here
       it.map(decodeStub)
     }
+  }
+
+  /** STUB resize (same contract as [[decodeStub]]): integer
+    * aspect-preserving fit into the 224×224 training box (the long
+    * side pins to 224, the short side scales by the same integer
+    * ratio; the remainder is letterbox padding — all exact integer
+    * arithmetic, so the oracle recomputes it bit-for-bit), plus a
+    * REAL sampling pass: an 8×8 nearest-neighbor thumbnail over the
+    * content treated as a `width`×`height` row-major buffer (output
+    * cell (i,j) reads source byte at ((i·w)/8, (j·h)/8), clamped),
+    * folded through the repo's shared mod-P rolling checksum. A real
+    * codec swaps the byte buffer for pixels; the mapPartitions shape,
+    * the output schema, and the interpolation index math are exactly
+    * what it would run.
+    */
+  private[ops] def resizeStub(a: MmAsset): MmResized = {
+    val (ow, oh) =
+      if (a.width >= a.height) (224, a.height * 224 / a.width)
+      else (a.width * 224 / a.height, 224)
+    val bytes = a.content
+    val n = bytes.length
+    var sum = 0L
+    if (n > 0) {
+      var j = 0
+      while (j < 8) {
+        val y = j * a.height / 8
+        var i = 0
+        while (i < 8) {
+          val x = i * a.width / 8
+          val idx = math.min(n - 1, y * a.width + x)
+          sum = (sum * 31 + (bytes(idx) & 0xff)) % 2147483647L
+          i += 1
+        }
+        j += 1
+      }
+    }
+    MmResized(a.doc_id, a.modality, ow, oh, ow.toLong * oh * 3,
+      224 - ow, 224 - oh, sum)
+  }
+
+  /** Partition-parallel resize — one "codec" per partition, like
+    * [[extractFeatures]].
+    */
+  def resize(assets: Dataset[MmAsset]): Dataset[MmResized] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(it => it.map(resizeStub))
   }
 
   /** mm1: asset catalog — binary sizes + typed metadata, fully
@@ -299,8 +360,46 @@ object Multimodal {
        |ORDER BY doc_id, win_idx""".stripMargin
   }
 
+  /** mm6: the resize leg of the decode/extract/resize/frame-sample
+    * quartet — visual assets (image + video) aspect-fit into the
+    * square training box, with the thumbnail checksum proving the
+    * sampling index math delivers the exact bytes a real
+    * interpolator would read.
+    */
+  private def mm6Resize(s: SparkSession, d: String): DataFrame =
+    resize(assets(s, d).filter(col("modality") =!= "audio"))
+      .toDF()
+      .orderBy("doc_id")
+
+  private val mm6Oracle: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |         CAST(64 + (doc_id % 8) * 16 AS INT) AS w,
+      |         CAST(64 + (doc_id % 5) * 16 AS INT) AS h,
+      |         text, CAST(length(text) AS INT) AS n
+      |  FROM documents),
+      |fit AS (
+      |  SELECT *,
+      |         CASE WHEN w >= h THEN 224 ELSE CAST((w * 224) // h AS INT) END AS out_w,
+      |         CASE WHEN w >= h THEN CAST((h * 224) // w AS INT) ELSE 224 END AS out_h
+      |  FROM a WHERE modality <> 'audio')
+      |SELECT doc_id, modality, out_w, out_h,
+      |       CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes,
+      |       224 - out_w AS pad_x, 224 - out_h AS pad_y,
+      |       CASE WHEN n = 0 THEN 0 ELSE
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 63),
+      |             g -> CAST(ascii(substr(text,
+      |                    least(n - 1, ((g // 8) * h // 8) * w + ((g % 8) * w // 8)) + 1,
+      |                    1)) AS BIGINT))),
+      |           (x, y) -> (x * 31 + y) % 2147483647)
+      |       END AS grid_checksum
+      |FROM fit ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm5_audio_windows" -> (mm5AudioWindows _),
+    "mm6_resize" -> (mm6Resize _),
     "mm1_catalog" -> (mm1Catalog _),
     "mm2_features" -> (mm2Features _),
     "mm3_frame_sample" -> (mm3FrameSample _),
@@ -330,6 +429,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm5_audio_windows" -> mm5Oracle,
+    "mm6_resize" -> mm6Oracle,
     "mm1_catalog" -> mm1Oracle,
     "mm2_features" -> mm2Oracle,
     "mm3_frame_sample" -> mm3Oracle,

@@ -32,4 +32,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert(x.mean_byte > 0 && x.mean_byte < 256)
     }
   }
+
+  test("resize stub: aspect fit pins the long side, pads the short, clamps sampling") {
+    val r = Multimodal.resize(Multimodal.assets(spark, sf)).collect()
+    r.foreach { x =>
+      assert(math.max(x.out_w, x.out_h) == 224, "long side must pin to the box")
+      assert(x.pad_x == 224 - x.out_w && x.pad_y == 224 - x.out_h)
+      assert(x.pad_x >= 0 && x.pad_y >= 0, "fit must never overflow the box")
+      assert(x.out_bytes == x.out_w.toLong * x.out_h * 3)
+      assert(x.grid_checksum >= 0 && x.grid_checksum < 2147483647L)
+    }
+    // a buffer SHORTER than width*height (text bytes stand in for
+    // pixels) must clamp, not crash; empty content checksums to zero
+    val tiny = MmAsset(1L, "image", "ab".getBytes("UTF-8"), 176, 128, 0)
+    val rt = Multimodal.resizeStub(tiny)
+    assert(rt.out_w == 224 && rt.out_h == 128 * 224 / 176)
+    assert(rt.grid_checksum >= 0)
+    assert(Multimodal.resizeStub(tiny.copy(content = Array.empty)).grid_checksum == 0L)
+  }
 }
