@@ -28,7 +28,7 @@ import graft.Tables
   */
 object Dedup {
 
-  private val P = 2147483647L // 2^31 - 1
+  private[ops] val P = 2147483647L // 2^31 - 1
 
   /** MinHash permutation constants, fixed & embedded in both SQLs. */
   private val numHashes = 16
@@ -489,7 +489,7 @@ object Dedup {
     * literature settled on — long enough that chance collisions
     * vanish, short enough to catch partial inclusions).
     */
-  private def gram13Sql(at: Int => String): String =
+  private[ops] def gram13Sql(at: Int => String): String =
     (1 until 13).foldLeft(at(0))((acc, k) => s"(($acc) * 1000003 + ${at(k)}) % $P")
 
   /** Benchmark decontamination: flag corpus documents sharing any

@@ -188,15 +188,158 @@ object Pipeline {
        |GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ---- p4: the whole training-data pipeline, one oracle -------------------
+
+  /** CAPSTONE (the LLM-pipeline counterpart of `cdc_full_protocol`):
+    * the complete curation flow COMPOSED as one lazy plan under one
+    * hash-checked oracle —
+    *
+    *   1. QUALITY GATE: word-count bounds (30..400) — the cheap
+    *      row-local filter that runs first so every later stage
+    *      touches less data; eval-set docs (`doc_id % 11 = 0`, d6's
+    *      benchmark definition) leave the corpus here too;
+    *   2. DECONTAMINATION (d6's machinery): any surviving doc sharing
+    *      13-grams with the benchmark beyond 2·hits > grams is
+    *      dropped — broadcast the benchmark gram set, never join
+    *      corpus×corpus;
+    *   3. SPAN DEDUP (d10's machinery): 10-word segments keep only
+    *      their first corpus occurrence ((doc_id, idx) election over
+    *      the SURVIVOR corpus), docs keep their surviving token
+    *      counts;
+    *   4. SEQUENCE PACKING (p2's machinery): deduped token counts
+    *      pack into 2048-token bins per 8-way shard (running-sum
+    *      window per shard — never a global window).
+    *
+    * Output: per (shard, bin) pack stats over the CLEANED corpus. A
+    * mistake anywhere — a doc wrongly kept or dropped, a span
+    * mis-elected, a token miscounted, a bin boundary off by one —
+    * shifts every downstream pack and breaks the hash. Each stage
+    * keeps its standalone operator's scale shape; composing them adds
+    * NO new shuffles beyond the stages' own (filter is free, the gram
+    * join broadcasts, dedup shuffles segment/doc, packing shuffles
+    * shard).
+    */
+  private def p4FullPipeline(s: SparkSession, d: String): DataFrame = {
+    val span = 10
+    // stage 1: quality + eval-set removal
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Text.wordsCol(col("text")).as("ws"))
+      .withColumn("n_words", size(col("ws")))
+    val quality = docs
+      .filter(col("n_words") >= 30 && col("n_words") <= 400 &&
+        col("doc_id") % 11 =!= 0)
+    // stage 2: decontamination against the benchmark gram set
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+      .select(explode(graft.functions.SimHashFunctions
+        .poly_grams(col("ws"), 13)).as("gram")).distinct()
+    val contaminated = quality
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.poly_grams(col("ws"), 13).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hits"), max(col("n_grams")).as("n_grams"))
+      .filter(col("n_hits") * 2 > col("n_grams"))
+      .select("doc_id")
+    val survivors = quality.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 3: span dedup over the survivor corpus
+    val segs = survivors
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(ws) >= 1 THEN
+           |  transform(sequence(0, CAST((size(ws) + ${span - 1}) / $span AS INT) - 1),
+           |    i -> array_join(slice(ws, CAST(i * $span AS INT) + 1, $span), ' '))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as(Seq("idx", "seg")))
+    val firsts = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val cleaned = segs.join(firsts, Seq("seg"))
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("keep"), expr("size(split(seg, ' '))"))
+        .otherwise(0L)).as("tokens"))
+    // stage 4: shard-parallel sequence packing of the cleaned tokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cleaned
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin", expr("(cum - 1) DIV 2048"))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  private val p4Oracle: String = {
+    val ws = Text.wordsSql("text")
+    val gram = Dedup.gram13Sql(k => s"hw[i+$k]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, $ws AS ws FROM documents),
+       |quality AS (
+       |  SELECT doc_id, ws FROM docs
+       |  WHERE len(ws) BETWEEN 30 AND 400 AND doc_id % 11 <> 0),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, greatest(len(hw) - 12, 0)),
+       |           i -> $gram)) AS g
+       |  FROM (SELECT doc_id, list_transform(ws, w -> ${Text.polyHashSql("w", 8)}) AS hw
+       |        FROM docs)),
+       |bench AS (
+       |  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 11 = 0),
+       |contaminated AS (
+       |  SELECT c.doc_id
+       |  FROM (SELECT q.doc_id, CAST(len(g.g) AS INT) AS n_grams, unnest(g.g) AS gram
+       |        FROM quality q JOIN grams g ON q.doc_id = g.doc_id) c
+       |  JOIN bench b ON c.gram = b.gram
+       |  GROUP BY c.doc_id HAVING 2 * count(DISTINCT c.gram) > max(c.n_grams)),
+       |survivors AS (
+       |  SELECT doc_id, ws FROM quality
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |segs AS (
+       |  SELECT doc_id, u.idx, u.seg FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(
+       |             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+       |             i -> {'idx': i, 'seg': array_to_string(ws[(i-1)*10+1 : i*10], ' ')})) AS u
+       |    FROM survivors WHERE len(ws) >= 1)),
+       |ranked AS (
+       |  SELECT doc_id, idx, seg,
+       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+       |  FROM segs),
+       |cleaned AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN rn = 1 THEN len(string_split(seg, ' '))
+       |                       ELSE 0 END) AS BIGINT) AS tokens
+       |  FROM ranked GROUP BY doc_id)
+       |SELECT shard, bin, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (
+       |  SELECT doc_id, shard, tokens, (CAST(cum AS BIGINT) - 1) // 2048 AS bin FROM (
+       |    SELECT doc_id, shard, tokens,
+       |           sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (SELECT doc_id, doc_id % 8 AS shard, tokens FROM cleaned)))
+       |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation" -> (p1Curation _),
     "p2_seq_pack" -> (p2SeqPack _),
-    "p3_shard_shuffle" -> (p3ShardShuffle _)
+    "p3_shard_shuffle" -> (p3ShardShuffle _),
+    "p4_full_pipeline" -> (p4FullPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
     "p1_curation" -> p1Oracle,
     "p2_seq_pack" -> p2Oracle,
-    "p3_shard_shuffle" -> p3Oracle
+    "p3_shard_shuffle" -> p3Oracle,
+    "p4_full_pipeline" -> p4Oracle
   )
 }
