@@ -44,6 +44,18 @@ class GtidSetSpec extends AnyFunSuite {
     assert(gap.add(u1, 4).intervals(u1) == Vector(GtidRange(1, 5)))
   }
 
+  test("serialize/parse is the identity on random sets (seeded property)") {
+    val rnd = new Random(23)
+    (1 to 200).foreach { _ =>
+      val s = (1 to rnd.nextInt(40)).foldLeft(GtidSet.empty) { (acc, _) =>
+        val u = if (rnd.nextBoolean()) u1 else u2
+        val start = rnd.nextInt(1000).toLong + 1
+        acc.addRange(u, GtidRange(start, start + rnd.nextInt(20)))
+      }
+      assert(GtidSet.parse(s.serialize) == s)
+    }
+  }
+
   test("insert agrees with full normalize on random range soups (seeded property)") {
     val rnd = new Random(7)
     (1 to 200).foreach { _ =>
