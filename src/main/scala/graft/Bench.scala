@@ -63,32 +63,34 @@ object Bench {
         val ms = if (v < 0) -1L else math.round(v * 1000)
         "\"" + k + "\":" + ms
       }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
+    def errsJson(es: Iterable[(String, String)]): String =
+      es.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    def record(qs: String, omitted: Int): String =
-      f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errJson,"value":$total%.3f}"""
+    def record(qs: String, omitted: Int, errs: String): String =
+      f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errs,"value":$total%.3f}"""
     // The driver keeps only a ~2000-char TAIL of stdout and JSON-parses
     // it: 130 per-query timings overflow that window and truncate the
     // line's HEAD, making the whole line unparseable (round 8's
     // "parsed": null). The COMPLETE record goes to a repo file the
     // judge reads directly; the PRINTED line caps itself at a safe
-    // budget, keeping the slowest queries inline (the interesting ones)
-    // and counting the rest in "queries_omitted".
-    val line = record(qsJson(results), 0)
+    // budget — error messages bounded FIRST (5 errors × 60 chars; an
+    // error-storm run must not reintroduce the overflow), then the
+    // slowest queries inline and the rest counted in "queries_omitted".
+    val line = record(qsJson(results), 0, errsJson(errors))
     val printedLine = {
       val budget = 1800
       if (line.length <= budget) line
       else {
+        val errShort = errsJson(errors.take(5).map { case (k, v) => k -> v.take(60) })
         val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
-        val overhead = record("{}", results.size).length
+        val overhead = record("{}", results.size, errShort).length
         var used = overhead
         val keep = bySlowest.takeWhile { case (k, v) =>
           val entry = k.length + 3 + math.round(math.max(v, 0) * 1000).toString.length + 1
           used += entry
           used <= budget
         }
-        record(qsJson(keep), results.size - keep.size)
+        record(qsJson(keep), results.size - keep.size, errShort)
       }
     }
     try {

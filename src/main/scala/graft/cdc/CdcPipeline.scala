@@ -521,8 +521,10 @@ object CdcPipeline {
     * covered: a half-done snapshot can never admit incremental events.
     *
     * `failAfterChunks` is the crash-injection seam (spec + gate): the
-    * run throws after that many chunk writes, BEFORE the chunk's
-    * completion upsert — the worst-case window.
+    * run completes (writes AND records) that many chunks, then writes
+    * the NEXT chunk's data and throws before its completion upsert —
+    * leaving exactly one written-but-unrecorded chunk, the worst-case
+    * at-least-once window.
     *
     * Returns the chunk ids this run completed.
     */
@@ -543,6 +545,11 @@ object CdcPipeline {
     val schemaName = SnapshotJob.schemaName
     val mm = snapshotFeed.agg(min(col(chunkBy)), max(col(chunkBy))).head()
     if (mm.isNullAt(0)) { // empty table: a complete (empty) snapshot
+      // the sidecar must still exist — a completed empty snapshot is a
+      // READABLE empty state table, not a "no state table" error
+      if (MetaTables.readStateSchema(spark, stateDir).isEmpty)
+        MetaTables.writeStateSchema(stateDir,
+          snapshotFeed.withColumn(bucketCol, bucketOf(bucketCount(stateDir))).schema)
       store.upsert(spark, Seq(
         TableWatermark(source, schemaName, chunksTable,
           GtidSet.empty.addRange("chunks", GtidRange(0, numChunks - 1)).serialize),

@@ -706,21 +706,51 @@ object Dedup {
     * set and the reassembly order are both hash-checked, not just
     * counts.
     */
-  private def d10SpanDedup(s: SparkSession, d: String): DataFrame = {
-    val span = 10
-    val segs = Tables.documents(s, d)
-      .select(col("doc_id"), Text.wordsCol(col("text")).as("ws"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(ws) >= 1 THEN
-           |  transform(sequence(0, CAST((size(ws) + ${span - 1}) / $span AS INT) - 1),
-           |    i -> array_join(slice(ws, CAST(i * $span AS INT) + 1, $span), ' '))
-           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-        .as(Seq("idx", "seg")))
+  /** (doc_id, idx, seg): consecutive `span`-word segments of a frame
+    * with (doc_id, ws) — shared by d10 and the p4 capstone so the
+    * capstone literally runs this operator's machinery, not a copy.
+    */
+  private[ops] def spanSegments(docs: DataFrame, span: Int): DataFrame =
+    docs.select(col("doc_id"), posexplode(expr(
+      s"""CASE WHEN size(ws) >= 1 THEN
+         |  transform(sequence(0, CAST((size(ws) + ${span - 1}) / $span AS INT) - 1),
+         |    i -> array_join(slice(ws, CAST(i * $span AS INT) + 1, $span), ' '))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .as(Seq("idx", "seg")))
+
+  /** Segments tagged with the first-occurrence election: `keep` is
+    * true iff this (doc_id, idx) is the globally-first holder of the
+    * segment text (min-struct aggregate — map-side combinable).
+    */
+  private[ops] def keptSpans(segs: DataFrame): DataFrame = {
     val firsts = segs.groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
     segs.join(firsts, Seq("seg"))
       .withColumn("keep",
         col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+  }
+
+  /** The segs + first-occurrence-ranked CTE pair over a relation
+    * `rel(doc_id, ws)` — the oracle half of [[spanSegments]] /
+    * [[keptSpans]], shared verbatim by d10 and p4.
+    */
+  private[ops] def spanSegsSql(rel: String): String =
+    s"""segs AS (
+       |  SELECT doc_id, u.idx, u.seg FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(
+       |             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+       |             i -> {'idx': i, 'seg': array_to_string(ws[(i-1)*10+1 : i*10], ' ')})) AS u
+       |    FROM $rel WHERE len(ws) >= 1)),
+       |ranked AS (
+       |  SELECT doc_id, idx, seg,
+       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+       |  FROM segs)""".stripMargin
+
+  private def d10SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Text.wordsCol(col("text")).as("ws"))
+    keptSpans(spanSegments(docs, span = 10))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -735,17 +765,7 @@ object Dedup {
   private val d10Oracle: String = {
     val ws = Text.wordsSql("text")
     s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
-       |segs AS (
-       |  SELECT doc_id, u.idx, u.seg FROM (
-       |    SELECT doc_id,
-       |           unnest(list_transform(
-       |             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
-       |             i -> {'idx': i, 'seg': array_to_string(ws[(i-1)*10+1 : i*10], ' ')})) AS u
-       |    FROM w WHERE len(ws) >= 1)),
-       |ranked AS (
-       |  SELECT doc_id, idx, seg,
-       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
-       |  FROM segs)
+       |${spanSegsSql("w")}
        |SELECT doc_id, count(*) AS n_spans,
        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), ''))

@@ -102,15 +102,19 @@ object Pipeline {
     * bin per shard — the standard distributed-packing tradeoff. The
     * rollup reports per-bin fill so that waste is visible.
     */
-  private def p2SeqPack(s: SparkSession, d: String): DataFrame = {
+  /** Pack a (doc_id, tokens) frame into 2048-token bins across 8
+    * hash shards: running-sum window PER SHARD (never a global
+    * window), then per-(shard, bin) stats. Shared by p2 and the p4
+    * capstone so the capstone runs this operator's machinery, not a
+    * copy.
+    */
+  private def packBins(docsTokens: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    Tables
-      .documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        size(Text.wordsCol(col("text"))).as("tokens"))
+    docsTokens
+      .withColumn("shard", col("doc_id") % 8)
       .withColumn("cum", sum(col("tokens")).over(w))
       .withColumn("bin", expr("(cum - 1) DIV 2048"))
       .groupBy("shard", "bin")
@@ -123,8 +127,10 @@ object Pipeline {
       .orderBy("shard", "bin")
   }
 
-  private val p2Oracle: String = {
-    val ws = Text.wordsSql("text")
+  /** The packing SQL over a relation `rel(doc_id, tokens)` — the
+    * oracle half of [[packBins]], shared by p2 and p4.
+    */
+  private def packBinsSql(rel: String): String =
     s"""SELECT shard, bin, count(*) AS n_docs,
        |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -134,10 +140,18 @@ object Pipeline {
        |    SELECT doc_id, shard, tokens,
        |           sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |    FROM (SELECT doc_id, doc_id % 8 AS shard,
-       |                 CAST(len($ws) AS INT) AS tokens
-       |          FROM documents)))
+       |    FROM (SELECT doc_id, doc_id % 8 AS shard, tokens FROM $rel)))
        |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  private def p2SeqPack(s: SparkSession, d: String): DataFrame =
+    packBins(Tables
+      .documents(s, d)
+      .select(col("doc_id"), size(Text.wordsCol(col("text"))).as("tokens")))
+
+  private val p2Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH toks AS (SELECT doc_id, CAST(len($ws) AS INT) AS tokens FROM documents)
+       |${packBinsSql("toks")}""".stripMargin
   }
 
   // ---- p3: deterministic shard shuffle (training-order permutation) --------
@@ -242,38 +256,13 @@ object Pipeline {
       .filter(col("n_hits") * 2 > col("n_grams"))
       .select("doc_id")
     val survivors = quality.join(contaminated, Seq("doc_id"), "left_anti")
-    // stage 3: span dedup over the survivor corpus
-    val segs = survivors
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(ws) >= 1 THEN
-           |  transform(sequence(0, CAST((size(ws) + ${span - 1}) / $span AS INT) - 1),
-           |    i -> array_join(slice(ws, CAST(i * $span AS INT) + 1, $span), ' '))
-           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-        .as(Seq("idx", "seg")))
-    val firsts = segs.groupBy(col("seg"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    val cleaned = segs.join(firsts, Seq("seg"))
-      .withColumn("keep",
-        col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+    // stage 3: span dedup over the survivor corpus — d10's machinery
+    val cleaned = Dedup.keptSpans(Dedup.spanSegments(survivors, span))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("keep"), expr("size(split(seg, ' '))"))
         .otherwise(0L)).as("tokens"))
-    // stage 4: shard-parallel sequence packing of the cleaned tokens
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    cleaned
-      .withColumn("shard", col("doc_id") % 8)
-      .withColumn("cum", sum(col("tokens")).over(w))
-      .withColumn("bin", expr("(cum - 1) DIV 2048"))
-      .groupBy("shard", "bin")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("tokens")).as("bin_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy("shard", "bin")
+    // stage 4: shard-parallel sequence packing — p2's machinery
+    packBins(cleaned)
   }
 
   private val p4Oracle: String = {
@@ -301,32 +290,13 @@ object Pipeline {
        |survivors AS (
        |  SELECT doc_id, ws FROM quality
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |segs AS (
-       |  SELECT doc_id, u.idx, u.seg FROM (
-       |    SELECT doc_id,
-       |           unnest(list_transform(
-       |             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
-       |             i -> {'idx': i, 'seg': array_to_string(ws[(i-1)*10+1 : i*10], ' ')})) AS u
-       |    FROM survivors WHERE len(ws) >= 1)),
-       |ranked AS (
-       |  SELECT doc_id, idx, seg,
-       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
-       |  FROM segs),
+       |${Dedup.spanSegsSql("survivors")},
        |cleaned AS (
        |  SELECT doc_id,
        |         CAST(sum(CASE WHEN rn = 1 THEN len(string_split(seg, ' '))
        |                       ELSE 0 END) AS BIGINT) AS tokens
        |  FROM ranked GROUP BY doc_id)
-       |SELECT shard, bin, count(*) AS n_docs,
-       |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
-       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM (
-       |  SELECT doc_id, shard, tokens, (CAST(cum AS BIGINT) - 1) // 2048 AS bin FROM (
-       |    SELECT doc_id, shard, tokens,
-       |           sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |    FROM (SELECT doc_id, doc_id % 8 AS shard, tokens FROM cleaned)))
-       |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+       |${packBinsSql("cleaned")}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -168,8 +168,13 @@ object BinlogDecoder {
     var pos = 4
     var sawFde = false
     while (pos < bytes.length) {
+      // truncation is RETRYABLE (plain TransportException, not
+      // CorruptStreamException): a reader tailing a binlog that is
+      // still being written routinely sees a half-written final event,
+      // and the next fetch() heals it — only content damage (bad
+      // magic, CRC mismatch, malformed bodies) is deterministic
       if (bytes.length - pos < HeaderLen)
-        throw new CorruptStreamException(
+        throw new TransportException(
           s"truncated event header at $pos (${bytes.length - pos} bytes)")
       val h = new Cursor(bytes, pos, bytes.length)
       val tsSec = h.u4()
@@ -178,8 +183,10 @@ object BinlogDecoder {
       val eventLen = h.u4().toInt
       h.u4() // next pos
       h.u2() // flags
-      if (eventLen < HeaderLen || pos + eventLen > bytes.length)
-        throw new CorruptStreamException(s"truncated event at $pos (len $eventLen)")
+      if (eventLen < HeaderLen)
+        throw new CorruptStreamException(s"impossible event length $eventLen at $pos")
+      if (pos + eventLen > bytes.length) // torn tail: heals on refetch
+        throw new TransportException(s"truncated event at $pos (len $eventLen)")
       // a binlog file's first event is ALWAYS the FORMAT_DESCRIPTION
       // (mysqlbinlog enforces the same): without this check, one
       // corrupted type byte in the FDE header silently disables

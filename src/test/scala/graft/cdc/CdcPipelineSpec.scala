@@ -449,6 +449,15 @@ class CdcPipelineSpec extends AnyFunSuite {
     val t1 = maxMtime(dir)
     assert(run(failAfter = Int.MaxValue).isEmpty)
     assert(maxMtime(dir) == t1, "a covered snapshot must not rewrite state")
+
+    // an EMPTY table snapshots to a complete, READABLE empty state
+    val emptyDir = s"$base/empty-state"
+    CdcPipeline.resumableSnapshot(spark, store, emptyDir, "src",
+      snap.filter(org.apache.spark.sql.functions.lit(false)),
+      chunkBy = "pk", numChunks = 4, pos = "src:1-1", table = "none")
+    assert(CdcPipeline.readState(spark, emptyDir).count() == 0,
+      "empty snapshot must leave a readable (empty) state table")
+    assert(!store.watermark(spark, "src", SnapshotJob.schemaName, "none").isEmpty)
   }
 
   test("resumableSnapshot property: any crash schedule converges to the direct read (seeded)") {
