@@ -45,7 +45,11 @@ import graft.streaming.FeedRow
   * ingestion, at the shuffle into [[graft.streaming.CdcStream]]
   * operators. A production implementation implements [[BinlogTransport]]
   * with the binlog protocol client and keeps every class below
-  * unchanged.
+  * unchanged — and both byte halves of that client already exist
+  * here: [[BinlogWire.comBinlogDumpGtid]] builds the resume request
+  * from the watermark set, [[BinlogDecoder]] decodes the event
+  * stream that comes back; only the TCP connection + auth exchange
+  * remains.
   */
 object GtidReplayBuffers {
   private val buffers = TrieMap.empty[String, Vector[FeedRow]]
