@@ -732,15 +732,17 @@ object Dedup {
 
   /** The segs + first-occurrence-ranked CTE pair over a relation
     * `rel(doc_id, ws)` — the oracle half of [[spanSegments]] /
-    * [[keptSpans]], shared verbatim by d10 and p4.
+    * [[keptSpans]], shared verbatim by d10 and p4. `span` must match
+    * the Scala side's — parameterized on BOTH halves so a caller
+    * cannot pair a 20-word plan with a 10-word oracle.
     */
-  private[ops] def spanSegsSql(rel: String): String =
+  private[ops] def spanSegsSql(rel: String, span: Int): String =
     s"""segs AS (
        |  SELECT doc_id, u.idx, u.seg FROM (
        |    SELECT doc_id,
        |           unnest(list_transform(
-       |             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
-       |             i -> {'idx': i, 'seg': array_to_string(ws[(i-1)*10+1 : i*10], ' ')})) AS u
+       |             generate_series(1, CAST(ceil(len(ws) / $span.0) AS BIGINT)),
+       |             i -> {'idx': i, 'seg': array_to_string(ws[(i-1)*$span+1 : i*$span], ' ')})) AS u
        |    FROM $rel WHERE len(ws) >= 1)),
        |ranked AS (
        |  SELECT doc_id, idx, seg,
@@ -765,7 +767,7 @@ object Dedup {
   private val d10Oracle: String = {
     val ws = Text.wordsSql("text")
     s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
-       |${spanSegsSql("w")}
+       |${spanSegsSql("w", 10)}
        |SELECT doc_id, count(*) AS n_spans,
        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), ''))

@@ -233,12 +233,19 @@ object Pipeline {
     * join broadcasts, dedup shuffles segment/doc, packing shuffles
     * shard).
     */
+  /** Span width shared by p4's plan and its oracle. */
+  private val p4Span = 10
+
   private def p4FullPipeline(s: SparkSession, d: String): DataFrame = {
-    val span = 10
-    // stage 1: quality + eval-set removal
+    val span = p4Span
+    // stage 1: quality + eval-set removal. The tokenized corpus feeds
+    // THREE consumers (benchmark grams, corpus grams, the survivor
+    // dedup) — checkpoint it once or the full-corpus word split runs
+    // three times (the d9 persist lesson, same family)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Text.wordsCol(col("text")).as("ws"))
       .withColumn("n_words", size(col("ws")))
+      .localCheckpoint(true)
     val quality = docs
       .filter(col("n_words") >= 30 && col("n_words") <= 400 &&
         col("doc_id") % 11 =!= 0)
@@ -290,7 +297,7 @@ object Pipeline {
        |survivors AS (
        |  SELECT doc_id, ws FROM quality
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |${Dedup.spanSegsSql("survivors")},
+       |${Dedup.spanSegsSql("survivors", p4Span)},
        |cleaned AS (
        |  SELECT doc_id,
        |         CAST(sum(CASE WHEN rn = 1 THEN len(string_split(seg, ' '))

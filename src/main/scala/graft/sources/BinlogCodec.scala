@@ -101,6 +101,61 @@ object BinlogCodec {
   }
 }
 
+/** Byte cursor with ONE bounds check per primitive (this is the
+  * per-cell hot path of a 100 TB binlog backfill — a per-byte
+  * `require` chain shows up as GC-free but branch-heavy overhead)
+  * and [[CorruptStreamException]] on underrun or a negative length,
+  * so malformed length fields fail fast and CLASSIFIED instead of
+  * escaping as index/argument crashes or walking a reconnect backoff
+  * ladder. Shared by [[BinlogDecoder]] and [[BinlogWire]] — one
+  * bounds-check semantics for every byte-level parser in this
+  * package.
+  */
+private[sources] final class Cursor(val buf: Array[Byte], var off: Int, val end: Int) {
+  def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+  def remaining: Int = end - off
+  private def need(n: Int): Unit =
+    if (n < 0 || end - off < n)
+      throw new CorruptStreamException(s"need $n bytes, have ${end - off}")
+  def u1(): Int = { need(1); val v = buf(off) & 0xff; off += 1; v }
+  def u2(): Int = {
+    need(2)
+    val v = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8)
+    off += 2; v
+  }
+  def u3(): Int = u2() | (u1() << 16)
+  def u4(): Long = {
+    need(4)
+    val v = (buf(off) & 0xffL) | ((buf(off + 1) & 0xffL) << 8) |
+      ((buf(off + 2) & 0xffL) << 16) | ((buf(off + 3) & 0xffL) << 24)
+    off += 4; v
+  }
+  def u6(): Long = { val lo = u4(); lo | (u2().toLong << 32) }
+  def i8(): Long = { val lo = u4(); lo | (u4() << 32) }
+  def f8(): Double = java.lang.Double.longBitsToDouble(i8())
+  def bytes(n: Int): Array[Byte] = {
+    need(n)
+    val out = java.util.Arrays.copyOfRange(buf, off, off + n); off += n; out
+  }
+  def string(n: Int): String = {
+    need(n)
+    val s = new String(buf, off, n, "UTF-8"); off += n; s
+  }
+  // n must be non-negative: a negative skip from a malformed length
+  // field would silently REWIND the cursor into already-read bytes
+  def skip(n: Int): Unit = { need(n); off += n }
+  /** Read bit `i` of a little-endian-bit bitmap starting at `at`. */
+  def bit(at: Int, i: Int): Boolean =
+    ((buf(at + (i >> 3)) >> (i & 7)) & 1) == 1
+  /** MySQL length-encoded integer. */
+  def packed(): Long = u1() match {
+    case 0xfc => u2().toLong
+    case 0xfd => u2().toLong | (u1().toLong << 16)
+    case 0xfe => i8()
+    case v => v.toLong
+  }
+}
+
 /** Streaming-order binlog byte decoder. Corruption — bad magic, a
   * truncated event, a CRC32 mismatch — throws [[TransportException]]:
   * it is exactly the class of failure the reference's syncer surfaces
@@ -108,55 +163,6 @@ object BinlogCodec {
   */
 object BinlogDecoder {
   import BinlogCodec._
-
-  /** Byte cursor with ONE bounds check per primitive (this is the
-    * per-cell hot path of a 100 TB binlog backfill — a per-byte
-    * `require` chain shows up as GC-free but branch-heavy overhead)
-    * and [[CorruptStreamException]] on underrun, so malformed lengths
-    * fail fast instead of walking a reconnect backoff ladder.
-    */
-  private final class Cursor(val buf: Array[Byte], var off: Int, val end: Int) {
-    def remaining: Int = end - off
-    private def need(n: Int): Unit =
-      if (n < 0 || end - off < n)
-        throw new CorruptStreamException(s"need $n bytes, have ${end - off}")
-    def u1(): Int = { need(1); val v = buf(off) & 0xff; off += 1; v }
-    def u2(): Int = {
-      need(2)
-      val v = (buf(off) & 0xff) | ((buf(off + 1) & 0xff) << 8)
-      off += 2; v
-    }
-    def u4(): Long = {
-      need(4)
-      val v = (buf(off) & 0xffL) | ((buf(off + 1) & 0xffL) << 8) |
-        ((buf(off + 2) & 0xffL) << 16) | ((buf(off + 3) & 0xffL) << 24)
-      off += 4; v
-    }
-    def u6(): Long = { val lo = u4(); lo | (u2().toLong << 32) }
-    def i8(): Long = { val lo = u4(); lo | (u4() << 32) }
-    def f8(): Double = java.lang.Double.longBitsToDouble(i8())
-    def bytes(n: Int): Array[Byte] = {
-      need(n)
-      val out = java.util.Arrays.copyOfRange(buf, off, off + n); off += n; out
-    }
-    def string(n: Int): String = {
-      need(n)
-      val s = new String(buf, off, n, "UTF-8"); off += n; s
-    }
-    // n must be non-negative: a negative skip from a malformed length
-    // field would silently REWIND the cursor into already-read bytes
-    def skip(n: Int): Unit = { need(n); off += n }
-    /** Read bit `i` of a little-endian-bit bitmap starting at `at`. */
-    def bit(at: Int, i: Int): Boolean =
-      ((buf(at + (i >> 3)) >> (i & 7)) & 1) == 1
-    /** MySQL length-encoded integer. */
-    def packed(): Long = u1() match {
-      case 0xfc => u2().toLong
-      case 0xfd => u2().toLong | (u1().toLong << 16)
-      case 0xfe => i8()
-      case v => v.toLong
-    }
-  }
 
   /** Decode one complete binlog byte stream (file or segment). */
   def decode(bytes: Array[Byte]): Vector[Event] = {
@@ -185,7 +191,10 @@ object BinlogDecoder {
       h.u2() // flags
       if (eventLen < HeaderLen)
         throw new CorruptStreamException(s"impossible event length $eventLen at $pos")
-      if (pos + eventLen > bytes.length) // torn tail: heals on refetch
+      // Long arithmetic: an eventLen near Int.MaxValue must read as
+      // truncation, not wrap negative and sail past this check into
+      // an unclassified index crash
+      if (pos.toLong + eventLen > bytes.length) // torn tail: heals on refetch
         throw new TransportException(s"truncated event at $pos (len $eventLen)")
       // a binlog file's first event is ALWAYS the FORMAT_DESCRIPTION
       // (mysqlbinlog enforces the same): without this check, one

@@ -42,22 +42,6 @@ object BinlogWire {
     w4(b, v & 0xffffffffL); w4(b, (v >> 32) & 0xffffffffL)
   }
 
-  private final class R(buf: Array[Byte], var off: Int) {
-    private def need(n: Int): Unit =
-      if (off + n > buf.length)
-        throw new CorruptStreamException(
-          s"wire underrun: need $n bytes at $off, have ${buf.length - off}")
-    def u1(): Int = { need(1); val v = buf(off) & 0xff; off += 1; v }
-    def u2(): Int = u1() | (u1() << 8)
-    def u3(): Int = u2() | (u1() << 16)
-    def u4(): Long = { val lo = u2().toLong; lo | (u2().toLong << 16) }
-    def u8(): Long = { val lo = u4(); lo | (u4() << 32) }
-    def bytes(n: Int): Array[Byte] = {
-      need(n)
-      val out = java.util.Arrays.copyOfRange(buf, off, off + n); off += n; out
-    }
-  }
-
   /** Frame one payload as a MySQL packet. Payloads ≥ 2^24−1 require
     * continuation packets; a dump REQUEST never approaches that, so
     * oversized payloads are refused rather than silently truncated.
@@ -75,7 +59,7 @@ object BinlogWire {
 
   /** (sequence-id, payload) of the packet starting at `off`. */
   def unframePacket(bytes: Array[Byte], off: Int = 0): (Int, Array[Byte]) = {
-    val r = new R(bytes, off)
+    val r = new Cursor(bytes, off, bytes.length)
     val len = r.u3()
     val seq = r.u1()
     (seq, r.bytes(len))
@@ -102,14 +86,31 @@ object BinlogWire {
   }
 
   def decodeGtidSet(bytes: Array[Byte]): GtidSet = {
-    val r = new R(bytes, 0)
-    val nSids = r.u8()
+    val r = new Cursor(bytes)
+    val set = decodeGtidSetAt(r)
+    // a count field corrupted LOW would leave unread bytes and decode
+    // to a silently-smaller set — the resume bug this encoding exists
+    // to prevent; all input must be consumed
+    if (r.remaining != 0)
+      throw new CorruptStreamException(
+        s"${r.remaining} trailing bytes after GTID set — count field corrupt")
+    set
+  }
+
+  private def decodeGtidSetAt(r: Cursor): GtidSet = {
+    val nSids = r.i8()
+    // negative = sign bit set = corrupt; a huge count fails on the
+    // first underrun read rather than allocating
+    if (nSids < 0)
+      throw new CorruptStreamException(s"corrupt sid count $nSids")
     (0L until nSids).foldLeft(GtidSet.empty) { (acc, _) =>
       val uuid = BinlogCodec.bytesToUuid(r.bytes(16))
-      val nIv = r.u8()
+      val nIv = r.i8()
+      if (nIv < 0)
+        throw new CorruptStreamException(s"corrupt interval count $nIv")
       (0L until nIv).foldLeft(acc) { (a, _) =>
-        val start = r.u8()
-        val stop = r.u8()
+        val start = r.i8()
+        val stop = r.i8()
         if (stop <= start)
           throw new CorruptStreamException(s"empty wire interval [$start, $stop)")
         a.addRange(uuid, GtidRange(start, stop - 1))
@@ -148,14 +149,16 @@ object BinlogWire {
       flags: Int, serverId: Long, filename: String, pos: Long, set: GtidSet)
 
   def parseComBinlogDumpGtid(payload: Array[Byte]): DumpRequest = {
-    val r = new R(payload, 0)
+    val r = new Cursor(payload)
     val cmd = r.u1()
     if (cmd != ComBinlogDumpGtid)
       throw new CorruptStreamException(f"not a COM_BINLOG_DUMP_GTID payload: 0x$cmd%02x")
     val flags = r.u2()
     val serverId = r.u4()
-    val fn = new String(r.bytes(r.u4().toInt), "UTF-8")
-    val pos = r.u8()
+    // u4().toInt may go negative on a corrupt length — Cursor.need
+    // rejects negative reads as CorruptStreamException, classified
+    val fn = r.string(r.u4().toInt)
+    val pos = r.i8()
     val data = r.bytes(r.u4().toInt)
     DumpRequest(flags, serverId, fn, pos, decodeGtidSet(data))
   }

@@ -20,12 +20,46 @@ class PipelineSpec extends AnyFunSuite {
     val qual = docs.filter(
       size(col("ws")) >= 30 && size(col("ws")) <= 400 && col("doc_id") % 11 =!= 0)
     val nQual = qual.count()
-    val qualTokens = qual.agg(sum(size(col("ws")))).head().getLong(0)
     assert(nQual < nDocs, "quality gate + eval-set removal must drop docs")
-    assert(packedDocs <= nQual, "decontamination may only shrink the survivor set")
-    assert(packedDocs > 0 && packedDocs < nDocs)
-    assert(packedTokens < qualTokens,
+    // stage 2 bites INDEPENDENTLY: recompute the contamination rule
+    // and require it to drop at least one quality survivor
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+      .select(explode(graft.functions.SimHashFunctions
+        .poly_grams(col("ws"), 13)).as("gram")).distinct()
+    val nContam = qual
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.poly_grams(col("ws"), 13).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hits"), max(col("n_grams")).as("n_grams"))
+      .filter(col("n_hits") * 2 > col("n_grams"))
+      .count()
+    assert(nContam > 0, "decontamination must drop at least one survivor")
+    assert(packedDocs == nQual - nContam,
+      "packed docs must equal quality survivors minus contaminated")
+    // stage 3 bites INDEPENDENTLY: compare against the SURVIVORS'
+    // pre-dedup token total, so a keep-everything regression cannot
+    // hide behind stage 2's drops
+    val survivorTokens = qual
+      .agg(sum(size(col("ws")))).head().getLong(0) -
+      // contaminated docs' tokens leave with stage 2, not stage 3
+      {
+        val contamIds = qual
+          .select(col("doc_id"),
+            graft.functions.SimHashFunctions.poly_grams(col("ws"), 13).as("g"))
+          .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gram"))
+          .join(broadcast(bench), "gram")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_hits"), max(col("n_grams")).as("n_grams"))
+          .filter(col("n_hits") * 2 > col("n_grams"))
+          .select("doc_id")
+        qual.join(contamIds, Seq("doc_id"))
+          .agg(coalesce(sum(size(col("ws"))), lit(0L))).head().getLong(0)
+      }
+    assert(packedTokens < survivorTokens,
       "span dedup must remove repeated spans' tokens before packing")
+    assert(packedDocs > 0 && packedDocs < nDocs)
     assert(out.forall(_.getAs[Long]("bin_tokens") > 0), "no empty packs")
     // packing really is multi-bin per shard (running sums advanced)
     assert(out.map(_.getAs[Long]("shard")).distinct.length == 8)

@@ -60,6 +60,26 @@ class BinlogWireSpec extends AnyFunSuite {
     intercept[CorruptStreamException](BinlogWire.decodeGtidSet(bytes))
   }
 
+  test("corrupt count fields are classified errors, never a silently smaller set") {
+    val two = GtidSet.empty.addRange(U, GtidRange(1, 5))
+      .addRange("aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee", GtidRange(9, 9))
+    val bytes = BinlogWire.encodeGtidSet(two)
+    // n_sids corrupted LOW (2 -> 1): trailing bytes must surface, not
+    // decode to a set missing a sid (the silent resume-loss bug)
+    val low = bytes.clone(); low(0) = 1
+    val e = intercept[CorruptStreamException](BinlogWire.decodeGtidSet(low))
+    assert(e.getMessage.contains("trailing"))
+    // sign bit set -> negative count: classified, not an empty set
+    val neg = bytes.clone(); neg(7) = 0x80.toByte
+    intercept[CorruptStreamException](BinlogWire.decodeGtidSet(neg))
+    // a huge length field in the dump request: classified underrun,
+    // never an unclassified IllegalArgument/IndexOutOfBounds crash
+    val payload = BinlogWire.comBinlogDumpGtid(1L, two)
+    val badLen = payload.clone()
+    (7 until 11).foreach(i => badLen(i) = 0xff.toByte) // filename-len = 0xFFFFFFFF
+    intercept[CorruptStreamException](BinlogWire.parseComBinlogDumpGtid(badLen))
+  }
+
   test("COM_BINLOG_DUMP_GTID: the StartSyncGTID request roundtrips from a watermark") {
     // the persisted watermark (canonical text) becomes the wire request
     val watermark = GtidSet.parse(s"$U:1-77:80")
