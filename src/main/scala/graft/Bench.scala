@@ -83,14 +83,22 @@ object Bench {
       else {
         val errShort = errsJson(errors.take(5).map { case (k, v) => k -> v.take(60) })
         val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
-        val overhead = record("{}", results.size, errShort).length
-        var used = overhead
-        val keep = bySlowest.takeWhile { case (k, v) =>
-          val entry = k.length + 3 + math.round(math.max(v, 0) * 1000).toString.length + 1
-          used += entry
-          used <= budget
+        // Add entries slowest-first, re-rendering the WHOLE candidate
+        // line and checking its actual length each time — per-entry
+        // size estimates drifted (errored queries print -1 but were
+        // estimated as one char; the omitted-count digit width moves)
+        // and could overshoot the budget by a few bytes.
+        var keep = Vector.empty[(String, Double)]
+        var best = record("{}", results.size, errShort)
+        var full = false
+        bySlowest.foreach { e =>
+          if (!full) {
+            val cand = record(qsJson(keep :+ e), results.size - keep.size - 1, errShort)
+            if (cand.length <= budget) { keep = keep :+ e; best = cand }
+            else full = true
+          }
         }
-        record(qsJson(keep), results.size - keep.size, errShort)
+        best
       }
     }
     try {

@@ -557,6 +557,22 @@ object CdcPipeline {
       return Seq.empty
     }
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // Pin the chunk geometry on first run and ENFORCE it on resume:
+    // "re-derived deterministically from the pinned read" is a caller
+    // contract, not a given — a live (unpinned) feed would recompute
+    // different bounds while chunk ids are already marked covered,
+    // silently missing or duplicating rows. Persisting (lo, hi,
+    // numChunks) makes the contract checkable: a drifted resume fails
+    // loudly instead.
+    MetaTables.readChunkBounds(stateDir, table) match {
+      case Some((plo, phi, pn)) =>
+        if (plo != lo || phi != hi || pn != numChunks)
+          throw new IllegalStateException(
+            s"resumableSnapshot chunk bounds drifted on resume: pinned " +
+              s"[$plo,$phi]/$pn chunks vs recomputed [$lo,$hi]/$numChunks — " +
+              "snapshotFeed must be a pinned (immutable) read")
+      case None => MetaTables.writeChunkBounds(stateDir, table, lo, hi, numChunks)
+    }
     val width = math.max(1L, (hi - lo) / numChunks + 1)
     val done = store.watermark(spark, source, schemaName, chunksTable)
     val pending = (0 until numChunks).filterNot(k => done.contains("chunks", k.toLong))

@@ -95,6 +95,36 @@ private[cdc] object MetaTables {
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, n.toString.getBytes("UTF-8"))
   }
+
+  // ---- resumable-snapshot chunk-bounds sidecar ----------------------------
+  // Chunk GEOMETRY must be decided once and persisted: a resumed
+  // snapshot that re-derived lo/hi from a feed that was not actually
+  // pinned would compute DIFFERENT chunk ranges while chunk ids are
+  // already marked covered — rows silently missed or duplicated.
+  // Same hidden-file seam as the schema/bucket sidecars.
+
+  private def chunkSidecar(dir: String, table: String) =
+    java.nio.file.Paths.get(dir, s"_graft_chunks_$table.json")
+
+  def readChunkBounds(dir: String, table: String): Option[(Long, Long, Int)] = {
+    val p = chunkSidecar(dir, table)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val m = """\{"lo":(-?\d+),"hi":(-?\d+),"numChunks":(\d+)\}""".r
+      s.trim match {
+        case m(lo, hi, n) => Some((lo.toLong, hi.toLong, n.toInt))
+        case _ => throw new IllegalStateException(s"unreadable chunk-bounds sidecar $p: $s")
+      }
+    }
+  }
+
+  def writeChunkBounds(dir: String, table: String, lo: Long, hi: Long, numChunks: Int): Unit = {
+    val p = chunkSidecar(dir, table)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      s"""{"lo":$lo,"hi":$hi,"numChunks":$numChunks}""".getBytes("UTF-8"))
+  }
 }
 
 /** One per-table watermark row — the Spark analog of

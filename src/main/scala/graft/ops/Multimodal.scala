@@ -371,13 +371,19 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
 
+  // The stub indexes the UTF-8 BYTE array, so the oracle must too:
+  // n is octet_length of the encoded blob (not the char count) and
+  // the sampled byte comes out of hex(encode(text)) two nibbles at a
+  // time — character accessors (length/ascii/substr on the VARCHAR)
+  // would diverge on any non-ASCII text.
   private val mm6Oracle: String =
     """WITH a AS (
       |  SELECT doc_id,
       |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
       |         CAST(64 + (doc_id % 8) * 16 AS INT) AS w,
       |         CAST(64 + (doc_id % 5) * 16 AS INT) AS h,
-      |         text, CAST(length(text) AS INT) AS n
+      |         hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
       |  FROM documents),
       |fit AS (
       |  SELECT *,
@@ -389,10 +395,11 @@ object Multimodal {
       |       224 - out_w AS pad_x, 224 - out_h AS pad_y,
       |       CASE WHEN n = 0 THEN 0 ELSE
       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |           list_transform(generate_series(0, 63),
-      |             g -> CAST(ascii(substr(text,
-      |                    least(n - 1, ((g // 8) * h // 8) * w + ((g % 8) * w // 8)) + 1,
-      |                    1)) AS BIGINT))),
+      |           list_transform(
+      |             list_transform(generate_series(0, 63),
+      |               g -> least(n - 1, ((g // 8) * h // 8) * w + ((g % 8) * w // 8))),
+      |             i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+      |                     + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS BIGINT))),
       |           (x, y) -> (x * 31 + y) % 2147483647)
       |       END AS grid_checksum
       |FROM fit ORDER BY doc_id""".stripMargin

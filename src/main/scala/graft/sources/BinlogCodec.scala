@@ -204,15 +204,46 @@ object BinlogDecoder {
         throw new CorruptStreamException(
           f"first event is type 0x$typeCode%02x, not FORMAT_DESCRIPTION")
       if (typeCode == FORMAT_DESCRIPTION && !sawFde) {
-        // checksum mode is self-identifying: the alg byte precedes the
-        // (optional) trailing CRC32 of the FDE itself. When the alg
-        // byte says CRC32, the FDE's own checksum must VERIFY — a
-        // corrupted FDE surfaces as an error rather than silently
-        // downgrading every subsequent event to unchecked parsing
-        // (which would misread their 4 CRC bytes as body).
+        // Checksum mode is self-identifying, and the alg byte is found
+        // STRUCTURALLY: the FDE's own post-header-length entry (index
+        // FORMAT_DESCRIPTION-1 in the table starting at body offset
+        // 2+50+4+1 = 57) equals 2+50+4+1+n, which pins where the table
+        // ends — the alg byte sits immediately after it, then the
+        // optional trailing CRC32 of the FDE itself. The old
+        // end-offset heuristic (byte at eventLen-5 == 0x01) survives
+        // only as the fallback for writers that zero the table: it
+        // misreads an FDE written WITHOUT a checksum whose table data
+        // happens to end in 0x01. In every path, a CLAIMED CRC must
+        // VERIFY — a corrupted FDE surfaces as an error rather than
+        // silently downgrading every subsequent event to unchecked
+        // parsing (which would misread their 4 CRC bytes as body).
         sawFde = true
-        if (eventLen >= HeaderLen + 5 && (bytes(pos + eventLen - 5) & 0xff) == 1) {
-          if (crc32Of(bytes, pos, eventLen - 4) != leU4(bytes, pos + eventLen - 4))
+        val bodyLen = eventLen - HeaderLen
+        val selfIdx = 57 + (FORMAT_DESCRIPTION - 1)
+        val self =
+          if (bodyLen > selfIdx) bytes(pos + HeaderLen + selfIdx) & 0xff else 0
+        def fdeCrcOk(): Boolean =
+          crc32Of(bytes, pos, eventLen - 4) == leU4(bytes, pos + eventLen - 4)
+        val endByteIsOne =
+          eventLen >= HeaderLen + 5 && (bytes(pos + eventLen - 5) & 0xff) == 1
+        val structuralAlg =
+          if (self > selfIdx && self < bodyLen) Some(bytes(pos + HeaderLen + self) & 0xff)
+          else None
+        if (structuralAlg.contains(1) && bodyLen == self + 5) {
+          if (!fdeCrcOk())
+            throw new CorruptStreamException(
+              "CRC32 mismatch on FORMAT_DESCRIPTION")
+          crcOn = true
+        } else if (structuralAlg.contains(0) && bodyLen == self + 1) {
+          // structural no-CRC FDE — but a single corrupted self-entry
+          // byte could fake this shape on a CRC-on FDE (pointing the
+          // alg read into a zero CRC byte); when the end-offset byte
+          // still claims CRC, refuse to guess
+          if (endByteIsOne)
+            throw new CorruptStreamException(
+              "ambiguous FORMAT_DESCRIPTION checksum mode")
+        } else if (endByteIsOne) { // zeroed-table writers: legacy path
+          if (!fdeCrcOk())
             throw new CorruptStreamException(
               "CRC32 mismatch on FORMAT_DESCRIPTION")
           crcOn = true
@@ -497,7 +528,21 @@ object BinlogWriter {
       (ver.length until 50).foreach(_ => w1(b, 0))
       w4(b, 0) // create timestamp
       w1(b, HeaderLen)
-      (0 until 39).foreach(_ => w1(b, 0)) // post-header length table
+      // Post-header lengths (public binlog-v4 values) for the types
+      // this writer emits; entries for types it never writes stay 0.
+      // The FDE's OWN entry (2+50+4+1+n) is what lets a decoder locate
+      // the checksum-alg byte structurally instead of by end offset.
+      val n = 39
+      val table = Array.fill[Int](n)(0)
+      table(QUERY - 1) = 13
+      table(ROTATE - 1) = 8
+      table(FORMAT_DESCRIPTION - 1) = 2 + 50 + 4 + 1 + n
+      table(TABLE_MAP - 1) = 8
+      table(WRITE_ROWS_V2 - 1) = 10
+      table(UPDATE_ROWS_V2 - 1) = 10
+      table(DELETE_ROWS_V2 - 1) = 10
+      table(GTID - 1) = 42
+      table.foreach(w1(b, _))
       w1(b, if (crc32) 1 else 0) // checksum algorithm
       event(FORMAT_DESCRIPTION, 0, b.toByteArray)
     }

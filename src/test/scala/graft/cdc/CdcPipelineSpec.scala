@@ -460,6 +460,35 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(!store.watermark(spark, "src", SnapshotJob.schemaName, "none").isEmpty)
   }
 
+  test("resumableSnapshot: an UNPINNED feed (drifted bounds) fails loudly on resume") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = s"target/tmp/cdcdrift-${System.nanoTime()}"
+    val store = new WatermarkStore(s"$base/wm")
+    val dir = s"$base/state"
+    def feed(maxKey: Long) = Tables.customer(spark, sf)
+      .filter(col("c_custkey") <= maxKey)
+      .select(
+        lit(0L).as("pos"),
+        lit(new java.sql.Timestamp(0L)).as("ts"),
+        col("c_custkey").as("pk"),
+        lit("insert").as("op"),
+        col("c_acctbal").cast("double").as("value"))
+    // first run pins the chunk geometry, then crashes mid-snapshot
+    intercept[IllegalStateException](
+      CdcPipeline.resumableSnapshot(spark, store, dir, "src", feed(Long.MaxValue),
+        chunkBy = "pk", numChunks = 5, pos = "src:1-1", failAfterChunks = 1))
+    // resuming against a feed whose key range MOVED (the caller broke
+    // the pinned-read contract) must refuse to guess new chunk ranges
+    val e = intercept[IllegalStateException](
+      CdcPipeline.resumableSnapshot(spark, store, dir, "src", feed(10L),
+        chunkBy = "pk", numChunks = 5, pos = "src:1-1"))
+    assert(e.getMessage.contains("drifted"))
+    // the honest (pinned) feed still resumes to completion
+    CdcPipeline.resumableSnapshot(spark, store, dir, "src", feed(Long.MaxValue),
+      chunkBy = "pk", numChunks = 5, pos = "src:1-1")
+    assert(!store.watermark(spark, "src", SnapshotJob.schemaName, "events").isEmpty)
+  }
+
   test("resumableSnapshot property: any crash schedule converges to the direct read (seeded)") {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = Tables.customer(spark, sf).select(

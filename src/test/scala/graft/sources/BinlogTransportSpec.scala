@@ -345,6 +345,29 @@ class BinlogTransportSpec extends AnyFunSuite {
       Vector(FeedRow(1, new java.sql.Timestamp(60000), 5, "insert", 5.5)))
   }
 
+  test("binlog: FDE checksum-alg byte is located structurally, ambiguity fails loudly") {
+    // The checksum-off FDE now carries a real post-header-length table
+    // (its own entry = 2+50+4+1+n), so the decoder reads the ACTUAL
+    // alg byte (0) instead of the end-offset heuristic byte — a table
+    // entry that happens to be nonzero no longer matters...
+    val ok = new BinlogWriter.Stream(crc32 = false)
+      .gtid(U, 1, 60)
+      .tableMap(1, "s", "t", cols, meta, 60)
+      .writeRows(1, Seq(Seq(Some(5L), Some(5.5))), 60)
+      .xid(1, 60)
+    assert(BinlogDecoder.toFeedRows(BinlogDecoder.decode(ok.bytes)).nonEmpty)
+    // ...UNLESS it sits exactly where a trailing CRC's alg byte would
+    // (body offset bodyLen-5) AND reads 0x01: then "no-CRC FDE with
+    // 0x01 table data" and "CRC-on FDE whose self-entry byte was
+    // corrupted" are byte-indistinguishable, and the decoder must
+    // refuse to guess (guessing no-CRC would let a 1-bit flip disable
+    // checksum verification for the whole stream).
+    val amb = ok.bytes
+    amb(4 + HeaderLen + 92) = 1 // table entry idx 35 → the end-offset position
+    val e = intercept[CorruptStreamException](BinlogDecoder.decode(amb))
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("binlog roundtrip property: random transactions survive encode→decode bit-exact") {
     val rnd = new scala.util.Random(1337)
     (1 to 20).foreach { _ =>
