@@ -98,4 +98,95 @@ class BinlogWireSpec extends AnyFunSuite {
     val wrong = payload.clone(); wrong(0) = 0x03
     intercept[CorruptStreamException](BinlogWire.parseComBinlogDumpGtid(wrong))
   }
+
+  // ---- auth exchange ------------------------------------------------------
+
+  private val Salt: Array[Byte] = (1 to 20).map(_.toByte).toArray
+
+  test("native-password scramble matches an independent implementation (golden vector)") {
+    // pinned from a from-scratch python/hashlib computation of
+    // SHA1(pw) XOR SHA1(salt ++ SHA1(SHA1(pw))) — two independent
+    // codebases agreeing on the same 20 bytes
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    assert(hex(MysqlAuth.scramble("p@ssw0rd", Salt)) ==
+      "f3227181b520bf8c43e6cfdeb21dc2311b6c4bfc")
+    assert(hex(MysqlAuth.storedHash("p@ssw0rd")) ==
+      "d7e39c3af517ec9ef7086223b036e0b4f22821f8")
+  }
+
+  test("scramble property: server accepts the right password, rejects everything else") {
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val pw = rnd.alphanumeric.take(rnd.nextInt(24) + 1).mkString
+      val salt = Array.fill[Byte](20)(rnd.nextInt(256).toByte)
+      val stored = MysqlAuth.storedHash(pw)
+      assert(MysqlAuth.verifyScramble(salt, MysqlAuth.scramble(pw, salt), stored))
+      // wrong password fails; replaying the token against a DIFFERENT
+      // salt fails too (the salt is the challenge — replay protection)
+      assert(!MysqlAuth.verifyScramble(salt, MysqlAuth.scramble(pw + "x", salt), stored))
+      val salt2 = Array.fill[Byte](20)(rnd.nextInt(256).toByte)
+      assert(!MysqlAuth.verifyScramble(salt2, MysqlAuth.scramble(pw, salt), stored))
+    }
+  }
+
+  test("HandshakeV10: golden layout and parse/encode roundtrip") {
+    val enc = MysqlAuth.encodeHandshakeV10("8.0.0-graft", 42L, Salt)
+    // spot-pin the fixed layout: protocol version, NUL after version,
+    // connection id, salt part 1, filler
+    assert((enc(0) & 0xff) == 0x0a)
+    val verEnd = 1 + "8.0.0-graft".length
+    assert(enc(verEnd) == 0)
+    assert(enc(verEnd + 1) == 42 && enc(verEnd + 2) == 0)
+    assert(enc.slice(verEnd + 5, verEnd + 13).toSeq == Salt.take(8).toSeq)
+    assert(enc(verEnd + 13) == 0, "filler byte")
+    val h = MysqlAuth.parseHandshakeV10(enc)
+    assert(h.serverVersion == "8.0.0-graft" && h.connectionId == 42L)
+    assert(h.salt.toSeq == Salt.toSeq, "20-byte seed reassembles from both parts")
+    assert(h.authPlugin == MysqlAuth.NativePassword)
+    assert((h.capabilities & MysqlAuth.ClientPluginAuth) != 0)
+    // a protocol-9 greeting is refused, not misparsed
+    val old = enc.clone(); old(0) = 0x09
+    intercept[CorruptStreamException](MysqlAuth.parseHandshakeV10(old))
+  }
+
+  test("HandshakeResponse41 roundtrips, with and without a database") {
+    val tok = MysqlAuth.scramble("secret", Salt)
+    Seq(None, Some("inventory")).foreach { db =>
+      val enc = MysqlAuth.encodeHandshakeResponse41("repl", tok, database = db)
+      val r = MysqlAuth.parseHandshakeResponse41(enc)
+      assert(r.username == "repl" && r.database == db)
+      assert(r.authResponse.toSeq == tok.toSeq)
+      assert(r.authPlugin == MysqlAuth.NativePassword)
+    }
+    // a pre-4.1 client (no CLIENT_PROTOCOL_41) is refused
+    val legacy = MysqlAuth.encodeHandshakeResponse41("repl", tok)
+    legacy(1) = (legacy(1) & ~0x02).toByte // clear the 0x0200 bit
+    intercept[CorruptStreamException](MysqlAuth.parseHandshakeResponse41(legacy))
+  }
+
+  test("full auth conversation: greet → scramble → respond → verify → OK") {
+    // server side greets (packet seq 0)
+    val greeting = BinlogWire.framePacket(0, MysqlAuth.encodeHandshakeV10("8.0.0", 7L, Salt))
+    // client side parses, scrambles the password against the salt
+    val (s0, hs) = BinlogWire.unframePacket(greeting)
+    val h = MysqlAuth.parseHandshakeV10(hs)
+    val resp = BinlogWire.framePacket(s0 + 1,
+      MysqlAuth.encodeHandshakeResponse41("repl", MysqlAuth.scramble("s3cret", h.salt)))
+    // server side parses the response and checks it against its
+    // STORED double-hash (it never sees the password)
+    val (s1, rp) = BinlogWire.unframePacket(resp)
+    assert(s1 == 1)
+    val r = MysqlAuth.parseHandshakeResponse41(rp)
+    val ok = MysqlAuth.verifyScramble(Salt, r.authResponse, MysqlAuth.storedHash("s3cret"))
+    assert(ok)
+    val outcome = BinlogWire.framePacket(s1 + 1,
+      if (ok) MysqlAuth.encodeOk() else MysqlAuth.encodeErr(1045, "Access denied"))
+    assert(MysqlAuth.parseAuthResult(BinlogWire.unframePacket(outcome)._2) ==
+      MysqlAuth.AuthOk(2))
+    // and the failure leg: wrong password → ERR 1045
+    val bad = MysqlAuth.scramble("wrong", Salt)
+    assert(!MysqlAuth.verifyScramble(Salt, bad, MysqlAuth.storedHash("s3cret")))
+    val err = MysqlAuth.parseAuthResult(MysqlAuth.encodeErr(1045, "Access denied for 'repl'"))
+    assert(err == MysqlAuth.AuthErr(1045, "Access denied for 'repl'"))
+  }
 }
