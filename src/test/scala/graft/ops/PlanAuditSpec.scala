@@ -220,5 +220,73 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 5-row query/LUT side must broadcast under the code scan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       "the corpus side must not shuffle for the search join")
+    // the only bounded product allowed is codes × the broadcast 5-row
+    // query side; an unbounded two-sided shuffle product is never ok
+    assert(!plan.contains("CartesianProduct"))
+    // encoding is a pure scan projection: the SINGLE hash exchange in
+    // the whole search plan is the per-query top-k window (qid) — a
+    // refactor that reintroduces assignment-by-join or shuffles the
+    // sub-vector arrays would add one and fail here
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("hashpartitioning(qid")),
+      s"only the qid window may shuffle:\n${hashes.mkString("\n")}")
+  }
+
+  test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
+    // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
+    // evaluated by the parquet reader (row-group stats skip newer
+    // deltas), not an in-memory filter over the full history
+    val plan = formatted("cdc_time_travel")
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("LessThanOrEqual(pos,")),
+      s"every state scan must push pos <= asOf:\n${scans.mkString("\n")}")
+    // two probed versions = two pruned scans with DIFFERENT horizons
+    assert(scans.map(s => s.substring(s.indexOf("LessThanOrEqual(pos,"))).distinct.size == 2,
+      "the two AS OF probes must carry distinct pos horizons")
+  }
+
+  test("cdc_snapshot_resume: the resume scan prunes to the MISSING chunk ranges only") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = s"target/tmp/planresume-${System.nanoTime()}"
+    val store = new graft.cdc.WatermarkStore(s"$base/wm")
+    graft.Tables.customer(spark, sf).select(
+      lit(0L).as("pos"), lit(new java.sql.Timestamp(0L)).as("ts"),
+      col("c_custkey").as("pk"), lit("insert").as("op"),
+      col("c_acctbal").cast("double").as("value"))
+      .write.parquet(s"$base/snap")
+    val feed = spark.read.parquet(s"$base/snap") // a REAL scan, so pushdown is visible
+    // first run: chunk 0 completes, chunk 1 is written-but-unrecorded
+    intercept[IllegalStateException](graft.cdc.CdcPipeline.resumableSnapshot(
+      spark, store, s"$base/state", "src", feed, "pk", 5, "src:1-1", failAfterChunks = 1))
+    // capture every plan the RESUME executes
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.cdc.CdcPipeline.resumableSnapshot(
+        spark, store, s"$base/state", "src", feed, "pk", 5, "src:1-1")
+      // the listener bus is async: poll until the chunk-write plans land
+      import scala.jdk.CollectionConverters._
+      def chunkScans() = plans.asScala.toSeq
+        .filter(_.contains("GreaterThanOrEqual(pk,"))
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (chunkScans().size < 4 && System.nanoTime() < deadline) Thread.sleep(50)
+      val scans = chunkScans()
+      // customer pks are 0..149 → 5 chunks of width 30; chunk 0 = [0,29]
+      // was recorded before the crash, so resume must scan ONLY chunks
+      // 1-4 — each as a pushed range — and never re-read chunk 0
+      assert(scans.size == 4, s"resume must write exactly the 4 missing chunks, saw ${scans.size}")
+      Seq(30L, 60L, 90L, 120L).foreach(lo =>
+        assert(scans.exists(_.contains(s"GreaterThanOrEqual(pk,$lo)")),
+          s"missing chunk starting at $lo"))
+      assert(!scans.exists(_.contains("GreaterThanOrEqual(pk,0)")),
+        "the already-recorded chunk 0 must not be rescanned")
+    } finally spark.listenerManager.unregister(listener)
   }
 }
