@@ -700,34 +700,45 @@ object Similarity {
     * (query, subspace, centroid), totals added in fixed subspace
     * order — the same bit pattern in both engines.
     */
-  private def s9PqAdc(s: SparkSession, d: String): DataFrame = {
-    val base = quantized(s, d)
-    val subs = (0 until pqM).foldLeft(base) { (acc, m) =>
+  private[ops] type Cb = Array[(Long, Seq[Double], Long)]
+
+  /** All vectors cut into [[pqM]] subvector columns (quantized ints),
+    * checkpointed once — every PQ pass slices from here.
+    */
+  private[ops] def pqSubs(s: SparkSession, d: String): DataFrame =
+    (0 until pqM).foldLeft(quantized(s, d)) { (acc, m) =>
       acc.withColumn(s"sub$m", expr(s"slice(q, ${m * 8 + 1}, 8)"))
-    }.drop("q").localCheckpoint(true) // 3 passes below slice from here
-    type Cb = Array[(Long, Seq[Double], Long)]
-    def codeCols(df: DataFrame, cb: Int => Cb): DataFrame =
-      (0 until pqM).foldLeft(df) { (acc, m) =>
-        val cents = cb(m)
-        val scores = array(cents.map { case (_, sv, n) =>
-          VectorFunctions.dot_product(col(s"sub$m"), typedlit(sv)) / lit(n.toDouble)
-        }.toIndexedSeq: _*)
-        acc
-          .withColumn(s"scores$m", scores)
-          .withColumn(s"c$m", element_at(typedlit(cents.map(_._1).toSeq),
-            array_position(col(s"scores$m"), array_max(col(s"scores$m"))).cast("int")))
-          .drop(s"scores$m")
-      }
-    // seed: subvectors of the first pqK vectors, singleton cells
-    val seedRows = subs.filter(col("vec_id") < pqK)
+    }.drop("q").localCheckpoint(true)
+
+  /** Nearest-centroid assignment as PURE scan projections against
+    * literal codebook columns — no shuffle, no join (the shuffle-free
+    * s4 recipe): adds `c0..c{m-1}` code columns.
+    */
+  private[ops] def pqCodeCols(df: DataFrame, cb: Int => Cb): DataFrame =
+    (0 until pqM).foldLeft(df) { (acc, m) =>
+      val cents = cb(m)
+      val scores = array(cents.map { case (_, sv, n) =>
+        VectorFunctions.dot_product(col(s"sub$m"), typedlit(sv)) / lit(n.toDouble)
+      }.toIndexedSeq: _*)
+      acc
+        .withColumn(s"scores$m", scores)
+        .withColumn(s"c$m", element_at(typedlit(cents.map(_._1).toSeq),
+          array_position(col(s"scores$m"), array_max(col(s"scores$m"))).cast("int")))
+        .drop(s"scores$m")
+    }
+
+  /** One deterministic Lloyd pass over `train`: seed cells are the
+    * first [[pqK]] vectors' subvectors; assignment is one scan; the
+    * element-wise centroid sums come out of ONE explode + ≤ m·k-row
+    * groupBy collect (control-plane only — the corpus never moves).
+    */
+  private[ops] def pqTrain(train: DataFrame): Int => Cb = {
+    val seedRows = train.filter(col("vec_id") < pqK)
       .select(col("vec_id") +: (0 until pqM).map(m => col(s"sub$m")): _*)
       .collect().sortBy(_.getLong(0))
     def seedCb(m: Int): Cb =
       seedRows.map(r => (r.getLong(0), r.getSeq[Double](m + 1), 1L))
-    // one Lloyd pass: assign all subspaces in one scan, then ONE
-    // explode + tiny groupBy (≤ m·k rows out) for every subspace's
-    // element-wise sums — the control-plane collect of the codebook
-    val a1 = codeCols(subs, seedCb)
+    val a1 = pqCodeCols(train, seedCb)
     val longForm = a1.select(explode(array((0 until pqM).map(m =>
       struct(lit(m).as("m"), col(s"sub$m").as("sub"), col(s"c$m").as("c"))): _*)).as("x"))
       .select(col("x.m"), col("x.sub"), col("x.c"))
@@ -735,25 +746,28 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         (0 until 8).map(i => sum(expr(s"sub[$i]")).as(s"s$i")): _*)
       .collect()
-    def cb1(m: Int): Cb = cbRows.filter(_.getInt(0) == m)
+    m => cbRows.filter(_.getInt(0) == m)
       .map(r => (r.getLong(1),
         (0 until 8).map(i => r.getDouble(3 + i)).toSeq: Seq[Double],
         r.getLong(2)))
       .sortBy(_._1)
-    // encode the corpus against the trained codebook: codes only
-    val coded = codeCols(subs, cb1)
-      .select(col("vec_id") +: (0 until pqM).map(m => col(s"c$m")): _*)
-    // queries stay full precision; per-subspace LUT over the codebook
+  }
+
+  /** ADC search against `cb`: queries (vec_id < 5) stay full
+    * precision with per-subspace LUT columns; the corpus side scans
+    * CODES only, joined to the broadcast 5-row query side; fixed
+    * subspace order keeps the double sum bit-identical.
+    */
+  private def pqSearch(subs: DataFrame, coded: DataFrame, cb: Int => Cb): DataFrame = {
     val queries = (0 until pqM).foldLeft(subs.filter(col("vec_id") < 5)) {
       (acc, m) =>
-        acc.withColumn(s"lut$m", array(cb1(m).map { case (_, sv, n) =>
+        acc.withColumn(s"lut$m", array(cb(m).map { case (_, sv, n) =>
           VectorFunctions.dot_product(col(s"sub$m"), typedlit(sv)) / lit(n.toDouble)
         }.toIndexedSeq: _*))
     }.select(col("vec_id").as("qid") +: (0 until pqM).map(m => col(s"lut$m")): _*)
-    // ADC: codes × broadcast LUTs; fixed-order sum of 8 lookups
     val terms = (0 until pqM).map { m =>
       element_at(col(s"lut$m"),
-        array_position(typedlit(cb1(m).map(_._1).toSeq), col(s"c$m")).cast("int"))
+        array_position(typedlit(cb(m).map(_._1).toSeq), col(s"c$m")).cast("int"))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
@@ -763,7 +777,119 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("qid", "vec_id", "score", "rnk")
+  }
+
+  private def s9PqAdc(s: SparkSession, d: String): DataFrame = {
+    val subs = pqSubs(s, d)
+    val cb1 = pqTrain(subs)
+    val coded = pqCodeCols(subs, cb1)
+      .select(col("vec_id") +: (0 until pqM).map(m => col(s"c$m")): _*)
+    pqSearch(subs, coded, cb1).orderBy("qid", "rnk")
+  }
+
+  // ---- s10: incremental PQ index maintenance -------------------------------
+
+  /** Batch boundary for the standing index: vectors below it trained
+    * the codebook, vectors at/above it arrive LATER and are coded
+    * against it without retraining.
+    */
+  private val pqSplit = 250
+
+  /** The d8 pattern applied to PQ: a STANDING codebook codes newly
+    * arrived vectors as a pure scan projection — no retraining, no
+    * shuffle, O(new batch) — which is the only affordable shape when
+    * the index holds billions of vectors and a few million arrive
+    * daily. The codebook here is trained on batch 1 (vec_id <
+    * [[pqSplit]]) ONLY; batch 2 is coded and searched against it
+    * untouched. Drift rides along as a per-subspace assignment-
+    * distribution shift — the total-variation distance between batch
+    * 1's and batch 2's centroid usage, in integer per-mille
+    * (`500·Σ|n1·N2 − n2·N1| DIV (N1·N2)`) — and `retrain` flags when
+    * the worst subspace drifts past 10%: the metric that tells an
+    * operator when the standing codebook has gone stale. Search
+    * results and the drift scalar are one hash-checked result.
+    */
+  private def s10PqIncremental(s: SparkSession, d: String): DataFrame = {
+    val subs = pqSubs(s, d)
+    val cb = pqTrain(subs.filter(col("vec_id") < pqSplit)) // standing index
+    val coded = pqCodeCols(subs, cb) // batch 2 coded by batch 1's codebook
+      .select(col("vec_id") +: (0 until pqM).map(m => col(s"c$m")): _*)
+    val longCodes = coded.select(col("vec_id"),
+      explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"), col(s"c$m").as("c"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.c").as("c"))
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy("m")
+    val drift = longCodes.groupBy("m", "c")
+      .agg(
+        sum(when(col("vec_id") < pqSplit, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("vec_id") >= pqSplit, 1L).otherwise(0L)).as("n2"))
+      .withColumn("N1", sum("n1").over(wm))
+      .withColumn("N2", sum("n2").over(wm))
+      .groupBy(col("m"), col("N1"), col("N2"))
+      .agg(sum(abs(col("n1") * col("N2") - col("n2") * col("N1"))).as("S"))
+      .select(expr("CAST((500 * S) DIV (N1 * N2) AS INT)").as("pm"))
+      .agg(max("pm").as("drift_pm"))
+      .withColumn("retrain", col("drift_pm") > 100)
+    pqSearch(subs, coded, cb)
+      .join(broadcast(drift)) // 1-row scalar rides every result row
       .orderBy("qid", "rnk")
+  }
+
+  private val s10Oracle: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 8), i -> $a[i] * $b[i]))"
+    def assign(cb: String, src: String) =
+      s"""SELECT vec_id, m, sub, cid FROM (
+         |    SELECT s.vec_id, s.m, s.sub, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY CAST(${dot("s.sub", "c.sv")} AS DOUBLE) / c.n DESC, c.cid) AS rnk
+         |    FROM $src s JOIN $cb c ON c.m = s.m) WHERE rnk = 1""".stripMargin
+    val svSums = (1 to 8).map(i => s"sum(sub[$i])").mkString("[", ", ", "]")
+    val pivots = (0 until pqM)
+      .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
+    val total = (0 until pqM).map(m => s"t$m").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, g.m, list_slice(q, g.m * 8 + 1, g.m * 8 + 8) AS sub
+       |  FROM base CROSS JOIN generate_series(0, ${pqM - 1}) AS g(m)),
+       |train AS (SELECT * FROM subs WHERE vec_id < $pqSplit),
+       |seed AS (
+       |  SELECT m, vec_id AS cid, sub AS sv, CAST(1 AS BIGINT) AS n
+       |  FROM subs WHERE vec_id < $pqK),
+       |a1 AS (${assign("seed", "train")}),
+       |c1 AS (SELECT m, cid, $svSums AS sv, count(*) AS n FROM a1 GROUP BY m, cid),
+       |codes AS (${assign("c1", "subs")}),
+       |counts AS (
+       |  SELECT m, cid,
+       |         sum(CASE WHEN vec_id < $pqSplit THEN 1 ELSE 0 END) AS n1,
+       |         sum(CASE WHEN vec_id >= $pqSplit THEN 1 ELSE 0 END) AS n2
+       |  FROM codes GROUP BY m, cid),
+       |dsub AS (
+       |  SELECT m, CAST((500 * sum(abs(n1 * N2 - n2 * N1))) // (N1 * N2) AS INT) AS pm
+       |  FROM (SELECT m, cid, n1, n2,
+       |               sum(n1) OVER (PARTITION BY m) AS N1,
+       |               sum(n2) OVER (PARTITION BY m) AS N2 FROM counts)
+       |  GROUP BY m, N1, N2),
+       |dsum AS (SELECT CAST(max(pm) AS INT) AS drift_pm, max(pm) > 100 AS retrain FROM dsub),
+       |terms AS (
+       |  SELECT q.vec_id AS qid, x.vec_id, x.m,
+       |         CAST(${dot("q.sub", "c.sv")} AS DOUBLE) / c.n AS t
+       |  FROM codes x
+       |  JOIN c1 c ON c.m = x.m AND c.cid = x.cid
+       |  JOIN subs q ON q.m = x.m AND q.vec_id < 5
+       |  WHERE x.vec_id >= 5),
+       |piv AS (
+       |  SELECT qid, vec_id,
+       |         $pivots
+       |  FROM terms GROUP BY qid, vec_id)
+       |SELECT qid, vec_id, score, rnk, drift_pm, retrain FROM (
+       |  SELECT qid, vec_id, $total AS score,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY $total DESC, vec_id) AS INT) AS rnk
+       |  FROM piv) CROSS JOIN dsum WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
   private val s9Oracle: String = {
@@ -811,6 +937,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_pq_incremental" -> (s10PqIncremental _),
     "s9_pq_adc" -> (s9PqAdc _),
     "s8_mmr_rerank" -> (s8MmrRerank _),
     "s7_diverse_topk" -> (s7DiverseTopk _),
@@ -823,6 +950,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s10_pq_incremental" -> s10Oracle,
     "s9_pq_adc" -> s9Oracle,
     "s8_mmr_rerank" -> s8Oracle,
     "s7_diverse_topk" -> s7Oracle,

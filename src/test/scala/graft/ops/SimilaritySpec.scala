@@ -338,4 +338,44 @@ class SimilaritySpec extends AnyFunSuite {
         s"qid=$qid: quantized search selected no-better-than-random vectors")
     }
   }
+
+  test("s10: batch-2 coding is row-local — same codes with or without batch 1 present") {
+    import org.apache.spark.sql.functions.col
+    // the STANDING-index property that makes incremental maintenance
+    // O(new batch): coding never looks at other rows, so a late batch
+    // codes identically whether the original corpus sits next to it
+    // or not
+    val subs = Similarity.pqSubs(spark, sf)
+    val cb = Similarity.pqTrain(subs.filter(col("vec_id") < 250))
+    def codes(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      Similarity.pqCodeCols(df, cb)
+        .select(col("vec_id") +: (0 until 8).map(m => col(s"c$m")): _*)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_)))
+        .toMap
+    val together = codes(subs).filter(_._1 >= 250)
+    val alone = codes(subs.filter(col("vec_id") >= 250))
+    assert(alone.nonEmpty && alone == together,
+      "standing-codebook coding must be independent of co-scanned rows")
+  }
+
+  test("s10: the incremental codebook is genuinely stale — a full retrain differs") {
+    import org.apache.spark.sql.functions.col
+    // non-vacuity: if batch 2 never moved any centroid, 'incremental
+    // vs retrain' would be a distinction without a difference and the
+    // drift metric would measure nothing
+    val subs = Similarity.pqSubs(spark, sf)
+    val standing = Similarity.pqTrain(subs.filter(col("vec_id") < 250))
+    val retrained = Similarity.pqTrain(subs)
+    val differs = (0 until 8).exists { m =>
+      standing(m).toSeq.map { case (c, sv, n) => (c, sv, n) } !=
+        retrained(m).toSeq.map { case (c, sv, n) => (c, sv, n) }
+    }
+    assert(differs, "retraining on batch1+batch2 must move at least one centroid")
+    // and the gate query's drift scalar is a real per-mille in [0, 1000]
+    val rows = Similarity.queries("s10_pq_incremental")(spark, sf).collect()
+    assert(rows.length == 25)
+    val pm = rows.map(_.getAs[Int]("drift_pm")).distinct
+    assert(pm.length == 1 && pm.head >= 0 && pm.head <= 1000)
+  }
 }
