@@ -1303,6 +1303,77 @@ object CdcQueries {
       |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
       |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
 
+  // ---- cdc_full_protocol_multi: the main() SOURCE loop, two uuids ---------
+
+  /** The reference's `main()` runs the whole protocol once PER SOURCE
+    * (`fullamount_service.go:43-53` loops the configured holders, each
+    * with its own GTID space). This capstone composes TWO sources
+    * through one pipeline instance — one watermark store, one state
+    * root, one oracle: even keys are source A, odd keys source B;
+    * each source bootstraps its snapshot at the shared consistency
+    * point under its own watermark row, its incremental tail rides
+    * its OWN binlog stream (distinct server uuid in the GTID events),
+    * and both decoded batches REDELIVER and must gate to no-ops on
+    * their own watermarks. A pipeline with one global watermark — or
+    * one that cross-attributes the two binlog streams — materializes
+    * the wrong per-key provenance and breaks the hash.
+    */
+  private def cdcFullProtocolMulti(s: SparkSession, d: String): DataFrame = {
+    val base = GateTmp.once("full-protocol-multi", d) { base =>
+      val store = new WatermarkStore(s"$base/wm")
+      val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
+      val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      val sources = Seq(
+        ("src-a", "aaaaaaaa-0000-4000-8000-00000000000a", col("pk") % 2 === 0),
+        ("src-b", "bbbbbbbb-0000-4000-8000-00000000000b", col("pk") % 2 =!= 0))
+      val incs = sources.map { case (name, uuid, pred) =>
+        val f = feed.filter(pred)
+        CdcPipeline.bootstrapSnapshot(s, store, s"$base/state/$name", name,
+          f.filter(col("pos") <= mid), s"$name:$lo-$mid")
+        (name,
+          binlogRoundtrip(s, f.filter(col("pos") > mid), uuid).localCheckpoint(true))
+      }
+      incs.foreach { case (n, df) =>
+        CdcPipeline.applyBatch(s, store, s"$base/state/$n", n, df)
+      }
+      // at-least-once transport on BOTH sources: every batch
+      // redelivers; each gates to a no-op on ITS OWN watermark
+      incs.foreach { case (n, df) =>
+        CdcPipeline.applyBatch(s, store, s"$base/state/$n", n, df)
+      }
+    }
+    def st(n: String): DataFrame =
+      CdcPipeline.readState(s, s"$base/state/$n").withColumn("src", lit(n))
+    st("src-a").unionByName(st("src-b"))
+      .select(
+        col("src"),
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("src", "user_id")
+  }
+
+  private val cdcFullProtocolMultiOracle: String =
+    """WITH mm AS (
+      |  SELECT min(event_id) + (max(event_id) - min(event_id)) // 2 AS mid
+      |  FROM events)
+      |SELECT CASE WHEN user_id % 2 = 0 THEN 'src-a' ELSE 'src-b' END AS src,
+      |       user_id, last_pos, op, value, k FROM (
+      |  SELECT user_id, event_id AS last_pos,
+      |         CASE WHEN event_type = 'signup' THEN 'insert'
+      |              WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'update' END AS op,
+      |         value,
+      |         CASE WHEN event_id <= (SELECT mid FROM mm)
+      |              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |              ELSE NULL END AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY src, user_id""".stripMargin
+
   // ---- cdc_multi_table: per-table watermark independence ------------------
 
   /** The reference tails N tables through one pipeline with one
@@ -1578,11 +1649,11 @@ object CdcQueries {
     * Returns the decoded feed (pos, ts, pk, op, value). Shared by
     * `cdc_binlog_replay` and the `cdc_full_protocol` capstone.
     */
-  private[cdc] def binlogRoundtrip(s: SparkSession, slice: DataFrame): DataFrame = {
+  private[cdc] def binlogRoundtrip(s: SparkSession, slice: DataFrame,
+      uuid: String = "3e11fa47-71ca-11e1-9e33-c80aa9429562"): DataFrame = {
     import s.implicits._
     import graft.sources.{BinlogCodec, BinlogDecoder, BinlogWriter}
     import graft.streaming.FeedRow
-    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
     // One binlog file per TASK: the parquet slice arrives as 1-2 scan
     // partitions (it's a few MB), which would serialize ~2 s of
     // encode+CRC+decode on one thread — spread it across the cluster
@@ -1668,6 +1739,7 @@ object CdcQueries {
     "cdc_gated_state" -> (cdcGatedState _),
     "cdc_mor_state" -> (cdcMorState _),
     "cdc_time_travel" -> (cdcTimeTravel _),
+    "cdc_full_protocol_multi" -> (cdcFullProtocolMulti _),
     "cdc_snapshot_resume" -> (cdcSnapshotResume _),
     "cdc_jdbc_catalog" -> (cdcJdbcCatalog _),
     "cdc_transport" -> (cdcTransport _),
@@ -1702,6 +1774,7 @@ object CdcQueries {
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,
     "cdc_time_travel" -> cdcTimeTravelOracle,
+    "cdc_full_protocol_multi" -> cdcFullProtocolMultiOracle,
     "cdc_snapshot_resume" -> cdcSnapshotResumeOracle,
     "cdc_jdbc_catalog" -> cdcJdbcCatalogOracle,
     "cdc_transport" -> latestStateOracle,
