@@ -142,13 +142,23 @@ final class GtidReplayTable(
 object GtidReplayStream {
   /** Default transport routing: a `binlog:<id>` buffer id reads
     * binary binlog segments through [[BinlogDecoder]] (registered in
-    * [[BinlogBuffers]]); anything else is a plain [[FeedRow]] replay
-    * buffer. Either way the reference's reconnect/backoff policy
-    * wraps the wire.
+    * [[BinlogBuffers]]); a `socket:<host>:<port>:<user>:<password>`
+    * id dials a live endpoint over TCP ([[SocketTransport]]: auth
+    * handshake + `COM_BINLOG_DUMP_GTID` resume + stream decode — the
+    * production route); anything else is a plain [[FeedRow]] replay
+    * buffer. Every route gets the reference's reconnect/backoff
+    * policy between the stream and the wire.
     */
   def defaultTransport(id: String): BinlogTransport =
     new ReconnectingTransport(
-      if (id.startsWith("binlog:")) new BinlogBufferTransport(id.stripPrefix("binlog:"))
+      if (id.startsWith("socket:")) {
+        id.stripPrefix("socket:").split(":", 4) match {
+          case Array(host, port, user, password) =>
+            new SocketTransport(host, port.toInt, user, password)
+          case _ => throw new IllegalArgumentException(
+            s"socket transport id must be socket:<host>:<port>:<user>:<password>: $id")
+        }
+      } else if (id.startsWith("binlog:")) new BinlogBufferTransport(id.stripPrefix("binlog:"))
       else new BufferTransport(id))
 }
 

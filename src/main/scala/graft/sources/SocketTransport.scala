@@ -49,7 +49,22 @@ final class SocketTransport(
     */
   @volatile private[sources] var watermark: GtidSet = GtidSet.empty
 
-  override def fetch(): Vector[FeedRow] = {
+  /** The cumulative decoded tail. The [[BinlogTransport]] seam
+    * contract is "return the source's currently-visible event tail"
+    * — [[GtidReplayStream]] calls `fetch()` once to size an offset
+    * range and again to plan its partitions, filtering by offset
+    * itself, so a transport that returned only the per-connect
+    * SUFFIX would lose every row fetched but not yet admitted. The
+    * wire still carries each transaction once (the dump request
+    * resumes from [[watermark]]); this buffer only replays what
+    * already crossed. A continuous production client would trim it
+    * below the stream's committed offset on `commit()` — the memory
+    * bound is the uncommitted window, same as the reference's
+    * cap-1000 channel.
+    */
+  private var tail: Vector[FeedRow] = Vector.empty
+
+  override def fetch(): Vector[FeedRow] = synchronized {
     val socket = new Socket()
     try {
       socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
@@ -107,7 +122,8 @@ final class SocketTransport(
         case _ => ()
       }
       watermark = wm
-      rows
+      tail = tail ++ rows
+      tail
     } catch {
       case e: TransportException => throw e
       case e: IOException =>

@@ -32,6 +32,10 @@ final class LoopbackBinlogServer(
   private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
   private val conns = new AtomicInteger(0)
+  /** Event packets (FDE included) that actually crossed the wire —
+    * what the resume-protocol assertions count.
+    */
+  val eventPacketsServed = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var running = true
   private val thread = new Thread(() => acceptLoop(), s"loopback-binlog-$port")
   thread.setDaemon(true)
@@ -92,6 +96,7 @@ final class LoopbackBinlogServer(
       if (sent >= kill) throw new IOException("injected mid-stream kill")
       write(out, seq, Array[Byte](0x00) ++ span)
       seq += 1; sent += 1
+      eventPacketsServed.incrementAndGet()
     }
     sendEvent(fde)
     txs.foreach { case (uuid, gno, spans) =>
@@ -205,18 +210,26 @@ class BinlogSocketSpec extends AnyFunSuite {
       val t = new SocketTransport("127.0.0.1", server.port, "repl", "s3cret")
       val got1 = t.fetch()
       assert(got1 == first, "wire rows must equal the encoded feed, in order")
-      // the resume protocol over the wire: everything fetched is now
-      // covered by the transport's watermark, so a re-fetch carries a
-      // GTID set the server fully skips — zero redelivery
-      assert(t.fetch().isEmpty, "covered transactions must not redeliver")
+      val wire1 = server.eventPacketsServed.get()
+      assert(wire1 == 1 + 4L * first.length, "FDE + 4 events per transaction")
+      // the resume protocol over the wire: everything fetched is
+      // covered by the transport's watermark, so a re-fetch's dump
+      // request makes the server skip every transaction — the seam
+      // contract still returns the cumulative visible tail, but the
+      // WIRE carries only the FDE
+      assert(t.fetch() == first, "fetch returns the cumulative visible tail")
+      assert(server.eventPacketsServed.get() == wire1 + 1,
+        "zero transactions may recross the wire for a covered set")
       // the binlog GROWS: only the new transactions ride the wire
       server.archive = encodeArchive(feed)
       val got2 = t.fetch()
-      assert(got2 == rest, "only uncovered transactions are served")
+      assert(got2 == feed, "the grown tail is first ++ rest, in order")
+      assert(server.eventPacketsServed.get() == wire1 + 2 + 4L * rest.length,
+        "only the new transactions are served")
       assert(t.watermark.serialize == s"$U:${feed.map(_.pos).min}-${feed.map(_.pos).max}",
         "watermark compresses the fetched GTIDs to one interval")
       // the capstone equality: socket-transported state == direct state
-      assert(stateOf(got1 ++ got2, "wire") == stateOf(feed, "direct"),
+      assert(stateOf(got2, "wire") == stateOf(feed, "direct"),
         "materialized state must be identical through the wire")
     } finally server.stop()
   }
@@ -235,6 +248,41 @@ class BinlogSocketSpec extends AnyFunSuite {
       assert(rows == feed, "the healed fetch must deliver the complete feed")
       assert(sleeps.result() == Vector(1000L),
         "exactly one reconnect at the initial backoff")
+    } finally server.stop()
+  }
+
+  test("DSv2 over TCP: the socket route streams admission-controlled micro-batches") {
+    val feed = feedRows().take(60)
+    val server = new LoopbackBinlogServer(
+      "repl", MysqlAuth.storedHash("s3cret"), encodeArchive(feed))
+    try {
+      // the production stack end-to-end: DSv2 micro-batch stream →
+      // reconnect ladder → TCP socket → auth → dump-from-watermark →
+      // decoder; offsets are GTID sets, batches cut on tx boundaries
+      val stream = new GtidReplayStream(
+        Seq((U, s"socket:127.0.0.1:${server.port}:repl:s3cret")),
+        numPartitions = 2, maxRowsPerBatch = Some(25L))
+      var cur = stream.initialOffset().asInstanceOf[GtidOffset]
+      var rows = Vector.empty[graft.streaming.FeedRow]
+      var batches = 0
+      var done = false
+      while (!done && batches < 10) {
+        val next = stream.latestOffset(cur, stream.getDefaultReadLimit)
+          .asInstanceOf[GtidOffset]
+        if (next.set == cur.set) done = true
+        else {
+          rows = rows ++ stream.planInputPartitions(cur, next)
+            .flatMap(_.asInstanceOf[GtidReplayPartition].rows)
+          cur = next
+          batches += 1
+        }
+      }
+      assert(rows.sortBy(_.pos) == feed, "every transaction arrives exactly once")
+      assert(batches == 3, s"60 single-row txs under a 25-row cap = 3 batches, got $batches")
+      // the wire carried each transaction ONCE plus one FDE per connect
+      val connects = server.eventPacketsServed.get() - 4L * feed.length
+      assert(connects >= 1 && connects <= 8,
+        s"transactions must not recross the wire (FDE-only connects: $connects)")
     } finally server.stop()
   }
 
