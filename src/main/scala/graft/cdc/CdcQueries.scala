@@ -1303,6 +1303,85 @@ object CdcQueries {
       |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
       |  FROM events) WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin
 
+  // ---- cdc_socket_protocol: the protocol with real TCP in the loop --------
+
+  /** [[cdcFullProtocol]] with the incremental half crossing a REAL
+    * socket: the post-snapshot feed is encoded into one binlog
+    * archive, served by an in-process endpoint
+    * ([[graft.sources.LoopbackBinlogServer]] — HandshakeV10 greeting,
+    * native-password verification against a stored double-SHA1,
+    * `COM_BINLOG_DUMP_GTID` honored), and tailed by
+    * [[graft.sources.SocketTransport]] through the reconnect ladder —
+    * with the FIRST connection killed mid-transaction, so the gate
+    * only passes if a torn fetch heals without loss or duplication.
+    * The redelivered cumulative tail then gates to a no-op. Same
+    * oracle contract as `cdc_full_protocol`: per-key provenance
+    * (snapshot keys keep `props`, wire-transported keys read NULL)
+    * comes out right only if the snapshot, auth, wire framing,
+    * decoder, reconnect, gate, and merge all do.
+    *
+    * The collect feeding the server is the gate fixture's data plane
+    * (the post-snapshot half at gate SF), not an operator shape — a
+    * production tail consumes the same endpoint incrementally through
+    * the DSv2 `socket:` route.
+    */
+  private def cdcSocketProtocol(s: SparkSession, d: String): DataFrame = {
+    val base = GateTmp.once("socket-protocol", d) { base =>
+      import graft.sources.{BinlogCodec, BinlogWriter, LoopbackBinlogServer,
+        MysqlAuth, ReconnectingTransport, SocketTransport}
+      import graft.streaming.FeedRow
+      import s.implicits._
+      val store = new WatermarkStore(s"$base/wm")
+      val dir = s"$base/state"
+      val feed = ChangeFeed.fromEvents(Tables.events(s, d)).localCheckpoint(true)
+      val mm = feed.agg(min(col("pos")), max(col("pos"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      CdcPipeline.bootstrapSnapshot(s, store, dir, "harness-src",
+        feed.filter(col("pos") <= mid), s"harness-src:$lo-$mid")
+      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+      val rows = feed.filter(col("pos") > mid)
+        .select(col("pos"), col("ts"), col("pk"), col("op"), col("value"))
+        .as[FeedRow].collect().sortBy(_.pos)
+      val w = new BinlogWriter.Stream()
+      rows.foreach { r =>
+        val tsSec = r.ts.getTime / 1000
+        w.gtid(uuid, r.pos, tsSec)
+          .tableMap(1L, "harness", "events",
+            Seq(BinlogCodec.TYPE_LONGLONG, BinlogCodec.TYPE_DOUBLE), Seq(0, 8), tsSec)
+        r.op match {
+          case "insert" => w.writeRows(1L, Seq(Seq(Some(r.pk), Some(r.value))), tsSec)
+          case "update" =>
+            w.updateRows(1L,
+              Seq((Seq(Some(r.pk), None), Seq(Some(r.pk), Some(r.value)))), tsSec)
+          case _ => w.deleteRows(1L, Seq(Seq(Some(r.pk), Some(r.value))), tsSec)
+        }
+        w.xid(r.pos, tsSec)
+      }
+      val server = new LoopbackBinlogServer(
+        "repl", MysqlAuth.storedHash("s3cret"), w.bytes,
+        killAfterPacketsOnFirstConn = 7) // first connect dies mid-tx
+      try {
+        val t = new ReconnectingTransport(
+          new SocketTransport("127.0.0.1", server.port, "repl", "s3cret"),
+          sleep = _ => ()) // injectable clock: no wall-time in the gate
+        CdcPipeline.applyBatch(s, store, dir, "harness-src",
+          s.createDataset(t.fetch()).toDF())
+        // at-least-once: the cumulative tail redelivers, gates to no-op
+        CdcPipeline.applyBatch(s, store, dir, "harness-src",
+          s.createDataset(t.fetch()).toDF())
+      } finally server.stop()
+    }
+    CdcPipeline.readState(s, s"$base/state")
+      .select(
+        col("pk").as("user_id"),
+        col("pos").as("last_pos"),
+        col("op"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("user_id")
+  }
+
   // ---- cdc_full_protocol_multi: the main() SOURCE loop, two uuids ---------
 
   /** The reference's `main()` runs the whole protocol once PER SOURCE
@@ -1740,6 +1819,7 @@ object CdcQueries {
     "cdc_mor_state" -> (cdcMorState _),
     "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_full_protocol_multi" -> (cdcFullProtocolMulti _),
+    "cdc_socket_protocol" -> (cdcSocketProtocol _),
     "cdc_snapshot_resume" -> (cdcSnapshotResume _),
     "cdc_jdbc_catalog" -> (cdcJdbcCatalog _),
     "cdc_transport" -> (cdcTransport _),
@@ -1775,6 +1855,7 @@ object CdcQueries {
     "cdc_mor_state" -> latestStateOracle,
     "cdc_time_travel" -> cdcTimeTravelOracle,
     "cdc_full_protocol_multi" -> cdcFullProtocolMultiOracle,
+    "cdc_socket_protocol" -> cdcFullProtocolOracle, // same result contract, wire in the loop
     "cdc_snapshot_resume" -> cdcSnapshotResumeOracle,
     "cdc_jdbc_catalog" -> cdcJdbcCatalogOracle,
     "cdc_transport" -> latestStateOracle,
