@@ -149,6 +149,47 @@ class BinlogSocketSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("checkpointed streaming over TCP: grow-while-down, resume from the GTID offset") {
+    val feed = feedRows().take(30)
+    val (first, rest) = feed.splitAt(20)
+    val server = new LoopbackBinlogServer(
+      "repl", MysqlAuth.storedHash("s3cret"), encodeArchive(first))
+    val ckpt = s"target/tmp/socketstream-${System.nanoTime()}"
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = spark.readStream
+      .format(classOf[GtidReplayProvider].getName)
+      .option("bufferId", s"socket:127.0.0.1:${server.port}:repl:s3cret")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ps = batch.select("pos").collect().map(_.getLong(0))
+        delivered.synchronized { delivered ++= ps }
+        ()
+      }
+      .start()
+    try {
+      val q = start()
+      try {
+        q.processAllAvailable()
+        assert(delivered.synchronized(delivered.toSet) == first.map(_.pos).toSet,
+          "the first archive streams through the socket into micro-batches")
+      } finally q.stop()
+      // the binlog grows WHILE THE QUERY IS DOWN; the restart builds a
+      // FRESH transport (empty wire watermark — the server re-serves
+      // everything), and the checkpointed GTID-set offset must filter
+      // redelivery down to exactly the new transactions
+      server.archive = encodeArchive(feed)
+      delivered.synchronized(delivered.clear())
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(delivered.synchronized(delivered.toSet) == rest.map(_.pos).toSet,
+          "resume must deliver exactly the transactions above the checkpoint")
+      } finally q2.stop()
+    } finally server.stop()
+  }
+
   test("wrong password: classified auth failure, server never learns the password") {
     val server = new LoopbackBinlogServer(
       "repl", MysqlAuth.storedHash("s3cret"), encodeArchive(feedRows().take(5)))
