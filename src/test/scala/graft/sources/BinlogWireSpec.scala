@@ -129,6 +129,18 @@ class BinlogWireSpec extends AnyFunSuite {
     }
   }
 
+  test("empty password: empty token on the wire, never accepted server-side") {
+    // the protocol's special case — an empty password sends a
+    // zero-length auth response; the harness server models no
+    // passwordless accounts, so verification must refuse it rather
+    // than, say, XOR-ing against a zero-length hash
+    assert(MysqlAuth.scramble("", Salt).isEmpty)
+    assert(!MysqlAuth.verifyScramble(Salt, Array.emptyByteArray, MysqlAuth.storedHash("")))
+    // and a truncated (non-20-byte) token is rejected, not crashed on
+    assert(!MysqlAuth.verifyScramble(Salt,
+      MysqlAuth.scramble("pw", Salt).take(10), MysqlAuth.storedHash("pw")))
+  }
+
   test("HandshakeV10: golden layout and parse/encode roundtrip") {
     val enc = MysqlAuth.encodeHandshakeV10("8.0.0-graft", 42L, Salt)
     // spot-pin the fixed layout: protocol version, NUL after version,
