@@ -775,7 +775,99 @@ object Dedup {
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- d11: cluster-bounded semantic dedup (SemDeDup) ---------------------
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al., 2023): the
+    * third dedup modality after exact (d1) and near-verbatim (d3/d4/
+    * s3) — drop documents whose *embeddings* are nearly identical
+    * even when the text differs. Recipe: cluster the corpus with the
+    * s4 trained-IVF codebook ([[Similarity.trainCodebook]] — the same
+    * integer-exact two-pass Lloyd, so the oracle trains a
+    * bit-identical codebook), then compare pairs ONLY inside a
+    * cluster; a vector is a duplicate if an earlier-id cell-mate has
+    * cosine ≥ 0.999, and its keeper is the lowest such id.
+    *
+    * Scale shape: the clustering pass is s4's — two corpus scans
+    * against ≤k broadcast centroid literals, zero shuffles for
+    * assignment — and the pairwise phase shuffles once on `cid`, so
+    * all quadratic work is confined to a cell. k is the scale knob
+    * (SemDeDup runs k ∝ corpus size to pin expected cell size, e.g.
+    * 50k clusters for 5B docs), making per-cell pair cost a design
+    * constant while the LSH path (s3) stays the cheap pre-filter.
+    * Like d1/s3 the harness corpus gets planted semantic dups (first
+    * 20 vectors re-embedded with a 1.0001 drift under shifted ids —
+    * "same content, fresh embedding run"); the drift survives
+    * quantization, lands the replica in its original's cell, and
+    * keeps cosine ≈ 0.9999998 > θ.
+    *
+    * Reference tie-in: extends the dedup family of SURVEY §2's LLM
+    * brief; no counterpart in go-cdc (pure pipeline operator).
+    */
+  /** The corpus with planted semantic dups, quantized (s4 form). */
+  private[graft] def d11Base(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 20)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1.0001 * 1000) AS DOUBLE))")
+          .as("q"))
+    Similarity.quantized(s, d).unionByName(planted)
+  }
+
+  /** The lazy SemDeDup plan over an assigned corpus — split out so
+    * the plan audit can inspect the pre-checkpoint shape.
+    */
+  private[graft] def d11From(assigned: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("yid"),
+        VectorFunctions.cosine_similarity(col("a.q"), col("b.q")).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .groupBy(col("vec_id"))
+      .agg(min(col("yid")).as("keeper"), max(col("cos")).as("max_cos"))
+    assigned
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("keeper").isNotNull)
+  }
+
+  private def d11SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val base = d11Base(s, d)
+    val assigned = Similarity
+      .assignCells(base, Similarity.trainCodebook(base, iters = 2))
+      .persist()
+    val out = d11From(assigned)
+      .orderBy("vec_id")
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  private val d11Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1.0001 * 1000) AS BIGINT))
+       |  FROM embeddings WHERE vec_id < 20),
+       |${Similarity.ivfOracleChain},
+       |dups AS (
+       |  SELECT vec_id, min(yid) AS keeper, max(cos) AS max_cos FROM (
+       |    SELECT a.vec_id, b.vec_id AS yid,
+       |           list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]) AS cos
+       |    FROM a3 a JOIN a3 b ON a.cid = b.cid AND b.vec_id < a.vec_id)
+       |  WHERE cos >= 0.999 GROUP BY vec_id)
+       |SELECT v.vec_id, v.cid AS cell, d.keeper, d.max_cos,
+       |       d.keeper IS NOT NULL AS is_dup
+       |FROM a3 v LEFT JOIN dups d USING (vec_id)
+       |ORDER BY v.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_semantic_dedup" -> (d11SemanticDedup _),
     "d5_intradoc_rep" -> (d5IntradocRep _),
     "d1_exact_dedup" -> (d1Exact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
@@ -851,6 +943,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d11_semantic_dedup" -> d11Oracle,
     "d9_gram_coverage" -> d9Oracle,
     "d5_intradoc_rep" -> d5Oracle,
     "d1_exact_dedup" -> d1Oracle,

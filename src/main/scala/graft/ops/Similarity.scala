@@ -282,8 +282,8 @@ object Similarity {
     * the assignment score `dot(q, sv) / n` — one exactly-rounded IEEE
     * division, deterministic across engines.
     */
-  def seedCodebook(base: DataFrame): DataFrame =
-    base.filter(col("vec_id") < 8)
+  def seedCodebook(base: DataFrame, k: Int = 8): DataFrame =
+    base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("q").as("sv"), lit(1L).as("n"))
 
   /** Nearest-cell assignment by max mean-dot (ties → lowest cid),
@@ -329,9 +329,13 @@ object Similarity {
         array((0 until 64).map(i => col(s"s$i")): _*).as("sv"), col("n"))
   }
 
-  /** `iters` deterministic Lloyd iterations from the seeded codebook. */
-  def trainCodebook(base: DataFrame, iters: Int): DataFrame =
-    (1 to iters).foldLeft(seedCodebook(base)) { (cb, _) =>
+  /** `iters` deterministic Lloyd iterations from the seeded codebook.
+    * `k` is the cluster count — the scale knob for every consumer
+    * that bounds work per cell (s4 probing, d11's pairwise phase):
+    * grow k with the corpus and expected cell size stays constant.
+    */
+  def trainCodebook(base: DataFrame, iters: Int, k: Int = 8): DataFrame =
+    (1 to iters).foldLeft(seedCodebook(base, k)) { (cb, _) =>
       updateCodebook(assignCells(base, cb))
     }
 
@@ -370,7 +374,15 @@ object Similarity {
       .orderBy("cell")
   }
 
-  private val s4Oracle: String = {
+  /** Oracle fragment shared by s4 and d11: the two-iteration Lloyd
+    * chain over a CTE named `base` (columns `vec_id`, `q` BIGINT
+    * list) — seeds `c0` from the first 8 vectors, alternates
+    * assignment (`a1`/`a2`/`a3`) with centroid update (`c1`/`c2`),
+    * ending in the final assignment CTE `a3(vec_id, q, cid)`. Kept
+    * as ONE string so the d11 semantic-dedup oracle trains the
+    * byte-identical codebook the s4 oracle does.
+    */
+  private[ops] val ivfOracleChain: String = {
     val sumList = (1 to 64).map(i => s"sum(q[$i])").mkString("[", ", ", "]")
     def dotSql(q: String, sv: String) =
       s"list_sum(list_transform(generate_series(1, 64), i -> $q[i] * $sv[i]))"
@@ -381,20 +393,23 @@ object Similarity {
          |    FROM (SELECT b.vec_id, b.q, c.cid,
          |                 CAST(${dotSql("b.q", "c.sv")} AS DOUBLE) / c.n AS score
          |          FROM base b, $cents c)) WHERE rnk = 1""".stripMargin
-    s"""WITH base AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, q AS sv, CAST(1 AS BIGINT) AS n FROM base WHERE vec_id < 8),
+    s"""c0 AS (SELECT vec_id AS cid, q AS sv, CAST(1 AS BIGINT) AS n FROM base WHERE vec_id < 8),
        |a1 AS (${assignSql("c0")}),
        |c1 AS (SELECT cid, $sumList AS sv, count(*) AS n FROM a1 GROUP BY cid),
        |a2 AS (${assignSql("c1")}),
        |c2 AS (SELECT cid, $sumList AS sv, count(*) AS n FROM a2 GROUP BY cid),
-       |a3 AS (${assignSql("c2")})
+       |a3 AS (${assignSql("c2")})""".stripMargin
+  }
+
+  private val s4Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain
        |SELECT cid AS cell, count(*) AS n_vecs,
        |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
        |FROM a3 GROUP BY cid ORDER BY cell""".stripMargin
-  }
 
   // ---- s5: int8 embedding quantization ------------------------------------
 

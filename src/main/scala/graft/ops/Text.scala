@@ -569,6 +569,7 @@ object Text {
     "t30_data_mix" -> (t30DataMix _),
     "t31_source_cap" -> (t31SourceCap _),
     "t32_bigram_lm" -> (t32BigramLm _),
+    "t34_ppl_buckets" -> (t34PplBuckets _),
     "t33_token_mask" -> (t33TokenMask _)
   )
 
@@ -593,7 +594,11 @@ object Text {
     * drop out (the Spark side needs the explicit size guard below;
     * DuckDB's `generate_series(1, 0)` is empty on its own).
     */
-  private def t32BigramLm(s: SparkSession, d: String): DataFrame = {
+  /** Per-document bigram-LM scores (doc_id, n_bigrams, score_sum,
+    * avg_score), unordered — the shared body of t32 (which reports
+    * them) and t34 (which filters the corpus on them).
+    */
+  private[ops] def bigramScores(s: SparkSession, d: String): DataFrame = {
     // CASE-guarded like t24/d2: Spark's sequence(1, 0) is the
     // DESCENDING [1, 0] (step -1), so an unguarded transform would
     // evaluate element_at(ws, 0) and throw on a 0/1-word document —
@@ -622,12 +627,72 @@ object Text {
         count(lit(1)).as("n_bigrams"),
         sum(expr("(1000000 * c_bg) DIV c_w1")).as("score_sum"))
       .withColumn("avg_score", expr("score_sum DIV n_bigrams"))
-      .orderBy("doc_id")
   }
 
-  private val t32Oracle: String = {
+  private def t32BigramLm(s: SparkSession, d: String): DataFrame =
+    bigramScores(s, d).orderBy("doc_id")
+
+  // ---- t34: perplexity-tertile corpus filter -------------------------------
+
+  /** The CCNet-style perplexity filter: score every document with the
+    * corpus bigram LM (t32's integer-exact scores — higher = more
+    * probable = "cleaner"), rank the corpus, and split it into
+    * head / middle / tail tertiles, keeping head+middle. This is the
+    * classic quality gate between raw crawl and training mix (CCNet
+    * keeps the low-perplexity head; the tail is the noise bucket).
+    *
+    * Scale shape: the naive form is a GLOBAL row_number over the
+    * corpus — a single-partition sort that dies at 100 TB. Instead
+    * the rank decomposes through the score DISTRIBUTION: avg_score
+    * has at most 10⁶+1 distinct values (per-mille-of-10⁶ integers),
+    * so `rnk = (#docs with higher score) + (rank among equal scores
+    * by doc_id)`. The distribution table is model-bounded (one tiny
+    * groupBy), its cumulative sum is a window over ≤10⁶ rows
+    * (control-plane), and the corpus side pays one broadcast join on
+    * avg_score plus a per-score-partition window — no global sort
+    * anywhere. The oracle computes the same rank with DuckDB's plain
+    * global row_number, proving the decomposition exact.
+    */
+  /** The lazy tertile plan over per-doc scores — split out so the
+    * plan audit can inspect the pre-checkpoint shape.
+    */
+  private[ops] def t34From(sc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = sc.groupBy(col("avg_score")).agg(count(lit(1)).as("c"))
+    // bounded side: ≤ 10^6+1 rows regardless of corpus size
+    val wCum = Window.orderBy(col("avg_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(dist.agg(sum(col("c")).as("n_docs"))))
+      .select("avg_score", "before", "n_docs")
+    val wIn = Window.partitionBy(col("avg_score")).orderBy(col("doc_id"))
+    sc
+      .join(broadcast(cum), Seq("avg_score"))
+      .withColumn("rnk", col("before") + row_number().over(wIn))
+      .withColumn("bucket", expr(
+        """CASE WHEN (rnk - 1) * 3 < n_docs THEN 'head'
+          |     WHEN (rnk - 1) * 3 < 2 * n_docs THEN 'middle'
+          |     ELSE 'tail' END""".stripMargin))
+      .withColumn("kept", col("bucket") =!= "tail")
+      .select("doc_id", "avg_score", "rnk", "bucket", "kept")
+  }
+
+  private def t34PplBuckets(s: SparkSession, d: String): DataFrame = {
+    val sc = bigramScores(s, d).persist()
+    val out = t34From(sc)
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    sc.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle CTE prefix shared by t32/t34: bigram model + per-doc
+    * scores, ending in `sc(doc_id, n_bigrams, score_sum, avg_score)`.
+    */
+  private val bigramOracleCtes: String = {
     val ws = wordsSql("text")
-    s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+    s"""w AS (SELECT doc_id, $ws AS ws FROM documents),
        |bg AS (
        |  SELECT doc_id,
        |         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
@@ -639,13 +704,34 @@ object Text {
        |       FROM m GROUP BY 1),
        |model AS (
        |  SELECT m.bg, m.c_bg, m1.c_w1 FROM m
-       |  JOIN m1 ON string_split(m.bg, ' ')[1] = m1.w1)
-       |SELECT b.doc_id, count(*) AS n_bigrams,
-       |       CAST(sum((1000000 * c_bg) // c_w1) AS BIGINT) AS score_sum,
-       |       CAST(CAST(sum((1000000 * c_bg) // c_w1) AS BIGINT) // count(*) AS BIGINT) AS avg_score
-       |FROM bg b JOIN model ON b.bg = model.bg
-       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+       |  JOIN m1 ON string_split(m.bg, ' ')[1] = m1.w1),
+       |sc AS (
+       |  SELECT b.doc_id, count(*) AS n_bigrams,
+       |         CAST(sum((1000000 * c_bg) // c_w1) AS BIGINT) AS score_sum,
+       |         CAST(CAST(sum((1000000 * c_bg) // c_w1) AS BIGINT) // count(*) AS BIGINT) AS avg_score
+       |  FROM bg b JOIN model ON b.bg = model.bg
+       |  GROUP BY b.doc_id)""".stripMargin
   }
+
+  private val t32Oracle: String =
+    s"""WITH $bigramOracleCtes
+       |SELECT doc_id, n_bigrams, score_sum, avg_score
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  private val t34Oracle: String =
+    s"""WITH $bigramOracleCtes,
+       |r AS (
+       |  SELECT doc_id, avg_score,
+       |         CAST(row_number() OVER (ORDER BY avg_score DESC, doc_id) AS BIGINT) AS rnk,
+       |         count(*) OVER () AS n_docs
+       |  FROM sc)
+       |SELECT doc_id, avg_score, rnk, bucket, bucket <> 'tail' AS kept FROM (
+       |  SELECT doc_id, avg_score, rnk,
+       |         CASE WHEN (rnk - 1) * 3 < n_docs THEN 'head'
+       |              WHEN (rnk - 1) * 3 < 2 * n_docs THEN 'middle'
+       |              ELSE 'tail' END AS bucket
+       |  FROM r)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- t33: deterministic masking augmentation -----------------------------
 
@@ -696,6 +782,7 @@ object Text {
   val oracles: Map[String, String] = Map(
     "t33_token_mask" -> t33Oracle,
     "t32_bigram_lm" -> t32Oracle,
+    "t34_ppl_buckets" -> t34Oracle,
     "t29_chunk" -> t29Oracle,
     "t27_repetition" -> t27Oracle,
     "t28_pii_redact" -> t28Oracle,

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Sf1Stress {
   private val Queries =
     Seq("d10_span_dedup", "s9_pq_adc", "p4_full_pipeline",
-      "d9_gram_coverage", "d4_simhash")
+      "d9_gram_coverage", "d4_simhash", "t34_ppl_buckets")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
     val docs = spark.read.parquet(s"$from/documents.parquet")
@@ -63,11 +63,30 @@ object Sf1Stress {
       spark.catalog.clearCache()
       (dt, n)
     }
+    // d11 runs with its documented scale knob: k clusters ∝ corpus
+    // size (8 at sf0.1, 80 at the 10× derivative), holding expected
+    // cell size — and so the per-cell pairwise cost — constant. The
+    // gate query pins k=8; this is the same plan at production shape.
+    def timeD11(dir: String, k: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val base = graft.ops.Dedup.d11Base(spark, dir)
+      val assigned = graft.ops.Similarity
+        .assignCells(base, graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))
+      val n = graft.ops.Dedup.d11From(assigned).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (dt, n)
+    }
     val results = Queries.map { q =>
       val (t01, n01) = time(q, sf01)
       val (t1, n1) = time(q, sf1)
       println(f"[sf1-stress] $q%-18s sf0.1 $t01%7.2fs ($n01%d rows)   sf1 $t1%7.2fs ($n1%d rows)   ratio ${t1 / t01}%5.2fx")
       q -> ((t01, n01, t1, n1))
+    } :+ {
+      val (t01, n01) = timeD11(sf01, 8)
+      val (t1, n1) = timeD11(sf1, 80)
+      println(f"[sf1-stress] d11_semantic_dedup (k 8 -> 80) sf0.1 $t01%7.2fs ($n01%d rows)   sf1 $t1%7.2fs ($n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "d11_semantic_dedup_k_scaled" -> ((t01, n01, t1, n1))
     }
     val json = results.map { case (q, (t01, n01, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""

@@ -188,4 +188,26 @@ class DedupSpec extends AnyFunSuite {
       tailed.forall(_.getAs[Long]("n_dup_grams") >= 8L),
       "every boilerplate tail must surface as duplicated grams")
   }
+
+  test("d11: semantic dedup flags exactly the planted re-embeddings, original as keeper") {
+    val rows = Dedup.queries("d11_semantic_dedup")(spark, sf).collect()
+    assert(rows.length == 520, s"500 base + 20 planted, got ${rows.length}")
+    // cells come from the 8-centroid codebook
+    assert(rows.forall(r => (0L to 7L).contains(r.getAs[Long]("cell"))))
+    val dups = rows.filter(_.getAs[Boolean]("is_dup"))
+    // random 64-dim embeddings have no natural 0.999-cosine pairs, so
+    // the dup set must be exactly the 20 drifted replicas — each
+    // landing in its original's cell with the original as keeper
+    assert(dups.length == 20, s"expected the 20 planted dups, got ${dups.length}")
+    dups.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(id >= 1000000L, s"false positive on base vector $id")
+      assert(r.getAs[Long]("keeper") == id - 1000000L,
+        s"replica $id must dedup to its original")
+      assert(r.getAs[Double]("max_cos") >= 0.999)
+    }
+    // kept rows carry no keeper/similarity
+    assert(rows.filterNot(_.getAs[Boolean]("is_dup"))
+      .forall(r => r.isNullAt(r.fieldIndex("keeper")) && r.isNullAt(r.fieldIndex("max_cos"))))
+  }
 }

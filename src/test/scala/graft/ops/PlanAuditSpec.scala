@@ -202,6 +202,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"z-bucket agg + final sort only, got $exchanges exchanges")
   }
 
+  test("d11: the pairwise phase is an equi-join on the cell id — never corpus-wide") {
+    // SemDeDup's quadratic work must be confined to a cluster: the
+    // self-join's equi-key is cid, so the only pair work Spark plans
+    // is within a cell's partition. A cartesian/BNLJ here would be
+    // the O(n²) corpus-wide compare the clustering exists to avoid.
+    val base = Dedup.d11Base(spark, sf)
+    val assigned = Similarity.assignCells(base, Similarity.trainCodebook(base, 2))
+    val plan = Dedup.d11From(assigned).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in semantic-dedup plan"))
+    assert(plan.contains("cid"), "the pair join must key on the cell id")
+  }
+
+  test("t34: tertile ranking has no global sort — bounded sides only go single-partition") {
+    // The rank decomposes through the score distribution: only the
+    // distribution cumsum (≤10^6 rows) and its grand total may plan a
+    // SinglePartition exchange; the corpus side must reach its rank
+    // via a broadcast join + per-score window, never a global sort.
+    val plan = Text.t34From(Text.bigramScores(spark, sf)).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 2, s"only the bounded dist cumsum/total may single-partition, got $single")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the cutoff table must broadcast to the corpus side")
+  }
+
   test("d10: span dedup is linear — keyed shuffles only, no pair explosion") {
     val plan = formatted("d10_span_dedup")
     // first-occurrence election must be an equi-join on the span key,

@@ -27,4 +27,37 @@ class TextSpec extends AnyFunSuite {
     assert(ids == Set(3L, 4L), s"degenerate docs must drop out, got $ids")
     assert(rows.forall(_.getAs[Long]("n_bigrams") > 0))
   }
+
+  test("t34 decomposed tertile rank equals the global sort rank") {
+    // t34 computes rnk WITHOUT a global sort (score-distribution
+    // cumulative + per-score window); this check recomputes the
+    // textbook row_number(ORDER BY avg_score DESC, doc_id) in memory
+    // and demands bit-equality — the decomposition must be exact.
+    val rows = Text.queries("t34_ppl_buckets")(spark, "/root/testdata/sf0.001").collect()
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_.getAs[Long]("rnk")).toSet == (1L to n.toLong).toSet,
+      "rnk must be a permutation of 1..n")
+    val expected = rows
+      .sortBy(r => (-r.getAs[Long]("avg_score"), r.getAs[Long]("doc_id")))
+      .zipWithIndex
+      .map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rnk") == expected(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: decomposed rank diverged")
+    }
+    // all three buckets non-empty and sized by the integer-thirds rule
+    val sizes = rows.groupBy(_.getAs[String]("bucket")).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"), s"got $sizes")
+    def cnt(p: Long => Boolean) = (1L to n.toLong).count(p)
+    assert(sizes("head") == cnt(r => (r - 1) * 3 < n))
+    assert(sizes("middle") == cnt(r => (r - 1) * 3 >= n && (r - 1) * 3 < 2L * n))
+    // kept ⇔ not tail, and kept docs never score below a tail doc
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("kept") == (r.getAs[String]("bucket") != "tail")))
+    val keptMin = rows.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("avg_score")).min
+    val tailMax = rows.filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("avg_score")).max
+    assert(keptMin >= tailMax)
+  }
 }
