@@ -306,17 +306,146 @@ object Pipeline {
        |${packBinsSql("cleaned")}""".stripMargin
   }
 
+  // ---- p5: retrieval serving capstone (IVF probe → ADC → exact rerank) ----
+
+  /** p4 is the CURATION capstone; this is the SERVING one — the
+    * production read path of a billion-vector store, composed from
+    * the index structures the s-family builds: the trained IVF
+    * coarse quantizer (s4/s11) prunes the corpus to each query's
+    * top-2 cells, PQ asymmetric-distance scoring (s9) ranks those
+    * candidates by scanning CODES only, and the ADC top-20 get an
+    * exact-cosine rerank for the final top-5 — FAISS `IndexIVFPQ` +
+    * refine, as one lazy Spark plan under one oracle.
+    *
+    * Scale shape: the index frame (cell id + PQ codes per vector) is
+    * ONE scan projection — at production scale it is the STORED
+    * index (s4's output maintained by s10), so a query reads
+    * ~nprobe/k of the codes and never touches a float vector until
+    * the 20-row refine, whose full-precision reads are broadcast
+    * point-lookups against the vector store. The only exchanges in
+    * the whole plan are the two per-query top-k windows on qid
+    * (plan-contract-tested); every join keyed on data is a
+    * broadcast of control-plane-sized sides.
+    *
+    * Determinism: every stage reuses the integer-exact machinery its
+    * standalone gate proved (quantized vectors, exact dots, one IEEE
+    * division per centroid score, ADC totals in fixed subspace
+    * order), so probe choice, ADC ranking, and the rerank are
+    * bit-identical in DuckDB.
+    */
+  private def p5Retrieval(s: SparkSession, d: String): DataFrame = {
+    val base = Similarity.quantized(s, d)
+    val cb = Similarity.trainCodebook(base, iters = 2).localCheckpoint(true)
+    val probes = Similarity.ivfProbes(base, cb, nprobe = 2)
+      .select(col("qid"), col("pcid"))
+    val subs = Similarity.pqSubs(s, d) // checkpointed: trains + LUTs
+    val pcb = Similarity.pqTrain(subs)
+    // the stored IVF-PQ index: one scan projection carrying cell + codes
+    val coded = Similarity
+      .pqCodeCols(Similarity.assignCells(Similarity.pqSubCols(base), cb), pcb)
+      .select(col("vec_id") +: col("cid") +:
+        (0 until Similarity.pqM).map(m => col(s"c$m")): _*)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("vec_id"))
+    val adc20 = coded
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .join(broadcast(Similarity.pqLuts(subs, pcb)), Seq("qid"))
+      .withColumn("adc_score", Similarity.pqAdcScore(pcb))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= 20)
+      .select(col("qid"), col("vec_id"), col("cid").as("cell"), col("adc_score"))
+    val qvecs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    base
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(adc20), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_similarity(col("q"), col("qv")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id", "cell", "adc_score", "cos", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  private val p5Oracle: String = {
+    def dot8(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 8), i -> $a[i] * $b[i]))"
+    def passign(cbRel: String) =
+      s"""SELECT vec_id, m, sub, cid FROM (
+         |    SELECT s.vec_id, s.m, s.sub, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY CAST(${dot8("s.sub", "c.sv")} AS DOUBLE) / c.n DESC, c.cid) AS rnk
+         |    FROM subs s JOIN $cbRel c ON c.m = s.m) WHERE rnk = 1""".stripMargin
+    val svSums = (1 to 8).map(i => s"sum(sub[$i])").mkString("[", ", ", "]")
+    val pivots = (0 until Similarity.pqM)
+      .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
+    val total = (0 until Similarity.pqM).map(m => s"t$m").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${Similarity.ivfOracleChain},
+       |${Similarity.ivfProbeOracleCtes},
+       |subs AS (
+       |  SELECT vec_id, g.m, list_slice(q, g.m * 8 + 1, g.m * 8 + 8) AS sub
+       |  FROM base CROSS JOIN generate_series(0, ${Similarity.pqM - 1}) AS g(m)),
+       |pseed AS (
+       |  SELECT m, vec_id AS cid, sub AS sv, CAST(1 AS BIGINT) AS n
+       |  FROM subs WHERE vec_id < ${Similarity.pqK}),
+       |pa1 AS (${passign("pseed")}),
+       |pc1 AS (SELECT m, cid, $svSums AS sv, count(*) AS n FROM pa1 GROUP BY m, cid),
+       |codes AS (${passign("pc1")}),
+       |cand AS (
+       |  SELECT p.qid, x.vec_id, a.cid AS cell, x.m, x.cid AS code
+       |  FROM codes x
+       |  JOIN a3 a ON a.vec_id = x.vec_id
+       |  JOIN probes p ON p.cid = a.cid
+       |  WHERE x.vec_id >= 5),
+       |terms AS (
+       |  SELECT c.qid, c.vec_id, c.cell, c.m,
+       |         CAST(${dot8("q.sub", "cb.sv")} AS DOUBLE) / cb.n AS t
+       |  FROM cand c
+       |  JOIN pc1 cb ON cb.m = c.m AND cb.cid = c.code
+       |  JOIN subs q ON q.m = c.m AND q.vec_id = c.qid),
+       |piv AS (
+       |  SELECT qid, vec_id, cell,
+       |         $pivots
+       |  FROM terms GROUP BY qid, vec_id, cell),
+       |adc20 AS (
+       |  SELECT qid, vec_id, cell, adc_score FROM (
+       |    SELECT qid, vec_id, cell, $total AS adc_score,
+       |           row_number() OVER (PARTITION BY qid ORDER BY $total DESC, vec_id) AS ar
+       |    FROM piv) WHERE ar <= 20),
+       |rer AS (
+       |  SELECT a.qid, a.vec_id, a.cell, a.adc_score,
+       |         list_cosine_similarity(b.q::DOUBLE[], qb.q::DOUBLE[]) AS cos
+       |  FROM adc20 a
+       |  JOIN base b ON b.vec_id = a.vec_id
+       |  JOIN base qb ON qb.vec_id = a.qid)
+       |SELECT qid, vec_id, cell, adc_score, cos, rnk FROM (
+       |  SELECT qid, vec_id, cell, adc_score, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM rer)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation" -> (p1Curation _),
     "p2_seq_pack" -> (p2SeqPack _),
     "p3_shard_shuffle" -> (p3ShardShuffle _),
-    "p4_full_pipeline" -> (p4FullPipeline _)
+    "p4_full_pipeline" -> (p4FullPipeline _),
+    "p5_retrieval" -> (p5Retrieval _)
   )
 
   val oracles: Map[String, String] = Map(
     "p1_curation" -> p1Oracle,
     "p2_seq_pack" -> p2Oracle,
     "p3_shard_shuffle" -> p3Oracle,
-    "p4_full_pipeline" -> p4Oracle
+    "p4_full_pipeline" -> p4Oracle,
+    "p5_retrieval" -> p5Oracle
   )
 }

@@ -313,7 +313,7 @@ object Similarity {
       .withColumn("scores", array(scoreCols.toIndexedSeq: _*))
       .withColumn("cid",
         element_at(cids, array_position(col("scores"), array_max(col("scores"))).cast("int")))
-      .select("vec_id", "q", "cid")
+      .drop("scores") // keep carry-through columns (p5 rides sub0..7 here)
   }
 
   /** Lloyd update: per-cell element-wise sum + count. 64 map-side
@@ -690,8 +690,8 @@ object Similarity {
     * production knob is the same code with m=8, k=256 (one byte per
     * subspace — 64-dim float32 compressed 32×).
     */
-  private val pqM = 8
-  private val pqK = 8
+  private[ops] val pqM = 8
+  private[ops] val pqK = 8
 
   /** The third leg of the ANN toolbox (LSH s2/s3, IVF s4, int8 s5/s6):
     * PRODUCT QUANTIZATION with asymmetric-distance scoring — the
@@ -720,10 +720,17 @@ object Similarity {
   /** All vectors cut into [[pqM]] subvector columns (quantized ints),
     * checkpointed once — every PQ pass slices from here.
     */
-  private[ops] def pqSubs(s: SparkSession, d: String): DataFrame =
-    (0 until pqM).foldLeft(quantized(s, d)) { (acc, m) =>
+  /** Adds `sub0..sub{m-1}` subvector columns to any frame carrying a
+    * quantized `q` — the projection-only PQ slicing, reusable by
+    * consumers that need other columns alongside (p5 keeps `cid`).
+    */
+  private[ops] def pqSubCols(df: DataFrame): DataFrame =
+    (0 until pqM).foldLeft(df) { (acc, m) =>
       acc.withColumn(s"sub$m", expr(s"slice(q, ${m * 8 + 1}, 8)"))
-    }.drop("q").localCheckpoint(true)
+    }
+
+  private[ops] def pqSubs(s: SparkSession, d: String): DataFrame =
+    pqSubCols(quantized(s, d)).drop("q").localCheckpoint(true)
 
   /** Nearest-centroid assignment as PURE scan projections against
     * literal codebook columns — no shuffle, no join (the shuffle-free
@@ -773,22 +780,34 @@ object Similarity {
     * CODES only, joined to the broadcast 5-row query side; fixed
     * subspace order keeps the double sum bit-identical.
     */
-  private def pqSearch(subs: DataFrame, coded: DataFrame, cb: Int => Cb): DataFrame = {
-    val queries = (0 until pqM).foldLeft(subs.filter(col("vec_id") < 5)) {
+  /** Per-query ADC lookup tables: one `lut0..lut{m-1}` row per query
+    * (vec_id < 5) — `lut_m[j] = dot(querySub_m, centroid_j)/n_j`.
+    */
+  private[ops] def pqLuts(subs: DataFrame, cb: Int => Cb): DataFrame =
+    (0 until pqM).foldLeft(subs.filter(col("vec_id") < 5)) {
       (acc, m) =>
         acc.withColumn(s"lut$m", array(cb(m).map { case (_, sv, n) =>
           VectorFunctions.dot_product(col(s"sub$m"), typedlit(sv)) / lit(n.toDouble)
         }.toIndexedSeq: _*))
     }.select(col("vec_id").as("qid") +: (0 until pqM).map(m => col(s"lut$m")): _*)
-    val terms = (0 until pqM).map { m =>
+
+  /** The ADC approximate dot: pqM table lookups summed in fixed
+    * subspace order (bit-identical to the oracle's pivot sum).
+    * Expects `lut*` (from [[pqLuts]]) and `c*` code columns in scope.
+    */
+  private[ops] def pqAdcScore(cb: Int => Cb): Column =
+    (0 until pqM).map { m =>
       element_at(col(s"lut$m"),
         array_position(typedlit(cb(m).map(_._1).toSeq), col(s"c$m")).cast("int"))
-    }
+    }.reduceLeft(_ + _)
+
+  private def pqSearch(subs: DataFrame, coded: DataFrame, cb: Int => Cb): DataFrame = {
+    val queries = pqLuts(subs, cb)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     coded.filter(col("vec_id") >= 5)
       .join(broadcast(queries))
-      .withColumn("score", terms.reduceLeft(_ + _))
+      .withColumn("score", pqAdcScore(cb))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("qid", "vec_id", "score", "rnk")
@@ -951,7 +970,117 @@ object Similarity {
        |  FROM piv) WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- s11: IVF cell-pruned search (nprobe = 2) ----------------------------
+
+  /** The SEARCH half of the IVF index s4 builds: a query scores the
+    * k trained centroids, probes its top-`nprobe` cells, and ranks
+    * candidates by exact cosine ONLY within those cells — the
+    * classic FAISS `IndexIVFFlat` read path, and the reason the
+    * index exists: per query the corpus scan shrinks to ~nprobe/k of
+    * the data. s2 is the LSH flavor of this pruning; this one probes
+    * a TRAINED partition function so cell population tracks the data
+    * distribution rather than random hyperplanes.
+    *
+    * Scale shape: probe selection is (queries × k) — both sides tiny
+    * (control-plane); the probe list broadcasts to the corpus join
+    * keyed on the cell id, so the corpus side is one scan projection
+    * (assignment against broadcast centroid literals, the s4 trick)
+    * + one broadcast hash join + the per-query top-k window on qid
+    * (the only exchange, s9's contract). The corpus vectors never
+    * shuffle. At billion-vector scale the assignment is precomputed
+    * (s4's output is the stored index; s10 maintains it
+    * incrementally) and this query reads it — recomputing here keeps
+    * the gate self-contained.
+    *
+    * Same integer-exact arithmetic as s4/d11 (quantized corpus,
+    * exact dots, one IEEE division per centroid score), so DuckDB
+    * reproduces probe choice and ranking bit-for-bit.
+    */
+  /** Probe list for IVF search: each query vector (vec_id < 5) paired
+    * with its `nprobe` best cells by centroid mean-dot. Centroid
+    * scores are literal projection columns (the assignCells trick) —
+    * the probe side never joins; (queries × k) rows total. `cb` must
+    * be materialized (checkpointed) so the Lloyd aggregation never
+    * re-enters the search plan. Returns (qid, qv, pcid).
+    */
+  private[ops] def ivfProbes(base: DataFrame, cb: DataFrame, nprobe: Int): DataFrame = {
+    val cents = cb.select("cid", "sv", "n").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+      .sortBy(_._1)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val scoreStructs = cents.map { case (cid, sv, n) =>
+      struct(lit(cid).as("cid"),
+        (VectorFunctions.dot_product(col("qv"), typedlit(sv)) / lit(n.toDouble)).as("score"))
+    }
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("pcid"))
+    qs
+      .select(col("qid"), col("qv"),
+        explode(array(scoreStructs.toIndexedSeq: _*)).as("c"))
+      .select(col("qid"), col("qv"), col("c.cid").as("pcid"), col("c.score").as("score"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("pcid"))
+  }
+
+  private def s11IvfSearch(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    // materialize the trained codebook ONCE (k tiny rows): both the
+    // probe scoring and the corpus assignment read the same artifact
+    val cb = trainCodebook(base, iters = 2).localCheckpoint(true)
+    val probes = ivfProbes(base, cb, nprobe = 2)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assignCells(base, cb)
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .select(col("qid"), col("vec_id"), col("cid").as("cell"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Oracle fragment shared by s11/p5: probe selection — each query
+    * (vec_id < 5) scored against the final IVF codebook `c2`, top-2
+    * cells kept. Ends in `probes(qid, cid)`; needs `base` and the
+    * [[ivfOracleChain]] CTEs in scope.
+    */
+  private[ops] val ivfProbeOracleCtes: String =
+    s"""qsc AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base q, c2 c WHERE q.vec_id < 5),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qsc) WHERE pr <= 2)""".stripMargin
+
+  private val s11Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |cand AS (
+       |  SELECT p.qid, a.vec_id, a.cid,
+       |         list_cosine_similarity(a.q::DOUBLE[], qb.q::DOUBLE[]) AS cos
+       |  FROM a3 a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN base qb ON qb.vec_id = p.qid
+       |  WHERE a.vec_id >= 5)
+       |SELECT qid, vec_id, cell, cos, rnk FROM (
+       |  SELECT qid, vec_id, cid AS cell, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ivf_search" -> (s11IvfSearch _),
     "s10_pq_incremental" -> (s10PqIncremental _),
     "s9_pq_adc" -> (s9PqAdc _),
     "s8_mmr_rerank" -> (s8MmrRerank _),
@@ -965,6 +1094,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s11_ivf_search" -> s11Oracle,
     "s10_pq_incremental" -> s10Oracle,
     "s9_pq_adc" -> s9Oracle,
     "s8_mmr_rerank" -> s8Oracle,

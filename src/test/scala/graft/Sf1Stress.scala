@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
 object Sf1Stress {
   private val Queries =
     Seq("d10_span_dedup", "s9_pq_adc", "p4_full_pipeline",
-      "d9_gram_coverage", "d4_simhash", "t34_ppl_buckets")
+      "d9_gram_coverage", "d4_simhash", "t34_ppl_buckets",
+      "s11_ivf_search", "p5_retrieval")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
     val docs = spark.read.parquet(s"$from/documents.parquet")

@@ -65,4 +65,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("shard")).distinct.length == 8)
     assert(out.length > 8, "each shard should overflow its first 2048-token bin")
   }
+
+  test("p5: every serving stage bites — probes prune, ADC ranks, rerank reorders") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Pipeline.queries("p5_retrieval")(spark, sf).collect()
+    assert(rows.length == 25) // 5 queries x 5
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    var reordered = 0
+    byQ.values.foreach { rs =>
+      // probe stage: results confined to the query's 2 probed cells
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length <= 2)
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to 5))
+      // final order is exact-cosine
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      // refine stage non-vacuity: the exact rerank must disagree with
+      // the ADC order somewhere (else the 8x8 PQ were magically exact)
+      val adcOrder = rs.sortBy(r => (-r.getAs[Double]("adc_score"), r.getAs[Long]("vec_id")))
+        .map(_.getAs[Long]("vec_id")).toSeq
+      if (adcOrder != sorted.map(_.getAs[Long]("vec_id")).toSeq) reordered += 1
+    }
+    assert(reordered >= 1, "rerank never changed an ADC ordering — refine stage is vacuous")
+  }
 }

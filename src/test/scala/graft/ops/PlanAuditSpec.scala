@@ -259,6 +259,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the qid window may shuffle:\n${hashes.mkString("\n")}")
   }
 
+  test("s11: the corpus never shuffles — probe list broadcasts, only the qid window exchanges") {
+    // The point of an IVF index: the corpus side is a scan projection
+    // (assignment against broadcast centroid literals) + a broadcast
+    // join with the tiny probe list. The only legal hash exchange is
+    // the per-query top-k window on qid — s9's contract, same reason.
+    val plan = formatted("s11_ivf_search")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probe list must broadcast under the corpus scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the corpus side must not shuffle for the probe join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("hashpartitioning(qid")),
+      s"only the qid windows may shuffle:\n${hashes.mkString("\n")}")
+  }
+
+  test("p5: the serving plan's only exchanges are the two qid top-k windows") {
+    // IVF-PQ + refine as one plan: index frame and refine reads are
+    // scan projections, every data join broadcasts a control-plane
+    // side (probes, LUTs, the 20-row refine list), and the only hash
+    // exchanges are the ADC and rerank windows — both on qid.
+    val plan = formatted("p5_retrieval")
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe/LUT/refine sides must broadcast under the scans")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "no data-sized side may shuffle in the serving path")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("hashpartitioning(qid")),
+      s"only the qid windows may shuffle:\n${hashes.mkString("\n")}")
+  }
+
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
     // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
     // evaluated by the parquet reader (row-group stats skip newer
