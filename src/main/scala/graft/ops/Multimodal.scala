@@ -404,9 +404,132 @@ object Multimodal {
       |       END AS grid_checksum
       |FROM fit ORDER BY doc_id""".stripMargin
 
+  /** mm7: image near-duplicate detection by perceptual fingerprint —
+    * the CONTENT-similarity member of the multimodal family (mm4
+    * groups byte-exact re-encodes; this one survives a retouch). The
+    * pHash recipe: the asset's buffer is tiled onto the 8×8 grid
+    * (mm6's index math, wrapped mod n so every cell reads a distinct
+    * region of a short buffer), each tile contributes one fingerprint
+    * bit, the 64 bits band 4×16 exactly like d4's SimHash, candidate
+    * pairs share a band, and candidates verify by full 64-bit Hamming
+    * distance ≤ 6.
+    *
+    * Stub contract (mm5's coin pattern): the per-tile bit is the
+    * parity of the shared polynomial hash of md5(tile) — a
+    * deterministic, oracle-foldable stand-in for the DCT-sign bit a
+    * real pHash extracts, with the property a real one has: unrelated
+    * assets get independent bits (expected Hamming 32; P(≤6) ≈ 2⁻⁴⁰),
+    * while a small edit flips only the bits of the tiles it touches.
+    * Planted retouches: the first 10 image assets re-ingested (ids
+    * +3,000,000 — divisible by lcm(3,8,5) = 120, so modality and the
+    * w/h metadata are preserved) with their FIRST character replaced;
+    * only grid cells whose tile starts at the touched position can
+    * flip (wraparound puts position 1 in ~one cell for these sizes),
+    * so the pair verifies at Hamming ≲ 3 — caught here, provably
+    * missed by mm4's exact fingerprint.
+    *
+    * Scale shape: the fingerprint is a row-local scan projection
+    * (whole-stage codegen, no UDF); banding explodes ×4 and shuffles
+    * on the band key, so pairwise work is per-bucket, never
+    * corpus-wide — d1/d4's topology at any corpus size.
+    */
+  private def mm7ImageDedup(s: SparkSession, d: String): DataFrame = {
+    // tile index of grid cell g over a w×h buffer, wrapped into the
+    // n-char stand-in; Spark `DIV` and DuckDB `//` are both
+    // left-associative integer division, so the two strings compute
+    // the identical index chain
+    val sparkBits =
+      s"""transform(sequence(0, 63), g ->
+         |  ${graft.ops.Text.polyHashSql(
+               "md5(CASE WHEN n = 0 THEN '' ELSE " +
+                 "substr(text, 1 + ((g DIV 8 * h DIV 8) * w + (g % 8 * w DIV 8)) % n, 8) END)",
+               8)} % 2)""".stripMargin
+    val bandExprs = (0 until 4).map { b =>
+      (1 to 16).map(i => s"element_at(bits, ${16 * b + i}) * ${1L << (i - 1)}")
+        .mkString("(", " + ", s") AS b$b")
+    }
+    val hashed = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") < 30)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("Z"), expr("substr(text, 2)")).as("text")))
+      .withColumn("n", length(col("text")))
+      .withColumn("w", (lit(64) + (col("doc_id") % 8) * 16).cast("int"))
+      .withColumn("h", (lit(64) + (col("doc_id") % 5) * 16).cast("int"))
+      .withColumn("bits", expr(sparkBits))
+      .selectExpr("doc_id" +: "bits" +: bandExprs: _*)
+      .localCheckpoint(true) // one fingerprint pass feeds band join + verify
+    val bands = hashed.select(col("doc_id"), col("bits"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "key")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+      .distinct()
+      .withColumn("hamming", expr(
+        """CAST(aggregate(zip_with(bits_a, bits_b,
+          |  (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
+          |  0L, (acc, v) -> acc + v) AS INT)""".stripMargin))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val mm7Oracle: String = {
+    val duckBits =
+      s"""list_transform(generate_series(0, 63), g ->
+         |  ${graft.ops.Text.polyHashSql(
+               "md5(CASE WHEN n = 0 THEN '' ELSE " +
+                 "substr(text, 1 + ((g // 8 * h // 8) * w + (g % 8 * w // 8)) % n, 8) END)",
+               8)} % 2)""".stripMargin
+    val bandCols = (0 until 4).map { b =>
+      (1 to 16).map(i => s"bits[${16 * b + i}] * ${1L << (i - 1)}")
+        .mkString("(", " + ", s") AS b$b")
+    }.mkString(",\n         ")
+    s"""WITH img AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, 'Z' || substr(text, 2)
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 30),
+       |a AS (
+       |  SELECT doc_id, text, CAST(length(text) AS INT) AS n,
+       |         CAST(64 + (doc_id % 8) * 16 AS INT) AS w,
+       |         CAST(64 + (doc_id % 5) * 16 AS INT) AS h
+       |  FROM img),
+       |bits AS (
+       |  SELECT doc_id,
+       |         $duckBits AS bits
+       |  FROM a),
+       |bands AS (
+       |  SELECT doc_id, bits,
+       |         $bandCols
+       |  FROM bits),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.doc_id < y.doc_id
+       |   AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> CASE WHEN p.bits[i] <> q.bits[i] THEN 1 ELSE 0 END)) AS INT)
+       |           AS hamming
+       |  FROM cand c
+       |  JOIN bits p ON p.doc_id = c.id_a
+       |  JOIN bits q ON q.doc_id = c.id_b)
+       |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm5_audio_windows" -> (mm5AudioWindows _),
     "mm6_resize" -> (mm6Resize _),
+    "mm7_image_dedup" -> (mm7ImageDedup _),
     "mm1_catalog" -> (mm1Catalog _),
     "mm2_features" -> (mm2Features _),
     "mm3_frame_sample" -> (mm3FrameSample _),
@@ -435,6 +558,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm7_image_dedup" -> mm7Oracle,
     "mm5_audio_windows" -> mm5Oracle,
     "mm6_resize" -> mm6Oracle,
     "mm1_catalog" -> mm1Oracle,

@@ -50,4 +50,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rt.grid_checksum >= 0)
     assert(Multimodal.resizeStub(tiny.copy(content = Array.empty)).grid_checksum == 0L)
   }
+
+  test("mm7: perceptual dedup finds exactly the planted retouches, at tiny Hamming distance") {
+    val rows = Multimodal.queries("mm7_image_dedup")(spark, "/root/testdata/sf0.001").collect()
+    // unrelated assets are independent 64-bit fingerprints (P(≤6) ≈
+    // 2⁻⁴⁰): the result must be EXACTLY the 10 planted retouch pairs
+    assert(rows.length == 10, s"expected the 10 planted pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("id_a")
+      assert(a % 3 == 0 && a < 30, s"unexpected pair anchor $a")
+      assert(r.getAs[Long]("id_b") == a + 3000000L,
+        "each retouch must pair with its original")
+      // a first-character retouch touches ~one tile of these sizes
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
 }
