@@ -57,26 +57,38 @@ object Sf1Stress {
     val sf1 = s"target/tmp/sf1-derived"
     buildSf1(spark, sf01, sf1)
 
-    def time(name: String, dir: String): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      (dt, n)
+    // Median of 3, like Bench: this host's documented noise spikes
+    // (single queries randomly 3-6x for one run) would otherwise make
+    // a single-shot ratio meaningless — one spiked run recorded
+    // t34_ppl_buckets at 19x when its cold-JVM truth is ~3.6x.
+    def med(f: => Long): (Double, Long) = {
+      var rows = 0L
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        rows = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      (ts.sorted.apply(1), rows)
     }
+    def time(name: String, dir: String): (Double, Long) =
+      med(SparkEntry.queries(name)(spark, dir).count())
     // d11 runs with its documented scale knob: k clusters ∝ corpus
     // size (8 at sf0.1, 80 at the 10× derivative), holding expected
     // cell size — and so the per-cell pairwise cost — constant. The
     // gate query pins k=8; this is the same plan at production shape.
-    def timeD11(dir: String, k: Int): (Double, Long) = {
-      val t0 = System.nanoTime()
+    // Measured decomposition at sf1 (see PLANS.md): the 2-pass Lloyd
+    // TRAINING dominates the ratio (fresh codegen compile of the
+    // k-wide assignment expression per pass); the claims under test
+    // are flat — final assignment 0.37 s, pairwise phase 0.21 s.
+    // Production trains once per index lifetime (s10's standing
+    // codebook), so the training constant amortizes away.
+    def timeD11(dir: String, k: Int): (Double, Long) = med {
       val base = graft.ops.Dedup.d11Base(spark, dir)
       val assigned = graft.ops.Similarity
         .assignCells(base, graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))
-      val n = graft.ops.Dedup.d11From(assigned).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      (dt, n)
+      graft.ops.Dedup.d11From(assigned).count()
     }
     val results = Queries.map { q =>
       val (t01, n01) = time(q, sf01)
