@@ -437,13 +437,21 @@ object Multimodal {
     // tile index of grid cell g over a w×h buffer, wrapped into the
     // n-char stand-in; Spark `DIV` and DuckDB `//` are both
     // left-associative integer division, so the two strings compute
-    // the identical index chain
+    // the identical index chain. The +g skew keeps cells on distinct
+    // positions even when n divides the grid strides (w and h are
+    // multiples of 16, so a short even-length buffer would otherwise
+    // collapse every cell onto position 1 — one retouched char would
+    // then flip ~32 bits and hide the planted pair). Tiles are
+    // digested ONCE per cell (inner transform), then the parity bit
+    // is taken from the digest — polyHashSql inlines its argument per
+    // character, so hashing the digest directly would md5 each tile
+    // 8 times.
     val sparkBits =
-      s"""transform(sequence(0, 63), g ->
-         |  ${graft.ops.Text.polyHashSql(
-               "md5(CASE WHEN n = 0 THEN '' ELSE " +
-                 "substr(text, 1 + ((g DIV 8 * h DIV 8) * w + (g % 8 * w DIV 8)) % n, 8) END)",
-               8)} % 2)""".stripMargin
+      s"""transform(
+         |  transform(sequence(0, 63), g ->
+         |    md5(CASE WHEN n = 0 THEN '' ELSE
+         |        substr(text, 1 + ((g DIV 8 * h DIV 8) * w + (g % 8 * w DIV 8) + g) % n, 8) END)),
+         |  dg -> ${graft.ops.Text.polyHashSql("dg", 8)} % 2)""".stripMargin
     val bandExprs = (0 until 4).map { b =>
       (1 to 16).map(i => s"element_at(bits, ${16 * b + i}) * ${1L << (i - 1)}")
         .mkString("(", " + ", s") AS b$b")
@@ -462,16 +470,23 @@ object Multimodal {
       .withColumn("bits", expr(sparkBits))
       .selectExpr("doc_id" +: "bits" +: bandExprs: _*)
       .localCheckpoint(true) // one fingerprint pass feeds band join + verify
-    val bands = hashed.select(col("doc_id"), col("bits"),
+    // the band exchange carries IDS ONLY (3 longs/row, not the
+    // 64-element fingerprints); the candidate pair set is tiny
+    // (banding exists to make it so), so the verifier fetches bits
+    // with two joins whose small side AQE broadcasts — the corpus
+    // never shuffles its fingerprint arrays
+    val bands = hashed.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band_idx", "key")))
-    bands.as("a")
+    val pairIds = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    pairIds
+      .join(hashed.select(col("doc_id").as("id_a"), col("bits").as("bits_a")), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("bits").as("bits_b")), Seq("id_b"))
       .withColumn("hamming", expr(
         """CAST(aggregate(zip_with(bits_a, bits_b,
           |  (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
@@ -483,11 +498,11 @@ object Multimodal {
 
   private val mm7Oracle: String = {
     val duckBits =
-      s"""list_transform(generate_series(0, 63), g ->
-         |  ${graft.ops.Text.polyHashSql(
-               "md5(CASE WHEN n = 0 THEN '' ELSE " +
-                 "substr(text, 1 + ((g // 8 * h // 8) * w + (g % 8 * w // 8)) % n, 8) END)",
-               8)} % 2)""".stripMargin
+      s"""list_transform(
+         |  list_transform(generate_series(0, 63), g ->
+         |    md5(CASE WHEN n = 0 THEN '' ELSE
+         |        substr(text, 1 + ((g // 8 * h // 8) * w + (g % 8 * w // 8) + g) % n, 8) END)),
+         |  dg -> ${graft.ops.Text.polyHashSql("dg", 8)} % 2)""".stripMargin
     val bandCols = (0 until 4).map { b =>
       (1 to 16).map(i => s"bits[${16 * b + i}] * ${1L << (i - 1)}")
         .mkString("(", " + ", s") AS b$b")

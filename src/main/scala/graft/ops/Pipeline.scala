@@ -335,14 +335,14 @@ object Pipeline {
     */
   private def p5Retrieval(s: SparkSession, d: String): DataFrame = {
     val base = Similarity.quantized(s, d)
-    val cb = Similarity.trainCodebook(base, iters = 2).localCheckpoint(true)
-    val probes = Similarity.ivfProbes(base, cb, nprobe = 2)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, iters = 2))
+    val probes = Similarity.ivfProbes(base, cents, nprobe = 2)
       .select(col("qid"), col("pcid"))
     val subs = Similarity.pqSubs(s, d) // checkpointed: trains + LUTs
     val pcb = Similarity.pqTrain(subs)
     // the stored IVF-PQ index: one scan projection carrying cell + codes
     val coded = Similarity
-      .pqCodeCols(Similarity.assignCells(Similarity.pqSubCols(base), cb), pcb)
+      .pqCodeCols(Similarity.assignCellsFrom(Similarity.pqSubCols(base), cents), pcb)
       .select(col("vec_id") +: col("cid") +:
         (0 until Similarity.pqM).map(m => col(s"c$m")): _*)
     val wAdc = org.apache.spark.sql.expressions.Window
@@ -372,15 +372,7 @@ object Pipeline {
   }
 
   private val p5Oracle: String = {
-    def dot8(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, 8), i -> $a[i] * $b[i]))"
-    def passign(cbRel: String) =
-      s"""SELECT vec_id, m, sub, cid FROM (
-         |    SELECT s.vec_id, s.m, s.sub, c.cid,
-         |           row_number() OVER (PARTITION BY s.vec_id, s.m
-         |             ORDER BY CAST(${dot8("s.sub", "c.sv")} AS DOUBLE) / c.n DESC, c.cid) AS rnk
-         |    FROM subs s JOIN $cbRel c ON c.m = s.m) WHERE rnk = 1""".stripMargin
-    val svSums = (1 to 8).map(i => s"sum(sub[$i])").mkString("[", ", ", "]")
+    def dot8(a: String, b: String) = Similarity.pqDot8(a, b)
     val pivots = (0 until Similarity.pqM)
       .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
     val total = (0 until Similarity.pqM).map(m => s"t$m").mkString(" + ")
@@ -390,15 +382,8 @@ object Pipeline {
        |  FROM embeddings),
        |${Similarity.ivfOracleChain},
        |${Similarity.ivfProbeOracleCtes},
-       |subs AS (
-       |  SELECT vec_id, g.m, list_slice(q, g.m * 8 + 1, g.m * 8 + 8) AS sub
-       |  FROM base CROSS JOIN generate_series(0, ${Similarity.pqM - 1}) AS g(m)),
-       |pseed AS (
-       |  SELECT m, vec_id AS cid, sub AS sv, CAST(1 AS BIGINT) AS n
-       |  FROM subs WHERE vec_id < ${Similarity.pqK}),
-       |pa1 AS (${passign("pseed")}),
-       |pc1 AS (SELECT m, cid, $svSums AS sv, count(*) AS n FROM pa1 GROUP BY m, cid),
-       |codes AS (${passign("pc1")}),
+       |${Similarity.pqSubsOracleCte},
+       |${Similarity.pqOracleChain},
        |cand AS (
        |  SELECT p.qid, x.vec_id, a.cid AS cell, x.m, x.cid AS code
        |  FROM codes x

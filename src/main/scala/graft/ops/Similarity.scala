@@ -301,10 +301,26 @@ object Similarity {
     * to the lowest cid — identical semantics to `ORDER BY score DESC,
     * cid`.
     */
-  def assignCells(base: DataFrame, codebook: DataFrame): DataFrame = {
-    val cents = codebook.select("cid", "sv", "n").collect()
+  /** Codebook rows collected to the driver, sorted by cid — the one
+    * control-plane round-trip [[assignCells]] and [[ivfProbes]]
+    * share (collect once, pass to both).
+    */
+  def collectCents(codebook: DataFrame): Array[(Long, Seq[Double], Long)] =
+    codebook.select("cid", "sv", "n").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
       .sortBy(_._1)
+
+  def assignCells(base: DataFrame, codebook: DataFrame): DataFrame =
+    assignCellsFrom(base, collectCents(codebook))
+
+  /** [[assignCells]] against pre-collected centroids. The input frame
+    * must carry `q` and must NOT already carry `scores` or `cid`:
+    * `scores` is built and dropped as scratch, `cid` is the output —
+    * a frame arriving with either would have it silently clobbered.
+    */
+  def assignCellsFrom(base: DataFrame, cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    require(!base.columns.contains("scores") && !base.columns.contains("cid"),
+      "assignCells input must not already carry 'scores' or 'cid'")
     val scoreCols = cents.map { case (_, sv, n) =>
       VectorFunctions.dot_product(col("q"), typedlit(sv)) / lit(n.toDouble)
     }
@@ -926,16 +942,44 @@ object Similarity {
        |  FROM piv) CROSS JOIN dsum WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
-  private val s9Oracle: String = {
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, 8), i -> $a[i] * $b[i]))"
+  /** Oracle fragment: the 8-dim subvector dot both PQ oracles use. */
+  private[ops] def pqDot8(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 8), i -> $a[i] * $b[i]))"
+
+  /** Oracle fragment: the `subs` CTE — every vector cut into [[pqM]]
+    * subvectors — over a CTE named `base(vec_id, q)`.
+    */
+  private[ops] val pqSubsOracleCte: String =
+    s"""subs AS (
+       |  SELECT vec_id, g.m, list_slice(q, g.m * 8 + 1, g.m * 8 + 8) AS sub
+       |  FROM base CROSS JOIN generate_series(0, ${pqM - 1}) AS g(m))""".stripMargin
+
+  /** Oracle fragment shared by s9/p5: one PQ Lloyd pass + the final
+    * code assignment over `subs(vec_id, m, sub)`. Ends in
+    * `codes(vec_id, m, sub, cid)` with the trained per-subspace
+    * codebook in `pc1(m, cid, sv, n)`. CTE names carry a `p` prefix
+    * so the fragment composes beside [[ivfOracleChain]] (which owns
+    * a1/c1/a2/c2). ONE string so every consumer trains the
+    * byte-identical PQ codebook. (s10's oracle trains on a SPLIT of
+    * subs — a different seed relation — so it keeps its own chain.)
+    */
+  private[ops] val pqOracleChain: String = {
     def assign(cb: String) =
       s"""SELECT vec_id, m, sub, cid FROM (
          |    SELECT s.vec_id, s.m, s.sub, c.cid,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m
-         |             ORDER BY CAST(${dot("s.sub", "c.sv")} AS DOUBLE) / c.n DESC, c.cid) AS rnk
+         |             ORDER BY CAST(${pqDot8("s.sub", "c.sv")} AS DOUBLE) / c.n DESC, c.cid) AS rnk
          |    FROM subs s JOIN $cb c ON c.m = s.m) WHERE rnk = 1""".stripMargin
     val svSums = (1 to 8).map(i => s"sum(sub[$i])").mkString("[", ", ", "]")
+    s"""pseed AS (
+       |  SELECT m, vec_id AS cid, sub AS sv, CAST(1 AS BIGINT) AS n
+       |  FROM subs WHERE vec_id < $pqK),
+       |pa1 AS (${assign("pseed")}),
+       |pc1 AS (SELECT m, cid, $svSums AS sv, count(*) AS n FROM pa1 GROUP BY m, cid),
+       |codes AS (${assign("pc1")})""".stripMargin
+  }
+
+  private val s9Oracle: String = {
     val pivots = (0 until pqM)
       .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
     val total = (0 until pqM).map(m => s"t$m").mkString(" + ")
@@ -943,20 +987,13 @@ object Similarity {
        |  SELECT vec_id,
        |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
        |  FROM embeddings),
-       |subs AS (
-       |  SELECT vec_id, g.m, list_slice(q, g.m * 8 + 1, g.m * 8 + 8) AS sub
-       |  FROM base CROSS JOIN generate_series(0, ${pqM - 1}) AS g(m)),
-       |seed AS (
-       |  SELECT m, vec_id AS cid, sub AS sv, CAST(1 AS BIGINT) AS n
-       |  FROM subs WHERE vec_id < $pqK),
-       |a1 AS (${assign("seed")}),
-       |c1 AS (SELECT m, cid, $svSums AS sv, count(*) AS n FROM a1 GROUP BY m, cid),
-       |codes AS (${assign("c1")}),
+       |$pqSubsOracleCte,
+       |$pqOracleChain,
        |terms AS (
        |  SELECT q.vec_id AS qid, x.vec_id, x.m,
-       |         CAST(${dot("q.sub", "c.sv")} AS DOUBLE) / c.n AS t
+       |         CAST(${pqDot8("q.sub", "c.sv")} AS DOUBLE) / c.n AS t
        |  FROM codes x
-       |  JOIN c1 c ON c.m = x.m AND c.cid = x.cid
+       |  JOIN pc1 c ON c.m = x.m AND c.cid = x.cid
        |  JOIN subs q ON q.m = x.m AND q.vec_id < 5
        |  WHERE x.vec_id >= 5),
        |piv AS (
@@ -999,14 +1036,13 @@ object Similarity {
   /** Probe list for IVF search: each query vector (vec_id < 5) paired
     * with its `nprobe` best cells by centroid mean-dot. Centroid
     * scores are literal projection columns (the assignCells trick) —
-    * the probe side never joins; (queries × k) rows total. `cb` must
-    * be materialized (checkpointed) so the Lloyd aggregation never
-    * re-enters the search plan. Returns (qid, qv, pcid).
+    * the probe side never joins; (queries × k) rows total. Takes the
+    * [[collectCents]] result so one driver round-trip feeds both this
+    * and the corpus assignment, and the Lloyd aggregation never
+    * enters the search plan. Returns (qid, qv, pcid).
     */
-  private[ops] def ivfProbes(base: DataFrame, cb: DataFrame, nprobe: Int): DataFrame = {
-    val cents = cb.select("cid", "sv", "n").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
-      .sortBy(_._1)
+  private[ops] def ivfProbes(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)], nprobe: Int): DataFrame = {
     val qs = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
     val scoreStructs = cents.map { case (cid, sv, n) =>
@@ -1026,13 +1062,13 @@ object Similarity {
 
   private def s11IvfSearch(s: SparkSession, d: String): DataFrame = {
     val base = quantized(s, d)
-    // materialize the trained codebook ONCE (k tiny rows): both the
-    // probe scoring and the corpus assignment read the same artifact
-    val cb = trainCodebook(base, iters = 2).localCheckpoint(true)
-    val probes = ivfProbes(base, cb, nprobe = 2)
+    // collect the trained codebook ONCE (k tiny rows): the same
+    // driver-side artifact feeds probe scoring and corpus assignment
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val probes = ivfProbes(base, cents, nprobe = 2)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    assignCells(base, cb)
+    assignCellsFrom(base, cents)
       .filter(col("vec_id") >= 5)
       .join(broadcast(probes), col("cid") === col("pcid"))
       .select(col("qid"), col("vec_id"), col("cid").as("cell"),
