@@ -1739,11 +1739,19 @@ object CdcQueries {
     // first. Partition by pos RANGE, not round-robin: a real archive
     // file is a contiguous gno span, and downstream GTID-set aggregates
     // stay at one range per partition instead of degenerating into
-    // thousands of stride singletons.
+    // thousands of stride singletons. File COUNT scales with the feed
+    // (rotation at a bounded event count, like a real server's
+    // max_binlog_size), never just with the cluster: a fixed-width
+    // repartition made each segment grow with the feed — at 10× events
+    // the sf1 stress showed the decode wave going 37% super-linear
+    // from per-task allocation pressure alone.
+    val eventsPerFile = 10000L
+    val files = math.max(s.sparkContext.defaultParallelism.toLong,
+      slice.count() / eventsPerFile + 1L).toInt
     val segments = slice
       .select(col("pos"), col("ts"), col("pk"), col("op"), col("value"))
       .as[FeedRow]
-      .repartitionByRange(s.sparkContext.defaultParallelism, col("pos"))
+      .repartitionByRange(files, col("pos"))
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {

@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions._
   * Run: SPARK_DRIVER_MEM=32g sbt "Test/runMain graft.Sf1Stress"
   */
 object Sf1Stress {
+  /** LLM-pipeline ops plus the CDC protocol path: latest-wins
+    * materialization (scan shape), the binlog byte codec roundtrip
+    * (row-local codec CPU at 1M events), and the full-protocol
+    * capstone (snapshot bootstrap ∪ GTID-gated incremental). The
+    * heavy CDC gates build their state once per (JVM, dir) — the
+    * first rep pays the build, the median prices the read path, and
+    * both are reported.
+    */
   private val Queries =
     Seq("d10_span_dedup", "s9_pq_adc", "p4_full_pipeline",
       "d9_gram_coverage", "d4_simhash", "t34_ppl_buckets",
-      "s11_ivf_search", "p5_retrieval")
+      "s11_ivf_search", "p5_retrieval",
+      "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
     val docs = spark.read.parquet(s"$from/documents.parquet")
@@ -47,6 +56,17 @@ object Sf1Stress {
         embs.columns.filterNot(_ == "vec_id").map(col): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$to/embeddings.parquet")
+    // events: 10× the change feed over the SAME key space — each copy
+    // appends after the last (event_id is the feed position), so keys
+    // see 10× the churn. ts stays the raw nanos-long the session conf
+    // exposes; written back as a plain long it reads identically.
+    val events = spark.read.parquet(s"$from/events.parquet")
+    val nEvents = events.count()
+    events.crossJoin(copies)
+      .select(Seq((col("event_id") + col("copy") * nEvents).as("event_id")) ++
+        events.columns.filterNot(_ == "event_id").map(col): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$to/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -57,11 +77,15 @@ object Sf1Stress {
     val sf1 = s"target/tmp/sf1-derived"
     buildSf1(spark, sf01, sf1)
 
-    // Median of 3, like Bench: this host's documented noise spikes
-    // (single queries randomly 3-6x for one run) would otherwise make
-    // a single-shot ratio meaningless — one spiked run recorded
-    // t34_ppl_buckets at 19x when its cold-JVM truth is ~3.6x.
-    def med(f: => Long): (Double, Long) = {
+    // MIN of 3 reps: this host's documented noise spikes (single
+    // queries randomly 3-6x for one run) poison even medians — one
+    // run recorded a d4 median of 8.6 s whose min was 1.5 s, and a
+    // t34 single-shot of 19x whose cold-JVM truth is ~3.6x. Noise
+    // only ever ADDS time, so for a SCALING harness (ratios of plan
+    // cost, not absolute throughput) the min is the right estimator.
+    // The first rep is reported alongside: for the gate-state CDC
+    // queries it prices the one-time state build.
+    def med(f: => Long): (Double, Double, Long) = {
       var rows = 0L
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -70,9 +94,10 @@ object Sf1Stress {
         spark.catalog.clearCache()
         dt
       }
-      (ts.sorted.apply(1), rows)
+      // (first = cold/build cost, min = plan cost, rows)
+      (ts.head, ts.min, rows)
     }
-    def time(name: String, dir: String): (Double, Long) =
+    def time(name: String, dir: String): (Double, Double, Long) =
       med(SparkEntry.queries(name)(spark, dir).count())
     // d11 runs with its documented scale knob: k clusters ∝ corpus
     // size (8 at sf0.1, 80 at the 10× derivative), holding expected
@@ -84,25 +109,25 @@ object Sf1Stress {
     // are flat — final assignment 0.37 s, pairwise phase 0.21 s.
     // Production trains once per index lifetime (s10's standing
     // codebook), so the training constant amortizes away.
-    def timeD11(dir: String, k: Int): (Double, Long) = med {
+    def timeD11(dir: String, k: Int): (Double, Double, Long) = med {
       val base = graft.ops.Dedup.d11Base(spark, dir)
       val assigned = graft.ops.Similarity
         .assignCells(base, graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))
       graft.ops.Dedup.d11From(assigned).count()
     }
     val results = Queries.map { q =>
-      val (t01, n01) = time(q, sf01)
-      val (t1, n1) = time(q, sf1)
-      println(f"[sf1-stress] $q%-18s sf0.1 $t01%7.2fs ($n01%d rows)   sf1 $t1%7.2fs ($n1%d rows)   ratio ${t1 / t01}%5.2fx")
-      q -> ((t01, n01, t1, n1))
+      val (f01, t01, n01) = time(q, sf01)
+      val (f1, t1, n1) = time(q, sf1)
+      println(f"[sf1-stress] $q%-18s sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      q -> ((f01, t01, n01, f1, t1, n1))
     } :+ {
-      val (t01, n01) = timeD11(sf01, 8)
-      val (t1, n1) = timeD11(sf1, 80)
+      val (f01, t01, n01) = timeD11(sf01, 8)
+      val (f1, t1, n1) = timeD11(sf1, 80)
       println(f"[sf1-stress] d11_semantic_dedup (k 8 -> 80) sf0.1 $t01%7.2fs ($n01%d rows)   sf1 $t1%7.2fs ($n1%d rows)   ratio ${t1 / t01}%5.2fx")
-      "d11_semantic_dedup_k_scaled" -> ((t01, n01, t1, n1))
+      "d11_semantic_dedup_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
-    val json = results.map { case (q, (t01, n01, t1, n1)) =>
-      f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
+    val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
+      f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
     }.mkString("{\n", ",\n", s""",\n  "scale_factor_ratio": 10, "errors": 0\n}\n""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_sf1_spot.json"), json.getBytes("UTF-8"))
