@@ -1744,7 +1744,14 @@ object CdcQueries {
     // max_binlog_size), never just with the cluster: a fixed-width
     // repartition made each segment grow with the feed — at 10× events
     // the sf1 stress showed the decode wave going 37% super-linear
-    // from per-task allocation pressure alone.
+    // from per-task allocation pressure alone. The sizing count does
+    // re-evaluate the slice, but that is the CHEAP choice: the slice
+    // is a pruned columnar scan + row-local projection, and
+    // checkpointing it instead (to share one materialization with the
+    // range sampler) measured 1.8× slower at the 1M-event stress —
+    // block-store row materialization costs more than the rescans it
+    // saves. A real archiver reads its rotation points off the file
+    // listing and pays neither.
     val eventsPerFile = 10000L
     val files = math.max(s.sparkContext.defaultParallelism.toLong,
       slice.count() / eventsPerFile + 1L).toInt

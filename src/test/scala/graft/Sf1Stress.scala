@@ -25,8 +25,8 @@ object Sf1Stress {
     * (row-local codec CPU at 1M events), and the full-protocol
     * capstone (snapshot bootstrap ∪ GTID-gated incremental). The
     * heavy CDC gates build their state once per (JVM, dir) — the
-    * first rep pays the build, the median prices the read path, and
-    * both are reported.
+    * first rep pays the build, the min-of-3 prices the read path,
+    * and both are reported.
     */
   private val Queries =
     Seq("d10_span_dedup", "s9_pq_adc", "p4_full_pipeline",
@@ -85,7 +85,7 @@ object Sf1Stress {
     // cost, not absolute throughput) the min is the right estimator.
     // The first rep is reported alongside: for the gate-state CDC
     // queries it prices the one-time state build.
-    def med(f: => Long): (Double, Double, Long) = {
+    def timed3(f: => Long): (Double, Double, Long) = {
       var rows = 0L
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -98,7 +98,7 @@ object Sf1Stress {
       (ts.head, ts.min, rows)
     }
     def time(name: String, dir: String): (Double, Double, Long) =
-      med(SparkEntry.queries(name)(spark, dir).count())
+      timed3(SparkEntry.queries(name)(spark, dir).count())
     // d11 runs with its documented scale knob: k clusters ∝ corpus
     // size (8 at sf0.1, 80 at the 10× derivative), holding expected
     // cell size — and so the per-cell pairwise cost — constant. The
@@ -109,7 +109,7 @@ object Sf1Stress {
     // are flat — final assignment 0.37 s, pairwise phase 0.21 s.
     // Production trains once per index lifetime (s10's standing
     // codebook), so the training constant amortizes away.
-    def timeD11(dir: String, k: Int): (Double, Double, Long) = med {
+    def timeD11(dir: String, k: Int): (Double, Double, Long) = timed3 {
       val base = graft.ops.Dedup.d11Base(spark, dir)
       val assigned = graft.ops.Similarity
         .assignCells(base, graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))
@@ -123,12 +123,12 @@ object Sf1Stress {
     } :+ {
       val (f01, t01, n01) = timeD11(sf01, 8)
       val (f1, t1, n1) = timeD11(sf1, 80)
-      println(f"[sf1-stress] d11_semantic_dedup (k 8 -> 80) sf0.1 $t01%7.2fs ($n01%d rows)   sf1 $t1%7.2fs ($n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      println(f"[sf1-stress] d11_semantic_dedup (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "d11_semantic_dedup_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
-    }.mkString("{\n", ",\n", s""",\n  "scale_factor_ratio": 10, "errors": 0\n}\n""")
+    }.mkString("{\n", ",\n", s""",\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "errors": 0\n}\n""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_sf1_spot.json"), json.getBytes("UTF-8"))
     spark.stop()
