@@ -545,6 +545,18 @@ object CdcPipeline {
     val schemaName = SnapshotJob.schemaName
     val mm = snapshotFeed.agg(min(col(chunkBy)), max(col(chunkBy))).head()
     if (mm.isNullAt(0)) { // empty table: a complete (empty) snapshot
+      // …unless a prior non-empty run already pinned chunk bounds: a
+      // feed that drifted to EMPTY mid-resume is the same
+      // unpinned-feed contract violation as drifted min/max, and the
+      // empty-complete path would otherwise mark every chunk covered
+      // and pin the table watermark — silently losing the rows the
+      // unfinished chunks never wrote
+      MetaTables.readChunkBounds(stateDir, table).foreach { case (plo, phi, pn) =>
+        throw new IllegalStateException(
+          s"resumableSnapshot chunk bounds drifted on resume: pinned " +
+            s"[$plo,$phi]/$pn chunks vs an EMPTY recomputed feed — " +
+            "snapshotFeed must be a pinned (immutable) read")
+      }
       // the sidecar must still exist — a completed empty snapshot is a
       // READABLE empty state table, not a "no state table" error
       if (MetaTables.readStateSchema(spark, stateDir).isEmpty)

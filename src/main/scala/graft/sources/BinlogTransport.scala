@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.model.GtidSet
 import graft.streaming.FeedRow
 
 /** The transport failure a binlog client surfaces: connection drop,
@@ -30,6 +31,18 @@ final class CorruptStreamException(msg: String, cause: Throwable = null)
   */
 trait BinlogTransport {
   def fetch(): Vector[FeedRow]
+
+  /** Admission notification, driven by the stream's `commit(end)`:
+    * every `(uuid, pos)` in `committed` has been durably admitted
+    * into a finished micro-batch, so a transport holding a replay
+    * buffer may trim it down to the uncommitted window — the bound
+    * that keeps a long-lived `fetch()` tail O(in-flight), the role
+    * the reference's cap-1000 channel plays
+    * (`fullamount_service.go:27`). Default no-op: the harness replay
+    * buffers are themselves the source of truth and must keep
+    * serving checkpoint-restart replays.
+    */
+  def commit(uuid: String, committed: GtidSet): Unit = ()
 }
 
 /** The harness transport: a driver-side replay buffer. */
@@ -61,6 +74,9 @@ final class ReconnectingTransport(
 ) extends BinlogTransport {
 
   private var backoffMs = initialBackoffMs
+
+  override def commit(uuid: String, committed: GtidSet): Unit =
+    inner.commit(uuid, committed)
 
   override def fetch(): Vector[FeedRow] = {
     var failures = 0

@@ -65,6 +65,67 @@ object BinlogWire {
     (seq, r.bytes(len))
   }
 
+  /** The packet-split threshold: a declared payload length of
+    * 2^24−1 means "a continuation frame follows".
+    */
+  val MaxFrame: Int = 0xffffff
+
+  /** Frame a payload of ANY size per the public packet-split
+    * convention: every full [[MaxFrame]]-byte frame announces a
+    * continuation, and the final frame carries the remainder —
+    * including an EMPTY trailing frame when the payload length is an
+    * exact multiple of [[MaxFrame]], which is how the receiver knows
+    * the logical packet ended. Sequence ids increment per frame.
+    * Payloads under the threshold produce bytes identical to
+    * [[framePacket]].
+    */
+  def framePackets(seq: Int, payload: Array[Byte]): Array[Byte] = {
+    if (payload.length < MaxFrame) framePacket(seq, payload)
+    else {
+      val frames = payload.length / MaxFrame + 1
+      val b = new java.io.ByteArrayOutputStream(payload.length + 4 * frames)
+      var off = 0
+      var s = seq
+      while (payload.length - off >= MaxFrame) {
+        b.write(0xff); b.write(0xff); b.write(0xff); b.write(s & 0xff)
+        b.write(payload, off, MaxFrame)
+        off += MaxFrame
+        s += 1
+      }
+      val rem = payload.length - off
+      b.write(rem & 0xff); b.write((rem >> 8) & 0xff); b.write((rem >> 16) & 0xff)
+      b.write(s & 0xff)
+      b.write(payload, off, rem)
+      b.toByteArray
+    }
+  }
+
+  /** One LOGICAL packet off a byte stream: reads frames via `fully`
+    * (the caller's read-exactly-n; it throws the caller's transport
+    * error taxonomy on short reads), concatenating while the declared
+    * length is [[MaxFrame]] — the split convention [[framePackets]]
+    * produces and a real server uses for events ≥ 16 MiB. Returns
+    * (last frame's sequence id, reassembled payload).
+    */
+  def readLogicalPacket(fully: Int => Array[Byte]): (Int, Array[Byte]) = {
+    val hdr = fully(4)
+    var len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+    var seq = hdr(3) & 0xff
+    val first = fully(len)
+    if (len < MaxFrame) (seq, first)
+    else {
+      val b = new java.io.ByteArrayOutputStream(len * 2)
+      b.write(first, 0, first.length)
+      while (len == MaxFrame) {
+        val h = fully(4)
+        len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+        seq = h(3) & 0xff
+        if (len > 0) { val p = fully(len); b.write(p, 0, p.length) }
+      }
+      (seq, b.toByteArray)
+    }
+  }
+
   /** The binary GTID-set form carried inside the dump request.
     * Deterministic: sids sort lexicographically, intervals are
     * already canonical (sorted, disjoint) in [[GtidSet]].

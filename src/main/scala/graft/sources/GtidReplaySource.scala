@@ -259,7 +259,21 @@ final class GtidReplayStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new GtidReplayReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  /** Batch-committed notification → each transport may trim its
+    * replay buffer below the committed set ([[BinlogTransport.commit]]):
+    * once `end` is durable in the checkpoint, no later
+    * `planInputPartitions(start ⊇ end, _)` can ask for those rows
+    * again within this stream instance. (A query RESTART builds fresh
+    * transports and replays from the wire, so trimming here never
+    * loses checkpoint-recovery rows.)
+    */
+  override def commit(end: Offset): Unit = {
+    val set = end match {
+      case g: GtidOffset => g.set
+      case other => GtidSet.parse(other.json())
+    }
+    transports.foreach { case (uuid, t) => t.commit(uuid, set) }
+  }
   override def stop(): Unit = ()
 }
 

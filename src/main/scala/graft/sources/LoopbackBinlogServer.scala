@@ -68,12 +68,11 @@ final class LoopbackBinlogServer(
       }
       buf
     }
-    val hdr = fully(4)
-    fully((hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16))
+    BinlogWire.readLogicalPacket(fully)._2
   }
 
   private def write(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    out.write(BinlogWire.framePacket(seq, payload)); out.flush()
+    out.write(BinlogWire.framePackets(seq, payload)); out.flush()
   }
 
   private def handle(sock: Socket): Unit = {
@@ -90,7 +89,7 @@ final class LoopbackBinlogServer(
     }
     write(out, 2, MysqlAuth.encodeOk())
     val req = BinlogWire.parseComBinlogDumpGtid(read(in))
-    val (fde, txs) = LoopbackBinlogServer.transactions(archive)
+    val (fde, segs) = LoopbackBinlogServer.segments(archive)
     val kill = if (connId == 1) killAfterPacketsOnFirstConn else Int.MaxValue
     var sent = 0
     var seq = 1
@@ -101,8 +100,9 @@ final class LoopbackBinlogServer(
       eventPacketsServed.incrementAndGet()
     }
     sendEvent(fde)
-    txs.foreach { case (uuid, gno, spans) =>
-      if (!req.set.contains(uuid, gno)) spans.foreach(sendEvent)
+    segs.foreach { case (gate, spans) =>
+      if (!gate.exists { case (u, g) => req.set.contains(u, g) })
+        spans.foreach(sendEvent)
     }
     write(out, seq, Array[Byte](0xfe.toByte, 0, 0, 0, 0)) // EOF
   }
@@ -110,12 +110,17 @@ final class LoopbackBinlogServer(
 
 object LoopbackBinlogServer {
   /** Split an archive file into per-event byte spans (header walk)
-    * and group them into (uuid, gno, spans) transactions, FDE apart —
-    * what lets the server serve event packets and honor the request's
-    * GTID set without re-encoding anything.
+    * and group them into serving segments, FDE apart — what lets the
+    * server serve event packets and honor the request's GTID set
+    * without re-encoding anything. A segment is `(gate, spans)`:
+    * `Some((uuid, gno))` gates a transaction (skipped when the
+    * request's set covers it), `None` marks events OUTSIDE any
+    * transaction — ROTATE and friends between an XID and the next
+    * GTID (the bounded-rotation archive shape) — which always serve;
+    * a real master streams them unconditionally too.
     */
-  def transactions(
-      file: Array[Byte]): (Array[Byte], Vector[(String, Long, Vector[Array[Byte]])]) = {
+  def segments(
+      file: Array[Byte]): (Array[Byte], Vector[(Option[(String, Long)], Vector[Array[Byte]])]) = {
     var pos = 4
     val spans = Vector.newBuilder[Array[Byte]]
     while (pos < file.length) {
@@ -126,22 +131,31 @@ object LoopbackBinlogServer {
     }
     val all = spans.result()
     val events = BinlogDecoder.decode(file) // aligns 1:1 with spans
-    val txs = Vector.newBuilder[(String, Long, Vector[Array[Byte]])]
+    val segs = Vector.newBuilder[(Option[(String, Long)], Vector[Array[Byte]])]
     var cur: Option[(String, Long)] = None
     var buf = Vector.newBuilder[Array[Byte]]
+    def flush(gate: Option[(String, Long)]): Unit = {
+      val s = buf.result()
+      if (s.nonEmpty) segs += ((gate, s))
+      buf = Vector.newBuilder
+    }
     events.zip(all).drop(1).foreach { case (ev, span) =>
       ev match {
         case g: BinlogCodec.Gtid =>
+          flush(None) // events since the last XID ride ungated
           cur = Some((g.uuid, g.gno))
-          buf = Vector.newBuilder
           buf += span
         case _: BinlogCodec.Xid =>
           buf += span
-          cur.foreach { case (u, g) => txs += ((u, g, buf.result())) }
+          flush(cur)
           cur = None
         case _ => buf += span
       }
     }
-    (all.head, txs.result())
+    // trailing events: an unterminated transaction stays gated by its
+    // GTID (tx assembly client-side drops the uncommitted tail
+    // anyway); bare trailing events (e.g. a final ROTATE) serve
+    flush(cur)
+    (all.head, segs.result())
   }
 }

@@ -57,12 +57,22 @@ final class SocketTransport(
     * SUFFIX would lose every row fetched but not yet admitted. The
     * wire still carries each transaction once (the dump request
     * resumes from [[watermark]]); this buffer only replays what
-    * already crossed. A continuous production client would trim it
-    * below the stream's committed offset on `commit()` — the memory
-    * bound is the uncommitted window, same as the reference's
-    * cap-1000 channel.
+    * already crossed. [[commit]] trims it below the stream's
+    * committed offset once batches are admitted — the memory bound
+    * is the uncommitted window, same as the reference's cap-1000
+    * channel.
     */
-  private var tail: Vector[FeedRow] = Vector.empty
+  private[sources] var tail: Vector[FeedRow] = Vector.empty
+
+  /** The stream's admission callback: rows whose `(uuid, pos)` the
+    * committed set covers can never be re-planned (every later batch
+    * filters `!from.contains`), so they leave the replay tail. The
+    * wire watermark is untouched — it already only advances on fully
+    * fetched transactions.
+    */
+  override def commit(uuid: String, committed: GtidSet): Unit = synchronized {
+    tail = tail.filter(r => !committed.contains(uuid, r.pos))
+  }
 
   override def fetch(): Vector[FeedRow] = synchronized {
     val socket = new Socket()
@@ -148,15 +158,17 @@ final class SocketTransport(
     buf
   }
 
-  private def readPacket(in: InputStream): (Int, Array[Byte]) = {
-    val hdr = readFully(in, 4)
-    val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
-    (hdr(3) & 0xff, readFully(in, len))
-  }
+  /** One LOGICAL packet: frames with a declared length of 0xffffff
+    * mean "continuation follows" (MySQL's packet-split convention for
+    * payloads ≥ 16 MiB — a single large rows event crosses as several
+    * frames), so reassembly loops until a short frame. Short reads
+    * surface as [[TransportException]] via [[readFully]].
+    */
+  private def readPacket(in: InputStream): (Int, Array[Byte]) =
+    BinlogWire.readLogicalPacket(readFully(in, _))
 
   private def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    val framed = BinlogWire.framePacket(seq, payload)
-    out.write(framed)
+    out.write(BinlogWire.framePackets(seq, payload))
     out.flush()
   }
 }

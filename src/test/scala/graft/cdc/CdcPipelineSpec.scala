@@ -483,6 +483,15 @@ class CdcPipelineSpec extends AnyFunSuite {
       CdcPipeline.resumableSnapshot(spark, store, dir, "src", feed(10L),
         chunkBy = "pk", numChunks = 5, pos = "src:1-1"))
     assert(e.getMessage.contains("drifted"))
+    // a feed that drifted all the way to EMPTY is the same violation —
+    // the empty-complete early path must not mask it by marking every
+    // chunk covered and pinning the table watermark
+    val e2 = intercept[IllegalStateException](
+      CdcPipeline.resumableSnapshot(spark, store, dir, "src", feed(-1L),
+        chunkBy = "pk", numChunks = 5, pos = "src:1-1"))
+    assert(e2.getMessage.contains("drifted") && e2.getMessage.contains("EMPTY"))
+    assert(store.watermark(spark, "src", SnapshotJob.schemaName, "events").isEmpty,
+      "the drifted-empty resume must not pin the table watermark")
     // the honest (pinned) feed still resumes to completion
     CdcPipeline.resumableSnapshot(spark, store, dir, "src", feed(Long.MaxValue),
       chunkBy = "pk", numChunks = 5, pos = "src:1-1")

@@ -34,7 +34,8 @@ class BinlogSocketSpec extends AnyFunSuite {
       .map(r => r.copy(ts = new java.sql.Timestamp(r.ts.getTime / 1000 * 1000)))
   }
 
-  private def encodeArchive(rows: Seq[FeedRow]): Array[Byte] = {
+  private def encodeArchive(
+      rows: Seq[FeedRow], trailingRotate: Boolean = false): Array[Byte] = {
     val w = new BinlogWriter.Stream()
     rows.foreach { r =>
       val tsSec = r.ts.getTime / 1000
@@ -50,6 +51,11 @@ class BinlogSocketSpec extends AnyFunSuite {
       }
       w.xid(r.pos, tsSec)
     }
+    if (trailingRotate) // the bounded-rotation archive shape: a
+      // rotation marker AFTER the last committed transaction
+      w.opaque(BinlogCodec.ROTATE,
+        Array[Byte](4, 0, 0, 0, 0, 0, 0, 0) ++ "binlog.000002".getBytes("UTF-8"),
+        rows.last.ts.getTime / 1000)
     w.bytes
   }
 
@@ -187,6 +193,78 @@ class BinlogSocketSpec extends AnyFunSuite {
         assert(delivered.synchronized(delivered.toSet) == rest.map(_.pos).toSet,
           "resume must deliver exactly the transactions above the checkpoint")
       } finally q2.stop()
+    } finally server.stop()
+  }
+
+  test("commit trims the replay tail to the uncommitted window") {
+    import graft.model.GtidSet
+    val feed = feedRows().take(20)
+    val (first, rest) = feed.splitAt(12)
+    val server = new LoopbackBinlogServer(
+      "repl", MysqlAuth.storedHash("s3cret"), encodeArchive(first))
+    try {
+      val t = new SocketTransport("127.0.0.1", server.port, "repl", "s3cret")
+      assert(t.fetch() == first)
+      assert(t.tail.length == first.length)
+      // the stream admits + checkpoints everything fetched so far,
+      // then notifies the transport (GtidReplayStream.commit → here)
+      val committed = first.foldLeft(GtidSet.empty)((s, r) => s.add(U, r.pos))
+      t.commit(U, committed)
+      assert(t.tail.isEmpty, "committed rows leave the replay buffer")
+      // the binlog grows: fetch now returns ONLY the uncommitted
+      // window — the long-lived-query memory bound — and the wire
+      // still carries each new transaction exactly once
+      server.archive = encodeArchive(feed)
+      assert(t.fetch() == rest, "fetch = the uncommitted window only")
+      // a commit for a different server's uuid trims nothing
+      t.commit("00000000-0000-0000-0000-000000000000", committed)
+      assert(t.fetch() == rest)
+    } finally server.stop()
+  }
+
+  test("inter-transaction events (trailing ROTATE) still cross the wire") {
+    val feed = feedRows().take(6)
+    val server = new LoopbackBinlogServer(
+      "repl", MysqlAuth.storedHash("s3cret"),
+      encodeArchive(feed, trailingRotate = true))
+    try {
+      val t = new SocketTransport("127.0.0.1", server.port, "repl", "s3cret")
+      assert(t.fetch() == feed, "rows are unaffected by the rotate marker")
+      assert(server.eventPacketsServed.get() == 1 + 4L * feed.length + 1,
+        "FDE + 4 events per tx + the trailing ROTATE — not silently dropped")
+      // with every transaction covered, a re-fetch's wire carries only
+      // the ungated events: the FDE and the rotate marker
+      assert(t.fetch() == feed)
+      assert(server.eventPacketsServed.get() == 2 + 4L * feed.length + 2,
+        "covered transactions skip; ungated events still serve")
+    } finally server.stop()
+  }
+
+  test("a ≥ 16 MiB logical packet reassembles from continuation frames over TCP") {
+    // ONE rows event crossing the packet-split threshold: 300 rows of
+    // a 60 kB VARCHAR ≈ 18 MB of payload in a single event, which the
+    // server must send as 0xffffff continuation frames and the client
+    // must reassemble byte-exact before decode (CRC32 verifies it)
+    val tsSec = 1700000000L
+    val w = new BinlogWriter.Stream()
+    w.gtid(U, 1L, tsSec)
+      .tableMap(2L, "harness", "blobs",
+        Seq(BinlogCodec.TYPE_LONGLONG, BinlogCodec.TYPE_VARCHAR), Seq(0, 65535), tsSec)
+    val chunk = "x" * 60000
+    val rows = (1 to 300).map(i => Seq[Option[Any]](Some(i.toLong), Some(chunk)))
+    w.writeRows(2L, rows, tsSec)
+    w.xid(1L, tsSec)
+    val server = new LoopbackBinlogServer(
+      "repl", MysqlAuth.storedHash("s3cret"), w.bytes)
+    try {
+      val t = new SocketTransport("127.0.0.1", server.port, "repl", "s3cret")
+      val got = t.fetch()
+      // a VARCHAR value column maps to 0.0 in the FeedRow contract;
+      // pks and the tx position survive the split byte-exact
+      assert(got.map(_.pk) == (1L to 300L).toVector)
+      assert(got.forall(r => r.pos == 1L && r.op == "insert" && r.value == 0.0))
+      assert(t.watermark.serialize == s"$U:1",
+        "the split transaction commits exactly once")
     } finally server.stop()
   }
 

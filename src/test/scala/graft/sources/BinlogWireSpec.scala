@@ -24,6 +24,45 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(seq2 == 3 && p2.length == 3)
   }
 
+  test("packet split: payloads ≥ 16 MiB ride as 0xffffff continuation frames") {
+    // reader over a byte array with the caller's read-exactly-n shape
+    def readerOf(bytes: Array[Byte]): Int => Array[Byte] = {
+      var off = 0
+      n => {
+        assert(off + n <= bytes.length, s"short read at $off+$n/${bytes.length}")
+        val out = java.util.Arrays.copyOfRange(bytes, off, off + n)
+        off += n
+        out
+      }
+    }
+    // deterministic pseudo-random payload one byte past the threshold
+    val big = Array.tabulate[Byte](BinlogWire.MaxFrame + 1)(i => (i * 31 + 7).toByte)
+    val framed = BinlogWire.framePackets(5, big)
+    // frame 1: full 0xffffff announcing continuation; frame 2: 1 byte
+    assert(framed.length == big.length + 8, "exactly two frame headers")
+    assert((framed(0) & 0xff, framed(1) & 0xff, framed(2) & 0xff) == ((0xff, 0xff, 0xff)))
+    assert((framed(3) & 0xff) == 5, "first frame carries the caller's seq")
+    val (seq, got) = BinlogWire.readLogicalPacket(readerOf(framed))
+    assert(seq == 6, "last frame's sequence id = seq + 1")
+    assert(java.util.Arrays.equals(got, big), "reassembly is byte-exact")
+
+    // exact-multiple payload: the empty trailing frame is what ends it
+    val exact = Array.tabulate[Byte](BinlogWire.MaxFrame)(i => (i * 13 + 1).toByte)
+    val framedExact = BinlogWire.framePackets(0, exact)
+    assert(framedExact.length == exact.length + 8,
+      "a full frame plus an EMPTY terminator frame")
+    val (seqE, gotE) = BinlogWire.readLogicalPacket(readerOf(framedExact))
+    assert(seqE == 1 && java.util.Arrays.equals(gotE, exact))
+
+    // below the threshold the split framing IS the single-frame framing
+    val small = Array[Byte](0x1e, 0x04, 0x00)
+    assert(BinlogWire.framePackets(3, small).toSeq ==
+      BinlogWire.framePacket(3, small).toSeq)
+    val (seqS, gotS) = BinlogWire.readLogicalPacket(
+      readerOf(BinlogWire.framePackets(3, small)))
+    assert(seqS == 3 && gotS.toSeq == small.toSeq)
+  }
+
   test("binary GTID set: wire stop is exclusive — 1-5 encodes as [1, 6)") {
     val set = GtidSet.empty.addRange(U, GtidRange(1, 5))
     val bytes = BinlogWire.encodeGtidSet(set)
