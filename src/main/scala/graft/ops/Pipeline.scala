@@ -22,17 +22,29 @@ import graft.Tables
   */
 object Pipeline {
 
+  /** The pipeline's quality score over a `words` array column —
+    * length saturation + type/token ratio + stopword penalty, every
+    * term a ratio of exact integer counts so both engines evaluate
+    * the identical double expression. Shared by p1 (batch curation)
+    * and p6 (streaming ingestion): the streaming gate must run the
+    * SAME scorer, not a copy.
+    */
+  private[ops] def qualityCol(words: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nWords = size(words)
+    least(nWords.cast("double") / 80.0, lit(1.0)) * 0.4 +
+      (size(array_distinct(words)).cast("double") / nWords) * 0.3 +
+      (lit(1.0) -
+        size(filter(words, w => w.isin("the", "a"))).cast("double")
+          / nWords) * 0.3
+  }
+
   private def p1Curation(s: SparkSession, d: String): DataFrame = {
     val scored = Tables
       .documents(s, d)
       .withColumn("words", Text.wordsCol(col("text")))
       .withColumn("n_words", size(col("words")))
-      .withColumn("quality",
-        least(col("n_words").cast("double") / 80.0, lit(1.0)) * 0.4 +
-          (size(array_distinct(col("words"))).cast("double") / col("n_words")) * 0.3 +
-          (lit(1.0) -
-            size(filter(col("words"), w => w.isin("the", "a"))).cast("double")
-              / col("n_words")) * 0.3)
+      .withColumn("quality", qualityCol(col("words")))
       .filter(col("quality") >= 0.5)
     val deduped = scored
       .groupBy(md5(col("text")).as("text_key"))
@@ -418,12 +430,117 @@ object Pipeline {
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- p6: streaming ingestion — the curation front door ------------------
+
+  /** A document ingestion event: what a crawler hand-off actually
+    * delivers — an id, an arrival time, the payload, a provenance
+    * tag. The harness synthesizes arrival times deterministically
+    * from doc_id (one doc per 10 minutes) so both engines agree on
+    * event time exactly.
+    */
+  final case class DocEvent(
+      doc_id: Long, ts: java.sql.Timestamp, text: String, source: String)
+
+  /** Streaming ingestion for the training-data pipeline: documents
+    * arrive as a live stream (at-least-once, like any crawler
+    * hand-off) and ONE streaming plan chains TWO stateful operators —
+    * `dropDuplicatesWithinWatermark` on the delivery id (exactly-once
+    * admission; state bounded by the watermark delay) followed by a
+    * tumbling-window corpus-stats aggregation (append mode: a
+    * window's row is emitted exactly once, when the event-time
+    * watermark passes its end) — with the p1 quality scorer fused in
+    * between as a stateless projection. This is the capability the
+    * batch p-family lacks: corpus curation stats that update
+    * CONTINUOUSLY as the crawl lands, no nightly re-scan of 100 TB —
+    * only the watermark-deep tail of windows is ever open state.
+    *
+    * The replay plants duplicate deliveries both IN-batch and
+    * ACROSS micro-batches (the cross-batch one must be caught by
+    * state or discarded as late — either way admitted once), and the
+    * append-mode contract makes the trailing (unfinalized) windows'
+    * ABSENCE part of what the oracle checks, like cdc_session_stream.
+    * Window starts surface as epoch micros: exact integers compare
+    * across engines without timestamp-precision coupling.
+    */
+  private def p6StreamIngest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.documents(s, d)
+      .select("doc_id", "text", "source")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => DocEvent(r.getLong(0),
+        new java.sql.Timestamp((1700000000L + r.getLong(0) * 600L) * 1000L),
+        r.getString(1), r.getString(2)))
+    val (first, second) = events.splitAt(events.length / 2)
+    val name = "p6_stream_ingest_sink"
+    val cs = { val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "4"); c }
+    locally {
+      val input = MemoryStream[DocEvent](
+        org.apache.spark.sql.Encoders.product[DocEvent], cs)
+      input.addData(first.toSeq)
+      // second delivery wave: its own docs, PLUS a replay of every
+      // 10th first-wave doc (cross-batch duplicate delivery) and a
+      // second copy of every 20th second-wave doc (in-batch duplicate)
+      input.addData(second.toSeq ++
+        first.filter(_.doc_id % 10 == 0).toSeq ++
+        second.filter(_.doc_id % 20 == 0).toSeq)
+      val q = input.toDS().toDF()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .withColumn("words", Text.wordsCol(col("text")))
+        .withColumn("quality", qualityCol(col("words")))
+        .filter(col("quality") >= 0.5)
+        .groupBy(window(col("ts"), "1 day"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("words")).cast("long")).as("n_tokens"),
+          min(col("quality")).as("min_q"),
+          max(col("quality")).as("max_q"))
+        .select(unix_micros(col("window.start")).as("w_us"),
+          col("source"), col("n_docs"), col("n_tokens"),
+          col("min_q"), col("max_q"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    cs.table(name).orderBy("w_us", "source")
+  }
+
+  private val p6Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH ev AS (
+       |  SELECT make_timestamp((1700000000 + doc_id * 600) * 1000000) AS ts,
+       |         text, source
+       |  FROM documents),
+       |scored AS (
+       |  SELECT ts, source, n_words,
+       |         least(CAST(n_words AS DOUBLE) / 80.0, 1.0) * 0.4
+       |           + (CAST(n_uniq AS DOUBLE) / n_words) * 0.3
+       |           + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
+       |  FROM (SELECT ts, source,
+       |               CAST(len($ws) AS INT) AS n_words,
+       |               CAST(len(list_distinct($ws)) AS INT) AS n_uniq,
+       |               CAST(len(list_filter($ws, x -> x IN ('the','a'))) AS INT) AS n_stop
+       |        FROM ev))
+       |SELECT w_us, source, n_docs, n_tokens, min_q, max_q FROM (
+       |  SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS w_us, source,
+       |         count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |         min(quality) AS min_q, max(quality) AS max_q
+       |  FROM scored WHERE quality >= 0.5
+       |  GROUP BY 1, 2)
+       |WHERE w_us + 86400000000 <= (SELECT epoch_us(max(ts)) - 3600000000 FROM ev)
+       |ORDER BY w_us, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation" -> (p1Curation _),
     "p2_seq_pack" -> (p2SeqPack _),
     "p3_shard_shuffle" -> (p3ShardShuffle _),
     "p4_full_pipeline" -> (p4FullPipeline _),
-    "p5_retrieval" -> (p5Retrieval _)
+    "p5_retrieval" -> (p5Retrieval _),
+    "p6_stream_ingest" -> (p6StreamIngest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,6 +548,7 @@ object Pipeline {
     "p2_seq_pack" -> p2Oracle,
     "p3_shard_shuffle" -> p3Oracle,
     "p4_full_pipeline" -> p4Oracle,
-    "p5_retrieval" -> p5Oracle
+    "p5_retrieval" -> p5Oracle,
+    "p6_stream_ingest" -> p6Oracle
   )
 }

@@ -89,4 +89,48 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(reordered >= 1, "rerank never changed an ADC ordering — refine stage is vacuous")
   }
+
+  test("p6: streaming ingestion equals the batch truth; dedup and the watermark bite") {
+    val out = Pipeline.queries("p6_stream_ingest")(spark, sf).collect()
+    assert(out.nonEmpty, "at least one finalized window must emit")
+    // batch truth: same scorer, same epoch-aligned windows, the
+    // append-mode cutoff applied by hand
+    val ev = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (lit(1700000000L) + col("doc_id") * 600).cast("timestamp").as("ts"),
+        col("text"), col("source"))
+    val scored = ev
+      .withColumn("words", Text.wordsCol(col("text")))
+      .withColumn("quality", Pipeline.qualityCol(col("words")))
+      .filter(col("quality") >= 0.5)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val all = scored
+      .groupBy(window(col("ts"), "1 day"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("words")).cast("long")).as("n_tokens"),
+        min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+      .select(unix_micros(col("window.start")).as("w_us"), col("source"),
+        col("n_docs"), col("n_tokens"), col("min_q"), col("max_q"))
+    val finalized = all
+      .filter(col("w_us") + 86400000000L <= maxUs - 3600000000L)
+      .orderBy("w_us", "source")
+      .collect()
+    assert(out.toSeq == finalized.toSeq,
+      "streaming emission must equal the batch aggregation over finalized windows")
+    // the watermark contract BITES: trailing windows exist and are absent
+    assert(all.count() > finalized.length.toLong,
+      "no open trailing window — the append-mode cutoff is vacuous")
+    // the dedup is OBSERVABLE: at least one replayed delivery (first
+    // half, doc_id % 10 == 0) passes quality inside a finalized
+    // window — without dropDuplicatesWithinWatermark its window's
+    // n_docs would double-count and the equality above would fail
+    val nDocs = ev.count()
+    val replayedInFinal = scored
+      .filter(col("doc_id") < nDocs / 2 && col("doc_id") % 10 === 0)
+      .filter(unix_micros(date_trunc("day", col("ts"))) + 86400000000L
+        <= maxUs - 3600000000L)
+      .count()
+    assert(replayedInFinal > 0,
+      "no planted duplicate lands in a finalized window — dedup untested")
+  }
 }
