@@ -337,6 +337,147 @@ object Dedup {
        |WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
        |ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---- d12: streaming ingestion-time near-dup (the d8 loop, live) ----------
+
+  /** A crawler delivery: id + payload, as it reaches the ingestion
+    * stream.
+    */
+  final case class NewDoc(doc_id: Long, text: String)
+
+  /** d8 run CONTINUOUSLY: document waves arrive as a stream, and each
+    * micro-batch (a) probes the STANDING LSH index — broadcast batch
+    * bands against the index band table, exact-verify candidates,
+    * emit matches — then (b) is itself admitted into the index, so
+    * the next wave dedups against corpus ∪ everything already
+    * ingested. That ordering is the live-ingestion contract: a
+    * re-delivery of an EARLIER wave's content (not just corpus
+    * content) must be caught, which a static stream-static join can
+    * never do. `foreachBatch` is the idiomatic Spark shape for
+    * exactly this — per-batch BATCH semantics (the broadcast band
+    * join + verify are the proven d8 plan) plus cross-batch state the
+    * operator owns (the index). At 100 TB the index is an appendable
+    * table (bands + shingle sets keyed by doc) and matches stream to
+    * a sink table; the harness pins both in memory and collects the
+    * bounded match set. Within-wave duplicate pairs are out of
+    * contract by design — both sides enter the index together; p6's
+    * delivery dedup (same id) or the batch d3 over a wave (same
+    * content) covers them upstream.
+    *
+    * Planted waves: wave 1 re-crawls docs 0-2 exactly; wave 2 carries
+    * 60%-prefix truncations of docs 3-7 (the d8 partial-re-crawl
+    * case) PLUS a re-delivery of wave-1 content under a fresh id —
+    * its match against the wave-1 id exists in the output ONLY
+    * because the index grew mid-stream, which makes index growth
+    * oracle-checked, not just asserted.
+    */
+  private def d12StreamDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, d)
+    def slice(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select("doc_id", "text").collect().sortBy(_.getLong(0))
+    val wave1 = slice(0, 3).map(r => NewDoc(6000000L + r.getLong(0), r.getString(1)))
+    val wave2 = slice(3, 8).map { r =>
+      val t = r.getString(1)
+      NewDoc(6000000L + r.getLong(0), t.substring(0, t.length * 3 / 5))
+    } :+ NewDoc(7000000L, wave1.head.text)
+    var standingShs = shingleSetDF(s, d).localCheckpoint(true)
+    var standingBands = minhashBands(standingShs).localCheckpoint(true)
+    val matches = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int, Double)]()
+    var nWaves = 0
+    // one durable checkpoint, one AvailableNow pass per delivery wave —
+    // the daily-incremental cadence: each pass drains what arrived
+    // since the last, probes, then widens the index for the next
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-d12-")
+    try {
+      val input = MemoryStream[NewDoc](
+        org.apache.spark.sql.Encoders.product[NewDoc], s)
+      def drainWave(): Unit = {
+        val q = input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[NewDoc], _: Long) =>
+            if (!batch.isEmpty) {
+              nWaves += 1
+              val newShs = shinglesOf(batch.toDF()).localCheckpoint(true)
+              val newBands = minhashBands(newShs)
+              val out = standingBands
+                .join(broadcast(newBands.select(col("doc_id").as("new_id"), col("band"))),
+                  "band")
+                .select(col("new_id"), col("doc_id").as("matched_id"))
+                .dropDuplicates("new_id", "matched_id")
+                .join(broadcast(newShs.select(col("doc_id").as("new_id"), col("shs").as("sn"))),
+                  "new_id")
+                .join(standingShs.select(col("doc_id").as("matched_id"), col("shs").as("sc")),
+                  "matched_id")
+                .withColumn("n_common", size(array_intersect(col("sn"), col("sc"))))
+                .withColumn("n_union", size(array_union(col("sn"), col("sc"))))
+                .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+                .filter(col("jaccard") >= 0.5)
+                .select("new_id", "matched_id", "n_common", "n_union", "jaccard")
+                .collect()
+              matches ++= out.map(r =>
+                (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+              // admit the wave: the index the NEXT wave probes includes it
+              standingShs = standingShs.union(newShs).localCheckpoint(true)
+              standingBands = standingBands.union(newBands).localCheckpoint(true)
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      input.addData(wave1.toSeq); drainWave()
+      input.addData(wave2.toSeq); drainWave()
+    } finally
+      try {
+        java.nio.file.Files.walk(ckpt)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p)
+          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    require(nWaves == 2,
+      s"delivery waves must arrive as separate micro-batches, got $nWaves")
+    import s.implicits._
+    matches.toSeq
+      .toDF("new_id", "matched_id", "n_common", "n_union", "jaccard")
+      .orderBy("new_id", "matched_id")
+  }
+
+  private val d12Oracle: String =
+    s"""WITH w1 AS (
+       |  SELECT doc_id + 6000000 AS doc_id, text FROM documents WHERE doc_id < 3),
+       |w2 AS (
+       |  SELECT doc_id + 6000000 AS doc_id,
+       |         substr(text, 1, CAST(length(text) * 3 // 5 AS INT)) AS text
+       |  FROM documents WHERE doc_id >= 3 AND doc_id < 8
+       |  UNION ALL
+       |  SELECT 7000000, text FROM documents WHERE doc_id = 0),
+       |u1 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM w1),
+       |${lshCtesSql("documents", "")},
+       |${lshCtesSql("w1", "a")},
+       |${lshCtesSql("u1", "u")},
+       |${lshCtesSql("w2", "b")},
+       |m1 AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS matched_id,
+       |         a.shs AS sn, c.shs AS sc
+       |  FROM abands a JOIN bands c ON a.band = c.band),
+       |m2 AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS matched_id,
+       |         b.shs AS sn, c.shs AS sc
+       |  FROM bbands b JOIN ubands c ON b.band = c.band)
+       |SELECT new_id, matched_id, n_common, n_union,
+       |       CAST(n_common AS DOUBLE) / n_union AS jaccard
+       |FROM (
+       |  SELECT new_id, matched_id,
+       |         CAST(len(list_intersect(sn, sc)) AS INT) AS n_common,
+       |         CAST(len(list_distinct(list_concat(sn, sc))) AS INT) AS n_union
+       |  FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2))
+       |WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
+       |ORDER BY new_id, matched_id""".stripMargin
+
   // ---- d4: SimHash banding -------------------------------------------------
 
   /** 64-bit SimHash (two independent 32-bit halves: base-31 and
@@ -877,7 +1018,8 @@ object Dedup {
     "d7_dup_clusters" -> (d7DupClusters _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d9_gram_coverage" -> (d9GramCoverage _),
-    "d10_span_dedup" -> (d10SpanDedup _)
+    "d10_span_dedup" -> (d10SpanDedup _),
+    "d12_stream_dedup" -> (d12StreamDedup _)
   )
 
   // ---- d9: inter-document n-gram duplication coverage ---------------------
@@ -953,6 +1095,7 @@ object Dedup {
     "d6_decontam" -> d6Oracle,
     "d7_dup_clusters" -> d7Oracle,
     "d8_incremental_dedup" -> d8Oracle,
-    "d10_span_dedup" -> d10Oracle
+    "d10_span_dedup" -> d10Oracle,
+    "d12_stream_dedup" -> d12Oracle
   )
 }

@@ -210,4 +210,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filterNot(_.getAs[Boolean]("is_dup"))
       .forall(r => r.isNullAt(r.fieldIndex("keeper")) && r.isNullAt(r.fieldIndex("max_cos"))))
   }
+
+  test("d12: the standing index grows mid-stream — wave 2 matches wave 1's content") {
+    val rows = Dedup.queries("d12_stream_dedup")(spark, sf).collect()
+    def pair(a: Long, b: Long) = rows.exists(r =>
+      r.getAs[Long]("new_id") == a && r.getAs[Long]("matched_id") == b)
+    // wave 1's exact re-crawls all match their corpus originals at 1.0
+    (0L to 2L).foreach { i =>
+      assert(pair(6000000L + i, i), s"wave-1 exact re-crawl of doc $i missed")
+    }
+    assert(rows.filter(_.getAs[Long]("new_id") < 7000000L)
+      .filter(_.getAs[Long]("matched_id") < 3L)
+      .forall(_.getAs[Double]("jaccard") == 1.0))
+    // THE property: wave 2's re-delivery (7000000 = doc 0's text)
+    // matches both the corpus original AND wave 1's id 6000000 — the
+    // latter exists only because wave 1 entered the index before
+    // wave 2 probed. A static index would emit only the former.
+    assert(pair(7000000L, 0L), "wave-2 re-delivery must match the corpus original")
+    assert(pair(7000000L, 6000000L),
+      "wave-2 re-delivery must match wave 1's id — the index did not grow")
+    // contract boundary: no within-wave pairs (both sides same wave)
+    assert(rows.forall(r => r.getAs[Long]("new_id") > r.getAs[Long]("matched_id")))
+    assert(!rows.exists(r => r.getAs[Long]("new_id") >= 6000000L &&
+      r.getAs[Long]("matched_id") >= 6000000L && r.getAs[Long]("new_id") < 7000000L))
+  }
 }
