@@ -291,6 +291,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the qid windows may shuffle:\n${hashes.mkString("\n")}")
   }
 
+  test("s10: incremental coding is scan-shaped — codes and drift shuffle on bounded keys only") {
+    // Maintenance must stay cheaper than retraining: new vectors are
+    // coded against BROADCAST standing-codebook literals (a scan
+    // projection, like s9), and the drift statistic's exchanges are
+    // agg-shaped on (m[, c]) — bounded at m×k rows after partial
+    // aggregation — never on vector data. The search subtree keeps
+    // s9's contract: broadcast query side, qid window.
+    val plan = formatted("s10_pq_incremental")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "no corpus-sized side may shuffle-join in the maintenance plan")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty &&
+      hashes.forall(h => h.contains("hashpartitioning(qid") ||
+        h.contains("hashpartitioning(m")),
+      s"only the qid window and the m-keyed drift aggs may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("sub") || h.contains("embedding")),
+      "sub-vector arrays must never be an exchange key")
+  }
+
+  test("mm7: the band exchange carries ids only — fingerprints never shuffle corpus-wide") {
+    // Banding exists to bound the pair set; shuffling the 64-element
+    // fingerprint arrays alongside the band keys would silently turn
+    // the exchange into a corpus-wide array shuffle. The verifier
+    // fetches bits per candidate id AFTER the pair set is tiny.
+    val plan = formatted("mm7_image_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      "banding must keep the pair join an equi-join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the band join must exchange on its keys")
+    assert(!hashes.exists(_.contains("bits")),
+      s"fingerprint arrays must never ride an exchange:\n${hashes.mkString("\n")}")
+  }
+
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
     // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
     // evaluated by the parquet reader (row-group stats skip newer
