@@ -1115,7 +1115,93 @@ object Similarity {
        |  FROM cand)
        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  // ---- s12: ANN recall evaluation (the index-quality metric, as a query) ---
+
+  /** Recall@10 of the IVF search against the exact truth — the number
+    * an ANN index is actually judged by, computed as ONE query so the
+    * metric ships with the index instead of living in a notebook.
+    * Both rankings score the same quantized basis with the same
+    * tie-break, so "recall" measures exactly what the cell pruning
+    * discards, nothing else. The truth side is the s1 shape (corpus
+    * scan under broadcast queries + qid window); the approx side is
+    * s11's plan verbatim (same codebook, same probes); the comparison
+    * is a 50-row semi join. Per-query hits stay integers, and the
+    * corpus-level mean is ONE division off an integer sum — no
+    * float-accumulation-order coupling between engines.
+    *
+    * At 100 TB you run this on a sampled query set against the stored
+    * index (a3/probes read, not retrained) on a schedule — recall
+    * drift is the signal that the codebook needs retraining, the
+    * observability twin of s10's code-distribution drift.
+    */
+  private def s12AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val approx = assignCellsFrom(base, cents)
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(ivfProbes(base, cents, nprobe = 2)), col("cid") === col("pcid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val truth = base.filter(col("vec_id") >= 5)
+      .join(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val perQ = qs.select("qid")
+      .join(truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / 10.0)
+    val mean = perQ.agg((sum("n_hit").cast("double") / 50.0).as("mean_recall"))
+    perQ.join(broadcast(mean)).orderBy("qid")
+  }
+
+  private val s12Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |approx AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id,
+       |           row_number() OVER (PARTITION BY p.qid
+       |             ORDER BY list_cosine_similarity(a.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+       |                      a.vec_id) AS rnk
+       |    FROM a3 a
+       |    JOIN probes p ON a.cid = p.cid
+       |    JOIN base qb ON qb.vec_id = p.qid
+       |    WHERE a.vec_id >= 5) WHERE rnk <= 10),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(c.q::DOUBLE[], q.q::DOUBLE[]) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM base q, base c WHERE q.vec_id < 5 AND c.vec_id >= 5) WHERE rnk <= 10),
+       |hits AS (
+       |  SELECT t.qid, count(*) AS n_hit
+       |  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+       |  GROUP BY t.qid),
+       |perq AS (
+       |  SELECT q.vec_id AS qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |         CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall
+       |  FROM (SELECT vec_id FROM base WHERE vec_id < 5) q
+       |  LEFT JOIN hits h ON h.qid = q.vec_id)
+       |SELECT qid, n_hit, recall,
+       |       (SELECT CAST(sum(n_hit) AS DOUBLE) / 50.0 FROM perq) AS mean_recall
+       |FROM perq ORDER BY qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_ann_recall" -> (s12AnnRecall _),
     "s11_ivf_search" -> (s11IvfSearch _),
     "s10_pq_incremental" -> (s10PqIncremental _),
     "s9_pq_adc" -> (s9PqAdc _),
@@ -1130,6 +1216,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s12_ann_recall" -> s12Oracle,
     "s11_ivf_search" -> s11Oracle,
     "s10_pq_incremental" -> s10Oracle,
     "s9_pq_adc" -> s9Oracle,

@@ -405,4 +405,20 @@ class SimilaritySpec extends AnyFunSuite {
       brute(r.getAs[Long]("qid")).contains(r.getAs[Long]("vec_id")))
     assert(hits >= 25, s"recall@10 over 5 queries fell to $hits/50")
   }
+
+  test("s12: the recall metric is internally consistent and the index earns its floor") {
+    val rows = Similarity.queries("s12_ann_recall")(spark, sf).collect()
+    assert(rows.length == 5, "one row per query vector")
+    val mean = rows.head.getAs[Double]("mean_recall")
+    assert(rows.forall(_.getAs[Double]("mean_recall") == mean),
+      "the corpus-level scalar must ride every row unchanged")
+    assert(mean == rows.map(_.getAs[Long]("n_hit")).sum.toDouble / 50.0,
+      "mean must be ONE division off the integer hit sum")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 10, s"hits out of range: $h")
+      assert(r.getAs[Double]("recall") == h.toDouble / 10.0)
+    }
+    assert(mean > 0.5, s"IVF recall collapsed to $mean — the index finds nothing")
+  }
 }
