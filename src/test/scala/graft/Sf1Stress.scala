@@ -32,6 +32,7 @@ object Sf1Stress {
     Seq("d10_span_dedup", "s9_pq_adc", "p4_full_pipeline",
       "d9_gram_coverage", "d4_simhash", "t34_ppl_buckets",
       "s11_ivf_search", "p5_retrieval",
+      "d12_stream_dedup", "p6_stream_ingest", "s12_ann_recall",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {

@@ -276,11 +276,18 @@ class BinlogSocketSpec extends AnyFunSuite {
       val e = intercept[TransportException](t.fetch())
       assert(e.getMessage.contains("auth failed"))
       assert(e.getMessage.contains("1045"))
-      // and a torn/unreachable endpoint is retryable transport failure
+      // and a mute endpoint (accepts, never speaks) is a retryable
+      // transport failure via the read timeout. We hold the port
+      // ourselves: probing the STOPPED server's freed port is racy —
+      // a parallel suite's loopback server can re-bind it in the gap
+      // and answer the handshake
       server.stop()
-      val dead = new SocketTransport("127.0.0.1", server.port, "repl", "s3cret",
-        connectTimeoutMs = 500)
-      intercept[TransportException](dead.fetch())
+      val mute = new java.net.ServerSocket(0)
+      try {
+        val dead = new SocketTransport("127.0.0.1", mute.getLocalPort, "repl",
+          "s3cret", connectTimeoutMs = 500, readTimeoutMs = 500)
+        intercept[TransportException](dead.fetch())
+      } finally mute.close()
     } finally server.stop()
   }
 }
