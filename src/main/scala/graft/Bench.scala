@@ -66,8 +66,14 @@ object Bench {
     def errsJson(es: Iterable[(String, String)]): String =
       es.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // Errored queries are NOT in the timings map (no -1 sentinel a
+    // consumer could sum or min over); they live in `errors`, and
+    // n_errors — printed BEFORE the per-query map — survives even when
+    // the tail window truncates the maps, so a mass failure (r11: 38
+    // queries down, 5 visible) can never be under-read from the tail.
+    val timed = results.filter { case (_, v) => v >= 0 }
     def record(qs: String, omitted: Int, errs: String): String =
-      f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errs,"value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errs,"value":$total%.3f}"""
     // The driver keeps only a ~2000-char TAIL of stdout and JSON-parses
     // it: 130 per-query timings overflow that window and truncate the
     // line's HEAD, making the whole line unparseable (round 8's
@@ -76,24 +82,24 @@ object Bench {
     // budget — error messages bounded FIRST (5 errors × 60 chars; an
     // error-storm run must not reintroduce the overflow), then the
     // slowest queries inline and the rest counted in "queries_omitted".
-    val line = record(qsJson(results), 0, errsJson(errors))
+    val line = record(qsJson(timed), 0, errsJson(errors))
     val printedLine = {
       val budget = 1800
       if (line.length <= budget) line
       else {
         val errShort = errsJson(errors.take(5).map { case (k, v) => k -> v.take(60) })
-        val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+        val bySlowest = timed.toSeq.sortBy { case (_, v) => -v }
         // Add entries slowest-first, re-rendering the WHOLE candidate
         // line and checking its actual length each time — per-entry
         // size estimates drifted (errored queries print -1 but were
         // estimated as one char; the omitted-count digit width moves)
         // and could overshoot the budget by a few bytes.
         var keep = Vector.empty[(String, Double)]
-        var best = record("{}", results.size, errShort)
+        var best = record("{}", timed.size, errShort)
         var full = false
         bySlowest.foreach { e =>
           if (!full) {
-            val cand = record(qsJson(keep :+ e), results.size - keep.size - 1, errShort)
+            val cand = record(qsJson(keep :+ e), timed.size - keep.size - 1, errShort)
             if (cand.length <= budget) { keep = keep :+ e; best = cand }
             else full = true
           }

@@ -8,10 +8,13 @@ import org.apache.spark.sql.SparkSession
   *   - UTC session timezone (oracle determinism);
   *   - shuffle partitions sized to the local core count (not 200 —
   *     at cluster scale this would come from AQE + a real default);
-  *   - `nanosAsLong`: `events.parquet` stores TIMESTAMP(NANOS), which
-  *     Spark 4 refuses unless this legacy flag is set. It lives here,
-  *     at session construction, so table loaders stay side-effect
-  *     free (no hidden session mutation from a read path).
+  *   - `nanosAsLong`: some fixture generations stored events `ts` as
+  *     TIMESTAMP(NANOS), which Spark 4 refuses unless this legacy flag
+  *     is set; current generations use `timestamp[us]` and ignore the
+  *     flag entirely ([[Tables.normalizeEventsTs]] branches on the read
+  *     dtype, FIXTURES.md documents the variants). It lives here, at
+  *     session construction, so table loaders stay side-effect free
+  *     (no hidden session mutation from a read path).
   */
 object GraftSession {
   // First-read probes of not-yet-existing control-plane paths (the

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the harness parquet tables (TESTDATA.md). All queries
@@ -24,17 +25,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 reads as a plain nanos-long only under
-    * `spark.sql.legacy.parquet.nanosAsLong` — set once at session
-    * construction ([[GraftSession]]), never mutated here. Truncate to
-    * a microsecond TimestampType — integer `DIV`, not `/`, because
-    * epoch-nanos (~1.7e18) exceeds double's 2^53 exact range. DuckDB
-    * performs the same ns->µs truncation on read, so oracle
-    * comparisons stay exact.
+  /** Normalize the events `ts` column to a session-zone microsecond
+    * TimestampType regardless of which physical layout the fixture
+    * generation shipped (see FIXTURES.md — the driver has regenerated
+    * the testdata with different layouts between rounds):
+    *
+    *   - `LongType`: parquet TIMESTAMP(NANOS) read under
+    *     `spark.sql.legacy.parquet.nanosAsLong` ([[GraftSession]]) —
+    *     truncate ns→µs with integer `DIV` (not `/`: epoch-nanos
+    *     ~1.7e18 exceeds double's 2^53 exact range). DuckDB performs
+    *     the same truncation on read, so oracle comparisons stay exact.
+    *   - `TimestampNTZType`: parquet `timestamp[us]`
+    *     (isAdjustedToUTC=false). The session timezone is UTC, so the
+    *     NTZ→LTZ cast is value-identical and DuckDB (which reads it as
+    *     a plain TIMESTAMP) agrees bit-for-bit.
+    *   - `TimestampType`: already the target type (e.g. re-reads of
+    *     frames this engine wrote itself).
+    *
+    * Anything else fails loudly here, naming the variants, instead of
+    * as an analysis error thirty plans deep.
     */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.parquet: unsupported ts type $other — expected nanos-long " +
+          "(TIMESTAMP(NANOS) under nanosAsLong), TIMESTAMP_NTZ (timestamp[us]), " +
+          "or TIMESTAMP; see FIXTURES.md")
+    }
+
   def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEventsTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -35,28 +35,23 @@ import graft.model.{GtidSet, GtidRange}
   */
 object CdcPipeline {
 
-  /** events.parquet schema under `nanosAsLong` (ts arrives as raw
-    * nanos — streaming reads need the schema up front).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
-
   /** The streaming twin of [[graft.Tables.events]] +
-    * [[ChangeFeed.fromEvents]].
+    * [[ChangeFeed.fromEvents]]. Streaming reads need the schema up
+    * front, and the fixture's physical `ts` layout has drifted across
+    * driver regenerations (nanos-long vs `timestamp[us]` — see
+    * FIXTURES.md), so probe it with a one-time batch footer read
+    * (control-plane cost: file listing + one footer) and normalize
+    * through the same dtype branch the batch loader uses
+    * ([[graft.Tables.normalizeEventsTs]]).
     */
-  def feedStream(spark: SparkSession, eventsDir: String): DataFrame =
+  def feedStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val physicalSchema = spark.read.parquet(eventsDir).schema
     ChangeFeed.fromEvents(
-      spark.readStream
-        .schema(eventsSchema)
-        .parquet(eventsDir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    )
+      graft.Tables.normalizeEventsTs(
+        spark.readStream
+          .schema(physicalSchema)
+          .parquet(eventsDir)))
+  }
 
   /** The batch GTID set, computed in-plan (one partial+final agg, one
     * row to the driver — control-plane only).

@@ -868,16 +868,22 @@ object Similarity {
       explode(array((0 until pqM).map(m =>
         struct(lit(m).as("m"), col(s"c$m").as("c"))): _*)).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.c").as("c"))
+    // Per-subspace totals are `tot1`/`tot2`, NOT `N1`/`N2`: the
+    // case-insensitive resolver makes `withColumn("N1", ...)` REPLACE
+    // `n1` (and DuckDB's binder resolves a same-select-list `N1` back
+    // to `n1` the same way), so the `N1` spelling silently turned the
+    // whole metric into |n1·n2 − n2·n1| ≡ 0 ON BOTH SIDES — green by
+    // twin bugs, caught when s13 hit the Spark half of it alone.
     val wm = org.apache.spark.sql.expressions.Window.partitionBy("m")
     val drift = longCodes.groupBy("m", "c")
       .agg(
         sum(when(col("vec_id") < pqSplit, 1L).otherwise(0L)).as("n1"),
         sum(when(col("vec_id") >= pqSplit, 1L).otherwise(0L)).as("n2"))
-      .withColumn("N1", sum("n1").over(wm))
-      .withColumn("N2", sum("n2").over(wm))
-      .groupBy(col("m"), col("N1"), col("N2"))
-      .agg(sum(abs(col("n1") * col("N2") - col("n2") * col("N1"))).as("S"))
-      .select(expr("CAST((500 * S) DIV (N1 * N2) AS INT)").as("pm"))
+      .withColumn("tot1", sum("n1").over(wm))
+      .withColumn("tot2", sum("n2").over(wm))
+      .groupBy(col("m"), col("tot1"), col("tot2"))
+      .agg(sum(abs(col("n1") * col("tot2") - col("n2") * col("tot1"))).as("S"))
+      .select(expr("CAST((500 * S) DIV (tot1 * tot2) AS INT)").as("pm"))
       .agg(max("pm").as("drift_pm"))
       .withColumn("retrain", col("drift_pm") > 100)
     pqSearch(subs, coded, cb)
@@ -918,11 +924,11 @@ object Similarity {
        |         sum(CASE WHEN vec_id >= $pqSplit THEN 1 ELSE 0 END) AS n2
        |  FROM codes GROUP BY m, cid),
        |dsub AS (
-       |  SELECT m, CAST((500 * sum(abs(n1 * N2 - n2 * N1))) // (N1 * N2) AS INT) AS pm
+       |  SELECT m, CAST((500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) AS INT) AS pm
        |  FROM (SELECT m, cid, n1, n2,
-       |               sum(n1) OVER (PARTITION BY m) AS N1,
-       |               sum(n2) OVER (PARTITION BY m) AS N2 FROM counts)
-       |  GROUP BY m, N1, N2),
+       |               sum(n1) OVER (PARTITION BY m) AS tot1,
+       |               sum(n2) OVER (PARTITION BY m) AS tot2 FROM counts)
+       |  GROUP BY m, tot1, tot2),
        |dsum AS (SELECT CAST(max(pm) AS INT) AS drift_pm, max(pm) > 100 AS retrain FROM dsub),
        |terms AS (
        |  SELECT q.vec_id AS qid, x.vec_id, x.m,
@@ -1200,7 +1206,186 @@ object Similarity {
        |       (SELECT CAST(sum(n_hit) AS DOUBLE) / 50.0 FROM perq) AS mean_recall
        |FROM perq ORDER BY qid""".stripMargin
 
+  // ---- s13: recall under index drift (s12 × s10) ---------------------------
+
+  /** The composed index-maintenance loop: s10 flags codebook staleness
+    * from the code-usage distribution, s12 measures what staleness
+    * actually costs — this query runs BOTH against the same standing
+    * IVF index so the two signals are one hash-checked row set. A
+    * STALE codebook (trained only on the first arrival batch,
+    * vec_id < [[pqSplit]] — s10's split) and a FRESH one (trained on
+    * the full corpus, s11's codebook) each serve the s11 cell-pruned
+    * search over the whole corpus; recall@10 vs the exact truth is
+    * computed per query for both, and the stale index's cell-usage
+    * drift (total-variation distance between batch-1 and batch-2
+    * assignment distributions, integer per-mille — s10's metric with
+    * one subspace) rides along with its retrain flag. Agreement is
+    * the point: drift below threshold ⇒ stale ≈ fresh recall; drift
+    * past it ⇒ the recall gap is the operator's evidence the flag
+    * fired for a reason.
+    *
+    * Scale shape: each search is s11's plan verbatim (scan projection
+    * assignment against broadcast literals, broadcast probe join, qid
+    * window); the truth side is s1's broadcast scan; drift counts are
+    * one groupBy over ≤k cells with the totals broadcast back — the
+    * corpus never shuffles, and the whole evaluation reads the corpus
+    * a constant number of times regardless of size.
+    */
+  /** Cell-usage drift of a standing index: total-variation distance
+    * between the batch-1 (`id < split`) and batch-2 (`id >= split`)
+    * assignment distributions over `assigned(vec_id, cid)`, in integer
+    * per-mille — `500·Σ|n1·tot2 − n2·tot1| DIV (tot1·tot2)` — with the
+    * `retrain` flag at 10%. One groupBy over ≤k cell rows, totals via
+    * an all-rows window over those same ≤k rows (SinglePartition is
+    * control-plane here; no self-join of `counts` against its own
+    * aggregate — the ambiguous-lineage trap).
+    *
+    * Totals are named `tot1`/`tot2`, NOT `N1`/`N2`: with the default
+    * case-insensitive resolver, `withColumn("N1", ...)` REPLACES the
+    * existing `n1` instead of adding a column, which silently zeroes
+    * the whole metric (|n1·n2 − n2·n1| ≡ 0) — and DuckDB's binder
+    * resolves a same-select-list `N1` back to `n1` the same way, so
+    * the bug was green-by-twin-bugs in s10 until s13 exposed it.
+    * [[graft.ops.SimilarityDriftSpec]] pins nonzero-on-skew.
+    */
+  private[ops] def usageDriftPm(assigned: DataFrame, split: Long): DataFrame = {
+    val counts = assigned
+      .groupBy("cid")
+      .agg(
+        sum(when(col("vec_id") < split, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("vec_id") >= split, 1L).otherwise(0L)).as("n2"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    counts
+      .withColumn("tot1", sum("n1").over(wAll))
+      .withColumn("tot2", sum("n2").over(wAll))
+      .groupBy("tot1", "tot2")
+      .agg(sum(abs(col("n1") * col("tot2") - col("n2") * col("tot1"))).as("S"))
+      .select(expr("CAST((500 * S) DIV (tot1 * tot2) AS INT)").as("drift_pm"))
+      .withColumn("retrain", col("drift_pm") > 100)
+  }
+
+  private def s13RecallDrift(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val stale = collectCents(trainCodebook(base.filter(col("vec_id") < pqSplit), iters = 2))
+    val fresh = collectCents(trainCodebook(base, iters = 2))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    def approx(cents: Array[(Long, Seq[Double], Long)]): DataFrame =
+      assignCellsFrom(base, cents)
+        .filter(col("vec_id") >= 5)
+        .join(broadcast(ivfProbes(base, cents, nprobe = 2)), col("cid") === col("pcid"))
+        .select(col("qid"), col("vec_id"),
+          VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+        .select("qid", "vec_id")
+    val truth = base.filter(col("vec_id") >= 5)
+      .join(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    def hits(ap: DataFrame, cname: String): DataFrame =
+      truth.join(ap, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as(cname))
+    val drift = usageDriftPm(assignCellsFrom(base, stale), pqSplit)
+    val perQ = qs.select("qid")
+      .join(hits(approx(stale), "n_hit_stale"), Seq("qid"), "left")
+      .join(hits(approx(fresh), "n_hit_fresh"), Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit_stale", "n_hit_fresh"))
+      .withColumn("recall_stale", col("n_hit_stale").cast("double") / 10.0)
+      .withColumn("recall_fresh", col("n_hit_fresh").cast("double") / 10.0)
+    val means = perQ.agg(
+      (sum("n_hit_stale").cast("double") / 50.0).as("mean_stale"),
+      (sum("n_hit_fresh").cast("double") / 50.0).as("mean_fresh"))
+    perQ.join(broadcast(means)).join(broadcast(drift)).orderBy("qid")
+  }
+
+  private val s13Oracle: String = {
+    def dotSql(q: String, sv: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $q[i] * $sv[i]))"
+    def assignSql(src: String, cents: String) =
+      s"""SELECT vec_id, q, cid FROM (
+         |    SELECT vec_id, q, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rnk
+         |    FROM (SELECT b.vec_id, b.q, c.cid,
+         |                 CAST(${dotSql("b.q", "c.sv")} AS DOUBLE) / c.n AS score
+         |          FROM $src b, $cents c)) WHERE rnk = 1""".stripMargin
+    val sumList = (1 to 64).map(i => s"sum(q[$i])").mkString("[", ", ", "]")
+    def probesSql(cents: String) =
+      s"""SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+         |    FROM (SELECT q.vec_id AS qid, c.cid,
+         |                 CAST(${dotSql("q.q", "c.sv")} AS DOUBLE) / c.n AS score
+         |          FROM base q, $cents c WHERE q.vec_id < 5)) WHERE pr <= 2""".stripMargin
+    def approxSql(assigned: String, probes: String) =
+      s"""SELECT qid, vec_id FROM (
+         |    SELECT p.qid, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.qid
+         |             ORDER BY list_cosine_similarity(a.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+         |                      a.vec_id) AS rnk
+         |    FROM $assigned a
+         |    JOIN $probes p ON a.cid = p.cid
+         |    JOIN base qb ON qb.vec_id = p.qid
+         |    WHERE a.vec_id >= 5) WHERE rnk <= 10""".stripMargin
+    def hitsSql(approx: String) =
+      s"""SELECT t.qid, count(*) AS n_hit
+         |  FROM truth t JOIN $approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |  GROUP BY t.qid""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |strain AS (SELECT * FROM base WHERE vec_id < $pqSplit),
+       |sc0 AS (SELECT vec_id AS cid, q AS sv, CAST(1 AS BIGINT) AS n FROM base WHERE vec_id < 8),
+       |sa1 AS (${assignSql("strain", "sc0")}),
+       |sc1 AS (SELECT cid, $sumList AS sv, count(*) AS n FROM sa1 GROUP BY cid),
+       |sa2 AS (${assignSql("strain", "sc1")}),
+       |sc2 AS (SELECT cid, $sumList AS sv, count(*) AS n FROM sa2 GROUP BY cid),
+       |sa3 AS (${assignSql("base", "sc2")}),
+       |probesS AS (${probesSql("sc2")}),
+       |probesF AS (${probesSql("c2")}),
+       |approxS AS (${approxSql("sa3", "probesS")}),
+       |approxF AS (${approxSql("a3", "probesF")}),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(c.q::DOUBLE[], q.q::DOUBLE[]) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM base q, base c WHERE q.vec_id < 5 AND c.vec_id >= 5) WHERE rnk <= 10),
+       |hitsS AS (${hitsSql("approxS")}),
+       |hitsF AS (${hitsSql("approxF")}),
+       |counts AS (
+       |  SELECT cid,
+       |         sum(CASE WHEN vec_id < $pqSplit THEN 1 ELSE 0 END) AS n1,
+       |         sum(CASE WHEN vec_id >= $pqSplit THEN 1 ELSE 0 END) AS n2
+       |  FROM sa3 GROUP BY cid),
+       |drf AS (
+       |  SELECT CAST((500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) AS INT) AS drift_pm,
+       |         (500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) > 100 AS retrain
+       |  FROM counts CROSS JOIN (SELECT sum(n1) AS tot1, sum(n2) AS tot2 FROM counts)
+       |  GROUP BY tot1, tot2),
+       |perq AS (
+       |  SELECT q.vec_id AS qid,
+       |         CAST(COALESCE(hs.n_hit, 0) AS BIGINT) AS n_hit_stale,
+       |         CAST(COALESCE(hf.n_hit, 0) AS BIGINT) AS n_hit_fresh,
+       |         CAST(COALESCE(hs.n_hit, 0) AS DOUBLE) / 10.0 AS recall_stale,
+       |         CAST(COALESCE(hf.n_hit, 0) AS DOUBLE) / 10.0 AS recall_fresh
+       |  FROM (SELECT vec_id FROM base WHERE vec_id < 5) q
+       |  LEFT JOIN hitsS hs ON hs.qid = q.vec_id
+       |  LEFT JOIN hitsF hf ON hf.qid = q.vec_id)
+       |SELECT qid, n_hit_stale, n_hit_fresh, recall_stale, recall_fresh,
+       |       (SELECT CAST(sum(n_hit_stale) AS DOUBLE) / 50.0 FROM perq) AS mean_stale,
+       |       (SELECT CAST(sum(n_hit_fresh) AS DOUBLE) / 50.0 FROM perq) AS mean_fresh,
+       |       drift_pm, retrain
+       |FROM perq CROSS JOIN drf ORDER BY qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_recall_drift" -> (s13RecallDrift _),
     "s12_ann_recall" -> (s12AnnRecall _),
     "s11_ivf_search" -> (s11IvfSearch _),
     "s10_pq_incremental" -> (s10PqIncremental _),
@@ -1216,6 +1401,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s13_recall_drift" -> s13Oracle,
     "s12_ann_recall" -> s12Oracle,
     "s11_ivf_search" -> s11Oracle,
     "s10_pq_incremental" -> s10Oracle,
