@@ -174,11 +174,11 @@ object Dedup {
     * mod-P shingle combine, first-occurrence-distinct like
     * `array_distinct`.
     */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private[ops] def shinglesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.SimHashFunctions.poly_shingles(Text.wordsCol(col("text"))).as("shs"))
 
-  private def shingleSetDF(s: SparkSession, d: String): DataFrame =
+  private[ops] def shingleSetDF(s: SparkSession, d: String): DataFrame =
     shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   /** (doc_id, band) rows: the minhash signature as a codegen'd
@@ -190,7 +190,7 @@ object Dedup {
     * shape that holds at corpus scale. Shared by the batch self-join
     * (d3) and the incremental probe (d8).
     */
-  private def minhashBands(shs: DataFrame): DataFrame = {
+  private[ops] def minhashBands(shs: DataFrame): DataFrame = {
     val sigCols = (1 to numHashes).map { j =>
       min(expr(s"(${mhA(j - 1)} * x + ${mhB(j - 1)}) % $P")).as(s"mh$j")
     }
@@ -237,7 +237,7 @@ object Dedup {
     * rows) over relation `src` — the oracle-side twin of
     * [[shinglesOf]] + [[minhashBands]], shared by d3 and d8.
     */
-  private def lshCtesSql(src: String, p: String): String = {
+  private[ops] def lshCtesSql(src: String, p: String): String = {
     val ws = Text.wordsSql("text")
     val aLit = mhA.mkString("[", ", ", "]")
     val bLit = mhB.mkString("[", ", ", "]")

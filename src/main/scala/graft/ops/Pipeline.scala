@@ -534,7 +534,166 @@ object Pipeline {
        |ORDER BY w_us, source""".stripMargin
   }
 
+  // ---- p7: incremental curation off a change feed (CDC × curation) --------
+
+  /** The weld between the engine's two halves: the curated corpus is
+    * a LIVING table maintained from a change feed, and this query is
+    * one incremental maintenance cycle run as a single plan — the
+    * reference's latest-wins upsert semantics
+    * (`internal/syncdb/fullamount_service.go`'s apply loop) driving
+    * the curation decisions p1 makes in batch and d8 makes against a
+    * standing index.
+    *
+    * One change batch arrives against the standing corpus:
+    *   - revisions (same pk, content edited),
+    *   - vandalized updates (same pk, content now junk),
+    *   - deletes,
+    *   - a re-crawl of standing content under fresh ids (exact dups),
+    *   - genuinely new documents under fresh ids.
+    * Every change is adjudicated in one pass: deletes leave the
+    * curated set; updates/inserts re-run the p1 quality gate
+    * ([[qualityCol]] — the same scorer, not a copy) and probe the
+    * standing MinHash/LSH index (d8's band-join shape) for near-dups
+    * against the SURVIVING corpus — rows whose pk is touched by the
+    * batch are excluded from the index first, so an update is never
+    * rejected as a duplicate of its own previous version. The output
+    * is the curation ledger: per change, its op, quality, verified
+    * near-dup count, and the resulting status
+    * (deleted / dropped_quality / dropped_dup / admitted).
+    *
+    * Scale shape: the delta is bounded-small and rides broadcast
+    * everywhere (probe bands, shingle fetch, index exclusion); the
+    * corpus contributes one scan → minhash aggregation (at 100 TB the
+    * standing bands/shingle sets are the STORED index d8 maintains —
+    * recomputing here keeps the gate self-contained, exactly like
+    * s11's stance on the IVF assignment). Decision logic is a
+    * row-local projection over the joined ledger. Nothing is
+    * quadratic in the corpus; a day's increment costs O(Δ · band
+    * bucket) like d8/d12.
+    */
+  /** The lazy p7 plan plus the persisted corpus-shingle handle (the
+    * caller materializes, then unpersists). Split from the gate so
+    * [[PlanAuditSpec]] can read the physical plan that actually runs —
+    * the gate's eager checkpoint would otherwise reduce the explain to
+    * a checkpoint scan.
+    */
+  private[ops] def p7CurationPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    val delta = slice(10, 15)
+      .select(col("doc_id"), lit("u").as("op"),
+        concat(col("text"), lit(" revised edition")).as("text"))
+      .unionByName(slice(15, 18)
+        .select(col("doc_id"), lit("u").as("op"),
+          lit("the the the the").as("text")))
+      .unionByName(slice(20, 25)
+        .select(col("doc_id"), lit("d").as("op"),
+          lit(null).cast("string").as("text")))
+      .unionByName(slice(0, 3)
+        .select((col("doc_id") + 8000000L).as("doc_id"), lit("u").as("op"),
+          col("text")))
+      .unionByName(slice(30, 33)
+        .select((col("doc_id") + 7999980L).as("doc_id"), lit("u").as("op"),
+          reverse(col("text")).as("text")))
+      .localCheckpoint(true) // ≤19 rows, reused by probe + exclusion + ledger
+    // latest-wins: every standing row whose pk the batch touches is
+    // stale (updated or deleted) and must not serve as dedup evidence
+    val surviving = docs
+      .join(broadcast(delta.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val corpusShs = Dedup.shinglesOf(surviving).persist()
+    val corpusBands = Dedup.minhashBands(corpusShs)
+    val upserts = delta.filter(col("op") === "u")
+    val upShs = Dedup.shinglesOf(upserts).localCheckpoint(true)
+    val upBands = Dedup.minhashBands(upShs)
+    val dups = corpusBands
+      .join(broadcast(upBands.select(col("doc_id").as("new_id"), col("band"))), "band")
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+      .join(broadcast(upShs.select(col("doc_id").as("new_id"), col("shs").as("sn"))), "new_id")
+      .join(corpusShs.select(col("doc_id").as("corpus_id"), col("shs").as("sc")), "corpus_id")
+      .filter(size(array_intersect(col("sn"), col("sc"))).cast("double")
+        / size(array_union(col("sn"), col("sc"))) >= 0.5)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    val out = delta
+      .withColumn("quality",
+        when(col("op") === "d", lit(-1.0))
+          .otherwise(qualityCol(Text.wordsCol(col("text")))))
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dups"))
+      .withColumn("status",
+        when(col("op") === "d", "deleted")
+          .when(col("quality") < 0.5, "dropped_quality")
+          .when(col("n_dups") > 0, "dropped_dup")
+          .otherwise("admitted"))
+      .select("doc_id", "op", "quality", "n_dups", "status")
+      .orderBy("doc_id")
+    (out, corpusShs)
+  }
+
+  private def p7CdcCuration(s: SparkSession, d: String): DataFrame = {
+    val (plan, corpusShs) = p7CurationPlan(s, d)
+    val out = plan.localCheckpoint(true)
+    corpusShs.unpersist(blocking = false)
+    out
+  }
+
+  private val p7Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH delta AS (
+       |  SELECT doc_id, 'u' AS op, text || ' revised edition' AS text
+       |  FROM documents WHERE doc_id >= 10 AND doc_id < 15
+       |  UNION ALL
+       |  SELECT doc_id, 'u', 'the the the the'
+       |  FROM documents WHERE doc_id >= 15 AND doc_id < 18
+       |  UNION ALL
+       |  SELECT doc_id, 'd', NULL
+       |  FROM documents WHERE doc_id >= 20 AND doc_id < 25
+       |  UNION ALL
+       |  SELECT doc_id + 8000000, 'u', text FROM documents WHERE doc_id < 3
+       |  UNION ALL
+       |  SELECT doc_id + 7999980, 'u', reverse(text)
+       |  FROM documents WHERE doc_id >= 30 AND doc_id < 33),
+       |surviving AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)),
+       |ups AS (SELECT doc_id, text FROM delta WHERE op = 'u'),
+       |${Dedup.lshCtesSql("surviving", "")},
+       |${Dedup.lshCtesSql("ups", "n")},
+       |dup AS (
+       |  SELECT new_id AS doc_id, count(*) AS n_dups FROM (
+       |    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       |           n.shs AS sn, c.shs AS sc
+       |    FROM nbands n JOIN bands c ON n.band = c.band)
+       |  WHERE CAST(len(list_intersect(sn, sc)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(sn, sc))) >= 0.5
+       |  GROUP BY new_id),
+       |scored AS (
+       |  SELECT doc_id,
+       |         least(CAST(n_words AS DOUBLE) / 80.0, 1.0) * 0.4
+       |           + (CAST(n_uniq AS DOUBLE) / n_words) * 0.3
+       |           + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
+       |  FROM (SELECT doc_id,
+       |               CAST(len($ws) AS INT) AS n_words,
+       |               CAST(len(list_distinct($ws)) AS INT) AS n_uniq,
+       |               CAST(len(list_filter($ws, x -> x IN ('the','a'))) AS INT) AS n_stop
+       |        FROM ups))
+       |SELECT d.doc_id, d.op,
+       |       CASE WHEN d.op = 'd' THEN -1.0 ELSE s.quality END AS quality,
+       |       CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
+       |       CASE WHEN d.op = 'd' THEN 'deleted'
+       |            WHEN s.quality < 0.5 THEN 'dropped_quality'
+       |            WHEN COALESCE(p.n_dups, 0) > 0 THEN 'dropped_dup'
+       |            ELSE 'admitted' END AS status
+       |FROM delta d
+       |LEFT JOIN scored s ON s.doc_id = d.doc_id
+       |LEFT JOIN dup p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_cdc_curation" -> (p7CdcCuration _),
     "p1_curation" -> (p1Curation _),
     "p2_seq_pack" -> (p2SeqPack _),
     "p3_shard_shuffle" -> (p3ShardShuffle _),
@@ -544,6 +703,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p7_cdc_curation" -> p7Oracle,
     "p1_curation" -> p1Oracle,
     "p2_seq_pack" -> p2Oracle,
     "p3_shard_shuffle" -> p3Oracle,

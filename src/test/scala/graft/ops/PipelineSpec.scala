@@ -133,4 +133,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(replayedInFinal > 0,
       "no planted duplicate lands in a finalized window — dedup untested")
   }
+
+  test("p7: every change class is adjudicated as planted, and the index exclusion bites") {
+    val rows = Pipeline.queries("p7_cdc_curation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(rows.size == 19, "one ledger row per change")
+    def status(id: Long) = rows.find(_._1 == id).get._5
+    // deletes leave the curated set, carrying no quality
+    (20L until 25L).foreach { id =>
+      assert(status(id) == "deleted")
+      assert(rows.find(_._1 == id).get._3 == -1.0)
+    }
+    // vandalized updates fail the quality gate
+    (15L until 18L).foreach(id => assert(status(id) == "dropped_quality"))
+    // a re-crawl of standing content is rejected by the standing index
+    (8000000L until 8000003L).foreach { id =>
+      assert(status(id) == "dropped_dup")
+      assert(rows.find(_._1 == id).get._4 >= 1L, "the dup must be verified, not just banded")
+    }
+    // revisions are NOT rejected as duplicates of their own previous
+    // version — a revised text is ~95% of its old self, so WITHOUT the
+    // latest-wins exclusion of touched pks every revision would band-
+    // collide with its own stale row and drop. A revision may still
+    // legitimately near-dup a DIFFERENT surviving doc (the corpus has
+    // natural pairs — d3's bread and butter), so: at least one must
+    // survive, and any that dropped must have a verified >= 0.5
+    // Jaccard witness among the surviving corpus, which its own
+    // excluded pk can never provide.
+    assert((10L until 15L).exists(id => status(id) == "admitted"),
+      "every revision rejected — the stale-row exclusion is broken")
+    val touched = (10L until 18L) ++ (20L until 25L)
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val survivingShs = Dedup.shinglesOf(
+      docs.filter(!col("doc_id").isin(touched: _*)))
+    (10L until 15L).filter(id => status(id) == "dropped_dup").foreach { id =>
+      val revShs = Dedup.shinglesOf(
+        docs.filter(col("doc_id") === id)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" revised edition")).as("text")))
+      val witnesses = survivingShs.select(col("doc_id").as("cid"), col("shs").as("sc"))
+        .crossJoin(revShs.select(col("shs").as("sn")))
+        .filter(size(array_intersect(col("sn"), col("sc"))).cast("double")
+          / size(array_union(col("sn"), col("sc"))) >= 0.5)
+        .count()
+      assert(witnesses >= 1,
+        s"revision $id dropped without a surviving near-dup witness — " +
+          "it can only have matched its own excluded stale row")
+    }
+    // genuinely new content is admitted
+    (8000010L until 8000013L).foreach(id => assert(status(id) == "admitted"))
+  }
 }

@@ -325,6 +325,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fingerprint arrays must never ride an exchange:\n${hashes.mkString("\n")}")
   }
 
+  test("p7: the change batch rides broadcast; corpus minhash aggregates partially; text never keys a shuffle") {
+    val (lazyPlan, corpusShs) = Pipeline.p7CurationPlan(spark, sf)
+    val plan = lazyPlan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    corpusShs.unpersist(blocking = false)
+    // equi-joins only: band probe, shingle fetch, ledger join
+    assert(!plan.contains("CartesianProduct"), "no corpus-wide pair explosion")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "every join must stay keyed")
+    // the bounded delta is the broadcast side of the probe
+    assert(plan.contains("BroadcastExchange"),
+      "the change batch must broadcast — an increment never shuffles the corpus")
+    // the corpus-side minhash signature is a two-phase aggregation:
+    // 16 map-side partial minima, one row per (doc, partition) shuffled
+    assert(plan.contains("partial_min"),
+      "minhash minima must combine map-side before the exchange")
+    // raw text is projected into shingle hashes before any exchange
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(!hashes.exists(_.contains("text")),
+      s"raw text must never key an exchange:\n${hashes.mkString("\n")}")
+  }
+
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
     // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
     // evaluated by the parquet reader (row-group stats skip newer
