@@ -1039,17 +1039,19 @@ object Similarity {
     * exact dots, one IEEE division per centroid score), so DuckDB
     * reproduces probe choice and ranking bit-for-bit.
     */
-  /** Probe list for IVF search: each query vector (vec_id < 5) paired
-    * with its `nprobe` best cells by centroid mean-dot. Centroid
-    * scores are literal projection columns (the assignCells trick) —
-    * the probe side never joins; (queries × k) rows total. Takes the
-    * [[collectCents]] result so one driver round-trip feeds both this
-    * and the corpus assignment, and the Lloyd aggregation never
-    * enters the search plan. Returns (qid, qv, pcid).
+  /** Probe list for IVF search: each query vector (vec_id < qMax;
+    * the registered search gates pin 5, the eval gates sample wider)
+    * paired with its `nprobe` best cells by centroid mean-dot.
+    * Centroid scores are literal projection columns (the assignCells
+    * trick) — the probe side never joins; (queries × k) rows total.
+    * Takes the [[collectCents]] result so one driver round-trip feeds
+    * both this and the corpus assignment, and the Lloyd aggregation
+    * never enters the search plan. Returns (qid, qv, pcid).
     */
   private[ops] def ivfProbes(base: DataFrame,
-      cents: Array[(Long, Seq[Double], Long)], nprobe: Int): DataFrame = {
-    val qs = base.filter(col("vec_id") < 5)
+      cents: Array[(Long, Seq[Double], Long)], nprobe: Int,
+      qMax: Long = 5L): DataFrame = {
+    val qs = base.filter(col("vec_id") < qMax)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
     val scoreStructs = cents.map { case (cid, sv, n) =>
       struct(lit(cid).as("cid"),
@@ -1384,7 +1386,107 @@ object Similarity {
        |FROM perq CROSS JOIN drf ORDER BY qid""".stripMargin
   }
 
+  // ---- s14: kNN auto-labeling + its accuracy (label propagation, evaluated) -
+
+  /** Embedding-neighborhood auto-labeling — the semi-supervised
+    * workhorse of large-corpus curation (propagate sparse human labels
+    * to the unlabeled mass through embedding similarity) — run and
+    * EVALUATED as one query: a 50-vector eval sample is classified by
+    * the majority label of its 5 nearest neighbors (self excluded),
+    * nearest-neighbor search rides the s11 IVF read path (probe top-2
+    * trained cells, exact-rank only their members), and the prediction
+    * is scored against the fixture's ground-truth `label` column —
+    * per-label counts/accuracy with the corpus-level accuracy riding
+    * every row, s12's eval pattern applied to classification.
+    *
+    * Determinism: majority vote is an integer count with ties broken
+    * to the smallest label; the neighbor ranking is the s11 contract
+    * (identical IEEE cosine in both engines, ties to lowest vec_id) —
+    * so the confusion outcome is bit-stable, whatever the accuracy
+    * value says about the fixture's label geometry.
+    *
+    * Scale shape: the eval sample is the broadcast side everywhere
+    * (probes, vote window, truth join); the corpus contributes the
+    * stored-index scan s11 reads (recomputed here to stay
+    * self-contained). Votes and the per-label rollup are bounded by
+    * (sample × k) rows — control-plane. Nothing scans corpus pairs.
+    */
+  private def s14KnnLabel(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val neigh = assignCellsFrom(base, cents)
+      .join(broadcast(ivfProbes(base, cents, nprobe = 2, qMax = 50L)),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+      .select("qid", "vec_id")
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("n_votes").desc, col("label"))
+    val pred = neigh.join(labels, Seq("vec_id"))
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n_votes"))
+      .withColumn("r", row_number().over(wVote)).filter(col("r") === 1)
+      .select(col("qid"), col("label").as("pred_label"))
+    val perLabel = labels.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label"))
+      .join(pred, Seq("qid"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum((col("pred_label") === col("label")).cast("long")).as("n_correct"))
+      .withColumn("acc", col("n_correct").cast("double") / col("n_eval"))
+    val overall = perLabel.agg(
+      (sum("n_correct").cast("double") / sum("n_eval")).as("overall_acc"))
+    perLabel.join(broadcast(overall)).orderBy("label")
+  }
+
+  private val s14Oracle: String = {
+    def dotSql(q: String, sv: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $q[i] * $sv[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM (SELECT q.vec_id AS qid, c.cid,
+       |                 CAST(${dotSql("q.q", "c.sv")} AS DOUBLE) / c.n AS score
+       |          FROM base q, c2 c WHERE q.vec_id < 50)) WHERE pr <= 2),
+       |top5 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id,
+       |           row_number() OVER (PARTITION BY p.qid
+       |             ORDER BY list_cosine_similarity(a.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+       |                      a.vec_id) AS rnk
+       |    FROM a3 a
+       |    JOIN probes p ON a.cid = p.cid
+       |    JOIN base qb ON qb.vec_id = p.qid
+       |    WHERE a.vec_id <> p.qid) WHERE rnk <= 5),
+       |pred AS (
+       |  SELECT qid, label AS pred_label FROM (
+       |    SELECT qid, label,
+       |           row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS r
+       |    FROM (SELECT t.qid, e.label, count(*) AS n_votes
+       |          FROM top5 t JOIN embeddings e ON e.vec_id = t.vec_id
+       |          GROUP BY t.qid, e.label)) WHERE r = 1),
+       |perl AS (
+       |  SELECT e.label, count(*) AS n_eval,
+       |         sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS n_correct
+       |  FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+       |  WHERE e.vec_id < 50 GROUP BY e.label)
+       |SELECT CAST(label AS INT) AS label, CAST(n_eval AS BIGINT) AS n_eval,
+       |       CAST(n_correct AS BIGINT) AS n_correct,
+       |       CAST(n_correct AS DOUBLE) / n_eval AS acc,
+       |       (SELECT CAST(sum(n_correct) AS DOUBLE) / sum(n_eval) FROM perl) AS overall_acc
+       |FROM perl ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_knn_label" -> (s14KnnLabel _),
     "s13_recall_drift" -> (s13RecallDrift _),
     "s12_ann_recall" -> (s12AnnRecall _),
     "s11_ivf_search" -> (s11IvfSearch _),
@@ -1401,6 +1503,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s14_knn_label" -> s14Oracle,
     "s13_recall_drift" -> s13Oracle,
     "s12_ann_recall" -> s12Oracle,
     "s11_ivf_search" -> s11Oracle,

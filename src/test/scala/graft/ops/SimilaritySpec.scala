@@ -421,4 +421,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(mean > 0.5, s"IVF recall collapsed to $mean — the index finds nothing")
   }
+
+  test("s13: stale-vs-fresh recall is consistent and the drift scalar rides every row") {
+    val rows = Similarity.queries("s13_recall_drift")(spark, sf).collect()
+    assert(rows.length == 5, "one row per query vector")
+    Seq("mean_stale", "mean_fresh").foreach { c =>
+      val v = rows.head.getAs[Double](c)
+      assert(rows.forall(_.getAs[Double](c) == v), s"$c must be one scalar")
+    }
+    assert(rows.head.getAs[Double]("mean_stale") ==
+      rows.map(_.getAs[Long]("n_hit_stale")).sum.toDouble / 50.0)
+    assert(rows.head.getAs[Double]("mean_fresh") ==
+      rows.map(_.getAs[Long]("n_hit_fresh")).sum.toDouble / 50.0)
+    val pm = rows.head.getAs[Int]("drift_pm")
+    assert(pm >= 0 && pm <= 1000, s"TV per-mille out of range: $pm")
+    assert(rows.forall(_.getAs[Boolean]("retrain") == (pm > 100)),
+      "retrain must be exactly the 10% threshold on drift_pm")
+  }
+
+  test("s14: the kNN auto-label evaluation covers the sample and its arithmetic is exact") {
+    val rows = Similarity.queries("s14_knn_label")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("label")).distinct.length == rows.length,
+      "one row per observed true label")
+    val nEval = rows.map(_.getAs[Long]("n_eval")).sum
+    assert(nEval == 50, s"every eval vector must be classified exactly once, got $nEval")
+    val nCorrect = rows.map(_.getAs[Long]("n_correct")).sum
+    val overall = rows.head.getAs[Double]("overall_acc")
+    assert(rows.forall(_.getAs[Double]("overall_acc") == overall),
+      "the corpus-level accuracy must ride every row unchanged")
+    assert(overall == nCorrect.toDouble / nEval,
+      "overall accuracy must be ONE division off the integer counts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[Double]("acc") ==
+        r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_eval"))
+    }
+  }
 }
