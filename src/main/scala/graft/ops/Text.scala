@@ -556,7 +556,77 @@ object Text {
        |WHERE rk <= 15 OR coin < 100
        |ORDER BY doc_id""".stripMargin
 
+  // ---- t35: boilerplate removal by segment document-frequency --------------
+
+  /** The C4/RefinedWeb boilerplate step: a text segment that recurs
+    * across MANY documents (cookie banners, nav bars, license
+    * footers) is template noise, not content — drop EVERY copy. This
+    * is the policy complement of d10's span dedup (d10 keeps the
+    * first occurrence; boilerplate removal keeps none): the decision
+    * key is the segment's document frequency, computed corpus-wide
+    * and joined back, and the output is the per-doc cleaning ledger
+    * (segments seen / segments dropped / keep ratio) with the
+    * corpus-level boilerplate vocabulary size riding every row.
+    *
+    * The corpus view plants its own boilerplate the way the web
+    * serves it: every 25th doc carries an 8-word subscription banner
+    * PREFIX (exactly one [[Dedup.spanSegments]] segment, so the
+    * planted df is the planted doc count, provably ≥ the threshold;
+    * a suffix would smear into the trailing partial segment and
+    * plant nothing).
+    *
+    * Scale shape: segments shuffle on their md5 digest, never the
+    * raw text (d1's rule); df is one map-side-combinable groupBy;
+    * the join back is keyed on the same digest; the per-doc rollup
+    * shuffles bounded (doc_id, counts) rows. Three keyed exchanges,
+    * nothing pairwise, nothing driver-side.
+    */
+  private def t35Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val banner = "subscribe to our newsletter click here now please"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .withColumn("ws", wordsCol(col("text")))
+    val segs = Dedup.spanSegments(docs, 8)
+      .select(col("doc_id"), md5(col("seg")).as("k"))
+    val dfreq = segs.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+    val boilerVocab = dfreq.filter(col("df_docs") >= 3)
+      .agg(count(lit(1)).as("n_boiler_corpus"))
+    val perDoc = segs.join(dfreq, Seq("k"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum((col("df_docs") >= 3).cast("long")).as("n_boiler"))
+      .withColumn("keep_ratio",
+        (col("n_segs") - col("n_boiler")).cast("double") / col("n_segs"))
+    perDoc.join(broadcast(boilerVocab)).orderBy("doc_id")
+  }
+
+  private val t35Oracle: String = {
+    val banner = "subscribe to our newsletter click here now please"
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 25 = 0 THEN '$banner ' || text ELSE text END AS text
+       |  FROM documents),
+       |docs AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM src),
+       |${Dedup.spanSegsSql("docs", 8)},
+       |keyed AS (SELECT doc_id, md5(seg) AS k FROM segs),
+       |dfreq AS (SELECT k, count(DISTINCT doc_id) AS df_docs FROM keyed GROUP BY k),
+       |bc AS (SELECT count(*) AS n_boiler_corpus FROM dfreq WHERE df_docs >= 3),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_segs,
+       |         sum(CASE WHEN df_docs >= 3 THEN 1 ELSE 0 END) AS n_boiler
+       |  FROM keyed JOIN dfreq USING (k) GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+       |       CAST(n_boiler AS BIGINT) AS n_boiler,
+       |       CAST(n_segs - n_boiler AS DOUBLE) / n_segs AS keep_ratio,
+       |       CAST(n_boiler_corpus AS BIGINT) AS n_boiler_corpus
+       |FROM perdoc CROSS JOIN bc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_boilerplate" -> (t35Boilerplate _),
     "t29_chunk" -> (t29Chunk _),
     "t27_repetition" -> (t27Repetition _),
     "t28_pii_redact" -> (t28PiiRedact _),
@@ -780,6 +850,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t35_boilerplate" -> t35Oracle,
     "t33_token_mask" -> t33Oracle,
     "t32_bigram_lm" -> t32Oracle,
     "t34_ppl_buckets" -> t34Oracle,

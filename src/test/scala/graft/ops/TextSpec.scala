@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
 
   test("t32 survives degenerate documents (0/1-word) and drops them like the oracle") {
     // Spark's sequence(1, 0) is the DESCENDING [1, 0]; without the
@@ -59,5 +60,27 @@ class TextSpec extends AnyFunSuite {
     val keptMin = rows.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("avg_score")).min
     val tailMax = rows.filterNot(_.getAs[Boolean]("kept")).map(_.getAs[Long]("avg_score")).max
     assert(keptMin >= tailMax)
+  }
+
+  test("t35: the planted banner is boilerplate in every carrier, and the ledger is internally exact") {
+    val rows = Text.queries("t35_boilerplate")(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == n, "every doc gets a ledger row")
+    val vocab = rows.head.getAs[Long]("n_boiler_corpus")
+    assert(rows.forall(_.getAs[Long]("n_boiler_corpus") == vocab),
+      "the boilerplate vocabulary size must ride every row unchanged")
+    assert(vocab >= 1, "the planted banner segment alone guarantees a non-empty vocabulary")
+    rows.foreach { r =>
+      val (segs, boiler) = (r.getAs[Long]("n_segs"), r.getAs[Long]("n_boiler"))
+      assert(segs >= 1 && boiler >= 0 && boiler <= segs)
+      assert(r.getAs[Double]("keep_ratio") == (segs - boiler).toDouble / segs)
+      // every banner carrier drops at least its banner segment
+      if (r.getAs[Long]("doc_id") % 25 == 0)
+        assert(boiler >= 1, s"doc ${r.getAs[Long]("doc_id")} kept its planted banner")
+    }
+    // the removal is targeted, not a purge: most segments survive
+    val keep = rows.map(r => r.getAs[Long]("n_segs") - r.getAs[Long]("n_boiler")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_segs")).sum
+    assert(keep > 0.5, s"boilerplate threshold swallowed the corpus (keep=$keep)")
   }
 }
