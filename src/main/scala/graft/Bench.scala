@@ -57,23 +57,30 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     // Integer milliseconds: ~40% fewer bytes than 3-decimal seconds, and
-    // ms precision is below this host's noise floor anyway. -1 = errored.
+    // ms precision is below this host's noise floor anyway. Only queries
+    // with a real median reach this (errored queries live in `errors`).
     def qsJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) =>
-        val ms = if (v < 0) -1L else math.round(v * 1000)
-        "\"" + k + "\":" + ms
+        "\"" + k + "\":" + math.round(v * 1000)
       }.mkString("{", ",", "}")
     def errsJson(es: Iterable[(String, String)]): String =
       es.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     // Errored queries are NOT in the timings map (no -1 sentinel a
-    // consumer could sum or min over); they live in `errors`, and
-    // n_errors — printed BEFORE the per-query map — survives even when
-    // the tail window truncates the maps, so a mass failure (r11: 38
-    // queries down, 5 visible) can never be under-read from the tail.
+    // consumer could sum or min over); they live in `errors`. A query
+    // that failed SOME reps but produced a median is FLAKY, not
+    // errored: its median stays in the timings map and its message
+    // moves to `flaky`, so n_errors + timed-count always equals
+    // n_queries (the arithmetic the fields invite) and a flake can't
+    // masquerade as either clean or dead. The printed line's safety
+    // against the driver's ~2000-char stdout tail comes from the
+    // self-imposed budget below (the tail keeps the line's END, so
+    // over-budget content would truncate the HEAD and unparse the
+    // whole line — round 8's failure).
     val timed = results.filter { case (_, v) => v >= 0 }
-    def record(qs: String, omitted: Int, errs: String): String =
-      f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errs,"value":$total%.3f}"""
+    val (flaky, hardErrors) = errors.partition { case (k, _) => timed.contains(k) }
+    def record(qs: String, omitted: Int, errs: String, flk: String): String =
+      f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"n_errors":${hardErrors.size},"n_flaky":${flaky.size},"queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errs,"flaky":$flk,"value":$total%.3f}"""
     // The driver keeps only a ~2000-char TAIL of stdout and JSON-parses
     // it: 130 per-query timings overflow that window and truncate the
     // line's HEAD, making the whole line unparseable (round 8's
@@ -82,24 +89,28 @@ object Bench {
     // budget — error messages bounded FIRST (5 errors × 60 chars; an
     // error-storm run must not reintroduce the overflow), then the
     // slowest queries inline and the rest counted in "queries_omitted".
-    val line = record(qsJson(timed), 0, errsJson(errors))
+    val line = record(qsJson(timed), 0, errsJson(hardErrors), errsJson(flaky))
     val printedLine = {
       val budget = 1800
       if (line.length <= budget) line
       else {
-        val errShort = errsJson(errors.take(5).map { case (k, v) => k -> v.take(60) })
+        // Both message maps bounded FIRST (5 entries × 60 chars each) —
+        // an error- or flake-storm run must not reintroduce the
+        // head-truncation overflow; the counts (n_errors/n_flaky) carry
+        // the true totals regardless.
+        val errShort = errsJson(hardErrors.take(5).map { case (k, v) => k -> v.take(60) })
+        val flkShort = errsJson(flaky.take(5).map { case (k, v) => k -> v.take(60) })
         val bySlowest = timed.toSeq.sortBy { case (_, v) => -v }
         // Add entries slowest-first, re-rendering the WHOLE candidate
         // line and checking its actual length each time — per-entry
-        // size estimates drifted (errored queries print -1 but were
-        // estimated as one char; the omitted-count digit width moves)
+        // size estimates drift (the omitted-count digit width moves)
         // and could overshoot the budget by a few bytes.
         var keep = Vector.empty[(String, Double)]
-        var best = record("{}", timed.size, errShort)
+        var best = record("{}", timed.size, errShort, flkShort)
         var full = false
         bySlowest.foreach { e =>
           if (!full) {
-            val cand = record(qsJson(keep :+ e), timed.size - keep.size - 1, errShort)
+            val cand = record(qsJson(keep :+ e), timed.size - keep.size - 1, errShort, flkShort)
             if (cand.length <= budget) { keep = keep :+ e; best = cand }
             else full = true
           }

@@ -35,6 +35,21 @@ import graft.model.{GtidSet, GtidRange}
   */
 object CdcPipeline {
 
+  /** The current fixture layout's schema (`ts` as `timestamp[us]` →
+    * TIMESTAMP_NTZ — FIXTURES.md), used when the feed directory can't
+    * be probed yet: a streaming source must be constructible BEFORE
+    * its producer writes the first file, which is the reason streaming
+    * reads take an up-front schema at all.
+    */
+  private val eventsSchemaNtz: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
   /** The streaming twin of [[graft.Tables.events]] +
     * [[ChangeFeed.fromEvents]]. Streaming reads need the schema up
     * front, and the fixture's physical `ts` layout has drifted across
@@ -42,10 +57,15 @@ object CdcPipeline {
     * FIXTURES.md), so probe it with a one-time batch footer read
     * (control-plane cost: file listing + one footer) and normalize
     * through the same dtype branch the batch loader uses
-    * ([[graft.Tables.normalizeEventsTs]]).
+    * ([[graft.Tables.normalizeEventsTs]]). An empty or not-yet-created
+    * feed directory can't be probed — fall back to the current
+    * fixture-contract schema so the stream still starts ahead of its
+    * producer (the invariant the old hardcoded schema provided).
     */
   def feedStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    val physicalSchema = spark.read.parquet(eventsDir).schema
+    val physicalSchema =
+      try spark.read.parquet(eventsDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchemaNtz }
     ChangeFeed.fromEvents(
       graft.Tables.normalizeEventsTs(
         spark.readStream

@@ -883,7 +883,13 @@ object Similarity {
       .withColumn("tot2", sum("n2").over(wm))
       .groupBy(col("m"), col("tot1"), col("tot2"))
       .agg(sum(abs(col("n1") * col("tot2") - col("n2") * col("tot1"))).as("S"))
-      .select(expr("CAST((500 * S) DIV (tot1 * tot2) AS INT)").as("pm"))
+      // same empty-batch boundary as [[usageDriftPm]]: DIV-by-zero
+      // would ride a NULL pm into max() and silently un-flag retrain
+      .select(expr(
+        """CAST(CASE WHEN tot2 = 0 THEN 0
+          |          WHEN tot1 = 0 THEN 1000
+          |          ELSE (500 * S) DIV (tot1 * tot2) END AS INT)""".stripMargin)
+        .as("pm"))
       .agg(max("pm").as("drift_pm"))
       .withColumn("retrain", col("drift_pm") > 100)
     pqSearch(subs, coded, cb)
@@ -924,7 +930,8 @@ object Similarity {
        |         sum(CASE WHEN vec_id >= $pqSplit THEN 1 ELSE 0 END) AS n2
        |  FROM codes GROUP BY m, cid),
        |dsub AS (
-       |  SELECT m, CAST((500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) AS INT) AS pm
+       |  SELECT m, CAST(CASE WHEN tot2 = 0 THEN 0 WHEN tot1 = 0 THEN 1000
+       |                 ELSE (500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) END AS INT) AS pm
        |  FROM (SELECT m, cid, n1, n2,
        |               sum(n1) OVER (PARTITION BY m) AS tot1,
        |               sum(n2) OVER (PARTITION BY m) AS tot2 FROM counts)
@@ -1142,29 +1149,53 @@ object Similarity {
     * drift is the signal that the codebook needs retraining, the
     * observability twin of s10's code-distribution drift.
     */
-  private def s12AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val base = quantized(s, d)
-    val cents = collectCents(trainCodebook(base, iters = 2))
+  /** (qid, vec_id) of the IVF cell-pruned top-k per query vector —
+    * s11's read path as a reusable block, shared by the eval queries
+    * (s12 measures its recall, s13 runs it under two codebooks). One
+    * definition so a tie-break or probe change cannot silently diverge
+    * between the search gate and its evaluators.
+    */
+  private def ivfApproxTop(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)], nprobe: Int, k: Int): DataFrame = {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    val approx = assignCellsFrom(base, cents)
+    assignCellsFrom(base, cents)
       .filter(col("vec_id") >= 5)
-      .join(broadcast(ivfProbes(base, cents, nprobe = 2)), col("cid") === col("pcid"))
+      .join(broadcast(ivfProbes(base, cents, nprobe)), col("cid") === col("pcid"))
       .select(col("qid"), col("vec_id"),
         VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
-      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
       .select("qid", "vec_id")
+  }
+
+  /** (qid, vec_id) of the exact brute-force top-k — the ground-truth
+    * side (s1's shape: corpus scan under the broadcast query sample).
+    */
+  private def exactTruthTop(base: DataFrame, k: Int): DataFrame = {
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     val qs = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
-    val truth = base.filter(col("vec_id") >= 5)
+    base.filter(col("vec_id") >= 5)
       .join(broadcast(qs))
       .select(col("qid"), col("vec_id"),
         VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
-      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
       .select("qid", "vec_id")
-    val perQ = qs.select("qid")
-      .join(truth.join(approx, Seq("qid", "vec_id"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+  }
+
+  /** Per-qid count of `ap` members that are in the truth set. */
+  private def recallHits(truth: DataFrame, ap: DataFrame, cname: String): DataFrame =
+    truth.join(ap, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as(cname))
+
+  private def s12AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val truth = exactTruthTop(base, 10)
+    val perQ = base.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+      .join(recallHits(truth, ivfApproxTop(base, cents, nprobe = 2, k = 10), "n_hit"),
+        Seq("qid"), "left")
       .na.fill(0L, Seq("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / 10.0)
     val mean = perQ.agg((sum("n_hit").cast("double") / 50.0).as("mean_recall"))
@@ -1262,7 +1293,16 @@ object Similarity {
       .withColumn("tot2", sum("n2").over(wAll))
       .groupBy("tot1", "tot2")
       .agg(sum(abs(col("n1") * col("tot2") - col("n2") * col("tot1"))).as("S"))
-      .select(expr("CAST((500 * S) DIV (tot1 * tot2) AS INT)").as("drift_pm"))
+      // Empty-batch boundary, NOT left to DIV-by-zero (which yields a
+      // NULL drift_pm and a silently-false retrain — worst exactly when
+      // the index is most stale): no batch-2 data ⇒ no drift evidence
+      // (0); a batch-2 with an EMPTY training batch ⇒ everything is
+      // new ⇒ maximal drift (1000, the metric's upper bound).
+      .select(expr(
+        """CAST(CASE WHEN tot2 = 0 THEN 0
+          |          WHEN tot1 = 0 THEN 1000
+          |          ELSE (500 * S) DIV (tot1 * tot2) END AS INT)""".stripMargin)
+        .as("drift_pm"))
       .withColumn("retrain", col("drift_pm") > 100)
   }
 
@@ -1270,31 +1310,13 @@ object Similarity {
     val base = quantized(s, d)
     val stale = collectCents(trainCodebook(base.filter(col("vec_id") < pqSplit), iters = 2))
     val fresh = collectCents(trainCodebook(base, iters = 2))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    val qs = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("q").as("qv"))
-    def approx(cents: Array[(Long, Seq[Double], Long)]): DataFrame =
-      assignCellsFrom(base, cents)
-        .filter(col("vec_id") >= 5)
-        .join(broadcast(ivfProbes(base, cents, nprobe = 2)), col("cid") === col("pcid"))
-        .select(col("qid"), col("vec_id"),
-          VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
-        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
-        .select("qid", "vec_id")
-    val truth = base.filter(col("vec_id") >= 5)
-      .join(broadcast(qs))
-      .select(col("qid"), col("vec_id"),
-        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
-      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
-      .select("qid", "vec_id")
-    def hits(ap: DataFrame, cname: String): DataFrame =
-      truth.join(ap, Seq("qid", "vec_id"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as(cname))
+    val truth = exactTruthTop(base, 10)
     val drift = usageDriftPm(assignCellsFrom(base, stale), pqSplit)
-    val perQ = qs.select("qid")
-      .join(hits(approx(stale), "n_hit_stale"), Seq("qid"), "left")
-      .join(hits(approx(fresh), "n_hit_fresh"), Seq("qid"), "left")
+    val perQ = base.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+      .join(recallHits(truth, ivfApproxTop(base, stale, nprobe = 2, k = 10),
+        "n_hit_stale"), Seq("qid"), "left")
+      .join(recallHits(truth, ivfApproxTop(base, fresh, nprobe = 2, k = 10),
+        "n_hit_fresh"), Seq("qid"), "left")
       .na.fill(0L, Seq("n_hit_stale", "n_hit_fresh"))
       .withColumn("recall_stale", col("n_hit_stale").cast("double") / 10.0)
       .withColumn("recall_fresh", col("n_hit_fresh").cast("double") / 10.0)
@@ -1366,10 +1388,11 @@ object Similarity {
        |         sum(CASE WHEN vec_id >= $pqSplit THEN 1 ELSE 0 END) AS n2
        |  FROM sa3 GROUP BY cid),
        |drf AS (
-       |  SELECT CAST((500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) AS INT) AS drift_pm,
-       |         (500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) > 100 AS retrain
-       |  FROM counts CROSS JOIN (SELECT sum(n1) AS tot1, sum(n2) AS tot2 FROM counts)
-       |  GROUP BY tot1, tot2),
+       |  SELECT drift_pm, drift_pm > 100 AS retrain FROM (
+       |    SELECT CAST(CASE WHEN tot2 = 0 THEN 0 WHEN tot1 = 0 THEN 1000
+       |                ELSE (500 * sum(abs(n1 * tot2 - n2 * tot1))) // (tot1 * tot2) END AS INT) AS drift_pm
+       |    FROM counts CROSS JOIN (SELECT sum(n1) AS tot1, sum(n2) AS tot2 FROM counts)
+       |    GROUP BY tot1, tot2)),
        |perq AS (
        |  SELECT q.vec_id AS qid,
        |         CAST(COALESCE(hs.n_hit, 0) AS BIGINT) AS n_hit_stale,
@@ -1430,12 +1453,16 @@ object Similarity {
       .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n_votes"))
       .withColumn("r", row_number().over(wVote)).filter(col("r") === 1)
       .select(col("qid"), col("label").as("pred_label"))
+    // LEFT join: an eval vector that retrieved zero neighbors (both
+    // probed cells degenerate to only itself) still counts in n_eval —
+    // as a miss — instead of silently shrinking the accuracy
+    // denominator. `when` treats the NULL pred_label as not-equal.
     val perLabel = labels.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("label"))
-      .join(pred, Seq("qid"))
+      .join(pred, Seq("qid"), "left")
       .groupBy("label")
       .agg(count(lit(1)).as("n_eval"),
-        sum((col("pred_label") === col("label")).cast("long")).as("n_correct"))
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
       .withColumn("acc", col("n_correct").cast("double") / col("n_eval"))
     val overall = perLabel.agg(
       (sum("n_correct").cast("double") / sum("n_eval")).as("overall_acc"))
@@ -1476,7 +1503,7 @@ object Similarity {
        |perl AS (
        |  SELECT e.label, count(*) AS n_eval,
        |         sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS n_correct
-       |  FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+       |  FROM embeddings e LEFT JOIN pred p ON p.qid = e.vec_id
        |  WHERE e.vec_id < 50 GROUP BY e.label)
        |SELECT CAST(label AS INT) AS label, CAST(n_eval AS BIGINT) AS n_eval,
        |       CAST(n_correct AS BIGINT) AS n_correct,

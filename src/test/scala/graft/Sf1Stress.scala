@@ -33,6 +33,10 @@ object Sf1Stress {
       "d9_gram_coverage", "d4_simhash", "t34_ppl_buckets",
       "s11_ivf_search", "p5_retrieval",
       "d12_stream_dedup", "p6_stream_ingest", "s12_ann_recall",
+      // round-12 additions: fixed-size eval/delta sides against the
+      // 10× corpus — the increment/eval cost story under scale
+      "s13_recall_drift", "s14_knn_label", "p7_cdc_curation",
+      "t35_boilerplate",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
@@ -59,8 +63,10 @@ object Sf1Stress {
       .write.mode("overwrite").parquet(s"$to/embeddings.parquet")
     // events: 10× the change feed over the SAME key space — each copy
     // appends after the last (event_id is the feed position), so keys
-    // see 10× the churn. ts stays the raw nanos-long the session conf
-    // exposes; written back as a plain long it reads identically.
+    // see 10× the churn. ts rides through in whatever physical layout
+    // the fixture generation shipped (nanos-long or timestamp[us] —
+    // FIXTURES.md); the derivative re-writes the same type and
+    // Tables.normalizeEventsTs branches on it at read time.
     val events = spark.read.parquet(s"$from/events.parquet")
     val nEvents = events.count()
     events.crossJoin(copies)
