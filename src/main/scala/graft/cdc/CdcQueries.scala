@@ -643,6 +643,60 @@ object CdcQueries {
       |  || CAST(max(CASE WHEN event_id > 500 THEN event_id END) AS VARCHAR) AS gtid
       |FROM events""".stripMargin
 
+  // ---- cdc_gtid_roundtrip: parse/serialize on a gappy multi-interval set --
+
+  /** Op #18 (GTID parse/serialize, `gtid.go`'s text form) under the
+    * driver gate — the one component previously proven only by unit
+    * specs. The contiguous feeds of `cdc_gtid_agg`/`cdc_gtid_multi`
+    * collapse to a single `min-max` interval, so neither exercises
+    * multi-interval union, gap preservation, or the parser. This gate
+    * keeps only alternating 100-id blocks of the feed (a maximally
+    * gappy set: ~one interval per kept block), serializes it in-plan
+    * ([[graft.functions.GtidStringAgg]]), then drives the DRIVER-side
+    * parse → re-serialize roundtrip ([[graft.model.GtidSet.parse]] —
+    * the exact read path the watermark store uses on every resume) and
+    * fails loudly if the fixpoint breaks. The emitted text plus the
+    * parsed model's interval/position counts are checked against an
+    * independent gaps-and-islands construction in DuckDB, so a parser
+    * or serializer that drops, splits, or merges an interval cannot
+    * stay green. The single-row collect is control-plane — the same
+    * shape as every watermark read.
+    */
+  private def cdcGtidRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val text1 = ChangeFeed
+      .fromEvents(Tables.events(s, d))
+      .filter(expr("(pos DIV 100) % 2 = 0"))
+      .select(lit("harness-src").as("uuid"), col("pos"))
+      .as[(String, Long)]
+      .select(graft.functions.GtidStringAgg.toColumn)
+      .head()
+    val parsed = graft.model.GtidSet.parse(text1)
+    val text2 = parsed.serialize
+    require(text2 == text1,
+      s"GTID parse/serialize fixpoint broken:\n  agg: $text1\n  rt:  $text2")
+    val nIntervals = parsed.intervals.values.map(_.size).sum.toLong
+    val nPositions = parsed.intervals.values.flatten
+      .map(r => r.end - r.start + 1L).sum
+    Seq((text2, nIntervals, nPositions))
+      .toDF("gtid", "n_intervals", "n_positions")
+  }
+
+  private val cdcGtidRoundtripOracle: String =
+    """WITH pos AS (
+      |  SELECT event_id AS p FROM events WHERE (event_id // 100) % 2 = 0),
+      |isl AS (
+      |  SELECT p, p - row_number() OVER (ORDER BY p) AS grp FROM pos),
+      |iv AS (
+      |  SELECT min(p) AS s, max(p) AS e FROM isl GROUP BY grp)
+      |SELECT 'harness-src:' || string_agg(
+      |         CASE WHEN s = e THEN CAST(s AS VARCHAR)
+      |              ELSE CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR) END,
+      |         ':' ORDER BY s) AS gtid,
+      |       CAST(count(*) AS BIGINT) AS n_intervals,
+      |       CAST(sum(e - s + 1) AS BIGINT) AS n_positions
+      |FROM iv""".stripMargin
+
   /** A CHILD session with `spark.sql.shuffle.partitions` sized for a
     * stateful replay query. State-store count is fixed by this conf
     * at query start and each store pays per-batch commit overhead;
@@ -1839,6 +1893,7 @@ object CdcQueries {
     "cdc_jdbc_catalog" -> (cdcJdbcCatalog _),
     "cdc_transport" -> (cdcTransport _),
     "cdc_gtid_agg" -> (cdcGtidAgg _),
+    "cdc_gtid_roundtrip" -> (cdcGtidRoundtrip _),
     "cdc_gtid_multi" -> (cdcGtidMulti _),
     "cdc_tx_batches" -> (cdcTxBatches _),
     "cdc_agg_maint" -> (cdcAggMaint _),
@@ -1875,6 +1930,7 @@ object CdcQueries {
     "cdc_jdbc_catalog" -> cdcJdbcCatalogOracle,
     "cdc_transport" -> latestStateOracle,
     "cdc_gtid_agg" -> cdcGtidAggOracle,
+    "cdc_gtid_roundtrip" -> cdcGtidRoundtripOracle,
     "cdc_gtid_multi" -> cdcGtidMultiOracle,
     "cdc_tx_batches" -> cdcTxBatchesOracle,
     "cdc_agg_maint" -> cdcAggMaintOracle,
