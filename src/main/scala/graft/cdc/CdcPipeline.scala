@@ -57,10 +57,12 @@ object CdcPipeline {
     * FIXTURES.md), so probe it with a one-time batch footer read
     * (control-plane cost: file listing + one footer) and normalize
     * through the same dtype branch the batch loader uses
-    * ([[graft.Tables.normalizeEventsTs]]). An empty or not-yet-created
-    * feed directory can't be probed — fall back to the current
+    * ([[graft.Tables.normalizeEventsTs]]). An EMPTY feed directory
+    * can't be probed (no footer to read) — fall back to the current
     * fixture-contract schema so the stream still starts ahead of its
-    * producer (the invariant the old hardcoded schema provided).
+    * producer, the invariant the old hardcoded schema provided. (The
+    * directory itself must exist either way: Spark's streaming
+    * DataSource checks the path at construction regardless of schema.)
     */
   def feedStream(spark: SparkSession, eventsDir: String): DataFrame = {
     val physicalSchema =
