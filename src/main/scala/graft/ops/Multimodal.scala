@@ -541,7 +541,124 @@ object Multimodal {
        |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- mm8: time-shift-robust audio near-dup (landmark pairs) --------------
+
+  /** Offset-invariant audio near-dup — the matching capability the
+    * rest of the family lacks: mm4 groups byte-EXACT re-encodes and
+    * mm7 survives a retouch, but both are alignment-bound, so a clip
+    * re-ingested with its head trimmed (the "same song, late start"
+    * case) is provably invisible to them. This is the constellation-
+    * map idea of audio fingerprinting (Wang's Shazam design, applied
+    * to the harness byte stand-in): overlapping frames (width 16,
+    * hop 8) hash to a per-frame digest; a LANDMARK is the combined
+    * hash of frame t and frame t+3 — a RELATIVE pair, so a clip
+    * shifted by any whole number of hops yields the same landmark
+    * set; two clips match when they share ≥5 landmarks covering ≥50%
+    * of the smaller set. Planted: audio assets (≥120 bytes) re-
+    * ingested under fresh ids with the first hop (8 bytes) dropped —
+    * every frame shifts one slot, byte-prefix and tile-grid
+    * fingerprints all change, the landmark set barely moves.
+    *
+    * Overly common landmarks (the synthetic corpus repeats 16-byte
+    * runs across docs) are dropped at document-frequency > 8 before
+    * the pair join — the stop-landmark discipline real audio indexes
+    * use, and the same hot-key bound t35/d3 rely on: bucket size is
+    * capped, so the within-key pair work cannot go quadratic in the
+    * corpus.
+    *
+    * Scale shape: frames/landmarks are row-local two-level transforms
+    * (each frame digested ONCE — mm7's rule); the exchange carries
+    * (key, doc_id, n_lm) longs; df-filter is one map-side-combinable
+    * groupBy; the pair join is keyed with df-bounded buckets. Nothing
+    * pairwise corpus-wide, nothing driver-side.
+    */
+  private def mm8AudioDedup(s: SparkSession, d: String): DataFrame = {
+    val P = graft.ops.Dedup.P
+    def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
+    val audio = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 1) // the audio modality of assets()
+      .select(col("doc_id"), col("text"))
+    val planted = audio
+      .filter(col("doc_id") < 60 && length(col("text")) >= 120)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        expr("substr(text, 9)").as("text"))
+    // frames digested once (two-level transform — polyHashSql inlines
+    // its argument per character, so hashing substr directly would
+    // digest each frame 8×); landmark arithmetic stays under 2^52:
+    // (ph % P) < 2^31, × 1000003 < 2^51
+    val frExpr =
+      """CASE WHEN length(text) >= 16 THEN
+        |  transform(sequence(0, CAST((length(text) - 16) DIV 8 AS INT)),
+        |    t -> md5(substr(text, 1 + t * 8, 16)))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+    val lmExpr =
+      s"""CASE WHEN size(fr) >= 4 THEN
+         |  array_distinct(transform(sequence(0, size(fr) - 4),
+         |    t -> (((${ph("element_at(fr, CAST(t AS INT) + 1)")}) % $P) * 1000003
+         |        +  ((${ph("element_at(fr, CAST(t AS INT) + 4)")}) % $P)) % $P))
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    val exploded = audio.unionByName(planted)
+      .withColumn("fr", expr(frExpr))
+      .withColumn("lms", expr(lmExpr))
+      .select(col("doc_id"), size(col("lms")).as("n_lm"),
+        explode(col("lms")).as("key"))
+    val live = exploded
+      .join(exploded.groupBy("key")
+        .agg(countDistinct(col("doc_id")).as("dfk"))
+        .filter(col("dfk") <= 8)
+        .select("key"), Seq("key"))
+      .persist()
+    val out = live.as("a")
+      .join(live.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_lm").as("n_a"), col("b.n_lm").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("ratio",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("n_shared") >= 5 && col("ratio") >= 0.5)
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b", "ratio")
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    live.unpersist(blocking = false)
+    out
+  }
+
+  private val mm8Oracle: String = {
+    val P = graft.ops.Dedup.P
+    def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
+    s"""WITH audio AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 9000000, substr(text, 9) FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id < 60 AND length(text) >= 120),
+       |fr AS (
+       |  SELECT doc_id, list_transform(generate_series(0, (length(text) - 16) // 8),
+       |           t -> md5(substr(text, 1 + t * 8, 16))) AS fr
+       |  FROM audio WHERE length(text) >= 16),
+       |lm AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(fr) - 3),
+       |           t -> (((${ph("fr[t]")}) % $P) * 1000003
+       |               + ((${ph("fr[t+3]")}) % $P)) % $P)) AS lms
+       |  FROM fr WHERE len(fr) >= 4),
+       |ex AS (
+       |  SELECT doc_id, CAST(len(lms) AS INT) AS n_lm, unnest(lms) AS key FROM lm),
+       |keep AS (SELECT key FROM ex GROUP BY key HAVING count(DISTINCT doc_id) <= 8),
+       |live AS (SELECT ex.* FROM ex JOIN keep USING (key))
+       |SELECT id_a, id_b, n_shared, n_a, n_b,
+       |       CAST(n_shared AS DOUBLE) / least(n_a, n_b) AS ratio
+       |FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.n_lm AS n_a, b.n_lm AS n_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM live a JOIN live b ON a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |WHERE n_shared >= 5 AND CAST(n_shared AS DOUBLE) / least(n_a, n_b) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_audio_dedup" -> (mm8AudioDedup _),
     "mm5_audio_windows" -> (mm5AudioWindows _),
     "mm6_resize" -> (mm6Resize _),
     "mm7_image_dedup" -> (mm7ImageDedup _),
@@ -573,6 +690,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm8_audio_dedup" -> mm8Oracle,
     "mm7_image_dedup" -> mm7Oracle,
     "mm5_audio_windows" -> mm5Oracle,
     "mm6_resize" -> mm6Oracle,

@@ -65,4 +65,36 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("hamming") <= 3)
     }
   }
+
+  test("mm8: landmark matching is offset-invariant — shifted copies match although no frame aligns") {
+    val rows = Multimodal.queries("mm8_audio_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty, "no planted shifted copy found")
+    // every planted (original, head-trimmed re-ingest) pair surfaces
+    // at near-total landmark containment; any extra rows must clear
+    // the same evidence bar
+    val planted = rows.filter(r => r.getAs[Long]("id_b") >= 9000000L &&
+      r.getAs[Long]("id_a") == r.getAs[Long]("id_b") - 9000000L)
+    assert(planted.nonEmpty, "no planted pair in the result")
+    planted.foreach(r => assert(r.getAs[Double]("ratio") >= 0.9,
+      s"planted pair ${r.getAs[Long]("id_a")} matched weakly"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") >= 5 && r.getAs[Double]("ratio") >= 0.5)
+    }
+    // the capability claim: for a planted pair, NO frame agrees at the
+    // same index (an alignment-bound fingerprint like mm4's byte hash
+    // or mm7's tile grid sees two unrelated buffers), yet the RELATIVE
+    // landmark pairs matched above
+    val docId = planted.head.getAs[Long]("id_a")
+    val text = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === docId)
+      .select("text").head.getString(0)
+    val shifted = text.substring(8)
+    def frames(t: String): Seq[String] =
+      (0 to (t.length - 16) / 8).map(i => t.substring(i * 8, i * 8 + 16))
+    val (fa, fb) = (frames(text), frames(shifted))
+    assert(fa.zip(fb).forall { case (x, y) => x != y },
+      "a same-index frame survived the shift — the plant no longer proves offset-invariance")
+    assert(fa.toSet.intersect(fb.toSet).size >= 4,
+      "shifted frames must still exist at OTHER indices (the thing landmarks exploit)")
+  }
 }
