@@ -582,26 +582,41 @@ object Multimodal {
       .filter(col("doc_id") < 60 && length(col("text")) >= 120)
       .select((col("doc_id") + 9000000L).as("doc_id"),
         expr("substr(text, 9)").as("text"))
-    // frames digested once (two-level transform — polyHashSql inlines
-    // its argument per character, so hashing substr directly would
-    // digest each frame 8×); landmark arithmetic stays under 2^52:
-    // (ph % P) < 2^31, × 1000003 < 2^51
-    val frExpr =
-      """CASE WHEN length(text) >= 16 THEN
-        |  transform(sequence(0, CAST((length(text) - 16) DIV 8 AS INT)),
-        |    t -> md5(substr(text, 1 + t * 8, 16)))
-        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
-    val lmExpr =
-      s"""CASE WHEN size(fr) >= 4 THEN
-         |  array_distinct(transform(sequence(0, size(fr) - 4),
-         |    t -> (((${ph("element_at(fr, CAST(t AS INT) + 1)")}) % $P) * 1000003
-         |        +  ((${ph("element_at(fr, CAST(t AS INT) + 4)")}) % $P)) % $P))
+    // Each frame is digested and hashed ONCE, via lambda-bound values
+    // only (mm7's two-level rule, and then some): referencing a frame
+    // COLUMN inside an interpreted HOF lambda is a trap — projection
+    // collapse inlines the whole frame-transform into EVERY reference,
+    // and the first version of this query re-digested each frame
+    // hundreds of times (238 s at sf0.1; 1.3 s after this shape).
+    // `hs` binds the digest as the outer lambda's variable; the
+    // landmark pairing is a zip_with of two slices, whose lambda sees
+    // two already-hashed longs. Arithmetic stays under 2^52:
+    // hs < 2^31, × 1000003 < 2^51.
+    val hsExpr =
+      s"""CASE WHEN length(text) >= 16 THEN
+         |  transform(
+         |    transform(sequence(0, CAST((length(text) - 16) DIV 8 AS INT)),
+         |      t -> md5(substr(text, 1 + t * 8, 16))),
+         |    dg -> (${ph("dg")}) % $P)
          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
-    val exploded = audio.unionByName(planted)
-      .withColumn("fr", expr(frExpr))
+    val lmExpr =
+      s"""CASE WHEN size(hs) >= 4 THEN
+         |  array_distinct(zip_with(
+         |    slice(hs, 1, size(hs) - 3),
+         |    slice(hs, 4, size(hs) - 3),
+         |    (x, y) -> (x * 1000003 + y) % $P))
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    // one fingerprint pass feeds the df filter AND both join sides
+    // (mm7's checkpoint pattern): without the barrier the hs chain
+    // re-runs for every consumer — and still ~5× per row inside, since
+    // lmExpr's CASE/size/slice references each inline a copy
+    val lmDocs = audio.unionByName(planted)
+      .withColumn("hs", expr(hsExpr))
       .withColumn("lms", expr(lmExpr))
-      .select(col("doc_id"), size(col("lms")).as("n_lm"),
-        explode(col("lms")).as("key"))
+      .select(col("doc_id"), size(col("lms")).as("n_lm"), col("lms"))
+      .localCheckpoint(true)
+    val exploded = lmDocs
+      .select(col("doc_id"), col("n_lm"), explode(col("lms")).as("key"))
     val live = exploded
       .join(exploded.groupBy("key")
         .agg(countDistinct(col("doc_id")).as("dfk"))
