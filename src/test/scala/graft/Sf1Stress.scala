@@ -36,7 +36,7 @@ object Sf1Stress {
       // round-12 additions: fixed-size eval/delta sides against the
       // 10× corpus — the increment/eval cost story under scale
       "s13_recall_drift", "s14_knn_label", "p7_cdc_curation",
-      "t35_boilerplate",
+      "t35_boilerplate", "mm8_audio_dedup",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
