@@ -67,7 +67,19 @@ object CdcPipeline {
   def feedStream(spark: SparkSession, eventsDir: String): DataFrame = {
     val physicalSchema =
       try spark.read.parquet(eventsDir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchemaNtz }
+      catch {
+        // ONLY the empty-dir condition falls back — any other analysis
+        // failure (corrupt footer, mixed layouts, permissions surfaced
+        // as AnalysisException) must fail HERE at the loader, not
+        // mid-stream against a silently-assumed schema. If a producer
+        // later drops legacy nanos-long files into an initially-empty
+        // dir, the stream's declared NTZ schema will mismatch at read
+        // time; that loud failure is the designed outcome
+        // (normalizeEventsTs rejects unknown layouts the same way).
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          eventsSchemaNtz
+      }
     ChangeFeed.fromEvents(
       graft.Tables.normalizeEventsTs(
         spark.readStream

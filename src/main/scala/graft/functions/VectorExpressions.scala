@@ -188,6 +188,125 @@ case class DotProduct(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Whole-codebook scoring: `codebook_scores(q, svs, ns)[j] =
+  * dot(q, svs[j]) / ns[j]` — the IVF cell-assignment inner loop as ONE
+  * native expression.
+  *
+  * Why it exists: nearest-centroid assignment wants k scores per row.
+  * Unrolling k `dot_product` columns makes the expression tree — and
+  * whole-stage-codegen compile time — grow with k; at SemDeDup's
+  * k ∝ corpus that is super-linear in data size (measured 25× at 10×
+  * data, compile-bound). Composing `zip_with`+`dot_product` keeps the
+  * plan O(1) but higher-order functions are CodegenFallback, dropping
+  * the hot projection out of WSCG. This expression is both: generated
+  * code is a fixed-size doubly-nested loop over the codebook literal
+  * (k never appears in the source text), and it stays inside WSCG.
+  *
+  * Arithmetic contract (oracle-bit-exactness): per centroid, one
+  * left-to-right Double dot then one IEEE division — identical to the
+  * unrolled `dot_product(q, sv)/n` it replaces.
+  *
+  * Null semantics: NULL if `q` is NULL, any `q` element is NULL, or a
+  * centroid length mismatches `q`. (The codebook sides are driver-built
+  * literals — sums and counts are never null.) Result elements are
+  * never null.
+  */
+case class CodebookScores(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def prettyName: String = "codebook_scores"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def qOk(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val svsOk = second.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    val nsOk = third.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (qOk(first.dataType) && svsOk && nsOk) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double>, array<array<double>>, array<double>), " +
+          s"got ${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+
+  private def qIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(qv: Any, svsV: Any, nsV: Any): Any = {
+    val q = qv.asInstanceOf[ArrayData]
+    val svs = svsV.asInstanceOf[ArrayData]
+    val ns = nsV.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    val k = svs.numElements()
+    val qf = qIsFloat
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val sv = svs.getArray(j)
+      if (sv.numElements() != n) return null
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (q.isNullAt(i)) return null
+        dot += (if (qf) q.getFloat(i).toDouble else q.getDouble(i)) * sv.getDouble(i)
+        i += 1
+      }
+      out(j) = dot / ns.getDouble(j)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, svs, ns) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val dot = ctx.freshName("dot")
+      val sv = ctx.freshName("sv")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      val qElem =
+        if (qIsFloat) s"(double) $q.getFloat($i)" else s"$q.getDouble($i)"
+      s"""
+         |final int $n = $q.numElements();
+         |final int $k = $svs.numElements();
+         |final double[] $out = new double[$k];
+         |boolean $bad = false;
+         |for (int $j = 0; $j < $k && !$bad; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sv = $svs.getArray($j);
+         |  if ($sv.numElements() != $n) { $bad = true; break; }
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($q.isNullAt($i)) { $bad = true; break; }
+         |    $dot += $qElem * $sv.getDouble($i);
+         |  }
+         |  $out[$j] = $dot / $ns.getDouble($j);
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): Expression = copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -196,6 +315,8 @@ object VectorFunctions {
     column(CosineSimilarity(expression(a), expression(b)))
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def codebook_scores(q: Column, svs: Column, ns: Column): Column =
+    column(CodebookScores(expression(q), expression(svs), expression(ns)))
 
   /** Register `cosine_similarity` / `dot_product` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -355,10 +355,11 @@ object Dedup {
     * never do. `foreachBatch` is the idiomatic Spark shape for
     * exactly this — per-batch BATCH semantics (the broadcast band
     * join + verify are the proven d8 plan) plus cross-batch state the
-    * operator owns (the index). At 100 TB the index is an appendable
-    * table (bands + shingle sets keyed by doc) and matches stream to
-    * a sink table; the harness pins both in memory and collects the
-    * bounded match set. Within-wave duplicate pairs are out of
+    * operator owns (the index). The index IS an appendable parquet
+    * table pair (bands + shingle sets keyed by doc — the d8 layout),
+    * probed from and appended to STORAGE each wave, exactly the
+    * 100 TB shape; only the bounded match set is collected. Within-wave
+    * duplicate pairs are out of
     * contract by design — both sides enter the index together; p6's
     * delivery dedup (same id) or the batch d3 over a wave (same
     * content) covers them upstream.
@@ -371,8 +372,32 @@ object Dedup {
     * oracle-checked, not just asserted.
     */
   private def d12StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-d12-idx-")
+    try d12StreamDedupWithIndex(s, d, idx.toString)
+    finally
+      try {
+        java.nio.file.Files.walk(idx)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p)
+          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+  }
+
+  /** d12 with the standing index rooted at `idxDir` — the d8 parquet
+    * layout on disk: a shingle-set table (`shs/`: doc_id, shs) and a
+    * band table (`bands/`: doc_id, band). Each wave probes what is IN
+    * STORAGE and appends itself, so the growing index is
+    * restart-survivable (a fresh session reads the same dir and
+    * continues ingesting — the spec does exactly that) and holds no
+    * executor memory between waves; at 100 TB "the index" is this
+    * pair of appendable tables, not pinned RDD blocks.
+    */
+  private[graft] def d12StreamDedupWithIndex(
+      s: SparkSession, d: String, idxDir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
+    val idxShs = s"$idxDir/shs"
+    val idxBands = s"$idxDir/bands"
     val docs = Tables.documents(s, d)
     def slice(lo: Long, hi: Long) = docs
       .filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -382,8 +407,15 @@ object Dedup {
       val t = r.getString(1)
       NewDoc(6000000L + r.getLong(0), t.substring(0, t.length * 3 / 5))
     } :+ NewDoc(7000000L, wave1.head.text)
-    var standingShs = shingleSetDF(s, d).localCheckpoint(true)
-    var standingBands = minhashBands(standingShs).localCheckpoint(true)
+    // bootstrap the standing index only if this dir has never been
+    // seeded — re-entry (a restarted ingestion session) keeps the
+    // grown index and continues from it
+    if (!new java.io.File(idxShs).isDirectory) {
+      val corpusShs = shingleSetDF(s, d).persist()
+      corpusShs.write.mode("overwrite").parquet(idxShs)
+      minhashBands(corpusShs).write.mode("overwrite").parquet(idxBands)
+      corpusShs.unpersist(blocking = false)
+    }
     val matches = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int, Double)]()
     var nWaves = 0
     // one durable checkpoint, one AvailableNow pass per delivery wave —
@@ -399,7 +431,11 @@ object Dedup {
             if (!batch.isEmpty) {
               nWaves += 1
               val newShs = shinglesOf(batch.toDF()).localCheckpoint(true)
-              val newBands = minhashBands(newShs)
+              val newBands = minhashBands(newShs).localCheckpoint(true)
+              // probe the ON-DISK index (fresh read each wave: it
+              // includes everything any previous wave appended)
+              val standingShs = s.read.parquet(idxShs)
+              val standingBands = s.read.parquet(idxBands)
               val out = standingBands
                 .join(broadcast(newBands.select(col("doc_id").as("new_id"), col("band"))),
                   "band")
@@ -417,9 +453,10 @@ object Dedup {
                 .collect()
               matches ++= out.map(r =>
                 (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
-              // admit the wave: the index the NEXT wave probes includes it
-              standingShs = standingShs.union(newShs).localCheckpoint(true)
-              standingBands = standingBands.union(newBands).localCheckpoint(true)
+              // admit the wave: append to storage, so the index the
+              // NEXT wave (or a restarted session) probes includes it
+              newShs.write.mode("append").parquet(idxShs)
+              newBands.write.mode("append").parquet(idxBands)
             }
           }
           .option("checkpointLocation", ckpt.toString)

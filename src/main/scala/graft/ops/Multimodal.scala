@@ -615,6 +615,21 @@ object Multimodal {
       .withColumn("lms", expr(lmExpr))
       .select(col("doc_id"), size(col("lms")).as("n_lm"), col("lms"))
       .localCheckpoint(true)
+    val (out, live) = mm8Pairs(lmDocs)
+    // unpersist in finally: a failed checkpoint must not leak the
+    // landmark cache into the long-lived bench JVM
+    try out.localCheckpoint(true)
+    finally live.unpersist(blocking = false)
+  }
+
+  /** The lazy landmark-pair phase over a fingerprinted frame
+    * `(doc_id, n_lm, lms)` — split from the gate so [[PlanAuditSpec]]
+    * can read the physical plan that actually runs (the gate's eager
+    * checkpoint would reduce the explain to a checkpoint scan).
+    * Returns (result, persisted live-landmark handle for the caller
+    * to unpersist after materializing).
+    */
+  private[ops] def mm8Pairs(lmDocs: DataFrame): (DataFrame, DataFrame) = {
     val exploded = lmDocs
       .select(col("doc_id"), col("n_lm"), explode(col("lms")).as("key"))
     val live = exploded
@@ -634,9 +649,7 @@ object Multimodal {
       .filter(col("n_shared") >= 5 && col("ratio") >= 0.5)
       .select("id_a", "id_b", "n_shared", "n_a", "n_b", "ratio")
       .orderBy("id_a", "id_b")
-      .localCheckpoint(true)
-    live.unpersist(blocking = false)
-    out
+    (out, live)
   }
 
   private val mm8Oracle: String = {

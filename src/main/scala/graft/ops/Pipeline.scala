@@ -463,29 +463,53 @@ object Pipeline {
     * across engines without timestamp-precision coupling.
     */
   private def p6StreamIngest(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
-    val events = Tables.documents(s, d)
-      .select("doc_id", "text", "source")
-      .orderBy("doc_id")
-      .collect()
-      .map(r => DocEvent(r.getLong(0),
-        new java.sql.Timestamp((1700000000L + r.getLong(0) * 600L) * 1000L),
-        r.getString(1), r.getString(2)))
-    val (first, second) = events.splitAt(events.length / 2)
+    // Arrival events are synthesized IN-PLAN (`timestamp_seconds`
+    // keeps the epoch arithmetic exact — the same instants the
+    // MemoryStream feed used to build driver-side) and each delivery
+    // wave is spooled to ONE parquet file by a distributed write; the
+    // stream then ingests from a FILE source, one wave per
+    // micro-batch (mtime order × maxFilesPerTrigger=1). Nothing
+    // corpus-sized ever crosses the driver — at 100 TB the spool is
+    // the crawler's landing bucket and this exact plan tails it.
+    val ev = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("timestamp_seconds(1700000000 + doc_id * 600)").as("ts"),
+        col("text"), col("source"))
+    val half = Tables.documents(s, d).count() / 2
+    val wave1 = ev.filter(col("doc_id") < half)
+    // second delivery wave: its own docs, PLUS a replay of every
+    // 10th first-wave doc (cross-batch duplicate delivery) and a
+    // second copy of every 20th second-wave doc (in-batch duplicate)
+    val wave2 = ev.filter(col("doc_id") >= half)
+      .unionByName(ev.filter(col("doc_id") < half && col("doc_id") % 10 === 0))
+      .unionByName(ev.filter(col("doc_id") >= half && col("doc_id") % 20 === 0))
     val name = "p6_stream_ingest_sink"
     val cs = { val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "4"); c }
-    locally {
-      val input = MemoryStream[DocEvent](
-        org.apache.spark.sql.Encoders.product[DocEvent], cs)
-      input.addData(first.toSeq)
-      // second delivery wave: its own docs, PLUS a replay of every
-      // 10th first-wave doc (cross-batch duplicate delivery) and a
-      // second copy of every 20th second-wave doc (in-batch duplicate)
-      input.addData(second.toSeq ++
-        first.filter(_.doc_id % 10 == 0).toSeq ++
-        second.filter(_.doc_id % 20 == 0).toSeq)
-      val q = input.toDS().toDF()
+    val spool = java.nio.file.Files.createTempDirectory("graft-p6-")
+    try {
+      def spoolWave(df: DataFrame, fname: String, mtimeMs: Long): Unit = {
+        val stage = spool.resolve(fname + ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage)
+          .filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, spool.resolve(fname))
+        // mtime orders the file source's processing: wave 1 strictly first
+        java.nio.file.Files.setLastModifiedTime(spool.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        // drop the staging dir so the source only ever lists wave files
+        java.nio.file.Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+      }
+      val t0 = System.currentTimeMillis()
+      spoolWave(wave1, "wave1.parquet", t0 - 60000L)
+      spoolWave(wave2, "wave2.parquet", t0)
+      val q = cs.readStream
+        .schema(org.apache.spark.sql.Encoders.product[DocEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool.toString)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("doc_id")
         .withColumn("words", Text.wordsCol(col("text")))
@@ -504,8 +528,16 @@ object Pipeline {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
-    cs.table(name).orderBy("w_us", "source")
+      // memory sink rows are already materialized; pin them so the
+      // returned frame outlives the spool cleanup below
+      cs.table(name).orderBy("w_us", "source").localCheckpoint(true)
+    } finally
+      try {
+        java.nio.file.Files.walk(spool)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p)
+          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
   }
 
   private val p6Oracle: String = {
@@ -634,9 +666,12 @@ object Pipeline {
 
   private def p7CdcCuration(s: SparkSession, d: String): DataFrame = {
     val (plan, corpusShs) = p7CurationPlan(s, d)
-    val out = plan.localCheckpoint(true)
-    corpusShs.unpersist(blocking = false)
-    out
+    // unpersist in finally: if the checkpoint action throws, the
+    // cached corpus blocks must not outlive the query in this
+    // long-lived bench JVM (Bench.clearCache is the backstop, not
+    // the owner)
+    try plan.localCheckpoint(true)
+    finally corpusShs.unpersist(blocking = false)
   }
 
   private val p7Oracle: String = {

@@ -288,13 +288,14 @@ object Similarity {
 
   /** Nearest-cell assignment by max mean-dot (ties → lowest cid),
     * computed WITHOUT any shuffle: the codebook is collected to the
-    * driver (control-plane — ≤8 rows of 64 sums, the same pattern as
-    * the watermark store) and unrolled into per-centroid literal
-    * score columns, so assignment is a pure scan projection with a
-    * row-local argmax. The cross-join + per-vector window formulation
-    * would re-shuffle the whole corpus once per training pass — at
-    * 100 TB that is 3 full-corpus shuffles for nothing, since every
-    * per-row decision only needs 8 broadcast constants.
+    * driver (control-plane — ≤k rows of 64 sums, the same pattern as
+    * the watermark store) and shipped as ONE whole-codebook array
+    * literal, so assignment is a pure scan projection with a
+    * row-local score pass + argmax. The cross-join + per-vector
+    * window formulation would re-shuffle the whole corpus once per
+    * training pass — at 100 TB that is 3 full-corpus shuffles for
+    * nothing, since every per-row decision only needs k broadcast
+    * constants.
     *
     * `array_position(scores, array_max(scores))` takes the FIRST
     * maximal position; the codebook is sorted by cid, so ties break
@@ -321,12 +322,22 @@ object Similarity {
   def assignCellsFrom(base: DataFrame, cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
     require(!base.columns.contains("scores") && !base.columns.contains("cid"),
       "assignCells input must not already carry 'scores' or 'cid'")
-    val scoreCols = cents.map { case (_, sv, n) =>
-      VectorFunctions.dot_product(col("q"), typedlit(sv)) / lit(n.toDouble)
-    }
+    // The WHOLE codebook rides two array literals (sums, counts)
+    // scored by the native [[VectorFunctions.codebook_scores]]
+    // expression — plan size and codegen compile time are O(1) in k
+    // (the generated code is one fixed nested loop; k only appears as
+    // literal data), and the projection stays inside whole-stage
+    // codegen. The earlier shape (one literal score column per
+    // centroid) made the expression tree ∝ k, and WSCG compile with
+    // it: at SemDeDup's k ∝ corpus that was super-linear in data
+    // (d11 k-scaled stress measured 25× at 10× data, compile-bound).
+    // Arithmetic is unchanged — per centroid one exact integer dot and
+    // one IEEE division, in cid order — so results stay bit-identical.
+    val svs = typedlit(cents.map(_._2).toSeq)
+    val ns = typedlit(cents.map(_._3.toDouble).toSeq)
     val cids = typedlit(cents.map(_._1).toSeq)
     base
-      .withColumn("scores", array(scoreCols.toIndexedSeq: _*))
+      .withColumn("scores", VectorFunctions.codebook_scores(col("q"), svs, ns))
       .withColumn("cid",
         element_at(cids, array_position(col("scores"), array_max(col("scores"))).cast("int")))
       .drop("scores") // keep carry-through columns (p5 rides sub0..7 here)
@@ -1049,8 +1060,9 @@ object Similarity {
   /** Probe list for IVF search: each query vector (vec_id < qMax;
     * the registered search gates pin 5, the eval gates sample wider)
     * paired with its `nprobe` best cells by centroid mean-dot.
-    * Centroid scores are literal projection columns (the assignCells
-    * trick) — the probe side never joins; (queries × k) rows total.
+    * Centroid scores come off one whole-codebook array literal (the
+    * assignCells trick) — the probe side never joins; (queries × k)
+    * rows total.
     * Takes the [[collectCents]] result so one driver round-trip feeds
     * both this and the corpus assignment, and the Lloyd aggregation
     * never enters the search plan. Returns (qid, qv, pcid).
@@ -1060,16 +1072,19 @@ object Similarity {
       qMax: Long = 5L): DataFrame = {
     val qs = base.filter(col("vec_id") < qMax)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
-    val scoreStructs = cents.map { case (cid, sv, n) =>
-      struct(lit(cid).as("cid"),
-        (VectorFunctions.dot_product(col("qv"), typedlit(sv)) / lit(n.toDouble)).as("score"))
-    }
+    // Same O(1)-in-k literal shape as assignCellsFrom: the whole
+    // codebook scored in one codebook_scores pass, posexploded, the
+    // position mapped back to its cid through the literal cid list.
+    val svs = typedlit(cents.map(_._2).toSeq)
+    val ns = typedlit(cents.map(_._3.toDouble).toSeq)
+    val cids = typedlit(cents.map(_._1).toSeq)
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("pcid"))
     qs
       .select(col("qid"), col("qv"),
-        explode(array(scoreStructs.toIndexedSeq: _*)).as("c"))
-      .select(col("qid"), col("qv"), col("c.cid").as("pcid"), col("c.score").as("score"))
+        posexplode(VectorFunctions.codebook_scores(col("qv"), svs, ns)).as(Seq("pos", "score")))
+      .select(col("qid"), col("qv"),
+        element_at(cids, col("pos").cast("int") + 1).as("pcid"), col("score"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("pcid"))
@@ -1151,17 +1166,32 @@ object Similarity {
     */
   /** (qid, vec_id) of the IVF cell-pruned top-k per query vector —
     * s11's read path as a reusable block, shared by the eval queries
-    * (s12 measures its recall, s13 runs it under two codebooks). One
-    * definition so a tie-break or probe change cannot silently diverge
-    * between the search gate and its evaluators.
+    * (s12 measures its recall, s13 runs it under two codebooks, s14
+    * labels through it). One definition so a tie-break or probe
+    * change cannot silently diverge between the search gate and its
+    * evaluators.
+    *
+    * `qMax` sizes the query sample (vec_id < qMax, threaded into the
+    * probe scoring). Corpus exclusion is the one knob the two eval
+    * styles disagree on: the recall gates hold the query sample OUT
+    * of the corpus entirely (`excludeSelf = false` → vec_id >= qMax),
+    * while kNN labeling searches the full corpus and only excludes
+    * the vector itself (`excludeSelf = true` → vec_id ≠ qid in the
+    * probe join, so a labeled neighbor with id < qMax still votes).
     */
   private def ivfApproxTop(base: DataFrame,
-      cents: Array[(Long, Seq[Double], Long)], nprobe: Int, k: Int): DataFrame = {
+      cents: Array[(Long, Seq[Double], Long)], nprobe: Int, k: Int,
+      qMax: Long = 5L, excludeSelf: Boolean = false): DataFrame = {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    assignCellsFrom(base, cents)
-      .filter(col("vec_id") >= 5)
-      .join(broadcast(ivfProbes(base, cents, nprobe)), col("cid") === col("pcid"))
+    val corpus =
+      if (excludeSelf) assignCellsFrom(base, cents)
+      else assignCellsFrom(base, cents).filter(col("vec_id") >= qMax)
+    val joinCond =
+      if (excludeSelf) col("cid") === col("pcid") && col("vec_id") =!= col("qid")
+      else col("cid") === col("pcid")
+    corpus
+      .join(broadcast(ivfProbes(base, cents, nprobe, qMax)), joinCond)
       .select(col("qid"), col("vec_id"),
         VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
       .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
@@ -1438,15 +1468,10 @@ object Similarity {
     val base = quantized(s, d)
     val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val cents = collectCents(trainCodebook(base, iters = 2))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    val neigh = assignCellsFrom(base, cents)
-      .join(broadcast(ivfProbes(base, cents, nprobe = 2, qMax = 50L)),
-        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
-      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
-      .select("qid", "vec_id")
+    // the s11/s12/s13 read path verbatim (shared block) — a wider
+    // query sample and self-exclusion are its two knobs
+    val neigh = ivfApproxTop(base, cents, nprobe = 2, k = 5,
+      qMax = 50L, excludeSelf = true)
     val wVote = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("n_votes").desc, col("label"))
     val pred = neigh.join(labels, Seq("vec_id"))

@@ -234,4 +234,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!rows.exists(r => r.getAs[Long]("new_id") >= 6000000L &&
       r.getAs[Long]("matched_id") >= 6000000L && r.getAs[Long]("new_id") < 7000000L))
   }
+
+  test("d12: the standing index survives a session restart — grown state read from storage") {
+    val idx = java.nio.file.Files.createTempDirectory("d12-restart-")
+    try {
+      // first ingestion session: seeds the index from the corpus,
+      // admits both waves into STORAGE
+      Dedup.d12StreamDedupWithIndex(spark, sf, idx.toString)
+      // "restart": a fresh session (new state, same storage) ingests
+      // the same waves again against whatever the index dir holds
+      val s2 = spark.newSession()
+      val rows2 = Dedup.d12StreamDedupWithIndex(s2, sf, idx.toString).collect()
+      // the re-delivered wave-1 ids are already IN the index: a match
+      // of 6000000 against ITS OWN prior ingestion (jaccard 1.0) can
+      // only exist if session 1's appends were read back from disk —
+      // a rebuilt-from-corpus index has no 6000000 to match
+      assert(rows2.exists(r => r.getAs[Long]("new_id") == 6000000L &&
+        r.getAs[Long]("matched_id") == 6000000L &&
+        r.getAs[Double]("jaccard") == 1.0),
+        "grown index state did not survive the session restart")
+      // and wave 2's fresh-id re-delivery now matches session 1's
+      // SAME fresh id (7000000 vs 7000000) for the same reason
+      assert(rows2.exists(r => r.getAs[Long]("new_id") == 7000000L &&
+        r.getAs[Long]("matched_id") == 7000000L),
+        "wave-2 appends did not survive the session restart")
+    } finally
+      try {
+        java.nio.file.Files.walk(idx)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p)
+          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+  }
 }
