@@ -573,8 +573,6 @@ object Multimodal {
     * pairwise corpus-wide, nothing driver-side.
     */
   private def mm8AudioDedup(s: SparkSession, d: String): DataFrame = {
-    val P = graft.ops.Dedup.P
-    def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
     val audio = Tables.documents(s, d)
       .filter(col("doc_id") % 3 === 1) // the audio modality of assets()
       .select(col("doc_id"), col("text"))
@@ -582,16 +580,37 @@ object Multimodal {
       .filter(col("doc_id") < 60 && length(col("text")) >= 120)
       .select((col("doc_id") + 9000000L).as("doc_id"),
         expr("substr(text, 9)").as("text"))
-    // Each frame is digested and hashed ONCE, via lambda-bound values
-    // only (mm7's two-level rule, and then some): referencing a frame
-    // COLUMN inside an interpreted HOF lambda is a trap — projection
-    // collapse inlines the whole frame-transform into EVERY reference,
-    // and the first version of this query re-digested each frame
-    // hundreds of times (238 s at sf0.1; 1.3 s after this shape).
-    // `hs` binds the digest as the outer lambda's variable; the
-    // landmark pairing is a zip_with of two slices, whose lambda sees
-    // two already-hashed longs. Arithmetic stays under 2^52:
-    // hs < 2^31, × 1000003 < 2^51.
+    // one fingerprint pass feeds the df filter AND both join sides
+    // (mm7's checkpoint pattern): without the barrier the hs chain
+    // re-runs for every consumer — and still ~5× per row inside, since
+    // lmExpr's CASE/size/slice references each inline a copy
+    val lmDocs = mm8Fingerprints(audio.unionByName(planted))
+      .localCheckpoint(true)
+    val (out, live) = mm8Pairs(lmDocs)
+    // unpersist in finally: a failed checkpoint must not leak the
+    // landmark cache into the long-lived bench JVM
+    try out.localCheckpoint(true)
+    finally live.unpersist(blocking = false)
+  }
+
+  /** The landmark-fingerprint phase over `(doc_id, text)` rows —
+    * split from the gate so specs can run it over locally synthesized
+    * audio with construction-derived exact expectations.
+    *
+    * Each frame is digested and hashed ONCE, via lambda-bound values
+    * only (mm7's two-level rule, and then some): referencing a frame
+    * COLUMN inside an interpreted HOF lambda is a trap — projection
+    * collapse inlines the whole frame-transform into EVERY reference,
+    * and the first version of this query re-digested each frame
+    * hundreds of times (238 s at sf0.1; 1.3 s after this shape).
+    * `hs` binds the digest as the outer lambda's variable; the
+    * landmark pairing is a zip_with of two slices, whose lambda sees
+    * two already-hashed longs. Arithmetic stays under 2^52:
+    * hs < 2^31, × 1000003 < 2^51.
+    */
+  private[ops] def mm8Fingerprints(docs: DataFrame): DataFrame = {
+    val P = graft.ops.Dedup.P
+    def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
     val hsExpr =
       s"""CASE WHEN length(text) >= 16 THEN
          |  transform(
@@ -606,20 +625,10 @@ object Multimodal {
          |    slice(hs, 4, size(hs) - 3),
          |    (x, y) -> (x * 1000003 + y) % $P))
          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
-    // one fingerprint pass feeds the df filter AND both join sides
-    // (mm7's checkpoint pattern): without the barrier the hs chain
-    // re-runs for every consumer — and still ~5× per row inside, since
-    // lmExpr's CASE/size/slice references each inline a copy
-    val lmDocs = audio.unionByName(planted)
+    docs
       .withColumn("hs", expr(hsExpr))
       .withColumn("lms", expr(lmExpr))
       .select(col("doc_id"), size(col("lms")).as("n_lm"), col("lms"))
-      .localCheckpoint(true)
-    val (out, live) = mm8Pairs(lmDocs)
-    // unpersist in finally: a failed checkpoint must not leak the
-    // landmark cache into the long-lived bench JVM
-    try out.localCheckpoint(true)
-    finally live.unpersist(blocking = false)
   }
 
   /** The lazy landmark-pair phase over a fingerprinted frame

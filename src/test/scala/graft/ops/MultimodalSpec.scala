@@ -67,34 +67,52 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("mm8: landmark matching is offset-invariant — shifted copies match although no frame aligns") {
+    // Fixture leg: the query's own evidence bar holds for every
+    // returned row, and the planted head-trimmed re-ingests surface.
+    // The EXACT containment claims live in the synthesized test below
+    // — they derive from the plant's construction, so a fixture
+    // regeneration (different byte statistics) cannot flake them.
     val rows = Multimodal.queries("mm8_audio_dedup")(spark, sf).collect()
     assert(rows.nonEmpty, "no planted shifted copy found")
-    // every planted (original, head-trimmed re-ingest) pair surfaces
-    // at near-total landmark containment; any extra rows must clear
-    // the same evidence bar
     val planted = rows.filter(r => r.getAs[Long]("id_b") >= 9000000L &&
       r.getAs[Long]("id_a") == r.getAs[Long]("id_b") - 9000000L)
     assert(planted.nonEmpty, "no planted pair in the result")
-    planted.foreach(r => assert(r.getAs[Double]("ratio") >= 0.9,
-      s"planted pair ${r.getAs[Long]("id_a")} matched weakly"))
     rows.foreach { r =>
       assert(r.getAs[Long]("n_shared") >= 5 && r.getAs[Double]("ratio") >= 0.5)
     }
-    // the capability claim: for a planted pair, NO frame agrees at the
-    // same index (an alignment-bound fingerprint like mm4's byte hash
-    // or mm7's tile grid sees two unrelated buffers), yet the RELATIVE
-    // landmark pairs matched above
-    val docId = planted.head.getAs[Long]("id_a")
-    val text = graft.Tables.documents(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("doc_id") === docId)
-      .select("text").head.getString(0)
+  }
+
+  test("mm8: synthesized shift — total containment (ratio 1.0), zero same-index frames") {
+    // Construction-derived exactness, no fixture bytes involved: for
+    // doc B = A with the first hop (8 bytes) dropped, B's frame t IS
+    // A's frame t+1, so B's landmark (t,t+3) equals A's (t+1,t+4) —
+    // B's landmark set is a subset of A's whatever the hash values
+    // do. With only two docs, the df<=8 stop-landmark filter keeps
+    // every key. Hence exactly one pair, n_shared == n_b, ratio == 1.0.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // deterministic LCG text: no 8-periodic run, so no frame repeats
+    // at consecutive indices and the mm4/mm7-invisibility leg is real
+    val rnd = new scala.util.Random(424242L)
+    val text = Seq.fill(160)(('a' + rnd.nextInt(26)).toChar).mkString
     val shifted = text.substring(8)
     def frames(t: String): Seq[String] =
       (0 to (t.length - 16) / 8).map(i => t.substring(i * 8, i * 8 + 16))
     val (fa, fb) = (frames(text), frames(shifted))
     assert(fa.zip(fb).forall { case (x, y) => x != y },
-      "a same-index frame survived the shift — the plant no longer proves offset-invariance")
-    assert(fa.toSet.intersect(fb.toSet).size >= 4,
-      "shifted frames must still exist at OTHER indices (the thing landmarks exploit)")
+      "a same-index frame survived the shift — alignment-bound hashes must NOT see this pair")
+    val docs = Seq((1L, text), (2L, shifted)).toDF("doc_id", "text")
+    val lm = Multimodal.mm8Fingerprints(docs).localCheckpoint(true)
+    val nLm = lm.select("doc_id", "n_lm").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (out, live) = Multimodal.mm8Pairs(lm)
+    val pairs = try out.collect() finally live.unpersist(blocking = false)
+    assert(pairs.length == 1, s"expected exactly the planted pair, got ${pairs.length}")
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    assert(p.getAs[Int]("n_a") == nLm(1L) && p.getAs[Int]("n_b") == nLm(2L))
+    assert(p.getAs[Long]("n_shared") == nLm(2L).toLong,
+      "every landmark of the shifted copy must be contained in the original's set")
+    assert(p.getAs[Double]("ratio") == 1.0)
   }
 }

@@ -18,6 +18,15 @@ class PlanAuditSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  /** Left-key lines of the SHUFFLE joins only (SMJ/SHJ detail
+    * sections) — broadcast joins may key on whatever their bounded
+    * build side needs, so they are exempt from shuffle-key contracts.
+    */
+  private def shuffleJoinKeys(plan: String): Seq[String] =
+    plan.split("\n\\(").toSeq
+      .filter(c => c.matches("(?s)\\d+\\) (SortMergeJoin|ShuffledHashJoin).*"))
+      .flatMap(_.linesIterator.find(_.startsWith("Left keys")))
+
   test("q2: predicates and projection reach the parquet scan") {
     val plan = formatted("q2_filter_pushdown")
     assert(plan.contains("PushedFilters"))
@@ -345,6 +354,115 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashes.nonEmpty)
     assert(!hashes.exists(_.contains("text")),
       s"raw text must never key an exchange:\n${hashes.mkString("\n")}")
+  }
+
+  test("mm8: pair work is keyed and df-capped — fingerprint arrays never ride an exchange") {
+    // The pair phase over a synthetic fingerprint frame (the gate's
+    // eager checkpoint hides the interesting plan): banding-by-
+    // landmark must stay an equi-join; the only exchange keys are the
+    // landmark key and the group-by composite; the lms arrays must
+    // never be a shuffle key; and the stop-landmark df cap must sit
+    // between the explode and the pair join.
+    import org.apache.spark.sql.functions._
+    val lmDocs = spark.range(100)
+      .select(col("id").as("doc_id"),
+        expr("transform(sequence(0, 19), t -> (id * 31 + t) % 97)").as("lms"))
+      .select(col("doc_id"), size(col("lms")).as("n_lm"), col("lms"))
+    val (out, live) = Multimodal.mm8Pairs(lmDocs)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    live.unpersist(blocking = false)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the landmark pair join must stay an equi-join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(h => h.contains("hashpartitioning(key") ||
+      h.contains("hashpartitioning(doc_id")),
+      s"only the landmark key and the pair-group composite may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(_.contains("lms")),
+      "landmark arrays must never be an exchange key")
+    assert(plan.contains("dfk") && plan.contains("<= 8"),
+      "the stop-landmark df cap must survive into the physical plan")
+  }
+
+  test("mm8: a corpus-hot landmark is dropped before the pair join — buckets stay df-bounded") {
+    // Dynamic twin of the df-cap check, d2's pattern: 2000 docs ALL
+    // sharing landmark 0 (the hot key — unfiltered it alone feeds
+    // ~2·10^6 pairs into the join), plus 1000 planted (i, i+1000)
+    // twins sharing 6 private landmarks each. The result must be
+    // EXACTLY the planted pairs with n_shared == 6 — the hot key
+    // contributes nothing, so within-key work stays df-bounded.
+    import org.apache.spark.sql.functions._
+    val lmDocs = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        expr("""array_union(array(0L),
+                transform(sequence(1, 6), t -> 10 + (id % 1000) * 6 + t))""")
+          .as("lms"))
+      .select(col("doc_id"), size(col("lms")).as("n_lm"), col("lms"))
+    val (out, live) = Multimodal.mm8Pairs(lmDocs)
+    val rows = try out.collect() finally live.unpersist(blocking = false)
+    assert(rows.length == 1000, s"expected the 1000 planted twins, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000L)
+      assert(r.getAs[Long]("n_shared") == 6L,
+        "the hot landmark must not count as shared evidence")
+    }
+  }
+
+  test("t35: segment df is digest-keyed and map-side combined — raw text never shuffles") {
+    val plan = formatted("t35_boilerplate")
+    // exchanges: segment digest (df agg + join back), doc_id (rollup);
+    // the 1-row corpus-vocabulary count broadcasts (the only BNLJ)
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(h => h.contains("hashpartitioning(k#") ||
+      h.contains("hashpartitioning(doc_id")),
+      s"only the segment digest and doc_id may key an exchange:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("seg") || h.contains("text")),
+      "raw segments must be digested below every exchange")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.linesIterator.count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*")) == 1,
+      "exactly one unkeyed join: the broadcast 1-row vocabulary count")
+    assert(plan.contains("partial_count(distinct doc_id"),
+      "segment df must combine map-side before the digest exchange")
+  }
+
+  test("s13: the corpus never shuffles — qid windows and the <=k cid agg only") {
+    // Two searches + truth + drift in one plan: every corpus read is
+    // a scan projection against broadcast codebook literals; shuffle
+    // keys are per-query (qid[, vec_id]) or the bounded cell id; the
+    // embedding arrays never ride an exchange key.
+    val plan = formatted("s13_recall_drift")
+    assert(!plan.contains("CartesianProduct"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(h => h.contains("hashpartitioning(qid") ||
+      h.contains("hashpartitioning(cid")),
+      s"only qid windows/joins and the cid drift agg may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("q#") || h.contains("qv") ||
+      h.contains("embedding")),
+      "vector arrays must never be an exchange key")
+    // shuffle joins (the per-query hit/recall joins) key on qid only
+    val keys = shuffleJoinKeys(plan)
+    assert(keys.forall(_.contains("qid")),
+      s"every shuffle join must lead with the query id:\n${keys.mkString("\n")}")
+  }
+
+  test("s14: labeling rides the s11 read path — eval sample broadcast, bounded vote rollups") {
+    val plan = formatted("s14_knn_label")
+    assert(!plan.contains("CartesianProduct"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(h => h.contains("hashpartitioning(qid") ||
+      h.contains("hashpartitioning(label")),
+      s"only the qid vote windows and the per-label rollup may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("q#") || h.contains("qv") ||
+      h.contains("embedding")),
+      "vector arrays must never be an exchange key")
+    val keys = shuffleJoinKeys(plan)
+    assert(keys.forall(_.contains("qid")),
+      s"every shuffle join must lead with the query id:\n${keys.mkString("\n")}")
   }
 
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
