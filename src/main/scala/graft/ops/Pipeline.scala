@@ -727,7 +727,166 @@ object Pipeline {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- p8: incremental boilerplate-vocabulary maintenance off a change feed
+
+  /** t35's corpus-wide segment-df table, maintained INCREMENTALLY
+    * from a change batch instead of recomputed — the same weld p7
+    * makes for the dedup index, applied to the boilerplate
+    * vocabulary (and, by the same math, to any df-keyed statistic:
+    * t25's idf, d6's contamination grams). df is a per-segment count
+    * of DISTINCT documents, so a change batch moves it by exactly
+    * (after-image segment set) − (before-image segment set) per
+    * touched document: retract −1 for each distinct segment of a
+    * replaced/deleted before-image, add +1 for each distinct segment
+    * of an admitted after-image. Untouched keys cannot move (only Δ
+    * documents changed), so the gate proves the interesting half:
+    * for every TOUCHED key, the incrementally-maintained count equals
+    * a from-scratch recompute over the post-change corpus —
+    * `df_incr == df_full` rides every output row and the oracle
+    * computes both sides independently.
+    *
+    * The batch exercises every df transition the C4 policy cares
+    * about: deleting all standing banner carriers (the planted
+    * vocabulary entry drains — `left_vocab` at sf where its df ≥ 3),
+    * re-crawled docs arriving under fresh ids with a NEW 8-word
+    * banner prefix (df 0 → 4: `entered_vocab` at every sf), and
+    * 3-word-prefix revisions that shift every span boundary (full
+    * retract + full re-add of a document's segment set).
+    *
+    * Scale shape — the incremental story, structurally: the corpus
+    * is SCANNED (segments → digests, a projection) but never
+    * shuffled corpus-wide. Both df aggregations are semi-join-
+    * filtered to the batch's touched keys BEFORE their exchange, so
+    * every hash exchange in the plan carries O(Δ · segments) digest
+    * rows; the touched-key set, net deltas, and both filtered df
+    * tables ride broadcast. At 100 TB the standing df table is
+    * STORED (the d8 stance: recomputing df0 here keeps the gate
+    * self-contained) and a day's increment costs one corpus scan at
+    * most — or zero, when the stored table is trusted and only the
+    * net-delta half runs.
+    */
+  private def p8DfMaint(s: SparkSession, d: String): DataFrame = {
+    val banner = "subscribe to our newsletter click here now please"
+    val banner2 = "limited time offer act now before midnight tonight"
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    def slice(lo: Long, hi: Long) =
+      src.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    val delta = src.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), lit("d").as("op"), lit(null).cast("string").as("text"))
+      .unionByName(slice(10, 13)
+        .select(col("doc_id"), lit("u").as("op"),
+          concat(lit("breaking update revised "), col("text")).as("text")))
+      .unionByName(slice(40, 44)
+        .select((col("doc_id") + 6000000L).as("doc_id"), lit("u").as("op"),
+          concat(lit(banner2 + " "), col("text")).as("text")))
+      .localCheckpoint(true) // bounded batch, reused by every leg below
+    // per-segment digests with per-doc multiplicity — deduped to df's
+    // distinct-membership unit LATE (distinct on the bounded Δ legs,
+    // countDistinct after the touched-key filter on the corpus legs),
+    // so no corpus-wide exchange ever plans
+    def segKeys(docs: DataFrame): DataFrame =
+      Dedup.spanSegments(docs.withColumn("ws", Text.wordsCol(col("text"))), 8)
+        .select(md5(col("seg")).as("k"), col("doc_id"))
+    val touchedPks = delta.select("doc_id")
+    val befores = src.join(broadcast(touchedPks), Seq("doc_id"), "left_semi")
+    val afters = delta.filter(col("op") === "u").select("doc_id", "text")
+    // the maintenance math: net df movement per touched key
+    val net = segKeys(befores).distinct().select(col("k"), lit(-1L).as("w"))
+      .unionByName(segKeys(afters).distinct().select(col("k"), lit(1L).as("w")))
+      .groupBy("k").agg(sum("w").as("net"))
+      .localCheckpoint(true) // O(Δ·segments) rows, reused thrice
+    val touchedKeys = net.select("k")
+    // standing df, touched keys only: semi-filter BEFORE the agg so
+    // the exchange never carries corpus-df work (production reads
+    // the stored table instead — this is the self-contained stand-in)
+    val df0 = segKeys(src)
+      .join(broadcast(touchedKeys), Seq("k"), "left_semi")
+      .groupBy("k").agg(countDistinct(col("doc_id")).as("df_old"))
+    // from-scratch recompute over the post-change corpus, same filter
+    val post = src.join(broadcast(touchedPks), Seq("doc_id"), "left_anti")
+      .unionByName(afters)
+    val df1 = segKeys(post)
+      .join(broadcast(touchedKeys), Seq("k"), "left_semi")
+      .groupBy("k").agg(countDistinct(col("doc_id")).as("df_full"))
+    net
+      .join(broadcast(df0), Seq("k"), "left").na.fill(0L, Seq("df_old"))
+      .join(broadcast(df1), Seq("k"), "left").na.fill(0L, Seq("df_full"))
+      .withColumn("df_incr", col("df_old") + col("net"))
+      .withColumn("ok", col("df_incr") === col("df_full"))
+      .withColumn("status",
+        when(col("df_old") < 3 && col("df_incr") >= 3, "entered_vocab")
+          .when(col("df_old") >= 3 && col("df_incr") < 3, "left_vocab")
+          .when(col("df_incr") >= 3, "still_boiler")
+          .otherwise("not_boiler"))
+      .select("k", "df_old", "net", "df_incr", "df_full", "ok", "status")
+      .orderBy("k")
+  }
+
+  private val p8Oracle: String = {
+    val banner = "subscribe to our newsletter click here now please"
+    val banner2 = "limited time offer act now before midnight tonight"
+    val ws = Text.wordsSql("text")
+    def segSql(rel: String) =
+      s"""SELECT DISTINCT doc_id, md5(seg) AS k FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(
+         |             generate_series(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+         |             i -> array_to_string(ws[(i-1)*8+1 : i*8], ' '))) AS seg
+         |    FROM (SELECT doc_id, $ws AS ws FROM $rel) WHERE len(ws) >= 1)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 25 = 0 THEN '$banner ' || text ELSE text END AS text
+       |  FROM documents),
+       |delta AS (
+       |  SELECT doc_id, 'd' AS op, NULL AS text FROM src WHERE doc_id % 25 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 'u', 'breaking update revised ' || text
+       |  FROM src WHERE doc_id >= 10 AND doc_id < 13
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, 'u', '$banner2 ' || text
+       |  FROM src WHERE doc_id >= 40 AND doc_id < 44),
+       |bef AS (
+       |  SELECT s.doc_id, s.text FROM src s
+       |  WHERE s.doc_id IN (SELECT doc_id FROM delta)),
+       |aft AS (SELECT doc_id, text FROM delta WHERE op = 'u'),
+       |net AS (
+       |  SELECT k, CAST(sum(w) AS BIGINT) AS net FROM (
+       |    SELECT k, -1 AS w FROM (${segSql("bef")})
+       |    UNION ALL
+       |    SELECT k, 1 AS w FROM (${segSql("aft")}))
+       |  GROUP BY k),
+       |df0 AS (
+       |  SELECT k, count(*) AS df_old FROM (${segSql("src")})
+       |  WHERE k IN (SELECT k FROM net) GROUP BY k),
+       |post AS (
+       |  SELECT doc_id, text FROM src
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+       |  UNION ALL
+       |  SELECT doc_id, text FROM aft),
+       |df1 AS (
+       |  SELECT k, count(*) AS df_full FROM (${segSql("post")})
+       |  WHERE k IN (SELECT k FROM net) GROUP BY k)
+       |SELECT n.k, CAST(COALESCE(d0.df_old, 0) AS BIGINT) AS df_old, n.net,
+       |       CAST(COALESCE(d0.df_old, 0) + n.net AS BIGINT) AS df_incr,
+       |       CAST(COALESCE(d1.df_full, 0) AS BIGINT) AS df_full,
+       |       COALESCE(d0.df_old, 0) + n.net = COALESCE(d1.df_full, 0) AS ok,
+       |       CASE WHEN COALESCE(d0.df_old, 0) < 3
+       |                 AND COALESCE(d0.df_old, 0) + n.net >= 3 THEN 'entered_vocab'
+       |            WHEN COALESCE(d0.df_old, 0) >= 3
+       |                 AND COALESCE(d0.df_old, 0) + n.net < 3 THEN 'left_vocab'
+       |            WHEN COALESCE(d0.df_old, 0) + n.net >= 3 THEN 'still_boiler'
+       |            ELSE 'not_boiler' END AS status
+       |FROM net n
+       |LEFT JOIN df0 d0 ON d0.k = n.k
+       |LEFT JOIN df1 d1 ON d1.k = n.k
+       |ORDER BY n.k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_df_maint" -> (p8DfMaint _),
     "p7_cdc_curation" -> (p7CdcCuration _),
     "p1_curation" -> (p1Curation _),
     "p2_seq_pack" -> (p2SeqPack _),
@@ -738,6 +897,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p8_df_maint" -> p8Oracle,
     "p7_cdc_curation" -> p7Oracle,
     "p1_curation" -> p1Oracle,
     "p2_seq_pack" -> p2Oracle,

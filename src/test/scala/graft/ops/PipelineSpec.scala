@@ -184,4 +184,36 @@ class PipelineSpec extends AnyFunSuite {
     // genuinely new content is admitted
     (8000010L until 8000013L).foreach(id => assert(status(id) == "admitted"))
   }
+
+  test("p8: incremental segment-df equals the full recompute; both vocabulary transitions fire") {
+    val rows = Pipeline.queries("p8_df_maint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the headline invariant, per touched key: maintained == recomputed
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"),
+        s"df drift on ${r.getAs[String]("k")}: " +
+          s"incr ${r.getAs[Long]("df_incr")} != full ${r.getAs[Long]("df_full")}")
+      assert(r.getAs[Long]("df_incr") >= 0L, "a count can never go negative")
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def rowFor(seg: String) = rows.find(_.getAs[String]("k") == md5hex(seg))
+    // the standing banner (one exact 8-word span, planted on every
+    // 25th of the 500 docs): all 20 carriers deleted -> df 20 -> 0
+    val b1 = rowFor("subscribe to our newsletter click here now please")
+    assert(b1.isDefined, "the drained banner segment must be a touched key")
+    assert(b1.get.getAs[Long]("df_old") == 20L && b1.get.getAs[Long]("net") == -20L)
+    assert(b1.get.getAs[String]("status") == "left_vocab")
+    // the incoming banner on the 4 fresh-id re-crawls: df 0 -> 4
+    val b2 = rowFor("limited time offer act now before midnight tonight")
+    assert(b2.isDefined, "the incoming banner segment must be a touched key")
+    assert(b2.get.getAs[Long]("df_old") == 0L && b2.get.getAs[Long]("net") == 4L)
+    assert(b2.get.getAs[String]("status") == "entered_vocab")
+    // the revisions' boundary shift must actually retract: at least
+    // one touched key with a strictly negative net besides the banner
+    assert(rows.exists(r => r.getAs[Long]("net") < 0L &&
+      r.getAs[String]("k") != md5hex("subscribe to our newsletter click here now please")),
+      "revision before-images must retract their old segments")
+  }
 }

@@ -465,6 +465,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"every shuffle join must lead with the query id:\n${keys.mkString("\n")}")
   }
 
+  test("p8: increments shuffle, the corpus only scans — every exchange leads with the digest") {
+    // The incremental-maintenance contract: both df aggregations are
+    // semi-join-filtered to the batch's touched keys BEFORE their
+    // exchange (the touched-key set rides broadcast), the Δ legs
+    // dedup as bounded distincts, and NO exchange is keyed by
+    // doc_id-first or raw text — i.e. the corpus contributes scans,
+    // never a corpus-wide shuffle.
+    val plan = formatted("p8_df_maint")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "every join must stay keyed")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "touched keys / filtered df tables must broadcast, never shuffle-join")
+    assert(plan.contains("BroadcastExchange"),
+      "the touched-key set must broadcast under the corpus scans")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(_.contains("hashpartitioning(k#")),
+      s"every hash exchange must lead with the segment digest:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("text") || h.contains("seg#")),
+      "raw segments must be digested below every exchange")
+  }
+
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
     // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
     // evaluated by the parquet reader (row-group stats skip newer
