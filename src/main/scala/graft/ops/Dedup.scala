@@ -1044,7 +1044,114 @@ object Dedup {
        |FROM a3 v LEFT JOIN dups d USING (vec_id)
        |ORDER BY v.vec_id""".stripMargin
 
+  // ---- d13: exact-substring dedup (rolling-gram span marking) --------------
+
+  /** Exact-substring deduplication — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * method: find every maximal word span that occurs verbatim in
+    * MORE THAN ONE document, at ANY alignment. The two exact-dedup
+    * ops the engine already has are both alignment-bound: d10
+    * segments text into fixed 8-word spans (a duplicated passage
+    * straddling a segment boundary is invisible) and d9 diagnoses
+    * per-doc gram coverage without locating spans. This op marks the
+    * spans themselves: a rolling 20-word gram digested at every
+    * position, grams carried by ≥2 distinct docs mark their
+    * positions, and per doc the marked positions merge into maximal
+    * islands (gap > gram width starts a new island — the standard
+    * practical approximation of the paper's suffix-array pass, as
+    * used by the public C4/BigQuery reimplementations; a true
+    * distributed suffix array buys nothing here but constant factor).
+    * Intra-document repetition is deliberately out of scope (df
+    * counts DISTINCT docs) — that's t27's job.
+    *
+    * The corpus view plants its own cross-doc quote the way web text
+    * carries one: every 10th doc is prefixed with the same 25-word
+    * passage, so its six fully-interior gram positions (0..5) mark
+    * and merge into exactly the island [0, 25) on every carrier —
+    * boundary-straddling grams mix quote tail with per-doc text and
+    * stay unique, pinning the island's right edge.
+    *
+    * Scale shape: the gram table is one posexplode projection (~one
+    * row per word — d9's cost class, the price of EXACT substring
+    * evidence); df is a map-side-combinable groupBy on the md5
+    * digest, never raw text (d1's rule); the mark-back is a keyed
+    * join on the same digest; island merge is a per-doc window over
+    * that doc's marked positions only. Nothing pairwise, nothing
+    * driver-side, and the whole plan shuffles digests + integers.
+    */
+  private def d13SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val quote = "it was the best of times it was the worst of times " +
+      "it was the age of wisdom it was the age of foolishness indeed"
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(lit(quote + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val grams = src
+      .select(col("doc_id"), Text.wordsCol(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(ws) >= 20 THEN
+          |  transform(sequence(1, size(ws) - 19),
+          |    i -> md5(array_join(slice(ws, CAST(i AS INT), 20), ' ')))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= 2).select("gh")
+    val marked = grams.join(dup, Seq("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("lp", lag(col("pos"), 1).over(w))
+      .withColumn("b",
+        when(col("lp").isNull || col("pos") - col("lp") > 20, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("b")).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + 20).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("n_words", col("span_end") - col("span_start"))
+      .select("doc_id", "span_start", "span_end", "n_words", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val d13Oracle: String = {
+    val quote = "it was the best of times it was the worst of times " +
+      "it was the age of wisdom it was the age of foolishness indeed"
+    val ws = Text.wordsSql("text")
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 0 THEN '$quote ' || text ELSE text END AS text
+       |  FROM documents),
+       |docs AS (SELECT doc_id, $ws AS ws FROM src),
+       |grams AS (
+       |  SELECT doc_id, CAST(u.pos AS INT) AS pos, u.gh FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(generate_series(1, len(ws) - 19),
+       |             i -> {'pos': i - 1,
+       |                   'gh': md5(array_to_string(ws[i : i+19], ' '))})) AS u
+       |    FROM docs WHERE len(ws) >= 20)),
+       |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                   OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS b
+       |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM brk)
+       |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |       CAST(max(pos) + 20 AS INT) AS span_end,
+       |       CAST(max(pos) + 20 - min(pos) AS INT) AS n_words,
+       |       CAST(count(*) AS BIGINT) AS n_grams
+       |FROM isl GROUP BY doc_id, isl
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_substring_dedup" -> (d13SubstringDedup _),
     "d11_semantic_dedup" -> (d11SemanticDedup _),
     "d5_intradoc_rep" -> (d5IntradocRep _),
     "d1_exact_dedup" -> (d1Exact _),
@@ -1122,6 +1229,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d13_substring_dedup" -> d13Oracle,
     "d11_semantic_dedup" -> d11Oracle,
     "d9_gram_coverage" -> d9Oracle,
     "d5_intradoc_rep" -> d5Oracle,

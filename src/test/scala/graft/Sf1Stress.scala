@@ -37,6 +37,8 @@ object Sf1Stress {
       // 10× corpus — the increment/eval cost story under scale
       "s13_recall_drift", "s14_knn_label", "p7_cdc_curation",
       "t35_boilerplate", "mm8_audio_dedup",
+      // round-13: incremental df maintenance — fixed batch, 10× corpus
+      "p8_df_maint",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {

@@ -266,4 +266,40 @@ class DedupSpec extends AnyFunSuite {
           catch { case _: Throwable => () })
       } catch { case _: Throwable => () }
   }
+
+  test("d13: the planted quote marks one island on every carrier, at any alignment") {
+    val rows = Dedup.queries("d13_substring_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // every 10th doc carries the 25-word quote prefix; its six
+    // fully-interior gram positions (0..5) must mark and merge into
+    // ONE island anchored at 0 and covering at least the quote —
+    // shared continuations (two carriers whose own text begins
+    // identically) may legitimately extend the right edge
+    val carriers = byDoc.keys.filter(_ % 10 == 0)
+    assert(carriers.nonEmpty, "no planted carrier surfaced")
+    carriers.foreach { id =>
+      val first = byDoc(id).minBy(_.getAs[Int]("span_start"))
+      assert(first.getAs[Int]("span_start") == 0,
+        s"carrier $id: the quote island must anchor at position 0")
+      assert(first.getAs[Int]("span_end") >= 25,
+        s"carrier $id: the island must cover the full 25-word quote")
+    }
+    // islands are maximal: per doc they never overlap or touch
+    // within gram reach (a gap <= width would have merged)
+    byDoc.values.foreach { docRows =>
+      val sorted = docRows.sortBy(_.getAs[Int]("span_start"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("span_start") - (a.getAs[Int]("span_end") - 20) > 20,
+            "adjacent islands within merge reach — the merge is not maximal")
+        case _ => ()
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_words") ==
+        r.getAs[Int]("span_end") - r.getAs[Int]("span_start"))
+      assert(r.getAs[Long]("n_grams") >= 1L)
+    }
+  }
 }

@@ -488,6 +488,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "raw segments must be digested below every exchange")
   }
 
+  test("d13: substring marking shuffles digests and integers only — no pair work, no text keys") {
+    val plan = formatted("d13_substring_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the mark-back must stay an equi-join on the gram digest")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(h => h.contains("hashpartitioning(gh") ||
+      h.contains("hashpartitioning(doc_id")),
+      s"only the gram digest and the per-doc window may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("text") || h.contains("ws")),
+      "raw text must be digested below every exchange")
+    assert(plan.contains("partial_count(distinct doc_id"),
+      "gram df must combine map-side before the digest exchange")
+  }
+
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
     // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
     // evaluated by the parquet reader (row-group stats skip newer
