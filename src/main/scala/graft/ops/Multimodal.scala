@@ -694,7 +694,138 @@ object Multimodal {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- mm9: shot/scene segmentation over the frame stream -----------------
+
+  /** Scene-change detection — the segmentation step a video curation
+    * pipeline runs BEFORE frame sampling (sample per shot, not per
+    * fixed stride, or a long static shot floods the batch with
+    * near-identical frames while a fast cut sequence is missed).
+    * Detector: per-frame 32-bit perceptual fingerprint, Hamming
+    * distance to the previous frame, a cut wherever distance exceeds
+    * the threshold; scenes are the islands between cuts, each
+    * reported with its start frame, length, and keyframe fingerprint.
+    *
+    * Stand-in codec (family stub contract — reproduce the
+    * DISCRIMINATION property, not just arithmetic shape): the decoded
+    * frame stream of a video is its 16-byte slices each held for a
+    * content-dependent shot length (2–5 frames, from the slice's
+    * first byte), the way real footage holds a shot across many
+    * near-identical frames. Within a shot the fingerprint is
+    * identical (Hamming 0); across a cut the 32 md5-parity coins are
+    * independent (expected Hamming 16, P(≤6) ≈ 1e-5) — so the
+    * detector must RECOVER the planted shot structure from the frame
+    * stream alone, and the oracle checks it does. The fingerprint is
+    * computed once per SLICE (≤12 per asset) and inherited by its
+    * frames; the parity bits hash lambda-bound digests only (mm7's
+    * two-level rule — a column reference inside an interpreted HOF
+    * lambda re-evaluates its whole chain per element).
+    *
+    * Scale shape: slice/frame explosion and fingerprinting are
+    * row-local projections; the only exchanges are the per-asset
+    * windows (frame order, cut cumsum), partitioned by doc_id with
+    * per-asset work bounded by frames-per-asset — a codec-bounded
+    * constant, never corpus-shaped. No joins, nothing pairwise, and
+    * scene rows out are ~an order smaller than frame rows in.
+    */
+  private def mm9SceneDetect(s: SparkSession, d: String): DataFrame = {
+    def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
+    // 32 independent md5-parity coins per slice, assembled LSB-first;
+    // digests are bound through the zip_with lambda so each is
+    // computed exactly once
+    val fpExpr =
+      s"""aggregate(
+         |  zip_with(
+         |    transform(sequence(0, 31), j -> md5(concat(sl, '#', CAST(j AS STRING)))),
+         |    sequence(0, 31),
+         |    (dg, j) -> ((${ph("dg")}) % 2) * shiftleft(CAST(1 AS BIGINT), j)),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("slice_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val wScene = wFrame
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val slices = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 16)
+      .select(col("doc_id"), col("text"),
+        least(lit(12), (length(col("text")) / 16).cast("int")).as("n_slices"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), col("n_slices") - 1)).as(Seq("p", "slice_idx")),
+        col("text"))
+      .select(col("doc_id"), col("slice_idx"),
+        expr("substr(text, 1 + 16 * slice_idx, 16)").as("sl"))
+      .select(col("doc_id"), col("slice_idx"), col("sl"),
+        (lit(2) + expr("ascii(substr(sl, 1, 1))") % 4).as("shot_len"),
+        expr(fpExpr).as("fp"))
+    val frames = slices
+      .withColumn("st", coalesce(sum(col("shot_len")).over(wCum), lit(0L)))
+      .select(col("doc_id"), col("fp"),
+        posexplode(sequence(lit(1), col("shot_len"))).as(Seq("p2", "rep")),
+        col("st"))
+      .select(col("doc_id"), (col("st") + col("rep")).cast("long").as("frame_idx"),
+        col("fp"))
+    frames
+      .withColumn("prev_fp", lag(col("fp"), 1).over(wFrame))
+      .withColumn("cut",
+        when(col("prev_fp").isNull, 1)
+          .when(bit_count(expr("fp ^ prev_fp")) > 6, 1).otherwise(0))
+      .withColumn("scene_id", sum(col("cut")).over(wScene).cast("long"))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(
+        min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        min_by(col("fp"), col("frame_idx")).as("key_fp"))
+      .orderBy("doc_id", "scene_id")
+  }
+
+  private val mm9Oracle: String = {
+    def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
+    s"""WITH vids AS (
+       |  SELECT doc_id, text,
+       |         least(12, CAST(length(text) // 16 AS INT)) AS n_slices
+       |  FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 16),
+       |slices AS (
+       |  SELECT doc_id, slice_idx, substr(text, 1 + 16 * slice_idx, 16) AS sl
+       |  FROM (SELECT doc_id, text,
+       |               unnest(generate_series(0, n_slices - 1)) AS slice_idx
+       |        FROM vids)),
+       |fps AS (
+       |  SELECT doc_id, slice_idx,
+       |         2 + ascii(substr(sl, 1, 1)) % 4 AS shot_len,
+       |         CAST(list_sum(list_transform(generate_series(0, 31),
+       |           j -> ((${ph("md5(sl || '#' || CAST(j AS VARCHAR))")}) % 2)
+       |                * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS fp
+       |  FROM slices),
+       |offs AS (
+       |  SELECT doc_id, slice_idx, fp, shot_len,
+       |         COALESCE(sum(shot_len) OVER (PARTITION BY doc_id ORDER BY slice_idx
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+       |  FROM fps),
+       |reps AS (
+       |  SELECT doc_id, st, fp,
+       |         unnest(generate_series(1, shot_len)) AS rep
+       |  FROM offs),
+       |frames AS (
+       |  SELECT doc_id, CAST(st + rep AS BIGINT) AS frame_idx, fp FROM reps),
+       |cuts AS (
+       |  SELECT doc_id, frame_idx, fp,
+       |         CASE WHEN lag(fp) OVER w IS NULL THEN 1
+       |              WHEN bit_count(xor(fp, lag(fp) OVER w)) > 6 THEN 1
+       |              ELSE 0 END AS cut
+       |  FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+       |scn AS (
+       |  SELECT doc_id, frame_idx, fp,
+       |         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+       |  FROM cuts)
+       |SELECT doc_id, scene_id, min(frame_idx) AS start_frame,
+       |       count(*) AS n_frames, arg_min(fp, frame_idx) AS key_fp
+       |FROM scn GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm9_scene_detect" -> (mm9SceneDetect _),
     "mm8_audio_dedup" -> (mm8AudioDedup _),
     "mm5_audio_windows" -> (mm5AudioWindows _),
     "mm6_resize" -> (mm6Resize _),
@@ -727,6 +858,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm9_scene_detect" -> mm9Oracle,
     "mm8_audio_dedup" -> mm8Oracle,
     "mm7_image_dedup" -> mm7Oracle,
     "mm5_audio_windows" -> mm5Oracle,

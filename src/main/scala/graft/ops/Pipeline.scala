@@ -885,7 +885,135 @@ object Pipeline {
        |ORDER BY n.k""".stripMargin
   }
 
+  // ---- p9: incremental IVF-index maintenance off a change feed ------------
+
+  /** The vector-index member of the maintenance-weld family (p7 =
+    * dedup index, p8 = boilerplate vocabulary, this = the ANN index):
+    * the stored IVF cell assignment that s11/s15 read is kept current
+    * from a change feed WITHOUT rescanning the corpus. The codebook
+    * stays FIXED during maintenance (s10's standing-codebook stance —
+    * retraining is a separate decision driven by s13's drift signal);
+    * a change batch moves each cell's population by exactly
+    * (assignments of admitted after-images) − (stale rows of touched
+    * ids): updates re-assign (an edited embedding may cross a cell
+    * boundary), deletes only retract, re-ingests under fresh ids only
+    * add. The gate runs the incremental bookkeeping AND a
+    * from-scratch re-assignment of the post-change corpus in ONE
+    * plan; `n_after_incr == n_after_full` rides every cell row, both
+    * sides computed independently by the oracle.
+    *
+    * Scale shape: the delta is bounded and rides broadcast into every
+    * leg (stale-row semi-join, post-corpus anti-join); every corpus
+    * read is a scan projection against the broadcast codebook literal
+    * (the s4 shape — no shuffle to assign); the only exchanges are
+    * the ≤k-row cid rollups, and the final reconciliation joins onto
+    * the k-row cell universe are all broadcast. At 100 TB the
+    * standing assignment is the STORED index (recomputing `before`
+    * here keeps the gate self-contained, s11's stance) and a day's
+    * increment costs O(Δ) assignment work — or the full-recompute
+    * validation leg on a schedule, which is this same plan minus the
+    * trust.
+    */
+  private def p9IndexMaint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Similarity.quantized(s, d)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, iters = 2))
+    val emb = Tables.embeddings(s, d)
+    def q(sign: String) = expr(
+      s"transform(embedding, x -> CAST(floor($sign CAST(x AS DOUBLE) * 1000) AS DOUBLE))")
+    val delta = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id"), lit("u").as("op"), q("-").as("q"))
+      .unionByName(emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        .select(col("vec_id"), lit("d").as("op"),
+          lit(null).cast("array<double>").as("q")))
+      .unionByName(emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+        .select((col("vec_id") + 5000000L).as("vec_id"), lit("i").as("op"),
+          q("").as("q")))
+      .localCheckpoint(true) // bounded batch, reused by every leg below
+    val touched = delta.select("vec_id")
+    val assigned = Similarity.assignCellsFrom(base, cents)
+    val before = assigned.groupBy("cid").agg(count(lit(1)).as("n_before"))
+    val removed = assigned
+      .join(broadcast(touched), Seq("vec_id"), "left_semi")
+      .groupBy("cid").agg(count(lit(1)).as("n_removed"))
+    val adds = delta.filter(col("op") =!= "d").select("vec_id", "q")
+    val added = Similarity.assignCellsFrom(adds, cents)
+      .groupBy("cid").agg(count(lit(1)).as("n_added"))
+    val post = base.join(broadcast(touched), Seq("vec_id"), "left_anti")
+      .unionByName(adds)
+    val full = Similarity.assignCellsFrom(post, cents)
+      .groupBy("cid").agg(count(lit(1)).as("n_after_full"))
+    // reconcile over the full cell universe (a cell may be present
+    // only in `added`, or drain to zero) — k literal rows
+    cents.map(_._1).toSeq.toDF("cid")
+      .join(broadcast(before), Seq("cid"), "left").na.fill(0L, Seq("n_before"))
+      .join(broadcast(removed), Seq("cid"), "left").na.fill(0L, Seq("n_removed"))
+      .join(broadcast(added), Seq("cid"), "left").na.fill(0L, Seq("n_added"))
+      .join(broadcast(full), Seq("cid"), "left").na.fill(0L, Seq("n_after_full"))
+      .withColumn("n_after_incr", col("n_before") - col("n_removed") + col("n_added"))
+      .withColumn("ok", col("n_after_incr") === col("n_after_full"))
+      .select("cid", "n_before", "n_removed", "n_added",
+        "n_after_incr", "n_after_full", "ok")
+      .orderBy("cid")
+  }
+
+  private val p9Oracle: String = {
+    def assignSql(rel: String) =
+      s"""SELECT vec_id, cid FROM (
+         |  SELECT x.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |                i -> x.q[i] * c.sv[i])) AS DOUBLE) / c.n DESC,
+         |           c.cid) AS rnk
+         |  FROM $rel x, c2 c) WHERE rnk = 1""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${Similarity.ivfOracleChain},
+       |delta AS (
+       |  SELECT vec_id, 'u' AS op,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(-x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+       |  UNION ALL
+       |  SELECT vec_id, 'd', NULL FROM embeddings WHERE vec_id >= 20 AND vec_id < 30
+       |  UNION ALL
+       |  SELECT vec_id + 5000000, 'i',
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT))
+       |  FROM embeddings WHERE vec_id >= 30 AND vec_id < 40),
+       |adds AS (SELECT vec_id, q FROM delta WHERE op <> 'd'),
+       |post AS (
+       |  SELECT vec_id, q FROM base
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM delta)
+       |  UNION ALL
+       |  SELECT vec_id, q FROM adds),
+       |aAdds AS (${assignSql("adds")}),
+       |aPost AS (${assignSql("post")}),
+       |bef AS (SELECT cid, count(*) AS n_before FROM a3 GROUP BY cid),
+       |rem AS (
+       |  SELECT cid, count(*) AS n_removed FROM a3
+       |  WHERE vec_id IN (SELECT vec_id FROM delta) GROUP BY cid),
+       |addc AS (SELECT cid, count(*) AS n_added FROM aAdds GROUP BY cid),
+       |fullc AS (SELECT cid, count(*) AS n_after_full FROM aPost GROUP BY cid)
+       |SELECT u.cid,
+       |       CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+       |       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       |       CAST(COALESCE(a.n_added, 0) AS BIGINT) AS n_added,
+       |       CAST(COALESCE(b.n_before, 0) - COALESCE(r.n_removed, 0)
+       |            + COALESCE(a.n_added, 0) AS BIGINT) AS n_after_incr,
+       |       CAST(COALESCE(f.n_after_full, 0) AS BIGINT) AS n_after_full,
+       |       COALESCE(b.n_before, 0) - COALESCE(r.n_removed, 0) + COALESCE(a.n_added, 0)
+       |         = COALESCE(f.n_after_full, 0) AS ok
+       |FROM (SELECT DISTINCT cid FROM c2) u
+       |LEFT JOIN bef b ON b.cid = u.cid
+       |LEFT JOIN rem r ON r.cid = u.cid
+       |LEFT JOIN addc a ON a.cid = u.cid
+       |LEFT JOIN fullc f ON f.cid = u.cid
+       |ORDER BY u.cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_index_maint" -> (p9IndexMaint _),
     "p8_df_maint" -> (p8DfMaint _),
     "p7_cdc_curation" -> (p7CdcCuration _),
     "p1_curation" -> (p1Curation _),
@@ -897,6 +1025,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p9_index_maint" -> p9Oracle,
     "p8_df_maint" -> p8Oracle,
     "p7_cdc_curation" -> p7Oracle,
     "p1_curation" -> p1Oracle,

@@ -1537,7 +1537,181 @@ object Similarity {
        |FROM perl ORDER BY label""".stripMargin
   }
 
+  // ---- s15: attribute-filtered ANN (pre-filter inside the index read) -----
+
+  /** Metadata-constrained vector search — "nearest neighbors WHERE
+    * attribute = x", the shape every production retrieval API exposes
+    * (tenant, language, license, class filters). The filter is applied
+    * PRE-ranking, inside the probed-cell candidate read: each query's
+    * label rides the broadcast probe row and becomes a second equi-key
+    * of the candidate join, so only matching-label members of the
+    * probed cells are ever scored and the top-k window ranks a full k
+    * from the constrained corpus. The alternative — post-filtering an
+    * unconstrained top-k — silently returns < k (here ~90% of any
+    * cell carries a different label; a filtered top-10 would keep ~1
+    * row), which is why pre-filter is the contract worth gating.
+    *
+    * Scale shape: identical to s11's read path plus one extra
+    * broadcast-side join key — the label comparison happens inside
+    * the same broadcast hash join, no new exchange, and at 100 TB a
+    * selective attribute can additionally prune at the storage layer
+    * (partition the stored index by the attribute). The corpus never
+    * shuffles; the only exchange is the per-query rank window.
+    */
+  private def s15FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    // quantized basis WITH the filter attribute carried through the
+    // assignment projection (assignCells passes non-q columns along)
+    val base = vecs(s, d).select(col("vec_id"), col("label"),
+      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))").as("q"))
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val qlab = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val probes = ivfProbes(base, cents, nprobe = 2).join(broadcast(qlab), Seq("qid"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assignCellsFrom(base, cents)
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(probes),
+        col("cid") === col("pcid") && col("label") === col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("cid").as("cell"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
+  private val s15Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |cand AS (
+       |  SELECT p.qid, ql.label AS qlabel, a.vec_id, a.cid,
+       |         list_cosine_similarity(a.q::DOUBLE[], qb.q::DOUBLE[]) AS cos
+       |  FROM a3 a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN base qb ON qb.vec_id = p.qid
+       |  JOIN base ql ON ql.vec_id = p.qid
+       |  JOIN base cl ON cl.vec_id = a.vec_id AND cl.label = ql.label
+       |  WHERE a.vec_id >= 5)
+       |SELECT qid, CAST(qlabel AS INT) AS qlabel, vec_id, cell, cos, rnk FROM (
+       |  SELECT qid, qlabel, vec_id, cid AS cell, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  // ---- s16: hybrid lexical+vector retrieval fused by RRF ------------------
+
+  /** Hybrid retrieval — the standard two-tower serving pattern:
+    * a lexical ranking (distinct-word overlap with the query document)
+    * and a vector ranking (embedding cosine, s1's shape) fused by
+    * Reciprocal Rank Fusion, `score = Σ 1/(60 + rank)`. RRF is the
+    * fusion every hybrid search engine defaults to because it needs
+    * no score calibration between the towers — only ranks — which is
+    * also what makes it oracle-stable: both ranks are integers under
+    * deterministic tie-breaks, and the fused score is two exact IEEE
+    * divisions and one add.
+    *
+    * The lexical tower is integer-exact on purpose: overlap of
+    * DISTINCT word sets (a BM25-style weighted sum would accumulate
+    * doubles in engine-dependent order). Monotone in relevance,
+    * bit-stable across engines.
+    *
+    * Scale shape: the query side (5 docs) broadcasts into both
+    * towers — the lexical overlap is a broadcast hash join on the
+    * word followed by a (qid, doc_id)-keyed count, the vector tower
+    * is the s1 broadcast scan — and each tower keeps only its top-20
+    * per query before the rank-join, so the fusion join and final
+    * window touch ≤ 40 rows per query (control-plane). The corpus is
+    * scanned twice (once per tower over different columns), never
+    * shuffled; the only corpus-sized exchange is the distinct-word
+    * aggregation keyed on (doc_id, word).
+    */
+  private def s16HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.wordsCol(col("text"))).as("w"))
+      .distinct()
+    val qWords = words.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("w"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("overlap").desc, col("doc_id"))
+    val lex = words.filter(col("doc_id") >= 5)
+      .join(broadcast(qWords), Seq("w"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("lex_rnk", row_number().over(wLex))
+      .filter(col("lex_rnk") <= 20)
+      .select(col("qid"), col("doc_id"), col("lex_rnk"))
+    val base = quantized(s, d)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val wVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+    val vec = base.filter(col("vec_id") >= 5)
+      .join(broadcast(qs))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("vec_rnk", row_number().over(wVec))
+      .filter(col("vec_rnk") <= 20)
+      .select(col("qid"), col("doc_id"), col("vec_rnk"))
+    val wRrf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rnk")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wRrf))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+        col("rrf"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val s16Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id, unnest($ws) AS w FROM documents),
+       |lex AS (
+       |  SELECT qid, doc_id, lex_rnk FROM (
+       |    SELECT q.doc_id AS qid, c.doc_id AS doc_id,
+       |           CAST(row_number() OVER (PARTITION BY q.doc_id
+       |             ORDER BY count(*) DESC, c.doc_id) AS INT) AS lex_rnk
+       |    FROM words c JOIN words q ON c.w = q.w
+       |    WHERE c.doc_id >= 5 AND q.doc_id < 5
+       |    GROUP BY q.doc_id, c.doc_id)
+       |  WHERE lex_rnk <= 20),
+       |base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS DOUBLE)) AS q
+       |  FROM embeddings),
+       |vec AS (
+       |  SELECT qid, doc_id, vec_rnk FROM (
+       |    SELECT qs.vec_id AS qid, c.vec_id AS doc_id,
+       |           CAST(row_number() OVER (PARTITION BY qs.vec_id
+       |             ORDER BY list_cosine_similarity(c.q, qs.q) DESC, c.vec_id) AS INT) AS vec_rnk
+       |    FROM base c, base qs
+       |    WHERE c.vec_id >= 5 AND qs.vec_id < 5)
+       |  WHERE vec_rnk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, v.qid) AS qid,
+       |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |         l.lex_rnk, v.vec_rnk,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rnk), CAST(0.0 AS DOUBLE)) +
+       |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rnk), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.qid = v.qid AND l.doc_id = v.doc_id)
+       |SELECT qid, doc_id, lex_rnk, vec_rnk, CAST(rrf AS DOUBLE) AS rrf, rnk FROM (
+       |  SELECT qid, doc_id, lex_rnk, vec_rnk, rrf,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_filtered_ann" -> (s15FilteredAnn _),
+    "s16_hybrid_rrf" -> (s16HybridRrf _),
     "s14_knn_label" -> (s14KnnLabel _),
     "s13_recall_drift" -> (s13RecallDrift _),
     "s12_ann_recall" -> (s12AnnRecall _),
@@ -1555,6 +1729,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s15_filtered_ann" -> s15Oracle,
+    "s16_hybrid_rrf" -> s16Oracle,
     "s14_knn_label" -> s14Oracle,
     "s13_recall_drift" -> s13Oracle,
     "s12_ann_recall" -> s12Oracle,

@@ -115,4 +115,32 @@ class MultimodalSpec extends AnyFunSuite {
       "every landmark of the shifted copy must be contained in the original's set")
     assert(p.getAs[Double]("ratio") == 1.0)
   }
+
+  test("mm9: scene segmentation recovers the content-planted shot structure") {
+    val rows = Multimodal.queries("mm9_scene_detect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("scene_id"))
+      assert(sorted.map(_.getAs[Long]("scene_id")).toSeq ==
+        (1L to rs.length.toLong), "scene ids must be contiguous from 1")
+      assert(sorted.head.getAs[Long]("start_frame") == 1L,
+        "the first scene must start at frame 1")
+      // scenes tile the frame stream: each starts where the previous ended
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1).getAs[Long]("start_frame") ==
+          w(0).getAs[Long]("start_frame") + w(0).getAs[Long]("n_frames"),
+          "scenes must partition the frame sequence without gaps or overlap")
+      }
+    }
+    // detection quality: shots are planted 2-5 frames long; a missed cut
+    // (32 independent coins landing within Hamming 6 — P ≈ 1e-5) merges
+    // two shots. Allow a trace of that, no more.
+    val lens = rows.map(_.getAs[Long]("n_frames"))
+    val inRange = lens.count(l => l >= 2 && l <= 5)
+    assert(inRange.toDouble / lens.length >= 0.95,
+      s"only $inRange/${lens.length} scenes match the planted 2-5 frame shots")
+    assert(byDoc.values.exists(_.length >= 3),
+      "multi-shot videos must segment into multiple scenes")
+  }
 }

@@ -216,4 +216,28 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[String]("k") != md5hex("subscribe to our newsletter click here now please")),
       "revision before-images must retract their old segments")
   }
+
+  test("p9: incremental cell bookkeeping equals the from-scratch re-assignment") {
+    val rows = Pipeline.queries("p9_index_maint")(spark, sf).collect()
+    assert(rows.length == 8, "one row per codebook cell")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"),
+        s"cell ${r.getAs[Long]("cid")} drifted: " +
+          s"incr ${r.getAs[Long]("n_after_incr")} != full ${r.getAs[Long]("n_after_full")}")
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_before"),
+        "a cell cannot lose more members than it had")
+      assert(r.getAs[Long]("n_after_incr") >= 0L)
+    }
+    // the batch: 10 updates + 10 deletes touch 20 standing rows; 10
+    // updates + 10 re-ingests add 20 assignments
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == 20L)
+    assert(rows.map(_.getAs[Long]("n_added")).sum == 20L)
+    assert(rows.map(_.getAs[Long]("n_after_full")).sum ==
+      rows.map(_.getAs[Long]("n_before")).sum,
+      "population is conserved: -20 stale +20 admitted")
+    // the negated updates must actually exercise cell movement — at
+    // least one cell's net change is nonzero
+    assert(rows.exists(r => r.getAs[Long]("n_after_incr") != r.getAs[Long]("n_before")),
+      "the planted batch must move at least one cell population")
+  }
 }

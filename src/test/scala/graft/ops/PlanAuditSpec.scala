@@ -504,6 +504,76 @@ class PlanAuditSpec extends AnyFunSuite {
       "gram df must combine map-side before the digest exchange")
   }
 
+  test("s15: the label pre-filter rides the broadcast join — no new exchange over s11") {
+    // Filtered ANN must cost what unfiltered ANN costs: the label
+    // comparison is one extra key inside the existing broadcast hash
+    // join (probe side carries qlabel), so the only shuffles are the
+    // probe-selection and top-k windows on qid.
+    val plan = formatted("s15_filtered_ann")
+    assert(!plan.contains("CartesianProduct"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(_.contains("hashpartitioning(qid")),
+      s"only the qid windows may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("q#") || h.contains("qv") ||
+      h.contains("embedding")),
+      "vector arrays must never be an exchange key")
+    assert(shuffleJoinKeys(plan).isEmpty,
+      "the corpus side joins only against broadcast builds")
+  }
+
+  test("s16: both towers broadcast the query side; exchanges are keyed on word/doc/qid") {
+    val plan = formatted("s16_hybrid_rrf")
+    assert(!plan.contains("CartesianProduct"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(h => h.contains("hashpartitioning(qid") ||
+      h.contains("hashpartitioning(doc_id") ||
+      h.contains("hashpartitioning(w#")),
+      s"exchanges must key on the word, the doc, or the query:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("text") || h.contains("q#") ||
+      h.contains("embedding")),
+      "raw text and vectors must never ride an exchange key")
+    // the rank-fusion join happens after both towers truncate to top-20
+    // per query — bounded rows — and must stay an equi-join
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BuildRight"), "the only BNLJ allowed is the s1-shape query broadcast")
+  }
+
+  test("mm9: segmentation is join-free — only the per-asset windows exchange") {
+    val plan = formatted("mm9_scene_detect")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j — scene detection needs no join"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(_.contains("hashpartitioning(doc_id")),
+      s"every exchange must lead with the asset id:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("text") || h.contains("sl#")),
+      "slice text must be fingerprinted below every exchange")
+  }
+
+  test("p9: index maintenance assigns by scan projection — only ≤k cid rollups exchange") {
+    // Every corpus read assigns against the broadcast codebook literal
+    // (no shuffle to assign); the delta rides broadcast into the
+    // semi/anti joins; reconciliation joins are broadcast onto the
+    // k-row cell universe. The only legal exchanges are the cid
+    // rollups (≤k rows after partial aggregation).
+    val plan = formatted("p9_index_maint")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(_.contains("hashpartitioning(cid")),
+      s"only the cid rollups may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("q#") || h.contains("embedding")),
+      "vector arrays must never ride an exchange key")
+    assert(shuffleJoinKeys(plan).isEmpty,
+      "every join must be broadcast — nothing here is corpus-sized on both sides")
+    assert(plan.contains("partial_count"),
+      "cell rollups must combine map-side before their exchange")
+  }
+
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
     // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
     // evaluated by the parquet reader (row-group stats skip newer

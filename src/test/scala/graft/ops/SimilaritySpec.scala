@@ -439,6 +439,55 @@ class SimilaritySpec extends AnyFunSuite {
       "retrain must be exactly the 10% threshold on drift_pm")
   }
 
+  test("s15: filtered search honors the label constraint and still fills ranks") {
+    val rows = Similarity.queries("s15_filtered_ann")(spark, sf).collect()
+    assert(rows.nonEmpty, "label-constrained probes found nothing at all")
+    // the constraint is the operator: every returned neighbor carries
+    // the query's own label
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("qlabel") == labels(r.getAs[Long]("qid")),
+        "qlabel must be the query vector's own label")
+      assert(labels(r.getAs[Long]("vec_id")) == r.getAs[Int]("qlabel"),
+        s"pre-filter violated: neighbor ${r.getAs[Long]("vec_id")} has a different label")
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length),
+        "ranks must be contiguous from 1 — post-filtering would leave gaps")
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s16: RRF fusion arithmetic is exact and both towers contribute") {
+    val rows = Similarity.queries("s16_hybrid_rrf")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 10),
+        "each query must fuse to a full top-10")
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      val scores = sorted.map(_.getAs[Double]("rrf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      def part(c: String): Double =
+        if (r.isNullAt(r.fieldIndex(c))) 0.0 else 1.0 / (60 + r.getAs[Int](c))
+      assert(r.getAs[Double]("rrf") == part("lex_rnk") + part("vec_rnk"),
+        "rrf must be exactly the sum of the two reciprocal ranks")
+      assert(!(r.isNullAt(r.fieldIndex("lex_rnk")) &&
+        r.isNullAt(r.fieldIndex("vec_rnk"))),
+        "a fused row must come from at least one tower")
+    }
+    // fusion is not degenerate: some fused row draws on BOTH towers
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("lex_rnk")) &&
+      !r.isNullAt(r.fieldIndex("vec_rnk"))),
+      "no overlap between towers — fusion has nothing to fuse")
+  }
+
   test("s14: the kNN auto-label evaluation covers the sample and its arithmetic is exact") {
     val rows = Similarity.queries("s14_knn_label")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("label")).distinct.length == rows.length,
