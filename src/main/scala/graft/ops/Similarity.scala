@@ -1709,7 +1709,173 @@ object Similarity {
        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- s17: streaming vector ingestion into the stored IVF index ----------
+
+  /** A freshly-embedded vector as it reaches the ingestion stream. */
+  final case class NewVec(vec_id: Long, q: Seq[Double])
+
+  /** The d12 loop for the VECTOR index: embedding waves arrive as a
+    * stream, each micro-batch is assigned against the STANDING
+    * codebook (the broadcast-literal scan projection — no shuffle to
+    * ingest) and appended to the stored cell table, so the next
+    * search sees everything already ingested. This closes the index
+    * lifecycle the s-family covers piecewise: build (s4), persist
+    * (save/loadCodebook), search (s11/s15), evaluate (s12/s13),
+    * batch-maintain (p9/s10) — and now continuous ingestion, the
+    * shape a live embedding pipeline actually runs.
+    *
+    * The gate proves MID-STREAM growth, not just final state: a
+    * search for query 0 runs after each wave, and wave 1 plants
+    * exact re-embeddings of the query vector (cos 1.0) that the
+    * wave-1 snapshot must surface while wave 2's plants must appear
+    * ONLY in the wave-2 snapshot — possible only because the stored
+    * index grew between the two searches. Restart-survivability is
+    * d12's: the index is parquet + a persisted codebook, so a fresh
+    * session re-enters the same dir and continues (spec-asserted).
+    *
+    * Scale shape: ingestion is an O(wave) scan projection + append
+    * (no index rewrite — cells are append-only under a fixed
+    * codebook; re-centering is s13's retrain decision); each search
+    * is the s11 read path over storage (probes broadcast, the only
+    * exchange is the per-query rank window). Only bounded top-k
+    * results are ever collected.
+    */
+  private def s17StreamIndex(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s17-idx-")
+    try s17StreamIndexWithDir(s, d, idx.toString)
+    finally
+      try {
+        java.nio.file.Files.walk(idx)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p)
+          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+  }
+
+  private[graft] def s17StreamIndexWithDir(
+      s: SparkSession, d: String, idxDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val cellsPath = s"$idxDir/cells"
+    val cbPath = s"$idxDir/codebook"
+    val base = quantized(s, d)
+    // bootstrap: train + persist the codebook and assign the corpus
+    // (the query sample vec_id < 5 stays out — s11's recall stance)
+    // only if this dir was never seeded; a restarted ingestion
+    // session keeps the grown index and continues from it
+    if (!new java.io.File(cellsPath).isDirectory) {
+      saveCodebook(trainCodebook(base, iters = 2), cbPath)
+      val cents0 = collectCents(loadCodebook(s, cbPath))
+      assignCellsFrom(base.filter(col("vec_id") >= 5), cents0)
+        .select("vec_id", "q", "cid")
+        .write.mode("overwrite").parquet(cellsPath)
+    }
+    val cents = collectCents(loadCodebook(s, cbPath))
+    val snaps = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Double, Int)]()
+    def searchTop(wave: Int): Unit = {
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val out = s.read.parquet(cellsPath)
+        .join(broadcast(ivfProbes(base, cents, nprobe = 2, qMax = 1L)),
+          col("cid") === col("pcid"))
+        .select(col("qid"), col("vec_id"), col("cid"),
+          VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+        .collect()
+      snaps ++= out.map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cid"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    }
+    def vecsOf(ids: Seq[Long], shift: Long): Seq[NewVec] =
+      base.filter(col("vec_id").isin(ids: _*)).collect()
+        .map(r => NewVec(shift + r.getAs[Long]("vec_id"), r.getSeq[Double](1)))
+        .sortBy(_.vec_id).toSeq
+    val wave1 = vecsOf(Seq(0L, 1L, 2L), 8000000L)
+    val wave2 = vecsOf(Seq(0L, 3L, 4L), 9000000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-s17-")
+    try {
+      val input = MemoryStream[NewVec](
+        org.apache.spark.sql.Encoders.product[NewVec], s)
+      def drainWave(): Unit = {
+        val q = input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[NewVec], _: Long) =>
+            if (!batch.isEmpty) {
+              // ingest = one scan projection against the broadcast
+              // codebook literal + append; no index rewrite
+              assignCellsFrom(batch.toDF(), cents)
+                .select("vec_id", "q", "cid")
+                .write.mode("append").parquet(cellsPath)
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      input.addData(wave1); drainWave(); searchTop(1)
+      input.addData(wave2); drainWave(); searchTop(2)
+    } finally
+      try {
+        java.nio.file.Files.walk(ckpt)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p)
+          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    import s.implicits._
+    snaps.toSeq.toDF("wave", "qid", "vec_id", "cell", "cos", "rnk")
+      .orderBy("wave", "rnk")
+  }
+
+  private val s17Oracle: String = {
+    def assignQSql(rel: String) =
+      s"""SELECT vec_id, q, cid FROM (
+         |  SELECT x.vec_id, x.q, c.cid,
+         |         row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |                i -> x.q[i] * c.sv[i])) AS DOUBLE) / c.n DESC,
+         |           c.cid) AS rnk
+         |  FROM $rel x, c2 c) WHERE rnk = 1""".stripMargin
+    def searchSql(cells: String, wave: Int) =
+      s"""SELECT $wave AS wave, qid, vec_id, cid AS cell, cos, rnk FROM (
+         |  SELECT p.qid, c.vec_id, c.cid,
+         |         list_cosine_similarity(c.q::DOUBLE[], qb.q::DOUBLE[]) AS cos,
+         |         CAST(row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY list_cosine_similarity(c.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+         |                    c.vec_id) AS INT) AS rnk
+         |  FROM $cells c
+         |  JOIN probes0 p ON c.cid = p.cid
+         |  JOIN base qb ON qb.vec_id = p.qid)
+         |WHERE rnk <= 5""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |probes0 AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM (SELECT q.vec_id AS qid, c.cid,
+       |                 CAST(list_sum(list_transform(generate_series(1, 64),
+       |                      i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |          FROM base q, c2 c WHERE q.vec_id < 1)) WHERE pr <= 2),
+       |w1 AS (SELECT vec_id + 8000000 AS vec_id, q FROM base WHERE vec_id < 3),
+       |w2 AS (SELECT vec_id + 9000000 AS vec_id, q FROM base WHERE vec_id IN (0, 3, 4)),
+       |aw1 AS (${assignQSql("w1")}),
+       |aw2 AS (${assignQSql("w2")}),
+       |cells1 AS (
+       |  SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5
+       |  UNION ALL SELECT vec_id, q, cid FROM aw1),
+       |cells2 AS (
+       |  SELECT vec_id, q, cid FROM cells1
+       |  UNION ALL SELECT vec_id, q, cid FROM aw2)
+       |SELECT * FROM (
+       |  ${searchSql("cells1", 1)}
+       |  UNION ALL
+       |  ${searchSql("cells2", 2)})
+       |ORDER BY wave, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_index" -> (s17StreamIndex _),
     "s15_filtered_ann" -> (s15FilteredAnn _),
     "s16_hybrid_rrf" -> (s16HybridRrf _),
     "s14_knn_label" -> (s14KnnLabel _),
@@ -1729,6 +1895,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s17_stream_index" -> s17Oracle,
     "s15_filtered_ann" -> s15Oracle,
     "s16_hybrid_rrf" -> s16Oracle,
     "s14_knn_label" -> s14Oracle,

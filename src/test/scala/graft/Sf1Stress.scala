@@ -39,6 +39,11 @@ object Sf1Stress {
       "t35_boilerplate", "mm8_audio_dedup",
       // round-13: incremental df maintenance — fixed batch, 10× corpus
       "p8_df_maint",
+      // round-13 second batch: exact-substring spans, filtered/hybrid
+      // search (fixed query sample, 10× corpus), per-asset scene
+      // segmentation, incremental index maintenance (fixed batch)
+      "d13_substring_dedup", "s15_filtered_ann", "s16_hybrid_rrf",
+      "mm9_scene_detect", "p9_index_maint", "s17_stream_index",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {

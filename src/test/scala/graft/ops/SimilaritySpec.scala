@@ -488,6 +488,40 @@ class SimilaritySpec extends AnyFunSuite {
       "no overlap between towers — fusion has nothing to fuse")
   }
 
+  test("s17: the search sees each wave only after ingestion; the index survives restart") {
+    val rows = Similarity.queries("s17_stream_index")(spark, sf).collect()
+    val w1 = rows.filter(_.getAs[Int]("wave") == 1)
+    val w2 = rows.filter(_.getAs[Int]("wave") == 2)
+    assert(w1.nonEmpty && w2.nonEmpty)
+    // wave 1 planted an exact re-embedding of query 0 — it must lead
+    // the wave-1 snapshot at cos 1.0
+    val top1 = w1.minBy(_.getAs[Int]("rnk"))
+    assert(top1.getAs[Long]("vec_id") == 8000000L && top1.getAs[Double]("cos") == 1.0,
+      s"wave-1 snapshot must be led by the ingested re-embedding, got $top1")
+    // wave 2's plants are invisible to the wave-1 search...
+    assert(!w1.exists(_.getAs[Long]("vec_id") >= 9000000L),
+      "the wave-1 snapshot must not see wave-2 content")
+    // ...and visible to the wave-2 search — the index grew mid-stream
+    assert(w2.exists(_.getAs[Long]("vec_id") == 9000000L),
+      "the wave-2 snapshot must surface wave-2's re-embedding of the query")
+    // restart survival: a second session entering the SAME index dir
+    // searches the previously-grown index — wave-2 content from the
+    // first run is already visible to the second run's FIRST snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-s17-spec-").toString
+    try {
+      Similarity.s17StreamIndexWithDir(spark, sf, dir).collect()
+      val again = Similarity.s17StreamIndexWithDir(spark, sf, dir).collect()
+      assert(again.filter(_.getAs[Int]("wave") == 1)
+        .exists(_.getAs[Long]("vec_id") == 9000000L),
+        "a restarted session must probe the index grown by the previous one")
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => try java.nio.file.Files.delete(f)
+        catch { case _: Throwable => () })
+    }
+  }
+
   test("s14: the kNN auto-label evaluation covers the sample and its arithmetic is exact") {
     val rows = Similarity.queries("s14_knn_label")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("label")).distinct.length == rows.length,
