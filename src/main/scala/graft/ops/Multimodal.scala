@@ -824,7 +824,121 @@ object Multimodal {
        |FROM scn GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""".stripMargin
   }
 
+  // ---- mm10: image-caption pair curation (the paired-dataset step) --------
+
+  /** Curation of PAIRED multimodal data — the LAION-style pipeline
+    * stage the family lacked: single-modality dedup (mm4/mm7) and
+    * quality gates (t21) operate per asset, but a caption dataset is
+    * curated per (image, text) PAIR: drop pairs whose caption does
+    * not describe the image (the CLIP-score gate), then collapse
+    * pixel-duplicate images keeping the best-captioned copy (LAION
+    * dedups by image hash so one image never contributes many
+    * near-identical training pairs).
+    *
+    * Stand-ins (family stub contract — discrimination preserved):
+    * the caption of doc i is the first 12 words of doc i's text
+    * (alt-text derived from content), and the alignment score is
+    * 4-gram containment of the caption in the image's content —
+    * integer-exact (one division), 1.0 by construction for a true
+    * caption, ~0 for a planted swap (the 31-word fixture vocabulary
+    * makes unigram overlap useless, which is exactly why the score
+    * uses 4-grams: chance containment needs a shared 4-word run).
+    * Planted misaligned pairs carry a far doc's caption and must
+    * drop; planted re-ingests of the first 7 images arrive under
+    * fresh ids with identical pixels and equal-quality captions, so
+    * the per-fingerprint election keeps exactly the lowest id
+    * (score-first election — a better-captioned copy WOULD win).
+    *
+    * Scale shape: grams are row-local native-expression projections
+    * (PolyGrams — the d6 lesson: the HOF formulation is quadratic);
+    * the caption fetch is one keyed equi-join; the dedup election is
+    * a window over the md5 pixel fingerprint (mm7's perceptual fp
+    * slots into the same key for near-dup grouping); the status join
+    * is keyed on the unique pair id. Nothing pairwise, no text keys
+    * on any exchange.
+    */
+  private def mm10PairCuration(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SimHashFunctions.poly_grams
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val imgs0 = docs.filter(col("doc_id") % 3 === 0) // the image modality of assets()
+    val caps = docs.select(col("doc_id").as("cap_id"),
+      concat_ws(" ", slice(Text.wordsCol(col("text")), 1, 12)).as("cap_text"))
+    val pairs = imgs0.select(col("doc_id").as("img_id"), col("text"),
+        col("doc_id").as("cap_id"))
+      .unionByName(imgs0.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+        .select((col("doc_id") + 2000000L).as("img_id"), col("text"),
+          (col("doc_id") + 9L).as("cap_id")))
+      .unionByName(imgs0.filter(col("doc_id") < 21)
+        .select((col("doc_id") + 4000000L).as("img_id"), col("text"),
+          col("doc_id").as("cap_id")))
+    val scored = pairs
+      .withColumn("fp", md5(col("text")))
+      .withColumn("gi", poly_grams(Text.wordsCol(col("text")), 4))
+      .join(caps.withColumn("gcap", poly_grams(Text.wordsCol(col("cap_text")), 4))
+        .select("cap_id", "gcap"), Seq("cap_id"))
+      .filter(size(col("gcap")) >= 1)
+      .withColumn("n_hit", size(array_intersect(col("gcap"), col("gi"))))
+      .withColumn("n_cap", size(col("gcap")))
+      .withColumn("score", col("n_hit").cast("double") / col("n_cap"))
+      .select("img_id", "cap_id", "fp", "n_hit", "n_cap", "score")
+    val wElect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("score").desc, col("img_id"))
+    val ranked = scored.filter(col("score") >= 0.5)
+      .withColumn("rnk", row_number().over(wElect))
+      .select(col("img_id"), col("rnk"))
+    scored.join(ranked, Seq("img_id"), "left")
+      .withColumn("status",
+        when(col("score") < 0.5, "dropped_misaligned")
+          .when(col("rnk") === 1, "admitted")
+          .otherwise("dup_loser"))
+      .select("img_id", "cap_id", "n_hit", "n_cap", "score", "status")
+      .orderBy("img_id")
+  }
+
+  private val mm10Oracle: String = {
+    val ws = graft.ops.Text.wordsSql("text")
+    val P = graft.ops.Dedup.P
+    def gram4(hw: String, i: String) =
+      (1 until 4).foldLeft(s"$hw[$i]")((acc, k) => s"(($acc) * 1000003 + $hw[$i+$k]) % $P")
+    def gramsOf(textCol: String) =
+      s"""list_distinct(list_transform(
+         |  generate_series(1, greatest(len(list_transform($textCol, w -> ${graft.ops.Text.polyHashSql("w", 8)})) - 3, 0)),
+         |  i -> ${gram4(s"list_transform($textCol, w -> ${graft.ops.Text.polyHashSql("w", 8)})", "i")}))""".stripMargin
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |caps AS (
+       |  SELECT doc_id AS cap_id,
+       |         ${gramsOf("ws[1:12]")} AS gcap
+       |  FROM (SELECT doc_id, $ws AS ws FROM documents)),
+       |imgs AS (
+       |  SELECT doc_id AS img_id, text, doc_id AS cap_id FROM docs WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text, doc_id + 9 FROM docs
+       |  WHERE doc_id % 3 = 0 AND doc_id >= 30 AND doc_id < 60
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, text, doc_id FROM docs
+       |  WHERE doc_id % 3 = 0 AND doc_id < 21),
+       |scored AS (
+       |  SELECT img_id, p.cap_id, md5(p.text) AS fp,
+       |         CAST(len(list_intersect(c.gcap, ${gramsOf(s"($ws)")})) AS INT) AS n_hit,
+       |         CAST(len(c.gcap) AS INT) AS n_cap,
+       |         CAST(len(list_intersect(c.gcap, ${gramsOf(s"($ws)")})) AS DOUBLE)
+       |           / len(c.gcap) AS score
+       |  FROM imgs p JOIN caps c ON c.cap_id = p.cap_id
+       |  WHERE len(c.gcap) >= 1),
+       |ranked AS (
+       |  SELECT img_id,
+       |         CAST(row_number() OVER (PARTITION BY fp ORDER BY score DESC, img_id) AS INT) AS rnk
+       |  FROM scored WHERE score >= 0.5)
+       |SELECT s.img_id, s.cap_id, s.n_hit, s.n_cap, s.score,
+       |       CASE WHEN s.score < 0.5 THEN 'dropped_misaligned'
+       |            WHEN r.rnk = 1 THEN 'admitted'
+       |            ELSE 'dup_loser' END AS status
+       |FROM scored s LEFT JOIN ranked r ON r.img_id = s.img_id
+       |ORDER BY s.img_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm10_pair_curation" -> (mm10PairCuration _),
     "mm9_scene_detect" -> (mm9SceneDetect _),
     "mm8_audio_dedup" -> (mm8AudioDedup _),
     "mm5_audio_windows" -> (mm5AudioWindows _),
@@ -858,6 +972,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm10_pair_curation" -> mm10Oracle,
     "mm9_scene_detect" -> mm9Oracle,
     "mm8_audio_dedup" -> mm8Oracle,
     "mm7_image_dedup" -> mm7Oracle,

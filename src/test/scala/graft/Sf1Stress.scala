@@ -44,6 +44,7 @@ object Sf1Stress {
       // segmentation, incremental index maintenance (fixed batch)
       "d13_substring_dedup", "s15_filtered_ann", "s16_hybrid_rrf",
       "mm9_scene_detect", "p9_index_maint", "s17_stream_index",
+      "mm10_pair_curation",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {

@@ -143,4 +143,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byDoc.values.exists(_.length >= 3),
       "multi-shot videos must segment into multiple scenes")
   }
+
+  test("mm10: misaligned captions drop, pixel-dup images elect one survivor") {
+    val rows = Multimodal.queries("mm10_pair_curation")(spark, sf).collect()
+    val by = rows.groupBy(_.getAs[String]("status"))
+    // every planted caption swap must be caught (the 4-gram containment
+    // of a true caption is 1.0 by construction; a far doc's caption
+    // shares no 4-word run with the image content)
+    val mis = rows.filter(_.getAs[Long]("img_id") >= 2000000L)
+      .filter(_.getAs[Long]("img_id") < 4000000L)
+    assert(mis.nonEmpty && mis.forall(_.getAs[String]("status") == "dropped_misaligned"),
+      "planted caption swaps must all drop")
+    // every planted pixel re-ingest loses the per-fingerprint election
+    val dups = rows.filter(_.getAs[Long]("img_id") >= 4000000L)
+    assert(dups.nonEmpty && dups.forall(_.getAs[String]("status") == "dup_loser"),
+      "equal-caption re-ingests must lose to the lower id")
+    // the originals of those re-ingests stay admitted — dedup never
+    // removes the whole group
+    val dupOrig = dups.map(_.getAs[Long]("img_id") - 4000000L).toSet
+    assert(rows.filter(r => dupOrig(r.getAs[Long]("img_id")))
+      .forall(_.getAs[String]("status") == "admitted"))
+    // alignment arithmetic: score is exactly n_hit / n_cap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") ==
+        r.getAs[Int]("n_hit").toDouble / r.getAs[Int]("n_cap"))
+    }
+    assert(by.contains("admitted") && by("admitted").nonEmpty)
+  }
 }

@@ -574,6 +574,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "cell rollups must combine map-side before their exchange")
   }
 
+  test("mm10: pair curation is keyed end-to-end — caption join, fp election, id status join") {
+    val plan = formatted("mm10_pair_curation")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair curation must never go pairwise")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.forall(h => h.contains("hashpartitioning(cap_id") ||
+      h.contains("hashpartitioning(fp") ||
+      h.contains("hashpartitioning(img_id")),
+      s"exchanges must key on cap_id/fp/img_id only:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("text") || h.contains("gi#") ||
+      h.contains("gcap")),
+      "raw text and gram arrays must never ride an exchange key")
+  }
+
   test("cdc_time_travel: the AS OF predicate reaches the state scan as a pushed filter") {
     // "read yesterday's state" must cost one PRUNED scan: pos <= asOf
     // evaluated by the parquet reader (row-group stats skip newer
