@@ -71,11 +71,15 @@ object Bench {
     val nDeep =
       if (extraReps <= 0) 0
       else math.max(1, raw.size / 10)
-    if (nDeep > 0) {
+    // nDeepened = queries ACTUALLY rerun (can fall short of the nDeep
+    // target when fewer than nDeep queries produced any timing) — the
+    // emitted count must describe sampling that really happened
+    val nDeepened = if (nDeep > 0) {
       val deepTargets = raw.toSeq.filter(_._2.nonEmpty)
         .sortBy { case (_, ts) => -medianOf(ts) }.take(nDeep).map(_._1)
       deepTargets.foreach { name => raw(name) = raw(name) ++ runReps(name, extraReps) }
-    }
+      deepTargets.size
+    } else 0
     val results = raw.map { case (name, ts) => name -> medianOf(ts) }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -106,7 +110,7 @@ object Bench {
     val timed = results.filter { case (_, v) => v >= 0 }
     val (flaky, hardErrors) = errors.partition { case (k, _) => timed.contains(k) }
     def record(qs: String, omitted: Int, errs: String, flk: String): String =
-      f"""{"metric":"total","unit":"sec","reps":$reps,"extra_reps":$extraReps,"deepened":$nDeep,"sf":"$sfDir","n_queries":${results.size},"n_errors":${hardErrors.size},"n_flaky":${flaky.size},"queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errs,"flaky":$flk,"value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","reps":$reps,"extra_reps":$extraReps,"deepened":$nDeepened,"sf":"$sfDir","n_queries":${results.size},"n_errors":${hardErrors.size},"n_flaky":${flaky.size},"queries":$qs,"queries_unit":"ms","queries_omitted":$omitted,"full":"BENCH_full_latest.json","errors":$errs,"flaky":$flk,"value":$total%.3f}"""
     // The driver keeps only a ~2000-char TAIL of stdout and JSON-parses
     // it: 130 per-query timings overflow that window and truncate the
     // line's HEAD, making the whole line unparseable (round 8's

@@ -202,8 +202,7 @@ object AggMaintenance {
     touched.filterNot(present).foreach { b =>
       val dir = java.nio.file.Paths.get(rollupDir, s"rbucket=$b")
       if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        graft.Fs.walkSeq(dir)
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.delete)
       }

@@ -183,8 +183,7 @@ object CdcPipeline {
     touched.filterNot(present).foreach { b =>
       val dir = java.nio.file.Paths.get(stateDir, s"$bucketCol=$b")
       if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        graft.Fs.walkSeq(dir)
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.delete)
       }
@@ -660,18 +659,17 @@ object CdcPipeline {
     * state data touched (same local-FS seam as the sidecars).
     */
   private[cdc] def bucketFileStats(stateDir: String): Seq[(Int, Int, Long)] = {
-    import scala.jdk.CollectionConverters._
     val base = java.nio.file.Paths.get(stateDir)
     if (!java.nio.file.Files.exists(base)) Seq.empty
-    else java.nio.file.Files.list(base).iterator().asScala
+    else graft.Fs.listDir(base)
       .filter(p => p.getFileName.toString.startsWith(s"$bucketCol="))
       .map { p =>
         val b = p.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
-        val files = java.nio.file.Files.list(p).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        val files = graft.Fs.listDir(p)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
         (b, files.size, files.map(java.nio.file.Files.size).sum)
       }
-      .toSeq.sortBy(_._1)
+      .sortBy(_._1)
   }
 
   /** Per-bucket health of the state table: file count, bytes, and —

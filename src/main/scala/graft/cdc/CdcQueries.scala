@@ -30,14 +30,7 @@ object CdcQueries {
       p
     }
     private def delete(p: java.nio.file.Path): Unit =
-      try {
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach { q =>
-            try java.nio.file.Files.delete(q)
-            catch { case _: Throwable => () }
-          }
-      } catch { case _: Throwable => () }
+      graft.Fs.deleteRecursively(p)
     def dir(prefix: String): String =
       java.nio.file.Files.createTempDirectory(root, prefix).toString
     private val built =

@@ -22,6 +22,17 @@ trait VectorBinaryExpression extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  /** These expressions return NULL for value-level conditions the
+    * planner cannot see (length mismatch, null element, zero norm),
+    * so they are nullable even when every child is non-nullable —
+    * without this override, all-non-nullable children would mark the
+    * expression non-nullable while nullSafeCodeGen still assigns
+    * `ev.isNull = true` (a literal `false = true;` that fails codegen
+    * compile), and the interpreted fallback would then hand a NULL to
+    * a schema that declares none.
+    */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -216,6 +227,12 @@ case class CodebookScores(first: Expression, second: Expression, third: Expressi
 
   override def prettyName: String = "codebook_scores"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  /** NULL on value-level conditions (null q element, centroid length
+    * mismatch) — nullable regardless of child nullability, same
+    * rationale as [[VectorBinaryExpression.nullable]].
+    */
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def qOk(dt: DataType): Boolean = dt match {

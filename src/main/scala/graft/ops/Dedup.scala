@@ -374,13 +374,7 @@ object Dedup {
   private def d12StreamDedup(s: SparkSession, d: String): DataFrame = {
     val idx = java.nio.file.Files.createTempDirectory("graft-d12-idx-")
     try d12StreamDedupWithIndex(s, d, idx.toString)
-    finally
-      try {
-        java.nio.file.Files.walk(idx)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try java.nio.file.Files.delete(p)
-          catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+    finally graft.Fs.deleteRecursively(idx)
   }
 
   /** d12 with the standing index rooted at `idxDir` — the d8 parquet
@@ -466,13 +460,7 @@ object Dedup {
       }
       input.addData(wave1.toSeq); drainWave()
       input.addData(wave2.toSeq); drainWave()
-    } finally
-      try {
-        java.nio.file.Files.walk(ckpt)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try java.nio.file.Files.delete(p)
-          catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+    } finally graft.Fs.deleteRecursively(ckpt)
     require(nWaves == 2,
       s"delivery waves must arrive as separate micro-batches, got $nWaves")
     import s.implicits._

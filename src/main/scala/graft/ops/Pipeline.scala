@@ -491,17 +491,15 @@ object Pipeline {
       def spoolWave(df: DataFrame, fname: String, mtimeMs: Long): Unit = {
         val stage = spool.resolve(fname + ".stage")
         df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = java.nio.file.Files.list(stage)
-          .filter(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val part = graft.Fs.listDir(stage)
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).get
         java.nio.file.Files.move(part, spool.resolve(fname))
         // mtime orders the file source's processing: wave 1 strictly first
         java.nio.file.Files.setLastModifiedTime(spool.resolve(fname),
           java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
         // drop the staging dir so the source only ever lists wave files
-        java.nio.file.Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+        graft.Fs.deleteRecursively(stage)
       }
       val t0 = System.currentTimeMillis()
       spoolWave(wave1, "wave1.parquet", t0 - 60000L)
@@ -531,13 +529,7 @@ object Pipeline {
       // memory sink rows are already materialized; pin them so the
       // returned frame outlives the spool cleanup below
       cs.table(name).orderBy("w_us", "source").localCheckpoint(true)
-    } finally
-      try {
-        java.nio.file.Files.walk(spool)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try java.nio.file.Files.delete(p)
-          catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+    } finally graft.Fs.deleteRecursively(spool)
   }
 
   private val p6Oracle: String = {

@@ -1743,13 +1743,7 @@ object Similarity {
   private def s17StreamIndex(s: SparkSession, d: String): DataFrame = {
     val idx = java.nio.file.Files.createTempDirectory("graft-s17-idx-")
     try s17StreamIndexWithDir(s, d, idx.toString)
-    finally
-      try {
-        java.nio.file.Files.walk(idx)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try java.nio.file.Files.delete(p)
-          catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+    finally graft.Fs.deleteRecursively(idx)
   }
 
   private[graft] def s17StreamIndexWithDir(
@@ -1813,13 +1807,7 @@ object Similarity {
       }
       input.addData(wave1); drainWave(); searchTop(1)
       input.addData(wave2); drainWave(); searchTop(2)
-    } finally
-      try {
-        java.nio.file.Files.walk(ckpt)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try java.nio.file.Files.delete(p)
-          catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+    } finally graft.Fs.deleteRecursively(ckpt)
     import s.implicits._
     snaps.toSeq.toDF("wave", "qid", "vec_id", "cell", "cos", "rnk")
       .orderBy("wave", "rnk")

@@ -258,13 +258,7 @@ class DedupSpec extends AnyFunSuite {
       assert(rows2.exists(r => r.getAs[Long]("new_id") == 7000000L &&
         r.getAs[Long]("matched_id") == 7000000L),
         "wave-2 appends did not survive the session restart")
-    } finally
-      try {
-        java.nio.file.Files.walk(idx)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => try java.nio.file.Files.delete(p)
-          catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+    } finally graft.Fs.deleteRecursively(idx)
   }
 
   test("d13: the planted quote marks one island on every carrier, at any alignment") {

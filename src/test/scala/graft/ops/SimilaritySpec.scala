@@ -514,12 +514,7 @@ class SimilaritySpec extends AnyFunSuite {
       assert(again.filter(_.getAs[Int]("wave") == 1)
         .exists(_.getAs[Long]("vec_id") == 9000000L),
         "a restarted session must probe the index grown by the previous one")
-    } finally {
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => try java.nio.file.Files.delete(f)
-        catch { case _: Throwable => () })
-    }
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("s14: the kNN auto-label evaluation covers the sample and its arithmetic is exact") {
