@@ -386,6 +386,85 @@ object CdcQueries {
       |        - n_present > 0
       |ORDER BY blk""".stripMargin
 
+  // ---- cdc_chunk_checksum: source-vs-replica sync validation --------------
+
+  /** The validation pass every CDC deployment runs AFTER a sync (the
+    * pt-table-checksum pattern): prove the replica equals the source
+    * without shipping rows. Both sides are chunked on the primary key
+    * (the #6 chunking reused as a verification partition), and each
+    * chunk is summarized by its row count plus an ORDER-INDEPENDENT
+    * aggregate checksum — the sum of per-row digests (md5 of the
+    * pipe-joined row image, folded to an integer by the shared
+    * base-31 polynomial) — so comparing two tables costs one small
+    * row per chunk, not a row-level join. Bandwidth at 100 TB is
+    * ∝ chunks; a mismatched chunk (and only it) is then re-synced or
+    * drilled into — which is why the output is the per-chunk panel,
+    * not one boolean.
+    *
+    * The replica is the source with PLANTED drift (rows dropped at
+    * `pk % 125 = 124`, a row image corrupted at `pk % 111 = 37` —
+    * both classes present at every harness sf), so the audit
+    * provably catches both failure classes: a count mismatch (lost
+    * delete/insert) and a count-equal checksum mismatch (corrupted
+    * update), while clean chunks still verify. The double column enters the digest as an exact integer
+    * (`floor(x*100)`) because cross-engine double→string formatting
+    * is not a contract; integer formatting is.
+    *
+    * Scale shape: two scans, each into one map-side-combinable
+    * groupBy on the chunk id, then a full-outer join of two
+    * chunk-count-sized frames. No row ever crosses the network.
+    */
+  private def cdcChunkChecksum(s: SparkSession, d: String): DataFrame = {
+    def chunked(df: DataFrame): DataFrame = df
+      .withColumn("h", md5(concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"), expr("CAST(floor(c_acctbal * 100) AS BIGINT)"),
+        col("c_mktsegment"))))
+      .withColumn("dig", expr(graft.ops.Text.polyHashSql("h", 8)))
+      .groupBy(expr("c_custkey DIV 50").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("dig")).as("csum"))
+    val src = chunked(Tables.customer(s, d))
+      .select(col("chunk_id"), col("n_rows").as("src_rows"), col("csum").as("src_sum"))
+    val replica = Tables.customer(s, d)
+      .filter(col("c_custkey") % 125 =!= 124)
+      .withColumn("c_name",
+        when(col("c_custkey") % 111 === 37, concat(col("c_name"), lit("X")))
+          .otherwise(col("c_name")))
+    val dst = chunked(replica)
+      .select(col("chunk_id"), col("n_rows").as("dst_rows"), col("csum").as("dst_sum"))
+    src.join(dst, Seq("chunk_id"), "full_outer")
+      .withColumn("chunk_match",
+        (col("src_rows").isNotNull && col("dst_rows").isNotNull &&
+          col("src_rows") === col("dst_rows") &&
+          col("src_sum") === col("dst_sum")).cast("int"))
+      .na.fill(0L, Seq("src_rows", "src_sum", "dst_rows", "dst_sum"))
+      .orderBy("chunk_id")
+  }
+
+  private val cdcChunkChecksumOracle: String = {
+    val digest = graft.ops.Text.polyHashSql("h", 8)
+    def chunked(rel: String) =
+      s"""SELECT chunk_id, count(*) AS n_rows, CAST(sum($digest) AS BIGINT) AS csum
+         |  FROM (SELECT c_custkey // 50 AS chunk_id,
+         |               md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+         |                   CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment)) AS h
+         |        FROM $rel)
+         |  GROUP BY chunk_id""".stripMargin
+    s"""WITH replica AS (
+       |  SELECT c_custkey,
+       |         CASE WHEN c_custkey % 111 = 37 THEN c_name || 'X' ELSE c_name END AS c_name,
+       |         c_nationkey, c_acctbal, c_mktsegment
+       |  FROM customer WHERE c_custkey % 125 <> 124),
+       |src AS (${chunked("customer")}),
+       |dst AS (${chunked("replica")})
+       |SELECT coalesce(s.chunk_id, d.chunk_id) AS chunk_id,
+       |       coalesce(s.n_rows, 0) AS src_rows, coalesce(s.csum, 0) AS src_sum,
+       |       coalesce(d.n_rows, 0) AS dst_rows, coalesce(d.csum, 0) AS dst_sum,
+       |       CAST(s.n_rows IS NOT NULL AND d.n_rows IS NOT NULL
+       |            AND s.n_rows = d.n_rows AND s.csum = d.csum AS INT) AS chunk_match
+       |FROM src s FULL JOIN dst d ON s.chunk_id = d.chunk_id
+       |ORDER BY chunk_id""".stripMargin
+  }
+
   // ---- cdc_history_state: bounded version history (SCD-2 flavor) ----------
 
   /** The audit flavor of materialization: latest-wins keeps N=1
@@ -1875,6 +1954,7 @@ object CdcQueries {
     "cdc_evolve_state" -> (cdcEvolveState _),
     "cdc_history_state" -> (cdcHistoryState _),
     "cdc_gap_audit" -> (cdcGapAudit _),
+    "cdc_chunk_checksum" -> (cdcChunkChecksum _),
     "cdc_snapshot" -> (cdcSnapshot _),
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
@@ -1913,6 +1993,7 @@ object CdcQueries {
     "cdc_evolve_state" -> cdcEvolveStateOracle,
     "cdc_history_state" -> cdcHistoryStateOracle,
     "cdc_gap_audit" -> cdcGapAuditOracle,
+    "cdc_chunk_checksum" -> cdcChunkChecksumOracle,
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,

@@ -937,7 +937,93 @@ object Multimodal {
        |ORDER BY s.img_id""".stripMargin
   }
 
+  // ---- mm11: interleaved image-text sequence assembly ----------------------
+
+  /** The MMC4/OBELICS assembly step — the last transform before a
+    * multimodal training run: each document becomes ONE ordered
+    * sequence of segments, text chunks interleaved with image
+    * placeholders, with per-segment token costs and cumulative
+    * offsets (what the packer/loader consumes). Text is cut into
+    * 8-word chunks (t29's idiom); a document's image (the separate
+    * asset store contributes it via a doc_id equi-join — only
+    * `doc_id % 3 = 0` docs have one) is spliced at the deterministic
+    * slot `doc_id % (n_chunks + 1)`, shifting later chunks by one.
+    * An image costs a fixed 576 tokens — the ViT patch-token count a
+    * vision encoder bills per image — so `offset` prices the real
+    * context-window budget, which is the number packing decisions are
+    * made on.
+    *
+    * Scale shape: one equi-join on doc_id (co-partitioned key both
+    * sides — at 100 TB both stores bucket by doc_id and the join is
+    * shuffle-free), a row-local chunk explode, and the per-doc
+    * running-offset window partitioned by doc_id — no global sort, no
+    * wide exchange; segment payloads travel as md5 digests.
+    */
+  private def mm11Interleave(s: SparkSession, d: String): DataFrame = {
+    val imgs = assets(s, d).toDF().filter(col("modality") === "image")
+      .select(col("doc_id"), lit(1).as("is_img"))
+    val docs = Tables.documents(s, d)
+      .withColumn("ws", Text.wordsCol(col("text")))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_chunks", expr("CAST((n_words + 7) DIV 8 AS INT)"))
+      .join(imgs, Seq("doc_id"), "left")
+      .withColumn("img_pos",
+        when(col("is_img").isNotNull,
+          (col("doc_id") % (col("n_chunks") + 1)).cast("int")).otherwise(lit(-1)))
+    val textSegs = docs
+      .select(col("doc_id"), col("ws"), col("img_pos"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        (col("chunk_id") + when(col("chunk_id") >= col("img_pos") && col("img_pos") >= 0, 1)
+          .otherwise(0)).cast("int").as("seq"),
+        lit("text").as("kind"),
+        expr("size(slice(ws, chunk_id * 8 + 1, 8))").as("n_tokens"),
+        md5(expr("array_join(slice(ws, chunk_id * 8 + 1, 8), ' ')")).as("seg_md5"))
+    val imgSegs = docs.filter(col("img_pos") >= 0)
+      .select(col("doc_id"), col("img_pos").as("seq"), lit("image").as("kind"),
+        lit(576).as("n_tokens"), md5(col("text")).as("seg_md5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("seq"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    textSegs.unionByName(imgSegs)
+      .withColumn("tok_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .orderBy("doc_id", "seq")
+  }
+
+  private val mm11Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH d2 AS (
+       |  SELECT doc_id, text, ws, CAST(len(ws) AS INT) AS n_words,
+       |         CAST((len(ws) + 7) // 8 AS INT) AS n_chunks
+       |  FROM (SELECT doc_id, text, $ws AS ws FROM documents)),
+       |d3 AS (
+       |  SELECT *, CASE WHEN doc_id % 3 = 0
+       |                 THEN CAST(doc_id % (n_chunks + 1) AS INT)
+       |                 ELSE -1 END AS img_pos
+       |  FROM d2),
+       |tsegs AS (
+       |  SELECT doc_id,
+       |         CAST(c + CASE WHEN c >= img_pos AND img_pos >= 0 THEN 1 ELSE 0 END AS INT) AS seq,
+       |         'text' AS kind,
+       |         CAST(len(list_slice(ws, c * 8 + 1, c * 8 + 8)) AS INT) AS n_tokens,
+       |         md5(array_to_string(list_slice(ws, c * 8 + 1, c * 8 + 8), ' ')) AS seg_md5
+       |  FROM (SELECT doc_id, ws, img_pos,
+       |               unnest(generate_series(0, n_chunks - 1)) AS c
+       |        FROM d3)),
+       |isegs AS (
+       |  SELECT doc_id, img_pos AS seq, 'image' AS kind,
+       |         CAST(576 AS INT) AS n_tokens, md5(text) AS seg_md5
+       |  FROM d3 WHERE img_pos >= 0),
+       |segs AS (SELECT * FROM tsegs UNION ALL SELECT * FROM isegs)
+       |SELECT doc_id, seq, kind, n_tokens, seg_md5,
+       |       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY seq
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_off
+       |FROM segs ORDER BY doc_id, seq""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm11_interleave" -> (mm11Interleave _),
     "mm10_pair_curation" -> (mm10PairCuration _),
     "mm9_scene_detect" -> (mm9SceneDetect _),
     "mm8_audio_dedup" -> (mm8AudioDedup _),
@@ -972,6 +1058,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm11_interleave" -> mm11Oracle,
     "mm10_pair_curation" -> mm10Oracle,
     "mm9_scene_detect" -> mm9Oracle,
     "mm8_audio_dedup" -> mm8Oracle,

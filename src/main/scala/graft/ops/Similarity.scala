@@ -1862,7 +1862,123 @@ object Similarity {
        |ORDER BY wave, rnk""".stripMargin
   }
 
+  // ---- s18: binary-sketch Hamming search (sign random projection) ----------
+
+  /** The fourth index family of the ANN toolbox — BINARY sketches
+    * (FAISS `IndexBinaryFlat` read path), completing LSH buckets
+    * (s2/s3: signature EQUALITY), IVF cells (s4/s11), and PQ codes
+    * (s9): every vector compresses to 64 sign bits of the s2
+    * hyperplane family, packed into two BIGINT words, and candidates
+    * are RANKED by Hamming distance — `bit_count(xor)` per word, the
+    * cheapest distance there is (two xors + two popcounts vs 64
+    * multiply-adds), which is why binary sketches are the standard
+    * first funnel stage when even PQ lookup tables are too hot.
+    * Ranking (not bucket equality) is what s2 cannot express: every
+    * corpus vector gets a comparable coarse score, so recall degrades
+    * gracefully instead of cliff-dropping when a neighbour lands one
+    * bucket over. The Hamming top-20 shortlist is then reranked by
+    * exact cosine (top-5) — the s11/p5 refine idiom.
+    *
+    * Scale shape: signatures are one scan projection (64 codegen'd
+    * dots against constant plane literals — at 100 TB the sketch is
+    * computed once at ingest and STORED, 16 bytes/vector, and search
+    * scans sketches only); the 5-row query side broadcasts (s1
+    * shape); the exchanges are the two per-qid top-k windows, which
+    * carry `(qid, vec_id, ham)` integers — no arrays. The rerank
+    * fetches full vectors for 20 rows/query via a broadcast lookup.
+    *
+    * Determinism: dots are exact-integer doubles (the bucketed
+    * contract), sign bits and Hamming counts are exact integers, and
+    * the rerank cosine is s1's proven expression shape — bit-identical
+    * in DuckDB (`^` spelled `xor()` there; same values).
+    */
+  private def s18Hamming(s: SparkSession, d: String): DataFrame = {
+    def packExpr(lows: Range): String = lows
+      .map(j => s"(CASE WHEN hdot$j > 0 THEN CAST(${1L << (j % 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val base = vecs(s, d).withColumn("hq",
+      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))"))
+    // all 64 plane dots in ONE select (a withColumn fold would nest 64
+    // Projects), packed, then localCheckpoint: the signature table is
+    // read by three legs (corpus side, query side, rerank vector
+    // fetch) and must be computed once — this IS the stored binary
+    // index; recomputing it per leg is what made the first cut the
+    // bench tail (the mm7/mm8 fingerprint lesson).
+    val dotCols = (0 until 64).map { j =>
+      val plane = typedlit((0 until 64).map { i =>
+        (((j * 64L + i) * 2654435761L) % 1000003L - 500001L).toDouble
+      })
+      VectorFunctions.dot_product(col("hq"), plane).as(s"hdot$j")
+    }
+    val sigs = base
+      .select(col("vec_id") +: col("v") +: dotCols: _*)
+      .select(col("vec_id"), col("v"),
+        expr(packExpr(0 until 32)).as("lo"), expr(packExpr(32 until 64)).as("hi"))
+      .localCheckpoint(true)
+    val qs = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val wHam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+    val short = sigs.filter(col("vec_id") >= 5).drop("v")
+      .join(broadcast(qs))
+      .withColumn("ham", expr("CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS INT)"))
+      .withColumn("hr", row_number().over(wHam)).filter(col("hr") <= 20)
+      .select("qid", "vec_id", "ham")
+    val qv = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    sigs.filter(col("vec_id") >= 5).select("vec_id", "v")
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("ham"),
+        VectorFunctions.cosine_similarity(col("v"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
+  private val s18Oracle: String = {
+    val dots = (0 until 64)
+      .map(j => s"""list_sum(list_transform(generate_series(0, 63),
+                   |           i -> hq[i+1] * ((($j*64 + i) * 2654435761) % 1000003 - 500001))) AS hdot$j""".stripMargin)
+      .mkString(",\n         ")
+    def pack(lows: Range): String = lows
+      .map(j => s"(CASE WHEN hdot$j > 0 THEN CAST(${1L << (j % 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dotted AS (
+       |  SELECT vec_id, v,
+       |         $dots
+       |  FROM (SELECT vec_id, v,
+       |               list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS hq
+       |        FROM base)),
+       |sigs AS (
+       |  SELECT vec_id, v, ${pack(0 until 32)} AS lo, ${pack(32 until 64)} AS hi
+       |  FROM dotted),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |         CAST(bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)) AS INT) AS ham
+       |  FROM sigs c, sigs q WHERE q.vec_id < 5 AND c.vec_id >= 5),
+       |short AS (
+       |  SELECT qid, vec_id, ham FROM (
+       |    SELECT qid, vec_id, ham,
+       |           row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hr
+       |    FROM cand) WHERE hr <= 20),
+       |scored AS (
+       |  SELECT s.qid, s.vec_id, s.ham, list_cosine_similarity(b.v, qb.v) AS cos
+       |  FROM short s
+       |  JOIN base b ON b.vec_id = s.vec_id
+       |  JOIN base qb ON qb.vec_id = s.qid)
+       |SELECT qid, vec_id, ham, cos, rnk FROM (
+       |  SELECT qid, vec_id, ham, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_hamming" -> (s18Hamming _),
     "s17_stream_index" -> (s17StreamIndex _),
     "s15_filtered_ann" -> (s15FilteredAnn _),
     "s16_hybrid_rrf" -> (s16HybridRrf _),
@@ -1883,6 +1999,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s18_hamming" -> s18Oracle,
     "s17_stream_index" -> s17Oracle,
     "s15_filtered_ann" -> s15Oracle,
     "s16_hybrid_rrf" -> s16Oracle,

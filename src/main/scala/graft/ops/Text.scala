@@ -625,7 +625,125 @@ object Text {
        |FROM perdoc CROSS JOIN bc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t36: Gopher-rules filter panel --------------------------------------
+
+  /** The published Gopher document-quality rule set (Rae et al. 2021
+    * §A1.1) as a per-rule flag panel — the complement of t21's single
+    * composite score: a curation run wants to know WHICH rule dropped
+    * a document (to tune thresholds per source), so every rule emits
+    * its measured ratio and its own pass flag, and `keep` is their
+    * conjunction. The harness corpus is flat word soup, so the
+    * structural features the rules measure are PLANTED
+    * deterministically per doc_id (the t28 pattern — both engines
+    * build identical inputs): lines are 10-word chunks; docs with
+    * `doc_id % 7 = 0` are fully bulleted (else every (i+doc_id)%3=0
+    * line); docs with `doc_id % 11 = 0` end every line in an ellipsis
+    * (else every (i+doc_id)%4=1 line); `(doc_id % 4) * 8` non-alpha
+    * `###` tokens are appended. Rules: word count ≥ 20, mean word
+    * length in [3,10], symbol-to-word ratio ≤ 0.1, bullet-line ratio
+    * ≤ 0.9, ellipsis-line ratio ≤ 0.3, alphabetic-word ratio ≥ 0.8,
+    * ≥ 2 stopwords.
+    *
+    * Scale shape: row-local arithmetic over one scan (line-pattern
+    * counts are lambda filters over a tiny per-doc index range — no
+    * explode, no join, no shuffle at all before the output sort).
+    * Determinism: exact integers + IEEE divisions with the identical
+    * expression shape on both sides (the repo contract).
+    */
+  private def t36GopherRules(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .withColumn("ws", wordsCol(col("text")))
+      .select(
+        col("doc_id"),
+        length(trim(col("text"))).as("n_chars_m"),
+        size(col("ws")).as("n_words"),
+        size(filter(col("ws"),
+          w => w.isin("the", "a", "data", "value", "table"))).as("n_stop")
+      )
+      .withColumn("n_extra", ((col("doc_id") % 4) * 8).cast("int"))
+      .withColumn("n_total", col("n_words") + col("n_extra"))
+      .withColumn("n_lines", expr("CAST((n_words + 9) DIV 10 AS INT)"))
+      .withColumn("n_bullet", expr(
+        """CASE WHEN doc_id % 7 = 0 THEN n_lines
+          |     ELSE size(filter(sequence(CAST(0 AS BIGINT), CAST(n_lines - 1 AS BIGINT)),
+          |                      i -> (i + doc_id) % 3 = 0)) END""".stripMargin))
+      .withColumn("n_ellip", expr(
+        """CASE WHEN doc_id % 11 = 0 THEN n_lines
+          |     ELSE size(filter(sequence(CAST(0 AS BIGINT), CAST(n_lines - 1 AS BIGINT)),
+          |                      i -> (i + doc_id) % 4 = 1)) END""".stripMargin))
+      .withColumn("mean_word_len",
+        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("symbol_ratio",
+        (col("n_extra") * 3).cast("double") / col("n_total"))
+      .withColumn("bullet_ratio", col("n_bullet").cast("double") / col("n_lines"))
+      .withColumn("ellip_ratio", col("n_ellip").cast("double") / col("n_lines"))
+      .withColumn("alpha_ratio", col("n_words").cast("double") / col("n_total"))
+      .withColumn("r_words", (col("n_total") >= 20).cast("int"))
+      .withColumn("r_wordlen",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("r_symbol", (col("symbol_ratio") <= 0.1).cast("int"))
+      .withColumn("r_bullet", (col("bullet_ratio") <= 0.9).cast("int"))
+      .withColumn("r_ellip", (col("ellip_ratio") <= 0.3).cast("int"))
+      .withColumn("r_alpha", (col("alpha_ratio") >= 0.8).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("keep",
+        (col("r_words") * col("r_wordlen") * col("r_symbol") * col("r_bullet")
+          * col("r_ellip") * col("r_alpha") * col("r_stop")).cast("int"))
+      .select("doc_id", "n_words", "n_extra", "n_lines", "n_stop",
+        "mean_word_len", "symbol_ratio", "bullet_ratio", "ellip_ratio",
+        "alpha_ratio", "r_words", "r_wordlen", "r_symbol", "r_bullet",
+        "r_ellip", "r_alpha", "r_stop", "keep")
+      .orderBy("doc_id")
+
+  private val t36Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH m AS (
+       |  SELECT doc_id, length(trim(text)) AS n_chars_m,
+       |         CAST(len($ws) AS INT) AS n_words,
+       |         CAST(len(list_filter($ws,
+       |              x -> x IN ('the','a','data','value','table'))) AS INT) AS n_stop
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, n_words, n_stop,
+       |         CAST((doc_id % 4) * 8 AS INT) AS n_extra,
+       |         CAST(n_words + (doc_id % 4) * 8 AS INT) AS n_total,
+       |         CAST((n_words + 9) // 10 AS INT) AS n_lines,
+       |         CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len
+       |  FROM m),
+       |r AS (
+       |  SELECT doc_id, n_words, n_extra, n_lines, n_stop, mean_word_len,
+       |         CAST(n_extra * 3 AS DOUBLE) / n_total AS symbol_ratio,
+       |         CAST(CASE WHEN doc_id % 7 = 0 THEN n_lines
+       |              ELSE len(list_filter(generate_series(0, CAST(n_lines - 1 AS BIGINT)),
+       |                       i -> (i + doc_id) % 3 = 0)) END AS DOUBLE)
+       |           / n_lines AS bullet_ratio,
+       |         CAST(CASE WHEN doc_id % 11 = 0 THEN n_lines
+       |              ELSE len(list_filter(generate_series(0, CAST(n_lines - 1 AS BIGINT)),
+       |                       i -> (i + doc_id) % 4 = 1)) END AS DOUBLE)
+       |           / n_lines AS ellip_ratio,
+       |         CAST(n_words AS DOUBLE) / n_total AS alpha_ratio,
+       |         CAST(n_total >= 20 AS INT) AS r_words
+       |  FROM g)
+       |SELECT doc_id, n_words, n_extra, n_lines, n_stop, mean_word_len,
+       |       symbol_ratio, bullet_ratio, ellip_ratio, alpha_ratio, r_words,
+       |       r_wordlen, r_symbol, r_bullet, r_ellip, r_alpha, r_stop,
+       |       CAST(r_words * r_wordlen * r_symbol * r_bullet
+       |            * r_ellip * r_alpha * r_stop AS INT) AS keep
+       |FROM (
+       |  SELECT *,
+       |         CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r_wordlen,
+       |         CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+       |         CAST(bullet_ratio <= 0.9 AS INT) AS r_bullet,
+       |         CAST(ellip_ratio <= 0.3 AS INT) AS r_ellip,
+       |         CAST(alpha_ratio >= 0.8 AS INT) AS r_alpha,
+       |         CAST(n_stop >= 2 AS INT) AS r_stop
+       |  FROM r)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_gopher_rules" -> (t36GopherRules _),
     "t35_boilerplate" -> (t35Boilerplate _),
     "t29_chunk" -> (t29Chunk _),
     "t27_repetition" -> (t27Repetition _),
@@ -850,6 +968,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t36_gopher_rules" -> t36Oracle,
     "t35_boilerplate" -> t35Oracle,
     "t33_token_mask" -> t33Oracle,
     "t32_bigram_lm" -> t32Oracle,

@@ -45,6 +45,11 @@ object Sf1Stress {
       "d13_substring_dedup", "s15_filtered_ann", "s16_hybrid_rrf",
       "mm9_scene_detect", "p9_index_maint", "s17_stream_index",
       "mm10_pair_curation",
+      // round-13 third batch: binary-sketch scan+funnel, row-local
+      // rule panel, chunk explode + per-doc windows, two-scan
+      // chunked validation — each should track the scan linearly
+      "s18_hamming", "t36_gopher_rules", "mm11_interleave",
+      "cdc_chunk_checksum",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
@@ -82,6 +87,16 @@ object Sf1Stress {
         events.columns.filterNot(_ == "event_id").map(col): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$to/events.parquet")
+    // customer: 10× under shifted contiguous keys — the chunked
+    // checksum validation scans this; its planted drift classes are
+    // modular in the key, so they recur across the derived range.
+    val cust = spark.read.parquet(s"$from/customer.parquet")
+    val nCust = cust.count()
+    cust.crossJoin(copies)
+      .select(Seq((col("c_custkey") + col("copy") * nCust).as("c_custkey")) ++
+        cust.columns.filterNot(_ == "c_custkey").map(col): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$to/customer.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -16,6 +16,33 @@ class CdcPipelineSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("chunk checksum flags exactly the drifted chunks, and each failure class shows its signature") {
+    val rows = CdcQueries.queries("cdc_chunk_checksum")(spark, sf).collect()
+    val maxPk = Tables.customer(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("c_custkey")).collect()(0).getLong(0)
+    // expected drift per chunk from the planted classes
+    val dropped = (0L to maxPk).filter(_ % 125 == 124).groupBy(_ / 50).view.mapValues(_.size)
+    val corrupted = (0L to maxPk).filter(_ % 111 == 37).map(_ / 50).toSet
+    assert(rows.length == (maxPk / 50 + 1).toInt, "every chunk gets a verdict row")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("chunk_id")
+      val countBroken = dropped.contains(c)
+      val sumBroken = countBroken || corrupted.contains(c)
+      assert(r.getAs[Int]("chunk_match") == (if (sumBroken) 0 else 1),
+        s"chunk $c: expected match=${!sumBroken}")
+      // a lost row shows as a count gap; a corrupted row keeps counts equal
+      assert(r.getAs[Long]("src_rows") - r.getAs[Long]("dst_rows") ==
+        dropped.getOrElse(c, 0).toLong, s"chunk $c: row-count drift must equal planted drops")
+      if (!countBroken && corrupted.contains(c))
+        assert(r.getAs[Long]("src_sum") != r.getAs[Long]("dst_sum"),
+          s"chunk $c: corruption must surface in the checksum when counts agree")
+    }
+    assert(rows.exists(_.getAs[Int]("chunk_match") == 1), "clean chunks must verify")
+    assert(rows.exists(r => r.getAs[Long]("src_rows") == r.getAs[Long]("dst_rows") &&
+      r.getAs[Int]("chunk_match") == 0),
+      "at least one corruption must be caught by checksum alone")
+  }
+
   test("feedStream constructs ahead of its producer — empty feed dir") {
     // A streaming source must be constructible BEFORE the producer
     // writes its first file (the reason streaming reads take an

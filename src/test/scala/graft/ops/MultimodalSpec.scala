@@ -170,4 +170,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(by.contains("admitted") && by("admitted").nonEmpty)
   }
+
+  test("mm11: sequences are dense, offsets price the context window, images splice at their slot") {
+    val rows = Multimodal.queries("mm11_interleave")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == graft.Tables.documents(spark, sf).count())
+    byDoc.foreach { case (id, segs) =>
+      val ordered = segs.sortBy(_.getAs[Int]("seq"))
+      // seq ids are dense 0..n-1 — the loader contract
+      assert(ordered.map(_.getAs[Int]("seq")).toSeq == (0 until segs.length),
+        s"doc $id: segment ids must be dense")
+      // offsets are exactly cumulative token costs
+      val offs = ordered.map(_.getAs[Long]("tok_off"))
+      val toks = ordered.map(_.getAs[Int]("n_tokens").toLong)
+      assert(offs.head == 0L)
+      offs.zip(toks).sliding(2).foreach {
+        case Array((o1, t1), (o2, _)) => assert(o2 == o1 + t1, s"doc $id: offset gap")
+        case _ =>
+      }
+      val imgs = segs.filter(_.getAs[String]("kind") == "image")
+      if (id % 3 == 0) {
+        assert(imgs.length == 1, s"doc $id: image docs carry exactly one image segment")
+        assert(imgs.head.getAs[Int]("n_tokens") == 576, "ViT patch-token cost")
+        val nChunks = segs.length - 1
+        assert(imgs.head.getAs[Int]("seq") == (id % (nChunks + 1)).toInt,
+          s"doc $id: image must splice at its deterministic slot")
+      } else assert(imgs.isEmpty, s"doc $id: text-only docs get no image segment")
+    }
+    // text token totals reproduce the word counts — nothing lost in chunking
+    val wordTotal = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(Text.wordsCol(
+          org.apache.spark.sql.functions.col("text"))))).collect()(0).getLong(0)
+    val textToks = rows.filter(_.getAs[String]("kind") == "text")
+      .map(_.getAs[Int]("n_tokens").toLong).sum
+    assert(textToks == wordTotal, "chunked text tokens must sum to the corpus word count")
+  }
 }

@@ -646,4 +646,24 @@ class PlanAuditSpec extends AnyFunSuite {
         "the already-recorded chunk 0 must not be rescanned")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("s18: binary search scans sketches — queries broadcast, exchanges carry qid integers only") {
+    // The binary index exists so search touches 16 bytes/vector: the
+    // signature pass must stay a scan projection, the 5-row query
+    // side must broadcast (never shuffle the corpus against it), and
+    // the only hash exchanges are the two per-qid top-k windows —
+    // carrying (qid, vec_id, ham) integers, never the vectors or the
+    // 64 dot columns.
+    val plan = formatted("s18_hamming")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the query signatures must broadcast under the corpus scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the corpus must not shuffle for the sketch or rerank joins")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("hashpartitioning(qid")),
+      s"only the qid windows may shuffle:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("hdot") || h.contains("v#")),
+      "dot columns and raw vectors must never key an exchange")
+  }
 }

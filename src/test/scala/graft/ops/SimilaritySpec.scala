@@ -517,6 +517,41 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("s18: Hamming funnel — sketch distance bounded, rerank exact, selection beats the corpus mean") {
+    val rows = Similarity.queries("s18_hamming")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Int]("rnk")).toSeq == (1 to 5))
+      val cs = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "rerank order must be exact-cosine descending")
+    }
+    assert(rows.forall(r => r.getAs[Int]("ham") >= 0 && r.getAs[Int]("ham") <= 64),
+      "64-bit signatures bound the Hamming distance")
+    // any hit shared with the exact brute-force top-10 carries the identical cosine
+    val brute = Similarity.queries("s1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos")).toMap
+    rows.foreach { r =>
+      brute.get((r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .foreach(c => assert(c == r.getAs[Double]("cos"), "shared hits must agree exactly"))
+    }
+    // the binary funnel must select better-than-random candidates:
+    // per query, the reranked mean cosine beats the corpus mean
+    import org.apache.spark.sql.functions._
+    val all = Similarity.corpus(spark, sf)
+    val qv = all.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val meanAll = all.filter(col("vec_id") >= 5).join(broadcast(qv))
+      .select(col("qid"),
+        graft.functions.VectorFunctions.cosine_similarity(col("v"), col("qv")).as("cos"))
+      .groupBy("qid").agg(avg("cos").as("mu")).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("mu")).toMap
+    byQ.foreach { case (q, rs) =>
+      val sel = rs.map(_.getAs[Double]("cos")).sum / rs.length
+      assert(sel > meanAll(q), s"query $q: funnel mean $sel must beat corpus mean ${meanAll(q)}")
+    }
+  }
+
   test("s14: the kNN auto-label evaluation covers the sample and its arithmetic is exact") {
     val rows = Similarity.queries("s14_knn_label")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("label")).distinct.length == rows.length,

@@ -83,4 +83,41 @@ class TextSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("n_segs")).sum
     assert(keep > 0.5, s"boilerplate threshold swallowed the corpus (keep=$keep)")
   }
+
+  test("t36: each Gopher rule fires on its planted class, and keep is the exact conjunction") {
+    val rows = Text.queries("t36_gopher_rules")(spark, sf).collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // planted structural classes must trip exactly their own rule
+      if (id % 7 == 0) {
+        assert(r.getAs[Double]("bullet_ratio") == 1.0, s"doc $id: fully-bulleted plant")
+        assert(r.getAs[Int]("r_bullet") == 0)
+      }
+      if (id % 11 == 0) {
+        assert(r.getAs[Double]("ellip_ratio") == 1.0, s"doc $id: all-ellipsis plant")
+        assert(r.getAs[Int]("r_ellip") == 0)
+      }
+      if (id % 4 == 0) {
+        // no planted symbols: the symbol and alpha rules must pass
+        assert(r.getAs[Int]("n_extra") == 0)
+        assert(r.getAs[Double]("symbol_ratio") == 0.0 && r.getAs[Int]("r_symbol") == 1)
+        assert(r.getAs[Double]("alpha_ratio") == 1.0 && r.getAs[Int]("r_alpha") == 1)
+      }
+      // keep is the conjunction of the seven flags, nothing else
+      val flags = Seq("r_words", "r_wordlen", "r_symbol", "r_bullet",
+        "r_ellip", "r_alpha", "r_stop").map(r.getAs[Int](_))
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getAs[Int]("keep") == flags.product,
+        s"doc $id: keep must be the exact conjunction")
+    }
+    // the panel discriminates: every rule passes somewhere, fails somewhere,
+    // and the conjunction keeps a nontrivial slice without keeping everything
+    Seq("r_symbol", "r_bullet", "r_ellip", "r_alpha").foreach { f =>
+      val passes = rows.count(_.getAs[Int](f) == 1)
+      assert(passes > 0 && passes < rows.length, s"rule $f never discriminates")
+    }
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length)
+  }
 }
