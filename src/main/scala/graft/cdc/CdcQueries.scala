@@ -891,6 +891,47 @@ object CdcQueries {
       |WHERE rn = 1 AND op <> 'delete'
       |GROUP BY 1 ORDER BY cohort""".stripMargin
 
+  // ---- cdc_topk_maint: incremental top-k view maintenance -----------------
+
+  /** [[TopkMaintenance]] driver-checked: the feed replays in two
+    * batches (median-pos split, per-key order preserved) and the
+    * maintained per-cohort top-3 must equal DuckDB's direct rank over
+    * latest-wins state. What's under test is the group-pruned refresh
+    * contract: rank views don't telescope (a delete can evict a row
+    * the view never buffered), so each batch re-ranks ONLY its
+    * touched cohorts from (pruned) state while untouched cohorts
+    * carry over — the spec plants a single-cohort second batch to
+    * prove the carry-over byte-exact.
+    */
+  private def cdcTopkMaint(s: SparkSession, d: String): DataFrame = {
+    val base = GateTmp.once("topkmaint", d) { base =>
+      val feed = ChangeFeed.fromEvents(Tables.events(s, d))
+        .select("pos", "pk", "op", "value")
+        .localCheckpoint(true) // one pass; both batches slice from it
+      val mid = feed.agg(expr("percentile_approx(pos, 0.5)")).collect()(0).getLong(0)
+      TopkMaintenance.applyBatch(s, base, feed.filter(col("pos") <= mid))
+      TopkMaintenance.applyBatch(s, base, feed.filter(col("pos") > mid))
+    }
+    TopkMaintenance.read(s, base)
+  }
+
+  private val cdcTopkMaintOracle: String =
+    """SELECT user_id % 10 AS cohort,
+      |       CAST(rnk AS INT) AS rnk, user_id, value
+      |FROM (
+      |  SELECT user_id, value,
+      |         row_number() OVER (PARTITION BY user_id % 10
+      |           ORDER BY value DESC, user_id) AS rnk
+      |  FROM (
+      |    SELECT user_id, value,
+      |           CASE WHEN event_type = 'signup' THEN 'insert'
+      |                WHEN event_type = 'error' THEN 'delete'
+      |                ELSE 'update' END AS op,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1 AND op <> 'delete')
+      |WHERE rnk <= 3 ORDER BY cohort, rnk""".stripMargin
+
   // ---- cdc_agg_moving: group-MOVING incremental maintenance ---------------
 
   /** The general IVM case ([[AggMaintenance.movingDeltas]]): the
@@ -1955,6 +1996,7 @@ object CdcQueries {
     "cdc_history_state" -> (cdcHistoryState _),
     "cdc_gap_audit" -> (cdcGapAudit _),
     "cdc_chunk_checksum" -> (cdcChunkChecksum _),
+    "cdc_topk_maint" -> (cdcTopkMaint _),
     "cdc_snapshot" -> (cdcSnapshot _),
     "cdc_snapshot_rows" -> (cdcSnapshotRows _),
     "cdc_gated_state" -> (cdcGatedState _),
@@ -1994,6 +2036,7 @@ object CdcQueries {
     "cdc_history_state" -> cdcHistoryStateOracle,
     "cdc_gap_audit" -> cdcGapAuditOracle,
     "cdc_chunk_checksum" -> cdcChunkChecksumOracle,
+    "cdc_topk_maint" -> cdcTopkMaintOracle,
     "cdc_snapshot_rows" -> cdcSnapshotRowsOracle,
     "cdc_gated_state" -> latestStateOracle,
     "cdc_mor_state" -> latestStateOracle,

@@ -1,0 +1,90 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental TOP-K view maintenance off the CDC feed — the
+  * leaderboard/serving complement of [[AggMaintenance]]: keep "top K
+  * rows per group" of the materialized state fresh per micro-batch.
+  *
+  * Top-k is NOT delta-telescoping the way sums are: a delete can
+  * evict a row that was never in the maintained view's buffer, so no
+  * per-event retraction arithmetic reconstructs rank K+1 from the
+  * view alone. The production-honest shape is GROUP-PRUNED
+  * recomputation (how engine materialized-view refresh actually
+  * handles rank views): a batch names the groups it touched —
+  * control-plane sized, the group key is low-cardinality by
+  * construction — and only THOSE groups re-rank from state, reading
+  * state partition-pruned on the group key; untouched groups' view
+  * rows carry over byte-identical. Per-batch cost is
+  * O(batch + touched-groups' state), never O(state).
+  *
+  * The state table itself is maintained latest-wins alongside (the
+  * flat read-modify-overwrite flavor; the data-sized layout is
+  * [[CdcPipeline]]'s bucketed COW, same discipline as the
+  * [[AggMaintenance]] rollups). Determinism: ranking is
+  * `(value DESC, pk)` — no ties possible, the oracle replays it
+  * exactly.
+  */
+object TopkMaintenance {
+
+  /** Rows kept per group. */
+  val K = 3
+
+  /** Group key: the [[AggMaintenance]] cohort (`pk % 10`). */
+  private def cohortOf(pk: org.apache.spark.sql.Column) = pmod(pk, lit(10))
+
+  /** Apply one ordered feed slice `(pos, pk, op, value)`: fold it
+    * latest-wins, merge into the state table, then re-rank ONLY the
+    * touched cohorts of the top-k view.
+    */
+  def applyBatch(spark: SparkSession, baseDir: String, batch: DataFrame): Unit = {
+    val stateDir = s"$baseDir/state"
+    val topkDir = s"$baseDir/topk"
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("pos").desc)
+    val last = batch
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select("pk", "pos", "op", "value")
+      .localCheckpoint(true) // feeds the state merge AND the touched list
+    val newState = (MetaTables.readIfExists(spark, stateDir) match {
+      case None => last.filter(col("op") =!= "delete").select("pk", "pos", "value")
+      case Some(st) =>
+        st.join(last.select("pk"), Seq("pk"), "left_anti")
+          .unionByName(last.filter(col("op") =!= "delete").select("pk", "pos", "value"))
+    }).localCheckpoint(true) // break lineage from the files the overwrite replaces
+    newState.coalesce(1).write.mode("overwrite").parquet(stateDir)
+    // touched cohorts: distinct over the batch — control-plane (≤10)
+    val touched = last.select(cohortOf(col("pk")).as("cohort"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty) return
+    // re-rank touched cohorts only, from the (pruned) state read — at
+    // scale the state table is partitioned on the cohort and this
+    // filter prunes the scan to the touched directories
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("value").desc, col("pk"))
+    val fresh = spark.read.parquet(stateDir)
+      .withColumn("cohort", cohortOf(col("pk")))
+      .filter(col("cohort").isin(touched.map(java.lang.Long.valueOf): _*))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= K)
+      .select("cohort", "rnk", "pk", "value")
+    val merged = MetaTables.readIfExists(spark, topkDir) match {
+      case None => fresh
+      case Some(old) =>
+        old.select("cohort", "rnk", "pk", "value")
+          .filter(!col("cohort").isin(touched.map(java.lang.Long.valueOf): _*))
+          .unionByName(fresh)
+    }
+    val out = merged.localCheckpoint(true)
+    out.coalesce(1).write.mode("overwrite").parquet(topkDir)
+  }
+
+  /** The maintained view, typed for output. */
+  def read(spark: SparkSession, baseDir: String): DataFrame =
+    MetaTables.readIfExists(spark, s"$baseDir/topk") match {
+      case None => spark.emptyDataFrame
+      case Some(df) => df
+        .select(col("cohort"), col("rnk"), col("pk").as("user_id"), col("value"))
+        .orderBy("cohort", "rnk")
+    }
+}

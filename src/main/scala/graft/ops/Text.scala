@@ -742,7 +742,72 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t37: vocabulary construction + OOV coverage -------------------------
+
+  /** Tokenizer-budget planning: build the top-K vocabulary by corpus
+    * frequency and measure what it covers — the analysis run before
+    * committing to a vocab size, and the per-doc out-of-vocabulary
+    * rate that flags documents a tokenizer would shred into bytes
+    * (high-OOV docs are disproportionately boilerplate, code, or
+    * wrong-language text, so `oov_rate` doubles as a quality signal).
+    * Vocab membership is decided by `(count DESC, word)` — fully
+    * deterministic, no RNG — and the corpus-level coverage (fraction
+    * of all tokens inside the vocab) rides every row as the headline
+    * number.
+    *
+    * Scale shape: one word-keyed count agg (map-side combinable — the
+    * t25 df shape), a top-K rank over the DISTINCT-WORD frame (single
+    * partition, but bounded by vocabulary size, not corpus size — the
+    * t34 decomposition argument; a web-scale run ranks a few million
+    * tiny (word, count) rows, not documents), then the vocab
+    * broadcasts back into a doc-keyed agg. Documents never shuffle;
+    * both exchanges lead with bounded keys.
+    */
+  private def t37VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+    val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    val vocab = counts
+      .withColumn("vr", row_number().over(wRank)).filter(col("vr") <= 16)
+      .select(col("w"), lit(1).as("in_v"))
+    val perDoc = words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+    val corpus = perDoc
+      .agg(sum("n_tokens").as("tot_tokens"), sum("n_oov").as("tot_oov"))
+      .select((lit(1.0) - col("tot_oov").cast("double") / col("tot_tokens"))
+        .as("coverage"))
+    perDoc.join(broadcast(corpus)).orderBy("doc_id")
+  }
+
+  private val t37Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH words AS (SELECT doc_id, unnest($ws) AS w FROM documents),
+       |counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS vr
+       |    FROM counts) WHERE vr <= 16),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM words wo LEFT JOIN vocab v ON wo.w = v.w
+       |  GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT CAST(1 AS DOUBLE) - CAST(sum(n_oov) AS DOUBLE) / sum(n_tokens) AS coverage
+       |  FROM perdoc)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_oov AS BIGINT) AS n_oov,
+       |       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate, coverage
+       |FROM perdoc CROSS JOIN corpus ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_vocab_coverage" -> (t37VocabCoverage _),
     "t36_gopher_rules" -> (t36GopherRules _),
     "t35_boilerplate" -> (t35Boilerplate _),
     "t29_chunk" -> (t29Chunk _),
@@ -968,6 +1033,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t37_vocab_coverage" -> t37Oracle,
     "t36_gopher_rules" -> t36Oracle,
     "t35_boilerplate" -> t35Oracle,
     "t33_token_mask" -> t33Oracle,

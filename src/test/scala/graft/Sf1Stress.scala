@@ -49,7 +49,7 @@ object Sf1Stress {
       // rule panel, chunk explode + per-doc windows, two-scan
       // chunked validation — each should track the scan linearly
       "s18_hamming", "t36_gopher_rules", "mm11_interleave",
-      "cdc_chunk_checksum",
+      "cdc_chunk_checksum", "cdc_topk_maint", "t37_vocab_coverage",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {

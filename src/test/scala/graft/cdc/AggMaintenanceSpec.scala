@@ -191,4 +191,34 @@ class AggMaintenanceSpec extends AnyFunSuite {
       .toMap == directWindows().updatedWith(ts("2024-01-03 00:00:00")) {
         case Some((n, s)) => Some((n + 1, s + 4.0)); case None => Some((1L, 4.0)) })
   }
+
+  test("top-k view: group-pruned refresh — eviction below the buffer, carry-over untouched") {
+    val dir = s"target/tmp/topkmaint-${System.nanoTime()}"
+    // cohort 1: four live keys (1,11,21,31) so rank 4 exists BELOW the
+    // maintained K=3 view; cohort 2: two live keys untouched later
+    val b1 = Seq(
+      (1L, 1L, "insert", 10.0), (2L, 11L, "insert", 9.0),
+      (3L, 21L, "insert", 8.0), (4L, 31L, "insert", 7.0),
+      (5L, 2L, "insert", 20.0), (6L, 12L, "insert", 19.0)
+    ).toDF("pos", "pk", "op", "value")
+    TopkMaintenance.applyBatch(spark, dir, b1)
+    def view() = TopkMaintenance.read(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+    assert(view().toSet == Set(
+      (1L, 1, 1L, 10.0), (1L, 2, 11L, 9.0), (1L, 3, 21L, 8.0),
+      (2L, 1, 2L, 20.0), (2L, 2, 12L, 19.0)))
+    // batch 2 touches ONLY cohort 1: delete the rank-1 row — the
+    // evicted slot must be refilled by pk 31, which the K=3 view
+    // never buffered (the reason rank views can't delta-telescope)
+    val before2 = view().filter(_._1 == 2L).toSet
+    TopkMaintenance.applyBatch(spark, dir,
+      Seq((7L, 1L, "delete", 0.0)).toDF("pos", "pk", "op", "value"))
+    val after = view()
+    assert(after.filter(_._1 == 1L).toSet == Set(
+      (1L, 1, 11L, 9.0), (1L, 2, 21L, 8.0), (1L, 3, 31L, 7.0)),
+      "the delete must pull rank 4 up from state, not leave a 2-row view")
+    assert(after.filter(_._1 == 2L).toSet == before2,
+      "untouched cohorts must carry over unchanged")
+  }
 }
