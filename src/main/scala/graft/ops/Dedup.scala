@@ -1138,7 +1138,125 @@ object Dedup {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // ---- d14: Bloom-gated decontamination -----------------------------------
+
+  /** d6's decontamination with the benchmark side compressed to a
+    * BLOOM FILTER — the shape that survives when the held-out suite
+    * outgrows a broadcastable exact gram set (d6 ships every 64-bit
+    * gram; the bloom ships a fixed bit array ~100× smaller at the
+    * same corpus-side cost). Two-stage funnel, no false negatives by
+    * construction: (1) every corpus gram probes the broadcast
+    * 1008-bit filter ROW-LOCALLY (two arithmetic positions per gram,
+    * two AND-masks — a scan filter, no join); (2) only the surviving
+    * candidates meet the exact gram set, so the equi-join input is
+    * the candidate set, not the corpus. `n_cand ≥ n_hits` per doc is
+    * the observable false-positive margin — the filter-sizing signal
+    * a production run tunes m by, and part of the checked result
+    * (the first cut shipped a 1008-bit filter that saturated at
+    * ~12k bench grams — 18,357 candidates for 78 true hits, a funnel
+    * that pruned nothing; 258k bits puts the measured FP back under
+    * 1% at sf0.01, and production scales m ∝ benchmark grams).
+    *
+    * The filter builds as a ≤16-row `bit_or` aggregate (order- and
+    * partition-insensitive, the sk2 posture) collected once —
+    * control-plane, exactly how a real run materializes the bloom
+    * beside the benchmark. All positions are integer arithmetic over
+    * the mod-P gram values, so the oracle rebuilds the identical
+    * filter in SQL.
+    */
+  private def d14BloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val mWords = 4096
+    val mBits = mWords * 63L // 63 usable bits per word (sign bit stays clear)
+    val grams = Tables
+      .documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions
+          .poly_grams(Text.wordsCol(col("text")), 13).as("g"))
+    val bench = grams.filter(col("doc_id") % 11 === 0)
+      .select(explode(col("g")).as("gram")).distinct()
+    // two deterministic positions per gram (the gram is already a
+    // mod-P hash; the second position re-mixes with the Knuth
+    // constant), each contributing one bit to one of 16 words
+    def posSql(e: String): (String, String) =
+      (s"($e % $mBits)", s"(($e * 2654435761 % $P) % $mBits)")
+    val (p1, p2) = posSql("gram")
+    val bloomRows = bench
+      .select(explode(array(expr(p1), expr(p2))).as("p"))
+      .select(expr("CAST(p DIV 63 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bw"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bloom = typedlit((0 until mWords).map(w => bloomRows.getOrElse(w, 0L)))
+    def probeSql(p: String): String =
+      s"(element_at(bl, CAST($p DIV 63 AS INT) + 1) & shiftleft(CAST(1 AS BIGINT), CAST($p % 63 AS INT))) != 0"
+    val probed = grams.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gram"))
+      .withColumn("bl", bloom)
+      .withColumn("cand", expr(s"${probeSql(p1)} AND ${probeSql(p2)}"))
+      .drop("bl")
+    // NOT checkpointed: both consumers re-derive from the scan — the
+    // exploded gram stream is corpus-sized, and pinning it in
+    // executor memory is the one thing a 100 TB run must not do;
+    // recomputing a scan projection twice is the cheaper side of
+    // that trade (d6's posture)
+    val hits = probed.filter(col("cand"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
+    probed
+      .groupBy("doc_id")
+      .agg(max(col("n_grams")).as("n_grams"),
+        countDistinct(when(col("cand"), col("gram"))).as("n_cand"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("contam", col("n_hits").cast("double") / col("n_grams"))
+      .select("doc_id", "n_grams", "n_cand", "n_hits", "contam")
+      .orderBy("doc_id")
+  }
+
+  private val d14Oracle: String = {
+    val ws = Text.wordsSql("text")
+    val p1 = "(gram % 258048)"
+    val p2 = s"((gram * 2654435761 % $P) % 258048)"
+    def probe(p: String) =
+      s"(bl[CAST($p // 63 AS INT) + 1] & (CAST(1 AS BIGINT) << CAST($p % 63 AS INT))) != 0"
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, greatest(len(hw)-12, 0)),
+       |           i -> ${gram13Sql(k => s"hw[i+$k]")})) AS g
+       |  FROM (SELECT doc_id, list_transform($ws, w -> ${Text.polyHashSql("w", 8)}) AS hw
+       |        FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 11 = 0),
+       |bpos AS (
+       |  SELECT p FROM (SELECT $p1 AS p FROM bench
+       |                 UNION ALL SELECT $p2 AS p FROM bench)),
+       |bwords AS (
+       |  SELECT CAST(p // 63 AS INT) AS w,
+       |         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bw
+       |  FROM bpos GROUP BY 1),
+       |bloom AS (
+       |  SELECT list(coalesce(bw, 0) ORDER BY i) AS bl
+       |  FROM generate_series(0, 4095) AS s(i) LEFT JOIN bwords ON bwords.w = s.i),
+       |corpus AS (
+       |  SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS gram
+       |  FROM g WHERE doc_id % 11 <> 0),
+       |probed AS (
+       |  SELECT doc_id, n_grams, gram,
+       |         (${probe(p1)}) AND (${probe(p2)}) AS cand
+       |  FROM corpus CROSS JOIN bloom),
+       |hits AS (
+       |  SELECT p.doc_id, count(DISTINCT p.gram) AS n_hits
+       |  FROM probed p JOIN bench b ON p.gram = b.gram
+       |  WHERE p.cand GROUP BY p.doc_id)
+       |SELECT p.doc_id, max(p.n_grams) AS n_grams,
+       |       CAST(count(DISTINCT CASE WHEN p.cand THEN p.gram END) AS BIGINT) AS n_cand,
+       |       CAST(coalesce(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(max(h.n_hits), 0) AS DOUBLE) / max(p.n_grams) AS contam
+       |FROM probed p LEFT JOIN hits h ON h.doc_id = p.doc_id
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_bloom_decontam" -> (d14BloomDecontam _),
     "d13_substring_dedup" -> (d13SubstringDedup _),
     "d11_semantic_dedup" -> (d11SemanticDedup _),
     "d5_intradoc_rep" -> (d5IntradocRep _),
@@ -1217,6 +1335,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d14_bloom_decontam" -> d14Oracle,
     "d13_substring_dedup" -> d13Oracle,
     "d11_semantic_dedup" -> d11Oracle,
     "d9_gram_coverage" -> d9Oracle,

@@ -1893,27 +1893,34 @@ object Similarity {
     * in DuckDB (`^` spelled `xor()` there; same values).
     */
   private def s18Hamming(s: SparkSession, d: String): DataFrame = {
-    def packExpr(lows: Range): String = lows
-      .map(j => s"(CASE WHEN hdot$j > 0 THEN CAST(${1L << (j % 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
-    val base = vecs(s, d).withColumn("hq",
-      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))"))
-    // all 64 plane dots in ONE select (a withColumn fold would nest 64
-    // Projects), packed, then localCheckpoint: the signature table is
-    // read by three legs (corpus side, query side, rerank vector
-    // fetch) and must be computed once — this IS the stored binary
-    // index; recomputing it per leg is what made the first cut the
-    // bench tail (the mm7/mm8 fingerprint lesson).
-    val dotCols = (0 until 64).map { j =>
-      val plane = typedlit((0 until 64).map { i =>
-        (((j * 64L + i) * 2654435761L) % 1000003L - 500001L).toDouble
-      })
-      VectorFunctions.dot_product(col("hq"), plane).as(s"hdot$j")
-    }
-    val sigs = base
-      .select(col("vec_id") +: col("v") +: dotCols: _*)
+    // All 64 plane dots come out of ONE codebook_scores call (the
+    // planes ride as a single whole-codebook literal with unit
+    // counts), and the halves pack with a weighted zip_with+aggregate
+    // over the scores array. Two hard-won shapes here, both measured
+    // at the 10× stress: (a) 64 separate dot_product COLUMNS cost 8 s
+    // where the single array expression costs 0.6 s bit-identically —
+    // 64 independent codegen'd loops plus a 64-double-column
+    // UnsafeRow materialization lose to one fused pass; (b) the
+    // signature table is localCheckpoint'ed because three legs read
+    // it (corpus, query, rerank fetch) — it IS the stored binary
+    // index, and recomputing it per leg made the first cut the bench
+    // tail (the mm7/mm8 fingerprint lesson). The HOF lambdas bind
+    // only lambda variables and the scores column is referenced once
+    // per half — the Round-12b inlining trap does not bite.
+    val planes = typedlit((0 until 64).map { j =>
+      (0 until 64).map(i => (((j * 64L + i) * 2654435761L) % 1000003L - 500001L).toDouble)
+    })
+    val ones = typedlit((0 until 64).map(_ => 1.0))
+    val w32 = (0 until 32).map(j => 1L << j).mkString(",")
+    def packHalf(off: Int): String =
+      s"""aggregate(zip_with(slice(sc, ${off + 1}, 32), array($w32),
+         |  (x, w) -> IF(x > 0, w, CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
+    val sigs = vecs(s, d)
+      .withColumn("hq", expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))"))
+      .withColumn("sc", VectorFunctions.codebook_scores(col("hq"), planes, ones))
       .select(col("vec_id"), col("v"),
-        expr(packExpr(0 until 32)).as("lo"), expr(packExpr(32 until 64)).as("hi"))
+        expr(packHalf(0)).as("lo"), expr(packHalf(32)).as("hi"))
       .localCheckpoint(true)
     val qs = sigs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
@@ -1977,7 +1984,76 @@ object Similarity {
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- s19: k-NN graph construction (multi-probe cell join) ----------------
+
+  /** The all-corpus neighbor graph — each vector's top-3 neighbors —
+    * the artifact SemDeDup clustering, diversity sampling, and
+    * graph-based indexes (NN-descent seeding, HNSW layer 0) are built
+    * FROM. Distinct from the search gates (s11/s18: a tiny query
+    * sample against the corpus) and from d11 (threshold pairs within
+    * one cell for a dedup verdict): here EVERY vector is a query, and
+    * each probes its top-2 trained cells so near-boundary neighbors —
+    * which single-cell confinement provably loses — are recovered.
+    *
+    * Scale shape: this is the one similarity op where the corpus
+    * legitimately shuffles — a vector must meet its cell peers, so
+    * the probe list (corpus-sized, NOT broadcast) equi-joins the cell
+    * assignment on the cell id. Work per cell is |cell| × |members|,
+    * bounded by the d11 argument: k ∝ corpus holds expected cell size
+    * constant, so the join is linear in the corpus at fixed density.
+    * Exchanges: the cell-keyed join and the per-vector top-k window —
+    * both keyed, nothing cartesian.
+    *
+    * Determinism: s11's integer-exact basis (quantized dots for cell
+    * choice, one IEEE division per centroid score, exact cosine with
+    * vec_id tie-break).
+    */
+  private def s19KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val probes = ivfProbes(base, cents, nprobe = 2, qMax = Long.MaxValue)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr_id"))
+    assignCellsFrom(base, cents)
+      .join(probes, col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
+      .select(col("qid").as("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  private val s19Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |qsc AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base q, c2 c),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qsc) WHERE pr <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nbr_id,
+       |         list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]) AS cos
+       |  FROM probes p
+       |  JOIN a3 a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN base b ON b.vec_id = p.qid)
+       |SELECT vec_id, nbr_id, cos, rnk FROM (
+       |  SELECT qid AS vec_id, nbr_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cos DESC, nbr_id) AS INT) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_knn_graph" -> (s19KnnGraph _),
     "s18_hamming" -> (s18Hamming _),
     "s17_stream_index" -> (s17StreamIndex _),
     "s15_filtered_ann" -> (s15FilteredAnn _),
@@ -1999,6 +2075,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s19_knn_graph" -> s19Oracle,
     "s18_hamming" -> s18Oracle,
     "s17_stream_index" -> s17Oracle,
     "s15_filtered_ann" -> s15Oracle,

@@ -666,4 +666,92 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!hashes.exists(h => h.contains("hdot") || h.contains("v#")),
       "dot columns and raw vectors must never key an exchange")
   }
+
+  test("mm11: interleave exchanges key on doc_id/word-free ids only — no pair work, no text keys") {
+    // Assembly is an equi-join on doc_id (co-partitionable both sides
+    // at scale) + a row-local chunk explode + the per-doc offset
+    // window. Nothing may join pairwise, and no exchange may key on
+    // text or word arrays.
+    val plan = formatted("mm11_interleave")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the asset join must stay an equi-join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("doc_id")),
+      s"only doc_id may key an exchange:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("text") || h.contains("ws#")),
+      "text and word arrays must never ride an exchange key")
+  }
+
+  test("t37: the vocab rank runs over the distinct-word frame; docs shuffle on bounded keys only") {
+    // The top-K vocabulary ranks (word, count) rows — bounded by
+    // vocabulary size, not corpus size — and broadcasts back into the
+    // per-doc rollup. The corpus-sized exchanges must key on w (the
+    // count agg) or doc_id (the rollup); the vocab side must
+    // broadcast into the membership join.
+    val plan = formatted("t37_vocab_coverage")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocab must broadcast into the membership join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "neither corpus side may shuffle-join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty &&
+      hashes.forall(h => h.contains("hashpartitioning(w#") || h.contains("doc_id")),
+      s"only w and doc_id may key exchanges:\n${hashes.mkString("\n")}")
+  }
+
+  test("cdc_chunk_checksum: no row-level join — both sides aggregate to chunks before comparing") {
+    // The operator's reason to exist: comparing two tables costs one
+    // row per chunk. Every join input must already be chunk-grained
+    // (the full-outer compare joins two chunk-count-sized frames);
+    // the only corpus-sized exchanges are the two chunk-keyed
+    // partial-aggregated groupBys.
+    val plan = formatted("cdc_chunk_checksum")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the chunk key is a derived expression (`c_custkey DIV 50`), so
+    // its exchange keys print as `_groupingexpression#N` — accept
+    // either spelling, reject anything keyed on a raw column
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty &&
+      hashes.forall(h => h.contains("chunk_id") || h.contains("_groupingexpression")),
+      s"only the chunk key may key an exchange:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("c_custkey#") || h.contains("c_name")),
+      "row-level columns must never key an exchange")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "chunk digests must aggregate map-side before the exchange")
+  }
+
+  test("s19: the graph join is cell-keyed — corpus may shuffle, but only on cid/qid keys") {
+    // The one similarity op where the corpus legitimately shuffles
+    // (every vector must meet its cell peers). The contract is that
+    // the shuffle is the KEYED equi-join on the cell id plus the
+    // per-vector windows — never a cartesian, and no exchange keyed
+    // on the vector arrays.
+    val plan = formatted("s19_knn_graph")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the pair phase must stay a cell equi-join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(h =>
+      h.contains("cid") || h.contains("pcid") || h.contains("qid")),
+      s"only cell and vector ids may key exchanges:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("q#") || h.contains("qv#")),
+      "vector arrays must never be an exchange key")
+  }
+
+  test("d14: the bloom probe is a scan filter — bench broadcasts, corpus keys on gram/doc only") {
+    // The funnel's reason to exist: the corpus side never joins until
+    // grams have passed the broadcast bit array row-locally. The only
+    // join is the candidate-set × broadcast exact-gram verify; the
+    // corpus-sized exchanges are the (doc_id, gram) distinct-count
+    // aggregations.
+    val plan = formatted("d14_bloom_decontam")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the exact verify must broadcast the bench gram set")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the corpus must not shuffle-join anywhere in the funnel")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(h => h.contains("doc_id") || h.contains("gram")),
+      s"only doc_id/gram may key exchanges:\n${hashes.mkString("\n")}")
+  }
 }

@@ -552,6 +552,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s19: the neighbor graph covers the corpus, ranks exactly, and recovers true top-1s") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.queries("s19_knn_graph")(spark, sf).collect()
+    val byV = rows.groupBy(_.getAs[Long]("vec_id"))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(byV.size == n, "every vector gets a neighbor list (cells are never singleton here)")
+    byV.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length) && sorted.length <= 3)
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // edge cosines must equal the direct computation (graph edges are
+    // real similarities, not probe-order artifacts)
+    val direct = Similarity.corpus(spark, sf)
+    val qz = direct.select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))").as("q"))
+    val sample = rows.take(50).map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"), r.getAs[Double]("cos")))
+    val qmap = qz.filter(col("vec_id").isin(
+        sample.flatMap(t => Seq(t._1, t._2)).distinct.map(java.lang.Long.valueOf): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    sample.foreach { case (a, b, c) =>
+      val (x, y) = (qmap(a), qmap(b))
+      val dot = x.zip(y).map { case (u, v) => u * v }.sum
+      val exact = dot / (math.sqrt(x.map(u => u * u).sum) * math.sqrt(y.map(v => v * v).sum))
+      assert(math.abs(exact - c) < 1e-9, s"edge ($a,$b): graph cos $c vs direct $exact")
+    }
+    // multi-probe recall: for a sample, the graph's top-1 should often
+    // BE the exact global top-1 (loose floor — the property is that
+    // 2-cell probing recovers cross-boundary neighbors at all)
+    val ids = byV.keys.take(40).toSeq
+    val sampleVecs = qz.filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exactTop1 = qz.join(broadcast(sampleVecs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    val got = ids.count { id =>
+      byV(id).find(_.getAs[Int]("rnk") == 1)
+        .exists(_.getAs[Long]("nbr_id") == exactTop1(id))
+    }
+    assert(got >= ids.length * 2 / 5,
+      s"graph top-1 matched exact top-1 for only $got/${ids.length} sampled vectors")
+  }
+
   test("s14: the kNN auto-label evaluation covers the sample and its arithmetic is exact") {
     val rows = Similarity.queries("s14_knn_label")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("label")).distinct.length == rows.length,
