@@ -1004,7 +1004,88 @@ object Pipeline {
        |ORDER BY u.cid""".stripMargin
   }
 
+  // ---- p10: multimodal training-shard manifest -----------------------------
+
+  /** The shard manifest a MULTIMODAL training run reads — the closing
+    * weld of four proven pieces, priced in the currency the trainer
+    * actually budgets: context-window tokens where an image bills its
+    * 576 ViT patch tokens (mm11's pricing), not bytes or rows.
+    * Per document: multimodal token cost, the t26 content-hash split
+    * (train/val/test — re-ingested copies land in the same split),
+    * and the p3 md5 shard coin; per (split, shard): documents pack
+    * into 4096-token bins along the deterministic (h, doc_id) reading
+    * order, so the manifest pins a reproducible permutation AND its
+    * packing in one result — what a resumable loader needs to seek
+    * anywhere in epoch k without replaying.
+    *
+    * Scale shape: one scan with row-local pricing/split/coin
+    * projections, one (split, shard)-keyed window for the running
+    * token sum (shard count scales with the cluster; no global
+    * window), one keyed rollup. Text never shuffles — only
+    * (doc_id, tokens, keys) rows move.
+    */
+  private def p10MmShards(s: SparkSession, d: String): DataFrame = {
+    val priced = Tables
+      .documents(s, d)
+      .select(col("doc_id"),
+        size(Text.wordsCol(col("text"))).as("text_tokens"),
+        when(col("doc_id") % 3 === 0, 576).otherwise(0).as("img_tokens"),
+        expr(Text.polyHashSql("md5(CAST(doc_id AS STRING))", 8)).as("h"),
+        expr(s"${Text.polyHashSql("text", 8)} % 100").as("coin"))
+      .withColumn("split", expr(
+        "CASE WHEN coin < 80 THEN 'train' WHEN coin < 90 THEN 'val' ELSE 'test' END"))
+      .withColumn("tokens", col("text_tokens") + col("img_tokens"))
+      .withColumn("shard", col("h") % 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    priced
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin", expr("(cum - 1) DIV 4096"))
+      .groupBy("split", "shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("img_tokens") > 0, 1L).otherwise(0L)).as("n_imgs"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(col("img_tokens")).as("img_tokens"),
+        sum(col("tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("split", "shard", "bin")
+  }
+
+  private val p10Oracle: String = {
+    val ws = Text.wordsSql("text")
+    val h = Text.polyHashSql("md5(CAST(doc_id AS VARCHAR))", 8)
+    val coin = s"${Text.polyHashSql("text", 8)} % 100"
+    s"""WITH priced AS (
+       |  SELECT doc_id,
+       |         CAST(len($ws) AS INT) AS text_tokens,
+       |         CAST(CASE WHEN doc_id % 3 = 0 THEN 576 ELSE 0 END AS INT) AS img_tokens,
+       |         $h AS h,
+       |         CASE WHEN $coin < 80 THEN 'train'
+       |              WHEN $coin < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |binned AS (
+       |  SELECT doc_id, split, h % 8 AS shard, text_tokens, img_tokens,
+       |         text_tokens + img_tokens AS tokens,
+       |         (CAST(sum(text_tokens + img_tokens) OVER (
+       |            PARTITION BY split, h % 8 ORDER BY h, doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+       |           // 4096 AS bin
+       |  FROM priced)
+       |SELECT split, shard, bin, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN img_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_imgs,
+       |       CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+       |       CAST(sum(img_tokens) AS BIGINT) AS img_tokens,
+       |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY split, shard, bin ORDER BY split, shard, bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_mm_shards" -> (p10MmShards _),
     "p9_index_maint" -> (p9IndexMaint _),
     "p8_df_maint" -> (p8DfMaint _),
     "p7_cdc_curation" -> (p7CdcCuration _),
@@ -1017,6 +1098,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p10_mm_shards" -> p10Oracle,
     "p9_index_maint" -> p9Oracle,
     "p8_df_maint" -> p8Oracle,
     "p7_cdc_curation" -> p7Oracle,

@@ -48,7 +48,7 @@ object Sf1Stress {
       // round-13 third batch: binary-sketch scan+funnel, row-local
       // rule panel, chunk explode + per-doc windows, two-scan
       // chunked validation — each should track the scan linearly
-      "s18_hamming", "t36_gopher_rules", "mm11_interleave",
+      "s18_hamming", "t36_gopher_rules", "mm11_interleave", "p10_mm_shards",
       "cdc_chunk_checksum", "cdc_topk_maint", "t37_vocab_coverage",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 

@@ -221,4 +221,43 @@ class AggMaintenanceSpec extends AnyFunSuite {
     assert(after.filter(_._1 == 2L).toSet == before2,
       "untouched cohorts must carry over unchanged")
   }
+
+  test("top-k view: any batch slicing converges to the direct rank over latest-wins state (seeded)") {
+    // adversarial ops across three cohorts: updates that demote a
+    // ranked row, deletes of ranked AND unranked rows, re-inserts
+    val events = Seq(
+      (1L, 1L, "insert", 10.0), (2L, 11L, "insert", 9.0), (3L, 21L, "insert", 8.0),
+      (4L, 31L, "insert", 7.0), (5L, 1L, "update", 1.0), // demote the leader below rank 3
+      (6L, 2L, "insert", 20.0), (7L, 12L, "insert", 19.0), (8L, 2L, "delete", 0.0),
+      (9L, 2L, "insert", 5.0), // delete-then-reinsert at a lower value
+      (10L, 3L, "insert", 3.0), (11L, 13L, "update", 4.0) // update with no prior
+    )
+    val feed = events.toDF("pos", "pk", "op", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("pos").desc)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("value").desc, col("pk"))
+    val direct = feed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .withColumn("cohort", pmod(col("pk"), lit(10)))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
+      .select(col("cohort"), col("rnk"), col("pk"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("pk"), r.getAs[Double]("value"))).toSet
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val cuts = (1L until 11L).filter(_ => rnd.nextBoolean()).sorted
+      val bounds = (Seq(0L) ++ cuts).zip(cuts ++ Seq(Long.MaxValue))
+      val dir = s"target/tmp/topkmaint-rand-${System.nanoTime()}"
+      bounds.foreach { case (lo, hi) =>
+        val b = feed.filter(col("pos") > lo && col("pos") <= hi)
+        if (b.count() > 0) TopkMaintenance.applyBatch(spark, dir, b)
+      }
+      val got = TopkMaintenance.read(spark, dir).collect()
+        .map(r => (r.getAs[Long]("cohort"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+      assert(got == direct, s"trial $trial (cuts $cuts): maintained view diverged")
+    }
+  }
 }

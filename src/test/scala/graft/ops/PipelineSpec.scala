@@ -240,4 +240,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("n_after_incr") != r.getAs[Long]("n_before")),
       "the planted batch must move at least one cell population")
   }
+
+  test("p10: the shard manifest partitions the corpus, prices images, and packs dense bins") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("p10_mm_shards")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one (split, shard, bin)")
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "val", "test"))
+    val trainDocs = rows.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(trainDocs > nDocs / 2, "the 80% split must dominate")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("text_tokens") + r.getAs[Long]("img_tokens") ==
+        r.getAs[Long]("bin_tokens"), "token accounting must balance per bin")
+      assert(r.getAs[Long]("n_imgs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("img_tokens") == r.getAs[Long]("n_imgs") * 576,
+        "every image bills exactly its 576 patch tokens")
+    }
+    // bins are dense 0..max within each (split, shard) — a seekable manifest
+    rows.groupBy(r => (r.getAs[String]("split"), r.getAs[Long]("shard"))).foreach {
+      case (k, rs) =>
+        val bins = rs.map(_.getAs[Long]("bin")).sorted
+        assert(bins.toSeq == (0L until bins.length).toSeq, s"$k: bins must be dense")
+    }
+    // budget: a bin overflows 4096 only by the straddling document
+    val maxDocTokens = graft.Tables.documents(spark, sf)
+      .select((size(Text.wordsCol(col("text"))) +
+        when(col("doc_id") % 3 === 0, 576).otherwise(0)).as("t"))
+      .agg(max("t")).collect()(0).getInt(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin_tokens") < 4096L + maxDocTokens,
+        s"bin ${r.getAs[Long]("bin")} exceeds the straddle bound")
+    }
+  }
 }
