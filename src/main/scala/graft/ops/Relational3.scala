@@ -836,7 +836,72 @@ object Relational3 {
       |       CAST(sum(CASE WHEN p_pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       |FROM p""".stripMargin
 
+  // ---- q52: hierarchy closure (recursive CTE, Spark-style) -----------------
+
+  /** Hierarchical rollup — the recursive-CTE capability class (org
+    * charts, bill-of-materials, category trees) that Spark SQL lacks
+    * natively. The customer keys form a synthetic tree
+    * (`parent(c) = (c−1) DIV 2`, root 0), and every node's (root,
+    * depth) is computed by POINTER DOUBLING: each round every node's
+    * pointer jumps to its pointer's pointer, accumulating distance,
+    * so convergence takes O(log depth) self-joins instead of O(depth)
+    * — 5 rounds cover depth ≤ 32. This is the
+    * d7 connected-components technique applied to ancestry, and the
+    * ONLY shape that survives deep hierarchies at scale: the naive
+    * iterate-one-level loop is a full shuffle per LEVEL, the doubling
+    * loop a shuffle per log(level). The oracle walks the same tree
+    * with DuckDB's `WITH RECURSIVE` — declarative recursion checked
+    * against log-step iteration.
+    *
+    * Per round: one self-join of the (node, ptr, dist) frame keyed on
+    * the pointer — N-row sides, keyed exchange, no growth (the frame
+    * never exceeds one row per node, unlike an ancestor-pair closure
+    * which is N·depth).
+    */
+  private def q52Hierarchy(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    var ptr = cust.select(
+      col("c_custkey").as("node"),
+      when(col("c_custkey") > 0, expr("(c_custkey - 1) DIV 2")).otherwise(0L).as("ptr"),
+      when(col("c_custkey") > 0, 1L).otherwise(0L).as("dist"))
+    // 5 doubling rounds: after round k every pointer has jumped up to
+    // 2^k edges (or parked at the root, whose self-loop adds 0) —
+    // 32 edges covers 4-billion-node binary trees, and the 10× stress
+    // corpus is already 17 deep (4 rounds would silently truncate it)
+    (1 to 5).foreach { _ =>
+      val hop = ptr.select(col("node").as("p_node"),
+        col("ptr").as("p_ptr"), col("dist").as("p_dist"))
+      ptr = ptr.join(hop, col("ptr") === col("p_node"))
+        .select(col("node"), col("p_ptr").as("ptr"),
+          (col("dist") + col("p_dist")).as("dist"))
+        .localCheckpoint(true) // pin each round; 4 rounds, not one 8-join plan
+    }
+    ptr.join(cust, col("node") === col("c_custkey"))
+      .groupBy(col("dist").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"),
+        Exact.dsum(col("c_acctbal")).as("sum_acctbal"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy("depth")
+  }
+
+  private val q52Oracle: String =
+    """WITH RECURSIVE walk(node, anc, d) AS (
+      |  SELECT c_custkey, CAST((c_custkey - 1) // 2 AS BIGINT), CAST(1 AS BIGINT)
+      |  FROM customer WHERE c_custkey > 0
+      |  UNION ALL
+      |  SELECT node, CAST((anc - 1) // 2 AS BIGINT), d + 1 FROM walk WHERE anc > 0),
+      |depths AS (
+      |  SELECT node, d AS depth FROM walk WHERE anc = 0
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey = 0)
+      |SELECT depth, count(*) AS n_nodes,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+      |       min(node) AS min_node, max(node) AS max_node
+      |FROM depths JOIN customer ON c_custkey = node
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_hierarchy" -> (q52Hierarchy _),
     "q51_aqe_skew" -> (q51AqeSkew _),
     "q49_dpp" -> (q49Dpp _),
     "q50_skew_profile" -> (q50SkewProfile _),
@@ -860,6 +925,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_hierarchy" -> q52Oracle,
     "q51_aqe_skew" -> q51Oracle,
     "q49_dpp" -> q49Oracle,
     "q50_skew_profile" -> q50Oracle,

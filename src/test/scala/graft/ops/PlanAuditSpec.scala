@@ -754,4 +754,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashes.nonEmpty && hashes.forall(h => h.contains("doc_id") || h.contains("gram")),
       s"only doc_id/gram may key exchanges:\n${hashes.mkString("\n")}")
   }
+
+  test("q52: pointer doubling reproduces the closed-form heap-tree depths") {
+    // parent(c) = (c-1) DIV 2 is a binary heap: depth(c) =
+    // floor(log2(c+1)), so level d holds exactly the keys
+    // [2^d - 1, 2^(d+1) - 2] — the log-step iteration must land on
+    // that closed form exactly (any truncated doubling round or
+    // off-by-one in distance accumulation breaks a whole level)
+    val rows = graft.SparkEntry.queries("q52_hierarchy")(spark, sf).collect()
+    val n = graft.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n)
+    val maxDepth = rows.map(_.getAs[Long]("depth")).max
+    rows.sortBy(_.getAs[Long]("depth")).foreach { r =>
+      val d = r.getAs[Long]("depth")
+      val lo = (1L << d) - 1
+      val hi = math.min((1L << (d + 1)) - 2, n - 1)
+      assert(r.getAs[Long]("min_node") == lo, s"depth $d: wrong first node")
+      assert(r.getAs[Long]("max_node") == hi, s"depth $d: wrong last node")
+      assert(r.getAs[Long]("n_nodes") == hi - lo + 1, s"depth $d: wrong level size")
+    }
+    assert(maxDepth == (63 - java.lang.Long.numberOfLeadingZeros(n)),
+      "the deepest level must match floor(log2(n))")
+  }
 }
