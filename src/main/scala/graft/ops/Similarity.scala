@@ -2052,7 +2052,114 @@ object Similarity {
        |  FROM cand)
        |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
+  // ---- s20: nprobe recall/cost sweep ---------------------------------------
+
+  /** The tuning curve an IVF deployment is actually configured from:
+    * recall@10 AND candidate cost at nprobe ∈ {1, 2, 4}, one result.
+    * s12 reports the operating point; this sweeps the knob — the
+    * recall/cost trade is THE decision an operator makes (each
+    * probed cell buys recall at a linear scan-cost price), and
+    * making it a single oracle-checked query means the curve ships
+    * with the index, reproducibly.
+    *
+    * One corpus pass for all three points: the probe list is built
+    * once at the WIDEST nprobe with its probe rank kept, the
+    * candidate join runs once, and each sweep point filters
+    * `pr <= nprobe` from the same checkpointed candidate frame
+    * (query-sample-bounded: ≤ queries × corpus/k × 4 rows) — three
+    * sweep points for one scan, which is how a sweep stays affordable
+    * against a billion-vector stored index.
+    */
+  private def s20NprobeSweep(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    // widest probe list, keeping the probe rank (ivfProbes drops it)
+    val svs = typedlit(cents.map(_._2).toSeq)
+    val ns = typedlit(cents.map(_._3.toDouble).toSeq)
+    val cids = typedlit(cents.map(_._1).toSeq)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("pcid"))
+    val probes4 = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(VectorFunctions.codebook_scores(col("qv"), svs, ns)).as(Seq("pos", "score")))
+      .select(col("qid"), col("qv"),
+        element_at(cids, col("pos").cast("int") + 1).as("pcid"), col("score"))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 4)
+      .select("qid", "qv", "pcid", "pr")
+    val cand = assignCellsFrom(base, cents).filter(col("vec_id") >= 5)
+      .join(broadcast(probes4), col("cid") === col("pcid"))
+      .select(col("qid"), col("vec_id"), col("pr"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .localCheckpoint(true) // one corpus pass feeds all sweep points
+    val truth = exactTruthTop(base, 10)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val points = Seq(1, 2, 4).map { np =>
+      val slice = cand.filter(col("pr") <= np)
+      val top = slice
+        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+        .select("qid", "vec_id")
+      val hits = truth.join(top, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      slice.agg(count(lit(1)).as("n_cand"))
+        .join(hits)
+        .select(lit(np).as("nprobe"), col("n_cand"),
+          (col("n_hits").cast("double") / 50.0).as("mean_recall"))
+    }
+    points.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  private val s20Oracle: String = {
+    def point(np: Int): String =
+      s"""SELECT $np AS nprobe,
+         |       (SELECT count(*) FROM cand WHERE pr <= $np) AS n_cand,
+         |       CAST((SELECT count(*) FROM truth t
+         |             JOIN approx$np a ON a.qid = t.qid AND a.vec_id = t.vec_id)
+         |            AS DOUBLE) / 50.0 AS mean_recall""".stripMargin
+    def approx(np: Int): String =
+      s"""approx$np AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM cand WHERE pr <= $np) WHERE rnk <= 10)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |qsc AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base q, c2 c WHERE q.vec_id < 5),
+       |probes4 AS (
+       |  SELECT qid, cid, pr FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qsc) WHERE pr <= 4),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id, p.pr,
+       |         list_cosine_similarity(a.q::DOUBLE[], qb.q::DOUBLE[]) AS cos
+       |  FROM a3 a
+       |  JOIN probes4 p ON a.cid = p.cid
+       |  JOIN base qb ON qb.vec_id = p.qid
+       |  WHERE a.vec_id >= 5),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(c.q::DOUBLE[], q.q::DOUBLE[]) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM base q, base c WHERE q.vec_id < 5 AND c.vec_id >= 5) WHERE rnk <= 10),
+       |${approx(1)},
+       |${approx(2)},
+       |${approx(4)}
+       |${Seq(1, 2, 4).map(point).mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_knn_graph" -> (s19KnnGraph _),
     "s18_hamming" -> (s18Hamming _),
     "s17_stream_index" -> (s17StreamIndex _),
@@ -2075,6 +2182,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s20_nprobe_sweep" -> s20Oracle,
     "s19_knn_graph" -> s19Oracle,
     "s18_hamming" -> s18Oracle,
     "s17_stream_index" -> s17Oracle,

@@ -601,6 +601,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"graph top-1 matched exact top-1 for only $got/${ids.length} sampled vectors")
   }
 
+  test("s20: the sweep is monotone in nprobe and its middle point equals s12's operating point") {
+    val rows = Similarity.queries("s20_nprobe_sweep")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    // more probes can only add candidates and never lose a hit
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    val recalls = rows.map(_.getAs[Double]("mean_recall"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      "candidate cost must strictly grow with nprobe")
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      "recall must be non-decreasing in nprobe")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // cross-gate consistency: the nprobe=2 sweep point IS s12's
+    // operating point — same codebook, same probes, same truth
+    val s12 = Similarity.queries("s12_ann_recall")(spark, sf).collect()
+    assert(recalls(1) == s12.head.getAs[Double]("mean_recall"),
+      "the sweep's nprobe=2 recall must equal the s12 gate exactly")
+  }
+
   test("s14: the kNN auto-label evaluation covers the sample and its arithmetic is exact") {
     val rows = Similarity.queries("s14_knn_label")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("label")).distinct.length == rows.length,
