@@ -806,7 +806,106 @@ object Text {
        |FROM perdoc CROSS JOIN corpus ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t38: split-leakage audit --------------------------------------------
+
+  /** The integrity audit of the pipeline's OWN split: how much 13-gram
+    * content crosses the train/test boundary? t26's content-hash split
+    * prevents EXACT copies from straddling (same text → same side),
+    * but near-duplicates hash differently and leak — this measures
+    * the leak instead of assuming it away, the check a training run
+    * does before trusting its eval numbers (d6 audits against an
+    * EXTERNAL benchmark; this audits the internal boundary).
+    *
+    * Scale shape: both sides reduce to 64-bit gram hashes at the scan
+    * (the d6 posture); the crossing set comes out of ONE gram-keyed
+    * aggregate that counts distinct carrier docs per side — map-side
+    * combinable, no text shuffled, no pairwise work. Per split the
+    * rollup reports documents carrying any crossing gram, the
+    * distinct crossing grams, and the gram-level leak rate.
+    */
+  private def t38SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    // The corpus's only gram-sharing pairs are EXACT duplicates, which
+    // the content-hash split provably keeps same-side (measured: the
+    // unplanted audit reads 0.0 everywhere — t26 doing its job). The
+    // leak class the audit exists for is NEAR-duplicates — re-crawls
+    // that differ by a byte and hash to a random side — so the gate
+    // PLANTS them (the s3/t28 pattern): every 17th doc gains a
+    // PREFIXED variant under a shifted id — prefixed, not suffixed,
+    // because the split coin hashes the first 8 chars (a suffix
+    // variant keeps its coin and the plant never straddles; measured
+    // before this comment existed) — and a doc-varying prefix spreads
+    // the variants' coins so ~2·p(1−p) of them cross the boundary
+    // while every original 13-gram survives intact downstream of the
+    // added words.
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("r"), (col("doc_id") % 89).cast("string"),
+          lit(" recrawl "), col("text")).as("text"))
+    val grams = base.unionByName(variants)
+      .withColumn("split", expr(
+        s"CASE WHEN ${polyHashSql("text", 8)} % 100 < 80 THEN 'train' ELSE 'test' END"))
+      .select(col("doc_id"), col("split"),
+        explode(graft.functions.SimHashFunctions
+          .poly_grams(wordsCol(col("text")), 13)).as("gram"))
+    // per gram: does it appear on both sides? (one keyed agg)
+    val crossing = grams
+      .groupBy("gram")
+      .agg(
+        countDistinct(when(col("split") === "train", col("doc_id"))).as("n_train"),
+        countDistinct(when(col("split") === "test", col("doc_id"))).as("n_test"))
+      .filter(col("n_train") > 0 && col("n_test") > 0)
+      .select(col("gram"), lit(1).as("crossing"))
+    grams
+      .join(broadcast(crossing), Seq("gram"), "left")
+      .groupBy("split")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("gram")).as("n_grams"),
+        countDistinct(when(col("crossing").isNotNull, col("doc_id"))).as("n_leaked_docs"),
+        countDistinct(when(col("crossing").isNotNull, col("gram"))).as("n_leaked_grams"))
+      .withColumn("leak_rate",
+        col("n_leaked_grams").cast("double") / col("n_grams"))
+      .orderBy("split")
+  }
+
+  private val t38Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |         'r' || CAST(doc_id % 89 AS VARCHAR) || ' recrawl ' || text
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${polyHashSql("text", 8)} % 100 < 80
+       |              THEN 'train' ELSE 'test' END AS split,
+       |         unnest(list_distinct(list_transform(
+       |           generate_series(1, greatest(len(hw)-12, 0)),
+       |           i -> ${Dedup.gram13Sql(k => s"hw[i+$k]")}))) AS gram
+       |  FROM (SELECT doc_id, text,
+       |               list_transform($ws, w -> ${polyHashSql("w", 8)}) AS hw
+       |        FROM src)),
+       |crossing AS (
+       |  SELECT gram FROM g GROUP BY gram
+       |  HAVING count(DISTINCT CASE WHEN split = 'train' THEN doc_id END) > 0
+       |     AND count(DISTINCT CASE WHEN split = 'test' THEN doc_id END) > 0)
+       |SELECT split,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_grams,
+       |       CAST(count(DISTINCT CASE WHEN c.gram IS NOT NULL THEN doc_id END) AS BIGINT)
+       |         AS n_leaked_docs,
+       |       CAST(count(DISTINCT CASE WHEN c.gram IS NOT NULL THEN g.gram END) AS BIGINT)
+       |         AS n_leaked_grams,
+       |       CAST(count(DISTINCT CASE WHEN c.gram IS NOT NULL THEN g.gram END) AS DOUBLE)
+       |         / count(DISTINCT g.gram) AS leak_rate
+       |FROM g LEFT JOIN crossing c ON g.gram = c.gram
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t38_split_leakage" -> (t38SplitLeakage _),
     "t37_vocab_coverage" -> (t37VocabCoverage _),
     "t36_gopher_rules" -> (t36GopherRules _),
     "t35_boilerplate" -> (t35Boilerplate _),
@@ -1033,6 +1132,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t38_split_leakage" -> t38Oracle,
     "t37_vocab_coverage" -> t37Oracle,
     "t36_gopher_rules" -> t36Oracle,
     "t35_boilerplate" -> t35Oracle,

@@ -120,4 +120,33 @@ class TextSpec extends AnyFunSuite {
     val kept = rows.count(_.getAs[Int]("keep") == 1)
     assert(kept > 0 && kept < rows.length)
   }
+
+  test("t38: leakage comes only from the planted near-dup straddle, and is side-symmetric") {
+    val rows = Text.queries("t38_split_leakage")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "test"))
+    val byS = rows.map(r => r.getAs[String]("split") -> r).toMap
+    // crossing grams are the SAME set seen from either side
+    assert(byS("train").getAs[Long]("n_leaked_grams") ==
+      byS("test").getAs[Long]("n_leaked_grams"),
+      "a crossing gram is counted on both sides by definition")
+    // the plant must actually straddle: some leak on both sides, and
+    // leaked docs stay a small slice (the boundary is mostly sound)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_leaked_docs") > 0, s"${r.getAs[String]("split")}: plant missed")
+      assert(r.getAs[Long]("n_leaked_docs") * 5 < r.getAs[Long]("n_docs"),
+        "leakage must be the exception, not the corpus")
+      assert(r.getAs[Double]("leak_rate") ==
+        r.getAs[Long]("n_leaked_grams").toDouble / r.getAs[Long]("n_grams"))
+    }
+    // sizes: corpus + one variant per 17th doc, split-partitioned —
+    // restricted to docs long enough to yield a 13-gram at all (a
+    // shorter doc produces no gram rows and is invisible to a
+    // gram-level audit; the variants gain 2 prefix words)
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(Text.wordsCol(col("text"))).as("nw"))
+    val n = docs.filter(col("nw") >= 13).count()
+    val planted = docs.filter(col("doc_id") % 17 === 0 && col("nw") + 2 >= 13).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n + planted)
+  }
 }
