@@ -2008,9 +2008,13 @@ object Similarity {
     * choice, one IEEE division per centroid score, exact cosine with
     * vec_id tie-break).
     */
-  private def s19KnnGraph(s: SparkSession, d: String): DataFrame = {
-    val base = quantized(s, d)
-    val cents = collectCents(trainCodebook(base, iters = 2))
+  /** The graph body against a trained codebook — split out so the
+    * 10× stress can run it at production shape (k ∝ corpus, the d11
+    * knob: per-cell population — and so per-vector candidate work —
+    * stays constant as the corpus grows). The gate pins k = 8.
+    */
+  private[graft] def s19From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
     val probes = ivfProbes(base, cents, nprobe = 2, qMax = Long.MaxValue)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr_id"))
@@ -2021,6 +2025,11 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
       .select(col("qid").as("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
       .orderBy("vec_id", "rnk")
+  }
+
+  private def s19KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    s19From(base, collectCents(trainCodebook(base, iters = 2)))
   }
 
   private val s19Oracle: String =

@@ -50,6 +50,10 @@ object Sf1Stress {
       // chunked validation — each should track the scan linearly
       "s18_hamming", "t36_gopher_rules", "mm11_interleave", "p10_mm_shards",
       "cdc_chunk_checksum", "cdc_topk_maint", "t37_vocab_coverage",
+      // round-13 fourth batch: gram funnels, iterative closure,
+      // query-bounded sweep (s19 runs separately, k-scaled like d11)
+      "d14_bloom_decontam", "t38_split_leakage", "q52_hierarchy",
+      "s20_nprobe_sweep",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
@@ -155,6 +159,19 @@ object Sf1Stress {
       val (f1, t1, n1) = timeD11(sf1, 80)
       println(f"[sf1-stress] d11_semantic_dedup (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "d11_semantic_dedup_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the neighbor graph at production shape: k ∝ corpus keeps the
+      // per-cell candidate population — each vector meets ~2·N/k
+      // peers — constant, so graph cost stays linear in the corpus
+      def timeS19(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.quantized(spark, dir)
+        graft.ops.Similarity.s19From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS19(sf01, 8)
+      val (f1, t1, n1) = timeS19(sf1, 80)
+      println(f"[sf1-stress] s19_knn_graph (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s19_knn_graph_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
