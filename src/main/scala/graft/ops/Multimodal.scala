@@ -433,19 +433,27 @@ object Multimodal {
     * on the band key, so pairwise work is per-bucket, never
     * corpus-wide — d1/d4's topology at any corpus size.
     */
-  private def mm7ImageDedup(s: SparkSession, d: String): DataFrame = {
-    // tile index of grid cell g over a w×h buffer, wrapped into the
-    // n-char stand-in; Spark `DIV` and DuckDB `//` are both
-    // left-associative integer division, so the two strings compute
-    // the identical index chain. The +g skew keeps cells on distinct
-    // positions even when n divides the grid strides (w and h are
-    // multiples of 16, so a short even-length buffer would otherwise
-    // collapse every cell onto position 1 — one retouched char would
-    // then flip ~32 bits and hide the planted pair). Tiles are
-    // digested ONCE per cell (inner transform), then the parity bit
-    // is taken from the digest — polyHashSql inlines its argument per
-    // character, so hashing the digest directly would md5 each tile
-    // 8 times.
+  /** mm7's perceptual fingerprint as a reusable block over any
+    * (doc_id, text) frame: tile index of grid cell g over a w×h
+    * buffer, wrapped into the n-char stand-in; Spark `DIV` and DuckDB
+    * `//` are both left-associative integer division, so the two
+    * strings compute the identical index chain. The +g skew keeps
+    * cells on distinct positions even when n divides the grid strides
+    * (w and h are multiples of 16, so a short even-length buffer
+    * would otherwise collapse every cell onto position 1 — one
+    * retouched char would then flip ~32 bits and hide the planted
+    * pair). Tiles are digested ONCE per cell (inner transform), then
+    * the parity bit is taken from the digest — polyHashSql inlines
+    * its argument per character, so hashing the digest directly would
+    * md5 each tile 8 times. Geometry (w, h) derives from doc_id the
+    * way [[assets]] does, so a re-ingest under a shifted id keeps its
+    * tiling iff the shift is ≡ 0 (mod 8) and (mod 5) — the planted
+    * ids (3M/8M/9M) all are.
+    *
+    * Output: (doc_id, bits, b0..b3), localCheckpoint'ed — one
+    * fingerprint pass feeds the band join AND the bit-level verify.
+    */
+  private[ops] def imageFps(df: DataFrame): DataFrame = {
     val sparkBits =
       s"""transform(
          |  transform(sequence(0, 63), g ->
@@ -456,20 +464,32 @@ object Multimodal {
       (1 to 16).map(i => s"element_at(bits, ${16 * b + i}) * ${1L << (i - 1)}")
         .mkString("(", " + ", s") AS b$b")
     }
-    val hashed = Tables.documents(s, d)
+    df
+      .withColumn("n", length(col("text")))
+      .withColumn("w", (lit(64) + (col("doc_id") % 8) * 16).cast("int"))
+      .withColumn("h", (lit(64) + (col("doc_id") % 5) * 16).cast("int"))
+      .withColumn("bits", expr(sparkBits))
+      .selectExpr("doc_id" +: "bits" +: bandExprs: _*)
+      .localCheckpoint(true)
+  }
+
+  /** The 64-way bit Hamming distance between two fingerprint columns
+    * (lambda-bound values only — the Round-12b rule).
+    */
+  private[ops] val fpHammingSql: String =
+    """CAST(aggregate(zip_with(bits_a, bits_b,
+      |  (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
+      |  0L, (acc, v) -> acc + v) AS INT)""".stripMargin
+
+  private def mm7ImageDedup(s: SparkSession, d: String): DataFrame = {
+    val hashed = imageFps(Tables.documents(s, d)
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"))
       .unionByName(
         Tables.documents(s, d)
           .filter(col("doc_id") % 3 === 0 && col("doc_id") < 30)
           .select((col("doc_id") + 3000000L).as("doc_id"),
-            concat(lit("Z"), expr("substr(text, 2)")).as("text")))
-      .withColumn("n", length(col("text")))
-      .withColumn("w", (lit(64) + (col("doc_id") % 8) * 16).cast("int"))
-      .withColumn("h", (lit(64) + (col("doc_id") % 5) * 16).cast("int"))
-      .withColumn("bits", expr(sparkBits))
-      .selectExpr("doc_id" +: "bits" +: bandExprs: _*)
-      .localCheckpoint(true) // one fingerprint pass feeds band join + verify
+            concat(lit("Z"), expr("substr(text, 2)")).as("text"))))
     // the band exchange carries IDS ONLY (3 longs/row, not the
     // 64-element fingerprints); the candidate pair set is tiny
     // (banding exists to make it so), so the verifier fetches bits
@@ -496,17 +516,43 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** Oracle half of [[imageFps]]: the identical tile-digest bit chain
+    * in DuckDB SQL, shared by the mm7 and mm12 oracles (ONE string so
+    * the two gates can never fingerprint differently).
+    */
+  private val duckFpBits: String =
+    s"""list_transform(
+       |  list_transform(generate_series(0, 63), g ->
+       |    md5(CASE WHEN n = 0 THEN '' ELSE
+       |        substr(text, 1 + ((g // 8 * h // 8) * w + (g % 8 * w // 8) + g) % n, 8) END)),
+       |  dg -> ${graft.ops.Text.polyHashSql("dg", 8)} % 2)""".stripMargin
+
+  private val duckBandCols: String = (0 until 4).map { b =>
+    (1 to 16).map(i => s"bits[${16 * b + i}] * ${1L << (i - 1)}")
+      .mkString("(", " + ", s") AS b$b")
+  }.mkString(",\n         ")
+
+  /** Oracle fragment: fingerprints + bands over a CTE `img(doc_id,
+    * text)` — ends in `bits(doc_id, bits)` and `bands(…, b0..b3)`.
+    */
+  private def duckFpCtes: String =
+    s"""a AS (
+       |  SELECT doc_id, text, CAST(length(text) AS INT) AS n,
+       |         CAST(64 + (doc_id % 8) * 16 AS INT) AS w,
+       |         CAST(64 + (doc_id % 5) * 16 AS INT) AS h
+       |  FROM img),
+       |bits AS (
+       |  SELECT doc_id,
+       |         $duckFpBits AS bits
+       |  FROM a),
+       |bands AS (
+       |  SELECT doc_id, bits,
+       |         $duckBandCols
+       |  FROM bits)""".stripMargin
+
   private val mm7Oracle: String = {
-    val duckBits =
-      s"""list_transform(
-         |  list_transform(generate_series(0, 63), g ->
-         |    md5(CASE WHEN n = 0 THEN '' ELSE
-         |        substr(text, 1 + ((g // 8 * h // 8) * w + (g % 8 * w // 8) + g) % n, 8) END)),
-         |  dg -> ${graft.ops.Text.polyHashSql("dg", 8)} % 2)""".stripMargin
-    val bandCols = (0 until 4).map { b =>
-      (1 to 16).map(i => s"bits[${16 * b + i}] * ${1L << (i - 1)}")
-        .mkString("(", " + ", s") AS b$b")
-    }.mkString(",\n         ")
+    val duckBits = duckFpBits
+    val bandCols = duckBandCols
     s"""WITH img AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
        |  UNION ALL
@@ -1022,7 +1068,149 @@ object Multimodal {
        |FROM segs ORDER BY doc_id, seq""".stripMargin
   }
 
+  // ---- mm12: streaming image ingestion against a growing fp index ---------
+
+  /** The streaming-ingest member of the image family — d12's loop
+    * (text MinHash) and s17's (vector cells) applied to PERCEPTUAL
+    * fingerprints, completing the ingestion-time dedup triangle: as
+    * image waves arrive, each micro-batch fingerprints its assets
+    * (the mm7 tile-digest bits), probes the ON-DISK band/fingerprint
+    * index for retouched re-ingests (Hamming ≤ 6 after a banded
+    * candidate cut), and appends itself so later waves — and
+    * restarted sessions — see it. Wave 2 re-ingests a WAVE-1 image,
+    * so its match proves mid-stream index growth; all planted ids
+    * shift by multiples of 40 × 10⁵ (≡ 0 mod 8 and mod 5), keeping
+    * the id-derived tile geometry — and so the fingerprints — aligned
+    * with their originals.
+    *
+    * Scale shape per wave: fingerprinting is one scan projection over
+    * the batch; the probe joins the batch's bands BROADCAST against
+    * the standing band table (ids only — fingerprint arrays never
+    * shuffle, mm7's contract); the bit-level verify fetches arrays
+    * for the tiny candidate set. The index is appendable parquet —
+    * no executor memory held between waves.
+    */
+  private def mm12StreamImageDedup(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mm12-idx-")
+    try mm12WithIndex(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  private[graft] def mm12WithIndex(s: SparkSession, d: String, idxDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val idxFps = s"$idxDir/fps"
+    val idxBands = s"$idxDir/bands"
+    val imgs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text")
+    def retouch(rows: Array[org.apache.spark.sql.Row], shift: Long) =
+      rows.map(r => Dedup.NewDoc(shift + r.getLong(0), "Z" + r.getString(1).substring(1)))
+    val seed = imgs.filter(col("doc_id") < 15).collect().sortBy(_.getLong(0))
+    val wave1 = retouch(seed.take(2), 8000000L)
+    // wave 2: one retouch of a corpus image wave 1 did NOT touch, and
+    // one EXACT re-ingest of a wave-1 asset (the growth proof: its
+    // match target entered the index mid-stream)
+    val wave2 = retouch(seed.slice(2, 3), 8000000L) :+
+      Dedup.NewDoc(9000000L + seed.head.getLong(0), wave1.head.text)
+    if (!new java.io.File(idxFps).isDirectory) {
+      val fps = imageFps(imgs)
+      fps.select("doc_id", "bits").write.mode("overwrite").parquet(idxFps)
+      fps.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band_idx", "key")))
+        .write.mode("overwrite").parquet(idxBands)
+    }
+    val matches = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Int)]()
+    var nWaves = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mm12-")
+    try {
+      val input = MemoryStream[Dedup.NewDoc](
+        org.apache.spark.sql.Encoders.product[Dedup.NewDoc], s)
+      def drainWave(): Unit = {
+        val q = input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Dedup.NewDoc], _: Long) =>
+            if (!batch.isEmpty) {
+              nWaves += 1
+              val newFps = imageFps(batch.toDF())
+              val newBands = newFps.select(col("doc_id").as("new_id"),
+                posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+                  .as(Seq("band_idx", "key")))
+              val out = s.read.parquet(idxBands)
+                .join(broadcast(newBands), Seq("band_idx", "key"))
+                .select(col("new_id"), col("doc_id").as("matched_id"))
+                .dropDuplicates("new_id", "matched_id")
+                .join(broadcast(newFps.select(col("doc_id").as("new_id"),
+                  col("bits").as("bits_a"))), Seq("new_id"))
+                .join(s.read.parquet(idxFps).select(col("doc_id").as("matched_id"),
+                  col("bits").as("bits_b")), Seq("matched_id"))
+                .withColumn("hamming", expr(fpHammingSql))
+                .filter(col("hamming") <= 6)
+                .select("new_id", "matched_id", "hamming")
+                .collect()
+              matches ++= out.map(r => (nWaves, r.getLong(0), r.getLong(1), r.getInt(2)))
+              newFps.select("doc_id", "bits").write.mode("append").parquet(idxFps)
+              newFps.select(col("doc_id"),
+                posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+                  .as(Seq("band_idx", "key")))
+                .write.mode("append").parquet(idxBands)
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      input.addData(wave1.toSeq); drainWave()
+      input.addData(wave2.toSeq); drainWave()
+    } finally graft.Fs.deleteRecursively(ckpt)
+    require(nWaves == 2, s"delivery waves must arrive separately, got $nWaves")
+    import s.implicits._
+    matches.toSeq.toDF("wave", "new_id", "matched_id", "hamming")
+      .orderBy("wave", "new_id", "matched_id")
+  }
+
+  private val mm12Oracle: String =
+    s"""WITH seedsrc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 AND doc_id < 15
+       |  ORDER BY doc_id LIMIT 3),
+       |w1 AS (
+       |  SELECT doc_id + 8000000 AS doc_id, 'Z' || substr(text, 2) AS text
+       |  FROM seedsrc WHERE doc_id IN (SELECT doc_id FROM seedsrc ORDER BY doc_id LIMIT 2)),
+       |w2 AS (
+       |  SELECT doc_id + 8000000 AS doc_id, 'Z' || substr(text, 2) AS text
+       |  FROM seedsrc WHERE doc_id = (SELECT max(doc_id) FROM seedsrc)
+       |  UNION ALL
+       |  SELECT 9000000 + (SELECT min(doc_id) FROM seedsrc),
+       |         'Z' || substr((SELECT text FROM seedsrc ORDER BY doc_id LIMIT 1), 2)),
+       |img AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id, text FROM w1
+       |  UNION ALL SELECT doc_id, text FROM w2),
+       |$duckFpCtes,
+       |probe AS (
+       |  SELECT 1 AS wave, n.doc_id AS new_id, c.doc_id AS matched_id
+       |  FROM bands n JOIN bands c
+       |    ON (n.b0 = c.b0 OR n.b1 = c.b1 OR n.b2 = c.b2 OR n.b3 = c.b3)
+       |  WHERE n.doc_id IN (SELECT doc_id FROM w1)
+       |    AND c.doc_id < 8000000
+       |  UNION
+       |  SELECT 2, n.doc_id, c.doc_id
+       |  FROM bands n JOIN bands c
+       |    ON (n.b0 = c.b0 OR n.b1 = c.b1 OR n.b2 = c.b2 OR n.b3 = c.b3)
+       |  WHERE n.doc_id IN (SELECT doc_id FROM w2)
+       |    AND (c.doc_id < 8000000 OR c.doc_id IN (SELECT doc_id FROM w1)))
+       |SELECT wave, new_id, matched_id, hamming FROM (
+       |  SELECT p.wave, p.new_id, p.matched_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> CASE WHEN x.bits[i] <> y.bits[i] THEN 1 ELSE 0 END)) AS INT)
+       |           AS hamming
+       |  FROM probe p
+       |  JOIN bits x ON x.doc_id = p.new_id
+       |  JOIN bits y ON y.doc_id = p.matched_id)
+       |WHERE hamming <= 6 ORDER BY wave, new_id, matched_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm12_stream_image" -> (mm12StreamImageDedup _),
     "mm11_interleave" -> (mm11Interleave _),
     "mm10_pair_curation" -> (mm10PairCuration _),
     "mm9_scene_detect" -> (mm9SceneDetect _),
@@ -1058,6 +1246,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm12_stream_image" -> mm12Oracle,
     "mm11_interleave" -> mm11Oracle,
     "mm10_pair_curation" -> mm10Oracle,
     "mm9_scene_detect" -> mm9Oracle,

@@ -206,4 +206,35 @@ class MultimodalSpec extends AnyFunSuite {
       .map(_.getAs[Int]("n_tokens").toLong).sum
     assert(textToks == wordTotal, "chunked text tokens must sum to the corpus word count")
   }
+
+  test("mm12: waves match retouches, wave 2 sees wave 1, and the index survives a restart") {
+    val rows = Multimodal.queries("mm12_stream_image")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("wave"), r.getAs[Long]("new_id"),
+        r.getAs[Long]("matched_id"), r.getAs[Int]("hamming")))
+    // every planted retouch matches its own original (id - 8M)
+    val retouches = rows.filter(t => t._2 >= 8000000L && t._2 < 9000000L)
+    assert(retouches.nonEmpty)
+    retouches.foreach { case (_, nid, _, _) =>
+      assert(rows.exists(t => t._2 == nid && t._3 == nid - 8000000L),
+        s"retouch $nid must match its original")
+    }
+    // the growth proof: wave 2's exact re-ingest matches the WAVE-1
+    // entry (hamming 0) — an id only in the index because wave 1
+    // appended mid-stream
+    assert(rows.exists(t => t._1 == 2 && t._2 >= 9000000L &&
+      t._3 >= 8000000L && t._4 == 0),
+      "the wave-2 re-ingest must hit the wave-1 index entry exactly")
+    // restart survival: a second session entering the SAME index dir
+    // probes an index that already holds the first session's waves
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm12-spec-").toString
+    try {
+      Multimodal.mm12WithIndex(spark, sf, dir)
+      val again = Multimodal.mm12WithIndex(spark, sf, dir).collect()
+      // the restarted session's WAVE-1 retouch now also matches the
+      // prior session's identically-fingerprinted 8M entry
+      assert(again.exists(r => r.getAs[Int]("wave") == 1 &&
+        r.getAs[Long]("matched_id") >= 8000000L),
+        "a restarted session must see the index grown by the previous one")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
