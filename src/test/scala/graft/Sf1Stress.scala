@@ -53,7 +53,7 @@ object Sf1Stress {
       // round-13 fourth batch: gram funnels, iterative closure,
       // query-bounded sweep (s19 runs separately, k-scaled like d11)
       "d14_bloom_decontam", "t38_split_leakage", "q52_hierarchy",
-      "s20_nprobe_sweep",
+      "s20_nprobe_sweep", "mm12_stream_image",
       "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
