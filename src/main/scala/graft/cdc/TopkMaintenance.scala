@@ -37,6 +37,15 @@ object TopkMaintenance {
   /** Apply one ordered feed slice `(pos, pk, op, value)`: fold it
     * latest-wins, merge into the state table, then re-rank ONLY the
     * touched cohorts of the top-k view.
+    *
+    * Crash contract: the state and view writes are two files, not one
+    * transaction — a crash between them leaves the view stale for the
+    * batch's cohorts. Recovery is the pipeline's standard at-least-once
+    * rule: RE-APPLY the batch. Both halves are idempotent under
+    * re-delivery (the state merge replaces the same per-pk last rows;
+    * the re-rank recomputes from post-merge state), so the pair
+    * converges — same posture as the [[AggMaintenance]] rollups and
+    * the gated state sink.
     */
   def applyBatch(spark: SparkSession, baseDir: String, batch: DataFrame): Unit = {
     val stateDir = s"$baseDir/state"
