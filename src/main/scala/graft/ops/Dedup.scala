@@ -451,6 +451,13 @@ object Dedup {
               // NEXT wave (or a restarted session) probes includes it
               newShs.write.mode("append").parquet(idxShs)
               newBands.write.mode("append").parquet(idxBands)
+              // small-files backstop for the daily-append cadence: a
+              // no-op directory listing until the table's read-amp
+              // crosses threshold, then a content-identical fold
+              // (probe results unchanged — IndexCompactionSpec)
+              IndexCompaction.compact(s, idxShs)
+              IndexCompaction.compact(s, idxBands)
+              ()
             }
           }
           .option("checkpointLocation", ckpt.toString)
@@ -1146,7 +1153,7 @@ object Dedup {
     * gram; the bloom ships a fixed bit array ~100× smaller at the
     * same corpus-side cost). Two-stage funnel, no false negatives by
     * construction: (1) every corpus gram probes the broadcast
-    * 1008-bit filter ROW-LOCALLY (two arithmetic positions per gram,
+    * 258,048-bit (4096-word) filter ROW-LOCALLY (two arithmetic positions per gram,
     * two AND-masks — a scan filter, no join); (2) only the surviving
     * candidates meet the exact gram set, so the equi-join input is
     * the candidate set, not the corpus. `n_cand ≥ n_hits` per doc is
@@ -1176,7 +1183,7 @@ object Dedup {
       .select(explode(col("g")).as("gram")).distinct()
     // two deterministic positions per gram (the gram is already a
     // mod-P hash; the second position re-mixes with the Knuth
-    // constant), each contributing one bit to one of 16 words
+    // constant), each contributing one bit to one of mWords words
     def posSql(e: String): (String, String) =
       (s"($e % $mBits)", s"(($e * 2654435761 % $P) % $mBits)")
     val (p1, p2) = posSql("gram")

@@ -1016,7 +1016,12 @@ object Multimodal {
       .withColumn("img_pos",
         when(col("is_img").isNotNull,
           (col("doc_id") % (col("n_chunks") + 1)).cast("int")).otherwise(lit(-1)))
+    // n_chunks >= 1 guard: Spark's sequence(0, -1) yields a DESCENDING
+    // [0, -1] (two phantom chunks) for a zero-word document, while the
+    // oracle's generate_series(0, -1) is empty — an empty doc has no
+    // text segments on either engine only with the explicit filter
     val textSegs = docs
+      .filter(col("n_chunks") >= 1)
       .select(col("doc_id"), col("ws"), col("img_pos"),
         explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
       .select(
@@ -1153,6 +1158,11 @@ object Multimodal {
                 posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
                   .as(Seq("band_idx", "key")))
                 .write.mode("append").parquet(idxBands)
+              // small-files backstop: no-op listing under threshold,
+              // content-identical fold above it (IndexCompactionSpec)
+              IndexCompaction.compact(s, idxFps)
+              IndexCompaction.compact(s, idxBands)
+              ()
             }
           }
           .option("checkpointLocation", ckpt.toString)
@@ -1209,7 +1219,127 @@ object Multimodal {
        |  JOIN bits y ON y.doc_id = p.matched_id)
        |WHERE hamming <= 6 ORDER BY wave, new_id, matched_id""".stripMargin
 
+  // ---- mm13: REAL image bytes through the codec seam ----------------------
+
+  /** A real encoded image: genuine PNG bytes in the binary column. */
+  final case class MmRealAsset(doc_id: Long, width: Int, height: Int, png: Array[Byte])
+
+  /** Decoded + resized output of the real path — every field is
+    * derivable from the planted pixel function, so the oracle checks
+    * the full encode→decode→resize chain without a decoder of its own.
+    */
+  final case class MmRealDecoded(
+      doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, pad_x: Int, pad_y: Int, thumb_checksum: Long)
+
+  /** The planted pixel function: channel values at (x, y) are a
+    * closed-form integer function of (doc_id, x, y). This is what
+    * makes a REAL codec round-trip oracle-checkable: PNG is lossless,
+    * so the decoded pixel must equal the formula exactly, and DuckDB
+    * recomputes the downstream thumbnail checksum from the formula
+    * with no image library — any encoder or decoder defect (wrong
+    * stride, channel swap, color-space bend, truncation) breaks the
+    * equality and the gate goes red.
+    */
+  private[ops] def plantRGB(docId: Long, x: Int, y: Int): Int = {
+    val r = ((docId + 2L * x + 3L * y) % 256).toInt
+    val g = ((docId * 2 + 5L * x + y) % 256).toInt
+    val b = ((docId * 3 + x + 7L * y) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode REAL PNGs partition-parallel — `javax.imageio`, pure JVM,
+    * one encode context per partition (the JNI-codec shape the stub
+    * family documents; here the codec is not a stub).
+    */
+  def encodeReal(meta: DataFrame): Dataset[MmRealAsset] = {
+    import meta.sparkSession.implicits._
+    meta.select("doc_id", "width", "height").as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, plantRGB(id, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MmRealAsset(id, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Decode REAL PNG bytes and run mm6's letterbox + 8×8 thumbnail
+    * math over the genuinely decoded pixels — the resize leg with the
+    * stub swapped out for `javax.imageio`.
+    */
+  def decodeReal(assets: Dataset[MmRealAsset]): Dataset[MmRealDecoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.png))
+        require(img != null && img.getWidth == a.width && img.getHeight == a.height,
+          s"decode failed for doc ${a.doc_id}")
+        val (ow, oh) =
+          if (a.width >= a.height) (224, a.height * 224 / a.width)
+          else (a.width * 224 / a.height, 224)
+        var sum = 0L
+        var j = 0
+        while (j < 8) {
+          val y = j * a.height / 8
+          var i = 0
+          while (i < 8) {
+            val x = i * a.width / 8
+            val rgb = img.getRGB(x, y)
+            sum = (sum * 31 + ((rgb >> 16) & 0xff)) % 2147483647L
+            sum = (sum * 31 + ((rgb >> 8) & 0xff)) % 2147483647L
+            sum = (sum * 31 + (rgb & 0xff)) % 2147483647L
+            i += 1
+          }
+          j += 1
+        }
+        MmRealDecoded(a.doc_id, a.width, a.height, ow, oh, 224 - ow, 224 - oh, sum)
+      }
+    }
+  }
+
+  /** mm13: the image-modality assets as REAL PNGs — encode, decode,
+    * letterbox, thumbnail — scan-shaped end to end (two mapPartitions
+    * legs, zero shuffles, narrow output; binary payloads never leave
+    * their partition).
+    */
+  private def mm13RealDecode(s: SparkSession, d: String): DataFrame = {
+    val meta = assets(s, d).toDF().filter(col("modality") === "image")
+      .select("doc_id", "width", "height")
+    decodeReal(encodeReal(meta)).toDF().orderBy("doc_id")
+  }
+
+  private val mm13Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w,
+      |         CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS INT) AS out_w,
+      |       CAST(CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS INT) AS out_h,
+      |       CAST(224 - CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS INT) AS pad_x,
+      |       CAST(224 - CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS INT) AS pad_y,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         flatten(flatten(
+      |           list_transform(generate_series(0, 7), j ->
+      |             list_transform(generate_series(0, 7), i -> [
+      |               (doc_id + 2 * ((i * w) // 8) + 3 * ((j * h) // 8)) % 256,
+      |               (doc_id * 2 + 5 * ((i * w) // 8) + ((j * h) // 8)) % 256,
+      |               (doc_id * 3 + ((i * w) // 8) + 7 * ((j * h) // 8)) % 256]))))),
+      |         (a, b) -> (a * 31 + b) % 2147483647) AS thumb_checksum
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm13_real_decode" -> (mm13RealDecode _),
     "mm12_stream_image" -> (mm12StreamImageDedup _),
     "mm11_interleave" -> (mm11Interleave _),
     "mm10_pair_curation" -> (mm10PairCuration _),
@@ -1246,6 +1376,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm13_real_decode" -> mm13Oracle,
     "mm12_stream_image" -> mm12Oracle,
     "mm11_interleave" -> mm11Oracle,
     "mm10_pair_curation" -> mm10Oracle,

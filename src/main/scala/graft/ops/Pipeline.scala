@@ -1042,7 +1042,10 @@ object Pipeline {
         org.apache.spark.sql.expressions.Window.currentRow)
     priced
       .withColumn("cum", sum(col("tokens")).over(w))
-      .withColumn("bin", expr("(cum - 1) DIV 4096"))
+      // greatest(..., 0): a zero-token leading document gives cum = 0,
+      // where Spark's DIV truncates toward zero but DuckDB's // floors
+      // to -1 — clamping on BOTH sides keeps the engines in agreement
+      .withColumn("bin", expr("greatest(cum - 1, 0) DIV 4096"))
       .groupBy("split", "shard", "bin")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1070,9 +1073,9 @@ object Pipeline {
        |binned AS (
        |  SELECT doc_id, split, h % 8 AS shard, text_tokens, img_tokens,
        |         text_tokens + img_tokens AS tokens,
-       |         (CAST(sum(text_tokens + img_tokens) OVER (
+       |         greatest(CAST(sum(text_tokens + img_tokens) OVER (
        |            PARTITION BY split, h % 8 ORDER BY h, doc_id
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1, 0)
        |           // 4096 AS bin
        |  FROM priced)
        |SELECT split, shard, bin, count(*) AS n_docs,

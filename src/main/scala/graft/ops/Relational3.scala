@@ -874,8 +874,15 @@ object Relational3 {
       ptr = ptr.join(hop, col("ptr") === col("p_node"))
         .select(col("node"), col("p_ptr").as("ptr"),
           (col("dist") + col("p_dist")).as("dist"))
-        .localCheckpoint(true) // pin each round; 4 rounds, not one 8-join plan
+        .localCheckpoint(true) // pin each round; 5 rounds, not one 32-join plan
     }
+    // convergence check: every pointer must have parked at the root.
+    // A corpus deeper than 2^5 = 32 would otherwise TRUNCATE depths
+    // silently; failing loudly here is one ≤8-byte aggregate on a
+    // frame that is already checkpointed (no recompute).
+    val maxPtr = ptr.agg(max(col("ptr"))).head().getLong(0)
+    require(maxPtr == 0L,
+      s"hierarchy deeper than 32 levels (max residual ptr $maxPtr): add doubling rounds")
     ptr.join(cust, col("node") === col("c_custkey"))
       .groupBy(col("dist").as("depth"))
       .agg(count(lit(1)).as("n_nodes"),

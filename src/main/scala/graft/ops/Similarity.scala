@@ -1798,6 +1798,10 @@ object Similarity {
               assignCellsFrom(batch.toDF(), cents)
                 .select("vec_id", "q", "cid")
                 .write.mode("append").parquet(cellsPath)
+              // small-files backstop: no-op listing under threshold,
+              // content-identical fold above it (IndexCompactionSpec)
+              IndexCompaction.compact(s, cellsPath)
+              ()
             }
           }
           .option("checkpointLocation", ckpt.toString)
@@ -1859,6 +1863,180 @@ object Similarity {
        |  ${searchSql("cells1", 1)}
        |  UNION ALL
        |  ${searchSql("cells2", 2)})
+       |ORDER BY wave, rnk""".stripMargin
+  }
+
+  // ---- s21: streaming DELETES in the vector index (MOR tombstones) --------
+
+  /** A vector-stream event: an upsert carries the embedding, a delete
+    * carries only the KEY — which is why deletes cannot prune to a
+    * cell: nothing in the event says where the vector lives, and a
+    * per-tombstone O(index) scan-and-rewrite is the thing a live
+    * pipeline must never do.
+    */
+  final case class VecEvent(vec_id: Long, q: Seq[Double], op: String)
+
+  /** s17's ingestion loop extended with TOMBSTONES — the merge-on-read
+    * deletion model (Lucene live-docs / Hudi delete-blocks): a delete
+    * appends its key to a tombstone table (O(1) write), every search
+    * masks the index with a broadcast anti-join against the
+    * accumulated tombstones (bounded by delete-rate × compaction
+    * cadence — control-plane sized), and the periodic
+    * [[IndexCompaction.compactWithTombstones]] fold makes deletes
+    * physical and clears the mask. The gate proves all three phases
+    * under the oracle: wave 1 plants an exact re-embedding of the
+    * query (cos 1.0, rank 1), wave 2 deletes it — the snapshot-2
+    * search must drop it and refill rank 5 from the corpus while the
+    * row is still PHYSICALLY in the cell table (mask semantics) —
+    * then a compaction folds the tombstone in and snapshot 3 must be
+    * byte-identical to snapshot 2 with the mask gone (physical
+    * semantics). p9 retracts batch-wise under the same fixed-codebook
+    * contract; this is its streaming form.
+    */
+  private def s21StreamDelete(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s21-idx-")
+    try s21StreamDeleteWithDir(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  private[graft] def s21StreamDeleteWithDir(
+      s: SparkSession, d: String, idxDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val cellsPath = s"$idxDir/cells"
+    val delsPath = s"$idxDir/dels"
+    val cbPath = s"$idxDir/codebook"
+    val base = quantized(s, d)
+    if (!new java.io.File(cellsPath).isDirectory) {
+      saveCodebook(trainCodebook(base, iters = 2), cbPath)
+      val cents0 = collectCents(loadCodebook(s, cbPath))
+      assignCellsFrom(base.filter(col("vec_id") >= 5), cents0)
+        .select("vec_id", "q", "cid")
+        .write.mode("overwrite").parquet(cellsPath)
+    }
+    val cents = collectCents(loadCodebook(s, cbPath))
+    val snaps = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Double, Int)]()
+    def searchTop(wave: Int): Unit = {
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      // the tombstone mask: a broadcast anti-join, present only while
+      // unapplied tombstones exist (the existence check is one listing)
+      val live =
+        if (IndexCompaction.dataFileCount(delsPath) > 0)
+          s.read.parquet(cellsPath).join(
+            broadcast(s.read.parquet(delsPath).select("vec_id").distinct()),
+            Seq("vec_id"), "left_anti")
+        else s.read.parquet(cellsPath)
+      val out = live
+        .join(broadcast(ivfProbes(base, cents, nprobe = 2, qMax = 1L)),
+          col("cid") === col("pcid"))
+        .select(col("qid"), col("vec_id"), col("cid"),
+          VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+        .collect()
+      snaps ++= out.map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cid"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    }
+    def upsertsOf(ids: Seq[Long], shift: Long): Seq[VecEvent] =
+      base.filter(col("vec_id").isin(ids: _*)).collect()
+        .map(r => VecEvent(shift + r.getAs[Long]("vec_id"), r.getSeq[Double](1), "upsert"))
+        .sortBy(_.vec_id).toSeq
+    // wave 1: three plants, including the query's own embedding
+    val wave1 = upsertsOf(Seq(0L, 1L, 2L), 8000000L)
+    // wave 2: DELETE the rank-1 plant; one unrelated upsert rides along
+    // (mixed batches are the production case)
+    val wave2 = Seq(VecEvent(8000000L, Seq.empty, "delete")) ++
+      upsertsOf(Seq(4L), 9000000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-s21-")
+    try {
+      val input = MemoryStream[VecEvent](
+        org.apache.spark.sql.Encoders.product[VecEvent], s)
+      def drainWave(): Unit = {
+        val q = input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[VecEvent], _: Long) =>
+            val b = batch.localCheckpoint(true) // two slices, one upstream eval
+            val ups = b.filter(col("op") === "upsert").drop("op")
+            if (!ups.isEmpty)
+              assignCellsFrom(ups, cents)
+                .select("vec_id", "q", "cid")
+                .write.mode("append").parquet(cellsPath)
+            val tomb = b.filter(col("op") === "delete").select("vec_id")
+            if (!tomb.isEmpty)
+              tomb.write.mode("append").parquet(delsPath)
+            // in-stream cadence: the file-count backstop only — the
+            // tombstone fold is the OPERATOR'S periodic compaction
+            // call, exercised explicitly below so the gate checks the
+            // masked phase before the physical one
+            IndexCompaction.compact(s, cellsPath)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      input.addData(wave1); drainWave(); searchTop(1)
+      input.addData(wave2); drainWave(); searchTop(2) // masked delete
+      // periodic maintenance fires: the tombstone becomes physical
+      require(IndexCompaction.compactWithTombstones(
+        s, cellsPath, delsPath, "vec_id"), "tombstones must force a fold")
+      require(IndexCompaction.dataFileCount(delsPath) == 0,
+        "applied tombstones must clear")
+      searchTop(3) // physical delete: must equal snapshot 2
+    } finally graft.Fs.deleteRecursively(ckpt)
+    import s.implicits._
+    snaps.toSeq.toDF("wave", "qid", "vec_id", "cell", "cos", "rnk")
+      .orderBy("wave", "rnk")
+  }
+
+  private val s21Oracle: String = {
+    def assignQSql(rel: String) =
+      s"""SELECT vec_id, q, cid FROM (
+         |  SELECT x.vec_id, x.q, c.cid,
+         |         row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |                i -> x.q[i] * c.sv[i])) AS DOUBLE) / c.n DESC,
+         |           c.cid) AS rnk
+         |  FROM $rel x, c2 c) WHERE rnk = 1""".stripMargin
+    def searchSql(cells: String, wave: Int) =
+      s"""SELECT $wave AS wave, qid, vec_id, cid AS cell, cos, rnk FROM (
+         |  SELECT p.qid, c.vec_id, c.cid,
+         |         list_cosine_similarity(c.q::DOUBLE[], qb.q::DOUBLE[]) AS cos,
+         |         CAST(row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY list_cosine_similarity(c.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+         |                    c.vec_id) AS INT) AS rnk
+         |  FROM $cells c
+         |  JOIN probes0 p ON c.cid = p.cid
+         |  JOIN base qb ON qb.vec_id = p.qid)
+         |WHERE rnk <= 5""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |probes0 AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM (SELECT q.vec_id AS qid, c.cid,
+       |                 CAST(list_sum(list_transform(generate_series(1, 64),
+       |                      i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |          FROM base q, c2 c WHERE q.vec_id < 1)) WHERE pr <= 2),
+       |w1 AS (SELECT vec_id + 8000000 AS vec_id, q FROM base WHERE vec_id < 3),
+       |w2 AS (SELECT vec_id + 9000000 AS vec_id, q FROM base WHERE vec_id = 4),
+       |aw1 AS (${assignQSql("w1")}),
+       |aw2 AS (${assignQSql("w2")}),
+       |cells1 AS (
+       |  SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5
+       |  UNION ALL SELECT vec_id, q, cid FROM aw1),
+       |cells2 AS (
+       |  SELECT vec_id, q, cid FROM cells1 WHERE vec_id <> 8000000
+       |  UNION ALL SELECT vec_id, q, cid FROM aw2)
+       |SELECT * FROM (
+       |  ${searchSql("cells1", 1)}
+       |  UNION ALL
+       |  ${searchSql("cells2", 2)}
+       |  UNION ALL
+       |  ${searchSql("cells2", 3)})
        |ORDER BY wave, rnk""".stripMargin
   }
 
@@ -2168,6 +2346,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_stream_delete" -> (s21StreamDelete _),
     "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_knn_graph" -> (s19KnnGraph _),
     "s18_hamming" -> (s18Hamming _),
@@ -2191,6 +2370,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s21_stream_delete" -> s21Oracle,
     "s20_nprobe_sweep" -> s20Oracle,
     "s19_knn_graph" -> s19Oracle,
     "s18_hamming" -> s18Oracle,

@@ -222,6 +222,61 @@ class AggMaintenanceSpec extends AnyFunSuite {
       "untouched cohorts must carry over unchanged")
   }
 
+  test("top-k state: cohort-partitioned COW — untouched cohorts' state files survive a batch") {
+    val dir = s"target/tmp/topkcow-${System.nanoTime()}"
+    // cohorts 1 and 2 both get state in batch 1
+    TopkMaintenance.applyBatch(spark, dir, Seq(
+      (1L, 1L, "insert", 10.0), (2L, 11L, "insert", 9.0),
+      (3L, 2L, "insert", 20.0), (4L, 12L, "insert", 19.0)
+    ).toDF("pos", "pk", "op", "value"))
+    def stateFiles(): Map[String, Long] = {
+      val base = new java.io.File(s"$dir/state")
+      base.listFiles().filter(_.getName.startsWith("cohort="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()))
+        .toMap
+    }
+    val before = stateFiles()
+    assert(before.keys.exists(_.contains("cohort=1/")), "cohort-partitioned layout expected")
+    assert(before.keys.exists(_.contains("cohort=2/")))
+    // batch 2 touches ONLY cohort 1
+    TopkMaintenance.applyBatch(spark, dir,
+      Seq((5L, 21L, "insert", 8.5)).toDF("pos", "pk", "op", "value"))
+    val after = stateFiles()
+    val untouched = before.keys.filter(_.contains("cohort=2/"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)), s"cold cohort state file rewritten: $p")
+    }
+    // cohort 1's directory WAS rewritten (no stale file survives)
+    assert(before.keys.filter(_.contains("cohort=1/")).forall(p => !after.contains(p)),
+      "touched cohort must be copy-on-write replaced")
+    // and the maintained view reflects the merge
+    val got = TopkMaintenance.read(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    assert(got == Set(
+      (1L, 1, 1L, 10.0), (1L, 2, 11L, 9.0), (1L, 3, 21L, 8.5),
+      (2L, 1, 2L, 20.0), (2L, 2, 12L, 19.0)))
+  }
+
+  test("top-k state: a cohort emptied by deletes drops its partition directory") {
+    val dir = s"target/tmp/topkempty-${System.nanoTime()}"
+    TopkMaintenance.applyBatch(spark, dir, Seq(
+      (1L, 1L, "insert", 10.0), (2L, 2L, "insert", 20.0)
+    ).toDF("pos", "pk", "op", "value"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/state", "cohort=1")))
+    TopkMaintenance.applyBatch(spark, dir,
+      Seq((3L, 1L, "delete", 0.0)).toDF("pos", "pk", "op", "value"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/state", "cohort=1")),
+      "a fully-deleted cohort's stale partition dir would resurrect rows")
+    val got = TopkMaintenance.read(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("user_id")))
+    assert(got.toSet == Set((2L, 2L)))
+  }
+
   test("top-k view: any batch slicing converges to the direct rank over latest-wins state (seeded)") {
     // adversarial ops across three cohorts: updates that demote a
     // ranked row, deletes of ranked AND unranked rows, re-inserts

@@ -237,4 +237,37 @@ class MultimodalSpec extends AnyFunSuite {
         "a restarted session must see the index grown by the previous one")
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("mm13: real PNG bytes — signature, hand-checked checksum, corruption sensitivity") {
+    import spark.implicits._
+    val meta = Seq((12L, 80, 64)).toDF("doc_id", "width", "height")
+    val asset = Multimodal.encodeReal(meta).collect()(0)
+    // the binary column holds a genuine PNG, not a stand-in
+    assert(asset.png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "encoded bytes must carry the PNG signature")
+    // decode recovers the planted pixels exactly (losslessness is the
+    // bridge between the real codec and the SQL oracle): fold the
+    // 8x8 thumbnail checksum by hand from the formula
+    var want = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val x = i * 80 / 8; val y = j * 64 / 8
+      val rgb = Multimodal.plantRGB(12L, x, y)
+      for (c <- Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff))
+        want = (want * 31 + c) % 2147483647L
+    }
+    val dec = Multimodal.decodeReal(Multimodal.encodeReal(meta)).collect()(0)
+    assert(dec.thumb_checksum == want, "decoded pixels must equal the planted formula")
+    assert((dec.out_w, dec.out_h, dec.pad_x, dec.pad_y) == (224, 179, 0, 45))
+    // the bytes DRIVE the result: corrupting the compressed stream
+    // must fail decode or change pixels — never silently agree
+    val corrupt = asset.png.clone()
+    corrupt(asset.png.length / 2) = (corrupt(asset.png.length / 2) ^ 0xff.toByte).toByte
+    val got = try {
+      Some(Multimodal.decodeReal(
+        Seq(Multimodal.MmRealAsset(12L, 80, 64, corrupt)).toDS()).collect()(0))
+    } catch { case _: Exception => None }
+    assert(got.forall(_.thumb_checksum != want),
+      "a corrupted payload must not reproduce the planted checksum")
+  }
 }

@@ -517,6 +517,42 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("s21: streaming tombstones — masked delete, then physical fold, snapshots agree") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-s21-spec-").toString
+    try {
+      val rows = Similarity.s21StreamDeleteWithDir(spark, sf, dir).collect()
+      val byWave = rows.groupBy(_.getAs[Int]("wave"))
+      val (w1, w2, w3) = (byWave(1), byWave(2), byWave(3))
+      // wave 1: the planted re-embedding of the query leads at cos 1.0
+      val top1 = w1.minBy(_.getAs[Int]("rnk"))
+      assert(top1.getAs[Long]("vec_id") == 8000000L && top1.getAs[Double]("cos") == 1.0,
+        s"wave-1 snapshot must be led by the ingested re-embedding, got $top1")
+      // wave 2: the deleted plant is GONE (tombstone mask — no fold has
+      // run yet) and the rank window refilled to a full top-5
+      assert(!w2.exists(_.getAs[Long]("vec_id") == 8000000L),
+        "a masked delete must drop the vector from search results")
+      assert(w2.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5),
+        "eviction must refill from the remaining live set")
+      // wave 3 (post-fold, mask cleared) must be byte-identical to wave 2
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rnk"))
+      assert(w2.map(key).toSet == w3.map(key).toSet,
+        "physical and masked deletion must produce identical searches")
+      // and the delete is now PHYSICAL: key absent from the cell table,
+      // tombstone table drained
+      assert(spark.read.parquet(s"$dir/cells")
+        .filter(col("vec_id") === 8000000L).isEmpty,
+        "compaction must remove the tombstoned row from storage")
+      assert(IndexCompaction.dataFileCount(s"$dir/dels") == 0)
+      // restart survival: wave-1 content from the first session (vec
+      // 9000004) persisted through the fold and is live for a re-entry
+      assert(spark.read.parquet(s"$dir/cells")
+        .filter(col("vec_id") === 9000004L).count() == 1)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("s18: Hamming funnel — sketch distance bounded, rerank exact, selection beats the corpus mean") {
     val rows = Similarity.queries("s18_hamming")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
