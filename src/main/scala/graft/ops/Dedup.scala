@@ -90,6 +90,54 @@ object Dedup {
       |GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
+  // ---- d15: soft dedup (duplicate-aware down-weighting) --------------------
+
+  /** Dedup WITHOUT dropping: every copy stays in the corpus but
+    * carries weight `1 / cluster_size`, so duplicated content
+    * contributes one document's worth of sampling mass in expectation
+    * — the production alternative to hard removal when dropping
+    * copies would shift the domain mixture (common for licensed or
+    * boilerplate-heavy sources), and the per-row weight a sampler or
+    * loss-scaler consumes directly. Uses d1's planted re-ingest so
+    * clusters > 1 provably exist.
+    *
+    * Scale shape: ONE exchange — the window partitions on the 128-bit
+    * content digest (the same key d1's groupBy shuffles on; raw text
+    * never keys an exchange); cluster size broadcasts back to members
+    * inside that window and the weight arithmetic is row-local.
+    */
+  private def d15SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val replayed = docs
+      .filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_key"))
+    docs.union(replayed)
+      .select(col("doc_id"), md5(col("text")).as("text_key"),
+        size(Text.wordsCol(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight", expr("CAST(1.0 AS DOUBLE) / cluster_size"))
+      .withColumn("eff_tokens", col("n_tokens") * col("weight"))
+      .select("doc_id", "cluster_size", "n_tokens", "weight", "eff_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val d15Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+       |c AS (
+       |  SELECT doc_id, CAST(len($ws) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS cluster_size
+       |  FROM u)
+       |SELECT doc_id, cluster_size, n_tokens,
+       |       CAST(1.0 AS DOUBLE) / cluster_size AS weight,
+       |       n_tokens * (CAST(1.0 AS DOUBLE) / cluster_size) AS eff_tokens
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // ---- d2: bounded exact n-gram Jaccard -----------------------------------
 
   /** Exact 3-gram-shingle Jaccard over a fixed 100-doc block: the
@@ -1263,6 +1311,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_soft_dedup" -> (d15SoftDedup _),
     "d14_bloom_decontam" -> (d14BloomDecontam _),
     "d13_substring_dedup" -> (d13SubstringDedup _),
     "d11_semantic_dedup" -> (d11SemanticDedup _),
@@ -1342,6 +1391,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d15_soft_dedup" -> d15Oracle,
     "d14_bloom_decontam" -> d14Oracle,
     "d13_substring_dedup" -> d13Oracle,
     "d11_semantic_dedup" -> d11Oracle,

@@ -773,7 +773,14 @@ object Multimodal {
     * constant, never corpus-shaped. No joins, nothing pairwise, and
     * scene rows out are ~an order smaller than frame rows in.
     */
-  private def mm9SceneDetect(s: SparkSession, d: String): DataFrame = {
+  /** The frame/scene chain shared by mm9 (segmentation rollup) and
+    * mm14 (keyframe election): synthetic shot structure → per-frame
+    * fingerprints → Hamming-cut scene ids. One Spark block and one
+    * oracle fragment ([[mm9SceneChainSql]]) serve both gates, so the
+    * two cannot diverge (the mm7/mm12 shared-digest discipline).
+    * Returns `(doc_id, frame_idx, fp, scene_id)`.
+    */
+  private def sceneFrames(s: SparkSession, d: String): DataFrame = {
     def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
     // 32 independent md5-parity coins per slice, assembled LSB-first;
     // digests are bound through the zip_with lambda so each is
@@ -817,17 +824,24 @@ object Multimodal {
         when(col("prev_fp").isNull, 1)
           .when(bit_count(expr("fp ^ prev_fp")) > 6, 1).otherwise(0))
       .withColumn("scene_id", sum(col("cut")).over(wScene).cast("long"))
+      .select("doc_id", "frame_idx", "fp", "scene_id")
+  }
+
+  private def mm9SceneDetect(s: SparkSession, d: String): DataFrame =
+    sceneFrames(s, d)
       .groupBy(col("doc_id"), col("scene_id"))
       .agg(
         min(col("frame_idx")).as("start_frame"),
         count(lit(1)).as("n_frames"),
         min_by(col("fp"), col("frame_idx")).as("key_fp"))
       .orderBy("doc_id", "scene_id")
-  }
 
-  private val mm9Oracle: String = {
+  /** The oracle-side twin of [[sceneFrames]]: the CTE chain ending in
+    * `scn(doc_id, frame_idx, fp, scene_id)`, shared by mm9 and mm14.
+    */
+  private val mm9SceneChainSql: String = {
     def ph(e: String) = graft.ops.Text.polyHashSql(e, 8)
-    s"""WITH vids AS (
+    s"""vids AS (
        |  SELECT doc_id, text,
        |         least(12, CAST(length(text) // 16 AS INT)) AS n_slices
        |  FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 16),
@@ -864,11 +878,80 @@ object Multimodal {
        |  SELECT doc_id, frame_idx, fp,
        |         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
-       |  FROM cuts)
+       |  FROM cuts)""".stripMargin
+  }
+
+  private val mm9Oracle: String =
+    s"""WITH $mm9SceneChainSql
        |SELECT doc_id, scene_id, min(frame_idx) AS start_frame,
        |       count(*) AS n_frames, arg_min(fp, frame_idx) AS key_fp
        |FROM scn GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""".stripMargin
+
+  // ---- mm14: keyframe election per scene (bit-majority centroid) ----------
+
+  /** Pick each scene's REPRESENTATIVE frame — the keyframe a video
+    * training pipeline keeps when it samples one frame per shot
+    * (what mm9's `key_fp = first frame` approximates). Election is
+    * medoid-style: the scene's 32-bit fingerprint CENTROID is the
+    * per-bit majority vote across its frames, and the keyframe is the
+    * frame with minimum Hamming distance to that centroid (ties →
+    * earliest frame) — robust to a transient mid-shot frame in a way
+    * first-frame selection is not.
+    *
+    * Scale shape: rides [[sceneFrames]] (doc-keyed windows), then one
+    * bounded explode (32 bit positions × frames-per-doc ≤ 12·5) into
+    * two (doc, scene)-keyed aggregations and a (doc, scene) equi-join
+    * back to frames — every exchange keys on doc_id-derived columns;
+    * nothing global, nothing all-pairs.
+    */
+  private def mm14Keyframes(s: SparkSession, d: String): DataFrame = {
+    val scn = sceneFrames(s, d).localCheckpoint(true) // two consumers
+    val cent = scn
+      .select(col("doc_id"), col("scene_id"), col("fp"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy("doc_id", "scene_id", "j")
+      .agg(sum(expr("shiftright(fp, j) & 1")).as("ones"), count(lit(1)).as("n"))
+      .groupBy("doc_id", "scene_id")
+      .agg(sum(when(col("ones") * 2 > col("n"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
+        .as("centroid_fp"))
+    val wElect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("scene_id"))
+      .orderBy(col("ham"), col("frame_idx"))
+    scn.join(cent, Seq("doc_id", "scene_id"))
+      .withColumn("ham", bit_count(expr("fp ^ centroid_fp")).cast("int"))
+      .withColumn("rk", row_number().over(wElect))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("scene_id"),
+        col("frame_idx").as("key_frame"), col("fp").as("key_fp"),
+        col("centroid_fp"), col("ham").as("key_ham"))
+      .orderBy("doc_id", "scene_id")
   }
+
+  private val mm14Oracle: String =
+    s"""WITH $mm9SceneChainSql,
+       |bits AS (
+       |  SELECT doc_id, scene_id, fp,
+       |         unnest(generate_series(0, 31)) AS j
+       |  FROM scn),
+       |cent AS (
+       |  SELECT doc_id, scene_id,
+       |         CAST(sum(CASE WHEN ones * 2 > n
+       |                       THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS centroid_fp
+       |  FROM (SELECT doc_id, scene_id, j,
+       |               sum((fp >> CAST(j AS INT)) & 1) AS ones, count(*) AS n
+       |        FROM bits GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT s.doc_id, s.scene_id, s.frame_idx, s.fp, c.centroid_fp,
+       |         CAST(bit_count(xor(s.fp, c.centroid_fp)) AS INT) AS ham,
+       |         row_number() OVER (PARTITION BY s.doc_id, s.scene_id
+       |           ORDER BY bit_count(xor(s.fp, c.centroid_fp)), s.frame_idx) AS rk
+       |  FROM scn s JOIN cent c USING (doc_id, scene_id))
+       |SELECT doc_id, scene_id, frame_idx AS key_frame, fp AS key_fp,
+       |       centroid_fp, ham AS key_ham
+       |FROM sel WHERE rk = 1 ORDER BY doc_id, scene_id""".stripMargin
 
   // ---- mm10: image-caption pair curation (the paired-dataset step) --------
 
@@ -1339,6 +1422,7 @@ object Multimodal {
       |FROM m ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm14_keyframes" -> (mm14Keyframes _),
     "mm13_real_decode" -> (mm13RealDecode _),
     "mm12_stream_image" -> (mm12StreamImageDedup _),
     "mm11_interleave" -> (mm11Interleave _),
@@ -1376,6 +1460,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm14_keyframes" -> mm14Oracle,
     "mm13_real_decode" -> mm13Oracle,
     "mm12_stream_image" -> mm12Oracle,
     "mm11_interleave" -> mm11Oracle,

@@ -1087,7 +1087,105 @@ object Pipeline {
        |FROM binned GROUP BY split, shard, bin ORDER BY split, shard, bin""".stripMargin
   }
 
+  // ---- p11: mixture scheduling (per-source token budget water-filling) ----
+
+  /** Training-mixture allocation: given each source's AVAILABLE token
+    * mass and a target weight, split a global token budget across
+    * sources by WATER-FILLING — the domain-mixing step (DoReMi /
+    * Pile-style recipes) every large pretraining pipeline runs
+    * between curation and sharding. A source whose fair share
+    * (weight-proportional slice of the remaining budget) exceeds what
+    * it HAS caps at its availability and releases the surplus to the
+    * rest; the fixpoint is computed in closed form: sorted ascending
+    * by avail/weight, the capped set is a PREFIX, so prefix sums name
+    * the exact cap boundary — no iteration, no driver loop.
+    *
+    * Scale shape: the only data-sized work is one source-keyed
+    * aggregation with map-side partial sums (tokens count in the
+    * scan projection); everything after runs on the #sources-row
+    * rollup — the SinglePartition windows are bounded by the source
+    * vocabulary, not the corpus (the t34 decomposition argument).
+    * All allocation arithmetic is INTEGER (BIGINT products and
+    * truncating division of positives), so DuckDB replays it
+    * bit-exactly.
+    */
+  private def p11Mixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.wordsCol(col("text"))).cast("long")).as("avail"))
+      .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+    val tot = perSrc.agg(sum("avail"), sum("weight")).head()
+    val (totalAvail, wTot) = (tot.getLong(0), tot.getLong(1))
+    val budget = totalAvail * 6 / 10
+    val ord = Window.orderBy(col("avail").cast("double") / col("weight"), col("source"))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSrc
+      .withColumn("cum_avail", coalesce(sum("avail").over(pre), lit(0L)))
+      .withColumn("cum_w", coalesce(sum("weight").over(pre), lit(0L)))
+      // would this source's fair share of what's left exceed its
+      // availability? (cross-multiplied to stay in integers)
+      .withColumn("flag",
+        (col("avail") * (lit(wTot) - col("cum_w")) <
+          col("weight") * (lit(budget) - col("cum_avail"))).cast("int"))
+      // ascending avail/weight makes capped a prefix: the flag holds
+      // exactly while every earlier source also capped
+      .withColumn("capped", min("flag").over(upTo))
+      .withColumn("capped_avail",
+        sum(when(col("capped") === 1, col("avail")).otherwise(0L)).over(whole))
+      .withColumn("capped_w",
+        sum(when(col("capped") === 1, col("weight")).otherwise(0L)).over(whole))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1, col("avail"))
+          .otherwise(expr(
+            s"weight * ($budget - capped_avail) DIV greatest($wTot - capped_w, 1)")))
+      .select(col("source"), col("n_docs"), col("avail").as("avail_tokens"),
+        col("weight"), col("capped"), col("alloc_tokens"))
+      .orderBy("source")
+  }
+
+  private val p11Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len($ws)) AS BIGINT) AS avail,
+       |         CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total_avail,
+       |             CAST(sum(weight) AS BIGINT) AS wtot FROM per),
+       |r AS (
+       |  SELECT p.*, t.total_avail * 6 // 10 AS budget, t.wtot,
+       |         COALESCE(CAST(sum(avail) OVER w AS BIGINT), 0) AS cum_avail,
+       |         COALESCE(CAST(sum(weight) OVER w AS BIGINT), 0) AS cum_w
+       |  FROM per p, t
+       |  WINDOW w AS (ORDER BY avail * 1.0 / weight, source
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |f AS (
+       |  SELECT *, CASE WHEN avail * (wtot - cum_w) < weight * (budget - cum_avail)
+       |                 THEN 1 ELSE 0 END AS flag FROM r),
+       |c AS (
+       |  SELECT *, min(flag) OVER (ORDER BY avail * 1.0 / weight, source
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+       |  FROM f),
+       |g AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN capped = 1 THEN avail ELSE 0 END) OVER () AS BIGINT) AS capped_avail,
+       |    CAST(sum(CASE WHEN capped = 1 THEN weight ELSE 0 END) OVER () AS BIGINT) AS capped_w
+       |  FROM c)
+       |SELECT source, n_docs, avail AS avail_tokens, weight,
+       |       CAST(capped AS INT) AS capped,
+       |       CASE WHEN capped = 1 THEN avail
+       |            ELSE weight * (budget - capped_avail) // greatest(wtot - capped_w, 1)
+       |       END AS alloc_tokens
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_mixture" -> (p11Mixture _),
     "p10_mm_shards" -> (p10MmShards _),
     "p9_index_maint" -> (p9IndexMaint _),
     "p8_df_maint" -> (p8DfMaint _),
@@ -1101,6 +1199,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p11_mixture" -> p11Oracle,
     "p10_mm_shards" -> p10Oracle,
     "p9_index_maint" -> p9Oracle,
     "p8_df_maint" -> p8Oracle,

@@ -322,4 +322,27 @@ class DedupSpec extends AnyFunSuite {
     val grams = bloom.map(_.getAs[Int]("n_grams").toLong).sum.toDouble
     assert(cand / grams < 0.05, s"bloom passed ${cand / grams} of grams — saturated filter")
   }
+
+  test("d15: soft weights preserve exactly the hard-deduped corpus token mass") {
+    val rows = Dedup.queries("d15_soft_dedup")(spark, sf).collect()
+    // every planted re-ingest sits in a cluster >= 2 with weight 1/k
+    (0 until 10).foreach { i =>
+      val r = rows.find(_.getAs[Long]("doc_id") == 1000000L + i)
+        .getOrElse(fail(s"planted copy ${1000000L + i} missing"))
+      val k = r.getAs[Long]("cluster_size")
+      assert(k >= 2, s"planted copy in a singleton cluster")
+      assert(r.getAs[Double]("weight") == 1.0 / k)
+    }
+    // the defining invariant: summed effective tokens equal the token
+    // mass of the HARD-deduped corpus (one representative per text) —
+    // soft dedup changes sampling weights, not total content mass
+    val eff = rows.map(_.getAs[Double]("eff_tokens")).sum
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val union = docs.union(docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val hard = union.dropDuplicates("text")
+      .agg(sum(size(Text.wordsCol(col("text"))).cast("long"))).head().getLong(0)
+    assert(math.abs(eff - hard) < 1e-6 * hard,
+      s"effective mass $eff != deduped mass $hard")
+  }
 }

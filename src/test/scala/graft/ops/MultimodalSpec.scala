@@ -238,6 +238,32 @@ class MultimodalSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("mm14: keyframe election stays in-scene and never loses to first-frame selection") {
+    val scenes = Multimodal.queries("mm9_scene_detect")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id")) ->
+        (r.getAs[Long]("start_frame"), r.getAs[Long]("n_frames"), r.getAs[Long]("key_fp")))
+      .toMap
+    val keys = Multimodal.queries("mm14_keyframes")(spark, sf).collect()
+    // same scene inventory as mm9 — the shared chain cannot drift
+    assert(keys.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id"))).toSet
+      == scenes.keySet)
+    keys.foreach { r =>
+      val k = (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id"))
+      val (start, n, firstFp) = scenes(k)
+      val kf = r.getAs[Long]("key_frame")
+      assert(kf >= start && kf < start + n, s"$k: keyframe outside its scene")
+      // the elected frame is at least as close to the centroid as the
+      // first frame (mm9's key_fp) — the property that justifies the
+      // medoid election over first-frame sampling
+      val firstHam = java.lang.Long.bitCount(firstFp ^ r.getAs[Long]("centroid_fp"))
+      assert(r.getAs[Int]("key_ham") <= firstHam,
+        s"$k: election lost to first-frame selection")
+    }
+    // single-shot scenes make the centroid the frame itself
+    assert(keys.exists(_.getAs[Int]("key_ham") == 0),
+      "no scene elected an exact-centroid keyframe — construction drifted")
+  }
+
   test("mm13: real PNG bytes — signature, hand-checked checksum, corruption sensitivity") {
     import spark.implicits._
     val meta = Seq((12L, 80, 64)).toDF("doc_id", "width", "height")

@@ -275,4 +275,44 @@ class PipelineSpec extends AnyFunSuite {
         s"bin ${r.getAs[Long]("bin")} exceeds the straddle bound")
     }
   }
+
+  test("p11: closed-form water-filling equals the iterative fixpoint; invariants hold") {
+    val rows = Pipeline.queries("p11_mixture")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val per = rows.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("avail_tokens"), r.getAs[Long]("weight"),
+      r.getAs[Int]("capped"), r.getAs[Long]("alloc_tokens")))
+    // the sf must exercise BOTH classes, or the op degenerates
+    assert(per.exists(_._4 == 1), "no source capped at its availability")
+    assert(per.exists(_._4 == 0), "every source capped — budget exceeds supply")
+    // independent reference: the ITERATIVE fixpoint (freeze any source
+    // whose fair share of the remaining budget exceeds its supply,
+    // redistribute, repeat) — the closed-form prefix construction must
+    // land on the same capped set and the same allocations
+    val budget = per.map(_._2).sum * 6 / 10
+    var live = per.map(t => t._1 -> (t._2, t._3)).toMap
+    var frozen = Map.empty[String, Long]
+    var r = budget
+    var changed = true
+    while (changed) {
+      val wl = live.values.map(_._2).sum
+      val cap = live.filter { case (_, (a, w)) => a * wl < w * r }
+      changed = cap.nonEmpty
+      cap.foreach { case (s, (a, _)) => frozen += s -> a; r -= a; live -= s }
+    }
+    val wl = live.values.map(_._2).sum
+    per.foreach { case (s, avail, w, capped, alloc) =>
+      if (frozen.contains(s)) {
+        assert(capped == 1 && alloc == avail, s"$s: fixpoint says capped at $avail")
+      } else {
+        assert(capped == 0, s"$s: fixpoint says uncapped")
+        assert(alloc == w * r / wl, s"$s: uncapped share must be weight-proportional")
+        assert(alloc <= avail, s"$s: allocation exceeds supply")
+      }
+    }
+    // the budget is spent except integer-division dust (< total weight)
+    val spent = per.map(_._5).sum
+    assert(spent <= budget && budget - spent < per.map(_._3).sum,
+      s"allocated $spent of $budget — water level off by more than rounding")
+  }
 }

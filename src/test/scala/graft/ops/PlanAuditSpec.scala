@@ -776,4 +776,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(maxDepth == (63 - java.lang.Long.numberOfLeadingZeros(n)),
       "the deepest level must match floor(log2(n))")
   }
+
+  test("p11: data-sized work is ONE source rollup; allocation runs on the bounded frame") {
+    val plan = formatted("p11_mixture")
+    // no joins of any kind: the closed form is windows over the
+    // #sources-row rollup, not a self-join fixpoint
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+      "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in mixture plan"))
+    // the only corpus-sized exchange is the source-keyed rollup;
+    // later exchanges (ordering window, whole-frame sums, final sort)
+    // operate on the #sources-row frame (the t34 argument). doc-level
+    // columns must never key an exchange.
+    assert(plan.matches("(?s).*hashpartitioning\\(source.*"),
+      "the rollup must exchange on the source key")
+    Seq("hashpartitioning(doc_id", "hashpartitioning(text").foreach(k =>
+      assert(!plan.contains(k), s"corpus column must not key an exchange: $k"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+      plan.contains("HashAggregate"),
+      "the token rollup must partial-aggregate map-side")
+  }
+
+  test("d15: the weighting window keys on the digest, never the raw text") {
+    val plan = formatted("d15_soft_dedup")
+    assert(plan.contains("md5"), "the digest key must be computed below the window")
+    assert(!plan.matches("(?s).*hashpartitioning\\(text#.*"),
+      "raw text must not be an exchange key")
+    Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in soft-dedup plan"))
+  }
+
+  test("mm14: election is doc-keyed — no global exchange, no pair explosion") {
+    val plan = formatted("mm14_keyframes")
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in keyframe plan"))
+    // every shuffle join keys on the (doc_id, scene_id) pair
+    shuffleJoinKeys(plan).foreach(k =>
+      assert(k.contains("doc_id"), s"shuffle join must key on doc_id: $k"))
+    assert(!plan.linesIterator.exists(_.contains("Exchange SinglePartition")) ||
+      plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+      "election must not plan corpus-sized single-partition work")
+  }
 }
