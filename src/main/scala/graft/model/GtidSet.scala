@@ -33,10 +33,17 @@ final case class GtidSet(intervals: Map[String, Vector[GtidRange]]) {
   def addRange(uuid: String, r: GtidRange): GtidSet =
     GtidSet(intervals.updated(uuid, GtidSet.insert(intervals.getOrElse(uuid, Vector.empty), r)))
 
+  /** Interval-set union — one LINEAR coalescing merge per uuid, not a
+    * per-range re-insertion (which costs O(m·n) splices when both
+    * sides carry many intervals — the sf1 sweep caught exactly that
+    * shape in the aggregate's shuffle-merge).
+    */
   def merge(other: GtidSet): GtidSet =
-    other.intervals.foldLeft(this) { case (acc, (u, rs)) =>
-      rs.foldLeft(acc)((a, r) => a.addRange(u, r))
-    }
+    GtidSet((intervals.keySet ++ other.intervals.keySet).iterator.map { u =>
+      u -> GtidSet.unionSorted(
+        intervals.getOrElse(u, Vector.empty),
+        other.intervals.getOrElse(u, Vector.empty))
+    }.toMap)
 
   def contains(uuid: String, gno: Long): Boolean =
     intervals.get(uuid).exists(_.exists(r => r.start <= gno && gno <= r.end))
@@ -95,6 +102,31 @@ object GtidSet {
     * insert turns a scattered batch (any shuffle breaks pos order)
     * into quadratic work on the agg buffer.
     */
+  /** Union of two START-SORTED range lists (either may carry
+    * overlapping/adjacent entries) in ONE coalescing pass —
+    * O(m + n), the merge primitive behind [[GtidSet.merge]] and the
+    * batched aggregation buffer ([[graft.functions.GtidAccum]]).
+    */
+  def unionSorted(a: Vector[GtidRange], b: Seq[GtidRange]): Vector[GtidRange] = {
+    if (b.isEmpty) return a
+    val out = Vector.newBuilder[GtidRange]
+    var cur: GtidRange = null
+    def push(r: GtidRange): Unit =
+      if (cur == null) cur = r
+      else if (r.start <= cur.end + 1)
+        cur = GtidRange(cur.start, math.max(cur.end, r.end))
+      else { out += cur; cur = r }
+    var i = 0
+    var j = 0
+    while (i < a.length || j < b.length) {
+      if (j >= b.length || (i < a.length && a(i).start <= b(j).start)) {
+        push(a(i)); i += 1
+      } else { push(b(j)); j += 1 }
+    }
+    if (cur != null) out += cur
+    out.result()
+  }
+
   def insert(rs: Vector[GtidRange], r: GtidRange): Vector[GtidRange] = {
     if (rs.isEmpty) return Vector(r)
     // fast path: the running-union append (pos-ordered streams)

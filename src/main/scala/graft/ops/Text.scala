@@ -904,7 +904,67 @@ object Text {
        |GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---- t39: n-gram novelty (freshness along the ingest order) -------------
+
+  /** Per-document NOVELTY against everything ingested before it: the
+    * per-mille of a document's distinct 13-grams whose FIRST
+    * occurrence (min doc_id — the ingest order) is this document.
+    * The prioritization signal a continual-pretraining pipeline ranks
+    * fresh crawls by: high novelty = content the corpus hasn't said
+    * yet, low novelty = paraphrase/boilerplate mass. d9 measures the
+    * SYMMETRIC overlap diagnostic (is this duplicated anywhere?);
+    * novelty is its DIRECTED, order-aware counterpart (was it said
+    * FIRST here?) — both ride the same codegen'd gram scan.
+    *
+    * Scale shape (d9's): the gram table is the canonical word-count
+    * shuffle on a LONG key (never raw text); first-occurrence
+    * election is a map-side-combinable `min`; one gram-keyed
+    * equi-join back; integer per-mille output keeps the gate
+    * hash-exact.
+    */
+  private def t39Novelty(s: SparkSession, d: String): DataFrame = {
+    val exploded = Tables
+      .documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions
+          .poly_grams(wordsCol(col("text")), 13).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        explode(col("g")).as("gram"))
+      .persist() // feeds the election AND the join-back (d9's pattern)
+    val first = exploded.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    val out = exploded
+      .join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("(1000 * n_novel) DIV n_grams"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    exploded.unpersist(blocking = false)
+    out
+  }
+
+  private val t39Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, greatest(len(hw)-12, 0)),
+       |           i -> ${Dedup.gram13Sql(k => s"hw[i+$k]")})) AS g
+       |  FROM (SELECT doc_id, list_transform($ws, w -> ${polyHashSql("w", 8)}) AS hw
+       |        FROM documents)),
+       |e AS (SELECT doc_id, CAST(len(g) AS INT) AS n_grams, unnest(g) AS gram FROM g),
+       |f AS (SELECT gram, min(doc_id) AS first_doc FROM e GROUP BY gram)
+       |SELECT e.doc_id, max(e.n_grams) AS n_grams,
+       |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_novel,
+       |       CAST((1000 * sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END))
+       |            // max(e.n_grams) AS BIGINT) AS novelty_permille
+       |FROM e JOIN f USING (gram)
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_novelty" -> (t39Novelty _),
     "t38_split_leakage" -> (t38SplitLeakage _),
     "t37_vocab_coverage" -> (t37VocabCoverage _),
     "t36_gopher_rules" -> (t36GopherRules _),
@@ -1132,6 +1192,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t39_novelty" -> t39Oracle,
     "t38_split_leakage" -> t38Oracle,
     "t37_vocab_coverage" -> t37Oracle,
     "t36_gopher_rules" -> t36Oracle,

@@ -96,6 +96,51 @@ class GtidSetSpec extends AnyFunSuite {
     }
   }
 
+  test("unionSorted agrees with normalize on random sorted soups (seeded property)") {
+    val rnd = new Random(91)
+    (1 to 200).foreach { _ =>
+      def soup(n: Int): Vector[GtidRange] = Vector.fill(n) {
+        val s = rnd.nextInt(100).toLong
+        GtidRange(s, s + rnd.nextInt(10))
+      }.sortBy(_.start)
+      val a = GtidSet.normalize(soup(rnd.nextInt(20) + 1)) // canonical side
+      val b = soup(rnd.nextInt(20) + 1) // sorted but possibly overlapping
+      assert(GtidSet.unionSorted(a, b) == GtidSet.normalize(a ++ b))
+    }
+  }
+
+  test("batched accumulator equals per-row adds on ANY row order (seeded property)") {
+    import graft.functions.GtidAccum
+    val rnd = new Random(23)
+    (1 to 20).foreach { _ =>
+      val gnos = Vector.fill(3000)(rnd.nextInt(2000).toLong + 1)
+      val perRow = gnos.foldLeft(GtidSet.empty)((s, g) => s.add(u1, g))
+      val batched = gnos.foldLeft(GtidAccum.empty)((b, g) => b.add(u1, g)).result
+      assert(batched == perRow)
+      // and a mid-stream merge of two half-accumulators converges too
+      val (h1, h2) = gnos.splitAt(gnos.length / 2)
+      val a1 = h1.foldLeft(GtidAccum.empty)((b, g) => b.add(u1, g))
+      val a2 = h2.foldLeft(GtidAccum.empty)((b, g) => b.add(u1, g))
+      assert(a1.result.merge(a2.result) == perRow)
+    }
+  }
+
+  test("scattered aggregation stays linear-ish: 500k stride positions under a second-scale budget") {
+    // the sf1 sweep's finding: stride order (what a shuffle hands the
+    // aggregate) made per-row insertion O(rows × intervals) — 12.9 s
+    // for 500k positions. The batched accumulator must hold this to
+    // seconds even at the worst stride.
+    import graft.functions.GtidAccum
+    val t0 = System.nanoTime()
+    var b = GtidAccum.empty
+    var i = 0L
+    while (i < 500000) { b = b.add(u1, (i * 199) % 1000000); i += 1 }
+    val set = b.result
+    assert(set.contains(u1, 199) && !set.contains(u1, 1))
+    assert((System.nanoTime() - t0) / 1e9 < 10.0,
+      "batched GTID aggregation must not degrade on scattered input")
+  }
+
   test("subsetOf: interval containment without enumeration") {
     val small = GtidSet.parse(s"$u1:5-10:20-25")
     val big = GtidSet.parse(s"$u1:1-30")

@@ -149,4 +149,29 @@ class TextSpec extends AnyFunSuite {
     val planted = docs.filter(col("doc_id") % 17 === 0 && col("nw") + 2 >= 13).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == n + planted)
   }
+
+  test("t39: novelty conserves distinct grams, and the first document is fully novel") {
+    val rows = Text.queries("t39_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the earliest document in ingest order can only contain
+    // first-occurrence grams
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_permille") == 1000L,
+      "the first ingested document must be fully novel")
+    // conservation: each distinct gram is novel in EXACTLY one
+    // document (its min-doc), so novel counts sum to the distinct
+    // gram count of the corpus
+    import org.apache.spark.sql.functions.{col, explode}
+    val distinctGrams = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.SimHashFunctions
+        .poly_grams(Text.wordsCol(col("text")), 13)).as("gram"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctGrams,
+      "novelty must partition the distinct gram set")
+    // per-mille bounds
+    rows.foreach { r =>
+      val p = r.getAs[Long]("novelty_permille")
+      assert(p >= 0 && p <= 1000)
+    }
+  }
 }
