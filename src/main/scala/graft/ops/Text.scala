@@ -922,24 +922,35 @@ object Text {
     * equi-join back; integer per-mille output keeps the gate
     * hash-exact.
     */
-  private def t39Novelty(s: SparkSession, d: String): DataFrame = {
-    val exploded = Tables
+  /** The exploded (doc_id, n_grams, gram) frame t39 runs over —
+    * exposed (with [[t39From]]) so the plan-audit spec can check the
+    * PRE-checkpoint plan (the gate's localCheckpoint erases it).
+    */
+  private[ops] def t39Exploded(s: SparkSession, d: String): DataFrame =
+    Tables
       .documents(s, d)
       .select(col("doc_id"),
         graft.functions.SimHashFunctions
           .poly_grams(wordsCol(col("text")), 13).as("g"))
       .select(col("doc_id"), size(col("g")).as("n_grams"),
         explode(col("g")).as("gram"))
-      .persist() // feeds the election AND the join-back (d9's pattern)
+
+  private[ops] def t39From(exploded: DataFrame): DataFrame = {
     val first = exploded.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-    val out = exploded
+    exploded
       .join(first, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(max(col("n_grams")).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_permille", expr("(1000 * n_novel) DIV n_grams"))
       .orderBy("doc_id")
-      .localCheckpoint(true)
+  }
+
+  private def t39Novelty(s: SparkSession, d: String): DataFrame = {
+    // persist: the gram extraction feeds the election AND the
+    // join-back (d9's pattern)
+    val exploded = t39Exploded(s, d).persist()
+    val out = t39From(exploded).localCheckpoint(true)
     exploded.unpersist(blocking = false)
     out
   }

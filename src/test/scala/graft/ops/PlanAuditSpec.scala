@@ -797,6 +797,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "the token rollup must partial-aggregate map-side")
   }
 
+  test("t39: novelty shuffles on the gram key only — text never enters an exchange") {
+    // audit the pre-checkpoint plan (the gate's localCheckpoint
+    // presents only an RDD scan)
+    val plan = Text.t39From(Text.t39Exploded(spark, sf)).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in novelty plan"))
+    assert(!plan.matches("(?s).*hashpartitioning\\(text#.*"),
+      "raw text must not key an exchange")
+    // first-occurrence election is map-side combinable
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      "min(doc_id) election must partial-aggregate before its exchange")
+    // the join back to documents is gram-keyed
+    shuffleJoinKeys(plan).foreach(k =>
+      assert(k.contains("gram"), s"shuffle join must key on the gram: $k"))
+  }
+
   test("d15: the weighting window keys on the digest, never the raw text") {
     val plan = formatted("d15_soft_dedup")
     assert(plan.contains("md5"), "the digest key must be computed below the window")
