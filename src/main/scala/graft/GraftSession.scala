@@ -35,6 +35,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The registry is ~180 queries x several codegen stages each;
+      // the default 100-entry compiled-class cache thrashes end to
+      // end, so a query warmed early re-pays Janino compilation (a
+      // single-threaded multi-second cost for the biggest stages) at
+      // its timed rep. Classes are small; 128 GiB holds thousands.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       // the engine's SQL surface (cosine_similarity, dot_product,
       // simhash32) resolves in every session built here
       .withExtensions(new GraftExtensions)

@@ -65,6 +65,12 @@ object SparkEntry {
     graft.ops.Relational3.queries ++ graft.ops.Pipeline.queries ++
     graft.ops.Sketch.queries ++ graft.cdc.CdcQueries.queries
 
+  /** Queries whose first call per data-dir pays a one-time durable
+    * state build (see [[graft.cdc.CdcQueries.statefulGateQueries]]);
+    * the bench prebuilds them untimed at the target SF.
+    */
+  def statefulQueries: Set[String] = graft.cdc.CdcQueries.statefulGateQueries
+
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" -> graft.cdc.CdcQueries.latestStateOracle,
     "q1_pricing_summary" ->

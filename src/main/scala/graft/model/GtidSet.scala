@@ -102,10 +102,17 @@ object GtidSet {
     * insert turns a scattered batch (any shuffle breaks pos order)
     * into quadratic work on the agg buffer.
     */
-  /** Union of two START-SORTED range lists (either may carry
-    * overlapping/adjacent entries) in ONE coalescing pass —
+  /** Union of two START-SORTED range lists in ONE coalescing pass —
     * O(m + n), the merge primitive behind [[GtidSet.merge]] and the
     * batched aggregation buffer ([[graft.functions.GtidAccum]]).
+    *
+    * Precondition: `a` must already be CANONICAL (disjoint,
+    * non-adjacent) — the `b.isEmpty` fast path returns it as-is,
+    * uncoalesced. `b` only needs start order; its entries may overlap
+    * each other or `a` (the sorted-batch case GtidAccum feeds in).
+    * Every caller passes a canonical left side (GtidSet ranges are
+    * canonical by construction; GtidAccum's running vector is this
+    * function's own output).
     */
   def unionSorted(a: Vector[GtidRange], b: Seq[GtidRange]): Vector[GtidRange] = {
     if (b.isEmpty) return a

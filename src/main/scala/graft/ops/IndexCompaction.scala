@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Size-triggered compaction for the streaming-appended index tables
@@ -16,25 +17,39 @@ import org.apache.spark.sql.functions._
   * reads the table once and rewrites it into
   * `ceil(bytes / targetBytes)` files, content-identical.
   *
+  * All filesystem access goes through the Hadoop FileSystem bound to
+  * the path (local behavior identical; HDFS/S3 deployments get the
+  * session's hadoop conf), and a fold writes to a SIBLING temp
+  * directory that is atomically swapped into place — a crash or
+  * executor loss mid-rewrite leaves the original files intact, which
+  * matters here more than for CDC state because the streaming index
+  * cannot be rebuilt from already-consumed waves. The sibling write
+  * also removes the old localCheckpoint pinning: the fold streams
+  * source files to new files without staging rows in executor memory.
+  *
   * At 100 TB the index tables are additionally partitioned (by band /
-  * by cell) and this fold runs per partition directory off the same
-  * listing — the entry point takes the directory, so the cadence
-  * driver loops partitions; nothing in the fold itself is
-  * whole-table-minded beyond the directory it is handed.
+  * by cell); [[compactPartitions]] is the cadence driver — one
+  * listing of the table root, then an independent per-partition fold
+  * of exactly the directories whose file count trips the trigger.
   */
 object IndexCompaction {
+
+  private def hadoopConf() =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** The table's data files — one FS listing, no Spark jobs.
     * Underscore/dot names are Spark metadata (`_SUCCESS`, hidden), not
     * data.
     */
-  private def dataFiles(dir: String): Seq[java.io.File] = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .toSeq
+  private def dataFiles(dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
   }
 
   def dataFileCount(dir: String): Int = dataFiles(dir).size
@@ -44,16 +59,32 @@ object IndexCompaction {
     * path is tuned for (`spark.sql.files.maxPartitionBytes`) — a
     * compacted file is exactly one scan task.
     */
-  private def foldWidth(files: Seq[java.io.File], targetBytes: Long): Int =
-    math.max(1, math.ceil(files.map(_.length).sum.toDouble / targetBytes).toInt)
+  private def foldWidth(files: Seq[FileStatus], targetBytes: Long): Int =
+    math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+
+  /** Write `folded` beside `dir` and atomically swap it into place:
+    * tmp write → retire original → promote tmp → drop retired. The
+    * only window in which `dir` is absent is between two renames; a
+    * failure before the promote leaves the original (live or retired)
+    * on disk — never a half-written table. The retired name is
+    * deterministic so an operator can recover a crashed swap by hand.
+    */
+  private def writeSwapped(folded: DataFrame, dir: String, width: Int): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf())
+    val tmp = new Path(dir + ".__fold_tmp")
+    val retired = new Path(dir + ".__fold_old")
+    fs.delete(tmp, true); fs.delete(retired, true) // stale crash leftovers
+    folded.coalesce(width).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, retired), s"compaction swap: could not retire $dir")
+    require(fs.rename(tmp, p), s"compaction swap: could not promote $tmp")
+    fs.delete(retired, true)
+  }
 
   /** Fold the table at `dir` when its file count exceeds `maxFiles`.
     * Returns true iff a rewrite ran. The no-op path is one listing.
-    *
-    * The localCheckpoint pins the rows BEFORE the overwrite replaces
-    * the files they came from (the [[graft.cdc.CdcPipeline]] COW
-    * posture); `coalesce` (not repartition) folds without a shuffle —
-    * compaction moves bytes, it should not also exchange them.
+    * `coalesce` (not repartition) folds without a shuffle — compaction
+    * moves bytes, it should not also exchange them.
     */
   def compact(
       spark: SparkSession,
@@ -64,11 +95,32 @@ object IndexCompaction {
     val files = dataFiles(dir)
     if (files.size <= maxFiles) false
     else {
-      val snap = spark.read.parquet(dir).localCheckpoint(true)
-      snap.coalesce(foldWidth(files, targetBytes))
-        .write.mode("overwrite").parquet(dir)
+      writeSwapped(spark.read.parquet(dir), dir, foldWidth(files, targetBytes))
       true
     }
+  }
+
+  /** The per-partition cadence driver a partitioned index runs on a
+    * timer: ONE listing of `tableDir` finds the partition directories
+    * (`band=…/`, `cell=…/`), then each directory whose own file count
+    * trips `maxFiles` folds independently — cold partitions are never
+    * read, never rewritten (their files' mtimes don't move —
+    * spec-asserted). Returns the number of partitions folded.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      tableDir: String,
+      maxFiles: Int = 64,
+      targetBytes: Long = 128L << 20
+  ): Int = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(hadoopConf())
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.contains(".__fold_"))
+      .count(st => compact(spark, st.getPath.toString, maxFiles, targetBytes))
   }
 
   /** The merge-on-read DELETE companion: fold the table at `dir`
@@ -100,21 +152,63 @@ object IndexCompaction {
     if (files.size <= maxFiles && !hasDels) false
     else {
       val base = spark.read.parquet(dir)
-      val folded = (if (hasDels)
-        base.join(
-          broadcast(spark.read.parquet(delsDir).select(keyCol).distinct()),
-          Seq(keyCol), "left_anti")
-      else base).localCheckpoint(true)
-      folded.coalesce(foldWidth(files, targetBytes))
-        .write.mode("overwrite").parquet(dir)
-      if (hasDels) {
-        // tombstones are now physical; an empty dir (not a deleted one)
-        // keeps the table's "exists" state for the read path
-        val d = java.nio.file.Paths.get(delsDir)
-        graft.Fs.walkSeq(d).filter(_ != d).sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.delete)
-      }
+      val folded =
+        if (hasDels)
+          base.join(
+            broadcast(spark.read.parquet(delsDir).select(keyCol).distinct()),
+            Seq(keyCol), "left_anti")
+        else base
+      writeSwapped(folded, dir, foldWidth(files, targetBytes))
+      if (hasDels) clearTombstones(delsDir)
       true
     }
+  }
+
+  /** VERSIONED tombstones — the streaming-UPDATE companion (s22). An
+    * in-place re-embedding (same key, new vector) appends the new row
+    * with a higher `verCol` AND a tombstone `(keyCol, upto)` where
+    * `upto` is the new row's version: the tombstone supersedes every
+    * row of that key STRICTLY OLDER than `upto`, so the replacement
+    * row it rode in with survives both the read-time mask and this
+    * physical fold. A plain delete is the same record with
+    * `upto = Long.MaxValue` — one tombstone model covers both.
+    * Tombstones aggregate to per-key max first (last update wins),
+    * so the broadcast stays one row per touched key.
+    */
+  def compactWithVersionedTombstones(
+      spark: SparkSession,
+      dir: String,
+      delsDir: String,
+      keyCol: String,
+      verCol: String,
+      maxFiles: Int = 64,
+      targetBytes: Long = 128L << 20
+  ): Boolean = {
+    val files = dataFiles(dir)
+    val hasDels = dataFileCount(delsDir) > 0
+    if (files.size <= maxFiles && !hasDels) false
+    else {
+      val base = spark.read.parquet(dir)
+      val folded =
+        if (hasDels) {
+          val tombs = spark.read.parquet(delsDir)
+            .groupBy(keyCol).agg(max(col("upto")).as("upto"))
+          base.join(broadcast(tombs),
+            base(keyCol) === tombs(keyCol) && base(verCol) < tombs("upto"),
+            "left_anti")
+        } else base
+      writeSwapped(folded, dir, foldWidth(files, targetBytes))
+      if (hasDels) clearTombstones(delsDir)
+      true
+    }
+  }
+
+  /** Applied tombstones clear to an EMPTY dir (not a deleted one) so
+    * the read path's "tombstones exist" listing stays valid.
+    */
+  private def clearTombstones(delsDir: String): Unit = {
+    val p = new Path(delsDir)
+    val fs = p.getFileSystem(hadoopConf())
+    fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
   }
 }

@@ -1400,6 +1400,118 @@ object Multimodal {
     decodeReal(encodeReal(meta)).toDF().orderBy("doc_id")
   }
 
+  // ---- mm15: the LOSSY codec leg (JPEG) ------------------------------------
+
+  final case class MmJpegStat(
+      doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, pad_x: Int, pad_y: Int,
+      n_bytes: Int, mluma_planted: Double, mluma_decoded: Double)
+
+  /** Encode the planted pixel field as REAL JPEGs and decode them
+    * back, per partition, carrying the full-image mean luma of BOTH
+    * the pre-encode (planted, exact) and post-decode (lossy) pixels —
+    * the raw material of mm15's tolerance contract. One task does
+    * encode+decode back-to-back (real backfills fuse codec stages the
+    * same way: the intermediate bytes are too big to ship).
+    */
+  private[ops] def jpegStats(meta: DataFrame): Dataset[MmJpegStat] = {
+    import meta.sparkSession.implicits._
+    meta.select("doc_id", "width", "height").as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var planted = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = plantRGB(id, x, y)
+              img.setRGB(x, y, rgb)
+              planted += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val bytes = bos.toByteArray
+          val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(dec != null && dec.getWidth == w && dec.getHeight == h,
+            s"jpeg decode failed for doc $id")
+          var decoded = 0.0
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = dec.getRGB(x, y)
+              decoded += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val (ow, oh) = if (w >= h) (224, h * 224 / w) else (w * 224 / h, 224)
+          MmJpegStat(id, w, h, ow, oh, 224 - ow, 224 - oh,
+            bytes.length, planted / n, decoded / n)
+        }
+      }
+  }
+
+  /** Tolerance band of mm15's contract: the decoded full-image mean
+    * luma must sit within ±[[JpegLumaTol]] of the planted mean. JPEG's
+    * DC coefficients carry block means nearly unchanged, so the
+    * image-wide mean survives quantization far better than any single
+    * pixel — ±2 is generous against codec/JRE drift while still
+    * catching a broken decode (a channel swap alone moves the planted
+    * field's mean by ~double digits).
+    */
+  private[ops] val JpegLumaTol = 2.0
+
+  /** mm15: mm13's seam where exact pixel recomputation CANNOT work —
+    * JPEG is lossy, so no oracle can rebuild the decoded checksum.
+    * What IS oracle-predictable: decode success at the planted
+    * dimensions, the letterbox math over those dimensions (exact,
+    * hash-strict — same closed forms as mm13), that the codec
+    * actually compressed (n_bytes < 3·w·h raw), and the tolerance
+    * CONTRACT itself — `luma_in_tol` must be 0 (in-band) for every
+    * asset, which the oracle asserts as a literal while Spark earns
+    * it from real decoded pixels. The raw (non-reproducible) luma
+    * numbers stay out of the hashed result; the spec bounds them and
+    * proves they are genuinely lossy (nonzero error somewhere).
+    * Plan shape: identical to mm13 — one mapPartitions codec leg,
+    * zero shuffles.
+    */
+  private def mm15Jpeg(s: SparkSession, d: String): DataFrame = {
+    val meta = assets(s, d).toDF().filter(col("modality") === "image")
+      .select("doc_id", "width", "height")
+    jpegStats(meta).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("pad_x"), col("pad_y"),
+        when(abs(col("mluma_decoded") - col("mluma_planted")) <= JpegLumaTol, 0)
+          .otherwise(1).cast("int").as("luma_in_tol"),
+        when(col("n_bytes") < col("width") * col("height") * 3, 1)
+          .otherwise(0).cast("int").as("compressed"))
+      .orderBy("doc_id")
+  }
+
+  private val mm15Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w,
+      |         CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS INT) AS out_w,
+      |       CAST(CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS INT) AS out_h,
+      |       CAST(224 - CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS INT) AS pad_x,
+      |       CAST(224 - CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS INT) AS pad_y,
+      |       CAST(0 AS INT) AS luma_in_tol,
+      |       CAST(1 AS INT) AS compressed
+      |FROM m ORDER BY doc_id""".stripMargin
+
   private val mm13Oracle: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -1422,6 +1534,7 @@ object Multimodal {
       |FROM m ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm15_jpeg" -> (mm15Jpeg _),
     "mm14_keyframes" -> (mm14Keyframes _),
     "mm13_real_decode" -> (mm13RealDecode _),
     "mm12_stream_image" -> (mm12StreamImageDedup _),
@@ -1460,6 +1573,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm15_jpeg" -> mm15Oracle,
     "mm14_keyframes" -> mm14Oracle,
     "mm13_real_decode" -> mm13Oracle,
     "mm12_stream_image" -> mm12Oracle,

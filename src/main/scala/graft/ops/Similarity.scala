@@ -2040,6 +2040,183 @@ object Similarity {
        |ORDER BY wave, rnk""".stripMargin
   }
 
+  // ---- s22: streaming UPDATE (re-embed) in the vector index ---------------
+
+  /** s21's deletion model extended to in-place UPDATES — the missing
+    * index lifecycle event: a document gets re-embedded (same vec_id,
+    * new vector) and the new row must atomically supersede the old
+    * one, which may live in a DIFFERENT cell (the new embedding
+    * re-assigns). Mechanism: every row carries a monotone `ver` (the
+    * micro-batch ordinal); an update appends the new row at ver v AND
+    * a VERSIONED tombstone `(vec_id, upto=v)` in the same batch —
+    * "mask every row of this key strictly older than v". The read
+    * path's broadcast anti-join keys on (vec_id, ver < upto), so the
+    * replacement row that rode in with the tombstone is never masked,
+    * and [[IndexCompaction.compactWithVersionedTombstones]] applies
+    * the same predicate physically. A plain delete is the same record
+    * with upto = Long.MaxValue — one tombstone model covers s21 and
+    * s22.
+    *
+    * The gate makes the supersede observable in the top-k: wave 1
+    * plants query 0's own embedding at vec_id 8000000 (rank 1 for
+    * qid 0); wave 2 re-embeds THAT key with query 1's embedding —
+    * snapshot 2 must drop it from qid 0's list and surface the SAME
+    * vec_id at rank 1 of qid 1's list while the stale row is still
+    * physically present (mask semantics); the versioned fold then
+    * removes the stale row and snapshot 3 must equal snapshot 2
+    * byte-identically (physical semantics).
+    */
+  private def s22StreamUpdate(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s22-idx-")
+    try s22StreamUpdateWithDir(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  private[graft] def s22StreamUpdateWithDir(
+      s: SparkSession, d: String, idxDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val cellsPath = s"$idxDir/cells"
+    val delsPath = s"$idxDir/dels"
+    val cbPath = s"$idxDir/codebook"
+    val base = quantized(s, d)
+    if (!new java.io.File(cellsPath).isDirectory) {
+      saveCodebook(trainCodebook(base, iters = 2), cbPath)
+      val cents0 = collectCents(loadCodebook(s, cbPath))
+      assignCellsFrom(base.filter(col("vec_id") >= 5), cents0)
+        .select("vec_id", "q", "cid")
+        .withColumn("ver", lit(0L))
+        .write.mode("overwrite").parquet(cellsPath)
+    }
+    val cents = collectCents(loadCodebook(s, cbPath))
+    val snaps = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Double, Int)]()
+    def searchTop(wave: Int): Unit = {
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val live =
+        if (IndexCompaction.dataFileCount(delsPath) > 0) {
+          val cells = s.read.parquet(cellsPath)
+          val tombs = s.read.parquet(delsPath)
+            .groupBy("vec_id").agg(max(col("upto")).as("upto"))
+          // versioned mask: strictly-older rows of a tombstoned key
+          cells.join(broadcast(tombs),
+            cells("vec_id") === tombs("vec_id") && cells("ver") < tombs("upto"),
+            "left_anti")
+        } else s.read.parquet(cellsPath)
+      val out = live
+        .join(broadcast(ivfProbes(base, cents, nprobe = 2, qMax = 2L)),
+          col("cid") === col("pcid"))
+        .select(col("qid"), col("vec_id"), col("cid"),
+          VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+        .collect()
+      snaps ++= out.map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cid"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    }
+    def embOf(id: Long): Seq[Double] =
+      base.filter(col("vec_id") === id).collect()(0).getSeq[Double](1)
+    // wave 1: three plants, including query 0's own embedding
+    val wave1 = Seq(0L, 1L, 2L).map(i => VecEvent(8000000L + i, embOf(i), "upsert"))
+    // wave 2: RE-EMBED the rank-1 plant with query 1's vector; one
+    // unrelated upsert rides along (mixed batches are the production
+    // case, and it proves plain inserts don't tombstone)
+    val wave2 = Seq(VecEvent(8000000L, embOf(1L), "update"),
+      VecEvent(9000004L, embOf(4L), "upsert"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-s22-")
+    try {
+      val input = MemoryStream[VecEvent](
+        org.apache.spark.sql.Encoders.product[VecEvent], s)
+      def drainWave(): Unit = {
+        val q = input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[VecEvent], bid: Long) =>
+            val ver = bid + 1 // corpus load is ver 0
+            val b = batch.localCheckpoint(true)
+            val rows = b.filter(col("op").isin("upsert", "update")).drop("op")
+            if (!rows.isEmpty)
+              assignCellsFrom(rows, cents)
+                .select("vec_id", "q", "cid")
+                .withColumn("ver", lit(ver))
+                .write.mode("append").parquet(cellsPath)
+            // the tombstone rides in the SAME batch as its replacement
+            val tombs = b.filter(col("op") === "update")
+              .select(col("vec_id"), lit(ver).as("upto"))
+            if (!tombs.isEmpty)
+              tombs.write.mode("append").parquet(delsPath)
+            IndexCompaction.compact(s, cellsPath)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      input.addData(wave1); drainWave(); searchTop(1)
+      input.addData(wave2); drainWave(); searchTop(2) // masked supersede
+      require(IndexCompaction.compactWithVersionedTombstones(
+        s, cellsPath, delsPath, "vec_id", "ver"), "tombstones must force a fold")
+      require(IndexCompaction.dataFileCount(delsPath) == 0,
+        "applied tombstones must clear")
+      searchTop(3) // physical supersede: must equal snapshot 2
+    } finally graft.Fs.deleteRecursively(ckpt)
+    import s.implicits._
+    snaps.toSeq.toDF("wave", "qid", "vec_id", "cell", "cos", "rnk")
+      .orderBy("wave", "qid", "rnk")
+  }
+
+  private val s22Oracle: String = {
+    def assignQSql(rel: String) =
+      s"""SELECT vec_id, q, cid FROM (
+         |  SELECT x.vec_id, x.q, c.cid,
+         |         row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |                i -> x.q[i] * c.sv[i])) AS DOUBLE) / c.n DESC,
+         |           c.cid) AS rnk
+         |  FROM $rel x, c2 c) WHERE rnk = 1""".stripMargin
+    def searchSql(cells: String, wave: Int) =
+      s"""SELECT $wave AS wave, qid, vec_id, cid AS cell, cos, rnk FROM (
+         |  SELECT p.qid, c.vec_id, c.cid,
+         |         list_cosine_similarity(c.q::DOUBLE[], qb.q::DOUBLE[]) AS cos,
+         |         CAST(row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY list_cosine_similarity(c.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+         |                    c.vec_id) AS INT) AS rnk
+         |  FROM $cells c
+         |  JOIN probes0 p ON c.cid = p.cid
+         |  JOIN base qb ON qb.vec_id = p.qid)
+         |WHERE rnk <= 5""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |probes0 AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM (SELECT q.vec_id AS qid, c.cid,
+       |                 CAST(list_sum(list_transform(generate_series(1, 64),
+       |                      i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |          FROM base q, c2 c WHERE q.vec_id < 2)) WHERE pr <= 2),
+       |w1 AS (SELECT vec_id + 8000000 AS vec_id, q FROM base WHERE vec_id < 3),
+       |wu AS (SELECT CAST(8000000 AS BIGINT) AS vec_id, q FROM base WHERE vec_id = 1),
+       |w2 AS (SELECT vec_id + 9000000 AS vec_id, q FROM base WHERE vec_id = 4),
+       |aw1 AS (${assignQSql("w1")}),
+       |awu AS (${assignQSql("wu")}),
+       |aw2 AS (${assignQSql("w2")}),
+       |cells1 AS (
+       |  SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5
+       |  UNION ALL SELECT vec_id, q, cid FROM aw1),
+       |cells2 AS (
+       |  SELECT vec_id, q, cid FROM cells1 WHERE vec_id <> 8000000
+       |  UNION ALL SELECT vec_id, q, cid FROM awu
+       |  UNION ALL SELECT vec_id, q, cid FROM aw2)
+       |SELECT * FROM (
+       |  ${searchSql("cells1", 1)}
+       |  UNION ALL
+       |  ${searchSql("cells2", 2)}
+       |  UNION ALL
+       |  ${searchSql("cells2", 3)})
+       |ORDER BY wave, qid, rnk""".stripMargin
+  }
+
   // ---- s18: binary-sketch Hamming search (sign random projection) ----------
 
   /** The fourth index family of the ANN toolbox — BINARY sketches
@@ -2346,6 +2523,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_stream_update" -> (s22StreamUpdate _),
     "s21_stream_delete" -> (s21StreamDelete _),
     "s20_nprobe_sweep" -> (s20NprobeSweep _),
     "s19_knn_graph" -> (s19KnnGraph _),
@@ -2370,6 +2548,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s22_stream_update" -> s22Oracle,
     "s21_stream_delete" -> s21Oracle,
     "s20_nprobe_sweep" -> s20Oracle,
     "s19_knn_graph" -> s19Oracle,

@@ -974,7 +974,157 @@ object Text {
        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
   }
 
+  // ---- t40: distributed BPE tokenizer training -----------------------------
+
+  /** Merge rounds the t40 gate learns; the oracle unrolls the same
+    * count. 24 is deep enough that learned symbols re-enter later
+    * merges (round 6 at sf0.001 already merges the round-1 symbol).
+    */
+  private[ops] val BpeRounds = 24
+
+  /** Word-length cap (standard BPE practice: pathological unbroken
+    * strings would otherwise dominate pair space); also bounds the
+    * one corpus-sized exchange key below.
+    */
+  private[ops] val BpeMaxWordLen = 24
+
+  /** Learned symbols get ids BpeMergeBase+round — disjoint from the
+    * codepoint range, identical on both sides because the merge
+    * sequence is deterministic.
+    */
+  private[ops] val BpeMergeBase = 1000000L
+
+  /** Word-frequency table with initial symbol sequences: one corpus
+    * pass, grouped by the (≤[[BpeMaxWordLen]]-char) word — the ONLY
+    * corpus-sized exchange in t40, map-side combined down to the
+    * distinct-word vocabulary (Heaps' law: sublinear in corpus size,
+    * which is what makes distributed BPE training tractable at
+    * 100 TB — every merge round below touches this table, never the
+    * corpus). Symbols start as codepoints (`ascii` agrees with DuckDB
+    * on substr(w,i,1), the polyHash precedent) plus a terminal 0
+    * end-of-word marker so suffix merges are distinguishable.
+    */
+  private[ops] def bpeWordTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(wordsCol(col("text"))).as("w"))
+      .filter(length(col("w")) <= BpeMaxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(
+        expr("concat(transform(sequence(1, length(w)), " +
+          "i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), " +
+          "array(CAST(0 AS BIGINT)))").as("syms"),
+        col("cnt"))
+
+  /** One merge round's pair-count election over the word table:
+    * adjacent-pair explode (naive overlap counting — the classic
+    * algorithm's semantics, and exactly what the oracle counts),
+    * frequency-weighted, shuffled ONLY on the two bigint symbol ids,
+    * then a deterministic argmax (count desc, then lowest pair —
+    * TakeOrderedAndProject, no global sort). The index filter runs
+    * over ascending `sequence(1, size)` because `sequence(1, 0)` is
+    * Spark's DESCENDING [1,0] (t32's documented hazard) — a word
+    * fully merged to one symbol must yield zero pairs, not a throw.
+    */
+  private[ops] def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), col("syms"),
+        explode(expr("filter(sequence(1, size(syms)), i -> i < size(syms))")).as("i"))
+      .select(col("cnt"),
+        expr("element_at(syms, i)").as("l"),
+        expr("element_at(syms, i + 1)").as("r"))
+      .groupBy("l", "r").agg(sum(col("cnt")).as("c"))
+
+  /** Greedy left-to-right rewrite of one learned merge (l,r)→m over a
+    * symbol sequence, as a row-local array fold — `aggregate` here,
+    * `list_reduce` over singleton lists in the oracle. Greedy matters:
+    * in `aaa` with merge (a,a) the first pair wins and the result is
+    * `[aa, a]`; a positional rewrite would disagree with every real
+    * BPE implementation (and with the oracle's identical fold).
+    */
+  private[ops] def bpeRewriteSql(l: Long, r: Long, m: Long): String =
+    s"""aggregate(syms, CAST(array() AS ARRAY<BIGINT>),
+       |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${l}L AND x = ${r}L
+       |              THEN concat(slice(acc, 1, size(acc) - 1), array(${m}L))
+       |              ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** Distributed BPE tokenizer training — the merge-learning step t37
+    * budgets for and t23 consumes (references the reference's text
+    * statistics surface only by analogy; BPE itself is Sennrich et
+    * al. 2016, the standard subword tokenizer of LLM pipelines).
+    * [[BpeRounds]] rounds of: count adjacent symbol pairs over the
+    * word-frequency table, elect the most frequent pair
+    * (deterministic tie-break), broadcast it into a row-local rewrite
+    * of the symbol sequences. Returns the learned merge table —
+    * that plus the initial alphabet IS the trained tokenizer.
+    *
+    * Scale shape: the corpus is read ONCE (word count, the t35/d6
+    * discipline — the only corpus-sized exchange keys on the bounded
+    * word, and document text never enters an exchange). Every round
+    * then runs on the vocabulary-sized word table: a map-side-combined
+    * pair agg whose shuffle carries one row per distinct pair per
+    * partition, a 1-row TakeOrdered election (the only driver-side
+    * data, 3 ints/round — control plane, like the codebook collects),
+    * and a row-local rewrite. The table is eagerly localCheckpointed
+    * each round so round k reads materialized round k-1 instead of
+    * recomputing the whole chain (without it the loop is quadratic in
+    * rounds — the same lineage trap the sweep caught in the GTID agg).
+    */
+  private def t40BpeTrain(s: SparkSession, d: String): DataFrame = {
+    var words = bpeWordTable(s, d).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    for (k <- 1 to BpeRounds) {
+      val best = bpePairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"t40: pair space exhausted at round $k")
+      val (l, r, c) = (best(0).getLong(0), best(0).getLong(1), best(0).getLong(2))
+      val m = BpeMergeBase + k
+      merges += ((k, l, r, m, c))
+      words = words
+        .withColumn("syms", expr(bpeRewriteSql(l, r, m)))
+        .localCheckpoint(true)
+    }
+    import s.implicits._
+    merges.toSeq
+      .toDF("round", "left_sym", "right_sym", "new_sym", "pair_count")
+      .orderBy("round")
+  }
+
+  private val t40Oracle: String = {
+    val ws = wordsSql("text")
+    // w-CTEs MATERIALIZED: each is referenced twice (next round's pair
+    // count + rewrite); inlining would re-derive the whole chain per
+    // reference — exponential in rounds
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT syms, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT list_append(list_transform(generate_series(1, CAST(len(w) AS INT)),
+         |             i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), CAST(0 AS BIGINT)) AS syms
+         |    FROM (SELECT unnest($ws) AS w FROM documents) WHERE len(w) <= $BpeMaxWordLen)
+         |  GROUP BY syms)""".stripMargin
+    val rounds = (1 to BpeRounds).map { k =>
+      val m = BpeMergeBase + k
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+         |  FROM w${k - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT list_reduce(list_transform(syms, s -> [s]),
+         |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+         |                       THEN acc[:len(acc) - 1] || [CAST($m AS BIGINT)]
+         |                       ELSE acc || x END) AS syms, cnt
+         |  FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }
+    val sel = (1 to BpeRounds).map { k =>
+      s"SELECT $k AS round, l AS left_sym, r AS right_sym, " +
+        s"CAST(${BpeMergeBase + k} AS BIGINT) AS new_sym, CAST(c AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $w0,\n${rounds.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_bpe_train" -> (t40BpeTrain _),
     "t39_novelty" -> (t39Novelty _),
     "t38_split_leakage" -> (t38SplitLeakage _),
     "t37_vocab_coverage" -> (t37VocabCoverage _),
@@ -1203,6 +1353,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t40_bpe_train" -> t40Oracle,
     "t39_novelty" -> t39Oracle,
     "t38_split_leakage" -> t38Oracle,
     "t37_vocab_coverage" -> t37Oracle,

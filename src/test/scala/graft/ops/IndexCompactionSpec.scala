@@ -69,6 +69,54 @@ class IndexCompactionSpec extends AnyFunSuite {
     assert(!IndexCompaction.compactWithTombstones(spark, dir, dels, "doc_id", maxFiles = 64))
   }
 
+  test("partition cadence driver folds ONLY the hot partition — cold files untouched") {
+    import spark.implicits._
+    val root = s"target/tmp/idxparts-${System.nanoTime()}/t"
+    // a band-partitioned index: band=0 is hot (10 append waves),
+    // band=1 and band=2 are cold (one file each)
+    (0 until 10).foreach { w =>
+      Seq.tabulate(4)(i => (w * 100L + i, s"p-$w-$i"))
+        .toDF("doc_id", "v").coalesce(1).write.mode("append").parquet(s"$root/band=0")
+    }
+    Seq((1L, "c1")).toDF("doc_id", "v").coalesce(1).write.parquet(s"$root/band=1")
+    Seq((2L, "c2")).toDF("doc_id", "v").coalesce(1).write.parquet(s"$root/band=2")
+    def mtimes(dir: String): Map[String, Long] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val cold = (mtimes(s"$root/band=1"), mtimes(s"$root/band=2"))
+    val before = (sortedRows(s"$root/band=0"), sortedRows(s"$root/band=1"))
+    assert(IndexCompaction.compactPartitions(spark, root, maxFiles = 4) == 1,
+      "exactly the hot partition must trip the per-partition trigger")
+    assert(IndexCompaction.dataFileCount(s"$root/band=0") <= 4)
+    assert((mtimes(s"$root/band=1"), mtimes(s"$root/band=2")) == cold,
+      "cold partitions must not be read, rewritten, or touched")
+    assert((sortedRows(s"$root/band=0"), sortedRows(s"$root/band=1")) == before,
+      "the per-partition fold must be content-identical")
+    // everything under threshold now → whole-table cadence pass is a no-op
+    assert(IndexCompaction.compactPartitions(spark, root, maxFiles = 4) == 0)
+  }
+
+  test("a versioned tombstone removes strictly-older rows and spares the replacement") {
+    import spark.implicits._
+    val base = s"target/tmp/idxvdels-${System.nanoTime()}"
+    val dir = s"$base/t"; val dels = s"$base/dels"
+    // key 2 was re-embedded at ver 2 (rows at ver 0 and 2 coexist);
+    // key 3 was hard-deleted (upto = MaxValue); key 1 untouched
+    Seq((1L, "a", 0L), (2L, "b-old", 0L), (2L, "b-new", 2L), (3L, "c", 0L))
+      .toDF("doc_id", "v", "ver").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((2L, 2L), (3L, Long.MaxValue))
+      .toDF("doc_id", "upto").coalesce(1).write.mode("append").parquet(dels)
+    assert(IndexCompaction.compactWithVersionedTombstones(
+      spark, dir, dels, "doc_id", "ver", maxFiles = 64))
+    val kept = spark.read.parquet(dir).select("doc_id", "v").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(kept == Seq((1L, "a"), (2L, "b-new")),
+      s"fold must keep the replacement and drop stale + deleted rows, got $kept")
+    assert(IndexCompaction.dataFileCount(dels) == 0)
+    assert(!IndexCompaction.compactWithVersionedTombstones(
+      spark, dir, dels, "doc_id", "ver", maxFiles = 64))
+  }
+
   test("d12's standing index survives an in-gate fold: probe results identical before/after") {
     // drive the REAL gate against a pinned index dir, snapshot its
     // matches, then fold both index tables hard (maxFiles = 1 forces

@@ -296,4 +296,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall(_.thumb_checksum != want),
       "a corrupted payload must not reproduce the planted checksum")
   }
+
+  test("mm15: JPEG is genuinely lossy yet mean luma stays in the tolerance band") {
+    import spark.implicits._
+    // a spread of shapes, including the planted field's wraparound
+    // discontinuities where quantization error is worst
+    val meta = Seq((0L, 64, 64), (3L, 112, 112), (12L, 80, 64), (21L, 176, 80))
+      .toDF("doc_id", "width", "height")
+    val stats = Multimodal.jpegStats(meta).collect()
+    assert(stats.length == 4)
+    val errs = stats.map(s => math.abs(s.mluma_decoded - s.mluma_planted))
+    // the tolerance contract both-sided: every image in band...
+    assert(errs.forall(_ <= Multimodal.JpegLumaTol),
+      s"mean-luma error must stay within ±${Multimodal.JpegLumaTol}, got ${errs.toSeq}")
+    // ...and the codec is NOT secretly lossless (what makes mm15 a
+    // different gate from mm13): some image decodes to different pixels
+    assert(errs.exists(_ > 0.0),
+      "JPEG round-trip must not be pixel-exact — this leg exists to prove the lossy contract")
+    // compression really happened, and the letterbox math matches mm13's
+    stats.foreach { s =>
+      assert(s.n_bytes < 3 * s.width * s.height, "JPEG must beat raw RGB size")
+      val (ow, oh) = if (s.width >= s.height) (224, s.height * 224 / s.width)
+      else (s.width * 224 / s.height, 224)
+      assert((s.out_w, s.out_h, s.pad_x, s.pad_y) == (ow, oh, 224 - ow, 224 - oh))
+    }
+    // the gate view bands every row to luma_in_tol = 0 / compressed = 1
+    val gate = Multimodal.queries("mm15_jpeg")(spark, sf).collect()
+    assert(gate.nonEmpty)
+    assert(gate.forall(r => r.getAs[Int]("luma_in_tol") == 0 &&
+      r.getAs[Int]("compressed") == 1))
+  }
 }

@@ -823,6 +823,28 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains(j), s"unexpected $j in soft-dedup plan"))
   }
 
+  test("t40: bpe round plans touch only the word table — text never keys an exchange") {
+    // the per-round topology is the scale contract: pair counting
+    // shuffles on the two bigint symbol ids with a map-side partial
+    // agg; the word-table build's one corpus-sized exchange keys on
+    // the bounded word column; document text keys nothing
+    val words = Text.bpeWordTable(spark, sf)
+    val wordsPlan = words.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!wordsPlan.matches("(?s).*hashpartitioning\\(text#.*"),
+      "document text must not key the word-count exchange")
+    assert(wordsPlan.contains("partial_count") || wordsPlan.contains("HashAggregate"),
+      "word count must partial-aggregate map-side")
+    val pcPlan = Text.bpePairCounts(words.localCheckpoint(true)).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!pcPlan.contains(j), s"unexpected $j in pair-count plan"))
+    assert(pcPlan.matches("(?s).*hashpartitioning\\(l#\\d+L?, r#\\d+L?.*"),
+      "pair counting must shuffle on the symbol-id pair")
+    assert(pcPlan.contains("partial_sum"),
+      "pair counting must partial-aggregate map-side")
+  }
+
   test("mm14: election is doc-keyed — no global exchange, no pair explosion") {
     val plan = formatted("mm14_keyframes")
     Seq("BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>

@@ -553,6 +553,54 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("s22: streaming update — same key supersedes across cells, masked then physical") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-s22-spec-").toString
+    try {
+      val rows = Similarity.s22StreamUpdateWithDir(spark, sf, dir).collect()
+      val byWave = rows.groupBy(_.getAs[Int]("wave"))
+      val (w1, w2, w3) = (byWave(1), byWave(2), byWave(3))
+      def hits(ws: Array[org.apache.spark.sql.Row], qid: Long) =
+        ws.filter(_.getAs[Long]("qid") == qid).sortBy(_.getAs[Int]("rnk"))
+      // wave 1: the plant leads qid 0 at cos 1.0 and is absent from qid 1
+      val q0w1 = hits(w1, 0L)
+      assert(q0w1.head.getAs[Long]("vec_id") == 8000000L &&
+        q0w1.head.getAs[Double]("cos") == 1.0,
+        "wave-1 must be led by the planted copy of query 0")
+      assert(!hits(w1, 1L).exists(_.getAs[Long]("vec_id") == 8000000L))
+      // wave 2: the SAME vec_id moved lists — gone from qid 0 (masked
+      // stale row), rank 1 of qid 1 (replacement row, new cell)
+      assert(!hits(w2, 0L).exists(_.getAs[Long]("vec_id") == 8000000L),
+        "the stale embedding must be unfindable under the mask")
+      val q1w2 = hits(w2, 1L)
+      // self-cosine of the quantized vector is 1.0 up to summation
+      // rounding (q1's happens to land one ulp under; the oracle
+      // computes the identical value — the hash gate pins exactness)
+      assert(q1w2.head.getAs[Long]("vec_id") == 8000000L &&
+        q1w2.head.getAs[Double]("cos") >= 1.0 - 1e-12,
+        "the re-embedded key must surface for its new query")
+      assert(hits(w2, 0L).map(_.getAs[Int]("rnk")).toSeq == (1 to 5),
+        "qid 0's window must refill after the supersede")
+      // while MASKED (pre-fold the gate ran mid-stream), the stale row
+      // was still physically present next to its replacement — the
+      // fold then kept exactly the ver-2 row
+      val stored = spark.read.parquet(s"$dir/cells")
+        .filter(col("vec_id") === 8000000L).collect()
+      assert(stored.length == 1 && stored(0).getAs[Long]("ver") == 2L,
+        s"exactly the replacement row must survive the fold, got ${stored.toSeq}")
+      assert(IndexCompaction.dataFileCount(s"$dir/dels") == 0)
+      // wave 3 (physical) equals wave 2 (masked) byte-for-byte
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rnk"))
+      assert(w2.map(key).toSet == w3.map(key).toSet,
+        "masked and physical supersede must produce identical searches")
+      // the unrelated same-batch insert did NOT get tombstoned
+      assert(spark.read.parquet(s"$dir/cells")
+        .filter(col("vec_id") === 9000004L).count() == 1)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("s18: Hamming funnel — sketch distance bounded, rerank exact, selection beats the corpus mean") {
     val rows = Similarity.queries("s18_hamming")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
