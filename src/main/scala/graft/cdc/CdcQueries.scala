@@ -1895,7 +1895,7 @@ object CdcQueries {
     * Returns the decoded feed (pos, ts, pk, op, value). Shared by
     * `cdc_binlog_replay` and the `cdc_full_protocol` capstone.
     */
-  private[cdc] def binlogRoundtrip(s: SparkSession, slice: DataFrame,
+  private[graft] def binlogRoundtrip(s: SparkSession, slice: DataFrame,
       uuid: String = "3e11fa47-71ca-11e1-9e33-c80aa9429562"): DataFrame = {
     import s.implicits._
     import graft.sources.{BinlogCodec, BinlogDecoder, BinlogWriter}

@@ -1184,7 +1184,277 @@ object Pipeline {
        |FROM g ORDER BY source""".stripMargin
   }
 
+  // ---- p12: the end-to-end protocol capstone ------------------------------
+
+  /** The engine's two halves as ONE composed flow under one oracle:
+    * snapshot → binlog transport → watermark gate → curation
+    * adjudication → vector-index maintenance. Every stage is a proven
+    * component (`cdc_binlog_replay`'s codec, `cdc_gated_state`'s
+    * snapshot∪gated protocol, p7's curation ledger, p9's
+    * fixed-codebook cell assignment); the capstone pins the WELDS: the
+    * change batch travels as real binlog v4 bytes (a mangled value
+    * breaks the quality/dup columns), the at-least-once redelivery
+    * below the watermark carries deliberately corrupted values whose
+    * leak would flip the dup evidence (docs 0-2 reversed — their
+    * re-crawled copies would stop matching and 'dropped_dup' would
+    * read 'admitted'), and only curation-ADMITTED changes touch the
+    * vector index (the weld a real pipeline gets wrong first:
+    * vandalized or duplicate content must never reach the ANN index,
+    * deletes always must).
+    *
+    * Output: the per-change protocol ledger — curation columns (p7's
+    * quality/n_dups/status) plus the index consequence
+    * (`index_action` ∈ added/reassigned/removed/none and the assigned
+    * `cell`, NULL when the index is untouched). Updates re-embed
+    * (negated embedding, p9's convention for "the content changed"),
+    * inserts embed fresh, deletes retract their STANDING cell.
+    *
+    * Scale shape: the change batch is bounded and rides broadcast
+    * through every leg (gate filter is row-local arithmetic, probe
+    * bands, shingle fetch, embedding joins, cell assignment against
+    * the codebook literal); the corpus contributes one documents scan
+    * (shingle evidence) and one embeddings scan (codebook training —
+    * at 100 TB both are the STORED index/codebook, recomputed here to
+    * stay self-contained, s11's stance). Nothing joins corpus×corpus;
+    * the transport runs inside mapPartitions.
+    */
+  /** Full-text rolling checksum, the mm2 recurrence
+    * (`h = (31·h + byte) mod P`) as a codegen'd HOF chain — what the
+    * wire carries in place of the text itself (see [[p12E2eProtocol]]).
+    */
+  private def ckSql(e: String): String =
+    s"""CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT)
+       |ELSE aggregate(transform(sequence(1, length($e)),
+       |       i -> CAST(ascii(substr($e, i, 1)) AS BIGINT)),
+       |     CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 2147483647) END""".stripMargin
+
+  private def p12E2eProtocol(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{CdcQueries, WatermarkGate}
+    import graft.model.GtidSet
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    // p7's five change classes, as (pk, op, new text). The WIRE format
+    // carries a numeric value (the reference's row image — FeedRow),
+    // so the feed ships the full-text checksum and the ledger fetches
+    // content by (pk, checksum) from the batch's blob side — the
+    // standard CDC-pointer shape for payloads too big for the log. A
+    // transport that mangles the value misses the blob join and the
+    // ledger visibly loses that row.
+    val changes = slice(10, 15)
+      .select(col("doc_id").as("pk"), lit("update").as("op"),
+        concat(col("text"), lit(" revised edition")).as("text"))
+      .unionByName(slice(15, 18)
+        .select(col("doc_id").as("pk"), lit("update").as("op"),
+          lit("the the the the").as("text")))
+      .unionByName(slice(0, 3)
+        .select((col("doc_id") + 8000000L).as("pk"), lit("insert").as("op"),
+          col("text").as("text")))
+      .unionByName(slice(30, 33)
+        .select((col("doc_id") + 7999980L).as("pk"), lit("insert").as("op"),
+          reverse(col("text")).as("text")))
+    val deletes = slice(20, 25)
+      .select(col("doc_id").as("pk"), lit("delete").as("op"),
+        lit(null).cast("string").as("text"))
+    // the at-least-once crash window: a redelivered slice BELOW the
+    // watermark, content deliberately vandalized — the gate must drop
+    // it; a leak marks the dup-evidence docs as touched and flips
+    // their re-crawled copies from dropped_dup to admitted
+    val redelivered = slice(0, 3)
+      .select(col("doc_id").as("pk"), lit("update").as("op"),
+        reverse(col("text")).as("text"))
+    // pos: deterministic injective pk map — true changes land ABOVE
+    // the watermark (1000003 is prime > every harness pk mod-class),
+    // the redelivery below it
+    val delta = changes.unionByName(deletes)
+      .withColumn("pos", lit(1000000L) + col("pk") % 1000003L)
+    val wire = delta.unionByName(redelivered.withColumn("pos", col("pk") + 1L))
+      .select(col("pos"), lit(new java.sql.Timestamp(0L)).as("ts"),
+        col("pk"), col("op"),
+        coalesce(expr(ckSql("text")), lit(0L)).cast("double").as("value"))
+    // transport: real binlog v4 bytes, encoded and decoded in tasks
+    val decoded = CdcQueries.binlogRoundtrip(s, wire)
+    val wm = GtidSet.parse("harness-src:1-500000")
+    val gated = decoded
+      .filter(!WatermarkGate.containsColumn(wm, "harness-src", col("pos")))
+      .select(col("pk").as("doc_id"), col("op"),
+        col("value").cast("long").as("ck"))
+    // blob side: both the true batch's and the redelivery's payloads
+    // exist (a crashed window re-exposes its blobs too); the decoded
+    // checksum selects which one a leaked event would resolve to
+    val blob = changes.unionByName(redelivered)
+      .select(col("pk").as("doc_id"), col("text"),
+        expr(ckSql("text")).as("ck"))
+      .dropDuplicates("doc_id", "ck")
+    val ledger0 = gated.filter(col("op") === "delete")
+      .select(col("doc_id"), col("op"), lit(null).cast("string").as("text"))
+      .unionByName(gated.filter(col("op") =!= "delete")
+        .join(broadcast(blob), Seq("doc_id", "ck"))
+        .select(col("doc_id"), col("op"), col("text")))
+      .localCheckpoint(true) // bounded batch; feeds every leg below
+    // latest-wins evidence: standing rows whose pk the feed touched
+    // (updated, deleted, or leaked) are stale and carry no dup evidence
+    val surviving = docs
+      .join(broadcast(ledger0.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val corpusShs = Dedup.shinglesOf(surviving).persist()
+    val corpusBands = Dedup.minhashBands(corpusShs)
+    val upserts = ledger0.filter(col("op") =!= "delete")
+    val upShs = Dedup.shinglesOf(upserts).localCheckpoint(true)
+    val upBands = Dedup.minhashBands(upShs)
+    val dups = corpusBands
+      .join(broadcast(upBands.select(col("doc_id").as("new_id"), col("band"))), "band")
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+      .join(broadcast(upShs.select(col("doc_id").as("new_id"), col("shs").as("sn"))), "new_id")
+      .join(corpusShs.select(col("doc_id").as("corpus_id"), col("shs").as("sc")), "corpus_id")
+      .filter(size(array_intersect(col("sn"), col("sc"))).cast("double")
+        / size(array_union(col("sn"), col("sc"))) >= 0.5)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    val statused = ledger0
+      .withColumn("quality",
+        when(col("op") === "delete", lit(-1.0))
+          .otherwise(qualityCol(Text.wordsCol(col("text")))))
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dups"))
+      .withColumn("status",
+        when(col("op") === "delete", "deleted")
+          .when(col("quality") < 0.5, "dropped_quality")
+          .when(col("n_dups") > 0, "dropped_dup")
+          .otherwise("admitted"))
+      .localCheckpoint(true) // ≤19 rows; joined twice below
+    // index consequence — ONLY what curation admitted (plus deletes):
+    val base = Similarity.quantized(s, d)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, iters = 2))
+    val emb = Tables.embeddings(s, d)
+    // updates re-embed as the negated vector (p9's convention);
+    // inserts carry the embedding of their source document
+    val admitted = statused.filter(col("status") === "admitted")
+      .withColumn("evec",
+        when(col("op") === "update", col("doc_id"))
+          .otherwise(col("doc_id") - 7999980L))
+    val newQ = emb
+      .join(broadcast(admitted.select(col("doc_id").as("adm_id"), col("evec"), col("op"))),
+        col("vec_id") === col("evec"))
+      .select(col("adm_id").as("vec_id"),
+        when(col("op") === "update",
+          expr("transform(embedding, x -> CAST(floor(-CAST(x AS DOUBLE) * 1000) AS DOUBLE))"))
+          .otherwise(
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"))
+          .as("q"))
+    val newCells = Similarity.assignCellsFrom(newQ, cents)
+      .select(col("vec_id").as("doc_id"), col("cid").as("cell"))
+    // deletes retract their STANDING assignment
+    val delCells = Similarity
+      .assignCellsFrom(base.join(broadcast(statused.filter(col("op") === "delete")
+        .select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_semi"), cents)
+      .select(col("vec_id").as("doc_id"), col("cid").as("cell"))
+    val out = statused
+      .join(broadcast(newCells.unionByName(delCells)), Seq("doc_id"), "left")
+      .withColumn("index_action",
+        when(col("op") === "delete", "removed")
+          .when(col("status") === "admitted" && col("op") === "update", "reassigned")
+          .when(col("status") === "admitted", "added")
+          .otherwise("none"))
+      .select("doc_id", "op", "quality", "n_dups", "status", "index_action", "cell")
+      .orderBy("doc_id")
+    try out.localCheckpoint(true)
+    finally corpusShs.unpersist(blocking = false)
+  }
+
+  private val p12Oracle: String = {
+    val ws = Text.wordsSql("text")
+    def assignSql(rel: String) =
+      s"""SELECT vec_id, cid FROM (
+         |  SELECT x.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |                i -> x.q[i] * c.sv[i])) AS DOUBLE) / c.n DESC,
+         |           c.cid) AS rnk
+         |  FROM $rel x, c2 c) WHERE rnk = 1""".stripMargin
+    s"""WITH delta AS (
+       |  SELECT doc_id AS pk, 'update' AS op, text || ' revised edition' AS value
+       |  FROM documents WHERE doc_id >= 10 AND doc_id < 15
+       |  UNION ALL
+       |  SELECT doc_id, 'update', 'the the the the'
+       |  FROM documents WHERE doc_id >= 15 AND doc_id < 18
+       |  UNION ALL
+       |  SELECT doc_id, 'delete', NULL
+       |  FROM documents WHERE doc_id >= 20 AND doc_id < 25
+       |  UNION ALL
+       |  SELECT doc_id + 8000000, 'insert', text FROM documents WHERE doc_id < 3
+       |  UNION ALL
+       |  SELECT doc_id + 7999980, 'insert', reverse(text)
+       |  FROM documents WHERE doc_id >= 30 AND doc_id < 33),
+       |surviving AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id NOT IN (SELECT pk FROM delta)),
+       |ups AS (SELECT pk AS doc_id, value AS text FROM delta WHERE op <> 'delete'),
+       |${Dedup.lshCtesSql("surviving", "")},
+       |${Dedup.lshCtesSql("ups", "n")},
+       |dup AS (
+       |  SELECT new_id AS doc_id, count(*) AS n_dups FROM (
+       |    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       |           n.shs AS sn, c.shs AS sc
+       |    FROM nbands n JOIN bands c ON n.band = c.band)
+       |  WHERE CAST(len(list_intersect(sn, sc)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(sn, sc))) >= 0.5
+       |  GROUP BY new_id),
+       |scored AS (
+       |  SELECT doc_id,
+       |         least(CAST(n_words AS DOUBLE) / 80.0, 1.0) * 0.4
+       |           + (CAST(n_uniq AS DOUBLE) / n_words) * 0.3
+       |           + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3 AS quality
+       |  FROM (SELECT doc_id,
+       |               CAST(len($ws) AS INT) AS n_words,
+       |               CAST(len(list_distinct($ws)) AS INT) AS n_uniq,
+       |               CAST(len(list_filter($ws, x -> x IN ('the','a'))) AS INT) AS n_stop
+       |        FROM ups)),
+       |st AS (
+       |  SELECT d.pk AS doc_id, d.op,
+       |         CASE WHEN d.op = 'delete' THEN -1.0 ELSE s.quality END AS quality,
+       |         CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
+       |         CASE WHEN d.op = 'delete' THEN 'deleted'
+       |              WHEN s.quality < 0.5 THEN 'dropped_quality'
+       |              WHEN COALESCE(p.n_dups, 0) > 0 THEN 'dropped_dup'
+       |              ELSE 'admitted' END AS status
+       |  FROM delta d
+       |  LEFT JOIN scored s ON s.doc_id = d.pk
+       |  LEFT JOIN dup p ON p.doc_id = d.pk),
+       |base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${Similarity.ivfOracleChain},
+       |vsrc AS (
+       |  SELECT st.doc_id,
+       |         list_transform(e.embedding::DOUBLE[], x -> CAST(floor(-x * 1000) AS BIGINT)) AS q
+       |  FROM st JOIN embeddings e ON e.vec_id = st.doc_id
+       |  WHERE st.status = 'admitted' AND st.op = 'update'
+       |  UNION ALL
+       |  SELECT st.doc_id,
+       |         list_transform(e.embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM st JOIN embeddings e ON e.vec_id = st.doc_id - 7999980
+       |  WHERE st.status = 'admitted' AND st.op = 'insert'),
+       |acells AS (SELECT vec_id AS doc_id, cid AS cell
+       |           FROM (${assignSql("(SELECT doc_id AS vec_id, q FROM vsrc)")}) t),
+       |rcells AS (
+       |  SELECT st.doc_id, a.cid AS cell FROM st
+       |  JOIN a3 a ON a.vec_id = st.doc_id WHERE st.op = 'delete')
+       |SELECT st.doc_id, st.op, st.quality, st.n_dups, st.status,
+       |       CASE WHEN st.op = 'delete' THEN 'removed'
+       |            WHEN st.status = 'admitted' AND st.op = 'update' THEN 'reassigned'
+       |            WHEN st.status = 'admitted' THEN 'added'
+       |            ELSE 'none' END AS index_action,
+       |       CAST(COALESCE(ac.cell, rc.cell) AS BIGINT) AS cell
+       |FROM st
+       |LEFT JOIN acells ac ON ac.doc_id = st.doc_id
+       |LEFT JOIN rcells rc ON rc.doc_id = st.doc_id
+       |ORDER BY st.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_e2e_protocol" -> (p12E2eProtocol _),
     "p11_mixture" -> (p11Mixture _),
     "p10_mm_shards" -> (p10MmShards _),
     "p9_index_maint" -> (p9IndexMaint _),
@@ -1199,6 +1469,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_e2e_protocol" -> p12Oracle,
     "p11_mixture" -> p11Oracle,
     "p10_mm_shards" -> p10Oracle,
     "p9_index_maint" -> p9Oracle,

@@ -185,6 +185,42 @@ class PipelineSpec extends AnyFunSuite {
     (8000010L until 8000013L).foreach(id => assert(status(id) == "admitted"))
   }
 
+  test("p12: the protocol welds hold — gate, curation classes, index consequences") {
+    val rows = Pipeline.queries("p12_e2e_protocol")(spark, sf).collect()
+    assert(rows.length == 19, "one ledger row per TRUE change — a gate leak adds rows")
+    def row(id: Long) = rows.find(_.getAs[Long]("doc_id") == id).get
+    // the redelivered below-watermark slice (pks 0-2 as updates) must
+    // be gone entirely: every small-id ledger row is a planted change
+    assert(!rows.exists(r => r.getAs[Long]("doc_id") < 10L),
+      "a sub-watermark redelivery leaked through the gate")
+    // curation classes adjudicate as planted (p7's semantics through
+    // the full transport)
+    (20L until 25L).foreach(id => assert(row(id).getAs[String]("status") == "deleted"))
+    (15L until 18L).foreach(id => assert(row(id).getAs[String]("status") == "dropped_quality"))
+    (8000000L until 8000003L).foreach(id => assert(row(id).getAs[String]("status") == "dropped_dup"))
+    (8000010L until 8000013L).foreach(id => assert(row(id).getAs[String]("status") == "admitted"))
+    // index weld: ONLY admitted changes and deletes touch the index
+    rows.foreach { r =>
+      val (st, op, act) = (r.getAs[String]("status"), r.getAs[String]("op"),
+        r.getAs[String]("index_action"))
+      val cell = Option(r.get(r.fieldIndex("cell")))
+      if (op == "delete") {
+        assert(act == "removed" && cell.nonEmpty,
+          "a delete must retract a concrete standing cell")
+      } else if (st == "admitted") {
+        assert((op == "update" && act == "reassigned") ||
+          (op == "insert" && act == "added"))
+        assert(cell.nonEmpty, "an admitted change must carry its assigned cell")
+      } else {
+        assert(act == "none" && cell.isEmpty,
+          s"dropped content must never reach the index: $r")
+      }
+    }
+    // the index actually receives work from this batch on both sides
+    assert(rows.count(_.getAs[String]("index_action") == "removed") == 5)
+    assert(rows.count(r => r.getAs[String]("index_action") == "added") >= 3)
+  }
+
   test("p8: incremental segment-df equals the full recompute; both vocabulary transitions fire") {
     val rows = Pipeline.queries("p8_df_maint")(spark, sf).collect()
     assert(rows.nonEmpty)
