@@ -1497,6 +1497,96 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- mm16: the real AUDIO codec leg (WAV/PCM) ----------------------------
+
+  final case class MmWavStat(
+      doc_id: Long, sample_rate: Int, n_samples: Int,
+      duration_ms: Long, pcm_checksum: Long)
+
+  /** Closed-form planted 16-bit PCM sample — the audio analogue of
+    * [[plantRGB]]: recomputable in SQL, wraps through the full signed
+    * range so both byte orders and the sign bit are exercised.
+    */
+  private[ops] def plantPcm(docId: Long, i: Int): Int =
+    (((docId * 31 + i * 7L) % 65536L) - 32768L).toInt
+
+  /** Encode planted PCM as a REAL RIFF/WAV file and decode it back,
+    * per partition (`javax.sound.sampled`, pure JVM — the audio
+    * analogue of mm13's imageio leg, and the second existence proof
+    * that the mm-family's codec seam carries real bytes). WAV is
+    * lossless, so the decoded-sample checksum is oracle-exact, like
+    * PNG and unlike mm15's JPEG.
+    */
+  private[ops] def wavStats(meta: DataFrame): Dataset[MmWavStat] = {
+    import meta.sparkSession.implicits._
+    meta.select("doc_id", "sample_rate", "n_samples").as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, rate, n) =>
+          val pcm = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = plantPcm(id, i)
+            pcm(2 * i) = (s & 0xff).toByte // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val wav = bos.toByteArray
+          // decode: real header parse, frames streamed back out
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val df2 = ais.getFormat
+          require(df2.getSampleRate == rate.toFloat &&
+            df2.getSampleSizeInBits == 16 && df2.getChannels == 1,
+            s"wav decode format drift for doc $id")
+          val back = ais.readAllBytes()
+          require(back.length == 2 * n, s"wav decode lost samples for doc $id")
+          var sum = 0L
+          i = 0
+          while (i < n) {
+            val lo = back(2 * i) & 0xff
+            val hi = back(2 * i + 1)
+            val s = (hi << 8) | lo // sign from the high byte
+            sum = (sum * 31 + (s + 32768)) % 2147483647L
+            i += 1
+          }
+          MmWavStat(id, rate, n, 1000L * n / rate, sum)
+        }
+      }
+  }
+
+  /** mm16: the audio-modality assets as REAL WAV bytes — encode,
+    * header parse, decode, checksum over genuinely decoded samples.
+    * Scan-shaped: one mapPartitions leg, zero shuffles, narrow
+    * output. The oracle folds the identical rolling checksum over the
+    * closed-form planted samples — losslessness is the bridge, mm13's
+    * argument on the second modality.
+    */
+  private def mm16RealAudio(s: SparkSession, d: String): DataFrame = {
+    val meta = assets(s, d).toDF().filter(col("modality") === "audio")
+      .select(col("doc_id"), col("sample_rate"),
+        (lit(400) + (col("doc_id") % 5) * 80).cast("int").as("n_samples"))
+    wavStats(meta).toDF().orderBy("doc_id")
+  }
+
+  private val mm16Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, 16000 AS sample_rate,
+      |         CAST(400 + (doc_id % 5) * 80 AS INT) AS n_samples
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT doc_id, sample_rate, n_samples,
+      |       CAST(1000 * n_samples // sample_rate AS BIGINT) AS duration_ms,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(generate_series(0, n_samples - 1),
+      |           i -> (doc_id * 31 + i * 7) % 65536)),
+      |         (a, b) -> (a * 31 + b) % 2147483647) AS pcm_checksum
+      |FROM m ORDER BY doc_id""".stripMargin
+
   private val mm15Oracle: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -1534,6 +1624,7 @@ object Multimodal {
       |FROM m ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm16_real_audio" -> (mm16RealAudio _),
     "mm15_jpeg" -> (mm15Jpeg _),
     "mm14_keyframes" -> (mm14Keyframes _),
     "mm13_real_decode" -> (mm13RealDecode _),
@@ -1573,6 +1664,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm16_real_audio" -> mm16Oracle,
     "mm15_jpeg" -> mm15Oracle,
     "mm14_keyframes" -> mm14Oracle,
     "mm13_real_decode" -> mm13Oracle,

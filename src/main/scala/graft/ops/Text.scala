@@ -1009,7 +1009,7 @@ object Text {
       .select(explode(wordsCol(col("text"))).as("w"))
       .filter(length(col("w")) <= BpeMaxWordLen)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(
+      .select(col("w"),
         expr("concat(transform(sequence(1, length(w)), " +
           "i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), " +
           "array(CAST(0 AS BIGINT)))").as("syms"),
@@ -1069,7 +1069,13 @@ object Text {
     * recomputing the whole chain (without it the loop is quadratic in
     * rounds — the same lineage trap the sweep caught in the GTID agg).
     */
-  private def t40BpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The shared training loop: returns the learned merge table AND
+    * the fully-rewritten word table (the tokenizer's working form —
+    * word → final symbol sequence), so t40 reports the merges and t41
+    * applies them without a second training pass.
+    */
+  private[ops] def bpeTrainLoop(s: SparkSession, d: String)
+      : (Seq[(Int, Long, Long, Long, Long)], DataFrame) = {
     var words = bpeWordTable(s, d).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
     for (k <- 1 to BpeRounds) {
@@ -1084,24 +1090,71 @@ object Text {
         .withColumn("syms", expr(bpeRewriteSql(l, r, m)))
         .localCheckpoint(true)
     }
+    (merges.toSeq, words)
+  }
+
+  private def t40BpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    merges.toSeq
+    bpeTrainLoop(s, d)._1
       .toDF("round", "left_sym", "right_sym", "new_sym", "pair_count")
       .orderBy("round")
   }
 
-  private val t40Oracle: String = {
+  /** t41: ENCODE the corpus with the trained tokenizer — the apply
+    * half of the t40/t41 pair (a tokenizer you can train but not run
+    * is half an operator). The trained state is the rewritten word
+    * table itself (word → final symbol sequence after all
+    * [[BpeRounds]] merges — how production tokenizers cache frequent
+    * words); encoding is then ONE corpus pass: explode words, join
+    * the vocabulary on the word key (AQE broadcasts when the vocab
+    * fits, the same judgment it makes for t25's df side), and roll up
+    * per document. Reports the compression the learned merges bought:
+    * `saved_permille = 1000·(chars+words − bpe_tokens) / (chars+words)`
+    * against the character+end-marker baseline (what the token count
+    * would be with zero merges). All-integer; the oracle re-derives
+    * the identical vocabulary through the same unrolled chain with
+    * the word column carried through.
+    *
+    * Scale shape: training cost is t40's (vocabulary-sized rounds);
+    * encoding adds one word-keyed corpus exchange and one doc-keyed
+    * rollup — the t25 topology. Document text never keys an exchange.
+    */
+  private def t41BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val vocab = bpeTrainLoop(s, d)._2
+      .select(col("w"), size(col("syms")).as("n_tok"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+      .filter(length(col("w")) <= BpeMaxWordLen)
+      .join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .withColumn("saved_permille",
+        expr("(1000 * (n_chars + n_words - n_bpe_tokens)) DIV (n_chars + n_words)"))
+      .orderBy("doc_id")
+  }
+
+  /** The unrolled training chain shared by the t40 and t41 oracles:
+    * w0 (word-frequency table with initial symbol sequences, the word
+    * carried through every round so t41 can join the corpus back),
+    * then per round a pair-count CTE, a 1-row election, and the
+    * list_reduce greedy rewrite. w-CTEs MATERIALIZED: each is
+    * referenced twice (next round's pair count + rewrite); inlining
+    * would re-derive the whole chain per reference — exponential in
+    * rounds.
+    */
+  private def bpeChainSql: String = {
     val ws = wordsSql("text")
-    // w-CTEs MATERIALIZED: each is referenced twice (next round's pair
-    // count + rewrite); inlining would re-derive the whole chain per
-    // reference — exponential in rounds
     val w0 =
       s"""w0 AS MATERIALIZED (
-         |  SELECT syms, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT list_append(list_transform(generate_series(1, CAST(len(w) AS INT)),
-         |             i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), CAST(0 AS BIGINT)) AS syms
-         |    FROM (SELECT unnest($ws) AS w FROM documents) WHERE len(w) <= $BpeMaxWordLen)
-         |  GROUP BY syms)""".stripMargin
+         |  SELECT w,
+         |         list_append(list_transform(generate_series(1, CAST(len(w) AS INT)),
+         |           i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), CAST(0 AS BIGINT)) AS syms,
+         |         cnt
+         |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM (SELECT unnest($ws) AS w FROM documents)
+         |        WHERE len(w) <= $BpeMaxWordLen GROUP BY w))""".stripMargin
     val rounds = (1 to BpeRounds).map { k =>
       val m = BpeMergeBase + k
       s"""p$k AS (
@@ -1110,20 +1163,43 @@ object Text {
          |  GROUP BY 1, 2),
          |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT list_reduce(list_transform(syms, s -> [s]),
+         |  SELECT w, list_reduce(list_transform(syms, s -> [s]),
          |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
          |                       THEN acc[:len(acc) - 1] || [CAST($m AS BIGINT)]
          |                       ELSE acc || x END) AS syms, cnt
          |  FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
     }
+    s"$w0,\n${rounds.mkString(",\n")}"
+  }
+
+  private val t40Oracle: String = {
     val sel = (1 to BpeRounds).map { k =>
       s"SELECT $k AS round, l AS left_sym, r AS right_sym, " +
         s"CAST(${BpeMergeBase + k} AS BIGINT) AS new_sym, CAST(c AS BIGINT) AS pair_count FROM b$k"
     }.mkString("\nUNION ALL\n")
-    s"WITH $w0,\n${rounds.mkString(",\n")}\n$sel\nORDER BY round"
+    s"WITH $bpeChainSql\n$sel\nORDER BY round"
+  }
+
+  private val t41Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH $bpeChainSql,
+       |wt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM w$BpeRounds),
+       |docw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest($ws) AS w FROM documents)
+       |  WHERE len(w) <= $BpeMaxWordLen)
+       |SELECT d.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(t.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |       CAST((1000 * (sum(len(d.w)) + count(*) - sum(t.n_tok)))
+       |            // (sum(len(d.w)) + count(*)) AS BIGINT) AS saved_permille
+       |FROM docw d JOIN wt t ON t.w = d.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_bpe_encode" -> (t41BpeEncode _),
     "t40_bpe_train" -> (t40BpeTrain _),
     "t39_novelty" -> (t39Novelty _),
     "t38_split_leakage" -> (t38SplitLeakage _),
@@ -1353,6 +1429,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t41_bpe_encode" -> t41Oracle,
     "t40_bpe_train" -> t40Oracle,
     "t39_novelty" -> t39Oracle,
     "t38_split_leakage" -> t38Oracle,

@@ -42,30 +42,32 @@ class BpeSpec extends AnyFunSuite {
   }
 
   /** Scalar reference: word frequency -> iterated (argmax pair, greedy
-    * rewrite). No code shared with the Spark path.
+    * rewrite). No code shared with the Spark path. Returns the merge
+    * table and the final word -> symbols vocabulary (t41's state).
     */
-  private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Int, Long, Long, Long, Long)] = {
-    val words = scala.collection.mutable.Map.empty[List[Long], Long].withDefaultValue(0L)
+  private def referenceBpe(texts: Seq[String], rounds: Int)
+      : (Seq[(Int, Long, Long, Long, Long)], Map[String, List[Long]]) = {
+    val cnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     for (t <- texts; w <- t.split(" ") if w.nonEmpty && w.length <= Text.BpeMaxWordLen)
-      words(w.toCharArray.map(_.toLong).toList :+ 0L) += 1L
-    var tbl: Map[List[Long], Long] = words.toMap
-    (1 to rounds).map { k =>
+      cnt(w) += 1L
+    var syms: Map[String, List[Long]] =
+      cnt.keys.map(w => w -> (w.toCharArray.map(_.toLong).toList :+ 0L)).toMap
+    val merges = (1 to rounds).map { k =>
       val pc = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
-      for ((syms, c) <- tbl; Seq(a, b) <- syms.sliding(2)) pc((a, b)) += c
+      for ((w, ss) <- syms; Seq(a, b) <- ss.sliding(2)) pc((a, b)) += cnt(w)
       val ((l, r), c) = pc.toSeq.minBy { case ((pl, pr), pcnt) => (-pcnt, pl, pr) }
       val m = Text.BpeMergeBase + k
-      tbl = tbl.toSeq
-        .map { case (syms, cnt) =>
-          val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
-          for (x <- syms) {
-            if (acc.nonEmpty && acc.last == l && x == r) acc(acc.length - 1) = m
-            else acc += x
-          }
-          (acc.toList, cnt)
+      syms = syms.map { case (w, ss) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (x <- ss) {
+          if (acc.nonEmpty && acc.last == l && x == r) acc(acc.length - 1) = m
+          else acc += x
         }
-        .groupBy(_._1).map { case (s2, xs) => (s2, xs.map(_._2).sum) }
+        w -> acc.toList
+      }
       (k, l, r, m, c)
     }
+    (merges, syms)
   }
 
   test("t40 learned merge table equals the scalar reference on sf0.001") {
@@ -75,7 +77,7 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
     val texts = graft.Tables.documents(spark, sf).select("text").as[String].collect().toSeq
-    val want = referenceBpe(texts, Text.BpeRounds)
+    val want = referenceBpe(texts, Text.BpeRounds)._1
     assert(got == want)
     // classic BPE invariant: a merge can only create pairs no more
     // frequent than the one it consumed, so the elected frequency is
@@ -87,5 +89,28 @@ class BpeSpec extends AnyFunSuite {
     // for 24 rounds): at least one elected pair references a learned id
     assert(got.exists { case (_, l, r, _, _) =>
       l >= Text.BpeMergeBase || r >= Text.BpeMergeBase })
+  }
+
+  test("t41 encoding equals the scalar reference per document and merges really compress") {
+    val spark0 = spark; import spark0.implicits._
+    val rows = graft.SparkEntry.queries("t41_bpe_encode")(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val vocab = referenceBpe(docs.map(_._2), Text.BpeRounds)._2
+    val want = docs.map { case (id, t) =>
+      val ws = t.split(" ").filter(w => w.nonEmpty && w.length <= Text.BpeMaxWordLen)
+      val chars = ws.map(_.length.toLong).sum
+      val bpe = ws.map(w => vocab(w).length.toLong).sum
+      (id, ws.length.toLong, chars, bpe,
+        1000L * (chars + ws.length - bpe) / (chars + ws.length))
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // every doc's token count is bounded by the zero-merge baseline
+    // (chars + end markers), and the learned merges bite somewhere
+    assert(got.forall { case (_, nw, nc, nb, _) => nb <= nc + nw })
+    assert(got.exists { case (_, nw, nc, nb, _) => nb < nc + nw },
+      "24 merges must compress at least one document")
   }
 }

@@ -297,6 +297,48 @@ class MultimodalSpec extends AnyFunSuite {
       "a corrupted payload must not reproduce the planted checksum")
   }
 
+  test("mm16: real WAV bytes — RIFF signature, hand-folded checksum, corruption bites") {
+    import spark.implicits._
+    val meta = Seq((13L, 16000, 480)).toDF("doc_id", "sample_rate", "n_samples")
+    // the encoded container is a genuine RIFF/WAVE file
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](2 * 480)
+    (0 until 480).foreach { i =>
+      val s = Multimodal.plantPcm(13L, i)
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 480L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "encoded bytes must carry the RIFF/WAVE signature")
+    // the operator's decoded checksum equals the hand-folded formula
+    var want = 0L
+    (0 until 480).foreach(i => want = (want * 31 + (13L * 31 + i * 7) % 65536) % 2147483647L)
+    val got = Multimodal.wavStats(meta).collect()(0)
+    assert(got.pcm_checksum == want, "decoded samples must equal the planted formula")
+    assert(got.duration_ms == 1000L * 480 / 16000)
+    // the bytes drive the result: corrupting one sample in the data
+    // chunk must change the checksum (decode itself still succeeds —
+    // PCM has no integrity check, which is exactly why the checksum
+    // column exists)
+    val corrupt = wav.clone()
+    corrupt(wav.length - 7) = (corrupt(wav.length - 7) ^ 0x55).toByte
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(corrupt))
+    val back = ais.readAllBytes()
+    var sum = 0L
+    (0 until 480).foreach { i =>
+      val s = ((back(2 * i + 1).toInt << 8) | (back(2 * i) & 0xff)) + 32768
+      sum = (sum * 31 + s) % 2147483647L
+    }
+    assert(sum != want, "a corrupted payload must not reproduce the planted checksum")
+  }
+
   test("mm15: JPEG is genuinely lossy yet mean luma stays in the tolerance band") {
     import spark.implicits._
     // a spread of shapes, including the planted field's wraparound
