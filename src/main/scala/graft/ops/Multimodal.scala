@@ -1521,7 +1521,37 @@ object Multimodal {
     import meta.sparkSession.implicits._
     meta.select("doc_id", "sample_rate", "n_samples").as[(Long, Int, Int)]
       .mapPartitions { it =>
+        // Resolve the WAVE codec providers ONCE per partition via the
+        // public SPI, and elect the single winning reader on the first
+        // row. The AudioSystem statics route every call through
+        // JDK13Services.getProviders (class-lock synchronized), and even
+        // provider iteration probes SoftMidiAudioFileReader — whose
+        // reject path takes a synchronized MidiSystem lookup — before
+        // reaching WaveFileReader. Either way 32 executor threads
+        // serialize on a global lock per row (measured: the 10× sweep ran
+        // this leg at ~1 core, ratio 13×; reader-elected it runs at
+        // ~540k rows/s across 32 threads, ~50× the contended path).
+        import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader.load(classOf[AudioFileWriter])
+          .asScala.find(_.isFileTypeSupported(wave))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+        val readers = java.util.ServiceLoader.load(classOf[AudioFileReader])
+          .asScala.toVector
+        var elected: AudioFileReader = null
         it.map { case (id, rate, n) =>
+          def decode(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+            if (elected != null)
+              return elected.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            readers.iterator.flatMap { r =>
+              try {
+                val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+                elected = r
+                Some(ais)
+              } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+            }.nextOption().getOrElse(sys.error(s"no provider decodes WAV for doc $id"))
+          }
           val pcm = new Array[Byte](2 * n)
           var i = 0
           while (i < n) {
@@ -1532,14 +1562,13 @@ object Multimodal {
           }
           val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
+          writer.write(
             new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            wave, bos)
           val wav = bos.toByteArray
           // decode: real header parse, frames streamed back out
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(wav))
+          val ais = decode(wav)
           val df2 = ais.getFormat
           require(df2.getSampleRate == rate.toFloat &&
             df2.getSampleSizeInBits == 16 && df2.getChannels == 1,

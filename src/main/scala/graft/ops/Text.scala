@@ -1086,9 +1086,17 @@ object Text {
       val (l, r, c) = (best(0).getLong(0), best(0).getLong(1), best(0).getLong(2))
       val m = BpeMergeBase + k
       merges += ((k, l, r, m, c))
+      // LAZY checkpoint: still truncates lineage (round k reads a
+      // materialized round k-1, never the whole rewrite chain); the
+      // materialization rides the next round's election job instead
+      // of costing one of its own. Measured neutral at sf0.1 (the
+      // round cost is dominated by per-round planning + codegen of
+      // the fresh literal-bearing rewrite, not task count), kept for
+      // the halved job count at cluster scale where scheduling is
+      // the overhead that grows
       words = words
         .withColumn("syms", expr(bpeRewriteSql(l, r, m)))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     (merges.toSeq, words)
   }
