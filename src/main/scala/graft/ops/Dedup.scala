@@ -90,6 +90,60 @@ object Dedup {
       |GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
+  // ---- d16: template (structural) dedup ------------------------------------
+
+  /** Dedup by STRUCTURAL SKELETON: normalize away the volatile fields
+    * (digit runs → '#', whitespace runs collapsed) and group on the
+    * skeleton's digest — the dedup that catches templated pages
+    * (listings, receipts, log dumps, CMS boilerplate) whose bytes
+    * differ only in counters and timestamps: exact d1 misses them,
+    * and near-dup d3 pays MinHash for what one regex normalizes
+    * away. The fixture RENDERS the corpus through a deterministic
+    * 3-copy template — each copy gets distinct page ids and view
+    * counters (the mm13 planted-fixture argument: the oracle
+    * re-renders and must collapse identically) — so every doc's 3
+    * renderings provably fold to one skeleton while distinct docs
+    * stay distinct.
+    *
+    * Scale shape: rendering and normalization are row-local scan
+    * projections; the ONE exchange groups on md5(skeleton) — d1's
+    * digest-keyed discipline, raw text never keys a shuffle.
+    */
+  private def d16TemplateDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, 2)")).as("copy"))
+      .select(
+        (col("doc_id") * 3 + col("copy")).as("page_id"),
+        concat(lit("page "), (col("doc_id") * 3 + col("copy")).cast("string"),
+          lit(": "), col("text"), lit(" [views "),
+          ((col("doc_id") * 7 + col("copy") * 13) % 997).cast("string"),
+          lit("]")).as("page"))
+      .select(col("page_id"),
+        md5(regexp_replace(
+          regexp_replace(col("page"), lit("[0-9]+"), lit("#")),
+          lit(" +"), lit(" "))).as("tmpl_key"))
+      .groupBy(col("tmpl_key"))
+      .agg(count(lit(1)).as("n_pages"),
+        min(col("page_id")).as("canonical_page"),
+        max(col("page_id")).as("last_page"))
+      .orderBy("canonical_page")
+
+  private val d16Oracle: String =
+    """WITH pages AS (
+      |  SELECT doc_id * 3 + copy AS page_id,
+      |         'page ' || CAST(doc_id * 3 + copy AS VARCHAR) || ': ' || text ||
+      |         ' [views ' || CAST((doc_id * 7 + copy * 13) % 997 AS VARCHAR) || ']' AS page
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS copy)),
+      |k AS (
+      |  SELECT page_id,
+      |         md5(regexp_replace(regexp_replace(page, '[0-9]+', '#', 'g'),
+      |             ' +', ' ', 'g')) AS tmpl_key
+      |  FROM pages)
+      |SELECT tmpl_key, CAST(count(*) AS BIGINT) AS n_pages,
+      |       min(page_id) AS canonical_page, max(page_id) AS last_page
+      |FROM k GROUP BY tmpl_key ORDER BY canonical_page""".stripMargin
+
   // ---- d15: soft dedup (duplicate-aware down-weighting) --------------------
 
   /** Dedup WITHOUT dropping: every copy stays in the corpus but
@@ -1311,6 +1365,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_template_dedup" -> (d16TemplateDedup _),
     "d15_soft_dedup" -> (d15SoftDedup _),
     "d14_bloom_decontam" -> (d14BloomDecontam _),
     "d13_substring_dedup" -> (d13SubstringDedup _),
@@ -1391,6 +1446,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d16_template_dedup" -> d16Oracle,
     "d15_soft_dedup" -> d15Oracle,
     "d14_bloom_decontam" -> d14Oracle,
     "d13_substring_dedup" -> d13Oracle,

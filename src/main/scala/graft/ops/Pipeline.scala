@@ -1109,7 +1109,11 @@ object Pipeline {
     * truncating division of positives), so DuckDB replays it
     * bit-exactly.
     */
-  private def p11Mixture(s: SparkSession, d: String): DataFrame = {
+  /** The p11 allocation frame BEFORE its reporting projection —
+    * (source, n_docs, avail, weight, capped, alloc_tokens, …scratch) —
+    * shared with p13, which realizes the plan as an actual sample.
+    */
+  private[ops] def p11Alloc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perSrc = Tables.documents(s, d)
       .groupBy(col("source"))
@@ -1143,14 +1147,22 @@ object Pipeline {
         when(col("capped") === 1, col("avail"))
           .otherwise(expr(
             s"weight * ($budget - capped_avail) DIV greatest($wTot - capped_w, 1)")))
+  }
+
+  private def p11Mixture(s: SparkSession, d: String): DataFrame =
+    p11Alloc(s, d)
       .select(col("source"), col("n_docs"), col("avail").as("avail_tokens"),
         col("weight"), col("capped"), col("alloc_tokens"))
       .orderBy("source")
-  }
 
-  private val p11Oracle: String = {
+  /** Shared oracle CTE chain for p11/p13: ends in `g` — per-source
+    * (source, n_docs, avail, weight, capped, budget, wtot,
+    * capped_avail, capped_w), everything the closed-form allocation
+    * reads.
+    */
+  private val p11ChainSql: String = {
     val ws = Text.wordsSql("text")
-    s"""WITH per AS (
+    s"""per AS (
        |  SELECT source, count(*) AS n_docs,
        |         CAST(sum(len($ws)) AS BIGINT) AS avail,
        |         CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
@@ -1175,13 +1187,98 @@ object Pipeline {
        |  SELECT *,
        |    CAST(sum(CASE WHEN capped = 1 THEN avail ELSE 0 END) OVER () AS BIGINT) AS capped_avail,
        |    CAST(sum(CASE WHEN capped = 1 THEN weight ELSE 0 END) OVER () AS BIGINT) AS capped_w
-       |  FROM c)
+       |  FROM c)""".stripMargin
+  }
+
+  private val p11Oracle: String =
+    s"""WITH $p11ChainSql
        |SELECT source, n_docs, avail AS avail_tokens, weight,
        |       CAST(capped AS INT) AS capped,
        |       CASE WHEN capped = 1 THEN avail
        |            ELSE weight * (budget - capped_avail) // greatest(wtot - capped_w, 1)
        |       END AS alloc_tokens
        |FROM g ORDER BY source""".stripMargin
+
+  // ---- p13: deterministic mixture realization (sampling to the plan) ------
+
+  /** Coin in [0, 1e6): a two-round LCG over (doc_id, epoch), written
+    * once and evaluated verbatim by BOTH engines. `doc_id % 2^20`
+    * first so every intermediate stays far inside BIGINT (DuckDB
+    * errors on overflow where Spark wraps — the d2 lesson); at
+    * trillion-doc scale the production coin is a 64-bit splitmix
+    * native expression, same contract.
+    */
+  private val p13CoinSql: String =
+    "((((doc_id % 1048576) * 1103515245 + 12345 + epoch * 7919) % 2147483648)" +
+      " * 69069 + 1) % 2147483648 % 1000000"
+
+  /** p13: REALIZE p11's token plan as an actual sample. Each document
+    * flips a deterministic hash coin against its source's planned
+    * token rate (alloc/avail in ppm), so the sampled token mass
+    * tracks the allocation in expectation with ZERO coordination —
+    * no global sort, no per-source quota counters, no driver state.
+    * The coin is a pure function of (doc_id, epoch): re-running an
+    * epoch reproduces the sample byte-for-byte (epoch-stable data
+    * loading — the property that makes training restarts and shard
+    * re-materialization safe), while a new epoch draws a fresh
+    * sample under the same rates. Capped sources (rate = 1e6 ppm)
+    * keep every document, exactly as water-filling intends.
+    *
+    * Scale shape: the rate table is #sources rows (broadcast); the
+    * only data-sized work is one scan projection + that broadcast
+    * join + one (epoch, source)-keyed rollup with map-side partial
+    * sums. Sampling whole documents at a token rate leaves realized
+    * ppm within one document of planned per source — the rollup
+    * reports both so the gap itself is oracle-pinned.
+    */
+  private def p13MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val rates = p11Alloc(s, d)
+      .select(col("source"), col("avail"), col("alloc_tokens"))
+      .withColumn("rate_ppm", expr("alloc_tokens * 1000000 DIV greatest(avail, 1)"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Text.wordsCol(col("text"))).cast("long").as("tok"))
+      .join(broadcast(rates), "source")
+      .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+      .withColumn("take", (expr(p13CoinSql) < col("rate_ppm")).cast("int"))
+      .groupBy(col("epoch"), col("source"))
+      .agg(
+        max(col("alloc_tokens")).as("alloc_tokens"),
+        max(col("avail")).as("avail_tokens"),
+        sum(col("take")).cast("long").as("sampled_docs"),
+        sum(col("take") * col("tok")).as("sampled_tokens"))
+      .withColumn("realized_ppm",
+        expr("sampled_tokens * 1000000 DIV greatest(avail_tokens, 1)"))
+      .orderBy("epoch", "source")
+  }
+
+  private val p13Oracle: String = {
+    val ws = Text.wordsSql("text")
+    s"""WITH $p11ChainSql,
+       |alloc AS (
+       |  SELECT source, avail,
+       |         CASE WHEN capped = 1 THEN avail
+       |              ELSE weight * (budget - capped_avail) // greatest(wtot - capped_w, 1)
+       |         END AS alloc_tokens
+       |  FROM g),
+       |rates AS (
+       |  SELECT source, avail, alloc_tokens,
+       |         alloc_tokens * 1000000 // greatest(avail, 1) AS rate_ppm
+       |  FROM alloc),
+       |docs AS (SELECT doc_id, source, CAST(len($ws) AS BIGINT) AS tok FROM documents),
+       |e AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch),
+       |flips AS (
+       |  SELECT e.epoch, d.source, r.alloc_tokens, r.avail, d.tok,
+       |         CASE WHEN $p13CoinSql < r.rate_ppm THEN 1 ELSE 0 END AS take
+       |  FROM docs d JOIN rates r USING (source), e)
+       |SELECT epoch, source,
+       |       CAST(max(alloc_tokens) AS BIGINT) AS alloc_tokens,
+       |       CAST(max(avail) AS BIGINT) AS avail_tokens,
+       |       CAST(sum(take) AS BIGINT) AS sampled_docs,
+       |       CAST(sum(take * tok) AS BIGINT) AS sampled_tokens,
+       |       CAST(sum(take * tok) AS BIGINT) * 1000000
+       |         // greatest(CAST(max(avail) AS BIGINT), 1) AS realized_ppm
+       |FROM flips GROUP BY epoch, source ORDER BY epoch, source""".stripMargin
   }
 
   // ---- p12: the end-to-end protocol capstone ------------------------------
@@ -1454,6 +1551,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_mixture_sample" -> (p13MixtureSample _),
     "p12_e2e_protocol" -> (p12E2eProtocol _),
     "p11_mixture" -> (p11Mixture _),
     "p10_mm_shards" -> (p10MmShards _),
@@ -1469,6 +1567,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p13_mixture_sample" -> p13Oracle,
     "p12_e2e_protocol" -> p12Oracle,
     "p11_mixture" -> p11Oracle,
     "p10_mm_shards" -> p10Oracle,

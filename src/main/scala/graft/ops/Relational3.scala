@@ -907,7 +907,78 @@ object Relational3 {
       |FROM depths JOIN customer ON c_custkey = node
       |GROUP BY depth ORDER BY depth""".stripMargin
 
+  // ---- q53: exact quantiles via histogram narrowing (no global sort) -------
+
+  /** EXACT order statistics (p50/p90/p99 of l_extendedprice) without a
+    * global sort: pass 1 takes (n, min, max); pass 2 histograms the
+    * column into B = 1024 equi-width buckets (one map-side-combined
+    * agg, ≤B output rows to the driver — control-plane); the driver
+    * locates, per target rank, the bucket containing it; pass 3 ranks
+    * ONLY those buckets' rows (≈ targets/B of the data) and picks the
+    * residual rank. q25 is the engine-native `percentile` (exact, but
+    * it collects each group's values); this is the shape that survives
+    * 100 TB — three fully-parallel scans, and the only sort touches
+    * ~0.1% of the rows. Pathological skew (one bucket holding most of
+    * the mass) would recurse the same narrowing inside the bucket;
+    * one level suffices here and the recursion adds nothing to the
+    * contract.
+    *
+    * Rank definition: k_p = ceil(p·n/100) = (p·n + 99) DIV 100, the
+    * k-th smallest (1-based). The oracle computes the same k-th
+    * smallest by brute-force window over the full sort — the
+    * histogram machinery must reproduce the sorted answer exactly,
+    * which is the point of the gate. Bucket ids are doubles
+    * Spark-side only (never compared with the oracle); membership in
+    * passes 2 and 3 uses the IDENTICAL expression, so the narrowing
+    * is self-consistent, and the k-th value of a multiset is
+    * tie-permutation-independent.
+    */
+  private def q53ExactQuantile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nBuckets = 1024
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val head = li.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+    val (n, lo, hi) = (head.getLong(0), head.getDouble(1), head.getDouble(2))
+    val pcts = Seq(50, 90, 99)
+    if (hi == lo) // degenerate: every rank answers the single value
+      return pcts.map(p => (p, (p.toLong * n + 99) / 100, n, lo))
+        .toDF("pct", "k", "n", "value").orderBy("pct")
+    val w = (hi - lo) / nBuckets
+    val bucketCol =
+      least(floor((col("v") - lit(lo)) / lit(w)), lit(nBuckets - 1)).cast("int")
+    val hist = li.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val cums = hist.scanLeft(0L)(_ + _._2) // cums(i) = rows before hist(i)
+    val targets = pcts.map { p =>
+      val k = (p.toLong * n + 99) / 100
+      val idx = cums.indexWhere(_ >= k) - 1 // first prefix ≥ k closes bucket idx
+      (p, k, hist(idx)._1, k - cums(idx))
+    }
+    val tdf = targets.toDF("pct", "k", "b", "j")
+    val cand = li.withColumn("b", bucketCol)
+      .join(broadcast(tdf.select(col("b")).distinct()), "b")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("b")).orderBy(col("v"))))
+    cand.join(broadcast(tdf), Seq("b"))
+      .filter(col("rn") === col("j"))
+      .select(col("pct"), col("k"), lit(n).as("n"), col("v").as("value"))
+      .orderBy("pct")
+  }
+
+  /** Brute force on purpose: the full-sort k-th smallest the narrowing
+    * plan must reproduce exactly.
+    */
+  private val q53Oracle: String =
+    """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |t AS (SELECT unnest([50, 90, 99]) AS pct),
+      |ks AS (SELECT t.pct, (t.pct * nn.n + 99) // 100 AS k, nn.n FROM t, nn),
+      |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+      |SELECT ks.pct, ks.k, ks.n, o.v AS value
+      |FROM ks JOIN o ON o.rn = ks.k ORDER BY ks.pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_exact_quantile" -> (q53ExactQuantile _),
     "q52_hierarchy" -> (q52Hierarchy _),
     "q51_aqe_skew" -> (q51AqeSkew _),
     "q49_dpp" -> (q49Dpp _),
@@ -932,6 +1003,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_exact_quantile" -> q53Oracle,
     "q52_hierarchy" -> q52Oracle,
     "q51_aqe_skew" -> q51Oracle,
     "q49_dpp" -> q49Oracle,

@@ -2522,7 +2522,122 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ---- s23: radius (range) search with provably lossless cell pruning ------
+
+  /** Tiny broadcast frame of a collected codebook: (cid, sv, n, svsv)
+    * with svsv = |sv|² precomputed on the driver — ≤k rows, the
+    * control-plane artifact [[radiusCellStats]] and [[radiusCellPick]]
+    * share.
+    */
+  private[ops] def centFrame(s: SparkSession,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    import s.implicits._
+    cents.toSeq
+      .map { case (cid, sv, n) => (cid, sv, n, sv.map(x => x * x).sum) }
+      .toDF("cid", "sv", "n", "svsv")
+  }
+
+  /** Per-cell pruning statistics for [[s23RadiusSearch]]: for each
+    * populated cell, `r2max = max_x |n·x − sv|²` (member distance to
+    * the centroid sv/n, scaled by n² so every term stays an exact
+    * integer — members and sums are integer-valued doubles, all terms
+    * < 2^45 here) and `m2min = min_x |x|²`. ONE tiny groupBy over the
+    * assigned corpus (≤k output rows); at 100 TB these stats are
+    * maintained WITH the stored index (s10's maintenance shape), not
+    * recomputed per query — computing them here keeps the gate
+    * self-contained, the s11 argument.
+    */
+  private[ops] def radiusCellStats(assigned: DataFrame, centDf: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(centDf), "cid")
+      .select(col("cid"), col("n"), col("svsv"),
+        VectorFunctions.dot_product(col("q"), col("q")).as("xx"),
+        VectorFunctions.dot_product(col("q"), col("sv")).as("xsv"))
+      .groupBy(col("cid"))
+      .agg(
+        max(col("n") * col("n") * col("xx") - lit(2.0) * col("n") * col("xsv")
+          + col("svsv")).as("r2max"),
+        min(col("xx")).as("m2min"))
+
+  /** Query→cell admission: keep (query, cell) pairs whose UPPER BOUND
+    * on any member's cosine clears τ. Cauchy-Schwarz on x = c + (x−c):
+    * `q·x ≤ q·sv/n + |q|·√r2max/n`, and `|x| ≥ √m2min` for every
+    * member, so for positive numerators
+    * `cos(q,x) ≤ (q·sv/n + |q|·√r2max/n) / (|q|·√m2min)`; a negative
+    * numerator means every member cosine is negative, which τ > 0
+    * prunes correctly through the same (then-negative) expression.
+    * The +1e-6 slack absorbs the ≤ ulp-scale rounding of the
+    * sqrt/division chain, so the IEEE-evaluated bound remains a true
+    * upper bound and the pruning is LOSSLESS — which is exactly what
+    * the oracle checks: it brute-forces the radius search, so any
+    * wrongly pruned vector is a hash mismatch.
+    * `greatest(m2min, 1)` only guards the division: a hypothetical
+    * all-zero member has undefined cosine and cannot match, and every
+    * nonzero quantized member has |x|² ≥ 1, so the substitution never
+    * shrinks the bound below a real member's value.
+    * Both inputs are control-plane (queries × k rows).
+    */
+  private[ops] def radiusCellPick(queriesDf: DataFrame, stats: DataFrame,
+      centDf: DataFrame, tau: Double): DataFrame =
+    queriesDf
+      .crossJoin(broadcast(stats.join(centDf, "cid")))
+      .withColumn("qq", VectorFunctions.dot_product(col("qv"), col("qv")))
+      .withColumn("qsv", VectorFunctions.dot_product(col("qv"), col("sv")))
+      .withColumn("bound",
+        (col("qsv") / col("n") + sqrt(col("qq")) * sqrt(col("r2max")) / col("n"))
+          / (sqrt(col("qq")) * sqrt(greatest(col("m2min"), lit(1.0)))) + lit(1e-6))
+      .filter(col("bound") >= tau)
+      .select(col("qid"), col("qv"), col("cid"))
+
+  /** s23: RADIUS search — every corpus vector with cosine ≥ τ of each
+    * query, the range twin of s11's top-k (recall-critical dedup and
+    * contamination sweeps want "everything this similar", not "the 10
+    * most similar"). Same IVF read path: per query only the cells
+    * whose [[radiusCellPick]] bound clears τ are scanned, and the
+    * bound is PROVABLY lossless, so the oracle can be the brute-force
+    * scan — oracle equality IS the losslessness proof on real data.
+    *
+    * Scale shape: cell stats ride the stored index (≤k rows), probe
+    * admission is queries × k on broadcast frames, and the corpus side
+    * is one scan projection + broadcast join + row-local cosine — the
+    * corpus never shuffles (s11's plan contract). Pruning power grows
+    * with k: cells shrink, r2max falls, bounds tighten — the same
+    * k ∝ corpus knob as d11/s19.
+    */
+  private def s23RadiusSearch(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.3
+    val base = quantized(s, d)
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val centDf = centFrame(s, cents)
+    val assigned = assignCellsFrom(base, cents).filter(col("vec_id") >= 5)
+    val qdf = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val picks = radiusCellPick(qdf, radiusCellStats(assigned, centDf), centDf, tau)
+    assigned
+      .join(broadcast(picks), "cid")
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .filter(col("cos") >= lit(tau))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Brute force on purpose — see [[s23RadiusSearch]]: the pruned plan
+    * must reproduce the unpruned answer exactly.
+    */
+  private val s23Oracle: String =
+    """WITH base AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, b.vec_id,
+      |         list_cosine_similarity(b.q::DOUBLE[], a.q::DOUBLE[]) AS cos
+      |  FROM base a, base b WHERE a.vec_id < 5 AND b.vec_id >= 5)
+      |SELECT qid, vec_id, cos FROM pairs
+      |WHERE cos >= CAST(0.3 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_radius_search" -> (s23RadiusSearch _),
     "s22_stream_update" -> (s22StreamUpdate _),
     "s21_stream_delete" -> (s21StreamDelete _),
     "s20_nprobe_sweep" -> (s20NprobeSweep _),
@@ -2548,6 +2663,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s23_radius_search" -> s23Oracle,
     "s22_stream_update" -> s22Oracle,
     "s21_stream_delete" -> s21Oracle,
     "s20_nprobe_sweep" -> s20Oracle,

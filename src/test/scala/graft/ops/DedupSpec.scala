@@ -345,4 +345,19 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(eff - hard) < 1e-6 * hard,
       s"effective mass $eff != deduped mass $hard")
   }
+
+  test("d16: every doc's 3 rendered copies fold to ONE skeleton; distinct docs stay apart") {
+    val rows = Dedup.queries("d16_template_dedup")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs,
+      s"${rows.length} templates for $nDocs docs — renderings must collapse 3:1, nothing more")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pages") == 3L,
+        s"template ${r.getAs[String]("tmpl_key")} has ${r.getAs[Long]("n_pages")} pages")
+      val canon = r.getAs[Long]("canonical_page")
+      assert(canon % 3 == 0 && r.getAs[Long]("last_page") == canon + 2,
+        "the 3 copies of a doc are exactly pages 3·doc_id .. 3·doc_id+2")
+    }
+    assert(rows.map(_.getAs[String]("tmpl_key")).distinct.length == rows.length)
+  }
 }

@@ -351,4 +351,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(spent <= budget && budget - spent < per.map(_._3).sum,
       s"allocated $spent of $budget — water level off by more than rounding")
   }
+
+  test("p13: the realized sample is epoch-stable, keeps capped sources whole, tracks the plan") {
+    val run1 = Pipeline.queries("p13_mixture_sample")(spark, sf).collect()
+    val run2 = Pipeline.queries("p13_mixture_sample")(spark, sf).collect()
+    // epoch stability: the coin is a pure function of (doc_id, epoch),
+    // so an independent re-plan reproduces the sample exactly
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq,
+      "resampling must be byte-stable across runs")
+    val plan = Pipeline.queries("p11_mixture")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Int]("capped"), r.getAs[Long]("avail_tokens"), r.getAs[Long]("alloc_tokens"))).toMap
+    val docsBySrc = graft.Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val epochs = run1.map(_.getAs[Long]("epoch")).distinct.sorted
+    assert(epochs.toSeq == Seq(0L, 1L), "both epochs must be realized")
+    run1.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (capped, avail, alloc) = plan(src)
+      assert(r.getAs[Long]("alloc_tokens") == alloc, s"$src: plan drifted between p11 and p13")
+      if (capped == 1) { // rate = 1e6 ppm ⇒ every doc survives, both epochs
+        assert(r.getAs[Long]("sampled_docs") == docsBySrc(src),
+          s"$src is capped — the realization must keep every document")
+        assert(r.getAs[Long]("sampled_tokens") == avail)
+      }
+      assert(r.getAs[Long]("sampled_tokens") <= avail)
+      assert(r.getAs[Long]("realized_ppm") ==
+        r.getAs[Long]("sampled_tokens") * 1000000L / math.max(avail, 1L))
+    }
+    // the two epochs draw DIFFERENT samples somewhere (fresh randomness
+    // under the same rates), while total realized mass stays in family
+    val bySrcEpoch = run1.map(r => (r.getAs[String]("source"), r.getAs[Long]("epoch")) ->
+      r.getAs[Long]("sampled_tokens")).toMap
+    val uncapped = plan.collect { case (s, (0, _, _)) => s }
+    assert(uncapped.exists(s => bySrcEpoch((s, 0L)) != bySrcEpoch((s, 1L))),
+      "epoch 1 must not replay epoch 0's sample on every uncapped source")
+  }
 }

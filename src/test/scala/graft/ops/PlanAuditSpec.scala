@@ -856,4 +856,60 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
       "election must not plan corpus-sized single-partition work")
   }
+
+  test("s23: the corpus never shuffles — stats rollup on cid is the only hash exchange") {
+    // Radius search rides the s11 read-path contract: the corpus side
+    // is a scan projection + broadcast pick join; the ONE permitted
+    // hash exchange is the ≤k-row per-cell stats aggregation (map-side
+    // combined, keyed on cid). No shuffle join, no top-k window at all.
+    val plan = formatted("s23_radius_search")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (query, cell) pick list must broadcast under the corpus scan")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in radius-search plan"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.forall(_.contains("hashpartitioning(cid")),
+      s"only the cell-stats rollup may hash-exchange:\n${hashes.mkString("\n")}")
+  }
+
+  test("q53: ranking work shuffles only candidate-bucket rows — never a full sort") {
+    // Exact quantiles without a global sort: the only hash exchange is
+    // the within-bucket ranking window keyed on the bucket id, fed by
+    // a broadcast semi-reduction to the target buckets (~3/1024 of the
+    // data); everything else is scan + map-side-combined aggregation.
+    val plan = formatted("q53_exact_quantile")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the target-bucket list must broadcast into the scan")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in quantile plan"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("hashpartitioning(b")),
+      s"only the bucket window may hash-exchange:\n${hashes.mkString("\n")}")
+  }
+
+  test("p13: sampling is one scan — rates broadcast, only source-keyed rollups exchange") {
+    val plan = formatted("p13_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-source rate table must broadcast into the document scan")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in mixture-sample plan"))
+    // permitted exchanges: the source rollups (p11's and p13's) and the
+    // bounded #sources-row single-partition windows of the allocation
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(h =>
+      h.contains("source") || h.contains("epoch")),
+      s"hash exchanges must key on source/epoch only:\n${hashes.mkString("\n")}")
+  }
+
+  test("d16: render and normalize are scan-local — the one exchange keys on the digest") {
+    val plan = formatted("d16_template_dedup")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+      "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in template-dedup plan"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("tmpl_key")),
+      s"the only hash exchange is the md5-skeleton groupBy:\n${hashes.mkString("\n")}")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "the template rollup must partial-aggregate map-side")
+  }
 }

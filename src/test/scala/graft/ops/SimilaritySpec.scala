@@ -722,4 +722,64 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_eval"))
     }
   }
+
+  test("s23: radius pruning is lossless AND actually prunes on clustered data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // Two tight clusters at ±1000·e1 (64-dim, integer-valued doubles,
+    // the quantized-corpus discipline). vec_ids 0/1 seed one cell per
+    // cluster; queries (id < 100) sit inside cluster A, corpus is
+    // ids ≥ 100 — so a correct bound MUST admit the A cell and MUST
+    // prune the B cell (cross-cluster cosine ≈ −1 at τ = 0.9).
+    def member(sign: Double, j: Int): Seq[Double] =
+      Seq.tabulate(64)(i => if (i == 0) sign * 1000.0 else if (i == 1) j.toDouble else 0.0)
+    val rows =
+      Seq((0L, member(1, 3))) ++ // query, inside cluster A
+        (0 until 10).map(j => (100L + j, member(1, j))) ++ // corpus A
+        (0 until 10).map(j => (200L + j, member(-1, j))) // corpus B
+    // ids 0 and 100.. share cluster A; seedCodebook takes vec_id < k,
+    // so plant seeds 0 (A) and 1 (B) explicitly
+    val seeded = rows ++ Seq((1L, member(-1, 5)))
+    val base = seeded.toDF("vec_id", "q")
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, iters = 2, k = 2))
+    val centDf = Similarity.centFrame(spark, cents)
+    val assigned = Similarity.assignCellsFrom(base, cents).filter(col("vec_id") >= 100)
+    val qdf = base.filter(col("vec_id") < 100 && col("vec_id") =!= 1L)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val tau = 0.9
+    val picks = Similarity
+      .radiusCellPick(qdf, Similarity.radiusCellStats(assigned, centDf), centDf, tau)
+    val picked = picks.collect()
+    assert(picked.length == 1, s"exactly one of the two cells must clear the bound: ${picked.toSeq}")
+    // losslessness: the pruned search reproduces the brute-force answer
+    val pruned = assigned.join(broadcast(picks), "cid")
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .filter(col("cos") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = assigned.crossJoin(broadcast(qdf))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .filter(col("cos") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute, s"pruned $pruned != brute $brute")
+    assert(brute.nonEmpty, "cluster A members must match the in-cluster query")
+  }
+
+  test("s23: the registered gate equals the brute-force radius scan at sf0.001") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val got = Similarity.queries("s23_radius_search")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSet
+    val base = Similarity.quantized(spark, sf)
+    val qdf = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val brute = base.filter(col("vec_id") >= 5).crossJoin(broadcast(qdf))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"gate ${got.size} rows != brute ${brute.size} rows")
+  }
 }
