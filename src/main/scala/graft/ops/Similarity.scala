@@ -2522,6 +2522,147 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ---- s24: IVF rebalancing — hot-cell split (index lifecycle close) -------
+
+  /** Exact squared distance |x − y|² expanded through the codegen'd
+    * dots: `x·x − 2·x·y + y·y`. Every term is an exact integer carried
+    * in doubles (quantized basis), so the value is the same integer
+    * DuckDB reaches by summing (x_i − y_i)² — different op order,
+    * identical exact result.
+    */
+  private def sqDist(x: Column, y: Column): Column =
+    VectorFunctions.dot_product(x, x) - lit(2.0) * VectorFunctions.dot_product(x, y) +
+      VectorFunctions.dot_product(y, y)
+
+  /** s24: REBALANCE the IVF index by splitting hot cells — the
+    * lifecycle step s17/s21/s22 make necessary: streaming ingest runs
+    * against a FIXED codebook, so a burst of similar content piles
+    * into one cell and every probe of that cell scans the pile
+    * (per-probe cost is exactly what cell size bounds). The fixture
+    * stages that story: the codebook trains on the base corpus, THEN
+    * a 60-vector burst of near-copies of vector 0 lands (s17's shape,
+    * jitter on one dimension keeps arithmetic integer-exact), pushing
+    * one cell past the size bound `n > 3·total/(2·k)` (1.5× the mean).
+    * Each hot cell splits by one deterministic 2-means step with
+    * farthest-point seeding: seed A = min-vec_id member, seed B = the
+    * member farthest from A (ties → lowest vec_id), members assign to
+    * the nearer seed by EXACT integer squared distance (ties → A).
+    * Cold cells pass through untouched.
+    *
+    * Scale shape: sizes and the hot set are index metadata (≤k rows,
+    * driver-side — the watermark-store pattern); the split touches
+    * ONLY hot-cell members — reading exactly the cell the size cap
+    * keeps bounded (cell-partitioned storage prunes the rest, the
+    * cdc_topk_maint cohort discipline) — with both seeds broadcast;
+    * the cold side is the standing index summary. Output is the
+    * post-split cell inventory, i.e. the new codebook's population
+    * map.
+    */
+  private def s24IvfRebalance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = quantized(s, d)
+    // trained BEFORE the burst — the stale codebook is the premise
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    // ingest burst: 60 near-copies of vector 0, jitter j on dim 2
+    // (Spark transform index i is 0-BASED: i = 1 here == the oracle's
+    // 1-based q[2])
+    val burst = base.filter(col("vec_id") === 0)
+      .crossJoin(s.range(1, 61).select(col("id").as("j")))
+      .select((lit(10000L) + col("j")).as("vec_id"),
+        expr("transform(q, (x, i) -> x + CAST(IF(i = 1, j, 0) AS DOUBLE))").as("q"))
+    val assigned = assignCellsFrom(base.select("vec_id", "q").union(burst), cents)
+    val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = sizes.map(_._2).sum
+    val bound = 3 * total / (2 * cents.length)
+    val hotCids = sizes.filter(_._2 > bound).map(_._1).toSeq
+    val hot = assigned.filter(col("cid").isin(hotCids: _*))
+    val aIds = hot.groupBy(col("cid")).agg(min(col("vec_id")).as("vec_id"))
+    val seedA = hot.join(broadcast(aIds), Seq("cid", "vec_id"))
+      .select(col("cid"), col("q").as("qa"))
+    val dA = hot.join(broadcast(seedA), "cid")
+      .withColumn("dist_a", sqDist(col("q"), col("qa")))
+    val seedB = dA
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("dist_a").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("q").as("qb"))
+    val splitCells = dA.join(broadcast(seedB), "cid")
+      .withColumn("sub",
+        when(col("dist_a") <= sqDist(col("q"), col("qb")), lit("a")).otherwise(lit("b")))
+      .groupBy(col("cid"), col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .select(concat(col("cid").cast("string"), col("sub")).as("cell_key"),
+        col("cid").as("parent_cid"), col("n_vecs"), col("min_vec"), col("max_vec"),
+        lit(1).as("was_split"))
+    val coldCells = assigned.filter(!col("cid").isin(hotCids: _*))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .select(col("cid").cast("string").as("cell_key"), col("cid").as("parent_cid"),
+        col("n_vecs"), col("min_vec"), col("max_vec"), lit(0).as("was_split"))
+    splitCells.union(coldCells).orderBy("cell_key")
+  }
+
+  private val s24Oracle: String = {
+    def dist(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> ($x[i] - $y[i]) * ($x[i] - $y[i])))"
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |burst AS (
+       |  SELECT 10000 + j AS vec_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> q[i] + CASE WHEN i = 2 THEN j ELSE 0 END) AS q
+       |  FROM base, (SELECT unnest(generate_series(1, 60)) AS j) WHERE vec_id = 0),
+       |ing AS (SELECT vec_id, q FROM base UNION ALL SELECT vec_id, q FROM burst),
+       |a3x AS (
+       |  SELECT vec_id, q, cid FROM (
+       |    SELECT vec_id, q, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rnk
+       |    FROM (SELECT b.vec_id, b.q, c.cid,
+       |                 CAST(list_sum(list_transform(generate_series(1, 64),
+       |                      i -> b.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |          FROM ing b, c2 c)) WHERE rnk = 1),
+       |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a3x GROUP BY cid),
+       |kb AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+       |              (SELECT CAST(count(*) AS BIGINT) FROM c2) AS k FROM sz),
+       |hot AS (SELECT cid FROM sz, kb WHERE n > (3 * total) // (2 * k)),
+       |hm AS (SELECT a.* FROM a3x a JOIN hot USING (cid)),
+       |sa AS (
+       |  SELECT h.cid, h.q AS qa FROM hm h
+       |  JOIN (SELECT cid, min(vec_id) AS v FROM hm GROUP BY cid) m
+       |    ON h.cid = m.cid AND h.vec_id = m.v),
+       |da AS (
+       |  SELECT h.cid, h.vec_id, h.q, ${dist("h.q", "s.qa")} AS dist_a
+       |  FROM hm h JOIN sa s ON h.cid = s.cid),
+       |sb AS (
+       |  SELECT cid, q AS qb FROM (
+       |    SELECT cid, q,
+       |           row_number() OVER (PARTITION BY cid ORDER BY dist_a DESC, vec_id) AS rn
+       |    FROM da) WHERE rn = 1),
+       |sp AS (
+       |  SELECT d.cid, d.vec_id,
+       |         CASE WHEN d.dist_a <= ${dist("d.q", "b.qb")} THEN 'a' ELSE 'b' END AS sub
+       |  FROM da d JOIN sb b ON d.cid = b.cid)
+       |SELECT CAST(cid AS VARCHAR) || sub AS cell_key, cid AS parent_cid,
+       |       CAST(count(*) AS BIGINT) AS n_vecs,
+       |       min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+       |       CAST(1 AS INT) AS was_split
+       |FROM sp GROUP BY cid, sub
+       |UNION ALL
+       |SELECT CAST(cid AS VARCHAR) AS cell_key, cid AS parent_cid,
+       |       CAST(count(*) AS BIGINT) AS n_vecs,
+       |       min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+       |       CAST(0 AS INT) AS was_split
+       |FROM a3x WHERE cid NOT IN (SELECT cid FROM hot)
+       |GROUP BY cid
+       |ORDER BY cell_key""".stripMargin
+  }
+
   // ---- s23: radius (range) search with provably lossless cell pruning ------
 
   /** Tiny broadcast frame of a collected codebook: (cid, sv, n, svsv)
@@ -2637,6 +2778,7 @@ object Similarity {
       |WHERE cos >= CAST(0.3 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_ivf_rebalance" -> (s24IvfRebalance _),
     "s23_radius_search" -> (s23RadiusSearch _),
     "s22_stream_update" -> (s22StreamUpdate _),
     "s21_stream_delete" -> (s21StreamDelete _),
@@ -2663,6 +2805,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s24_ivf_rebalance" -> s24Oracle,
     "s23_radius_search" -> s23Oracle,
     "s22_stream_update" -> s22Oracle,
     "s21_stream_delete" -> s21Oracle,

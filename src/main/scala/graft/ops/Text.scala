@@ -1207,6 +1207,7 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t43_seq_pack" -> (t43SeqPack _),
     "t41_bpe_encode" -> (t41BpeEncode _),
     "t40_bpe_train" -> (t40BpeTrain _),
     "t39_novelty" -> (t39Novelty _),
@@ -1436,7 +1437,67 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t43: sequence packing (concat-and-split at context length) ----------
+
+  /** Pack the tokenized corpus into fixed-length training sequences
+    * the way GPT-style pipelines do: concatenate documents in a
+    * deterministic order and split every L = 128 tokens — each doc
+    * occupies the token interval [off, off+tok) of its shard's
+    * stream, and every sequence is the interval [s·L, (s+1)·L), so a
+    * doc's fragments are just the interval intersections. The output
+    * is the packing MANIFEST (shard, seq, doc_id, start_in_seq,
+    * frag_tokens) a loader needs to materialize any sequence — the
+    * step between t29's per-doc chunking and an actual training
+    * batch: zero padding anywhere except each shard's final partial
+    * sequence.
+    *
+    * Scale shape: packing is SHARD-LOCAL by construction (shard =
+    * doc_id % 8 here; production shards are the p3/p10 units sized to
+    * a worker) — the prefix sum is a window partitioned on shard, so
+    * the only exchange keys on shard and NOTHING goes single-
+    * partition; fragment fan-out is a row-local explode of size
+    * ≤ tok/L + 1. All arithmetic is non-negative integer division,
+    * exact in both engines.
+    */
+  private def t43SeqPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(wordsCol(col("text"))).cast("long").as("tok"))
+      .filter(col("tok") > 0)
+      .withColumn("off", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("seq",
+        explode(expr("sequence(off DIV 128, (off + tok - 1) DIV 128)")))
+      .select(col("shard"), col("seq"), col("doc_id"),
+        (greatest(col("off"), col("seq") * 128) - col("seq") * 128).as("start_in_seq"),
+        (least(col("off") + col("tok"), (col("seq") + 1) * 128)
+          - greatest(col("off"), col("seq") * 128)).as("frag_tokens"))
+      .orderBy("shard", "seq", "doc_id")
+  }
+
+  private val t43Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH dt AS (
+       |  SELECT doc_id, doc_id % 8 AS shard, CAST(len($ws) AS BIGINT) AS tok
+       |  FROM documents WHERE len($ws) > 0),
+       |o AS (
+       |  SELECT *, COALESCE(CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+       |  FROM dt),
+       |f AS (
+       |  SELECT shard, doc_id, off, tok,
+       |         unnest(generate_series(off // 128, (off + tok - 1) // 128)) AS seq
+       |  FROM o)
+       |SELECT shard, seq, doc_id,
+       |       greatest(off, seq * 128) - seq * 128 AS start_in_seq,
+       |       least(off + tok, (seq + 1) * 128) - greatest(off, seq * 128) AS frag_tokens
+       |FROM f ORDER BY shard, seq, doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t43_seq_pack" -> t43Oracle,
     "t41_bpe_encode" -> t41Oracle,
     "t40_bpe_train" -> t40Oracle,
     "t39_novelty" -> t39Oracle,

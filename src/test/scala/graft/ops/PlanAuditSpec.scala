@@ -901,6 +901,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"hash exchanges must key on source/epoch only:\n${hashes.mkString("\n")}")
   }
 
+  test("s24: the split never shuffles the corpus — hot members only, seeds broadcast") {
+    // Rebalancing reads ONE over-bound cell: every join broadcasts a
+    // control-plane side (hot ids, seed vectors) and the only hash
+    // exchanges key on the cell id (hot-member windows + the cell
+    // rollups) — the standing index never re-partitions.
+    val plan = formatted("s24_ivf_rebalance")
+    assert(plan.contains("BroadcastHashJoin"),
+      "seed vectors must broadcast under the hot-member scan")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in rebalance plan"))
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("cid")),
+      s"only cell-keyed exchanges are allowed:\n${hashes.mkString("\n")}")
+  }
+
+  test("t43: packing is shard-local — the prefix sum exchanges on shard, nothing global") {
+    // Concat-and-split packing at 100 TB only works if the token
+    // prefix sum never goes corpus-global: the window partitions on
+    // the shard id, so the ONLY exchange keys on shard and there is
+    // no SinglePartition anywhere in the plan.
+    val plan = formatted("t43_seq_pack")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+      "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in packing plan"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "the packing prefix sum must never collapse to one partition")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("shard")),
+      s"only the shard window may hash-exchange:\n${hashes.mkString("\n")}")
+  }
+
   test("d16: render and normalize are scan-local — the one exchange keys on the digest") {
     val plan = formatted("d16_template_dedup")
     Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",

@@ -782,4 +782,30 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == brute, s"gate ${got.size} rows != brute ${brute.size} rows")
   }
+
+  test("s24: the burst makes exactly one cell hot; the split partitions it and leaves the rest") {
+    val rows = Similarity.queries("s24_ivf_rebalance")(spark, sf).collect()
+      .map(r => (r.getAs[String]("cell_key"), r.getAs[Long]("parent_cid"),
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("min_vec"), r.getAs[Long]("max_vec"),
+        r.getAs[Int]("was_split")))
+    val split = rows.filter(_._6 == 1)
+    val cold = rows.filter(_._6 == 0)
+    // the planted burst must overload exactly one cell
+    assert(split.map(_._2).distinct.length == 1,
+      s"expected one hot cell, got parents ${split.map(_._2).distinct.toSeq}")
+    assert(split.length == 2, "a split produces exactly two sub-cells")
+    assert(split.forall(_._3 > 0), "both sub-cells must be populated")
+    // conservation: corpus + burst, every vector in exactly one cell
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._3).sum == corpus + 60,
+      s"cells hold ${rows.map(_._3).sum} of ${corpus + 60} vectors")
+    // the burst (ids >= 10000) sits inside the hot cell's members
+    assert(split.map(_._5).max >= 10000L, "the burst must be what made the cell hot")
+    // rebalancing point: each sub-cell is smaller than the hot cell was
+    val hotSize = split.map(_._3).sum
+    val bound = 3 * (corpus + 60) / (2 * 8)
+    assert(hotSize > bound, "the split cell must actually have exceeded the bound")
+    assert(split.forall(_._3 < hotSize), "both sub-cells must shrink the probe cost")
+    assert(cold.forall(_._3 <= bound), "no cold cell may sit above the bound")
+  }
 }

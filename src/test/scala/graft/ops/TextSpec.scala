@@ -174,4 +174,42 @@ class TextSpec extends AnyFunSuite {
       assert(p >= 0 && p <= 1000)
     }
   }
+
+  test("t43: packing conserves tokens, fills every non-final sequence, leaves no gaps") {
+    import org.apache.spark.sql.functions.{col, size, sum}
+    val frags = graft.SparkEntry.queries("t43_seq_pack")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_in_seq"), r.getAs[Long]("frag_tokens")))
+    assert(frags.nonEmpty)
+    // conservation: every token of every doc lands in exactly one fragment
+    val corpusTok = graft.Tables.documents(spark, sf)
+      .select(size(Text.wordsCol(col("text"))).cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(frags.map(_._5).sum == corpusTok, "fragment tokens must sum to the corpus")
+    frags.groupBy(f => (f._1, f._2)).foreach { case ((shard, seq), fs) =>
+      // within a sequence: fragments tile [0, fill) with no gaps or overlap
+      val sorted = fs.sortBy(_._4)
+      var pos = 0L
+      sorted.foreach { f =>
+        assert(f._4 == pos, s"shard $shard seq $seq: gap at $pos (fragment starts ${f._4})")
+        assert(f._5 > 0, "empty fragment")
+        pos += f._5
+      }
+      assert(pos <= 128, s"shard $shard seq $seq overfilled to $pos")
+    }
+    // every sequence except each shard's LAST is exactly full
+    val fill = frags.groupBy(f => (f._1, f._2)).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = frags.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    fill.foreach { case ((shard, seq), tok) =>
+      if (seq != lastSeq(shard))
+        assert(tok == 128, s"shard $shard seq $seq holds $tok of 128 tokens")
+    }
+    // docs are packed in doc_id order within a shard: fragment order
+    // by (seq, start) must equal doc_id order
+    frags.groupBy(_._1).foreach { case (_, fs) =>
+      val byPos = fs.sortBy(f => (f._2, f._4)).map(_._3)
+      val expectOrder = byPos.distinct.sorted
+      assert(byPos.distinct.toSeq == expectOrder.toSeq, "packing must follow doc_id order")
+    }
+  }
 }
