@@ -1206,7 +1206,152 @@ object Text {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- t42: BPE decode round trip (tokenizer losslessness) -----------------
+
+  /** DECODE the trained tokenizer's output back to text — the inverse
+    * that completes the t40/t41/t43 lifecycle (train → encode → pack)
+    * and proves the learned merge table is lossless, the property a
+    * production pipeline must hold before it dares store the corpus
+    * tokenized. Decoding inverts the merge chain: round k's pair
+    * (l, r) can only reference codepoints or earlier merges, so the
+    * expansion closure exp(m) = exp(l) ++ exp(r) built oldest-first
+    * over the learned table (already driver-side control plane — t40
+    * collects 3 ints per round) folds to a 24-entry symbol →
+    * codepoint-array literal map applied in ONE shallow row-local
+    * expression. (A 24-deep chain of nested flatten/transform
+    * rewrites computes the same bits but pays ~2 s of codegen on a
+    * vocabulary-sized table — measured, the t40 per-round-planning
+    * cost signature — so the composed form is the one that ships.)
+    * The ORACLE states the lossless contract directly — it recomputes the pre-merge
+    * codepoint sequence straight from the word — so any divergence
+    * anywhere in train-then-decode breaks the hash. Sequences are
+    * compared via the shared fold hash (init 0, ·1000003 + s mod
+    * 2³¹−1; values stay < 2⁵¹) rather than `chr` reassembly because
+    * Spark's `chr` truncates codepoints mod 256 while DuckDB's is
+    * full Unicode — the hash sidesteps the engine disagreement
+    * without weakening the check (both sides hash full codepoints).
+    *
+    * Scale shape: everything after the t40 training loop is row-local
+    * work on the vocabulary-sized word table (Heaps-bounded, corpus-
+    * independent) — zero additional exchanges, zero corpus passes.
+    */
+  private def t42BpeDecode(s: SparkSession, d: String): DataFrame = {
+    val (merges, trained) = bpeTrainLoop(s, d)
+    val exp = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+    def expand(sym: Long): Vector[Long] = exp.getOrElse(sym, Vector(sym))
+    merges.sortBy(_._1).foreach { case (_, l, r, m, _) =>
+      exp(m) = expand(l) ++ expand(r)
+    }
+    val cases = exp.toSeq.sortBy(_._1).map { case (m, cps) =>
+      s"WHEN ${m}L THEN array(${cps.mkString("L, ")}L)"
+    }.mkString(" ")
+    trained
+      .select(col("w"), col("cnt"), size(col("syms")).cast("long").as("n_tok"),
+        expr(s"flatten(transform(syms, s -> CASE s $cases ELSE array(s) END))")
+          .as("dec"))
+      .select(col("w"), col("cnt"), col("n_tok"),
+        size(col("dec")).cast("long").as("n_decoded"),
+        expr("aggregate(dec, CAST(0 AS BIGINT), " +
+          "(acc, x) -> (acc * 1000003 + x) % 2147483647)").as("decoded_hash"))
+      .orderBy("w")
+  }
+
+  private val t42Oracle: String =
+    s"""WITH $bpeChainSql
+       |SELECT w, cnt, CAST(len(syms) AS BIGINT) AS n_tok,
+       |       CAST(len(w) + 1 AS BIGINT) AS n_decoded,
+       |       CAST(list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_append(list_transform(generate_series(1, CAST(len(w) AS INT)),
+       |             i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), CAST(0 AS BIGINT))),
+       |         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS decoded_hash
+       |FROM w$BpeRounds ORDER BY w""".stripMargin
+
+  // ---- t44: DSIR-style importance weights ----------------------------------
+
+  /** Hashed-n-gram feature-bucket count, shared by both distributions. */
+  private[ops] val DsirBuckets = 4096L
+
+  /** Importance weighting for targeted data selection — the
+    * DSIR shape (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): fit two hashed-unigram
+    * bucket distributions — TARGET (here the English slice, standing
+    * in for the high-quality domain corpus) and RAW (the whole
+    * corpus) — and weight every document by how target-like its
+    * feature stream is. Production DSIR scores log p(b)−log q(b);
+    * `ln` is libm-dependent, so this gate scores the integer-scaled
+    * probability ratio `(10⁶·(c_t+1)·(N_q+B)) DIV ((c_q+1)·(N_t+B))`
+    * per occurrence (Laplace-smoothed, exact in both engines — the
+    * t32 trick), which ranks documents monotonically per-bucket the
+    * same way. The resample half of DSIR already exists as
+    * p13_mixture_sample; the weights are the missing half.
+    *
+    * Scale shape: the corpus reduces at the scan to (doc_id, bucket)
+    * with B = [[DsirBuckets]] buckets; both distributions are
+    * B-bounded aggregates (map-side combined), the weight table is a
+    * B-row broadcast join, and the only corpus-sized exchange is the
+    * final doc_id rollup — word text never keys an exchange. The
+    * scalar totals fold in as windows over the B-row table, not a
+    * corpus pass. Integer headroom: ratios stay < 2⁶³ through the
+    * derived-sf1 sweep; a 100 TB deployment would flip the scaled
+    * ratio to log-space doubles and loosen the oracle to tolerance,
+    * as mm15 does for lossy codecs.
+    */
+  private def t44Dsir(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(wordsCol(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"(${polyHashSql("w", 8)}) % $DsirBuckets").as("b"))
+    val raw = occ.groupBy("b").agg(count(lit(1)).as("c_q"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val weights = raw
+      .join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .withColumn("n_t", sum(col("c_t")).over(wAll))
+      .withColumn("n_q", sum(col("c_q")).over(wAll))
+      .select(col("b"), expr(
+        s"(1000000 * (c_t + 1) * (n_q + $DsirBuckets)) DIV " +
+          s"((c_q + 1) * (n_t + $DsirBuckets))").as("ratio"))
+    occ
+      .join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("ratio")).as("score_sum"))
+      .withColumn("avg_ratio", expr("score_sum DIV n_feats"))
+      .orderBy("doc_id")
+  }
+
+  private val t44Oracle: String = {
+    val ws = wordsSql("text")
+    val h = polyHashSql("w", 8)
+    s"""WITH occ AS (
+       |  SELECT doc_id, lang, ($h) % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest($ws) AS w FROM documents)),
+       |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_q FROM occ GROUP BY b),
+       |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t
+       |        FROM occ WHERE lang = 'en' GROUP BY b),
+       |wt AS (
+       |  SELECT r.b, COALESCE(t.c_t, 0) AS c_t, r.c_q,
+       |         CAST(sum(COALESCE(t.c_t, 0)) OVER () AS BIGINT) AS n_t,
+       |         CAST(sum(r.c_q) OVER () AS BIGINT) AS n_q
+       |  FROM raw r LEFT JOIN tgt t ON t.b = r.b),
+       |wr AS (
+       |  SELECT b, (1000000 * (c_t + 1) * (n_q + $DsirBuckets))
+       |            // ((c_q + 1) * (n_t + $DsirBuckets)) AS ratio
+       |  FROM wt)
+       |SELECT o.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_feats,
+       |       CAST(sum(w.ratio) AS BIGINT) AS score_sum,
+       |       CAST(sum(w.ratio) // count(*) AS BIGINT) AS avg_ratio
+       |FROM occ o JOIN wr w ON w.b = o.b
+       |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t44_dsir" -> (t44Dsir _),
+    "t42_bpe_decode" -> (t42BpeDecode _),
     "t43_seq_pack" -> (t43SeqPack _),
     "t41_bpe_encode" -> (t41BpeEncode _),
     "t40_bpe_train" -> (t40BpeTrain _),
@@ -1497,6 +1642,8 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t44_dsir" -> t44Oracle,
+    "t42_bpe_decode" -> t42Oracle,
     "t43_seq_pack" -> t43Oracle,
     "t41_bpe_encode" -> t41Oracle,
     "t40_bpe_train" -> t40Oracle,

@@ -113,4 +113,29 @@ class BpeSpec extends AnyFunSuite {
     assert(got.exists { case (_, nw, nc, nb, _) => nb < nc + nw },
       "24 merges must compress at least one document")
   }
+
+  test("t42 decode round trip: expansion restores every word's exact codepoints") {
+    val spark0 = spark; import spark0.implicits._
+    val rows = graft.SparkEntry.queries("t42_bpe_decode")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val texts = graft.Tables.documents(spark, sf).select("text").as[String].collect().toSeq
+    val (_, vocab) = referenceBpe(texts, Text.BpeRounds)
+    assert(rows.map(_._1).toSet == vocab.keySet)
+    val P = 2147483647L
+    for ((w, _, nTok, nDec, hash) <- rows) {
+      assert(nTok == vocab(w).length.toLong, s"trained token count drifted for '$w'")
+      // the lossless contract, recomputed from the word itself with
+      // no shared code: decoded sequence == raw codepoints + terminal 0
+      val want = w.toCharArray.map(_.toLong) :+ 0L
+      assert(nDec == want.length.toLong, s"decoded length wrong for '$w'")
+      val wantHash = want.foldLeft(0L)((a, x) => (a * 1000003L + x) % P)
+      assert(hash == wantHash, s"decode of '$w' does not restore the codepoints")
+      // decode must actually undo work somewhere: trained <= decoded
+      assert(nTok <= nDec)
+    }
+    assert(rows.exists { case (_, _, nTok, nDec, _) => nTok < nDec },
+      "at least one word must have been compressed and re-expanded")
+  }
 }

@@ -212,4 +212,46 @@ class TextSpec extends AnyFunSuite {
       assert(byPos.distinct.toSeq == expectOrder.toSeq, "packing must follow doc_id order")
     }
   }
+
+  test("t44: DSIR weights favor target-distribution documents and match a scalar reference") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("t44_dsir")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_feats"),
+        r.getAs[Long]("score_sum"), r.getAs[Long]("avg_ratio")))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // scalar reference: same hashed-unigram distributions, no shared code
+    val B = Text.DsirBuckets
+    def bucket(w: String): Long = {
+      val h = (1 to 8).map { k =>
+        val c = if (k <= w.length) w.charAt(k - 1).toLong else 0L
+        c * (1 to (8 - k)).foldLeft(1L)((a, _) => a * 31L)
+      }.sum
+      h % B
+    }
+    val words = docs.map { case (id, lang, t) =>
+      (id, lang, t.trim.split(" ").filter(_.nonEmpty).map(bucket)) }
+    val cQ = words.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cT = words.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nQ = cQ.values.sum; val nT = cT.values.sum
+    def ratio(b: Long): Long =
+      (1000000L * (cT.getOrElse(b, 0L) + 1L) * (nQ + B)) /
+        ((cQ(b) + 1L) * (nT + B))
+    val want = words.filter(_._3.nonEmpty).map { case (id, _, bs) =>
+      val s = bs.map(ratio).sum
+      (id, bs.length.toLong, s, s / bs.length)
+    }.sortBy(_._1).toSeq
+    assert(rows.toSeq == want)
+    // the weights must discriminate: English docs (the target slice)
+    // score higher on average than the rest
+    val byLang = docs.map(d => d._1 -> d._2).toMap
+    val (en, other) = rows.partition(r => byLang(r._1) == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    val enAvg = en.map(_._4).sum.toDouble / en.length
+    val otherAvg = other.map(_._4).sum.toDouble / other.length
+    assert(enAvg > otherAvg,
+      s"target-slice mean avg_ratio $enAvg must exceed off-target $otherAvg")
+  }
 }
