@@ -977,7 +977,107 @@ object Relational3 {
       |SELECT ks.pct, ks.k, ks.n, o.v AS value
       |FROM ks JOIN o ON o.rn = ks.k ORDER BY ks.pct""".stripMargin
 
+  // ---- q54: PageRank over the customer–supplier trade graph ----------------
+
+  /** Supplier node ids offset past the customer key space. */
+  private val PrSuppBase = 1000000L
+
+  /** PageRank iterations — fixed, unrolled identically in the oracle. */
+  private val PrRounds = 5
+
+  /** Total scaled rank mass: r sums to ~10¹² across nodes. */
+  private val PrMass = 1000000000000L
+
+  /** Graph centrality — PageRank (Page et al. 1999) over the
+    * customer↔supplier trade graph (distinct (o_custkey, l_suppkey)
+    * pairs, one edge each way), the link-analysis capability class
+    * (host authority for crawl prioritization, entity importance)
+    * no other operator here covers. d7/q52 answer CONNECTIVITY by
+    * pointer doubling; PageRank is the spectral question — a fixed
+    * power-iteration round count, each round one edge-keyed join +
+    * one dst-keyed aggregate. Arithmetic is integer-scaled throughout
+    * (rank mass [[PrMass]] ≈ 10¹², damping 85/100, every division a
+    * floor DIV) so both engines produce bit-identical ranks — the t32
+    * discipline; production would run doubles and loosen the gate to
+    * tolerance. Bidirectionality means every node has out-degree ≥ 1:
+    * no dangling-mass term, and every node receives mass every round.
+    *
+    * Scale shape: the edge list (with out-degree folded in) is built
+    * once and pinned; each round shuffles the N-row rank frame on the
+    * join key and the edge frame on dst — no growth, no all-pairs,
+    * O(log-free) fixed rounds. The node count is the only driver
+    * scalar (control plane). At 100 TB the edge list is the big side:
+    * it stays partition-stable across rounds (one partitioner, reused
+    * exchange) while the rank frame streams past it — the classic
+    * distributed power-iteration layout.
+    */
+  private def q54PageRank(s: SparkSession, d: String): DataFrame = {
+    // the distinct is the expensive leg — pin it ONCE; everything
+    // downstream (edges, degrees, init ranks, the final join) derives
+    // from the pinned frame instead of re-running the join+distinct
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+      .localCheckpoint(true)
+    val edges = pairs.select(col("c").as("src"), (col("sk") + PrSuppBase).as("dst"))
+      .union(pairs.select((col("sk") + PrSuppBase).as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // N rows — the loop and the final join reread it
+    // out-degree folded into the edge list once; pinned for the loop
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    val n = deg.count() // every node sources an edge (bidirectional)
+    val teleport = (15L * PrMass) / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(PrMass / n).as("r"))
+    (1 to PrRounds).foreach { _ =>
+      ranks = edgesDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r DIV deg").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("insum"))
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * insum) DIV 100")).as("r"))
+        // LAZY pin (the t40 trick): lineage still truncates so round k
+        // plans against a materialized k−1, but the materialization
+        // rides round k's own job instead of costing a barrier each
+        .localCheckpoint(false)
+    }
+    ranks.join(deg, col("node") === col("src"))
+      .select(col("node").as("node_id"), col("deg").as("out_deg"), col("r").as("rank"))
+      .orderBy("node_id")
+  }
+
+  private val q54Oracle: String = {
+    val rounds = (1 to PrRounds).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT t.node, tp.t + (85 * t.insum) // 100 AS r
+         |  FROM (SELECT e.dst AS node, CAST(sum(p.r // e.deg) AS BIGINT) AS insum
+         |        FROM edges e JOIN r${k - 1} p ON p.node = e.src
+         |        GROUP BY e.dst) t, tp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e0 AS (
+       |  SELECT c AS src, sk + $PrSuppBase AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT sk + $PrSuppBase AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+       |edges AS MATERIALIZED (
+       |  SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg ON deg.src = e0.src),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |tp AS (SELECT CAST((15 * $PrMass) // (100 * n) AS BIGINT) AS t FROM nn),
+       |r0 AS MATERIALIZED (
+       |  SELECT src AS node, CAST($PrMass // n AS BIGINT) AS r FROM deg, nn),
+       |$rounds
+       |SELECT d.src AS node_id, d.deg AS out_deg, CAST(p.r AS BIGINT) AS rank
+       |FROM r$PrRounds p JOIN deg d ON d.src = p.node
+       |ORDER BY node_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_pagerank" -> (q54PageRank _),
     "q53_exact_quantile" -> (q53ExactQuantile _),
     "q52_hierarchy" -> (q52Hierarchy _),
     "q51_aqe_skew" -> (q51AqeSkew _),
@@ -1003,6 +1103,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_pagerank" -> q54Oracle,
     "q53_exact_quantile" -> q53Oracle,
     "q52_hierarchy" -> q52Oracle,
     "q51_aqe_skew" -> q51Oracle,

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q54 PageRank: the full rank vector checked against an independent
+  * driver-side scalar power iteration on sf0.001 (the DuckDB oracle's
+  * role, runnable inside the build), plus the structural invariants —
+  * mass conservation under floor division and hub dominance.
+  */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val Mass = 1000000000000L
+  private val SuppBase = 1000000L
+
+  /** Scalar reference: same integer-floor arithmetic, no shared code. */
+  private def referencePr(pairs: Seq[(Long, Long)], rounds: Int)
+      : Map[Long, (Long, Long)] = {
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq((c, s + SuppBase), (s + SuppBase, c))
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val teleport = (15L * Mass) / (100L * n)
+    var r: Map[Long, Long] = deg.keys.map(_ -> Mass / n).toMap
+    for (_ <- 1 to rounds) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((src, dst) <- edges) in(dst) += r(src) / deg(src)
+      r = deg.keys.map(k => k -> (teleport + (85L * in(k)) / 100L)).toMap
+    }
+    r.map { case (k, v) => k -> (deg(k), v) }
+  }
+
+  test("q54 rank vector equals the scalar power iteration on sf0.001") {
+    val spark0 = spark; import spark0.implicits._
+    val got = graft.SparkEntry.queries("q54_pagerank")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
+      .as[(Long, Long)].collect().toSeq
+    val want = referencePr(pairs, 5)
+    assert(got.length == want.size)
+    for ((node, deg, rank) <- got) {
+      assert(want(node) == ((deg, rank)),
+        s"node $node: got (deg=$deg, rank=$rank), want ${want(node)}")
+    }
+    // mass conservation under floor division: each node loses < 1
+    // scaled unit to the teleport DIV and < 1 to the damping DIV, and
+    // each contribution loses < 1 per incoming edge — the total can
+    // only drift DOWN from Mass, bounded by edges + 2n per round
+    val total = got.map(_._3).sum
+    val n = got.length.toLong
+    val nEdges = got.map(_._2).sum
+    assert(total <= Mass, "floor division can only lose mass")
+    assert(Mass - total <= 5L * (nEdges + 2L * n),
+      s"lost ${Mass - total} of $Mass — more than rounding can explain")
+    // the graph is bipartite with far fewer suppliers than customers,
+    // so supplier hubs must outrank the customer median decisively
+    val (supp, cust) = got.partition(_._1 >= SuppBase)
+    assert(supp.nonEmpty && cust.nonEmpty)
+    val custSorted = cust.map(_._3).sorted
+    val custMedian = custSorted(custSorted.length / 2)
+    assert(supp.map(_._3).max > 10L * custMedian,
+      "supplier hubs must dominate the customer median rank")
+  }
+}
