@@ -1015,14 +1015,8 @@ object Relational3 {
     // the distinct is the expensive leg — pin it ONCE; everything
     // downstream (edges, degrees, init ranks, the final join) derives
     // from the pinned frame instead of re-running the join+distinct
-    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-      .localCheckpoint(true)
-    val edges = pairs.select(col("c").as("src"), (col("sk") + PrSuppBase).as("dst"))
-      .union(pairs.select((col("sk") + PrSuppBase).as("src"), col("c").as("dst")))
+    val pairs = prPairs(s, d).localCheckpoint(true)
+    val edges = prEdges(pairs)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true) // N rows — the loop and the final join reread it
     // out-degree folded into the edge list once; pinned for the loop
@@ -1031,22 +1025,42 @@ object Relational3 {
     val teleport = (15L * PrMass) / (100L * n)
     var ranks = deg.select(col("src").as("node"), lit(PrMass / n).as("r"))
     (1 to PrRounds).foreach { _ =>
-      ranks = edgesDeg
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("r DIV deg").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib")).as("insum"))
-        .select(col("node"),
-          (lit(teleport) + expr("(85 * insum) DIV 100")).as("r"))
-        // LAZY pin (the t40 trick): lineage still truncates so round k
-        // plans against a materialized k−1, but the materialization
-        // rides round k's own job instead of costing a barrier each
-        .localCheckpoint(false)
+      // LAZY pin (the t40 trick): lineage still truncates so round k
+      // plans against a materialized k−1, but the materialization
+      // rides round k's own job instead of costing a barrier each
+      ranks = prRound(edgesDeg, ranks, teleport).localCheckpoint(false)
     }
     ranks.join(deg, col("node") === col("src"))
       .select(col("node").as("node_id"), col("deg").as("out_deg"), col("r").as("rank"))
       .orderBy("node_id")
   }
+
+  /** Distinct trading pairs — exposed (pre-checkpoint) for the audit. */
+  private[ops] def prPairs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+
+  /** Both edge directions off the pinned pair list — row-local. */
+  private[ops] def prEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("c").as("src"), (col("sk") + PrSuppBase).as("dst"))
+      .union(pairs.select((col("sk") + PrSuppBase).as("src"), col("c").as("dst")))
+
+  /** One power-iteration round — exposed (pre-checkpoint) so the plan
+    * audit can pin its shape: an edge-keyed join, a dst-keyed
+    * map-side-combinable aggregate, nothing else.
+    */
+  private[ops] def prRound(edgesDeg: DataFrame, ranks: DataFrame,
+      teleport: Long): DataFrame =
+    edgesDeg
+      .join(ranks, col("src") === col("node"))
+      .select(col("dst"), expr("r DIV deg").as("contrib"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib")).as("insum"))
+      .select(col("node"),
+        (lit(teleport) + expr("(85 * insum) DIV 100")).as("r"))
 
   private val q54Oracle: String = {
     val rounds = (1 to PrRounds).map { k =>

@@ -943,4 +943,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_"),
       "the template rollup must partial-aggregate map-side")
   }
+
+  test("t44: exchanges key on the feature bucket or doc_id — never word text") {
+    val plan = formatted("t44_dsir")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in DSIR plan"))
+    // the per-occurrence weight join must broadcast the B-row table
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket-weight table must broadcast into the corpus scan")
+    // corpus-sized exchanges key on b (distribution fits) or doc_id
+    // (final rollup); the raw word never keys an exchange
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(l.contains("b#") || l.contains("doc_id#"),
+        s"exchange must key on bucket or doc_id: $l")
+    }
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "distribution counts must partial-aggregate map-side")
+  }
+
+  test("q54: a power-iteration round is one edge join plus one dst rollup") {
+    import org.apache.spark.sql.functions._
+    // pin the pair list as the shipped operator does — the audited
+    // round plan starts from the materialized graph, not the distinct
+    val pairs = Relational3.prPairs(spark, sf).localCheckpoint(true)
+    val edges = Relational3.prEdges(pairs)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+    val ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    val plan = Relational3.prRound(edgesDeg, ranks, 1000L).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in PageRank round plan"))
+    // the contribution join keys on the graph keys (src/node), and
+    // any shuffle exchange keys on src, node, or the dst rollup — the
+    // rank frame never fans out beyond one row per node
+    shuffleJoinKeys(plan).foreach(k =>
+      assert(k.contains("src") || k.contains("node"),
+        s"round join must key on the graph node: $k"))
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(l.contains("src#") || l.contains("node#") || l.contains("dst#"),
+        s"round exchange must key on src/node/dst: $l")
+    }
+    assert(plan.contains("partial_sum"),
+      "the in-mass rollup must partial-aggregate map-side before its exchange")
+  }
 }
