@@ -1349,7 +1349,79 @@ object Text {
        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
   }
 
+  // ---- t45: robust per-source outlier flags (median / MAD) -----------------
+
+  /** Grouped k-th smallest (k = (n+1) DIV 2, the lower median) from a
+    * DOMAIN-BOUNDED frequency rollup: one corpus exchange keyed on
+    * (group, value), then windows over the rollup — whose row count is
+    * groups × distinct values, not the corpus. The per-group-sort
+    * alternative (row_number per group — the oracle's brute force)
+    * dies at 100 TB: ten sources would mean ten corpus-sized sorted
+    * partitions. This is q53's "never globally sort" discipline for
+    * GROUPED medians over bounded-domain integers (q53 itself narrows
+    * unbounded doubles).
+    */
+  private def groupedMedian(df: DataFrame, grp: String, v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.groupBy(col(grp), col(v).as("val")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(grp)).orderBy(col("val"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(grp))
+    freq
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy(col(grp)).agg(min(col("val")).as("med"))
+  }
+
+  /** Robust per-source length outliers — median absolute deviation
+    * (the statistic quality pipelines use where mean/stddev break on
+    * heavy tails): per source, med = lower median of n_chars, mad =
+    * lower median of |n_chars − med|, and a document is flagged when
+    * its deviation exceeds 3·MAD. Both medians are EXACT, computed by
+    * [[groupedMedian]]'s frequency-rollup shape; the oracle brute-
+    * forces the same k-th smallest with per-group row_number. All
+    * integer (n_chars, absolute deviations, a 3× threshold) — no
+    * quantile interpolation to diverge on.
+    *
+    * Scale shape: two (source, value)-keyed rollup exchanges and two
+    * broadcast joins of the ≤|sources|-row median tables back onto
+    * the scan — the corpus itself never keys an exchange; the final
+    * orderBy is the output contract, not the algorithm.
+    */
+  private def t45MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val med = groupedMedian(docs, "source", "n_chars")
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = groupedMedian(dev, "source", "dev")
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+        col("dev"), col("mad"),
+        (col("dev") > col("mad") * 3).cast("int").as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  private val t45Oracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |g AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+      |r1 AS (SELECT d.*, row_number() OVER (PARTITION BY d.source ORDER BY n_chars) AS rn, g.n
+      |       FROM d JOIN g USING (source)),
+      |med AS (SELECT source, min(n_chars) AS med FROM r1 WHERE rn = (n + 1) // 2 GROUP BY source),
+      |dev AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
+      |               abs(d.n_chars - m.med) AS dev
+      |        FROM d JOIN med m USING (source)),
+      |r2 AS (SELECT dev.*, row_number() OVER (PARTITION BY dev.source ORDER BY dev) AS rn, g.n
+      |       FROM dev JOIN g USING (source)),
+      |mad AS (SELECT source, min(dev) AS mad FROM r2 WHERE rn = (n + 1) // 2 GROUP BY source)
+      |SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, dev.dev, mad.mad,
+      |       CAST(dev.dev > 3 * mad.mad AS INT) AS is_outlier
+      |FROM dev JOIN mad USING (source)
+      |ORDER BY dev.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t45_mad_outliers" -> (t45MadOutliers _),
     "t44_dsir" -> (t44Dsir _),
     "t42_bpe_decode" -> (t42BpeDecode _),
     "t43_seq_pack" -> (t43SeqPack _),
@@ -1642,6 +1714,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t45_mad_outliers" -> t45Oracle,
     "t44_dsir" -> t44Oracle,
     "t42_bpe_decode" -> t42Oracle,
     "t43_seq_pack" -> t43Oracle,

@@ -254,4 +254,31 @@ class TextSpec extends AnyFunSuite {
     assert(enAvg > otherAvg,
       s"target-slice mean avg_ratio $enAvg must exceed off-target $otherAvg")
   }
+
+  test("t45: frequency-rollup medians equal the scalar sort-based median/MAD") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("t45_mad_outliers")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("med"), r.getAs[Long]("dev"),
+        r.getAs[Long]("mad"), r.getAs[Int]("is_outlier")))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // scalar reference: lower median by full sort, per source
+    def kth(vs: Seq[Long]): Long = vs.sorted.apply(((vs.length + 1) / 2) - 1)
+    val med = docs.groupBy(_._2).view.mapValues(g => kth(g.map(_._3).toSeq)).toMap
+    val mad = docs.groupBy(_._2).view
+      .mapValues(g => kth(g.map(d => math.abs(d._3 - med(d._2))).toSeq)).toMap
+    assert(rows.length == docs.length)
+    for ((id, src, nc, m, dv, md, out) <- rows) {
+      assert(m == med(src), s"median drifted for $src")
+      assert(md == mad(src), s"MAD drifted for $src")
+      assert(dv == math.abs(nc - m))
+      assert(out == (if (dv > 3 * md) 1 else 0), s"flag wrong for doc $id")
+    }
+    // the statistic must discriminate but not flag everything
+    val flagged = rows.count(_._7 == 1)
+    assert(flagged > 0, "fixture must contain at least one length outlier")
+    assert(flagged < rows.length / 10, "MAD must not flag a tenth of the corpus")
+  }
 }
