@@ -2777,7 +2777,110 @@ object Similarity {
       |SELECT qid, vec_id, cos FROM pairs
       |WHERE cos >= CAST(0.3 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin
 
+  // ---- s25: IVF → PQ-ADC → exact re-rank, the production funnel ------------
+
+  /** ADC candidates kept per query for the exact re-rank leg. */
+  private val FunnelCand = 64
+
+  /** The complete production ANN read path as ONE composed plan — the
+    * FAISS `IndexIVFPQ + refine` funnel: (1) the query probes its
+    * top-2 IVF cells (s11's coarse quantizer), (2) within probed
+    * cells candidates are scored by PQ ADC against the 8-byte codes
+    * ONLY (s9's scan — the 64-dim vectors never move), (3) the top
+    * [[FunnelCand]] candidates per query — and only those — rejoin
+    * the full-precision vectors for an exact-cosine re-rank of the
+    * final top-10. s11 re-ranks whole cells exactly and s9 scans the
+    * whole corpus approximately; the funnel is what deployments
+    * actually run, because each leg shrinks the next leg's input:
+    * corpus → nprobe/k of the corpus (codes only) → 32 rows →
+    * 10 rows. `adc_rank` rides the output so the gate shows the
+    * re-rank genuinely reorders the ADC candidates.
+    *
+    * Scale shape: both codebooks are control-plane (≤ k rows
+    * collected once); the probe list and per-query LUTs broadcast;
+    * the stored index (cell id + codes, pinned once — at billions of
+    * vectors this is s17's standing table) is scanned with a
+    * broadcast join and its only exchange is the qid window over the
+    * probed-cell candidates; the exact leg broadcasts ≤ 5·32 rows
+    * back onto the vector scan. The corpus never shuffles — the s9
+    * and s11 contracts composed.
+    */
+  private def s25IvfPqFunnel(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val cents = collectCents(trainCodebook(base, iters = 2))
+    val subs = pqSubs(s, d)
+    val cb = pqTrain(subs)
+    // the stored index: IVF cell + PQ codes per vector, pinned once
+    val index = pqCodeCols(pqSubCols(assignCellsFrom(base, cents)), cb)
+      .select(col("vec_id") +: col("cid") +: (0 until pqM).map(m => col(s"c$m")): _*)
+      .localCheckpoint(true)
+    // query side: probe list × ADC lookup tables — ≤ 5·nprobe rows
+    val qside = ivfProbes(base, cents, nprobe = 2).join(pqLuts(subs, cb), Seq("qid"))
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = index.filter(col("vec_id") >= 5)
+      .join(broadcast(qside), col("cid") === col("pcid"))
+      .withColumn("adc", pqAdcScore(cb))
+      .withColumn("adc_rank", row_number().over(wCand))
+      .filter(col("adc_rank") <= FunnelCand)
+      .select(col("qid"), col("vec_id"), col("cid").as("cell"),
+        col("adc_rank"), col("qv"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(cand), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("cell"), col("adc_rank"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+
+  private val s25Oracle: String = {
+    val pivots = (0 until pqM)
+      .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
+    val total = (0 until pqM).map(m => s"t$m").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |$pqSubsOracleCte,
+       |$pqOracleChain,
+       |cand0 AS (
+       |  SELECT p.qid, a.vec_id, a.cid
+       |  FROM a3 a JOIN probes p ON a.cid = p.cid WHERE a.vec_id >= 5),
+       |terms AS (
+       |  SELECT cd.qid, cd.vec_id, cd.cid, x.m,
+       |         CAST(${pqDot8("q.sub", "c.sv")} AS DOUBLE) / c.n AS t
+       |  FROM cand0 cd
+       |  JOIN codes x ON x.vec_id = cd.vec_id
+       |  JOIN pc1 c ON c.m = x.m AND c.cid = x.cid
+       |  JOIN subs q ON q.m = x.m AND q.vec_id = cd.qid),
+       |piv AS (
+       |  SELECT qid, vec_id, cid,
+       |         $pivots
+       |  FROM terms GROUP BY qid, vec_id, cid),
+       |cand AS (
+       |  SELECT qid, vec_id, cid, adc_rank FROM (
+       |    SELECT qid, vec_id, cid,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |                  ORDER BY ($total) DESC, vec_id) AS INT) AS adc_rank
+       |    FROM piv) WHERE adc_rank <= $FunnelCand),
+       |ex AS (
+       |  SELECT cand.qid, cand.vec_id, cand.cid AS cell, cand.adc_rank,
+       |         list_cosine_similarity(b.q::DOUBLE[], qb.q::DOUBLE[]) AS cos
+       |  FROM cand JOIN base b ON b.vec_id = cand.vec_id
+       |  JOIN base qb ON qb.vec_id = cand.qid)
+       |SELECT qid, vec_id, cell, adc_rank, cos, rnk FROM (
+       |  SELECT qid, vec_id, cell, adc_rank, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM ex) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_ivf_pq_funnel" -> (s25IvfPqFunnel _),
     "s24_ivf_rebalance" -> (s24IvfRebalance _),
     "s23_radius_search" -> (s23RadiusSearch _),
     "s22_stream_update" -> (s22StreamUpdate _),
@@ -2805,6 +2908,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s25_ivf_pq_funnel" -> s25Oracle,
     "s24_ivf_rebalance" -> s24Oracle,
     "s23_radius_search" -> s23Oracle,
     "s22_stream_update" -> s22Oracle,

@@ -808,4 +808,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(split.forall(_._3 < hotSize), "both sub-cells must shrink the probe cost")
     assert(cold.forall(_._3 <= bound), "no cold cell may sit above the bound")
   }
+
+  test("s25: the funnel legs compose — probed cells only, exact leg reorders, s11 recall high") {
+    val got = Similarity.queries("s25_ivf_pq_funnel")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Int]("adc_rank"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    assert(got.nonEmpty)
+    // per query: ranks are 1..n, cosines non-increasing, candidates
+    // come only from the ADC shortlist
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1 to rs.length).toSeq, s"rank gap for query $q")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5, s"cos must be non-increasing for $q")
+        case _ =>
+      }
+      assert(rs.forall(_._4 <= 64), "every result must come through the ADC shortlist")
+      // the probe leg bites: results sit in at most nprobe = 2 cells
+      assert(rs.map(_._3).distinct.length <= 2, s"query $q drew from >2 cells")
+    }
+    // the exact leg must genuinely reorder somewhere, or the re-rank
+    // is dead weight (ADC order == exact order would mean the 8-byte
+    // codes already rank perfectly — not true of real PQ)
+    assert(got.exists(r => r._4 != r._6),
+      "exact re-rank never changed an ADC rank — the funnel's third leg is inert")
+    // recall vs s11 (exact over the SAME probed cells, no ADC leg):
+    // the 32-candidate shortlist must preserve most of the true top-10
+    val s11 = Similarity.queries("s11_ivf_search")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val hits = got.count(r => s11.contains((r._1, r._2)))
+    assert(hits.toDouble >= 0.8 * got.length,
+      s"funnel recall vs s11: $hits/${got.length} — ADC shortlist too lossy")
+  }
 }
