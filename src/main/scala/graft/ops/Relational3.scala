@@ -1090,7 +1090,121 @@ object Relational3 {
        |ORDER BY node_id""".stripMargin
   }
 
+  // ---- q55: data-quality audit (Deequ-shaped constraint checks) ------------
+
+  /** Declarative data-quality audit — the Deequ/Great-Expectations
+    * capability class (constraint checks an ingestion pipeline runs
+    * before promoting a batch): referential integrity, primary-key
+    * uniqueness, null keys, and value-range rules, each reported as
+    * (check, table, rows checked, violations). The clean fixture
+    * would make every count zero — a gate that can't tell a working
+    * audit from a dead one — so the audited frames carry PLANTED
+    * violations (the s24/t38 fixture-plant discipline, replicated as
+    * VALUES in the oracle): one dangling customer key, one duplicated
+    * order key, one NULL key, one dangling lineitem order, one
+    * negative quantity, one negative price. The audit must count
+    * exactly the plants — firing on each class, zero false positives
+    * on the 60k real rows around them.
+    *
+    * Scale shape: the two range/null checks are single-scan
+    * conditional aggregates (map-side combined to one row); PK
+    * uniqueness is one key-keyed rollup; each FK check is one join
+    * keyed on the foreign key where the dim side broadcasts when
+    * small (AQE's call here — customer at 100 TB would be the
+    * bucketed-join q45 shape). Nothing driver-side, nothing
+    * all-pairs; checks share scans where they share tables.
+    */
+  private def q55DqAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val po = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .union(Seq(
+        (900000001L, Some(888888888L)), // dangling FK
+        (900000002L, Some(1L)), (900000002L, Some(1L)), // duplicated PK
+        (900000003L, None: Option[Long]) // NULL key
+      ).toDF("o_orderkey", "o_custkey"))
+    val pl = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .union(Seq(
+        (888888888L, 10.0, 100.0), // dangling FK
+        (1L, -5.0, 100.0), // quantity out of range
+        (1L, 10.0, -1.0) // negative price
+      ).toDF("l_orderkey", "l_quantity", "l_extendedprice"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    val nPo = po.select(count(lit(1)).as("checked"))
+    val nPl = pl.select(count(lit(1)).as("checked"))
+    def report(name: String, tbl: String, checked: DataFrame,
+        viol: org.apache.spark.sql.Column, from: DataFrame): DataFrame =
+      from.agg(viol.as("violations")).crossJoin(checked)
+        .select(lit(name).as("check_name"), lit(tbl).as("tbl"),
+          col("checked"), col("violations"))
+    val fkOrders = report("fk_orders_customer", "orders", nPo,
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)),
+      po.filter(col("o_custkey").isNotNull)
+        .join(cust, col("c_custkey") === col("o_custkey"), "left"))
+    val nullKey = report("null_custkey", "orders", nPo,
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), po)
+    val dupPk = report("pk_dup_orders", "orders", nPo,
+      sum(col("extra")),
+      po.groupBy("o_orderkey").agg((count(lit(1)) - 1L).as("extra")))
+    val fkLine = report("fk_lineitem_orders", "lineitem", nPl,
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+      pl.join(po.select(col("o_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left"))
+    val rangeQty = report("range_quantity", "lineitem", nPl,
+      sum(when(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0, 1L).otherwise(0L)), pl)
+    val negPrice = report("neg_price", "lineitem", nPl,
+      sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L)), pl)
+    fkOrders.union(nullKey).union(dupPk).union(fkLine).union(rangeQty).union(negPrice)
+      .orderBy("check_name")
+  }
+
+  private val q55Oracle: String =
+    """WITH po AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (CAST(900000001 AS BIGINT), CAST(888888888 AS BIGINT)),
+      |    (CAST(900000002 AS BIGINT), CAST(1 AS BIGINT)),
+      |    (CAST(900000002 AS BIGINT), CAST(1 AS BIGINT)),
+      |    (CAST(900000003 AS BIGINT), CAST(NULL AS BIGINT))) v(o_orderkey, o_custkey)),
+      |pl AS (
+      |  SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (CAST(888888888 AS BIGINT), CAST(10.0 AS DOUBLE), CAST(100.0 AS DOUBLE)),
+      |    (CAST(1 AS BIGINT), CAST(-5.0 AS DOUBLE), CAST(100.0 AS DOUBLE)),
+      |    (CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))
+      |    v(l_orderkey, l_quantity, l_extendedprice)),
+      |npo AS (SELECT CAST(count(*) AS BIGINT) AS checked FROM po),
+      |npl AS (SELECT CAST(count(*) AS BIGINT) AS checked FROM pl)
+      |SELECT * FROM (
+      |  SELECT 'fk_orders_customer' AS check_name, 'orders' AS tbl, npo.checked,
+      |         CAST((SELECT count(*) FROM po LEFT JOIN customer ON c_custkey = o_custkey
+      |               WHERE o_custkey IS NOT NULL AND c_custkey IS NULL) AS BIGINT) AS violations
+      |  FROM npo
+      |  UNION ALL
+      |  SELECT 'null_custkey', 'orders', npo.checked,
+      |         CAST((SELECT count(*) FROM po WHERE o_custkey IS NULL) AS BIGINT) FROM npo
+      |  UNION ALL
+      |  SELECT 'pk_dup_orders', 'orders', npo.checked,
+      |         CAST((SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM po GROUP BY o_orderkey)) AS BIGINT)
+      |  FROM npo
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders', 'lineitem', npl.checked,
+      |         CAST((SELECT count(*) FROM pl LEFT JOIN (SELECT DISTINCT o_orderkey FROM po) o
+      |               ON o.o_orderkey = pl.l_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)
+      |  FROM npl
+      |  UNION ALL
+      |  SELECT 'range_quantity', 'lineitem', npl.checked,
+      |         CAST((SELECT count(*) FROM pl WHERE l_quantity <= 0 OR l_quantity > 50) AS BIGINT)
+      |  FROM npl
+      |  UNION ALL
+      |  SELECT 'neg_price', 'lineitem', npl.checked,
+      |         CAST((SELECT count(*) FROM pl WHERE l_extendedprice <= 0) AS BIGINT) FROM npl)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_dq_audit" -> (q55DqAudit _),
     "q54_pagerank" -> (q54PageRank _),
     "q53_exact_quantile" -> (q53ExactQuantile _),
     "q52_hierarchy" -> (q52Hierarchy _),
@@ -1117,6 +1231,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q55_dq_audit" -> q55Oracle,
     "q54_pagerank" -> q54Oracle,
     "q53_exact_quantile" -> q53Oracle,
     "q52_hierarchy" -> q52Oracle,

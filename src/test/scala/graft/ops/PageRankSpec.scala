@@ -70,4 +70,21 @@ class PageRankSpec extends AnyFunSuite {
     assert(supp.map(_._3).max > 10L * custMedian,
       "supplier hubs must dominate the customer median rank")
   }
+
+  test("q55: every planted violation is counted once, nothing real is flagged") {
+    val rows = graft.SparkEntry.queries("q55_dq_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    val nLine = graft.Tables.lineitem(spark, sf).count()
+    val want = Seq(
+      ("fk_lineitem_orders", "lineitem", nLine + 3, 1L),
+      ("fk_orders_customer", "orders", nOrders + 4, 1L),
+      ("neg_price", "lineitem", nLine + 3, 1L),
+      ("null_custkey", "orders", nOrders + 4, 1L),
+      ("pk_dup_orders", "orders", nOrders + 4, 1L),
+      ("range_quantity", "lineitem", nLine + 3, 1L))
+    assert(rows == want,
+      s"audit must count exactly the plants:\n got $rows\nwant $want")
+  }
 }
