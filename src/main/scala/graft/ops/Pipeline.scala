@@ -1550,7 +1550,85 @@ object Pipeline {
        |ORDER BY st.doc_id""".stripMargin
   }
 
+  // ---- p14: corrupt-tolerant JSONL ingestion --------------------------------
+
+  /** Deliberately malformed lines planted among the spooled JSONL —
+    * one per corruption class the reader must quarantine: truncated
+    * record, non-JSON noise, bare brace garbage.
+    */
+  private val P14Corrupt = Seq(
+    """{"doc_id": 900001, "text": "truncated""",
+    """not json at all""",
+    """{bad}""")
+
+  private[ops] val p14Spooled =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Corrupt-tolerant ingestion — the pipeline's missing FIRST stage:
+    * every other operator reads clean parquet, but a real corpus
+    * arrives as JSONL with garbage interleaved, and the ingest step
+    * must parse what parses, QUARANTINE what doesn't (never drop it
+    * silently, never fail the batch), and account for both. The gate
+    * spools `documents` to JSONL once per (JVM, sf dir) with
+    * [[P14Corrupt]] planted, re-ingests with an explicit schema in
+    * PERMISSIVE mode + `_corrupt_record`, and reports the audit row:
+    * line/parsed/quarantined counts plus content invariants of the
+    * parsed side (doc_id sum, text polynomial-hash sum, n_chars sum).
+    * The ORACLE recomputes the invariants from the original table —
+    * so the gate proves the JSON encode → decode round trip is
+    * lossless AND the quarantine count is exactly the plants: a
+    * parser that mangles one string or misclassifies one line breaks
+    * the hash.
+    *
+    * Scale shape: the spool is a distributed text write; ingestion is
+    * ONE schema-projected scan (JSON parsing is per-line, embarrass-
+    * ingly parallel) folding straight into a map-side-combined global
+    * aggregate — no exchange carries more than one row per partition.
+    * At 100 TB this is exactly the shape: parse, quarantine, audit in
+    * a single pass, with the quarantined raw lines kept queryable.
+    */
+  private def p14JsonlIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = p14Spooled.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-p14-")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val out = dir.resolve("docs").toString
+      Tables.documents(s, d)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .union(P14Corrupt.toDF("value"))
+        .write.mode("overwrite").text(out)
+      out
+    })
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, _corrupt_record STRING")
+    val ok = col("_corrupt_record").isNull
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(ok, 0L).otherwise(1L)).as("n_quarantined"),
+        sum(when(ok, 1L).otherwise(0L)).as("n_parsed"),
+        sum(when(ok, col("doc_id"))).as("sum_doc_id"),
+        sum(when(ok, expr(Text.polyHashSql("text", 8)))).as("text_hash_sum"),
+        sum(when(ok, col("n_chars"))).as("sum_chars"))
+  }
+
+  private val p14Oracle: String =
+    s"""SELECT CAST(count(*) + ${P14Corrupt.size} AS BIGINT) AS n_lines,
+       |       CAST(${P14Corrupt.size} AS BIGINT) AS n_quarantined,
+       |       CAST(count(*) AS BIGINT) AS n_parsed,
+       |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       |       CAST(sum(${Text.polyHashSql("text", 8)}) AS BIGINT) AS text_hash_sum,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_jsonl_ingest" -> (p14JsonlIngest _),
     "p13_mixture_sample" -> (p13MixtureSample _),
     "p12_e2e_protocol" -> (p12E2eProtocol _),
     "p11_mixture" -> (p11Mixture _),
@@ -1567,6 +1645,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p14_jsonl_ingest" -> p14Oracle,
     "p13_mixture_sample" -> p13Oracle,
     "p12_e2e_protocol" -> p12Oracle,
     "p11_mixture" -> p11Oracle,

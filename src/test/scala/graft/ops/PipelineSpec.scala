@@ -388,4 +388,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.exists(s => bySrcEpoch((s, 0L)) != bySrcEpoch((s, 1L))),
       "epoch 1 must not replay epoch 0's sample on every uncapped source")
   }
+
+  test("p14: parses every real doc, quarantines exactly the plants, keeps them queryable") {
+    import org.apache.spark.sql.functions.col
+    val row = graft.SparkEntry.queries("p14_jsonl_ingest")(spark, sf).head()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(row.getAs[Long]("n_parsed") == nDocs, "every clean line must parse")
+    assert(row.getAs[Long]("n_quarantined") == 3L, "exactly the three plants quarantine")
+    assert(row.getAs[Long]("n_lines") == nDocs + 3L)
+    // the quarantined RAW lines stay queryable — re-read the same spool
+    // and pull them back verbatim (the audit trail a real pipeline keeps)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, _corrupt_record STRING")
+    val spool = Pipeline.p14Spooled.get(sf)
+    assert(spool != null, "the spool path must be memoized per sf dir")
+    // Spark disallows corrupt-column-only queries over raw JSON
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — carry doc_id alongside
+    val bad = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(spool)
+      .select("doc_id", "_corrupt_record")
+      .filter(col("_corrupt_record").isNotNull)
+      .collect().map(_.getString(1)).sorted
+    assert(bad.length == 3)
+    assert(bad.contains("not json at all"), s"raw quarantined lines must round-trip: ${bad.toSeq}")
+  }
 }
