@@ -77,7 +77,14 @@ object Sf1Full {
       }
       (ts.head, ts.min, rows)
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional prefix filter (the BenchOne convention): a filtered run
+    // spot-measures late additions without overwriting the full-run
+    // artifact below
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) all
+      else all.filter(n => args.exists(n.startsWith))
+    }
     var errors = 0
     val results = names.flatMap { q =>
       try {
@@ -92,13 +99,16 @@ object Sf1Full {
           None
       }
     }
-    val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
-      f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
-    }.mkString("{\n", ",\n",
-      s""",\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "n_queries": ${results.size}, "errors": $errors\n}\n""")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_sf1_full.json"), json.getBytes("UTF-8"))
+    if (args.isEmpty) {
+      val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
+        f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
+      }.mkString("{\n", ",\n",
+        s""",\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "n_queries": ${results.size}, "errors": $errors\n}\n""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_sf1_full.json"), json.getBytes("UTF-8"))
+      println(s"[sf1-full] wrote BENCH_sf1_full.json (${results.size} queries, $errors errors)")
+    } else
+      println(s"[sf1-full] filtered run (${results.size} queries, $errors errors) — artifact not rewritten")
     spark.stop()
-    println(s"[sf1-full] wrote BENCH_sf1_full.json (${results.size} queries, $errors errors)")
   }
 }
