@@ -1652,7 +1652,131 @@ object Multimodal {
       |         (a, b) -> (a * 31 + b) % 2147483647) AS thumb_checksum
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- mm17: audio resampling through two codec generations ----------------
+
+  final case class MmResampleStat(
+    doc_id: Long, in_rate: Int, out_rate: Int, n_in: Int, n_out: Int,
+    out_checksum: Long)
+
+  /** Sample-rate conversion on the real-WAV seam — the first DSP
+    * transform over genuinely decoded audio (mm16 proves the codec
+    * round trip; this transforms between two of them): decode the
+    * planted WAV, 2:1 decimation-by-averaging in UNSIGNED sample
+    * space (both engines' integer division agrees on non-negatives —
+    * the shifted +32768 domain mm16's checksum already uses),
+    * re-encode the half-rate PCM as a second REAL WAV, decode THAT,
+    * and checksum what comes back. Two full encode/decode generations
+    * stand between the plant and the reported checksum; WAV's
+    * losslessness keeps the oracle closed-form — it folds the same
+    * average over the recomputable plant, never touching a codec.
+    *
+    * Scale shape: mm16's — one mapPartitions codec leg, provider
+    * elected once per partition, zero shuffles, narrow output.
+    */
+  private[ops] def resampleStats(meta: DataFrame): Dataset[MmResampleStat] = {
+    import meta.sparkSession.implicits._
+    meta.select("doc_id", "sample_rate", "n_samples").as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader.load(classOf[AudioFileWriter])
+          .asScala.find(_.isFileTypeSupported(wave))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+        val readers = java.util.ServiceLoader.load(classOf[AudioFileReader])
+          .asScala.toVector
+        var elected: AudioFileReader = null
+        def decode(bytes: Array[Byte], id: Long): javax.sound.sampled.AudioInputStream = {
+          if (elected != null)
+            return elected.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          readers.iterator.flatMap { r =>
+            try {
+              val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+              elected = r
+              Some(ais)
+            } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+          }.nextOption().getOrElse(sys.error(s"no provider decodes WAV for doc $id"))
+        }
+        def encodeWav(pcm: Array[Byte], rate: Int, n: Int): Array[Byte] = {
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            wave, bos)
+          bos.toByteArray
+        }
+        it.map { case (id, rate, n) =>
+          require(n % 2 == 0, s"decimation expects even sample counts, doc $id has $n")
+          val pcm = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = plantPcm(id, i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          // generation 1: real encode + decode at the source rate
+          val back = decode(encodeWav(pcm, rate, n), id).readAllBytes()
+          require(back.length == 2 * n, s"gen-1 decode lost samples for doc $id")
+          // 2:1 decimation by pairwise average in unsigned space
+          val nOut = n / 2
+          val pcm2 = new Array[Byte](2 * nOut)
+          var j = 0
+          while (j < nOut) {
+            def shifted(k: Int): Int = {
+              val lo = back(2 * k) & 0xff
+              val hi = back(2 * k + 1)
+              ((hi << 8) | lo) + 32768
+            }
+            val avg = (shifted(2 * j) + shifted(2 * j + 1)) / 2 // non-negative
+            val s2 = avg - 32768
+            pcm2(2 * j) = (s2 & 0xff).toByte
+            pcm2(2 * j + 1) = ((s2 >> 8) & 0xff).toByte
+            j += 1
+          }
+          // generation 2: re-encode at half rate, decode, verify header
+          val ais2 = decode(encodeWav(pcm2, rate / 2, nOut), id)
+          require(ais2.getFormat.getSampleRate == (rate / 2).toFloat,
+            s"resampled header rate drift for doc $id")
+          val back2 = ais2.readAllBytes()
+          require(back2.length == 2 * nOut, s"gen-2 decode lost samples for doc $id")
+          var sum = 0L
+          j = 0
+          while (j < nOut) {
+            val lo = back2(2 * j) & 0xff
+            val hi = back2(2 * j + 1)
+            sum = (sum * 31 + (((hi << 8) | lo) + 32768)) % 2147483647L
+            j += 1
+          }
+          MmResampleStat(id, rate, rate / 2, n, nOut, sum)
+        }
+      }
+  }
+
+  private def mm17Resample(s: SparkSession, d: String): DataFrame = {
+    val meta = assets(s, d).toDF().filter(col("modality") === "audio")
+      .select(col("doc_id"), col("sample_rate"),
+        (lit(400) + (col("doc_id") % 5) * 80).cast("int").as("n_samples"))
+    resampleStats(meta).toDF().orderBy("doc_id")
+  }
+
+  private val mm17Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, 16000 AS in_rate,
+      |         CAST(400 + (doc_id % 5) * 80 AS INT) AS n_in
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT doc_id, in_rate, CAST(in_rate // 2 AS INT) AS out_rate, n_in,
+      |       CAST(n_in // 2 AS INT) AS n_out,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(generate_series(0, n_in // 2 - 1),
+      |           j -> (((doc_id * 31 + (2 * j) * 7) % 65536)
+      |               + ((doc_id * 31 + (2 * j + 1) * 7) % 65536)) // 2)),
+      |         (a, b) -> (a * 31 + b) % 2147483647) AS out_checksum
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm17_resample" -> (mm17Resample _),
     "mm16_real_audio" -> (mm16RealAudio _),
     "mm15_jpeg" -> (mm15Jpeg _),
     "mm14_keyframes" -> (mm14Keyframes _),
@@ -1693,6 +1817,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm17_resample" -> mm17Oracle,
     "mm16_real_audio" -> mm16Oracle,
     "mm15_jpeg" -> mm15Oracle,
     "mm14_keyframes" -> mm14Oracle,

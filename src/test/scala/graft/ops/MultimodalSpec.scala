@@ -368,4 +368,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gate.forall(r => r.getAs[Int]("luma_in_tol") == 0 &&
       r.getAs[Int]("compressed") == 1))
   }
+
+  test("mm17: decimation through two codec generations matches the codec-free fold") {
+    val rows = Multimodal.queries("mm17_resample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("in_rate"), r.getAs[Int]("out_rate"),
+        r.getAs[Int]("n_in"), r.getAs[Int]("n_out"), r.getAs[Long]("out_checksum")))
+    assert(rows.nonEmpty)
+    for ((id, inRate, outRate, nIn, nOut, sum) <- rows) {
+      // rate and count halve together, so duration is preserved exactly
+      assert(outRate == inRate / 2 && nOut == nIn / 2)
+      assert(1000L * nOut / outRate == 1000L * nIn / inRate, s"duration drift for doc $id")
+      // scalar reference: the same pairwise average over the plant,
+      // never touching a codec — two WAV generations must be transparent
+      var want = 0L
+      var j = 0
+      while (j < nOut) {
+        def shifted(k: Int): Long = (id * 31 + k * 7L) % 65536L
+        want = (want * 31 + (shifted(2 * j) + shifted(2 * j + 1)) / 2) % 2147483647L
+        j += 1
+      }
+      assert(sum == want, s"resampled checksum drifted for doc $id")
+    }
+  }
 }

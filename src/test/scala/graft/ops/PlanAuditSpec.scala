@@ -987,4 +987,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"),
       "the in-mass rollup must partial-aggregate map-side before its exchange")
   }
+
+  test("s25: the funnel's corpus never shuffles — broadcast joins, qid-only exchanges") {
+    val plan = formatted("s25_ivf_pq_funnel")
+    // every join in the search path carries a broadcast side (query
+    // probes/LUTs into the index scan, the 5·64-row candidate list
+    // back onto the vector scan) — a shuffle join anywhere means the
+    // corpus moved
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+      "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in funnel plan"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query side must broadcast into the index scan")
+    // the only hash exchanges are the per-query top-k windows
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(l.contains("qid#"), s"funnel exchange must key on qid: $l")
+    }
+  }
 }
