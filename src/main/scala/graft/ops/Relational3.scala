@@ -1203,7 +1203,77 @@ object Relational3 {
       |         CAST((SELECT count(*) FROM pl WHERE l_extendedprice <= 0) AS BIGINT) FROM npl)
       |ORDER BY check_name""".stripMargin
 
+  // ---- q56: time-series densification + forward fill -----------------------
+
+  /** Gap filling — the time-series capability class (TimescaleDB's
+    * `time_bucket_gapfill` + `locf`) Spark has no native operator
+    * for: densify each customer's monthly order series onto the
+    * corpus-wide month calendar and forward-fill the last observed
+    * monthly spend across the gaps. Money rides as integer cents
+    * (`floor(o_totalprice · 100)` — the embedding-quantization trick,
+    * exact in both engines); `is_gap` marks synthesized rows so
+    * downstream consumers can tell carried values from observed ones.
+    *
+    * Scale shape: the monthly rollup is the only corpus-sized
+    * exchange (keyed on customer × month); the calendar bounds are
+    * one 2-value driver scalar (control plane); densification is a
+    * row-local `sequence` explode over the distinct-customer frame
+    * (fan-out = months, bounded by the calendar, not the data); the
+    * fill is one per-customer window over the dense frame — rows per
+    * partition = months, never corpus-sized. The oracle runs the
+    * identical fill declaratively via `last_value IGNORE NULLS`.
+    */
+  private def q56GapFill(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("custkey"),
+      expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").cast("long").as("month_id"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val monthly = o.groupBy("custkey", "month_id")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("spend_cents"))
+      .localCheckpoint(true) // the calendar bounds, dense join, and output all reread it
+    val b = monthly.agg(min(col("month_id")), max(col("month_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val dense = monthly.select(col("custkey")).distinct()
+      .withColumn("month_id", explode(expr(s"sequence(${lo}L, ${hi}L)")))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("month_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(monthly, Seq("custkey", "month_id"), "left")
+      .withColumn("filled_cents",
+        coalesce(last(col("spend_cents"), ignoreNulls = true).over(w), lit(0L)))
+      .select(col("custkey"), col("month_id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+        col("filled_cents"),
+        col("spend_cents").isNull.cast("int").as("is_gap"))
+      .orderBy("custkey", "month_id")
+  }
+
+  private val q56Oracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_id,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |monthly AS (
+      |  SELECT custkey, month_id, CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(cents) AS BIGINT) AS spend_cents
+      |  FROM o GROUP BY 1, 2),
+      |b AS (SELECT min(month_id) AS lo, max(month_id) AS hi FROM monthly),
+      |dense AS (
+      |  SELECT c.custkey, unnest(generate_series(b.lo, b.hi)) AS month_id
+      |  FROM (SELECT DISTINCT custkey FROM monthly) c, b)
+      |SELECT custkey, month_id,
+      |       COALESCE(n_orders, 0) AS n_orders,
+      |       COALESCE(spend_cents, 0) AS spend_cents,
+      |       COALESCE(last_value(spend_cents IGNORE NULLS)
+      |         OVER (PARTITION BY custkey ORDER BY month_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents,
+      |       CAST(spend_cents IS NULL AS INT) AS is_gap
+      |FROM dense LEFT JOIN monthly USING (custkey, month_id)
+      |ORDER BY custkey, month_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_gap_fill" -> (q56GapFill _),
     "q55_dq_audit" -> (q55DqAudit _),
     "q54_pagerank" -> (q54PageRank _),
     "q53_exact_quantile" -> (q53ExactQuantile _),
@@ -1231,6 +1301,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_gap_fill" -> q56Oracle,
     "q55_dq_audit" -> q55Oracle,
     "q54_pagerank" -> q54Oracle,
     "q53_exact_quantile" -> q53Oracle,

@@ -87,4 +87,31 @@ class PageRankSpec extends AnyFunSuite {
     assert(rows == want,
       s"audit must count exactly the plants:\n got $rows\nwant $want")
   }
+
+  test("q56: every customer gets the full calendar and the fill carries the last observation") {
+    val rows = graft.SparkEntry.queries("q56_gap_fill")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("month_id"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("spend_cents"),
+        r.getAs[Long]("filled_cents"), r.getAs[Int]("is_gap")))
+    assert(rows.nonEmpty)
+    val months = rows.map(_._2).distinct.sorted.toSeq
+    assert(months == (months.head to months.last).toSeq,
+      "the calendar must be contiguous")
+    val byCust = rows.groupBy(_._1)
+    byCust.foreach { case (c, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == months,
+        s"customer $c must be densified onto the full calendar")
+      // forward fill, replayed scalar-side
+      var lastSeen = 0L
+      rs.sortBy(_._2).foreach { case (_, m, n, spend, filled, gap) =>
+        if (gap == 0) { assert(n > 0); lastSeen = spend }
+        else assert(n == 0L && spend == 0L, s"gap row for $c/$m must carry no observation")
+        assert(filled == lastSeen, s"fill drifted for customer $c month $m")
+      }
+    }
+    // gaps genuinely exist and genuinely carry values across them
+    assert(rows.exists(_._6 == 1), "fixture must contain monthly gaps")
+    assert(rows.exists(r => r._6 == 1 && r._5 > 0L),
+      "some gap must carry a non-zero forward-filled value")
+  }
 }
