@@ -1364,7 +1364,101 @@ object Dedup {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
   }
 
+  // ---- d17: URL canonicalization + dedup ------------------------------------
+
+  /** URL-level dedup — the FIRST pass of every crawl-scale pipeline
+    * (CCNet/C4 dedup by normalized URL before ever touching text):
+    * canonicalize each document's source URL — lowercase scheme+host,
+    * strip the default port, drop the fragment, remove tracking
+    * (`utm_*`) query params, strip a trailing slash — then keep one
+    * document per canonical URL (min doc_id, the deterministic
+    * keep-first policy). The fixture plants four raw spellings per
+    * logical page (uppercased host + `:80` + leading utm param;
+    * utm param in trailing position; fragment + trailing slash; the
+    * clean form), so every canonical cluster has exactly two members
+    * and the pass halves the corpus — the expected crawl shape.
+    *
+    * Both engines build the raw URL and run the SAME normalization
+    * chain (lower → strip `#…` → strip `:80/` → strip `utm_…&` /
+    * `[?&]utm_…$`); each pattern occurs at most once per URL by
+    * construction, so Spark's replace-all and DuckDB's replace-first
+    * `regexp_replace` semantics agree.
+    *
+    * Scale shape: canonicalization is a row-local projection; the
+    * only exchange keys on the canonical URL (the d1 exact-dedup
+    * topology — group, elect min, join back on the same key, so the
+    * exchange is reused). Nothing compares URL pairs.
+    */
+  private def d17UrlDedup(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d).select(col("doc_id"),
+      expr("""CASE CAST(doc_id % 4 AS INT)
+             |  WHEN 0 THEN concat('HTTP://WWW.Site', CAST((doc_id DIV 4) % 9 AS STRING),
+             |    '.COM:80/doc', CAST(doc_id DIV 4 AS STRING),
+             |    '?utm_source=feed&id=', CAST(doc_id DIV 4 AS STRING))
+             |  WHEN 1 THEN concat('http://www.site', CAST((doc_id DIV 4) % 9 AS STRING),
+             |    '.com/doc', CAST(doc_id DIV 4 AS STRING),
+             |    '?id=', CAST(doc_id DIV 4 AS STRING), '&utm_campaign=mail')
+             |  WHEN 2 THEN concat('Http://Www.Site', CAST((doc_id DIV 4) % 9 AS STRING),
+             |    '.Com/doc', CAST(doc_id DIV 4 AS STRING), '/#top')
+             |  ELSE concat('http://www.site', CAST((doc_id DIV 4) % 9 AS STRING),
+             |    '.com/doc', CAST(doc_id DIV 4 AS STRING))
+             |END""".stripMargin).as("url"))
+    val canon = raw.withColumn("canon",
+      expr("""regexp_replace(
+             |  regexp_replace(
+             |    regexp_replace(
+             |      replace(
+             |        regexp_replace(lower(url), '#.*$', ''),
+             |        ':80/', '/'),
+             |      'utm_[a-z]+=[a-z]+&', ''),
+             |    '[?&]utm_[a-z]+=[a-z]+$', ''),
+             |  '/$', '')""".stripMargin))
+    val clusters = canon.groupBy("canon")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("csize"))
+    canon.join(clusters, Seq("canon"))
+      .select(col("doc_id"), col("url"), col("canon"),
+        col("keeper"), col("csize"),
+        (col("doc_id") === col("keeper")).cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  private val d17Oracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'HTTP://WWW.Site' || CAST((doc_id // 4) % 9 AS VARCHAR)
+      |        || '.COM:80/doc' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
+      |      WHEN 1 THEN 'http://www.site' || CAST((doc_id // 4) % 9 AS VARCHAR)
+      |        || '.com/doc' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=mail'
+      |      WHEN 2 THEN 'Http://Www.Site' || CAST((doc_id // 4) % 9 AS VARCHAR)
+      |        || '.Com/doc' || CAST(doc_id // 4 AS VARCHAR) || '/#top'
+      |      ELSE 'http://www.site' || CAST((doc_id // 4) % 9 AS VARCHAR)
+      |        || '.com/doc' || CAST(doc_id // 4 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          replace(
+      |            regexp_replace(lower(url), '#.*$', ''),
+      |            ':80/', '/'),
+      |          'utm_[a-z]+=[a-z]+&', ''),
+      |        '[?&]utm_[a-z]+=[a-z]+$', ''),
+      |      '/$', '') AS canon
+      |  FROM raw),
+      |cl AS (SELECT canon, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS csize
+      |       FROM c GROUP BY canon)
+      |SELECT c.doc_id, c.url, c.canon, cl.keeper, cl.csize,
+      |       CAST(c.doc_id = cl.keeper AS INT) AS is_kept
+      |FROM c JOIN cl USING (canon)
+      |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_url_dedup" -> (d17UrlDedup _),
     "d16_template_dedup" -> (d16TemplateDedup _),
     "d15_soft_dedup" -> (d15SoftDedup _),
     "d14_bloom_decontam" -> (d14BloomDecontam _),
@@ -1446,6 +1540,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d17_url_dedup" -> d17Oracle,
     "d16_template_dedup" -> d16Oracle,
     "d15_soft_dedup" -> d15Oracle,
     "d14_bloom_decontam" -> d14Oracle,

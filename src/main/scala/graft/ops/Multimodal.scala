@@ -1775,7 +1775,242 @@ object Multimodal {
       |         (a, b) -> (a * 31 + b) % 2147483647) AS out_checksum
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- mm18: peak-normalization (gain) on the real-WAV seam ----------------
+
+  final case class MmGainStat(
+    doc_id: Long, n_samples: Int, peak: Int, new_peak: Int, out_checksum: Long)
+
+  /** Loudness/peak normalization — the gain pass every audio-pretraining
+    * pipeline runs before batching (quiet clips drown in the loss; hot
+    * clips clip): decode the planted WAV (generation 1), find the
+    * per-clip peak deviation from the 16-bit midpoint, rescale every
+    * sample to a 30 000-count target peak, re-encode + decode
+    * (generation 2), checksum. The rescale is all-integer with an
+    * explicit sign split — `sign(dev) · (|dev|·30000 DIV peak)` — so
+    * both engines divide non-negative operands and agree exactly
+    * (truncating vs flooring division only diverges below zero); WAV
+    * losslessness keeps the two-codec-generation oracle closed-form.
+    * By construction the max-|dev| sample lands on exactly 30 000
+    * (peak·30000 DIV peak), so `new_peak` is the contract the spec
+    * pins.
+    *
+    * Scale shape: mm16/mm17's — one mapPartitions codec leg, provider
+    * elected once per partition, per-clip peak found row-locally
+    * inside the same pass (no shuffle carries samples), narrow output.
+    */
+  private[ops] def gainStats(meta: DataFrame): Dataset[MmGainStat] = {
+    import meta.sparkSession.implicits._
+    meta.select("doc_id", "sample_rate", "n_samples").as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader.load(classOf[AudioFileWriter])
+          .asScala.find(_.isFileTypeSupported(wave))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+        val readers = java.util.ServiceLoader.load(classOf[AudioFileReader])
+          .asScala.toVector
+        var elected: AudioFileReader = null
+        def decode(bytes: Array[Byte], id: Long): javax.sound.sampled.AudioInputStream = {
+          if (elected != null)
+            return elected.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          readers.iterator.flatMap { r =>
+            try {
+              val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+              elected = r
+              Some(ais)
+            } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+          }.nextOption().getOrElse(sys.error(s"no provider decodes WAV for doc $id"))
+        }
+        def encodeWav(pcm: Array[Byte], rate: Int, n: Int): Array[Byte] = {
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            wave, bos)
+          bos.toByteArray
+        }
+        it.map { case (id, rate, n) =>
+          val pcm = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = plantPcm(id, i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          // generation 1: real encode + decode
+          val back = decode(encodeWav(pcm, rate, n), id).readAllBytes()
+          require(back.length == 2 * n, s"gen-1 decode lost samples for doc $id")
+          def sampleAt(k: Int): Int = {
+            val lo = back(2 * k) & 0xff
+            val hi = back(2 * k + 1)
+            (hi << 8) | lo
+          }
+          var peak = 0
+          i = 0
+          while (i < n) {
+            val a = math.abs(sampleAt(i)); if (a > peak) peak = a
+            i += 1
+          }
+          require(peak > 0, s"degenerate all-silence clip for doc $id")
+          val pcm2 = new Array[Byte](2 * n)
+          var newPeak = 0
+          i = 0
+          while (i < n) {
+            val dev = sampleAt(i)
+            val mag = (math.abs(dev) * 30000) / peak // non-negative ÷ positive
+            val s2 = if (dev < 0) -mag else mag
+            if (mag > newPeak) newPeak = mag
+            pcm2(2 * i) = (s2 & 0xff).toByte
+            pcm2(2 * i + 1) = ((s2 >> 8) & 0xff).toByte
+            i += 1
+          }
+          // generation 2: re-encode the normalized PCM, decode, checksum
+          val back2 = decode(encodeWav(pcm2, rate, n), id).readAllBytes()
+          require(back2.length == 2 * n, s"gen-2 decode lost samples for doc $id")
+          var sum = 0L
+          i = 0
+          while (i < n) {
+            val lo = back2(2 * i) & 0xff
+            val hi = back2(2 * i + 1)
+            sum = (sum * 31 + (((hi << 8) | lo) + 32768)) % 2147483647L
+            i += 1
+          }
+          MmGainStat(id, n, peak, newPeak, sum)
+        }
+      }
+  }
+
+  private def mm18Gain(s: SparkSession, d: String): DataFrame = {
+    val meta = assets(s, d).toDF().filter(col("modality") === "audio")
+      .select(col("doc_id"), col("sample_rate"),
+        (lit(400) + (col("doc_id") % 5) * 80).cast("int").as("n_samples"))
+    gainStats(meta).toDF().orderBy("doc_id")
+  }
+
+  private val mm18Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(400 + (doc_id % 5) * 80 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |dev AS (
+      |  SELECT doc_id, n,
+      |         list_transform(generate_series(0, n - 1),
+      |           i -> ((doc_id * 31 + i * 7) % 65536) - 32768) AS ds
+      |  FROM m),
+      |pk AS (
+      |  SELECT doc_id, n, ds,
+      |         list_max(list_transform(ds, x -> abs(x))) AS peak
+      |  FROM dev)
+      |SELECT doc_id, n AS n_samples, CAST(peak AS INT) AS peak,
+      |       CAST(list_max(list_transform(ds,
+      |         x -> (abs(x) * 30000) // peak)) AS INT) AS new_peak,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(ds,
+      |           x -> CASE WHEN x < 0 THEN -((abs(x) * 30000) // peak)
+      |                     ELSE (abs(x) * 30000) // peak END + 32768)),
+      |         (a, b) -> (a * 31 + b) % 2147483647) AS out_checksum
+      |FROM pk ORDER BY doc_id""".stripMargin
+
+  // ---- mm19: windowed energy profile over real decoded audio ---------------
+
+  final case class MmEnergyStat(doc_id: Long, win_id: Int, n_win: Int, energy: Long)
+
+  /** Short-time energy — the feature every voice-activity detector and
+    * silence trimmer consumes (the precursor to spectral features that
+    * need an FFT): decode the planted WAV through a real codec
+    * generation, then emit one row per non-overlapping 100-sample
+    * window with the window's sum of squared deviations from the
+    * midpoint. All-integer (squares of 16-bit deviations sum to
+    * < 2³⁷ per window) and fan-out-shaped: the operator's OUTPUT is
+    * per-window rows, the feature-frame layout downstream models
+    * batch on.
+    *
+    * Scale shape: one mapPartitions codec leg (provider elected per
+    * partition, the mm16 discipline) that flatMaps windows inside the
+    * row — the fan-out never crosses an exchange; output is narrow
+    * integers ordered by the gate contract.
+    */
+  private[ops] def energyStats(meta: DataFrame): Dataset[MmEnergyStat] = {
+    import meta.sparkSession.implicits._
+    meta.select("doc_id", "sample_rate", "n_samples").as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader.load(classOf[AudioFileWriter])
+          .asScala.find(_.isFileTypeSupported(wave))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+        val readers = java.util.ServiceLoader.load(classOf[AudioFileReader])
+          .asScala.toVector
+        var elected: AudioFileReader = null
+        def decode(bytes: Array[Byte], id: Long): Array[Byte] = {
+          def via(r: AudioFileReader) =
+            r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)).readAllBytes()
+          if (elected != null) return via(elected)
+          readers.iterator.flatMap { r =>
+            try { val out = via(r); elected = r; Some(out) }
+            catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+          }.nextOption().getOrElse(sys.error(s"no provider decodes WAV for doc $id"))
+        }
+        it.flatMap { case (id, rate, n) =>
+          val pcm = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = plantPcm(id, i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            wave, bos)
+          val back = decode(bos.toByteArray, id)
+          require(back.length == 2 * n, s"decode lost samples for doc $id")
+          val win = 100
+          (0 until n / win).map { w =>
+            var e = 0L
+            var k = w * win
+            while (k < (w + 1) * win) {
+              val lo = back(2 * k) & 0xff
+              val hi = back(2 * k + 1)
+              val dev = (hi << 8) | lo
+              e += dev.toLong * dev
+              k += 1
+            }
+            MmEnergyStat(id, w, win, e)
+          }
+        }
+      }
+  }
+
+  private def mm19Energy(s: SparkSession, d: String): DataFrame = {
+    val meta = assets(s, d).toDF().filter(col("modality") === "audio")
+      .select(col("doc_id"), col("sample_rate"),
+        (lit(400) + (col("doc_id") % 5) * 80).cast("int").as("n_samples"))
+    energyStats(meta).toDF().orderBy("doc_id", "win_id")
+  }
+
+  private val mm19Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(400 + (doc_id % 5) * 80 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |wins AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, n // 100 - 1)) AS win_id
+      |  FROM m)
+      |SELECT doc_id, CAST(win_id AS INT) AS win_id, 100 AS n_win,
+      |       CAST(list_sum(list_transform(generate_series(win_id * 100, win_id * 100 + 99),
+      |         i -> CAST(((doc_id * 31 + i * 7) % 65536) - 32768 AS BIGINT)
+      |            * (((doc_id * 31 + i * 7) % 65536) - 32768))) AS BIGINT) AS energy
+      |FROM wins ORDER BY doc_id, win_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm19_energy" -> (mm19Energy _),
+    "mm18_gain" -> (mm18Gain _),
     "mm17_resample" -> (mm17Resample _),
     "mm16_real_audio" -> (mm16RealAudio _),
     "mm15_jpeg" -> (mm15Jpeg _),
@@ -1817,6 +2052,8 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm19_energy" -> mm19Oracle,
+    "mm18_gain" -> mm18Oracle,
     "mm17_resample" -> mm17Oracle,
     "mm16_real_audio" -> mm16Oracle,
     "mm15_jpeg" -> mm15Oracle,

@@ -1627,7 +1627,72 @@ object Pipeline {
        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM documents""".stripMargin
 
+  // ---- p15: dataset card -----------------------------------------------------
+
+  /** The dataset card — the per-source manifest every published
+    * training corpus ships (and every ingest review asks for first):
+    * row and character volumes, exact-duplicate accounting, language
+    * mix, and the short-document tail, one row per source. Re-ingest
+    * pressure is made visible the same way d1 plants it (the first 10
+    * docs replayed under shifted ids), so the duplicate columns are
+    * provably non-vacuous: the replayed sources carry dups, the rest
+    * must report zero.
+    *
+    * Scale shape: ONE scan into one source-keyed rollup. The unique-
+    * content count groups on the engine-shared md5 digest (d1's key —
+    * raw text never keys the exchange); Spark plans the distinct-
+    * aggregate as the standard two-phase expand, still keyed on
+    * (source, digest). Ratios are integer per-mille.
+    */
+  private def p15DataCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+    val replayed = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"), col("lang"), col("n_chars"), col("text"))
+    docs.union(replayed)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum((col("lang") === "en").cast("long")).as("n_en"),
+        sum((col("n_chars") < 200).cast("long")).as("n_short"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("total_chars DIV n_docs").as("mean_chars"),
+        (col("n_docs") - col("n_unique")).as("n_exact_dups"),
+        col("n_langs"),
+        expr("(n_en * 1000) DIV n_docs").as("en_pm"),
+        expr("(n_short * 1000) DIV n_docs").as("short_pm"))
+      .orderBy("source")
+  }
+
+  private val p15Oracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, source, lang, n_chars, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, lang, n_chars, text
+      |  FROM documents WHERE doc_id < 10),
+      |card AS (
+      |  SELECT source,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |         CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |  FROM all_docs GROUP BY source)
+      |SELECT source, n_docs, total_chars,
+      |       total_chars // n_docs AS mean_chars,
+      |       n_docs - n_unique AS n_exact_dups,
+      |       n_langs,
+      |       (n_en * 1000) // n_docs AS en_pm,
+      |       (n_short * 1000) // n_docs AS short_pm
+      |FROM card ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_data_card" -> (p15DataCard _),
     "p14_jsonl_ingest" -> (p14JsonlIngest _),
     "p13_mixture_sample" -> (p13MixtureSample _),
     "p12_e2e_protocol" -> (p12E2eProtocol _),
@@ -1645,6 +1710,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p15_data_card" -> p15Oracle,
     "p14_jsonl_ingest" -> p14Oracle,
     "p13_mixture_sample" -> p13Oracle,
     "p12_e2e_protocol" -> p12Oracle,

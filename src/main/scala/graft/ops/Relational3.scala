@@ -1272,7 +1272,78 @@ object Relational3 {
       |FROM dense LEFT JOIN monthly USING (custkey, month_id)
       |ORDER BY custkey, month_id""".stripMargin
 
+  // ---- q57: interval-concurrency sweep --------------------------------------
+
+  /** Orders-in-flight concurrency profile — the interval SWEEP
+    * primitive (how many intervals cover each point in time) that
+    * q22's range JOIN doesn't give you: an order is "open" from
+    * o_orderdate until its last lineitem ships; report, per day the
+    * population changes, how many open, how many close, and the
+    * running count of concurrently open orders. The classic naive
+    * form — self-join intervals against points, or a global sort of
+    * ±1 events — is quadratic or single-partition at 100 TB. The
+    * sweep decomposes: boundary deltas aggregate per DAY first (one
+    * corpus exchange on a ~10³-value bounded key, map-side combined),
+    * then the running sum is a window over the date rollup — a
+    * calendar-sized frame, not the corpus (t45's bounded-rollup
+    * discipline applied to interval algebra).
+    *
+    * Scale shape: one orderkey-keyed rollup + join to derive the
+    * spans (AQE picks the co-partitioned SMJ), two date-keyed
+    * rollups, one window over ≤ calendar rows. Nothing corpus-sized
+    * ever sorts.
+    */
+  private def q57Concurrency(s: SparkSession, d: String): DataFrame = {
+    val close = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+    // dirty-data sanitization: the fixture (like any real feed) has
+    // orders whose lineitems all shipped BEFORE the order date; an
+    // inverted interval would send the sweep transiently negative, so
+    // every span is normalized to [least, greatest] of its two bounds.
+    // Orders with no lineitems have no span (inner join, both engines).
+    val spans = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), to_date(col("o_orderdate")).as("od"))
+      .join(close, Seq("okey"))
+      .select(least(col("od"), col("close_d")).as("open_d"),
+        greatest(col("od"), col("close_d")).as("close_d"))
+    val starts = spans.groupBy(col("open_d").as("day")).agg(count(lit(1)).as("n_open"))
+    val ends = spans.groupBy(date_add(col("close_d"), 1).as("day"))
+      .agg(count(lit(1)).as("n_close"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.join(ends, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"))
+      .withColumn("in_flight", sum(col("n_open") - col("n_close")).over(w))
+      .orderBy("day")
+  }
+
+  private val q57Oracle: String =
+    """WITH close AS (
+      |  SELECT l_orderkey AS okey, max(CAST(l_shipdate AS DATE)) AS close_d
+      |  FROM lineitem GROUP BY 1),
+      |spans AS (
+      |  SELECT least(CAST(o.o_orderdate AS DATE), c.close_d) AS open_d,
+      |         greatest(CAST(o.o_orderdate AS DATE), c.close_d) AS close_d
+      |  FROM orders o JOIN close c ON o.o_orderkey = c.okey),
+      |starts AS (SELECT open_d AS day, CAST(count(*) AS BIGINT) AS n_open
+      |           FROM spans GROUP BY 1),
+      |ends AS (SELECT close_d + 1 AS day, CAST(count(*) AS BIGINT) AS n_close
+      |         FROM spans GROUP BY 1)
+      |SELECT day,
+      |       COALESCE(n_open, 0) AS n_open,
+      |       COALESCE(n_close, 0) AS n_close,
+      |       CAST(sum(COALESCE(n_open, 0) - COALESCE(n_close, 0))
+      |         OVER (ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS in_flight
+      |FROM starts FULL OUTER JOIN ends USING (day)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_concurrency" -> (q57Concurrency _),
     "q56_gap_fill" -> (q56GapFill _),
     "q55_dq_audit" -> (q55DqAudit _),
     "q54_pagerank" -> (q54PageRank _),
@@ -1301,6 +1372,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_concurrency" -> q57Oracle,
     "q56_gap_fill" -> q56Oracle,
     "q55_dq_audit" -> q55Oracle,
     "q54_pagerank" -> q54Oracle,

@@ -2879,7 +2879,89 @@ object Similarity {
        |  FROM ex) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- s26: triplet mining (hardest positive / hardest negative) -----------
+
+  /** Hard-example mining for contrastive training — the pass that
+    * turns an embedding table into triplet batches: for each anchor,
+    * the hardest POSITIVE (most-similar same-label vector — the one
+    * the loss must keep close), the hardest NEGATIVE (most-similar
+    * other-label vector — the imposter), the count of SEMI-HARD
+    * negatives (closer than the hardest positive — each one a
+    * violated margin), and whether the anchor's margin is violated
+    * outright. FaceNet-style mining expressed declaratively: one
+    * scored scan, one window, no pair materialization beyond the
+    * anchor fan-out.
+    *
+    * Scale shape: the anchor table broadcasts under the corpus scan
+    * (the corpus never shuffles to be scored — s1's discipline); the
+    * hardest-example election is one window keyed (qid, is_pos); the
+    * semi-hard count re-joins the ≤|anchors|-row positive table back
+    * as a broadcast. Exchanges carry qid integers only.
+    */
+  private def s26TripletMining(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val anchors = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val scored = all
+      .filter(col("vec_id") >= 8)
+      .join(broadcast(anchors))
+      .select(col("qid"), col("qlabel"), col("vec_id"),
+        (col("label") === col("qlabel")).cast("int").as("is_pos"),
+        VectorFunctions.cosine_similarity(col("qv"), col("v")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("is_pos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val best = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val hp = best.filter(col("is_pos") === 1)
+      .select(col("qid"), col("qlabel"), col("vec_id").as("hp_id"), col("cos").as("hp_cos"))
+    val hn = best.filter(col("is_pos") === 0)
+      .select(col("qid"), col("vec_id").as("hn_id"), col("cos").as("hn_cos"))
+    val semi = scored.filter(col("is_pos") === 0)
+      .join(broadcast(hp.select(col("qid"), col("hp_cos"))), Seq("qid"))
+      .filter(col("cos") > col("hp_cos"))
+      .groupBy("qid").agg(count(lit(1)).as("n_semihard"))
+    hp.join(hn, Seq("qid"))
+      .join(semi, Seq("qid"), "left")
+      .select(col("qid"), col("qlabel"),
+        col("hp_id"), col("hp_cos"), col("hn_id"), col("hn_cos"),
+        coalesce(col("n_semihard"), lit(0L)).as("n_semihard"),
+        (col("hn_cos") > col("hp_cos")).cast("int").as("margin_violated"))
+      .orderBy("qid")
+  }
+
+  private val s26Oracle: String =
+    """WITH a AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |      FROM embeddings WHERE vec_id >= 8),
+      |scored AS (
+      |  SELECT a.qid, a.qlabel, c.vec_id,
+      |         CAST(c.label = a.qlabel AS INT) AS is_pos,
+      |         list_cosine_similarity(a.qv, c.v) AS cos
+      |  FROM a, c),
+      |best AS (
+      |  SELECT * FROM (
+      |    SELECT qid, qlabel, vec_id, is_pos, cos,
+      |           row_number() OVER (PARTITION BY qid, is_pos
+      |             ORDER BY cos DESC, vec_id) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |hp AS (SELECT qid, qlabel, vec_id AS hp_id, cos AS hp_cos FROM best WHERE is_pos = 1),
+      |hn AS (SELECT qid, vec_id AS hn_id, cos AS hn_cos FROM best WHERE is_pos = 0),
+      |sh AS (
+      |  SELECT s.qid, CAST(count(*) AS BIGINT) AS n_semihard
+      |  FROM scored s JOIN hp ON s.qid = hp.qid
+      |  WHERE s.is_pos = 0 AND s.cos > hp.hp_cos
+      |  GROUP BY s.qid)
+      |SELECT hp.qid, hp.qlabel, hp.hp_id, hp.hp_cos, hn.hn_id, hn.hn_cos,
+      |       COALESCE(sh.n_semihard, 0) AS n_semihard,
+      |       CAST(hn.hn_cos > hp.hp_cos AS INT) AS margin_violated
+      |FROM hp JOIN hn USING (qid) LEFT JOIN sh USING (qid)
+      |ORDER BY hp.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_triplet_mining" -> (s26TripletMining _),
     "s25_ivf_pq_funnel" -> (s25IvfPqFunnel _),
     "s24_ivf_rebalance" -> (s24IvfRebalance _),
     "s23_radius_search" -> (s23RadiusSearch _),
@@ -2908,6 +2990,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s26_triplet_mining" -> s26Oracle,
     "s25_ivf_pq_funnel" -> s25Oracle,
     "s24_ivf_rebalance" -> s24Oracle,
     "s23_radius_search" -> s23Oracle,

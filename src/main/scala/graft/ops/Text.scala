@@ -1435,7 +1435,133 @@ object Text {
       |FROM dev JOIN mad USING (source)
       |ORDER BY dev.doc_id""".stripMargin
 
+  // ---- t46: PMI-ranked collocation mining -----------------------------------
+
+  /** Collocation extraction — the phrase-mining pass tokenizer and
+    * vocabulary pipelines run before merge learning (t40 learns
+    * merges bottom-up; this surfaces the word PAIRS whose cohesion
+    * justifies multi-word tokens): rank every bigram type by
+    * pointwise mutual information, `PMI = log(N·c(ab) / (c(a)·c(b)))`.
+    * log is monotone, so the RANKING needs only the ratio — scored
+    * here all-integer as `((c_ab·10⁶) DIV c_a) · N DIV c_b` (no libm,
+    * no doubles to diverge on; `c_ab ≤ c_a` bounds the first quotient
+    * by 10⁶, so the product stays under 10⁶·N ≪ 2⁶³). A min-support
+    * floor (c_ab ≥ 5) drops the hapax pairs PMI notoriously inflates.
+    *
+    * Scale shape: two corpus exchanges (word-keyed unigram rollup,
+    * bigram-keyed pair rollup), both map-side combined; everything
+    * after is MODEL-sized — the unigram and surviving-bigram tables
+    * are vocabulary-bounded (Heaps' law), their joins key on words,
+    * the corpus total is one broadcast scalar, and the top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  private def t46Collocations(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(wordsCol(col("text"))).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum(col("c")).as("n_words"))
+    val bg = Tables.documents(s, d)
+      .select(wordsCol(col("text")).as("ws"))
+      .select(explode(expr(
+        """CASE WHEN size(ws) >= 2 THEN
+          |  transform(sequence(1, size(ws) - 1), i ->
+          |    concat(element_at(ws, CAST(i AS INT)), ' ',
+          |           element_at(ws, CAST(i AS INT) + 1)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_words"),
+        expr("((c_ab * 1000000) DIV c_a) * n_words DIV c_b").as("pmi_score"))
+      .orderBy(col("pmi_score").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val t46Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+       |u AS (SELECT unnest(ws) AS w FROM w),
+       |uni AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_words FROM uni),
+       |bg0 AS (
+       |  SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+       |                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+       |  FROM w),
+       |bg AS (SELECT bg, count(*) AS c_ab FROM bg0 GROUP BY bg HAVING count(*) >= 5)
+       |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+       |       CAST(c_ab AS BIGINT) AS c_ab,
+       |       CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b,
+       |       n.n_words,
+       |       ((c_ab * 1000000) // a.c) * n.n_words // b.c AS pmi_score
+       |FROM bg
+       |JOIN uni a ON string_split(bg, ' ')[1] = a.w
+       |JOIN uni b ON string_split(bg, ' ')[2] = b.w
+       |CROSS JOIN n
+       |ORDER BY pmi_score DESC, w1, w2
+       |LIMIT 100""".stripMargin
+  }
+
+  // ---- t47: lexicon blocklist filter (unigrams + phrases) -------------------
+
+  /** Safety-lexicon filtering — the C4-style "badwords" gate every
+    * public pretraining corpus passes through, with the part naive
+    * token matching misses: MULTI-TOKEN phrases. A document's blocked
+    * mass is its unigram hits plus (tokens covered by) phrase hits;
+    * the per-mille ratio against its length decides the flag, so a
+    * long document mentioning a blocked term once survives while a
+    * concentrated one is dropped — ratio, not presence, is what the
+    * production filters actually gate on.
+    *
+    * Scale shape: entirely row-local — the lexicon compiles into the
+    * projection (unigram membership + a positional phrase scan as
+    * higher-order array functions), so a 100 TB corpus runs map-only
+    * with zero exchanges; the output orderBy is the gate contract,
+    * not the algorithm. A growing real-world lexicon would broadcast
+    * instead of inlining — same topology.
+    */
+  private def t47Blocklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), wordsCol(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).as("n_tokens"),
+        expr("size(filter(ws, x -> x IN ('scan', 'merge')))").as("n_uni"),
+        expr(
+          """CASE WHEN size(ws) >= 2 THEN
+            |  size(filter(sequence(1, size(ws) - 1), i ->
+            |    element_at(ws, CAST(i AS INT)) = 'sort' AND
+            |    element_at(ws, CAST(i AS INT) + 1) = 'key'))
+            |ELSE 0 END""".stripMargin).as("n_phrase"))
+      .withColumn("blocked_tokens", col("n_uni") + col("n_phrase") * 2)
+      .withColumn("ratio_pm",
+        expr("CAST((blocked_tokens * 1000) DIV greatest(n_tokens, 1) AS INT)"))
+      .withColumn("is_blocked", (col("ratio_pm") > 80).cast("int"))
+      .orderBy("doc_id")
+
+  private val t47Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH w AS (SELECT doc_id, source, $ws AS ws FROM documents),
+       |per AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(ws) AS INT) AS n_tokens,
+       |         CAST(len(list_filter(ws, x -> x IN ('scan', 'merge'))) AS INT) AS n_uni,
+       |         CAST(len(list_filter(generate_series(1, greatest(len(ws) - 1, 0)),
+       |           i -> ws[i] = 'sort' AND ws[i + 1] = 'key')) AS INT) AS n_phrase
+       |  FROM w)
+       |SELECT doc_id, source, n_tokens, n_uni, n_phrase,
+       |       CAST(n_uni + n_phrase * 2 AS INT) AS blocked_tokens,
+       |       CAST((n_uni + n_phrase * 2) * 1000 // greatest(n_tokens, 1) AS INT) AS ratio_pm,
+       |       CAST((n_uni + n_phrase * 2) * 1000 // greatest(n_tokens, 1) > 80 AS INT) AS is_blocked
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t47_blocklist" -> (t47Blocklist _),
+    "t46_collocations" -> (t46Collocations _),
     "t45_mad_outliers" -> (t45MadOutliers _),
     "t44_dsir" -> (t44Dsir _),
     "t42_bpe_decode" -> (t42BpeDecode _),
@@ -1729,6 +1855,8 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t47_blocklist" -> t47Oracle,
+    "t46_collocations" -> t46Oracle,
     "t45_mad_outliers" -> t45Oracle,
     "t44_dsir" -> t44Oracle,
     "t42_bpe_decode" -> t42Oracle,

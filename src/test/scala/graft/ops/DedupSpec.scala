@@ -360,4 +360,34 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[String]("tmpl_key")).distinct.length == rows.length)
   }
+
+  test("d17: canonicalization folds the four planted spellings to the two true pages") {
+    val rows = graft.SparkEntry.queries("d17_url_dedup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("url"), r.getAs[String]("canon"),
+        r.getAs[Long]("keeper"), r.getAs[Long]("csize"), r.getAs[Int]("is_kept")))
+    assert(rows.nonEmpty)
+    // independent reference: the EXPECTED canonical form written out by
+    // hand from the grammar — not by re-running the normalization chain
+    def expectedCanon(id: Long): String = {
+      val page = id / 4
+      val base = s"http://www.site${page % 9}.com/doc$page"
+      if (id % 4 <= 1) s"$base?id=$page" else base
+    }
+    val byCanon = rows.groupBy(_._3)
+    for ((id, url, canon, keeper, csize, kept) <- rows) {
+      assert(canon == expectedCanon(id), s"canon drifted for doc $id: $url -> $canon")
+      val members = byCanon(canon).map(_._1)
+      assert(keeper == members.min, s"keeper must be the min doc_id of the cluster")
+      assert(csize == members.length.toLong)
+      assert((kept == 1) == (id == keeper))
+    }
+    // every canonical cluster pairs exactly two raw spellings (the
+    // fixture plants utm/clean and fragment/clean pairs), so URL dedup
+    // halves the corpus — the crawl-shaped expectation
+    assert(byCanon.values.forall(_.length == 2), "every planted cluster has exactly 2 members")
+    assert(rows.count(_._6 == 1) * 2 == rows.length)
+    // the raw spellings really differ within a cluster (the pass isn't
+    // deduping byte-identical strings)
+    assert(byCanon.values.forall(g => g.map(_._2).distinct.length == g.length))
+  }
 }

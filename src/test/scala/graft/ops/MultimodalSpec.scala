@@ -390,4 +390,35 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sum == want, s"resampled checksum drifted for doc $id")
     }
   }
+
+  test("mm18: peak normalization lands the max sample on exactly the target, codec-free fold agrees") {
+    val rows = Multimodal.queries("mm18_gain")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_samples"),
+        r.getAs[Int]("peak"), r.getAs[Int]("new_peak"), r.getAs[Long]("out_checksum")))
+    assert(rows.nonEmpty)
+    for ((id, n, peak, newPeak, sum) <- rows) {
+      // scalar reference: recompute the plant, its peak, and the
+      // sign-split rescale — two real WAV generations must be transparent
+      def dev(i: Int): Int = (((id * 31 + i * 7L) % 65536L) - 32768L).toInt
+      val wantPeak = (0 until n).map(i => math.abs(dev(i))).max
+      assert(peak == wantPeak, s"peak drifted for doc $id")
+      assert(newPeak == 30000,
+        s"the max-|dev| sample must land on exactly the 30000 target (doc $id)")
+      var want = 0L
+      var i = 0
+      while (i < n) {
+        val d = dev(i)
+        val mag = (math.abs(d) * 30000) / peak
+        val s2 = if (d < 0) -mag else mag
+        want = (want * 31 + (s2 + 32768)) % 2147483647L
+        i += 1
+      }
+      assert(sum == want, s"normalized checksum drifted for doc $id")
+    }
+    // the pass must actually change loudness in both directions somewhere,
+    // or it's a no-op: quiet clips amplified, hot clips attenuated
+    assert(rows.forall(r => r._3 > 0))
+    assert(rows.exists(_._3 < 30000) || rows.exists(_._3 > 30000),
+      "fixture must contain clips away from the target peak")
+  }
 }

@@ -281,4 +281,34 @@ class TextSpec extends AnyFunSuite {
     assert(flagged > 0, "fixture must contain at least one length outlier")
     assert(flagged < rows.length / 10, "MAD must not flag a tenth of the corpus")
   }
+
+  test("t46: integer PMI ranking equals the scalar reference and orders by true association") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("t46_collocations")(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("c_ab"),
+        r.getAs[Long]("c_a"), r.getAs[Long]("c_b"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("pmi_score")))
+    assert(rows.nonEmpty)
+    // scalar reference: recount everything from the raw text
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val wordsPerDoc = texts.map(_.trim.split(" ").filter(_.nonEmpty).toSeq)
+    val uni = wordsPerDoc.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val bg = wordsPerDoc.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wantAll = bg.filter(_._2 >= 5).toSeq.map { case ((a, b), cab) =>
+      (a, b, cab, uni(a), uni(b), n, ((cab * 1000000L) / uni(a)) * n / uni(b))
+    }
+    val want = wantAll.sortBy { case (a, b, _, _, _, _, s) => (-s, a, b) }.take(100)
+    assert(rows.toSeq == want, "top-100 collocations must equal the scalar reference exactly")
+    // the score must rank by true association: the top entry's
+    // observed/expected ratio (as a rational) dominates the bottom's —
+    // cross-multiplied so the check stays integer-exact
+    val top = rows.head; val bot = rows.last
+    assert(top._3 * n * bot._4 * bot._5 >= bot._3 * n * top._4 * top._5,
+      "PMI order must follow the exact rational observed/expected ratio")
+    // min-support floor: nothing below 5 may appear
+    assert(rows.forall(_._3 >= 5))
+  }
 }
