@@ -2008,7 +2008,81 @@ object Multimodal {
       |            * (((doc_id * 31 + i * 7) % 65536) - 32768))) AS BIGINT) AS energy
       |FROM wins ORDER BY doc_id, win_id""".stripMargin
 
+  // ---- mm20: voice-activity segmentation over the energy profile -----------
+
+  /** Voice-activity detection — the segmentation pass speech corpora
+    * run before transcription batching: threshold mm19's short-time
+    * energy at the clip's own EXACT lower median (adaptive per clip,
+    * the way real VADs normalize against the clip's noise floor) and
+    * merge consecutive above-threshold windows into speech segments
+    * via the gaps-and-islands decomposition (`win_id − row_number`
+    * island keys). One row per segment with its span and energy mass.
+    *
+    * Scale shape: the codec leg is mm19's single mapPartitions; every
+    * window after it is PARTITIONED BY doc_id (a clip's window count
+    * is duration-bounded — never a global sort); the median is the
+    * k-th smallest by count, no interpolation to diverge on. The
+    * segment rollup keys on (doc_id, island) — integers only.
+    */
+  private def mm20Vad(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = assets(s, d).toDF().filter(col("modality") === "audio")
+      .select(col("doc_id"), col("sample_rate"),
+        (lit(400) + (col("doc_id") % 5) * 80).cast("int").as("n_samples"))
+    val e = energyStats(meta).toDF()
+    val wMed = Window.partitionBy(col("doc_id")).orderBy(col("energy"), col("win_id"))
+    val med = e
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n_w", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") === expr("(n_w + 1) DIV 2"))
+      .select(col("doc_id"), col("energy").as("med_energy"))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("win_id"))
+    e.join(med, Seq("doc_id"))
+      .filter(col("energy") > col("med_energy"))
+      .withColumn("isl", col("win_id") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("win_id")).as("seg_start"),
+        max(col("win_id")).as("seg_end"),
+        count(lit(1)).as("n_wins"),
+        sum(col("energy")).as("seg_energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_wins", "seg_energy")
+      .orderBy("doc_id", "seg_start")
+  }
+
+  private val mm20Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(400 + (doc_id % 5) * 80 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |wins AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, n // 100 - 1)) AS win_id
+      |  FROM m),
+      |e AS (
+      |  SELECT doc_id, CAST(win_id AS INT) AS win_id,
+      |         CAST(list_sum(list_transform(generate_series(win_id * 100, win_id * 100 + 99),
+      |           i -> CAST(((doc_id * 31 + i * 7) % 65536) - 32768 AS BIGINT)
+      |              * (((doc_id * 31 + i * 7) % 65536) - 32768))) AS BIGINT) AS energy
+      |  FROM wins),
+      |med AS (
+      |  SELECT doc_id, energy AS med_energy FROM (
+      |    SELECT doc_id, energy,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY energy, win_id) AS rn,
+      |           count(*) OVER (PARTITION BY doc_id) AS n_w
+      |    FROM e) WHERE rn = (n_w + 1) // 2),
+      |sp AS (
+      |  SELECT e.doc_id, e.win_id, e.energy,
+      |         e.win_id - row_number() OVER (PARTITION BY e.doc_id ORDER BY e.win_id) AS isl
+      |  FROM e JOIN med ON e.doc_id = med.doc_id
+      |  WHERE e.energy > med.med_energy)
+      |SELECT doc_id,
+      |       CAST(min(win_id) AS INT) AS seg_start,
+      |       CAST(max(win_id) AS INT) AS seg_end,
+      |       CAST(count(*) AS BIGINT) AS n_wins,
+      |       CAST(sum(energy) AS BIGINT) AS seg_energy
+      |FROM sp GROUP BY doc_id, isl
+      |ORDER BY doc_id, seg_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm20_vad" -> (mm20Vad _),
     "mm19_energy" -> (mm19Energy _),
     "mm18_gain" -> (mm18Gain _),
     "mm17_resample" -> (mm17Resample _),
@@ -2052,6 +2126,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm20_vad" -> mm20Oracle,
     "mm19_energy" -> mm19Oracle,
     "mm18_gain" -> mm18Oracle,
     "mm17_resample" -> mm17Oracle,

@@ -2960,7 +2960,79 @@ object Similarity {
       |FROM hp JOIN hn USING (qid) LEFT JOIN sh USING (qid)
       |ORDER BY hp.qid""".stripMargin
 
+  // ---- s27: matryoshka truncation evaluation --------------------------------
+
+  /** Matryoshka (MRL) truncation evaluation — the dimension-budget
+    * curve an embedding deployment reads before shipping truncated
+    * vectors (half the dims = half the index bytes and twice the ANN
+    * throughput, IF recall holds): for each prefix width d ∈ {8, 16,
+    * 32, 64}, the top-10 by truncated cosine per query versus the
+    * full-width ground truth, reported per (dim, qid) as hits-in-10.
+    * The dim=64 row is the built-in sanity anchor (it IS the truth, so
+    * n_hit = 10 by construction — the spec pins it).
+    *
+    * Scale shape: the corpus is scanned ONCE under the broadcast
+    * query sample (s1's discipline — the corpus never shuffles to be
+    * scored); the 4 widths fan out row-locally from the same scored
+    * pair via a dims-array explode, so adding a width costs zero
+    * extra scans; the rank windows and the hit rollup key on
+    * (dim, qid) — bounded integers, never vectors.
+    */
+  private def s27MrlEval(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val qs = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = all.filter(col("vec_id") >= 8)
+      .join(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        explode(array(lit(8), lit(16), lit(32), lit(64))).as("dim"),
+        col("qv"), col("v"))
+      .select(col("qid"), col("vec_id"), col("dim"),
+        VectorFunctions.cosine_similarity(
+          expr("slice(qv, 1, dim)"), expr("slice(v, 1, dim)")).as("cos"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dim"), col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = scored
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+      .select("dim", "qid", "vec_id")
+    val truth = top.filter(col("dim") === 64)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    // left join, not semi: a width whose top-10 misses the truth
+    // ENTIRELY must still report its zero — every (dim, qid) cell has
+    // exactly 10 left rows, so the grid is complete by construction
+    top.join(truth, Seq("qid", "vec_id"), "left")
+      .groupBy("dim", "qid").agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("dim"), col("qid"), col("n_hit"),
+        expr("(n_hit * 100) DIV 10").as("recall_pct"))
+      .orderBy("dim", "qid")
+  }
+
+  private val s27Oracle: String =
+    """WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |      FROM embeddings WHERE vec_id >= 8),
+      |scored AS (
+      |  SELECT a.qid, c.vec_id, dim,
+      |         list_cosine_similarity(a.qv[1:dim], c.v[1:dim]) AS cos
+      |  FROM a, c, (SELECT unnest([8, 16, 32, 64]) AS dim)),
+      |top AS (
+      |  SELECT dim, qid, vec_id FROM (
+      |    SELECT dim, qid, vec_id,
+      |           row_number() OVER (PARTITION BY dim, qid
+      |             ORDER BY cos DESC, vec_id) AS rnk
+      |    FROM scored) WHERE rnk <= 10),
+      |truth AS (SELECT qid, vec_id, CAST(1 AS BIGINT) AS hit FROM top WHERE dim = 64)
+      |SELECT CAST(t.dim AS INTEGER) AS dim, t.qid,
+      |       CAST(sum(COALESCE(tr.hit, 0)) AS BIGINT) AS n_hit,
+      |       (CAST(sum(COALESCE(tr.hit, 0)) AS BIGINT) * 100) // 10 AS recall_pct
+      |FROM top t LEFT JOIN truth tr ON t.qid = tr.qid AND t.vec_id = tr.vec_id
+      |GROUP BY t.dim, t.qid
+      |ORDER BY t.dim, t.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_mrl_eval" -> (s27MrlEval _),
     "s26_triplet_mining" -> (s26TripletMining _),
     "s25_ivf_pq_funnel" -> (s25IvfPqFunnel _),
     "s24_ivf_rebalance" -> (s24IvfRebalance _),
@@ -2990,6 +3062,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s27_mrl_eval" -> s27Oracle,
     "s26_triplet_mining" -> s26Oracle,
     "s25_ivf_pq_funnel" -> s25Oracle,
     "s24_ivf_rebalance" -> s24Oracle,

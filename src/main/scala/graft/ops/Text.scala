@@ -1559,7 +1559,62 @@ object Text {
        |FROM per ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t48: tokenizer fertility by language ---------------------------------
+
+  /** Tokenizer fertility — the fairness metric every multilingual
+    * tokenizer evaluation reports (tokens emitted per word, by
+    * language): a language the vocabulary under-serves pays more
+    * tokens for the same text, which is training-budget skew the
+    * mixture planner (p11/t30) must see. Computed against the t40
+    * trained tokenizer's memoized artifact — production trains once
+    * and evaluates everywhere; retraining per metric would re-pay the
+    * 24 driver-paced rounds for identical bits. Reported per lang:
+    * token/word fertility and chars-per-token compression, both
+    * integer per-mille.
+    *
+    * Scale shape: one corpus explode joined to the vocabulary-bounded
+    * word table (broadcastable — ≤ |vocab| rows), then a rollup on
+    * the ≤10¹-value lang key, map-side combined. The corpus exchange
+    * keys on lang only; word text crosses as the broadcast side.
+    */
+  private def t48Fertility(s: SparkSession, d: String): DataFrame = {
+    val vocab = bpeTrained(s, d)._2
+      .select(col("w"), size(col("syms")).as("n_tok"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(wordsCol(col("text"))).as("w"))
+      .filter(length(col("w")) <= BpeMaxWordLen)
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        expr("(1000 * n_bpe_tokens) DIV n_words").as("fertility_pm"),
+        expr("(1000 * n_chars) DIV n_bpe_tokens").as("chars_per_tok_pm"))
+      .orderBy("lang")
+  }
+
+  private val t48Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH $bpeChainSql,
+       |wt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM w$BpeRounds),
+       |docw AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, unnest($ws) AS w FROM documents)
+       |  WHERE len(w) <= $BpeMaxWordLen)
+       |SELECT d.lang,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(t.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |       (1000 * CAST(sum(t.n_tok) AS BIGINT)) // count(*) AS fertility_pm,
+       |       (1000 * CAST(sum(len(d.w)) AS BIGINT)) // CAST(sum(t.n_tok) AS BIGINT)
+       |         AS chars_per_tok_pm
+       |FROM docw d JOIN wt t ON t.w = d.w
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t48_fertility" -> (t48Fertility _),
     "t47_blocklist" -> (t47Blocklist _),
     "t46_collocations" -> (t46Collocations _),
     "t45_mad_outliers" -> (t45MadOutliers _),
@@ -1855,6 +1910,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t48_fertility" -> t48Oracle,
     "t47_blocklist" -> t47Oracle,
     "t46_collocations" -> t46Oracle,
     "t45_mad_outliers" -> t45Oracle,

@@ -421,4 +421,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.exists(_._3 < 30000) || rows.exists(_._3 > 30000),
       "fixture must contain clips away from the target peak")
   }
+
+  test("mm20: VAD segments match a scalar gaps-and-islands recompute from the plant") {
+    val got = Multimodal.queries("mm20_vad")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("seg_start"),
+        r.getAs[Int]("seg_end"), r.getAs[Long]("n_wins"), r.getAs[Long]("seg_energy")))
+    assert(got.nonEmpty)
+    // scalar reference: recompute every clip's window energies from
+    // the deterministic plant, take the exact lower median, and merge
+    // above-median runs by hand
+    val docs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).filter(_ % 3 == 1)
+    val want = docs.flatMap { id =>
+      val n = (400 + (id % 5) * 80).toInt
+      val energies = (0 until n / 100).map { w =>
+        (w * 100 until (w + 1) * 100).map { i =>
+          val dev = Multimodal.plantPcm(id, i).toLong; dev * dev
+        }.sum
+      }
+      val med = energies.sorted.apply((energies.length + 1) / 2 - 1)
+      val speech = energies.zipWithIndex.filter(_._1 > med)
+      // island merge: consecutive win_ids fold into one segment
+      speech.foldLeft(Vector.empty[(Int, Int, Long, Long)]) {
+        case (acc, (e, w)) if acc.nonEmpty && acc.last._2 == w - 1 =>
+          val l = acc.last
+          acc.init :+ ((l._1, w, l._3 + 1, l._4 + e))
+        case (acc, (e, w)) => acc :+ ((w, w, 1L, e))
+      }.map(seg => (id, seg._1, seg._2, seg._3, seg._4))
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      "segments must equal the scalar recompute exactly")
+    // structure: within a clip, segments are disjoint, ordered, and
+    // separated by at least one silent window (else they'd have merged)
+    got.groupBy(_._1).foreach { case (id, segs) =>
+      val ss = segs.sortBy(_._2)
+      ss.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3 + 1, s"segments touch in clip $id")
+        case _ =>
+      }
+      ss.foreach(sg => assert(sg._4 == (sg._3 - sg._2 + 1).toLong,
+        s"segment length bookkeeping broke in clip $id"))
+    }
+    // adaptivity: strictly-above-lower-median thresholds roughly halve
+    // each clip, so there must be both speech and silence everywhere
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    docs.foreach { id =>
+      val n = ((400 + (id % 5) * 80) / 100).toInt
+      val sp = byDoc.getOrElse(id, 0L)
+      assert(sp > 0 && sp < n, s"clip $id must contain both speech and silence")
+    }
+  }
 }

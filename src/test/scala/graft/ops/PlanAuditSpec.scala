@@ -1058,4 +1058,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_min") || plan.contains("partial_count"),
       "keeper election must partial-aggregate map-side")
   }
+
+  test("s27: the corpus never shuffles to be scored — queries broadcast, exchanges key on (dim, qid)") {
+    val plan = formatted("s27_mrl_eval")
+    assert(!plan.contains("CartesianProduct"), "unexpected CartesianProduct")
+    // the 8-row query sample rides a broadcast; the per-width fan-out
+    // is a row-local explode, so no exchange may carry a vector column
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(l.contains("qid#") || l.contains("dim#"),
+        s"exchange must key on qid/dim integers: $l")
+      assert(!l.contains("v#") && !l.contains("qv#") && !l.contains("embedding#"),
+        s"a vector column must never key an exchange: $l")
+    }
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the query sample must broadcast under the corpus scan")
+  }
+
+  test("t48: the vocabulary broadcasts; the only corpus exchange keys on lang") {
+    val plan = formatted("t48_fertility")
+    assert(!plan.contains("CartesianProduct"), "unexpected CartesianProduct")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded word table must broadcast")
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(l.contains("lang#"), s"corpus exchange must key on lang: $l")
+      assert(!l.contains("text#") && !l.contains("w#"),
+        s"word/document text must never key an exchange: $l")
+    }
+    assert(plan.contains("partial_count"),
+      "the lang rollup must partial-aggregate map-side")
+  }
 }

@@ -840,4 +840,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits.toDouble >= 0.8 * got.length,
       s"funnel recall vs s11: $hits/${got.length} — ADC shortlist too lossy")
   }
+
+  test("s27: truncation-recall grid equals a scalar brute force; 64 is the identity anchor") {
+    val got = Similarity.queries("s27_mrl_eval")(spark, sf).collect()
+      .map(r => ((r.getAs[Int]("dim"), r.getAs[Long]("qid")), r.getAs[Long]("n_hit"))).toMap
+    val all = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    val qs = all.filter(_._1 < 8)
+    val corpus = all.filter(_._1 >= 8)
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top10(q: Array[Double], d: Int): Set[Long] =
+      corpus.map { case (id, v) => (id, cos(q, v, d)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val dims = Seq(8, 16, 32, 64)
+    // grid completeness: every (dim, qid) cell reports, including zeros
+    assert(got.keySet == (for (d <- dims; q <- qs.map(_._1)) yield (d, q)).toSet)
+    for ((qid, qv) <- qs) {
+      val truth = top10(qv, 64)
+      for (d <- dims) {
+        val want = (top10(qv, d) & truth).size.toLong
+        assert(got((d, qid)) == want, s"hits drifted at dim=$d qid=$qid")
+      }
+      assert(got((64, qid)) == 10L, s"dim=64 must be its own truth for qid=$qid")
+    }
+    // the curve must show genuine truncation loss somewhere below 64
+    assert(dims.init.exists(d => qs.exists(q => got((d, q._1)) < 10L)),
+      "fixture shows no truncation loss - the evaluation is vacuous")
+  }
 }

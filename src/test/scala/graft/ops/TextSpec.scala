@@ -311,4 +311,38 @@ class TextSpec extends AnyFunSuite {
     // min-support floor: nothing below 5 may appear
     assert(rows.forall(_._3 >= 5))
   }
+
+  test("t48: per-lang fertility conserves against the per-doc t41 encode exactly") {
+    val got = Text.queries("t48_fertility")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("fertility_pm"), r.getAs[Long]("chars_per_tok_pm")))
+    assert(got.nonEmpty)
+    // independent weld: t41's per-doc rollup (its own oracle-gated
+    // output) summed by the document's lang must land on the SAME
+    // totals — the two queries share only the trained artifact, not
+    // the aggregation path
+    val langOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val perDoc = Text.queries("t41_bpe_encode")(spark, sf).collect()
+      .map(r => (langOf(r.getAs[Long]("doc_id")), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens")))
+    val byLang = perDoc.groupBy(_._1).map { case (l, rs) =>
+      l -> ((rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum))
+    }
+    assert(got.map(_._1).toSet == byLang.keySet, "lang coverage must match")
+    for ((lang, nw, nc, nt, fert, cpt) <- got) {
+      val (ww, cc, tt) = byLang(lang)
+      assert((nw, nc, nt) == (ww, cc, tt), s"totals drifted for lang $lang")
+      // every word is >= 1 token and <= chars+1 tokens (untrained worst case)
+      assert(nt >= nw && nt <= nc + nw, s"token mass out of bounds for $lang")
+      assert(fert == 1000L * nt / nw && fert >= 1000L, s"fertility wrong for $lang")
+      assert(cpt == 1000L * nc / nt, s"compression wrong for $lang")
+    }
+    // the metric must discriminate: training on the corpus mix leaves
+    // languages with genuinely different merge coverage
+    assert(got.map(_._5).distinct.length > 1,
+      "fixture must show fertility differences across languages")
+  }
 }
