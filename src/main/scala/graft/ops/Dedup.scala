@@ -308,7 +308,11 @@ object Dedup {
     sig.select(col("doc_id"), bandCol.as("band"))
   }
 
-  private def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** The verified near-dup pair table (d3's candidate-join + exact
+    * Jaccard gate), eagerly materialized — shared by the d3 gate and
+    * the d18 provenance rollup so the pair semantics cannot diverge.
+    */
+  private[ops] def d3VerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val shs = shingleSetDF(s, d).persist()
     val banded = minhashBands(shs)
     val cands = banded.as("a")
@@ -326,7 +330,6 @@ object Dedup {
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
-      .orderBy("id_a", "id_b")
       // eager-materialize the (tiny) result while the shingle cache is
       // hot, then RELEASE the cache: the operator owns its persist()
       // lifecycle instead of leaking blocks into a long-lived session
@@ -334,6 +337,9 @@ object Dedup {
     shs.unpersist(blocking = false)
     out
   }
+
+  private def d3MinhashLsh(s: SparkSession, d: String): DataFrame =
+    d3VerifiedPairs(s, d).orderBy("id_a", "id_b")
 
   /** DuckDB CTE pair `<p>shs` / `<p>bands` (shingle sets and LSH band
     * rows) over relation `src` — the oracle-side twin of
@@ -1457,7 +1463,84 @@ object Dedup {
       |FROM c JOIN cl USING (canon)
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---- d18: cross-source duplication provenance ------------------------------
+
+  /** Duplication PROVENANCE — near-dup detection aggregated into the
+    * question curation reviews actually ask: WHICH SOURCE PAIRS feed
+    * each other duplicates (two crawls of the same sites, a dump
+    * re-packaged under a new name, a mirror)? d3's verified near-dup
+    * pairs roll up into a source×source matrix: pair counts, the
+    * distinct documents implicated per side, and the mean verified
+    * Jaccard (integer per-mille off exact sums). Diagonal rows are
+    * within-source redundancy; off-diagonal rows are cross-source
+    * contamination — the signal that two sources should not both be
+    * ingested at full weight (p11's mixture planner consumes this).
+    *
+    * Scale shape: all pairwise cost is d3's (banded LSH, nothing
+    * quadratic); the pair table is tiny next to the corpus, so it
+    * BROADCASTS into the doc_id→source projection twice, and the
+    * matrix rollup keys on the ≤|sources|² bounded source pair. The
+    * corpus never shuffles here at all.
+    */
+  private def d18OverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val pairs = d3VerifiedPairs(s, d)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((n_common * 1000) DIV n_union AS BIGINT)").as("jac_pm"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // the corpus stays the probe side of BOTH lookups: the pair table
+    // (and the pair table with one side labeled) broadcasts under it
+    val withA = src.join(broadcast(pairs), col("doc_id") === col("id_a"))
+      .select(col("source").as("src_of_a"), col("id_a"), col("id_b"), col("jac_pm"))
+    src.withColumnRenamed("source", "src_of_b")
+      .join(broadcast(withA), col("doc_id") === col("id_b"))
+      .select(
+        least(col("src_of_a"), col("src_of_b")).as("src_1"),
+        greatest(col("src_of_a"), col("src_of_b")).as("src_2"),
+        when(col("src_of_a") <= col("src_of_b"), col("id_a")).otherwise(col("id_b")).as("doc_1"),
+        when(col("src_of_a") <= col("src_of_b"), col("id_b")).otherwise(col("id_a")).as("doc_2"),
+        col("jac_pm"))
+      .groupBy("src_1", "src_2")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_1")).as("n_docs_1"),
+        countDistinct(col("doc_2")).as("n_docs_2"),
+        sum(col("jac_pm")).as("jac_pm_sum"))
+      .withColumn("mean_jac_pm", expr("jac_pm_sum DIV n_pairs"))
+      .orderBy("src_1", "src_2")
+  }
+
+  private val d18Oracle: String =
+    s"""WITH ${lshCtesSql("documents", "")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.shs AS sa, b.shs AS sb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, (CAST(n_common AS BIGINT) * 1000) // n_union AS jac_pm
+       |  FROM (
+       |    SELECT id_a, id_b,
+       |           CAST(len(list_intersect(sa, sb)) AS INT) AS n_common,
+       |           CAST(len(list_distinct(list_concat(sa, sb))) AS INT) AS n_union
+       |    FROM cand)
+       |  WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS src_1,
+       |         greatest(da.source, db.source) AS src_2,
+       |         CASE WHEN da.source <= db.source THEN p.id_a ELSE p.id_b END AS doc_1,
+       |         CASE WHEN da.source <= db.source THEN p.id_b ELSE p.id_a END AS doc_2,
+       |         p.jac_pm
+       |  FROM pairs p
+       |  JOIN documents da ON p.id_a = da.doc_id
+       |  JOIN documents db ON p.id_b = db.doc_id)
+       |SELECT src_1, src_2,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT doc_1) AS BIGINT) AS n_docs_1,
+       |       CAST(count(DISTINCT doc_2) AS BIGINT) AS n_docs_2,
+       |       CAST(sum(jac_pm) AS BIGINT) AS jac_pm_sum,
+       |       CAST(sum(jac_pm) AS BIGINT) // count(*) AS mean_jac_pm
+       |FROM lab GROUP BY src_1, src_2
+       |ORDER BY src_1, src_2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_overlap_matrix" -> (d18OverlapMatrix _),
     "d17_url_dedup" -> (d17UrlDedup _),
     "d16_template_dedup" -> (d16TemplateDedup _),
     "d15_soft_dedup" -> (d15SoftDedup _),
@@ -1540,6 +1623,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d18_overlap_matrix" -> d18Oracle,
     "d17_url_dedup" -> d17Oracle,
     "d16_template_dedup" -> d16Oracle,
     "d15_soft_dedup" -> d15Oracle,

@@ -2081,7 +2081,88 @@ object Multimodal {
       |FROM sp GROUP BY doc_id, isl
       |ORDER BY doc_id, seg_start""".stripMargin
 
+  // ---- mm21: ViT patch grid over really-decoded pixels ----------------------
+
+  final case class MmPatchStat(
+      doc_id: Long, py: Int, px: Int, n_px: Int, luma_sum: Long, mean_mluma: Long)
+
+  /** Patchification — the preprocessing every vision transformer
+    * consumes (an image becomes a grid of patch tokens before it ever
+    * meets the model): decode the REAL PNG (mm13's imageio leg), split
+    * the frame into a 4×4 patch grid, and emit one row per patch with
+    * its exact integer luma mass (BT.601 weights ×1000 — no per-pixel
+    * division to lose bits) and mean milli-luma. One image row fans
+    * out to 16 patch-token rows — the (batch, seq) layout the training
+    * stack batches on, produced from genuinely decoded bytes.
+    *
+    * Scale shape: mm13's — encode and decode+patch are two
+    * mapPartitions legs, the fan-out is row-local (pixels never cross
+    * an exchange), output is narrow integers. The fixture's dims are
+    * divisible by 16, so the grid is exact with no remainder column.
+    */
+  private[ops] def patchStats(realAssets: Dataset[MmRealAsset]): Dataset[MmPatchStat] = {
+    import realAssets.sparkSession.implicits._
+    realAssets.mapPartitions { it =>
+      it.flatMap { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.png))
+        require(img != null && img.getWidth == a.width && img.getHeight == a.height,
+          s"decode failed for doc ${a.doc_id}")
+        // ONE bulk pixel fetch per image: per-pixel getRGB pays a
+        // color-model conversion call per sample (~5× slower, measured)
+        val pix = img.getRGB(0, 0, a.width, a.height, null, 0, a.width)
+        val pw = a.width / 4
+        val ph = a.height / 4
+        for (py <- 0 until 4; px <- 0 until 4) yield {
+          var sum = 0L
+          var y = py * ph
+          while (y < (py + 1) * ph) {
+            val rowBase = y * a.width
+            var x = px * pw
+            while (x < (px + 1) * pw) {
+              val rgb = pix(rowBase + x)
+              sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          MmPatchStat(a.doc_id, py, px, pw * ph, sum, sum / (pw * ph))
+        }
+      }
+    }
+  }
+
+  private def mm21PatchGrid(s: SparkSession, d: String): DataFrame = {
+    val meta = assets(s, d).toDF().filter(col("modality") === "image")
+      .select("doc_id", "width", "height")
+    patchStats(encodeReal(meta)).toDF().orderBy("doc_id", "py", "px")
+  }
+
+  private val mm21Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(64 + (doc_id % 8) * 16 AS INT) AS w,
+      |         CAST(64 + (doc_id % 5) * 16 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |g AS (SELECT doc_id, w // 4 AS pw, h // 4 AS ph,
+      |             unnest(generate_series(0, 3)) AS py
+      |      FROM m),
+      |g2 AS (SELECT doc_id, pw, ph, py, unnest(generate_series(0, 3)) AS px FROM g),
+      |p AS (
+      |  SELECT doc_id, py, px, pw * ph AS n_px,
+      |         CAST(list_sum(list_transform(generate_series(py * ph, (py + 1) * ph - 1), y ->
+      |           list_sum(list_transform(generate_series(px * pw, (px + 1) * pw - 1), x ->
+      |             299 * ((doc_id + 2 * x + 3 * y) % 256)
+      |           + 587 * ((doc_id * 2 + 5 * x + y) % 256)
+      |           + 114 * ((doc_id * 3 + x + 7 * y) % 256))))) AS BIGINT) AS luma_sum
+      |  FROM g2)
+      |SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+      |       CAST(n_px AS INT) AS n_px, luma_sum,
+      |       luma_sum // n_px AS mean_mluma
+      |FROM p ORDER BY doc_id, py, px""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm21_patch_grid" -> (mm21PatchGrid _),
     "mm20_vad" -> (mm20Vad _),
     "mm19_energy" -> (mm19Energy _),
     "mm18_gain" -> (mm18Gain _),
@@ -2126,6 +2207,7 @@ object Multimodal {
       |FROM f GROUP BY modality ORDER BY modality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "mm21_patch_grid" -> mm21Oracle,
     "mm20_vad" -> mm20Oracle,
     "mm19_energy" -> mm19Oracle,
     "mm18_gain" -> mm18Oracle,

@@ -1613,7 +1613,76 @@ object Text {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  // ---- t49: vocabulary growth curve (Heaps' law) -----------------------------
+
+  /** The vocabulary-growth curve — the Heaps'-law diagnostic corpus
+    * builders read to decide whether more data still buys new
+    * vocabulary (a flattening curve means the crawl is saturating;
+    * a steep one means the corpus is still linguistically open):
+    * split the corpus into 10 equal doc_id prefix buckets and report,
+    * per bucket, the tokens added, the NEW word types first seen in
+    * it, the cumulative vocabulary, and vocabulary-per-million-tokens.
+    *
+    * Scale shape: "distinct words in every prefix" recomputed per
+    * prefix is 10 corpus-sized distincts; instead each word's FIRST
+    * bucket is elected once (word-keyed min rollup, map-side
+    * combined — t39's first-occurrence discipline lifted from grams
+    * to the growth curve), the curve is a rollup on the 10-value
+    * bucket key, and the cumulative sum is a window over ≤10 rows.
+    * The corpus total broadcasts as one scalar for the bucket split.
+    */
+  private def t49VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+    val nDocs = Tables.documents(s, d)
+      .agg((max(col("doc_id")) + 1).as("n_docs"))
+    val bucketed = words.crossJoin(broadcast(nDocs))
+      .select(expr("CAST((doc_id * 10) DIV n_docs AS INT)").as("bucket"), col("w"))
+    val tokens = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = bucketed.groupBy("w").agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tokens.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("vocab_size", sum(col("n_new_types")).over(wCum))
+      .withColumn("types_per_mtok",
+        expr("(vocab_size * 1000000) DIV cum_tokens"))
+      .orderBy("bucket")
+  }
+
+  private val t49Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+       |wds AS (
+       |  SELECT CAST((doc_id * 10) // n.n_docs AS INT) AS bucket, unnest($ws) AS w
+       |  FROM documents, n),
+       |tok AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM wds GROUP BY bucket),
+       |fs AS (
+       |  SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS n_new_types
+       |  FROM (SELECT w, min(bucket) AS first_bucket FROM wds GROUP BY w)
+       |  GROUP BY 1)
+       |SELECT bucket, n_tokens,
+       |       COALESCE(n_new_types, 0) AS n_new_types,
+       |       CAST(sum(n_tokens) OVER (ORDER BY bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |       CAST(sum(COALESCE(n_new_types, 0)) OVER (ORDER BY bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size,
+       |       (CAST(sum(COALESCE(n_new_types, 0)) OVER (ORDER BY bucket
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000)
+       |         // CAST(sum(n_tokens) OVER (ORDER BY bucket
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS types_per_mtok
+       |FROM tok LEFT JOIN fs USING (bucket)
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t49_vocab_growth" -> (t49VocabGrowth _),
     "t48_fertility" -> (t48Fertility _),
     "t47_blocklist" -> (t47Blocklist _),
     "t46_collocations" -> (t46Collocations _),
@@ -1910,6 +1979,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t49_vocab_growth" -> t49Oracle,
     "t48_fertility" -> t48Oracle,
     "t47_blocklist" -> t47Oracle,
     "t46_collocations" -> t46Oracle,

@@ -390,4 +390,34 @@ class DedupSpec extends AnyFunSuite {
     // deduping byte-identical strings)
     assert(byCanon.values.forall(g => g.map(_._2).distinct.length == g.length))
   }
+
+  test("d18: the provenance matrix is exactly d3's verified pairs regrouped by source") {
+    val got = Dedup.queries("d18_overlap_matrix")(spark, sf).collect()
+      .map(r => ((r.getAs[String]("src_1"), r.getAs[String]("src_2")),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_1"), r.getAs[Long]("n_docs_2"),
+          r.getAs[Long]("jac_pm_sum"), r.getAs[Long]("mean_jac_pm")))).toMap
+    assert(got.nonEmpty)
+    // independent reference: d3's own (oracle-gated) pair output,
+    // re-labeled and re-grouped scalar-side
+    val srcOf = graft.Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = Dedup.queries("d3_minhash_lsh")(spark, sf).collect()
+      .map { r =>
+        val a = r.getAs[Long]("id_a"); val b = r.getAs[Long]("id_b")
+        val jac = (r.getAs[Int]("n_common").toLong * 1000) / r.getAs[Int]("n_union")
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        if (sa <= sb) (sa, sb, a, b, jac) else (sb, sa, b, a, jac)
+      }
+    val want = pairs.groupBy(p => (p._1, p._2)).map { case (k, ps) =>
+      k -> ((ps.length.toLong, ps.map(_._3).distinct.length.toLong,
+        ps.map(_._4).distinct.length.toLong, ps.map(_._5).sum,
+        ps.map(_._5).sum / ps.length))
+    }
+    assert(got == want, "matrix must equal the scalar regroup of d3's pairs")
+    // verified pairs all passed jaccard >= 0.5, so means sit in [500, 1000]
+    got.values.foreach { case (_, _, _, _, m) => assert(m >= 500L && m <= 1000L) }
+    // provenance must be non-trivial both ways in the planted fixture
+    assert(got.keys.exists(k => k._1 == k._2), "within-source redundancy must appear")
+    assert(got.keys.exists(k => k._1 != k._2), "cross-source contamination must appear")
+  }
 }

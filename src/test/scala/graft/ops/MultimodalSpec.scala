@@ -471,4 +471,36 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sp > 0 && sp < n, s"clip $id must contain both speech and silence")
     }
   }
+
+  test("mm21: patch grid matches the closed-form plant and conserves whole-image luma") {
+    val got = Multimodal.queries("mm21_patch_grid")(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("doc_id"), r.getAs[Int]("py"), r.getAs[Int]("px")),
+        (r.getAs[Int]("n_px"), r.getAs[Long]("luma_sum"), r.getAs[Long]("mean_mluma")))).toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).filter(_ % 3 == 0)
+    def luma(id: Long, x: Int, y: Int): Long = {
+      val rgb = Multimodal.plantRGB(id, x, y)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+    }
+    for (id <- docs) {
+      val w = (64 + (id % 8) * 16).toInt; val h = (64 + (id % 5) * 16).toInt
+      val pw = w / 4; val ph = h / 4
+      var whole = 0L
+      for (py <- 0 until 4; px <- 0 until 4) {
+        var sum = 0L
+        for (y <- py * ph until (py + 1) * ph; x <- px * pw until (px + 1) * pw)
+          sum += luma(id, x, y)
+        whole += sum
+        val (npx, ls, ml) = got((id, py, px))
+        assert(npx == pw * ph, s"patch size wrong for doc $id ($py,$px)")
+        assert(ls == sum, s"luma mass drifted for doc $id ($py,$px)")
+        assert(ml == sum / (pw * ph), s"mean luma wrong for doc $id ($py,$px)")
+      }
+      // the 16 patches tile the frame exactly: conservation of luma
+      val patchTotal = (0 until 4).flatMap(py => (0 until 4).map(px => got((id, py, px))._2)).sum
+      assert(patchTotal == whole, s"patch grid does not tile the frame for doc $id")
+    }
+    assert(got.size == docs.length * 16, "every image fans out to exactly 16 patch tokens")
+  }
 }

@@ -1087,4 +1087,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       "the lang rollup must partial-aggregate map-side")
   }
+
+  test("t49: first-occurrence election keys on the word; the curve window rides 10 rows") {
+    val plan = formatted("t49_vocab_growth")
+    assert(!plan.contains("CartesianProduct"), "unexpected CartesianProduct")
+    // corpus exchanges carry the word (election) or the 10-value
+    // bucket (curve) — never doc text; the 1-row corpus-total
+    // crossJoin broadcasts (BNLJ on a scalar is the q52/t46 pattern)
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(l.contains("w#") || l.contains("bucket#"),
+        s"exchange must key on the word or the bucket: $l")
+      assert(!l.contains("text#"), s"document text must never key an exchange: $l")
+    }
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      "both the election and the rollups must partial-aggregate map-side")
+    assert(plan.contains("Window"), "the cumulative curve window must remain")
+  }
+
+  test("d18: the pair table broadcasts under the corpus both times; the matrix keys on sources") {
+    val plan = formatted("d18_overlap_matrix")
+    // the corpus-side lookups must be broadcast joins (the pair table
+    // is tiny); shuffle joins on doc_id would re-exchange the corpus
+    val bcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bcasts >= 2, s"both source lookups must broadcast, saw $bcasts")
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(l.contains("src_1#") || l.contains("src_2#") ||
+        l.contains("doc_id#") || l.contains("band#") ||
+        l.contains("id_a#") || l.contains("id_b#"),
+        s"exchange must key on the source pair or d3's own keys: $l")
+      assert(!l.contains("text#"), s"document text must never key an exchange: $l")
+    }
+  }
 }

@@ -345,4 +345,39 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.length > 1,
       "fixture must show fertility differences across languages")
   }
+
+  test("t49: growth curve equals a scalar first-occurrence recompute and conserves") {
+    val got = Text.queries("t49_vocab_growth")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_new_types"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("vocab_size"), r.getAs[Long]("types_per_mtok")))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 until 10), "exactly the 10 prefix buckets")
+    // scalar reference: same tokenization, hand-run bucket split and
+    // first-occurrence election
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Text.wordsCol(org.apache.spark.sql.functions.col("text")).as("ws"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](r.fieldIndex("ws"))))
+    val nDocs = docs.map(_._1).max + 1
+    val toks = docs.flatMap { case (id, ws) => ws.map(w => ((id * 10 / nDocs).toInt, w)) }
+    val tokCount = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val firstB = toks.groupBy(_._2).map { case (w, bs) => (w, bs.map(_._1).min) }
+    val newTypes = firstB.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    var cumT = 0L; var cumV = 0L
+    for ((b, nt, nn, ct, vs, tpm) <- got) {
+      assert(nt == tokCount.getOrElse(b, 0L), s"token count drifted in bucket $b")
+      assert(nn == newTypes.getOrElse(b, 0L), s"new-type count drifted in bucket $b")
+      cumT += nt; cumV += nn
+      assert(ct == cumT && vs == cumV, s"cumulative bookkeeping broke at bucket $b")
+      assert(tpm == cumV * 1000000L / cumT, s"Heaps ratio wrong at bucket $b")
+    }
+    assert(cumV == firstB.size.toLong, "final vocab must equal the corpus vocabulary")
+    assert(cumT == toks.length.toLong, "token mass must conserve")
+    // Heaps' law on real-ish text: the curve must flatten overall —
+    // later data buys fewer new types per token than the first bucket
+    assert(got.last._6 < got.head._6,
+      "vocabulary density failed to decay - the curve is vacuous")
+  }
 }
