@@ -1395,30 +1395,70 @@ object Dedup {
     * topology — group, elect min, join back on the same key, so the
     * exchange is reused). Nothing compares URL pairs.
     */
+  /** The synthetic raw-URL plant (four spellings of each logical
+    * page, keyed off doc_id) and its canonicalization chain — Spark
+    * SQL spellings, shared by d17 and the p16 cascade so the two
+    * gates cannot diverge on the normalization semantics.
+    */
+  private[ops] val SynthUrlSpark: String =
+    """CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN concat('HTTP://WWW.Site', CAST((doc_id DIV 4) % 9 AS STRING),
+      |    '.COM:80/doc', CAST(doc_id DIV 4 AS STRING),
+      |    '?utm_source=feed&id=', CAST(doc_id DIV 4 AS STRING))
+      |  WHEN 1 THEN concat('http://www.site', CAST((doc_id DIV 4) % 9 AS STRING),
+      |    '.com/doc', CAST(doc_id DIV 4 AS STRING),
+      |    '?id=', CAST(doc_id DIV 4 AS STRING), '&utm_campaign=mail')
+      |  WHEN 2 THEN concat('Http://Www.Site', CAST((doc_id DIV 4) % 9 AS STRING),
+      |    '.Com/doc', CAST(doc_id DIV 4 AS STRING), '/#top')
+      |  ELSE concat('http://www.site', CAST((doc_id DIV 4) % 9 AS STRING),
+      |    '.com/doc', CAST(doc_id DIV 4 AS STRING))
+      |END""".stripMargin
+
+  private[ops] val CanonChainSpark: String =
+    """regexp_replace(
+      |  regexp_replace(
+      |    regexp_replace(
+      |      replace(
+      |        regexp_replace(lower(url), '#.*$', ''),
+      |        ':80/', '/'),
+      |      'utm_[a-z]+=[a-z]+&', ''),
+      |    '[?&]utm_[a-z]+=[a-z]+$', ''),
+      |  '/$', '')""".stripMargin
+
+  /** DuckDB twins of [[SynthUrlSpark]] / [[CanonChainSpark]]. NOTE:
+    * these are interpolated into callers' stripMargin strings, so no
+    * continuation line may START with `|` (stripMargin would eat the
+    * first pipe of a `||` concat) — operators trail instead.
+    */
+  private[ops] val SynthUrlDuck: String =
+    """CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN 'HTTP://WWW.Site' || CAST((doc_id // 4) % 9 AS VARCHAR) ||
+      |    '.COM:80/doc' || CAST(doc_id // 4 AS VARCHAR) ||
+      |    '?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
+      |  WHEN 1 THEN 'http://www.site' || CAST((doc_id // 4) % 9 AS VARCHAR) ||
+      |    '.com/doc' || CAST(doc_id // 4 AS VARCHAR) ||
+      |    '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=mail'
+      |  WHEN 2 THEN 'Http://Www.Site' || CAST((doc_id // 4) % 9 AS VARCHAR) ||
+      |    '.Com/doc' || CAST(doc_id // 4 AS VARCHAR) || '/#top'
+      |  ELSE 'http://www.site' || CAST((doc_id // 4) % 9 AS VARCHAR) ||
+      |    '.com/doc' || CAST(doc_id // 4 AS VARCHAR)
+      |END""".stripMargin
+
+  private[ops] val CanonChainDuck: String =
+    """regexp_replace(
+      |  regexp_replace(
+      |    regexp_replace(
+      |      replace(
+      |        regexp_replace(lower(url), '#.*$', ''),
+      |        ':80/', '/'),
+      |      'utm_[a-z]+=[a-z]+&', ''),
+      |    '[?&]utm_[a-z]+=[a-z]+$', ''),
+      |  '/$', '')""".stripMargin
+
   private def d17UrlDedup(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.documents(s, d).select(col("doc_id"),
-      expr("""CASE CAST(doc_id % 4 AS INT)
-             |  WHEN 0 THEN concat('HTTP://WWW.Site', CAST((doc_id DIV 4) % 9 AS STRING),
-             |    '.COM:80/doc', CAST(doc_id DIV 4 AS STRING),
-             |    '?utm_source=feed&id=', CAST(doc_id DIV 4 AS STRING))
-             |  WHEN 1 THEN concat('http://www.site', CAST((doc_id DIV 4) % 9 AS STRING),
-             |    '.com/doc', CAST(doc_id DIV 4 AS STRING),
-             |    '?id=', CAST(doc_id DIV 4 AS STRING), '&utm_campaign=mail')
-             |  WHEN 2 THEN concat('Http://Www.Site', CAST((doc_id DIV 4) % 9 AS STRING),
-             |    '.Com/doc', CAST(doc_id DIV 4 AS STRING), '/#top')
-             |  ELSE concat('http://www.site', CAST((doc_id DIV 4) % 9 AS STRING),
-             |    '.com/doc', CAST(doc_id DIV 4 AS STRING))
-             |END""".stripMargin).as("url"))
-    val canon = raw.withColumn("canon",
-      expr("""regexp_replace(
-             |  regexp_replace(
-             |    regexp_replace(
-             |      replace(
-             |        regexp_replace(lower(url), '#.*$', ''),
-             |        ':80/', '/'),
-             |      'utm_[a-z]+=[a-z]+&', ''),
-             |    '[?&]utm_[a-z]+=[a-z]+$', ''),
-             |  '/$', '')""".stripMargin))
+      expr(SynthUrlSpark).as("url"))
+    val canon = raw.withColumn("canon", expr(CanonChainSpark))
     val clusters = canon.groupBy("canon")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("csize"))
     canon.join(clusters, Seq("canon"))
@@ -1429,32 +1469,11 @@ object Dedup {
   }
 
   private val d17Oracle: String =
-    """WITH raw AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 4 AS INT)
-      |      WHEN 0 THEN 'HTTP://WWW.Site' || CAST((doc_id // 4) % 9 AS VARCHAR)
-      |        || '.COM:80/doc' || CAST(doc_id // 4 AS VARCHAR)
-      |        || '?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
-      |      WHEN 1 THEN 'http://www.site' || CAST((doc_id // 4) % 9 AS VARCHAR)
-      |        || '.com/doc' || CAST(doc_id // 4 AS VARCHAR)
-      |        || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=mail'
-      |      WHEN 2 THEN 'Http://Www.Site' || CAST((doc_id // 4) % 9 AS VARCHAR)
-      |        || '.Com/doc' || CAST(doc_id // 4 AS VARCHAR) || '/#top'
-      |      ELSE 'http://www.site' || CAST((doc_id // 4) % 9 AS VARCHAR)
-      |        || '.com/doc' || CAST(doc_id // 4 AS VARCHAR)
-      |    END AS url
+    s"""WITH raw AS (
+      |  SELECT doc_id, $SynthUrlDuck AS url
       |  FROM documents),
       |c AS (
-      |  SELECT doc_id, url,
-      |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(
-      |          replace(
-      |            regexp_replace(lower(url), '#.*$', ''),
-      |            ':80/', '/'),
-      |          'utm_[a-z]+=[a-z]+&', ''),
-      |        '[?&]utm_[a-z]+=[a-z]+$', ''),
-      |      '/$', '') AS canon
+      |  SELECT doc_id, url, $CanonChainDuck AS canon
       |  FROM raw),
       |cl AS (SELECT canon, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS csize
       |       FROM c GROUP BY canon)

@@ -1691,7 +1691,121 @@ object Pipeline {
       |       (n_short * 1000) // n_docs AS short_pm
       |FROM card ORDER BY source""".stripMargin
 
+  // ---- p16: the dedup cascade funnel -----------------------------------------
+
+  /** The dedup CASCADE — the stage order every production corpus
+    * pipeline runs (CCNet/C4/Dolma/FineWeb all funnel this way) as one
+    * accounted flow: (1) URL canonicalization keeps one fetch per
+    * logical page, (2) exact content dedup (128-bit digest key)
+    * collapses byte-identical re-ingests, (3) MinHash-LSH near-dup
+    * removes any survivor with a smaller surviving near-neighbor
+    * (verified Jaccard ≥ 0.5 — d3's gate). Cheap stages run first so
+    * each stage shrinks the next one's input; the output is the
+    * survivor funnel (n_in / n_removed / n_out per stage) — the
+    * number a data-quality review reads before anything ships.
+    *
+    * The near-dup removal policy is deliberately one-shot, not a
+    * fixpoint: drop any doc with a smaller near-neighbor among STAGE-2
+    * SURVIVORS (not among stage-3 survivors) — deterministic, single
+    * pass, and what batch pipelines actually do (a transitive chain
+    * a~b~c drops both b and c; re-running would change nothing).
+    *
+    * Scale shape: stage exchanges key on the canonical URL, the md5
+    * digest, and d3's bands — never text; the LSH leg pays only
+    * stage-2 survivors; the removal set is tiny and broadcasts into
+    * an anti-join. Survivor frames pin across their two consumers
+    * (count + next stage) instead of recomputing the chain.
+    */
+  /** The lazy cascade plan — split out (t34's pattern) so the plan
+    * audit can inspect the pre-checkpoint shape. Returns the funnel
+    * frame plus the pinned intermediates the caller must release.
+    */
+  private[ops] def p16Lazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val all = docs.union(docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("url", expr(Dedup.SynthUrlSpark))
+      .withColumn("canon", expr(Dedup.CanonChainSpark))
+      .persist()
+    // stage 1: keep the min doc per canonical URL (min-struct election:
+    // one exchange keyed on canon, the survivor's text rides as value)
+    val s1 = all.groupBy("canon")
+      .agg(min(struct(col("doc_id"), col("text"))).as("kp"))
+      .select(col("kp.doc_id").as("doc_id"), col("kp.text").as("text"))
+      .persist()
+    // stage 2: exact dedup on the engine-shared digest (d1's key)
+    val s2 = s1.groupBy(md5(col("text")).as("tkey"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("kp"))
+      .select(col("kp.doc_id").as("doc_id"), col("kp.text").as("text"))
+      .persist()
+    // stage 3: near-dup over stage-2 survivors only (d3's banded LSH +
+    // exact-Jaccard verification), one-shot smaller-neighbor removal
+    val shs = Dedup.shinglesOf(s2).persist()
+    val banded = Dedup.minhashBands(shs)
+    val removed3 = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(shs.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(shs.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val s3 = s2.join(broadcast(removed3), Seq("doc_id"), "left_anti")
+    def stageRow(name: String, in: DataFrame, out: DataFrame): DataFrame =
+      in.agg(count(lit(1)).as("n_in"))
+        .crossJoin(out.agg(count(lit(1)).as("n_out")))
+        .select(lit(name).as("stage"), col("n_in"),
+          (col("n_in") - col("n_out")).as("n_removed"), col("n_out"))
+    val funnel = stageRow("1_url", all, s1)
+      .unionAll(stageRow("2_exact", s1, s2))
+      .unionAll(stageRow("3_near", s2, s3))
+      .orderBy("stage")
+    (funnel, Seq(all, s1, s2, shs))
+  }
+
+  private def p16DedupCascade(s: SparkSession, d: String): DataFrame = {
+    val (funnel, pinned) = p16Lazy(s, d)
+    val out = funnel.localCheckpoint(true)
+    pinned.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  private val p16Oracle: String = {
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+       |cn AS (
+       |  SELECT doc_id, text, ${Dedup.CanonChainDuck} AS canon
+       |  FROM (SELECT doc_id, text, ${Dedup.SynthUrlDuck} AS url FROM all_docs)),
+       |k1 AS (SELECT min(doc_id) AS doc_id FROM cn GROUP BY canon),
+       |s1 AS (SELECT cn.doc_id, cn.text FROM cn JOIN k1 USING (doc_id)),
+       |k2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+       |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN k2 USING (doc_id)),
+       |${Dedup.lshCtesSql("s2", "p")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.shs AS sa, b.shs AS sb
+       |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |rem3 AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM cand
+       |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa, sb))) >= 0.5),
+       |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM all_docs),
+       |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+       |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+       |c3 AS (SELECT c2.n - (SELECT CAST(count(*) AS BIGINT) FROM rem3) AS n FROM c2)
+       |SELECT '1_url' AS stage, c0.n AS n_in, c0.n - c1.n AS n_removed, c1.n AS n_out
+       |FROM c0, c1
+       |UNION ALL
+       |SELECT '2_exact', c1.n, c1.n - c2.n, c2.n FROM c1, c2
+       |UNION ALL
+       |SELECT '3_near', c2.n, c2.n - c3.n, c3.n FROM c2, c3
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_dedup_cascade" -> (p16DedupCascade _),
     "p15_data_card" -> (p15DataCard _),
     "p14_jsonl_ingest" -> (p14JsonlIngest _),
     "p13_mixture_sample" -> (p13MixtureSample _),
@@ -1710,6 +1824,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p16_dedup_cascade" -> p16Oracle,
     "p15_data_card" -> p15Oracle,
     "p14_jsonl_ingest" -> p14Oracle,
     "p13_mixture_sample" -> p13Oracle,

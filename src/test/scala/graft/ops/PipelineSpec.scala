@@ -415,4 +415,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.length == 3)
     assert(bad.contains("not json at all"), s"raw quarantined lines must round-trip: ${bad.toSeq}")
   }
+
+  test("p16: the cascade funnel conserves and each stage equals its scalar recompute") {
+    val got = Pipeline.queries("p16_dedup_cascade")(spark, sf).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_out"))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("1_url", "2_exact", "3_near"))
+    // plumbing: removed = in - out, and each stage feeds the next
+    got.foreach { case (st, in, rem, out) =>
+      assert(rem == in - out && rem >= 0, s"funnel bookkeeping broke at $st")
+    }
+    assert(got(0)._4 == got(1)._2 && got(1)._4 == got(2)._2,
+      "stage outputs must feed the next stage's input")
+    // scalar stages 1-2: canonicalization folds spellings {0,1} (both
+    // normalize to the ?id= query form) and {2,3} (both to the bare
+    // path) of each doc_id/4 page — the canonical key is
+    // (page, spelling/2); stage 1 keeps the min id of each pair;
+    // stage 2 then drops exact-text dups keeping min id
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val all = docs ++ docs.filter(_._1 < 10).map { case (id, t) => (id + 1000000L, t) }
+    assert(got(0)._2 == all.length.toLong, "stage-1 input must be corpus + replay")
+    val s1 = all.groupBy(p => (p._1 / 4, (p._1 % 4) / 2))
+      .map { case (_, g) => g.minBy(_._1) }.toSeq
+    assert(got(0)._4 == s1.size.toLong, "URL survivors drifted vs the page election")
+    val s2 = s1.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+    assert(got(1)._4 == s2.size.toLong, "exact survivors drifted vs the text election")
+    // stage 3: minhash signatures are per-doc, so pairs among the
+    // stage-2 survivors are exactly d3's (oracle-gated) pairs
+    // restricted to survivor endpoints; removal = any survivor with a
+    // smaller surviving verified neighbor
+    val surv2 = s2.map(_._1).toSet
+    assert(surv2.forall(_ < 1000000L),
+      "every replayed doc must be gone before the near-dup stage in this fixture")
+    val rem3 = Dedup.queries("d3_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => surv2(a) && surv2(b) }
+      .map(_._2).distinct.length
+    assert(got(2)._3 == rem3.toLong, "near-dup removals drifted vs d3's verified pairs")
+    // the fixture must exercise every stage
+    got.foreach { case (st, _, rem, _) => assert(rem > 0, s"stage $st never fired") }
+  }
 }

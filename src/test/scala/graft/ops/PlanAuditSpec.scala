@@ -1118,4 +1118,32 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!l.contains("text#"), s"document text must never key an exchange: $l")
     }
   }
+
+  test("p16: cascade exchanges key on canon/digest/band/doc_id; the removal set broadcasts") {
+    // inspect the PRE-checkpoint shape (the registered query eagerly
+    // materializes — its plan is just the checkpoint scan)
+    val (funnel, pinned) = Pipeline.p16Lazy(spark, sf)
+    try {
+      val plan = funnel.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), "unexpected CartesianProduct")
+      plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+        // _groupingexpression is the md5(text) digest key computed in
+        // the grouping itself (the documented derived-key spelling)
+        assert(l.contains("canon#") || l.contains("tkey#") || l.contains("band#") ||
+          l.contains("doc_id#") || l.contains("id_a#") || l.contains("id_b#") ||
+          l.contains("_groupingexpression#"),
+          s"cascade exchange must key on a stage key: $l")
+        assert(!l.contains("text#"), s"raw text must never KEY an exchange: $l")
+      }
+      // the near-dup removal list anti-joins as a broadcast — the
+      // surviving corpus must not shuffle to subtract a tiny set;
+      // formatted mode prints the operator and its join type on
+      // separate lines, so check the BroadcastHashJoin detail blocks
+      val antiBroadcast = plan.split("\n\\(").toSeq.exists(c =>
+        c.matches("(?s)\\d+\\) BroadcastHashJoin.*") &&
+          c.contains("Join type: LeftAnti"))
+      assert(antiBroadcast, "stage-3 removal must be a broadcast anti-join")
+    } finally pinned.foreach(_.unpersist(blocking = false))
+  }
 }
