@@ -1342,7 +1342,89 @@ object Relational3 {
       |FROM starts FULL OUTER JOIN ends USING (day)
       |ORDER BY day""".stripMargin
 
+  // ---- q58: snapshot diff (log-free change detection) ------------------------
+
+  /** Snapshot DIFF — change detection when there is NO log: two table
+    * versions, classify every key as added / removed / changed /
+    * unchanged and report the per-status accounting (row counts + a
+    * key-sum checksum). This is the reconciliation pass warehouses
+    * run against CDC output (does the log-replayed state equal the
+    * re-snapshot?) and the fallback when a source can't stream. The
+    * derived snapshot plants all three change classes off the base
+    * (drops at key%97, +100-cent mutations at key%13, inserts at
+    * key%101 shifted by 10⁷) so every status is provably non-vacuous.
+    *
+    * Comparison is digest-vs-digest: each side serializes to
+    * md5(name|nationkey|cents|segment) — balances as integer CENTS,
+    * never a float rendering — so "changed" means the payload
+    * genuinely differs, not that two engines print doubles
+    * differently.
+    *
+    * Scale shape: ONE full-outer join keyed on the primary key (both
+    * sides co-partition; AQE picks the SMJ), digests computed in the
+    * scan projection, then a 4-value status rollup, map-side
+    * combined. Nothing else moves.
+    */
+  private def q58SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def serialize(df: DataFrame): DataFrame = df.select(
+      col("c_custkey").as("k"),
+      md5(concat_ws("|", col("c_name"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)"),
+        col("c_mktsegment"))).as("h"))
+    val base = serialize(Tables.customer(s, d))
+    val cust = Tables.customer(s, d)
+    val next = serialize(
+      cust.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+        .unionAll(cust.filter(col("c_custkey") % 101 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L)))
+    base.withColumnRenamed("h", "h_base")
+      .join(next.withColumnRenamed("h", "h_next"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("h_base").isNull, "added")
+          .when(col("h_next").isNull, "removed")
+          .when(col("h_base") =!= col("h_next"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  private val q58Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k,
+      |         md5(c_name || '|' || c_nationkey || '|' ||
+      |             CAST(round(c_acctbal * 100) AS BIGINT) || '|' || c_mktsegment) AS h
+      |  FROM customer),
+      |nxt0 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END
+      |           AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |nxt AS (
+      |  SELECT c_custkey AS k,
+      |         md5(c_name || '|' || c_nationkey || '|' ||
+      |             CAST(round(c_acctbal * 100) AS BIGINT) || '|' || c_mktsegment) AS h
+      |  FROM nxt0),
+      |st AS (
+      |  SELECT COALESCE(base.k, nxt.k) AS k,
+      |         CASE WHEN base.h IS NULL THEN 'added'
+      |              WHEN nxt.h IS NULL THEN 'removed'
+      |              WHEN base.h <> nxt.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM base FULL OUTER JOIN nxt ON base.k = nxt.k)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(k) AS BIGINT) AS key_sum
+      |FROM st GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_snapshot_diff" -> (q58SnapshotDiff _),
     "q57_concurrency" -> (q57Concurrency _),
     "q56_gap_fill" -> (q56GapFill _),
     "q55_dq_audit" -> (q55DqAudit _),
@@ -1372,6 +1454,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_snapshot_diff" -> q58Oracle,
     "q57_concurrency" -> q57Oracle,
     "q56_gap_fill" -> q56Oracle,
     "q55_dq_audit" -> q55Oracle,

@@ -114,4 +114,30 @@ class PageRankSpec extends AnyFunSuite {
     assert(rows.exists(r => r._6 == 1 && r._5 > 0L),
       "some gap must carry a non-zero forward-filled value")
   }
+
+  test("q58: every status equals the scalar diff of the planted snapshots") {
+    val got = graft.SparkEntry.queries("q58_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("key_sum")))).toMap
+    assert(got.keySet == Set("added", "removed", "changed", "unchanged"),
+      "all four change classes must fire in the planted fixture")
+    // scalar reference: replay the plants over the collected base rows
+    val base = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("c_acctbal")))
+    val keys = base.map(_._1).toSet
+    val removed = base.map(_._1).filter(_ % 97 == 0)
+    val changed = base.map(_._1).filter(k => k % 97 != 0 && k % 13 == 0)
+    val added = base.map(_._1).filter(_ % 101 == 0).map(_ + 10000000L)
+    val unchanged = base.map(_._1).filter(k => k % 97 != 0 && k % 13 != 0)
+    assert(added.forall(k => !keys(k)), "shifted inserts must be genuinely new keys")
+    def stat(ks: Seq[Long]) = (ks.length.toLong, ks.sum)
+    assert(got("added") == stat(added), "added accounting drifted")
+    assert(got("removed") == stat(removed), "removed accounting drifted")
+    assert(got("changed") == stat(changed), "changed accounting drifted")
+    assert(got("unchanged") == stat(unchanged), "unchanged accounting drifted")
+    // a +1.00 balance mutation always moves the integer-cents digest:
+    // the changed count must be exactly the %13 survivors, never fewer
+    assert(got("changed")._1 == changed.length.toLong)
+  }
 }
