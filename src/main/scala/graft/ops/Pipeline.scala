@@ -1804,7 +1804,53 @@ object Pipeline {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- p17: deterministic epoch shuffle --------------------------------------
+
+  /** The training-order shuffle — the pass between curation and the
+    * data loader: every epoch must visit the whole corpus in a
+    * different, RE-DERIVABLE pseudo-random order (resume-from-step
+    * and byte-exact reruns both depend on the order being a pure
+    * function of (doc, epoch), never an RNG stream). Each doc gets a
+    * multiplicative-hash position key salted by the epoch, lands in a
+    * shard by key range, and takes its in-shard rank; (shard,
+    * pos_in_shard) IS the loader's read order.
+    *
+    * Scale shape: the position key is row-local integer arithmetic
+    * (63-bit-safe: ids × the Knuth constant stay far under overflow —
+    * Spark 4 ANSI would throw otherwise, a feature here); the ONLY
+    * exchange keys on the shard; each shard sorts its own slice (the
+    * 16-shard knob scales as corpus ÷ loader-file budget, keeping
+    * per-shard sorts bounded — never one global sort). Two epochs ride
+    * one plan via a row-local explode.
+    */
+  private def p17EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("pos"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array(lit(1), lit(2))).as("epoch"))
+      .withColumn("pos",
+        expr("(doc_id * 2654435761 + epoch * 40503 + 12345) % 2147483647"))
+      .withColumn("shard", expr("CAST(pos % 16 AS INT)"))
+      .withColumn("pos_in_shard", row_number().over(w))
+      .select("epoch", "shard", "pos_in_shard", "doc_id", "pos")
+      .orderBy("epoch", "shard", "pos_in_shard")
+  }
+
+  private val p17Oracle: String =
+    """WITH e AS (
+      |  SELECT doc_id, unnest([1, 2]) AS epoch FROM documents),
+      |k AS (
+      |  SELECT CAST(epoch AS INT) AS epoch, doc_id,
+      |         (doc_id * 2654435761 + epoch * 40503 + 12345) % 2147483647 AS pos
+      |  FROM e)
+      |SELECT epoch, CAST(pos % 16 AS INT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY epoch, pos % 16
+      |         ORDER BY pos, doc_id) AS INT) AS pos_in_shard,
+      |       doc_id, pos
+      |FROM k ORDER BY epoch, shard, pos_in_shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_epoch_shuffle" -> (p17EpochShuffle _),
     "p16_dedup_cascade" -> (p16DedupCascade _),
     "p15_data_card" -> (p15DataCard _),
     "p14_jsonl_ingest" -> (p14JsonlIngest _),
@@ -1824,6 +1870,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p17_epoch_shuffle" -> p17Oracle,
     "p16_dedup_cascade" -> p16Oracle,
     "p15_data_card" -> p15Oracle,
     "p14_jsonl_ingest" -> p14Oracle,

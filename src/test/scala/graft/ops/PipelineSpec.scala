@@ -456,4 +456,45 @@ class PipelineSpec extends AnyFunSuite {
     // the fixture must exercise every stage
     got.foreach { case (st, _, rem, _) => assert(rem > 0, s"stage $st never fired") }
   }
+
+  test("p17: each epoch is a bijective re-derivable order; epochs genuinely differ") {
+    val got = Pipeline.queries("p17_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard"),
+        r.getAs[Int]("pos_in_shard"), r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // bijection per epoch: every doc appears exactly once
+    Seq(1, 2).foreach { ep =>
+      val rows = got.filter(_._1 == ep)
+      assert(rows.length.toLong == nDocs, s"epoch $ep must cover the corpus once")
+      assert(rows.map(_._4).distinct.length.toLong == nDocs, s"epoch $ep repeats a doc")
+      // position keys re-derive scalar-side (pure function, no RNG)
+      rows.foreach { case (_, sh, _, id, pos) =>
+        assert(pos == (id * 2654435761L + ep * 40503L + 12345L) % 2147483647L,
+          s"position key must be re-derivable for doc $id")
+        assert(sh == (pos % 16).toInt, s"shard must be the key range for doc $id")
+      }
+      // in-shard ranks are contiguous from 1 and ordered by pos
+      rows.groupBy(_._2).values.foreach { sr =>
+        val sorted = sr.sortBy(_._3)
+        assert(sorted.map(_._3).toSeq == (1 to sr.length).toSeq)
+        assert(sorted.sliding(2).forall(p => p.length < 2 ||
+          p(0)._5 < p(1)._5 || (p(0)._5 == p(1)._5 && p(0)._4 < p(1)._4)),
+          "in-shard order must follow the key")
+      }
+      // balance: no shard dominates (multiplicative hashing spreads)
+      val sizes = rows.groupBy(_._2).values.map(_.length)
+      assert(sizes.size == 16 && sizes.max < 2 * sizes.min,
+        s"epoch $ep shards must be roughly balanced: $sizes")
+      // the shuffle genuinely permutes: within-shard doc order must not
+      // be sorted by doc_id (the degenerate no-shuffle outcome)
+      assert(rows.groupBy(_._2).values.exists { sr =>
+        val order = sr.sortBy(_._3).map(_._4)
+        order != order.sorted
+      }, s"epoch $ep looks unshuffled")
+    }
+    // different epochs produce different orders (the salt bites)
+    val o1 = got.filter(_._1 == 1).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    val o2 = got.filter(_._1 == 2).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(o1 != o2, "epoch orders must differ")
+  }
 }
