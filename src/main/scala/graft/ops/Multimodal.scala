@@ -1342,10 +1342,17 @@ object Multimodal {
         it.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // fill the raster's backing int[] directly (TYPE_INT_RGB is
+          // already packed RGB) — setRGB converts per pixel; the PNG
+          // deflate still dominates the leg, this just stops paying
+          // twice for the plant
+          val buf = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
           var y = 0
           while (y < h) {
+            val base = y * w
             var x = 0
-            while (x < w) { img.setRGB(x, y, plantRGB(id, x, y)); x += 1 }
+            while (x < w) { buf(base + x) = plantRGB(id, x, y); x += 1 }
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
