@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
 
@@ -292,21 +292,38 @@ object Dedup {
     * shape that holds at corpus scale. Shared by the batch self-join
     * (d3) and the incremental probe (d8).
     */
-  private[ops] def minhashBands(shs: DataFrame): DataFrame = {
+  /** The 16-minhash signature columns (mh1..mh16) per doc — the
+    * config-independent half of the index, shared by every banding.
+    */
+  private[ops] def minhashSig(shs: DataFrame): DataFrame = {
     val sigCols = (1 to numHashes).map { j =>
       min(expr(s"(${mhA(j - 1)} * x + ${mhB(j - 1)}) % $P")).as(s"mh$j")
     }
-    val sig = shs
+    shs
       .select(col("doc_id"), explode(col("shs")).as("x"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
-    val bandCol = explode(array((0 until 4).map { b =>
-      concat(lit(b), lit(":"),
-        col(s"mh${b * 4 + 1}"), lit(","), col(s"mh${b * 4 + 2}"), lit(","),
-        col(s"mh${b * 4 + 3}"), lit(","), col(s"mh${b * 4 + 4}"))
+  }
+
+  /** Band rows for an nBands × (16/nBands) split of the signature —
+    * byte-identical to the historical fixed 4×4 string for nBands=4,
+    * so d3/d8's oracle chain is unchanged.
+    */
+  private[ops] def bandsOf(sig: DataFrame, nBands: Int): DataFrame = {
+    val rows = numHashes / nBands
+    val bandCol = explode(array((0 until nBands).map { b =>
+      val parts: Seq[Column] = Seq(lit(b), lit(":")) ++
+        (1 to rows).flatMap { r =>
+          val c = col(s"mh${b * rows + r}")
+          if (r == 1) Seq(c) else Seq(lit(","), c)
+        }
+      concat(parts: _*)
     }: _*))
     sig.select(col("doc_id"), bandCol.as("band"))
   }
+
+  private[ops] def minhashBands(shs: DataFrame): DataFrame =
+    bandsOf(minhashSig(shs), 4)
 
   /** The verified near-dup pair table (d3's candidate-join + exact
     * Jaccard gate), eagerly materialized — shared by the d3 gate and
@@ -1558,7 +1575,118 @@ object Dedup {
        |FROM lab GROUP BY src_1, src_2
        |ORDER BY src_1, src_2""".stripMargin
 
+  // ---- d19: LSH band-configuration tuning ------------------------------------
+
+  /** The banding knob, measured instead of guessed — s12's
+    * "index-quality eval as a query" discipline applied to the dedup
+    * index: for each way of splitting the 16-hash signature into
+    * bands (2×8 strict, 4×4 shipped, 8×2 loose), candidate precision
+    * and recall against the EXACT Jaccard ≥ 0.5 truth on a bounded
+    * eval sample. More bands with fewer rows → more collisions →
+    * recall up, precision down; this query puts integers on that
+    * curve so the 4×4 choice is evidence, not folklore.
+    *
+    * Scale shape: the truth side is all-pairs EXACT Jaccard — which is
+    * precisely why it runs on a FIXED SAMPLE (doc_id < 200; at corpus
+    * scale the sample stays this size while the index grows, the
+    * s12/s13 eval discipline). The signature computes ONCE and every
+    * config re-bands the same frame row-locally; candidate joins key
+    * on band strings; counts are tiny rollups.
+    */
+  private def d19LshTuning(s: SparkSession, d: String): DataFrame = {
+    val sample = shingleSetDF(s, d).filter(col("doc_id") < 200).persist()
+    val truth = sample.select(col("doc_id").as("id_a"), col("shs").as("sa"))
+      .join(sample.select(col("doc_id").as("id_b"), col("shs").as("sb")),
+        col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= 0.5)
+      .select("id_a", "id_b").persist()
+    val sig = minhashSig(sample).persist()
+    val perConfig = Seq(2, 4, 8).map { nb =>
+      val bands = bandsOf(sig, nb)
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .persist()
+      val out = cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("tp")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(lit(s"${nb}x${numHashes / nb}").as("config"),
+          col("n_cand"), col("n_true"), col("tp"),
+          expr("CASE WHEN n_cand > 0 THEN (tp * 1000) DIV n_cand ELSE 0 END")
+            .as("precision_pm"),
+          expr("CASE WHEN n_true > 0 THEN (tp * 1000) DIV n_true ELSE 0 END")
+            .as("recall_pm"))
+        .localCheckpoint(true)
+      cand.unpersist(blocking = false)
+      out
+    }
+    val out = perConfig.reduce(_ unionAll _).orderBy("config")
+    Seq(sample, truth, sig).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  private val d19Oracle: String = {
+    def bandsCte(nb: Int): String = {
+      val rows = numHashes / nb
+      val cells = (1 to rows).map(r => s"mh[b * $rows + $r]").mkString(" || ',' || ")
+      s"""b$nb AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(0, ${nb - 1}),
+         |           b -> b || ':' || $cells)) AS band
+         |  FROM sig)""".stripMargin
+    }
+    def candCte(nb: Int): String =
+      s"""c$nb AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM b$nb x JOIN b$nb y ON x.band = y.band AND x.doc_id < y.doc_id)""".stripMargin
+    def statSel(nb: Int): String = {
+      val rows = numHashes / nb
+      s"""SELECT '${nb}x$rows' AS config,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$nb) AS n_cand,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$nb
+         |     SEMI JOIN truth USING (id_a, id_b)) AS tp,
+         |  CASE WHEN (SELECT count(*) FROM c$nb) > 0
+         |       THEN ((SELECT CAST(count(*) AS BIGINT) FROM c$nb
+         |                SEMI JOIN truth USING (id_a, id_b)) * 1000)
+         |            // (SELECT CAST(count(*) AS BIGINT) FROM c$nb)
+         |       ELSE 0 END AS precision_pm,
+         |  CASE WHEN (SELECT count(*) FROM truth) > 0
+         |       THEN ((SELECT CAST(count(*) AS BIGINT) FROM c$nb
+         |                SEMI JOIN truth USING (id_a, id_b)) * 1000)
+         |            // (SELECT CAST(count(*) AS BIGINT) FROM truth)
+         |       ELSE 0 END AS recall_pm""".stripMargin
+    }
+    val aLit = mhA.mkString("[", ", ", "]")
+    val bLit = mhB.mkString("[", ", ", "]")
+    s"""WITH sample AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       |${lshCtesSql("sample", "t")},
+       |truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM tshs a JOIN tshs b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, $numHashes), j ->
+       |           list_min(list_transform(shs, x -> (($aLit)[j] * x + ($bLit)[j]) % $P))) AS mh
+       |  FROM tshs),
+       |${bandsCte(2)}, ${candCte(2)},
+       |${bandsCte(4)}, ${candCte(4)},
+       |${bandsCte(8)}, ${candCte(8)}
+       |${statSel(2)}
+       |UNION ALL
+       |${statSel(4)}
+       |UNION ALL
+       |${statSel(8)}
+       |ORDER BY config""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_lsh_tuning" -> (d19LshTuning _),
     "d18_overlap_matrix" -> (d18OverlapMatrix _),
     "d17_url_dedup" -> (d17UrlDedup _),
     "d16_template_dedup" -> (d16TemplateDedup _),
@@ -1642,6 +1770,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d19_lsh_tuning" -> d19Oracle,
     "d18_overlap_matrix" -> d18Oracle,
     "d17_url_dedup" -> d17Oracle,
     "d16_template_dedup" -> d16Oracle,

@@ -420,4 +420,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got.keys.exists(k => k._1 == k._2), "within-source redundancy must appear")
     assert(got.keys.exists(k => k._1 != k._2), "cross-source contamination must appear")
   }
+
+  test("d19: every config's counts equal a scalar re-banding of the same signatures") {
+    val got = Dedup.queries("d19_lsh_tuning")(spark, sf).collect()
+      .map(r => r.getAs[String]("config") ->
+        ((r.getAs[Long]("n_cand"), r.getAs[Long]("n_true"), r.getAs[Long]("tp"),
+          r.getAs[Long]("precision_pm"), r.getAs[Long]("recall_pm")))).toMap
+    assert(got.keySet == Set("2x8", "4x4", "8x2"))
+    // scalar reference: shingle sets -> exact truth; signatures -> hand
+    // re-banded candidates per config
+    val sample = Dedup.shingleSetDF(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[Long](r.fieldIndex("shs")).toSet))
+    val truth = (for {
+      (a, sa) <- sample; (b, sb) <- sample if a < b
+      if sb.nonEmpty || sa.nonEmpty
+      j = if ((sa | sb).isEmpty) 0.0 else (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    val sig = Dedup.minhashSig(
+      Dedup.shingleSetDF(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 200)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (1 to 16).map(j => r.getAs[Long](s"mh$j")).toVector).toMap
+    for (nb <- Seq(2, 4, 8)) {
+      val rows = 16 / nb
+      val byBand = sig.toSeq.flatMap { case (id, mh) =>
+        (0 until nb).map(b => (b, mh.slice(b * rows, (b + 1) * rows)) -> id)
+      }.groupBy(_._1).values.map(_.map(_._2).sorted)
+      val cand = byBand.flatMap(ids =>
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))).toSet
+      val tp = (cand & truth).size.toLong
+      val want = (cand.size.toLong, truth.size.toLong, tp,
+        if (cand.nonEmpty) tp * 1000 / cand.size else 0L,
+        if (truth.nonEmpty) tp * 1000 / truth.size else 0L)
+      assert(got(s"${nb}x$rows") == want, s"config ${nb}x$rows drifted vs scalar re-banding")
+    }
+    // the knob must genuinely move the curve on this corpus
+    assert(got.values.map(_._1).toSeq.distinct.length > 1,
+      "all configs produced identical candidate sets - the eval is vacuous")
+    assert(truth.nonEmpty)
+  }
 }
