@@ -1681,7 +1681,63 @@ object Text {
        |ORDER BY bucket""".stripMargin
   }
 
+  // ---- t50: Zipf rank-frequency diagnostic -----------------------------------
+
+  /** The Zipf's-law fit — t49's dual (Heaps describes vocabulary
+    * growth, Zipf the frequency ladder the vocabulary sits on): rank
+    * every word type by frequency and report, per rank decile, the
+    * type count and the rank×frequency mass. For natural language
+    * rank×freq is near-constant (the Zipf plateau); a corpus whose
+    * head deciles dwarf the tail is boilerplate-heavy, one with a flat
+    * profile is template noise — this is the one-page distribution
+    * fingerprint corpus reviews put next to the data card (p15).
+    *
+    * Scale shape: ONE corpus exchange (the word-keyed frequency
+    * rollup, map-side combined); everything after operates on the
+    * VOCABULARY table, which Heaps' law bounds far below corpus size —
+    * its global rank window is model-sized control-plane work (t34's
+    * discipline), never a corpus sort. Ranks tie-break (count desc,
+    * word) so both engines agree exactly.
+    */
+  private def t50ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val uni = Tables.documents(s, d)
+      .select(explode(wordsCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    uni.withColumn("rnk", row_number().over(wRank).cast("long"))
+      .crossJoin(broadcast(uni.agg(count(lit(1)).as("n_types"))))
+      .withColumn("decile", expr("CAST(((rnk - 1) * 10) DIV n_types AS INT)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_in_decile"),
+        min(col("rnk")).as("rank_lo"), max(col("rnk")).as("rank_hi"),
+        sum(col("c")).as("freq_mass"),
+        sum(col("rnk") * col("c")).as("rf_sum"))
+      .withColumn("mean_rf", expr("rf_sum DIV n_in_decile"))
+      .orderBy("decile")
+  }
+
+  private val t50Oracle: String = {
+    val ws = wordsSql("text")
+    s"""WITH uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($ws) AS w FROM documents) GROUP BY w),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM uni),
+       |rk AS (
+       |  SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk
+       |  FROM uni)
+       |SELECT CAST(((rnk - 1) * 10) // n.n_types AS INT) AS decile,
+       |       CAST(count(*) AS BIGINT) AS n_in_decile,
+       |       min(rnk) AS rank_lo, max(rnk) AS rank_hi,
+       |       CAST(sum(c) AS BIGINT) AS freq_mass,
+       |       CAST(sum(rnk * c) AS BIGINT) AS rf_sum,
+       |       CAST(sum(rnk * c) AS BIGINT) // count(*) AS mean_rf
+       |FROM rk, n
+       |GROUP BY 1 ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t50_zipf_fit" -> (t50ZipfFit _),
     "t49_vocab_growth" -> (t49VocabGrowth _),
     "t48_fertility" -> (t48Fertility _),
     "t47_blocklist" -> (t47Blocklist _),
@@ -1979,6 +2035,7 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "t50_zipf_fit" -> t50Oracle,
     "t49_vocab_growth" -> t49Oracle,
     "t48_fertility" -> t48Oracle,
     "t47_blocklist" -> t47Oracle,

@@ -380,4 +380,36 @@ class TextSpec extends AnyFunSuite {
     assert(got.last._6 < got.head._6,
       "vocabulary density failed to decay - the curve is vacuous")
   }
+
+  test("t50: the decile profile equals a scalar rank-frequency recompute") {
+    val got = Text.queries("t50_zipf_fit")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("decile"), r.getAs[Long]("n_in_decile"),
+        r.getAs[Long]("rank_lo"), r.getAs[Long]("rank_hi"),
+        r.getAs[Long]("freq_mass"), r.getAs[Long]("rf_sum"), r.getAs[Long]("mean_rf")))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 until 10), "exactly ten rank deciles")
+    // scalar reference: same tokenization, hand-ranked vocabulary
+    val words = graft.Tables.documents(spark, sf)
+      .select(Text.wordsCol(org.apache.spark.sql.functions.col("text")).as("ws"))
+      .collect().flatMap(_.getSeq[String](0))
+    val uni = words.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val ranked = uni.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((w, c), i) => (i + 1L, c) }
+    val n = ranked.length.toLong
+    val byDec = ranked.groupBy { case (r, _) => (((r - 1) * 10) / n).toInt }
+    for ((dec, nd, lo, hi, fm, rf, mrf) <- got) {
+      val ws2 = byDec(dec)
+      assert(nd == ws2.length.toLong, s"type count drifted in decile $dec")
+      assert(lo == ws2.map(_._1).min && hi == ws2.map(_._1).max,
+        s"rank bounds drifted in decile $dec")
+      assert(fm == ws2.map(_._2).sum, s"frequency mass drifted in decile $dec")
+      assert(rf == ws2.map(p => p._1 * p._2).sum, s"rank-freq mass drifted in decile $dec")
+      assert(mrf == rf / nd)
+    }
+    // conservation + the Zipf shape this corpus actually has: the head
+    // decile concentrates frequency mass far above the tail decile
+    assert(got.map(_._5).sum == words.length.toLong, "token mass must conserve")
+    assert(got.head._5 > got.last._5 * 2,
+      "no head concentration - the frequency ladder is degenerate")
+  }
 }
