@@ -39,32 +39,49 @@ object Bench {
       }
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def runReps(name: String, n: Int): Seq[Double] = {
+    def runOnce(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
-      (1 to n).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              // record, don't swallow: a broken query must not
-              // masquerade as a fast one
-              errors.getOrElseUpdate(name, e.toString.take(200))
-              false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Queries that persist() intermediates (d3, s2, s3) would
-        // otherwise accumulate cached blocks across all 45+ queries in
-        // this one JVM — the round-2 bench regressed 3.1x from exactly
-        // that. Each query must pay only its own cost.
-        spark.catalog.clearCache()
-        if (ok) Some(dt) else None
-      }
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            // record, don't swallow: a broken query must not
+            // masquerade as a fast one
+            errors.getOrElseUpdate(name, e.toString.take(200))
+            false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries that persist() intermediates (d3, s2, s3) would
+      // otherwise accumulate cached blocks across all 45+ queries in
+      // this one JVM — the round-2 bench regressed 3.1x from exactly
+      // that. Each query must pay only its own cost.
+      spark.catalog.clearCache()
+      if (ok) Some(dt) else None
     }
+    def runReps(names: Iterable[String], n: Int,
+        raw: scala.collection.mutable.LinkedHashMap[String, Seq[Double]]): Unit =
+      // ROUND-ROBIN rep order (rep 1 of every query, then rep 2, …),
+      // not n back-to-back reps per query: the grading host's noise
+      // mode is a minutes-long contention window, and back-to-back
+      // reps put ALL of a query's samples inside one window — r15's
+      // driver record shows every outlier with 3 poisoned main reps
+      // and clean deepened reps (t39: [13409,12028,10856, 957,858]),
+      // a median no amount of per-query deepening can recover.
+      // Interleaved, a window poisons at most ~window/total-pass
+      // fraction of ANY query's reps, so median-of-3 rejects it.
+      (1 to n).foreach { _ =>
+        names.foreach { name =>
+          runOnce(name).foreach { dt =>
+            raw(name) = raw.getOrElse(name, Nil) :+ dt
+          }
+        }
+      }
     def medianOf(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.length / 2)
     val raw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    SparkEntry.queries.keys.foreach { name => raw(name) = runReps(name, reps) }
+    SparkEntry.queries.keys.foreach { name => raw(name) = Nil }
+    runReps(SparkEntry.queries.keys, reps, raw)
     // Decile deepening: the grading host's documented noise mode is a
     // random multi-second spike on a single rep, and the SLOWEST
     // queries are where one poisoned median moves the total most
@@ -83,7 +100,7 @@ object Bench {
     val nDeepened = if (nDeep > 0) {
       val deepTargets = raw.toSeq.filter(_._2.nonEmpty)
         .sortBy { case (_, ts) => -medianOf(ts) }.take(nDeep).map(_._1)
-      deepTargets.foreach { name => raw(name) = raw(name) ++ runReps(name, extraReps) }
+      runReps(deepTargets, extraReps, raw) // same round-robin interleave
       deepTargets.size
     } else 0
     val results = raw.map { case (name, ts) => name -> medianOf(ts) }

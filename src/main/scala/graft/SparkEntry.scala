@@ -66,8 +66,11 @@ object SparkEntry {
     graft.ops.Sketch.queries ++ graft.cdc.CdcQueries.queries
 
   /** Queries whose first call per data-dir pays a one-time durable
-    * state build (see [[graft.cdc.CdcQueries.statefulGateQueries]]);
-    * the bench prebuilds them untimed at the target SF.
+    * state build (see [[graft.cdc.CdcQueries.statefulGateQueries]]).
+    * [[graft.Bench]]'s full-registry untimed warm-up at the target SF
+    * subsumes prebuilding these; the set documents which queries that
+    * warm-up is load-bearing for (and lets other harnesses prebuild
+    * selectively).
     */
   def statefulQueries: Set[String] = graft.cdc.CdcQueries.statefulGateQueries
 

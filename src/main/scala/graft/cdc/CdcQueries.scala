@@ -1987,12 +1987,13 @@ object CdcQueries {
     * durable state build through [[GateTmp.once]] (write-side setup:
     * snapshot + multi-batch applies + compaction — the sf1 sweep
     * measured `cdc_replay_idempotent`'s first build at 6.9-10.3 s vs
-    * ~0.5 s steady-state). [[graft.Bench]] prebuilds these at the
-    * TARGET SF inside its untimed warm-up so every timed rep measures
-    * the read-side plan; without this, rep 1's median contribution is
-    * setup cost, and a grading host that inflates the remaining reps
-    * reports setup as if it were the plan (the r13/r14 driver-bench
-    * divergence on exactly these gates).
+    * ~0.5 s steady-state). [[graft.Bench]]'s untimed warm-up runs the
+    * FULL registry at the target SF, which subsumes prebuilding these
+    * (no separate prebuild pass exists); this set documents WHICH
+    * queries that warm-up is load-bearing for — without it, rep 1's
+    * median contribution is setup cost, and a grading host that
+    * inflates the remaining reps reports setup as if it were the plan
+    * (the r13/r14 driver-bench divergence on exactly these gates).
     */
   val statefulGateQueries: Set[String] = Set(
     "cdc_mor_state", "cdc_snapshot_resume", "cdc_time_travel",

@@ -66,8 +66,21 @@ object IndexCompaction {
     * tmp write → retire original → promote tmp → drop retired. The
     * only window in which `dir` is absent is between two renames; a
     * failure before the promote leaves the original (live or retired)
-    * on disk — never a half-written table. The retired name is
-    * deterministic so an operator can recover a crashed swap by hand.
+    * on disk — never a half-written table.
+    *
+    * RECOVERY (crash inside the rename window, or a reader racing a
+    * future multi-threaded caller and seeing `dir` missing): the two
+    * sibling names are deterministic — if `dir` is absent,
+    * `dir.__fold_tmp` holds the complete folded table (its write
+    * finished before any rename ran) and `dir.__fold_old` holds the
+    * retired original; rename EITHER back to `dir` (they contain the
+    * same rows) and delete the other. The swap never deletes data
+    * before the promote succeeds, so one of the two siblings is
+    * always whole. Current callers are single-threaded maintenance
+    * jobs (the compaction cadence), which is why the two-rename
+    * window is acceptable; a concurrent-reader deployment would put
+    * the table name behind a pointer (manifest file) instead of a
+    * directory rename.
     */
   private def writeSwapped(folded: DataFrame, dir: String, width: Int): Unit = {
     val p = new Path(dir)

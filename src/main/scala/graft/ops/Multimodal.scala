@@ -1483,7 +1483,8 @@ object Multimodal {
     * dimensions, the letterbox math over those dimensions (exact,
     * hash-strict — same closed forms as mm13), that the codec
     * actually compressed (n_bytes < 3·w·h raw), and the tolerance
-    * CONTRACT itself — `luma_in_tol` must be 0 (in-band) for every
+    * CONTRACT itself — `luma_in_tol` must be 1 (in-band; polarity
+    * matches the sibling `compressed` flag, 1 = good) for every
     * asset, which the oracle asserts as a literal while Spark earns
     * it from real decoded pixels. The raw (non-reproducible) luma
     * numbers stay out of the hashed result; the spec bounds them and
@@ -1497,8 +1498,8 @@ object Multimodal {
     jpegStats(meta).toDF()
       .select(col("doc_id"), col("width"), col("height"),
         col("out_w"), col("out_h"), col("pad_x"), col("pad_y"),
-        when(abs(col("mluma_decoded") - col("mluma_planted")) <= JpegLumaTol, 0)
-          .otherwise(1).cast("int").as("luma_in_tol"),
+        when(abs(col("mluma_decoded") - col("mluma_planted")) <= JpegLumaTol, 1)
+          .otherwise(0).cast("int").as("luma_in_tol"),
         when(col("n_bytes") < col("width") * col("height") * 3, 1)
           .otherwise(0).cast("int").as("compressed"))
       .orderBy("doc_id")
@@ -1634,7 +1635,7 @@ object Multimodal {
       |       CAST(CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS INT) AS out_h,
       |       CAST(224 - CASE WHEN w >= h THEN 224 ELSE w * 224 // h END AS INT) AS pad_x,
       |       CAST(224 - CASE WHEN w >= h THEN h * 224 // w ELSE 224 END AS INT) AS pad_y,
-      |       CAST(0 AS INT) AS luma_in_tol,
+      |       CAST(1 AS INT) AS luma_in_tol,
       |       CAST(1 AS INT) AS compressed
       |FROM m ORDER BY doc_id""".stripMargin
 

@@ -2792,8 +2792,8 @@ object Similarity {
     * final top-10. s11 re-ranks whole cells exactly and s9 scans the
     * whole corpus approximately; the funnel is what deployments
     * actually run, because each leg shrinks the next leg's input:
-    * corpus → nprobe/k of the corpus (codes only) → 32 rows →
-    * 10 rows. `adc_rank` rides the output so the gate shows the
+    * corpus → nprobe/k of the corpus (codes only) → [[FunnelCand]]
+    * rows → 10 rows. `adc_rank` rides the output so the gate shows the
     * re-rank genuinely reorders the ADC candidates.
     *
     * Scale shape: both codebooks are control-plane (≤ k rows
@@ -2801,8 +2801,8 @@ object Similarity {
     * the stored index (cell id + codes, pinned once — at billions of
     * vectors this is s17's standing table) is scanned with a
     * broadcast join and its only exchange is the qid window over the
-    * probed-cell candidates; the exact leg broadcasts ≤ 5·32 rows
-    * back onto the vector scan. The corpus never shuffles — the s9
+    * probed-cell candidates; the exact leg broadcasts ≤ 5·[[FunnelCand]]
+    * rows back onto the vector scan. The corpus never shuffles — the s9
     * and s11 contracts composed.
     */
   private def s25IvfPqFunnel(s: SparkSession, d: String): DataFrame = {

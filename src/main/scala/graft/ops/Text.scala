@@ -1079,15 +1079,34 @@ object Text {
     * trains ONCE and every consumer (t40 reports merges, t41 encodes,
     * t42 decodes) reuses the artifact; retraining per query would
     * triple-charge the 24 driver-paced rounds for identical output.
-    * Keyed by session identity because the cached word-table frame's
-    * checkpointed blocks die with its session.
+    * Keyed by session UUID (collision-free — an identity hash can
+    * recur after GC and hand a later session a frame whose
+    * checkpointed blocks died with the original) because the cached
+    * word-table frame's blocks die with its session; entries of
+    * STOPPED sessions are evicted on every access so a long-lived
+    * JVM cycling sessions doesn't retain dead frames.
     */
   private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (Seq[(Int, Long, Long, Long, Long)], DataFrame)]
+    .empty[(String, String), (SparkSession, Seq[(Int, Long, Long, Long, Long)], DataFrame)]
+
+  private def bpeSessionKey(s: SparkSession): String =
+    // sessionUUID is private[sql] in the Scala signature but public
+    // bytecode; reflection reads the collision-free id without a shim
+    // class in Spark's package. Fallback (non-classic session impls):
+    // identity hash — unique enough once stopped-session eviction has
+    // removed any entry a recycled hash could collide with.
+    try s.getClass.getMethod("sessionUUID").invoke(s).toString
+    catch { case _: Throwable => "id:" + System.identityHashCode(s) }
 
   private[ops] def bpeTrained(s: SparkSession, d: String)
-      : (Seq[(Int, Long, Long, Long, Long)], DataFrame) =
-    bpeMemo.getOrElseUpdate((System.identityHashCode(s), d), bpeTrainLoop(s, d))
+      : (Seq[(Int, Long, Long, Long, Long)], DataFrame) = {
+    bpeMemo.filterInPlace { case (_, (sess, _, _)) => !sess.sparkContext.isStopped }
+    val (_, merges, words) =
+      bpeMemo.getOrElseUpdate((bpeSessionKey(s), d), {
+        val (m, w) = bpeTrainLoop(s, d); (s, m, w)
+      })
+    (merges, words)
+  }
 
   private[ops] def bpeTrainLoop(s: SparkSession, d: String)
       : (Seq[(Int, Long, Long, Long, Long)], DataFrame) = {

@@ -362,10 +362,11 @@ class MultimodalSpec extends AnyFunSuite {
       else (s.width * 224 / s.height, 224)
       assert((s.out_w, s.out_h, s.pad_x, s.pad_y) == (ow, oh, 224 - ow, 224 - oh))
     }
-    // the gate view bands every row to luma_in_tol = 0 / compressed = 1
+    // the gate view bands every row to luma_in_tol = 1 / compressed = 1
+    // (both flags share polarity: 1 = good)
     val gate = Multimodal.queries("mm15_jpeg")(spark, sf).collect()
     assert(gate.nonEmpty)
-    assert(gate.forall(r => r.getAs[Int]("luma_in_tol") == 0 &&
+    assert(gate.forall(r => r.getAs[Int]("luma_in_tol") == 1 &&
       r.getAs[Int]("compressed") == 1))
   }
 
