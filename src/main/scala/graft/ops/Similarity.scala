@@ -2368,19 +2368,33 @@ object Similarity {
     * knob: per-cell population — and so per-vector candidate work —
     * stays constant as the corpus grows). The gate pins k = 8.
     */
-  private[graft] def s19From(base: DataFrame,
-      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+  /** The edge list itself — (src, nbr_id, nbr_q, cos, rnk), each
+    * vector's top-3 multi-probe-cell neighbors WITH the neighbor's
+    * vector denormalized in. Factored out of [[s19From]] so the s28
+    * graph walk can read it as a standing index whose hops never
+    * rejoin the corpus for vectors (nbr_q rides the edge row; the
+    * denormalization triples edge width but keeps every search hop a
+    * single broadcast join against this one table).
+    */
+  private[graft] def knnEdges(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)], degree: Int = 3): DataFrame = {
     val probes = ivfProbes(base, cents, nprobe = 2, qMax = Long.MaxValue)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr_id"))
     assignCellsFrom(base, cents)
       .join(probes, col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nbr_id"),
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("q").as("nbr_q"),
         VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
-      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
-      .select(col("qid").as("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
-      .orderBy("vec_id", "rnk")
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= degree)
+      .select(col("qid").as("src"), col("nbr_id"), col("nbr_q"),
+        col("cos"), col("rnk"))
   }
+
+  private[graft] def s19From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame =
+    knnEdges(base, cents)
+      .select(col("src").as("vec_id"), col("nbr_id"), col("cos"), col("rnk"))
+      .orderBy("vec_id", "rnk")
 
   private def s19KnnGraph(s: SparkSession, d: String): DataFrame = {
     val base = quantized(s, d)
@@ -3031,7 +3045,195 @@ object Similarity {
       |GROUP BY t.dim, t.qid
       |ORDER BY t.dim, t.qid""".stripMargin
 
+  // ---- s28: graph-ANN search (beam walk over the s19 kNN graph) ------------
+
+  /** Frontier width per hop — candidates carried forward per query.
+    * ≥ [[GraphK]] (HNSW's ef ≥ k rule: a frontier narrower than the
+    * result starves it).
+    */
+  private[ops] val GraphBeam = 16
+
+  /** Bounded hop count — each hop is one broadcast join against the
+    * edge table, so the whole search is [[GraphHops]] + 1 joins deep.
+    */
+  private[ops] val GraphHops = 4
+
+  /** Out-degree of the SEARCH graph — wider than s19's 3 (HNSW
+    * layer-0 runs 2·M ≈ 16-32; a sparse graph strands the walk, the
+    * measured reason the first cut's recall sat at 0.30). Degree is
+    * the graph index's memory/recall knob: index bytes scale linearly
+    * with it, per-hop work is beam × degree.
+    */
+  private[ops] val GraphDegree = 8
+
+  /** Result size per query. */
+  private val GraphK = 10
+
+  /** The READ half of the graph index family — s19 builds the kNN
+    * graph, this searches it: a greedy/beam walk (the HNSW layer-0 /
+    * DiskANN read model; Malkov & Yashunin 2016, best-first with a
+    * bounded frontier) that every production vector store ships
+    * alongside the IVF/PQ read paths (s11/s9/s25). Entry points come
+    * from the coarse quantizer: each query's top-2 IVF cells
+    * (s11's probe selection), each represented by its min-id member.
+    * Each hop expands the per-query top-[[GraphBeam]] frontier
+    * through the standing edge table, scores the neighbors exactly,
+    * and folds them into the visited set; after [[GraphHops]] hops
+    * the top-[[GraphK]] visited candidates are the answer. Unlike
+    * bucket/cell/code pruning, the walk prunes by NEIGHBORHOOD — it
+    * can leave the entry cell entirely, which is exactly what the
+    * recall spec shows (hop candidates the probed cells don't
+    * contain).
+    *
+    * Scale shape: the searchable corpus never shuffles and is never
+    * even scanned per hop — the edge table carries each neighbor's
+    * vector denormalized in ([[knnEdges]]), so a hop is ONE broadcast
+    * join of the (queries × beam)-row frontier against the standing
+    * edge table plus a broadcast join of the ≤5-row query vectors;
+    * the only exchanges anywhere are qid-keyed windows/rollups over
+    * frontier-bounded frames (s11's contract, kept per hop —
+    * [[s28Hop]] is the audited unit). At billion-vector scale the
+    * edge table is the STORED graph index (s19's output is the build;
+    * building it here keeps the gate self-contained) and search cost
+    * is hops × beam × degree edge lookups per query — independent of
+    * corpus size, THE property that makes graph indexes the
+    * low-latency serving choice.
+    *
+    * Determinism: s11's integer-exact basis — quantized vectors, one
+    * IEEE division per centroid score, exact cosine with vec_id
+    * tie-breaks on every window — so the oracle replays the walk
+    * hop-for-hop (unrolled CTEs, the t40 recipe).
+    */
+  private[graft] def s28From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val corpus = base.filter(col("vec_id") >= 5)
+    // the standing graph index: built once, pinned; hops only read it
+    val edges = knnEdges(corpus, cents, GraphDegree)
+      .select(col("src"), col("nbr_id"), col("nbr_q"))
+      .localCheckpoint(true)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+      .localCheckpoint(true) // ≤5 rows, read once per hop
+    // entry points: the query's top-2 trained cells, each represented
+    // by its min-id member (control-plane: ≤ queries × nprobe rows)
+    val cellEntry = assignCellsFrom(corpus, cents)
+      .groupBy("cid").agg(min(col("vec_id")).as("vec_id"))
+    val entries = ivfProbes(base, cents, nprobe = 2)
+      .join(broadcast(cellEntry), col("pcid") === col("cid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val cand0 = corpus
+      .join(broadcast(entries), Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+    // LAZY pins (the q54 trick): hop k plans against a materialized
+    // hop k-1 instead of the doubled lineage (cand feeds both the
+    // frontier and the union), and the cut rides the next hop's job
+    var cand = cand0.localCheckpoint(false)
+    (1 to GraphHops).foreach { _ =>
+      cand = s28Hop(edges, qs, cand).localCheckpoint(false)
+    }
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= GraphK)
+      .orderBy("qid", "rnk")
+  }
+
+  /** One beam hop, exposed pre-checkpoint for the plan audit: take
+    * the per-query top-[[GraphBeam]] frontier, expand it through the
+    * edge table (edge side streams, frontier broadcasts), score the
+    * neighbors against the broadcast query vectors, fold into the
+    * visited set keyed on (qid, vec_id). The max() is over identical
+    * recomputed values — cosine is deterministic — it is the dedup,
+    * not an aggregation.
+    */
+  private[ops] def s28Hop(edges: DataFrame, qs: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val frontier = cand
+      .withColumn("br", row_number().over(wBeam)).filter(col("br") <= GraphBeam)
+      .select(col("qid"), col("vec_id").as("src"))
+    val nbrs = edges
+      .join(broadcast(frontier), Seq("src"))
+      .join(broadcast(qs), Seq("qid"))
+      .select(col("qid"), col("nbr_id").as("vec_id"),
+        VectorFunctions.cosine_similarity(col("nbr_q"), col("qv")).as("cos"))
+    cand.unionByName(nbrs)
+      .groupBy("qid", "vec_id").agg(max(col("cos")).as("cos"))
+  }
+
+  private def s28GraphSearch(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    s28From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  private val s28Oracle: String = {
+    val hops = (1 to GraphHops).map { k =>
+      s"""f$k AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY cos DESC, vec_id) AS br
+         |    FROM w${k - 1}) WHERE br <= $GraphBeam),
+         |w$k AS (
+         |  SELECT qid, vec_id, max(cos) AS cos FROM (
+         |    SELECT qid, vec_id, cos FROM w${k - 1}
+         |    UNION ALL
+         |    SELECT f.qid, e.nbr,
+         |           list_cosine_similarity(e.nbr_q::DOUBLE[], qv.q::DOUBLE[])
+         |    FROM f$k f
+         |    JOIN gedge e ON e.src = f.vec_id
+         |    JOIN qv ON qv.qid = f.qid)
+         |  GROUP BY qid, vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |corp AS (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |gsc AS (
+       |  SELECT g.vec_id AS gid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> g.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base g, c2 c WHERE g.vec_id >= 5),
+       |gpr AS (
+       |  SELECT gid, cid FROM (
+       |    SELECT gid, cid,
+       |           row_number() OVER (PARTITION BY gid ORDER BY score DESC, cid) AS pr
+       |    FROM gsc) WHERE pr <= 2),
+       |gedge AS (
+       |  SELECT src, nbr, nbr_q FROM (
+       |    SELECT p.gid AS src, a.vec_id AS nbr, a.q AS nbr_q,
+       |           row_number() OVER (PARTITION BY p.gid
+       |             ORDER BY list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]) DESC,
+       |                      a.vec_id) AS rnk
+       |    FROM gpr p
+       |    JOIN corp a ON a.cid = p.cid AND a.vec_id <> p.gid
+       |    JOIN base b ON b.vec_id = p.gid) WHERE rnk <= $GraphDegree),
+       |qv AS (SELECT vec_id AS qid, q FROM base WHERE vec_id < 5),
+       |cmin AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |w0 AS (
+       |  SELECT e.qid, e.vec_id,
+       |         list_cosine_similarity(cb.q::DOUBLE[], qv.q::DOUBLE[]) AS cos
+       |  FROM (SELECT DISTINCT p.qid, m.vec_id
+       |        FROM probes p JOIN cmin m ON m.cid = p.cid) e
+       |  JOIN base cb ON cb.vec_id = e.vec_id
+       |  JOIN qv ON qv.qid = e.qid),
+       |$hops
+       |SELECT qid, vec_id, cos, rnk FROM (
+       |  SELECT qid, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM w$GraphHops)
+       |WHERE rnk <= $GraphK ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_graph_search" -> (s28GraphSearch _),
     "s27_mrl_eval" -> (s27MrlEval _),
     "s26_triplet_mining" -> (s26TripletMining _),
     "s25_ivf_pq_funnel" -> (s25IvfPqFunnel _),
@@ -3062,6 +3264,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s28_graph_search" -> s28Oracle,
     "s27_mrl_eval" -> s27Oracle,
     "s26_triplet_mining" -> s26Oracle,
     "s25_ivf_pq_funnel" -> s25Oracle,

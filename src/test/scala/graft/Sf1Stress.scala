@@ -172,6 +172,20 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS19(sf1, 80)
       println(f"[sf1-stress] s19_knn_graph (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s19_knn_graph_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // graph SEARCH at production shape: the registered gate's cost
+      // is ~all graph BUILD (s19's knob — k ∝ corpus keeps it
+      // linear); the walk itself reads hops × beam × degree edges
+      // per query, independent of corpus size
+      def timeS28(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.quantized(spark, dir)
+        graft.ops.Similarity.s28From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS28(sf01, 8)
+      val (f1, t1, n1) = timeS28(sf1, 80)
+      println(f"[sf1-stress] s28_graph_search (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s28_graph_search_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""

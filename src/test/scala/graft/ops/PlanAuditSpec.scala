@@ -1146,4 +1146,61 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(antiBroadcast, "stage-3 removal must be a broadcast anti-join")
     } finally pinned.foreach(_.unpersist(blocking = false))
   }
+
+  test("s28: a graph-search hop is broadcast-only — exchanges key on qid") {
+    import org.apache.spark.sql.functions._
+    // A hop against the STANDING edge table must read it with one
+    // broadcast join (frontier broadcasts, edges stream), fetch query
+    // vectors by broadcast, and exchange only qid-keyed frontier-
+    // bounded frames (the beam window + the visited-set fold). The
+    // corpus itself must appear nowhere — search cost is independent
+    // of corpus size, which is the graph index's whole point.
+    val base = Similarity.quantized(spark, sf)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
+    val corpus = base.filter(col("vec_id") >= 5)
+    val edges = Similarity.knnEdges(corpus, cents)
+      .select(col("src"), col("nbr_id"), col("nbr_q"))
+      .localCheckpoint(true) // the stored index: audit the READ path only
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+      .localCheckpoint(true)
+    val cand = qs.select(col("qid"), (col("qid") + 5L).as("vec_id"),
+      lit(0.5).as("cos")).localCheckpoint(true)
+    val plan = Similarity.s28Hop(edges, qs, cand).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "a hop must never go pairwise")
+    assert(shuffleJoinKeys(plan).isEmpty,
+      "every hop join must be broadcast — the edge table never shuffles to be read")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the beam window and visited-set fold must appear")
+    assert(hashes.forall(_.contains("hashpartitioning(qid")),
+      s"every exchange must lead with qid:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("nbr_q") || h.contains("qv#")),
+      "vector arrays must never ride an exchange key")
+  }
+
+  test("t51: a training round is join-free — the only corpus exchange keys on the bucket") {
+    // The weight vector rides the plan as a 257-element LITERAL array,
+    // so margins/errors are row-local: a gradient round over the
+    // pinned feature frame must contain NO join of any kind and
+    // exactly one corpus-sized exchange — the B-bounded bucket rollup
+    // (map-side combined). This is the broadcast-weights/tree-reduce-
+    // gradients layout distributed GD needs at 100 TB.
+    val feats = Text.t51Feats(spark, sf).localCheckpoint(true)
+    val featsPlan = Text.t51Feats(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!featsPlan.contains("Exchange"),
+      "the corpus->features reduction must be one row-local projection")
+    val w = Array.tabulate(Text.T51Buckets + 1)(b => (b % 7).toLong - 3L)
+    val plan = Text.t51Grad(feats, w).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      "a gradient round must be join-free (weights are a literal array)")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("hashpartitioning(b")),
+      s"the only exchange must key on the bucket:\n${hashes.mkString("\n")}")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      "the bucket rollup must combine map-side")
+  }
 }

@@ -871,4 +871,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dims.init.exists(d => qs.exists(q => got((d, q._1)) < 10L)),
       "fixture shows no truncation loss - the evaluation is vacuous")
   }
+
+  test("s28: beam walk recall@10 vs brute force, and the walk leaves its entry cells") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = Similarity.quantized(spark, sf)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
+    // ground truth on the SAME quantized basis s28 scores with
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = base.filter(col("vec_id") >= 5).join(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine_similarity(col("qv"), col("q")).as("cos"))
+      .withColumn("rnk", row_number().over(wExact)).filter(col("rnk") <= 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = Similarity.s28From(base, cents).collect()
+      .groupBy(_.getAs[Long]("qid")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(got.keySet == exact.keySet, "every query must report")
+    val recall = exact.map { case (q, want) =>
+      got(q).intersect(want).size / want.size.toDouble
+    }.sum / exact.size
+    info(f"s28 beam-walk recall@10 = $recall%.2f (beam=${Similarity.GraphBeam}, hops=${Similarity.GraphHops})")
+    // Floor measured on the harness corpus (near-random 64-dim
+    // vectors — the adversarial case for any index; a 3-NN graph is
+    // sparse connectivity). The walk must beat entry-point luck by a
+    // wide margin, not match exhaustive scan.
+    assert(recall >= 0.5, f"graph-walk recall collapsed: $recall%.2f")
+    // the defining property vs cell pruning: the walk follows EDGES,
+    // so it can surface results the probed cells don't contain
+    val assigned = Similarity.assignCellsFrom(base.filter(col("vec_id") >= 5), cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Similarity.queries("s11_ivf_search")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid")).view
+      .mapValues(_.map(_.getAs[Long]("cell")).toSet).toMap
+    val escaped = got.exists { case (q, ids) =>
+      ids.exists(id => !probed(q).contains(assigned(id)))
+    }
+    assert(escaped, "no result outside the probed cells — the walk is cell search in disguise")
+  }
 }

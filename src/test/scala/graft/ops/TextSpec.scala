@@ -412,4 +412,67 @@ class TextSpec extends AnyFunSuite {
     assert(got.head._5 > got.last._5 * 2,
       "no head concentration - the frequency ladder is degenerate")
   }
+
+  test("t51 trained classifier equals a scalar fixed-point LR bit-for-bit and learns") {
+    // Independent scalar replay of the WHOLE training loop — hashed
+    // per-mille rate features, hard-sigmoid link, positive-remainder
+    // floor division, 8 full-batch rounds — in plain Scala Longs; the
+    // distributed result must match per-doc scores EXACTLY (integer
+    // training is deterministic or it is wrong).
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val B = Text.T51Buckets
+    def ph(w: String): Long =
+      (1 to 8).map { k =>
+        val c = if (k <= w.length) w.charAt(k - 1).toLong else 0L
+        c * (1 to (8 - k)).foldLeft(1L)((a, _) => a * 31L)
+      }.sum
+    def fdiv(a: Long, d: Long): Long = Math.floorDiv(a, d)
+    val docs = rows.map { case (id, text, source) =>
+      val ws = text.trim.split(" ").filter(_.nonEmpty)
+      val y = if (source.drop(3).toInt < 10) 1L else 0L
+      val cnt = ws.groupBy(w => (ph(w) % B).toInt).view.mapValues(_.length.toLong)
+      val feats = cnt.map { case (b, c) => b -> 1000L * c / ws.length }.toMap +
+        (B -> 1000L)
+      (id, y, feats)
+    }
+    val n = docs.length.toLong
+    val w = Array.fill(B + 1)(0L)
+    (1 to Text.T51Rounds).foreach { _ =>
+      val grad = Array.fill(B + 1)(0L)
+      docs.foreach { case (_, y, feats) =>
+        val m = fdiv(feats.map { case (b, x) => w(b) * x }.sum, 1000L)
+        val p = math.max(0L, math.min(1000000L, 500000L + fdiv(m, 4L)))
+        val err = y * 1000000L - p
+        feats.foreach { case (b, x) => grad(b) += fdiv(err * x, 1000L) }
+      }
+      (0 to B).foreach(b => w(b) += fdiv(grad(b), n))
+    }
+    val want = docs.map { case (id, y, feats) =>
+      val m = fdiv(feats.map { case (b, x) => w(b) * x }.sum, 1000L)
+      val score = math.max(0L, math.min(1000000L, 500000L + fdiv(m, 4L)))
+      id -> ((y, score))
+    }.toMap
+    val got = Text.queries("t51_quality_clf")(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (y, score) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("label") == y.toInt)
+      assert(r.getAs[Long]("score") == score,
+        s"score drifted for doc ${r.getAs[Long]("doc_id")}: got ${r.getAs[Long]("score")}, want $score")
+      assert(r.getAs[Int]("pred") == (if (score >= 500000L) 1 else 0))
+      assert(r.getAs[Int]("correct") == (if ((score >= 500000L) == (y == 1L)) 1 else 0))
+    }
+    // training must BEAT the majority class — the fixture's planted
+    // per-source signatures are weak (float-LR ceiling ~0.60 train
+    // accuracy), so the bar is "learned anything", not a vanity 0.9
+    val acc = got.map(_.getAs[Int]("correct").toLong).sum.toDouble / got.length
+    val pos = docs.count(_._2 == 1L)
+    val base = math.max(pos, docs.length - pos).toDouble / docs.length
+    info(f"t51 train accuracy $acc%.3f vs majority baseline $base%.3f")
+    assert(acc > base + 0.02, f"classifier failed to learn: $acc%.3f <= $base%.3f")
+    assert(w.exists(_ != 0L), "weights never moved")
+  }
 }
