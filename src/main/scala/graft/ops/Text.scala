@@ -1781,21 +1781,14 @@ object Text {
   private def fdivD(a: String, d: String): String =
     s"((($a) - (((($a) % ($d)) + ($d)) % ($d))) // ($d))"
 
-  /** Row-local per-document feature vector: per-mille unigram rates
-    * over [[T51Buckets]] hashed buckets plus the bias feature —
-    * array<struct<b:int, x:bigint>>, built entirely inside the row
-    * (distinct-buckets × words work on a ≤few-hundred-word doc).
-    */
-  private def t51FeatsSql: String = {
-    val ws = "filter(split(trim(text), ' '), v -> v <> '')"
-    val h = polyHashSql("w", 8)
-    s"""concat(
-       |  transform(array_distinct(transform($ws, w -> CAST(($h) % $T51Buckets AS INT))),
-       |    b -> named_struct('b', b,
-       |      'x', CAST(1000 * size(filter(transform($ws, w -> CAST(($h) % $T51Buckets AS INT)), v -> v = b)) AS BIGINT)
-       |           DIV CAST(size($ws) AS BIGINT))),
-       |  array(named_struct('b', $T51Bias, 'x', CAST(1000 AS BIGINT))))""".stripMargin
-  }
+  // The feature vector is per-mille unigram rates over [[T51Buckets]]
+  // hashed buckets plus the bias feature, assembled in [[t51Feats]] by
+  // the linear explode->rollup shape (the oracle's own `occ` CTE). An
+  // earlier cut built it row-locally with nested higher-order
+  // functions — per distinct bucket it re-hashed EVERY word, an
+  // O(distinct_buckets x words) inner loop per document that made the
+  // one-time feature build dominate all eight training rounds
+  // combined (~9.8 s of the query's ~9.8 s at sf0.1).
 
   /** One full-batch gradient round, exposed pre-collect for the plan
     * audit: margins and errors are ROW-LOCAL (the weight vector rides
@@ -1825,7 +1818,7 @@ object Text {
     * FIXED rules. [[T51Rounds]] deterministic full-batch gradient
     * rounds in integer fixed-point: features are per-mille unigram
     * rates over [[T51Buckets]] hashed buckets plus a bias
-    * ([[t51FeatsSql]], built row-locally), the link is the
+    * ([[t51Feats]], built by a linear explode→rollup), the link is the
     * piecewise-linear HARD sigmoid `clamp(½ + m/4, 0, 1)` (Courbariaux
     * et al. 2015's binarized-net link — exact in integer arithmetic,
     * where the logistic exp is libm-bound, the t44 trick), and every
@@ -1853,14 +1846,34 @@ object Text {
     * the spec asserts it beats the majority class, not a vanity bar.
     */
   /** The corpus→features reduction, pre-checkpoint (the plan-audit
-    * seam — the registered query pins it eagerly): one narrow
-    * projection, zero exchanges.
+    * seam — the registered query pins it eagerly): tokenize-explode,
+    * roll up occurrence counts on (doc_id, bucket) — each word hashed
+    * exactly ONCE, linear in corpus tokens — union the always-present
+    * bias row per doc, and regroup to the per-doc feature array. Two
+    * doc-keyed exchanges, both map-side combined, no join; the array
+    * order is nondeterministic but every consumer folds it with a
+    * commutative integer sum.
     */
-  private[ops] def t51Feats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[ops] def t51Feats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("CAST(CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 1 ELSE 0 END AS BIGINT)").as("y"),
-        expr(t51FeatsSql).as("feats"))
+        expr("filter(split(trim(text), ' '), v -> v <> '')").as("ws"))
+    val occ = docs
+      .select(col("doc_id"), col("y"), size(col("ws")).as("n"),
+        explode(col("ws")).as("w"))
+      .select(col("doc_id"), col("y"), col("n"),
+        expr(s"CAST((${polyHashSql("w", 8)}) % $T51Buckets AS INT)").as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(first(col("y")).as("y"),
+        expr("CAST(1000 * count(1) AS BIGINT) DIV CAST(first(n) AS BIGINT)").as("x"))
+    val bias = docs.select(col("doc_id"), col("y"),
+      lit(T51Bias).as("b"), lit(1000L).as("x"))
+    occ.unionByName(bias)
+      .groupBy(col("doc_id"))
+      .agg(first(col("y")).as("y"),
+        collect_list(struct(col("b"), col("x"))).as("feats"))
+  }
 
   private def t51QualityClf(s: SparkSession, d: String): DataFrame = {
     val feats = t51Feats(s, d).localCheckpoint(true)

@@ -1190,8 +1190,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val feats = Text.t51Feats(spark, sf).localCheckpoint(true)
     val featsPlan = Text.t51Feats(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(!featsPlan.contains("Exchange"),
-      "the corpus->features reduction must be one row-local projection")
+    // The one-time feature build is the linear explode->rollup shape:
+    // join-free (the bias feature rides a union, not a join) and every
+    // exchange doc-keyed — (doc_id, b) for the occurrence rollup, then
+    // doc_id for the per-doc array regroup. Each word is hashed ONCE;
+    // the earlier row-local nested-transform build was quadratic per
+    // doc and dominated the whole query.
+    assert(!featsPlan.contains("Join") && !featsPlan.contains("CartesianProduct"),
+      "the feature build must be join-free (bias rides a union)")
+    val fHashes = featsPlan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(fHashes.nonEmpty && fHashes.forall(_.contains("hashpartitioning(doc_id")),
+      s"every feature-build exchange must lead with doc_id:\n${fHashes.mkString("\n")}")
     val w = Array.tabulate(Text.T51Buckets + 1)(b => (b % 7).toLong - 3L)
     val plan = Text.t51Grad(feats, w).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
