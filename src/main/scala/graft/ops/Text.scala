@@ -1083,8 +1083,9 @@ object Text {
     * recur after GC and hand a later session a frame whose
     * checkpointed blocks died with the original) because the cached
     * word-table frame's blocks die with its session; entries of
-    * STOPPED sessions are evicted on every access so a long-lived
-    * JVM cycling sessions doesn't retain dead frames.
+    * STOPPED sessions are evicted on every cache miss so a long-lived
+    * JVM cycling sessions doesn't retain dead frames while warm hits
+    * stay O(1).
     */
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), (SparkSession, Seq[(Int, Long, Long, Long, Long)], DataFrame)]
@@ -1093,14 +1094,23 @@ object Text {
     // sessionUUID is private[sql] in the Scala signature but public
     // bytecode; reflection reads the collision-free id without a shim
     // class in Spark's package. Fallback (non-classic session impls):
-    // identity hash — unique enough once stopped-session eviction has
-    // removed any entry a recycled hash could collide with.
+    // identity hash — NOT collision-free (two live sessions can share
+    // a hash); stopped-session eviction only clears DEAD entries, so
+    // this path is best-effort and acceptable only because every
+    // in-repo caller is a classic SparkSession that takes the UUID
+    // branch. Fatal errors (OOM, linkage) propagate.
     try s.getClass.getMethod("sessionUUID").invoke(s).toString
-    catch { case _: Throwable => "id:" + System.identityHashCode(s) }
+    catch {
+      case scala.util.control.NonFatal(_) => "id:" + System.identityHashCode(s)
+    }
 
   private[ops] def bpeTrained(s: SparkSession, d: String)
       : (Seq[(Int, Long, Long, Long, Long)], DataFrame) = {
-    bpeMemo.filterInPlace { case (_, (sess, _, _)) => !sess.sparkContext.isStopped }
+    // evict dead-session entries only on a miss (an insert is coming):
+    // the common warm-hit path stays O(1) instead of paying an
+    // O(entries) isStopped sweep per access
+    if (!bpeMemo.contains((bpeSessionKey(s), d)))
+      bpeMemo.filterInPlace { case (_, (sess, _, _)) => !sess.sparkContext.isStopped }
     val (_, merges, words) =
       bpeMemo.getOrElseUpdate((bpeSessionKey(s), d), {
         val (m, w) = bpeTrainLoop(s, d); (s, m, w)

@@ -905,9 +905,14 @@ class SimilaritySpec extends AnyFunSuite {
     val assigned = Similarity.assignCellsFrom(base.filter(col("vec_id") >= 5), cents)
       .select("vec_id", "cid").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val probed = Similarity.queries("s11_ivf_search")(spark, sf).collect()
-      .groupBy(_.getAs[Long]("qid")).view
-      .mapValues(_.map(_.getAs[Long]("cell")).toSet).toMap
+    // probed cells come from the probe list itself, not from s11's
+    // RESULT rows — a result set can under-represent the nprobe=2
+    // cells actually probed (a probed cell contributing no top-10 row
+    // would falsely count its members as "escaped")
+    val probed = Similarity.ivfProbes(base, cents, nprobe = 2)
+      .select("qid", "pcid").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
     val escaped = got.exists { case (q, ids) =>
       ids.exists(id => !probed(q).contains(assigned(id)))
     }
