@@ -1069,9 +1069,16 @@ object Similarity {
     */
   private[ops] def ivfProbes(base: DataFrame,
       cents: Array[(Long, Seq[Double], Long)], nprobe: Int,
-      qMax: Long = 5L): DataFrame = {
-    val qs = base.filter(col("vec_id") < qMax)
-      .select(col("vec_id").as("qid"), col("q").as("qv"))
+      qMax: Long = 5L): DataFrame =
+    ivfProbesOf(base.filter(col("vec_id") < qMax)
+      .select(col("vec_id").as("qid"), col("q").as("qv")), cents, nprobe)
+
+  /** [[ivfProbes]] for an arbitrary query frame (qid, qv) — the seam
+    * that lets the s29 insert batch probe its entry cells with the
+    * exact literal-codebook shape the read path uses.
+    */
+  private[graft] def ivfProbesOf(qs: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)], nprobe: Int): DataFrame = {
     // Same O(1)-in-k literal shape as assignCellsFrom: the whole
     // codebook scored in one codebook_scores pass, posexploded, the
     // position mapped back to its cid through the literal cid list.
@@ -3113,12 +3120,31 @@ object Similarity {
       .localCheckpoint(true)
     val qs = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
-      .localCheckpoint(true) // ≤5 rows, read once per hop
+    val cand = graphWalk(corpus, edges, qs, cents)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= GraphK)
+      .orderBy("qid", "rnk")
+  }
+
+  /** The walk core shared by the s28 read path and the s29 insert
+    * path: beam-walk the standing pinned edge table from IVF-cell
+    * entry points for an arbitrary query frame (qid, qv); returns the
+    * final visited set (qid, vec_id, cos). The edge frame is passed
+    * in (not rebuilt) so an insert can keep the cos-bearing adjacency
+    * it repairs against pinned once and hand the walk a projection of
+    * the same checkpoint.
+    */
+  private[graft] def graphWalk(corpus: DataFrame, edges: DataFrame,
+      qs0: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val qs = qs0.localCheckpoint(true) // query-batch-sized, read once per hop
     // entry points: the query's top-2 trained cells, each represented
     // by its min-id member (control-plane: ≤ queries × nprobe rows)
     val cellEntry = assignCellsFrom(corpus, cents)
       .groupBy("cid").agg(min(col("vec_id")).as("vec_id"))
-    val entries = ivfProbes(base, cents, nprobe = 2)
+    val entries = ivfProbesOf(qs, cents, nprobe = 2)
       .join(broadcast(cellEntry), col("pcid") === col("cid"))
       .select(col("qid"), col("vec_id")).distinct()
     val cand0 = corpus
@@ -3133,11 +3159,7 @@ object Similarity {
     (1 to GraphHops).foreach { _ =>
       cand = s28Hop(edges, qs, cand).localCheckpoint(false)
     }
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand
-      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= GraphK)
-      .orderBy("qid", "rnk")
   }
 
   /** One beam hop, exposed pre-checkpoint for the plan audit: take
@@ -3169,8 +3191,12 @@ object Similarity {
     s28From(base, collectCents(trainCodebook(base, iters = 2)))
   }
 
-  private val s28Oracle: String = {
-    val hops = (1 to GraphHops).map { k =>
+  /** The unrolled beam-walk hop CTEs (t40's recipe) — shared by the
+    * s28 and s29 oracles; needs `w0`, `gedge(src, nbr, nbr_q, ...)`
+    * and `qv(qid, q)` in scope, ends in `w[[GraphHops]]`.
+    */
+  private def graphHopOracleCtes: String =
+    (1 to GraphHops).map { k =>
       s"""f$k AS (
          |  SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id,
@@ -3188,6 +3214,9 @@ object Similarity {
          |    JOIN qv ON qv.qid = f.qid)
          |  GROUP BY qid, vec_id)""".stripMargin
     }.mkString(",\n")
+
+  private val s28Oracle: String = {
+    val hops = graphHopOracleCtes
     s"""WITH base AS (
        |  SELECT vec_id,
        |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
@@ -3232,7 +3261,308 @@ object Similarity {
        |WHERE rnk <= $GraphK ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- s29: online insert into the graph index (walk-link + repair) -------
+
+  /** The insert batch: corpus vectors carved out by this modulus so
+    * the oracle sees the same deterministic split (≈6% of the table
+    * arrives as "new" vectors against the standing graph of the
+    * rest).
+    */
+  private[ops] val GraphInsertMod = 17L
+  private[ops] val GraphInsertRem = 9L
+
+  /** The WRITE half of the graph index the s28 read model needs — the
+    * HNSW/DiskANN insert: a new vector finds its approximate
+    * neighborhood BY THE WALK ITSELF (the same beam walk s28 serves
+    * reads with, [[graphWalk]]), links to its top-[[GraphDegree]]
+    * results, and each linked neighbor takes the reciprocal edge and
+    * re-prunes its adjacency back to [[GraphDegree]] by exact cosine
+    * (HNSW's shrink step — Malkov & Yashunin 2016 Alg. 1; reference
+    * vector stores run exactly this loop per insert). Batch
+    * semantics, the distributed choice: every insert in the
+    * micro-batch walks the PRE-BATCH graph and all repairs apply at
+    * once — order-free and deterministic, where sequential inserts
+    * would make the result depend on arrival order inside the batch
+    * (intra-batch edges then appear at the next rebuild/compaction,
+    * s23's story). Output: the post-insert adjacency — each new
+    * node's out-edges (`side = 'new'`) and every touched neighbor's
+    * re-pruned adjacency (`side = 'repair'`, which may equal its old
+    * one when no insert makes the cut: shrink keeps the best).
+    *
+    * Scale shape: per-insert cost is the s28 walk — hops × beam ×
+    * degree edge lookups, INDEPENDENT of corpus size — plus a repair
+    * bounded by batch × degree touched nodes, each re-ranking ≤
+    * degree + batch candidates. The standing corpus never shuffles:
+    * the walk inherits s28's broadcast-only hop contract, the repair
+    * joins the insert-batch-sized frames INTO the pinned edge table
+    * (affected set broadcasts), and the only exchanges are
+    * src/qid-keyed windows over batch-bounded frames. At 100 TB the
+    * edge table is the stored index and an insert micro-batch is
+    * delta-sized — nothing here grows with the corpus.
+    */
+  private[graft] def s29From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val member = col("vec_id") >= 5
+    val standing = base.filter(member &&
+      col("vec_id") % GraphInsertMod =!= GraphInsertRem)
+    val batch = base.filter(member &&
+      col("vec_id") % GraphInsertMod === GraphInsertRem)
+    // the standing adjacency, cos kept: the walk reads a projection
+    // of this one pinned frame, the repair re-ranks against it
+    val edges = knnEdges(standing, cents, GraphDegree)
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      .localCheckpoint(true)
+    val qs = batch.select(col("vec_id").as("qid"), col("q").as("qv"))
+    val visited = graphWalk(standing,
+      edges.select(col("src"), col("nbr_id"), col("nbr_q")), qs, cents)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    // the new node's out-edges: its top-degree walk results (pinned —
+    // feeds the output, the reciprocal candidates, and the repair)
+    val newEdges = visited
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= GraphDegree)
+      .select(col("qid").as("src"), col("vec_id").as("nbr_id"),
+        col("cos"), col("rnk"))
+      .localCheckpoint(true)
+    // reciprocal candidates: cosine is bitwise symmetric (per-term
+    // products commute under the same summation order), so the back
+    // edge reuses the walk's score — no recompute
+    val backCand = newEdges
+      .select(col("nbr_id").as("src"), col("src").as("nbr_id"), col("cos"))
+    val affected = backCand.select(col("src")).distinct()
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("nbr_id"))
+    val repaired = edges
+      .join(broadcast(affected), Seq("src")) // only touched nodes re-rank
+      .select(col("src"), col("nbr_id"), col("cos"))
+      .unionByName(backCand)
+      .withColumn("rnk", row_number().over(wAdj))
+      .filter(col("rnk") <= GraphDegree)
+    newEdges.withColumn("side", lit("new"))
+      .unionByName(repaired.withColumn("side", lit("repair")))
+      .orderBy("side", "src", "rnk")
+  }
+
+  private def s29GraphInsert(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    s29From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  /** The cos-bearing standing-graph oracle fragment shared by s29/s30:
+    * multi-probe kNN edges over `corp`, ending in
+    * `gedge(src, nbr, nbr_q, cos)`; needs `base`, `corp(vec_id, q,
+    * cid)` and the [[ivfOracleChain]] CTEs in scope.
+    */
+  private def gedgeOracleCtes: String =
+    s"""gsc AS (
+       |  SELECT g.vec_id AS gid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> g.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM corp g, c2 c),
+       |gpr AS (
+       |  SELECT gid, cid FROM (
+       |    SELECT gid, cid,
+       |           row_number() OVER (PARTITION BY gid ORDER BY score DESC, cid) AS pr
+       |    FROM gsc) WHERE pr <= 2),
+       |gedge AS (
+       |  SELECT src, nbr, nbr_q, cos FROM (
+       |    SELECT p.gid AS src, a.vec_id AS nbr, a.q AS nbr_q,
+       |           list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]) AS cos,
+       |           row_number() OVER (PARTITION BY p.gid
+       |             ORDER BY list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]) DESC,
+       |                      a.vec_id) AS rnk
+       |    FROM gpr p
+       |    JOIN corp a ON a.cid = p.cid AND a.vec_id <> p.gid
+       |    JOIN base b ON b.vec_id = p.gid) WHERE rnk <= $GraphDegree)""".stripMargin
+
+  private val s29Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |corp AS (SELECT vec_id, q, cid FROM a3
+       |         WHERE vec_id >= 5 AND vec_id % $GraphInsertMod <> $GraphInsertRem),
+       |$gedgeOracleCtes,
+       |qv AS (SELECT vec_id AS qid, q FROM base
+       |       WHERE vec_id >= 5 AND vec_id % $GraphInsertMod = $GraphInsertRem),
+       |qsc AS (
+       |  SELECT q.qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM qv q, c2 c),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qsc) WHERE pr <= 2),
+       |cmin AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |w0 AS (
+       |  SELECT e.qid, e.vec_id,
+       |         list_cosine_similarity(cb.q::DOUBLE[], qv.q::DOUBLE[]) AS cos
+       |  FROM (SELECT DISTINCT p.qid, m.vec_id
+       |        FROM probes p JOIN cmin m ON m.cid = p.cid) e
+       |  JOIN base cb ON cb.vec_id = e.vec_id
+       |  JOIN qv ON qv.qid = e.qid),
+       |$graphHopOracleCtes,
+       |newe AS (
+       |  SELECT qid AS src, vec_id AS nbr_id, cos, rnk FROM (
+       |    SELECT qid, vec_id, cos,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM w$GraphHops) WHERE rnk <= $GraphDegree),
+       |backc AS (SELECT nbr_id AS src, src AS nbr_id, cos FROM newe),
+       |aff AS (SELECT DISTINCT src FROM backc),
+       |rep AS (
+       |  SELECT src, nbr_id, cos, rnk FROM (
+       |    SELECT src, nbr_id, cos,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, nbr_id) AS rnk FROM (
+       |      SELECT e.src, e.nbr AS nbr_id, e.cos
+       |      FROM gedge e JOIN aff a ON a.src = e.src
+       |      UNION ALL
+       |      SELECT src, nbr_id, cos FROM backc))
+       |  WHERE rnk <= $GraphDegree)
+       |SELECT src, nbr_id, cos, CAST(rnk AS INT) AS rnk, 'new' AS side FROM newe
+       |UNION ALL
+       |SELECT src, nbr_id, cos, CAST(rnk AS INT) AS rnk, 'repair' AS side FROM rep
+       |ORDER BY side, src, rnk""".stripMargin
+
+  // ---- s30: delete from the graph index (tombstone + edge repair) ---------
+
+  /** The tombstone set: ≈2% of the corpus by this modulus — a
+    * delete micro-batch against the standing graph.
+    */
+  private[ops] val GraphDeleteMod = 53L
+  private[ops] val GraphDeleteRem = 6L
+
+  /** The DELETE half of the graph index lifecycle — DiskANN's
+    * consolidation (Jayaram Subramanya et al. 2019, FreshDiskANN's
+    * delete rule): tombstoned nodes drop out of the adjacency, and
+    * every surviving node that pointed AT a deleted node repairs by
+    * adopting the deleted node's own out-neighbors as candidates
+    * (the walk stays connected through the hole: u → d → w becomes
+    * u → w), then re-prunes to its best [[GraphDegree]] by exact
+    * cosine. A candidate may duplicate a surviving edge or arrive
+    * through two deleted hubs — the (src, nbr) dedup takes max(cos)
+    * over bitwise-identical values (cosine is symmetric and both
+    * engines reuse it). Output: the post-repair adjacency of every
+    * affected node.
+    *
+    * Scale shape: the tombstone set is delta-sized and BROADCASTS —
+    * dropping dead edges is a broadcast semi/anti filter over the
+    * pinned edge table, never a corpus shuffle. Repair routes
+    * through the deleted hub: edges INTO the dead set join edges OUT
+    * of it keyed on the hub id (≤ in-degree × out-degree candidates
+    * per deleted node, degree²-bounded), and the candidate frame —
+    * delta-sized — broadcasts into the corpus scan that supplies the
+    * repairing node's vector for fresh cosines. The only exchanges
+    * are the src-keyed dedup/rank over the affected-bounded frame.
+    * At 100 TB this is exactly the index-maintenance cost model a
+    * production store budgets: proportional to the delete batch and
+    * the graph degree, independent of the corpus.
+    */
+  private[graft] def s30From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val corpus = base.filter(col("vec_id") >= 5)
+    val edges = knnEdges(corpus, cents, GraphDegree)
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      .localCheckpoint(true)
+    // the tombstone set as a FRAME (a real delete batch arrives as
+    // ids, not a predicate) — delta-sized, broadcast everywhere
+    val dead = corpus.filter(col("vec_id") % GraphDeleteMod === GraphDeleteRem)
+      .select(col("vec_id").as("dead_id"))
+    // edges u -> d into the dead set, from surviving u: the repair list
+    val intoDead = edges
+      .join(broadcast(dead), col("nbr_id") === col("dead_id"))
+      .join(broadcast(dead.select(col("dead_id").as("src_dead"))),
+        col("src") === col("src_dead"), "left_anti")
+      .select(col("src"), col("nbr_id").as("hub"))
+    // edges d -> w out of the dead set, to surviving w (vector rides)
+    val outOfDead = edges
+      .join(broadcast(dead), col("src") === col("dead_id"))
+      .join(broadcast(dead.select(col("dead_id").as("nbr_dead"))),
+        col("nbr_id") === col("nbr_dead"), "left_anti")
+      .select(col("src").as("hub"), col("nbr_id").as("cand_id"),
+        col("nbr_q").as("cand_q"))
+    // candidates u -> w through the hub, scored fresh against u's
+    // vector: the delta-sized candidate frame broadcasts into the
+    // corpus scan — the corpus never shuffles. A (u, w) pair reached
+    // through two deleted hubs duplicates here with an identical
+    // cosine; the final (src, nbr_id) max-fold collapses it, so no
+    // vector column ever keys an exchange for dedup.
+    val cand = corpus
+      .join(broadcast(intoDead.join(broadcast(outOfDead), Seq("hub"))
+        .filter(col("cand_id") =!= col("src"))
+        .select(col("src"), col("cand_id"), col("cand_q"))),
+        col("vec_id") === col("src"))
+      .select(col("src"), col("cand_id").as("nbr_id"),
+        VectorFunctions.cosine_similarity(col("cand_q"), col("q")).as("cos"))
+    val affected = intoDead.select(col("src")).distinct()
+    // surviving adjacency of affected nodes: dead targets drop
+    val survivors = edges
+      .join(broadcast(affected), Seq("src"))
+      .join(broadcast(dead), col("nbr_id") === col("dead_id"), "left_anti")
+      .select(col("src"), col("nbr_id"), col("cos"))
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("nbr_id"))
+    survivors.unionByName(cand)
+      .groupBy(col("src"), col("nbr_id")).agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(wAdj))
+      .filter(col("rnk") <= GraphDegree)
+      .orderBy("src", "rnk")
+  }
+
+  private def s30GraphDelete(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    s30From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  private val s30Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |corp AS (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |dead AS (SELECT vec_id AS dead_id FROM corp
+       |         WHERE vec_id % $GraphDeleteMod = $GraphDeleteRem),
+       |intodead AS (
+       |  SELECT e.src, e.nbr AS hub FROM gedge e
+       |  WHERE e.nbr IN (SELECT dead_id FROM dead)
+       |    AND e.src NOT IN (SELECT dead_id FROM dead)),
+       |outofdead AS (
+       |  SELECT e.src AS hub, e.nbr AS cand_id, e.nbr_q AS cand_q FROM gedge e
+       |  WHERE e.src IN (SELECT dead_id FROM dead)
+       |    AND e.nbr NOT IN (SELECT dead_id FROM dead)),
+       |cand AS (
+       |  SELECT c.src, c.cand_id AS nbr_id,
+       |         list_cosine_similarity(c.cand_q::DOUBLE[], b.q::DOUBLE[]) AS cos
+       |  FROM (SELECT DISTINCT i.src, o.cand_id, o.cand_q
+       |        FROM intodead i JOIN outofdead o USING (hub)
+       |        WHERE o.cand_id <> i.src) c
+       |  JOIN base b ON b.vec_id = c.src),
+       |aff AS (SELECT DISTINCT src FROM intodead),
+       |surv AS (
+       |  SELECT e.src, e.nbr AS nbr_id, e.cos FROM gedge e
+       |  WHERE e.src IN (SELECT src FROM aff)
+       |    AND e.nbr NOT IN (SELECT dead_id FROM dead))
+       |SELECT src, nbr_id, cos, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT src, nbr_id, cos,
+       |         row_number() OVER (PARTITION BY src
+       |           ORDER BY cos DESC, nbr_id) AS rnk FROM (
+       |    SELECT src, nbr_id, max(cos) AS cos FROM (
+       |      SELECT src, nbr_id, cos FROM surv
+       |      UNION ALL
+       |      SELECT src, nbr_id, cos FROM cand)
+       |    GROUP BY src, nbr_id))
+       |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_graph_delete" -> (s30GraphDelete _),
+    "s29_graph_insert" -> (s29GraphInsert _),
     "s28_graph_search" -> (s28GraphSearch _),
     "s27_mrl_eval" -> (s27MrlEval _),
     "s26_triplet_mining" -> (s26TripletMining _),
@@ -3264,6 +3594,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s30_graph_delete" -> s30Oracle,
+    "s29_graph_insert" -> s29Oracle,
     "s28_graph_search" -> s28Oracle,
     "s27_mrl_eval" -> s27Oracle,
     "s26_triplet_mining" -> s26Oracle,

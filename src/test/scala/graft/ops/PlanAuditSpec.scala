@@ -1180,6 +1180,50 @@ class PlanAuditSpec extends AnyFunSuite {
       "vector arrays must never ride an exchange key")
   }
 
+  test("s29: insert repair is broadcast-only — exchanges key on src/qid, never a vector") {
+    // The maintenance tail past the (separately audited) walk: the
+    // new-edge window, the reciprocal-candidate fold, and each touched
+    // neighbor's re-prune must exchange only batch-bounded frames
+    // keyed on src/qid, and the standing edge table must be read by
+    // broadcast joins only — insert cost must stay independent of
+    // corpus size, like the search it rides on.
+    val plan = Similarity.queries("s29_graph_insert")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "repair must never go pairwise")
+    assert(shuffleJoinKeys(plan).isEmpty,
+      "every repair join must be broadcast — the edge table never shuffles")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.forall(l => l.contains("hashpartitioning(src") ||
+      l.contains("hashpartitioning(qid")),
+      s"every exchange must lead with src/qid:\n${hashes.mkString("\n")}")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("partitioning(") && (l.contains("nbr_q") || l.contains("qv#"))),
+      "vector arrays must never ride an exchange key")
+  }
+
+  test("s30: delete repair broadcasts the tombstones — the corpus never shuffles") {
+    // Tombstone filtering and hub-routed candidate generation must
+    // all be broadcast joins against the pinned edge table / corpus
+    // scan; the only exchanges are the src-keyed dedup/rank over the
+    // affected-bounded frame.
+    val plan = Similarity.queries("s30_graph_delete")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "repair must never go pairwise")
+    assert(shuffleJoinKeys(plan).isEmpty,
+      "tombstones and candidates must broadcast — nothing corpus-sized shuffles to join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the adjacency re-rank must appear")
+    assert(hashes.forall(_.contains("hashpartitioning(src")),
+      s"every exchange must lead with src:\n${hashes.mkString("\n")}")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("partitioning(") && (l.contains("nbr_q") || l.contains("cand_q"))),
+      "vector arrays must never ride an exchange key")
+  }
+
   test("t51: a training round is join-free — the only corpus exchange keys on the bucket") {
     // The weight vector rides the plan as a 257-element LITERAL array,
     // so margins/errors are row-local: a gradient round over the

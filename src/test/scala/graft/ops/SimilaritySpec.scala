@@ -918,4 +918,157 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(escaped, "no result outside the probed cells — the walk is cell search in disguise")
   }
+
+  // ---- scalar graph-index replay shared by the s29/s30 tests -------------
+  // Plain-Scala doubles in array order (the engine's accumulation
+  // contract), fully independent of the distributed plans: IVF scores,
+  // the multi-probe degree-8 edge build, and the beam walk.
+
+  private def scalarCos(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i); dot += x * y; nx += x * x; ny += y * y; i += 1
+    }
+    math.max(-1.0, math.min(1.0, dot / (math.sqrt(nx) * math.sqrt(ny))))
+  }
+
+  private def scalarScore(q: Seq[Double], sv: Seq[Double], n: Long): Double = {
+    var dot = 0.0; var i = 0
+    while (i < q.length) { dot += q(i) * sv(i); i += 1 }
+    dot / n
+  }
+
+  /** (cell assignment, degree-8 adjacency) of `corpus`, scalar. */
+  private def scalarGraph(vecs: Map[Long, Seq[Double]],
+      cents: Array[(Long, Seq[Double], Long)], corpus: Seq[Long])
+      : (Map[Long, Long], Map[Long, Seq[(Long, Double)]]) = {
+    val assign = corpus.map { v =>
+      v -> cents.map(c => (c._1, scalarScore(vecs(v), c._2, c._3)))
+        .sortBy(p => (-p._2, p._1)).head._1
+    }.toMap
+    val edges = corpus.map { v =>
+      val pcs = cents.map(c => (c._1, scalarScore(vecs(v), c._2, c._3)))
+        .sortBy(p => (-p._2, p._1)).take(2).map(_._1).toSet
+      val top = corpus.filter(u => u != v && pcs.contains(assign(u)))
+        .map(u => (u, scalarCos(vecs(u), vecs(v))))
+        .sortBy(p => (-p._2, p._1)).take(Similarity.GraphDegree)
+      v -> top
+    }.toMap
+    (assign, edges)
+  }
+
+  /** Final visited set per query of the beam walk, scalar. */
+  private def scalarWalk(vecs: Map[Long, Seq[Double]],
+      cents: Array[(Long, Seq[Double], Long)], corpus: Seq[Long],
+      assign: Map[Long, Long], edges: Map[Long, Seq[(Long, Double)]],
+      qids: Seq[Long]): Map[Long, Map[Long, Double]] =
+    qids.map { qid =>
+      val qv = vecs(qid)
+      val cmin = corpus.groupBy(assign).view.mapValues(_.min).toMap
+      val pcs = cents.map(c => (c._1, scalarScore(qv, c._2, c._3)))
+        .sortBy(p => (-p._2, p._1)).take(2).map(_._1)
+      var cand = pcs.flatMap(cmin.get).distinct
+        .map(e => e -> scalarCos(vecs(e), qv)).toMap
+      for (_ <- 1 to Similarity.GraphHops) {
+        val frontier = cand.toSeq.sortBy(p => (-p._2, p._1))
+          .take(Similarity.GraphBeam).map(_._1)
+        val nbrs = frontier.flatMap(f => edges(f))
+          .map(p => p._1 -> scalarCos(vecs(p._1), qv))
+        cand = (cand.toSeq ++ nbrs).groupBy(_._1).view
+          .mapValues(_.map(_._2).max).toMap
+      }
+      qid -> cand
+    }.toMap
+
+  test("s29: insert links via the walk and repairs neighbors exactly (scalar replay)") {
+    val base = Similarity.quantized(spark, sf)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
+    val vecs = base.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val standing = vecs.keys.filter(v =>
+      v >= 5 && v % Similarity.GraphInsertMod != Similarity.GraphInsertRem).toSeq.sorted
+    val batch = vecs.keys.filter(v =>
+      v >= 5 && v % Similarity.GraphInsertMod == Similarity.GraphInsertRem).toSeq.sorted
+    assert(batch.nonEmpty, "fixture must carve out an insert batch")
+    val (assign, edges) = scalarGraph(vecs, cents, standing)
+    val walk = scalarWalk(vecs, cents, standing, assign, edges, batch)
+    val wantNew = walk.map { case (v, cand) =>
+      assert(cand.size >= Similarity.GraphDegree, s"walk starved for insert $v")
+      v -> cand.toSeq.sortBy(p => (-p._2, p._1)).take(Similarity.GraphDegree)
+        .zipWithIndex.map { case ((u, c), i) => (u, c, i + 1) }
+    }
+    val wantRep = wantNew.toSeq
+      .flatMap { case (v, es) => es.map { case (u, c, _) => (u, v, c) } }
+      .groupBy(_._1).map { case (u, recs) =>
+        u -> (edges(u) ++ recs.map(t => (t._2, t._3)))
+          .sortBy(p => (-p._2, p._1)).take(Similarity.GraphDegree)
+          .zipWithIndex.map { case ((w, c), i) => (w, c, i + 1) }
+      }
+    val got = Similarity.queries("s29_graph_insert")(spark, sf).collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("src"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    val gotNew = got.filter(_._1 == "new").groupBy(_._2).view
+      .mapValues(_.sortBy(_._5).map(t => (t._3, t._4, t._5)).toSeq).toMap
+    val gotRep = got.filter(_._1 == "repair").groupBy(_._2).view
+      .mapValues(_.sortBy(_._5).map(t => (t._3, t._4, t._5)).toSeq).toMap
+    assert(gotNew.keySet == batch.toSet, "every insert must link")
+    wantNew.foreach { case (v, es) =>
+      assert(gotNew(v) == es, s"new adjacency drifted for insert $v")
+    }
+    assert(gotRep.keySet == wantRep.keySet, "affected set drifted")
+    wantRep.foreach { case (u, es) =>
+      assert(gotRep(u) == es, s"repaired adjacency drifted for node $u")
+    }
+    // the batch must actually enter standing adjacencies somewhere —
+    // otherwise the shrink step was never exercised
+    val batchSet = batch.toSet
+    assert(got.exists(t => t._1 == "repair" && batchSet.contains(t._3)),
+      "no insert survived any neighbor's re-prune — repair untested")
+    // and not everywhere: shrink must also REJECT (keep the best)
+    assert(wantRep.exists { case (u, es) =>
+      es.map(_._1).toSet == edges(u).take(Similarity.GraphDegree).map(_._1).toSet
+    } || got.count(t => t._1 == "repair" && batchSet.contains(t._3)) <
+      got.count(_._1 == "repair"),
+      "every repair row adopted an insert — shrink never rejected")
+  }
+
+  test("s30: delete tombstones and repairs through the hole exactly (scalar replay)") {
+    val base = Similarity.quantized(spark, sf)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
+    val vecs = base.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val corpus = vecs.keys.filter(_ >= 5).toSeq.sorted
+    val dead = corpus.filter(_ % Similarity.GraphDeleteMod == Similarity.GraphDeleteRem).toSet
+    assert(dead.nonEmpty, "fixture must tombstone something")
+    val (_, edges) = scalarGraph(vecs, cents, corpus)
+    val intoDead = for {
+      u <- corpus if !dead(u)
+      (d, _) <- edges(u) if dead(d)
+    } yield (u, d)
+    val want = intoDead.groupBy(_._1).map { case (u, uds) =>
+      val cands = uds.flatMap { case (_, d) => edges(d) }
+        .collect { case (w, _) if !dead(w) && w != u => w }.distinct
+        .map(w => (w, scalarCos(vecs(w), vecs(u))))
+      val surv = edges(u).filter(p => !dead(p._1))
+      u -> (surv ++ cands).groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .sortBy(p => (-p._2, p._1)).take(Similarity.GraphDegree)
+        .zipWithIndex.map { case ((w, c), i) => (w, c, i + 1) }
+    }
+    val got = Similarity.queries("s30_graph_delete")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    assert(got.forall(t => !dead(t._1) && !dead(t._2)),
+      "a tombstoned node survived in the output")
+    val gotBy = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    assert(gotBy.keySet == want.keySet, "affected set drifted")
+    want.foreach { case (u, es) =>
+      assert(gotBy(u) == es, s"repaired adjacency drifted for node $u")
+    }
+    // repair must actually route through the hole somewhere: at least
+    // one adopted edge that was NOT in the pre-delete adjacency
+    val adopted = want.exists { case (u, es) =>
+      val old = edges(u).map(_._1).toSet
+      es.exists(e => !old.contains(e._1))
+    }
+    assert(adopted, "no candidate adopted - the repair path is vacuous")
+  }
 }
