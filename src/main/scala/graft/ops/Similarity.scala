@@ -3519,6 +3519,93 @@ object Similarity {
     s30From(base, collectCents(trainCodebook(base, iters = 2)))
   }
 
+  // ---- s31: NN-descent graph refinement (one local-join round) ------------
+
+  /** The IMPROVE step of the graph-index lifecycle — one NN-descent
+    * round (Dong, Moses & Li 2011, the standard distributed kNN-graph
+    * construction): every node proposes its neighbors' neighbors as
+    * candidates ("a neighbor of my neighbor is likely my neighbor"),
+    * scores them exactly, and keeps the best [[GraphDegree]] of
+    * (current ∪ candidates). The multi-probe build (s19/[[knnEdges]])
+    * can only see candidates inside a vector's probed cells; the
+    * descent round recovers cross-cell neighbors by FOLLOWING EDGES,
+    * which is exactly the recall s28's walk depends on. Production
+    * builds run this round to convergence; one round is the unit —
+    * composable, measurable, and the oracle replays it exactly.
+    *
+    * Scale shape: this is a BUILD-side op (s19's stance — the corpus
+    * legitimately shuffles), and its cost model is NN-descent's
+    * selling point: one edge⋈edge self-join keyed on the shared
+    * middle node (corpus × degree rows per side, degree²-bounded
+    * candidates per node — never all-pairs), one keyed join to fetch
+    * the proposing node's vector, and the (src, nbr)-keyed max-fold +
+    * per-node top-k window. Everything exchanges on node ids;
+    * vectors ride as values, never as keys.
+    *
+    * Determinism: a candidate duplicating a current edge dedups by
+    * max over bitwise-identical cosines (same operand order both
+    * sides, both engines).
+    */
+  private[graft] def s31From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val corpus = base.filter(col("vec_id") >= 5)
+    val edges = knnEdges(corpus, cents, GraphDegree)
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      .localCheckpoint(true)
+    // u -> v -> w proposes (u, w): the local join, keyed on the mid
+    val cand = edges.select(col("src"), col("nbr_id").as("mid"))
+      .join(edges.select(col("src").as("mid"), col("nbr_id").as("cand_id"),
+        col("nbr_q").as("cand_q")), Seq("mid"))
+      .filter(col("cand_id") =!= col("src"))
+      .select(col("src"), col("cand_id"), col("cand_q"))
+    // score against the proposing node's vector (one keyed join; the
+    // corpus never goes pairwise)
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("src"), col("q")), Seq("src"))
+      .select(col("src"), col("cand_id").as("nbr_id"),
+        VectorFunctions.cosine_similarity(col("cand_q"), col("q")).as("cos"))
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("nbr_id"))
+    edges.select(col("src"), col("nbr_id"), col("cos"))
+      .unionByName(scored)
+      .groupBy(col("src"), col("nbr_id")).agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(wAdj))
+      .filter(col("rnk") <= GraphDegree)
+      .orderBy("src", "rnk")
+  }
+
+  private def s31GraphRefine(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    s31From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  private val s31Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |corp AS (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |cand AS (
+       |  SELECT e.src, f.nbr AS cand_id, f.nbr_q AS cand_q
+       |  FROM gedge e JOIN gedge f ON f.src = e.nbr
+       |  WHERE f.nbr <> e.src),
+       |sc AS (
+       |  SELECT c.src, c.cand_id AS nbr_id,
+       |         list_cosine_similarity(c.cand_q::DOUBLE[], b.q::DOUBLE[]) AS cos
+       |  FROM cand c JOIN base b ON b.vec_id = c.src)
+       |SELECT src, nbr_id, cos, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT src, nbr_id, cos,
+       |         row_number() OVER (PARTITION BY src
+       |           ORDER BY cos DESC, nbr_id) AS rnk FROM (
+       |    SELECT src, nbr_id, max(cos) AS cos FROM (
+       |      SELECT src, nbr AS nbr_id, cos FROM gedge
+       |      UNION ALL
+       |      SELECT src, nbr_id, cos FROM sc)
+       |    GROUP BY src, nbr_id))
+       |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
+
   private val s30Oracle: String =
     s"""WITH base AS (
        |  SELECT vec_id,
@@ -3561,6 +3648,7 @@ object Similarity {
        |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_graph_refine" -> (s31GraphRefine _),
     "s30_graph_delete" -> (s30GraphDelete _),
     "s29_graph_insert" -> (s29GraphInsert _),
     "s28_graph_search" -> (s28GraphSearch _),
@@ -3594,6 +3682,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s31_graph_refine" -> s31Oracle,
     "s30_graph_delete" -> s30Oracle,
     "s29_graph_insert" -> s29Oracle,
     "s28_graph_search" -> s28Oracle,

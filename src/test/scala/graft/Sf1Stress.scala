@@ -54,7 +54,10 @@ object Sf1Stress {
       // query-bounded sweep (s19 runs separately, k-scaled like d11)
       "d14_bloom_decontam", "t38_split_leakage", "q52_hierarchy",
       "s20_nprobe_sweep", "mm12_stream_image",
-      "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol")
+      "cdc_latest_state", "cdc_binlog_replay", "cdc_full_protocol",
+      // round-17: the trained classifier — R bounded passes over the
+      // pinned linear-built feature frame; must track the scan
+      "t51_quality_clf")
 
   def buildSf1(spark: SparkSession, from: String, to: String): Unit = {
     val docs = spark.read.parquet(s"$from/documents.parquet")
@@ -186,6 +189,33 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS28(sf1, 80)
       println(f"[sf1-stress] s28_graph_search (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s28_graph_search_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // graph INSERT at production shape: the standing-graph build
+      // carries the s19 knob; the maintenance itself is per-insert
+      // constant (walk) + batch-bounded repair, so with the batch
+      // growing 10x alongside the corpus the whole op should stay
+      // ~linear
+      def timeS29(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.quantized(spark, dir)
+        graft.ops.Similarity.s29From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS29(sf01, 8)
+      val (f1, t1, n1) = timeS29(sf1, 80)
+      println(f"[sf1-stress] s29_graph_insert (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s29_graph_insert_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // graph DELETE at production shape: tombstone set and repairs
+      // grow 10x with the corpus, each repair degree-bounded
+      def timeS30(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.quantized(spark, dir)
+        graft.ops.Similarity.s30From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS30(sf01, 8)
+      val (f1, t1, n1) = timeS30(sf1, 80)
+      println(f"[sf1-stress] s30_graph_delete (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s30_graph_delete_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""

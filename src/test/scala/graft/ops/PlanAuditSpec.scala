@@ -1224,6 +1224,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "vector arrays must never ride an exchange key")
   }
 
+  test("s31: the descent round exchanges on node ids only — never all-pairs, never a vector key") {
+    // A BUILD-side op: corpus-sized shuffles are legitimate (s19's
+    // stance) but must all key on node ids — the edge⋈edge local join
+    // on the shared mid, the vector fetch on src, the (src, nbr) fold
+    // and the per-node rank. Nothing cartesian, no vector array ever
+    // a partitioning key.
+    val plan = Similarity.queries("s31_graph_refine")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "descent must never go pairwise")
+    shuffleJoinKeys(plan).foreach { l =>
+      assert(l.contains("mid#") || l.contains("src#") || l.contains("vec_id#"),
+        s"a descent shuffle join must key on a node id: $l")
+    }
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the fold and rank must appear")
+    assert(hashes.forall(l => l.contains("hashpartitioning(src") ||
+      l.contains("hashpartitioning(mid") || l.contains("hashpartitioning(vec_id")),
+      s"every exchange must lead with a node id:\n${hashes.mkString("\n")}")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("partitioning(") && (l.contains("nbr_q") || l.contains("cand_q"))),
+      "vector arrays must never ride an exchange key")
+  }
+
   test("t51: a training round is join-free — the only corpus exchange keys on the bucket") {
     // The weight vector rides the plan as a 257-element LITERAL array,
     // so margins/errors are row-local: a gradient round over the
