@@ -3137,8 +3137,8 @@ object Similarity {
     * the same checkpoint.
     */
   private[graft] def graphWalk(corpus: DataFrame, edges: DataFrame,
-      qs0: DataFrame,
-      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+      qs0: DataFrame, cents: Array[(Long, Seq[Double], Long)],
+      hops: Int = GraphHops): DataFrame = {
     val qs = qs0.localCheckpoint(true) // query-batch-sized, read once per hop
     // entry points: the query's top-2 trained cells, each represented
     // by its min-id member (control-plane: ≤ queries × nprobe rows)
@@ -3156,7 +3156,7 @@ object Similarity {
     // hop k-1 instead of the doubled lineage (cand feeds both the
     // frontier and the union), and the cut rides the next hop's job
     var cand = cand0.localCheckpoint(false)
-    (1 to GraphHops).foreach { _ =>
+    (1 to hops).foreach { _ =>
       cand = s28Hop(edges, qs, cand).localCheckpoint(false)
     }
     cand
@@ -3192,31 +3192,34 @@ object Similarity {
   }
 
   /** The unrolled beam-walk hop CTEs (t40's recipe) — shared by the
-    * s28 and s29 oracles; needs `w0`, `gedge(src, nbr, nbr_q, ...)`
-    * and `qv(qid, q)` in scope, ends in `w[[GraphHops]]`.
+    * s28/s29/s32 oracles; needs `w0$sfx`, `$gedge(src, nbr, nbr_q,
+    * ...)` and `$qv(qid, q)` in scope, ends in `w[[GraphHops]]$sfx`.
+    * The suffix keeps four independent walks addressable inside the
+    * s32 composition's single WITH chain.
     */
-  private def graphHopOracleCtes: String =
-    (1 to GraphHops).map { k =>
-      s"""f$k AS (
+  private def graphHopOracleCtes(sfx: String = "", gedge: String = "gedge",
+      qv: String = "qv", hops: Int = GraphHops): String =
+    (1 to hops).map { k =>
+      s"""f$k$sfx AS (
          |  SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id,
          |           row_number() OVER (PARTITION BY qid
          |             ORDER BY cos DESC, vec_id) AS br
-         |    FROM w${k - 1}) WHERE br <= $GraphBeam),
-         |w$k AS (
+         |    FROM w${k - 1}$sfx) WHERE br <= $GraphBeam),
+         |w$k$sfx AS MATERIALIZED (
          |  SELECT qid, vec_id, max(cos) AS cos FROM (
-         |    SELECT qid, vec_id, cos FROM w${k - 1}
+         |    SELECT qid, vec_id, cos FROM w${k - 1}$sfx
          |    UNION ALL
          |    SELECT f.qid, e.nbr,
          |           list_cosine_similarity(e.nbr_q::DOUBLE[], qv.q::DOUBLE[])
-         |    FROM f$k f
-         |    JOIN gedge e ON e.src = f.vec_id
-         |    JOIN qv ON qv.qid = f.qid)
+         |    FROM f$k$sfx f
+         |    JOIN $gedge e ON e.src = f.vec_id
+         |    JOIN $qv qv ON qv.qid = f.qid)
          |  GROUP BY qid, vec_id)""".stripMargin
     }.mkString(",\n")
 
   private val s28Oracle: String = {
-    val hops = graphHopOracleCtes
+    val hops = graphHopOracleCtes()
     s"""WITH base AS (
        |  SELECT vec_id,
        |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
@@ -3300,21 +3303,34 @@ object Similarity {
     * edge table is the stored index and an insert micro-batch is
     * delta-sized — nothing here grows with the corpus.
     */
-  private[graft] def s29From(base: DataFrame,
-      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
-    val member = col("vec_id") >= 5
-    val standing = base.filter(member &&
-      col("vec_id") % GraphInsertMod =!= GraphInsertRem)
-    val batch = base.filter(member &&
-      col("vec_id") % GraphInsertMod === GraphInsertRem)
-    // the standing adjacency, cos kept: the walk reads a projection
-    // of this one pinned frame, the repair re-ranks against it
-    val edges = knnEdges(standing, cents, GraphDegree)
-      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
-      .localCheckpoint(true)
+  /** The batch-insert core shared by s29 and the s32 composition:
+    * walk each batch vector over the standing graph, take its
+    * top-[[GraphDegree]] links, and re-prune every touched neighbor's
+    * adjacency with the reciprocal edges folded in. Returns
+    * (newEdges(src, nbr_id, cos, rnk) — pinned,
+    *  repaired(src, nbr_id, nbr_q, cos, rnk),
+    *  affected(src)).
+    * Repaired rows keep the neighbor vector (needed when the caller
+    * composes the post-insert graph, as s32 does); the reciprocal
+    * legs fetch it from the batch-sized `qs` by broadcast, and a
+    * caller that drops it (s29's gate output) gets it column-pruned
+    * out of the union for free.
+    */
+  private[graft] def graphInsertCore(nodes: DataFrame, edges: DataFrame,
+      batch: DataFrame, cents: Array[(Long, Seq[Double], Long)],
+      hops: Int = GraphHops): (DataFrame, DataFrame, DataFrame) = {
     val qs = batch.select(col("vec_id").as("qid"), col("q").as("qv"))
-    val visited = graphWalk(standing,
-      edges.select(col("src"), col("nbr_id"), col("nbr_q")), qs, cents)
+    val visited = graphWalk(nodes,
+      edges.select(col("src"), col("nbr_id"), col("nbr_q")), qs, cents, hops)
+    graphInsertTail(visited, edges, qs)
+  }
+
+  /** The insert tail past a finished walk — split out so a caller
+    * holding an equivalent visited set already (s32: the previous
+    * search's walk, relabeled) skips the walk entirely.
+    */
+  private[graft] def graphInsertTail(visited: DataFrame, edges: DataFrame,
+      qs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     // the new node's out-edges: its top-degree walk results (pinned —
@@ -3330,17 +3346,36 @@ object Similarity {
     // edge reuses the walk's score — no recompute
     val backCand = newEdges
       .select(col("nbr_id").as("src"), col("src").as("nbr_id"), col("cos"))
+      .join(broadcast(qs.select(col("qid").as("nbr_id"), col("qv").as("nbr_q"))),
+        Seq("nbr_id"))
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
     val affected = backCand.select(col("src")).distinct()
     val wAdj = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("cos").desc, col("nbr_id"))
     val repaired = edges
       .join(broadcast(affected), Seq("src")) // only touched nodes re-rank
-      .select(col("src"), col("nbr_id"), col("cos"))
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
       .unionByName(backCand)
       .withColumn("rnk", row_number().over(wAdj))
       .filter(col("rnk") <= GraphDegree)
+    (newEdges, repaired, affected)
+  }
+
+  private[graft] def s29From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val member = col("vec_id") >= 5
+    val standing = base.filter(member &&
+      col("vec_id") % GraphInsertMod =!= GraphInsertRem)
+    val batch = base.filter(member &&
+      col("vec_id") % GraphInsertMod === GraphInsertRem)
+    // the standing adjacency, cos kept: the walk reads a projection
+    // of this one pinned frame, the repair re-ranks against it
+    val edges = knnEdges(standing, cents, GraphDegree)
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      .localCheckpoint(true)
+    val (newEdges, repaired, _) = graphInsertCore(standing, edges, batch, cents)
     newEdges.withColumn("side", lit("new"))
-      .unionByName(repaired.withColumn("side", lit("repair")))
+      .unionByName(repaired.drop("nbr_q").withColumn("side", lit("repair")))
       .orderBy("side", "src", "rnk")
   }
 
@@ -3365,7 +3400,7 @@ object Similarity {
        |    SELECT gid, cid,
        |           row_number() OVER (PARTITION BY gid ORDER BY score DESC, cid) AS pr
        |    FROM gsc) WHERE pr <= 2),
-       |gedge AS (
+       |gedge AS MATERIALIZED (
        |  SELECT src, nbr, nbr_q, cos FROM (
        |    SELECT p.gid AS src, a.vec_id AS nbr, a.q AS nbr_q,
        |           list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]) AS cos,
@@ -3405,7 +3440,7 @@ object Similarity {
        |        FROM probes p JOIN cmin m ON m.cid = p.cid) e
        |  JOIN base cb ON cb.vec_id = e.vec_id
        |  JOIN qv ON qv.qid = e.qid),
-       |$graphHopOracleCtes,
+       |${graphHopOracleCtes()},
        |newe AS (
        |  SELECT qid AS src, vec_id AS nbr_id, cos, rnk FROM (
        |    SELECT qid, vec_id, cos,
@@ -3517,6 +3552,236 @@ object Similarity {
   private def s30GraphDelete(s: SparkSession, d: String): DataFrame = {
     val base = quantized(s, d)
     s30From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  // ---- s32: maintained-graph freshness (insert waves ∪ search) ------------
+
+  /** Wave id shifts — far above any fixture vec_id, so inserted nodes
+    * never collide and never change a cell's min-id entry member.
+    */
+  private[ops] val GraphWave1Shift = 8000000L
+  private[ops] val GraphWave2Shift = 9000000L
+
+  /** The graph-lifecycle capstone — FRESHNESS of the maintained
+    * index: a baseline search over the standing graph, then two
+    * insert micro-batches (s29's batch semantics) threaded through
+    * it, with an s28 search after each wave — the second wave's
+    * maintenance runs over the FIRST wave's output graph, so
+    * maintenance provably composes, and the searches prove the read
+    * path serves its own maintenance (what s17 proved for the IVF
+    * index, now for the graph). The waves are exact re-embeddings of
+    * the query vectors under shifted ids (s17's plant): each copy
+    * scores cos 1.0 against its query, so wave 0 NOT surfacing any
+    * shifted id while wave k surfaces exactly waves 1..k's copies is
+    * unfakeable before/after evidence the graph GREW and the walk
+    * reaches each new node through the reciprocal edges its insert
+    * repaired in.
+    *
+    * Because every wave re-embeds the very vectors the searches
+    * query, wave k's INSERT walk is wave k-1's SEARCH walk under a
+    * qid relabel — identical vectors, identical entry sets (the
+    * shifted ids never displace a cell's min-id member), identical
+    * graph, and the walk is deterministic — so each wave reuses the
+    * previous search's visited set ([[graphInsertTail]]) instead of
+    * walking again: 3 walks serve 2 inserts + 3 searches. A general
+    * batch (≠ the just-served queries) walks for itself; the reuse is
+    * the plant's dividend, asserted exact by the oracle, which
+    * replays the same relabel.
+    *
+    * Scale shape: one standing-graph build, then per wave the
+    * batch-bounded insert tail plus one graph composition — the
+    * unaffected adjacency passes through a broadcast anti-join,
+    * repairs and new edges union in (all delta-sized), exactly how a
+    * stored edge table takes a batch (s21's MOR append+compact is
+    * the storage form; the composition here is its logical content).
+    * Searches are s28's corpus-independent read: hops × beam ×
+    * degree broadcast lookups.
+    */
+  private[graft] def s32From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val corpus = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("q"))
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val gedge0 = knnEdges(corpus, cents, GraphDegree)
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      .localCheckpoint(true)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    def top5(wv: Int, cand: DataFrame): DataFrame =
+      cand.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+        .select(lit(wv).as("wave"), col("qid"), col("vec_id"),
+          col("cos"), col("rnk"))
+    // apply one insert wave — the walk is the previous search's
+    // visited set relabeled to the wave's ids — and compose the
+    // post-insert graph: unaffected adjacency passes through a
+    // broadcast anti-join, repairs swap in, the new nodes' edges
+    // append with neighbor vectors attached (batch-bounded frames
+    // broadcast into the nodes scan)
+    def applyWave(nodes: DataFrame, edges: DataFrame, searched: DataFrame,
+        shift: Long): (DataFrame, DataFrame) = {
+      val batchQs = qs.select((col("qid") + shift).as("qid"), col("qv"))
+      val visited = searched
+        .select((col("qid") + shift).as("qid"), col("vec_id"), col("cos"))
+      val (newE, repaired, affected) = graphInsertTail(visited, edges, batchQs)
+      val newEQ = nodes.select(col("vec_id").as("nbr_id"), col("q").as("nbr_q"))
+        .join(broadcast(newE.drop("rnk")), Seq("nbr_id"))
+        .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      val gedgeNext = edges
+        .join(broadcast(affected), Seq("src"), "left_anti")
+        .unionByName(repaired.drop("rnk"))
+        .unionByName(newEQ)
+        .localCheckpoint(true)
+      (gedgeNext,
+        nodes.unionByName(batchQs.select(col("qid").as("vec_id"), col("qv").as("q"))))
+    }
+    def search(nodes: DataFrame, edges: DataFrame): DataFrame =
+      graphWalk(nodes,
+        edges.select(col("src"), col("nbr_id"), col("nbr_q")), qs, cents)
+        .localCheckpoint(true) // reused: this wave's result + next wave's insert
+    val c0 = search(corpus, gedge0)
+    val (g1, n1) = applyWave(corpus, gedge0, c0, GraphWave1Shift)
+    val c1 = search(n1, g1)
+    val (g2, n2) = applyWave(n1, g1, c1, GraphWave2Shift)
+    val c2 = search(n2, g2)
+    top5(0, c0).unionByName(top5(1, c1)).unionByName(top5(2, c2))
+      .orderBy("wave", "qid", "rnk")
+  }
+
+  private def s32GraphFreshness(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    s32From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  /** Probe-selection CTEs over an arbitrary query rel (qid, q),
+    * suffixed so the s32 composition can hold several.
+    */
+  private def probeOracleCtes(sfx: String, qv: String): String =
+    s"""qsc$sfx AS (
+       |  SELECT q.qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM $qv q, c2 c),
+       |probes$sfx AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qsc$sfx) WHERE pr <= 2)""".stripMargin
+
+  /** Min-id-per-cell entry table over an arbitrary node rel (vec_id,
+    * q), assignment recomputed against the final codebook `c2` (the
+    * same argmax [[assignCellsFrom]] evaluates).
+    */
+  private def cminOracleCte(name: String, nodes: String): String =
+    s"""$name AS (
+       |  SELECT cid, min(vec_id) AS vec_id FROM (
+       |    SELECT vec_id, cid FROM (
+       |      SELECT n.vec_id, c.cid,
+       |             row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |               CAST(list_sum(list_transform(generate_series(1, 64),
+       |                    i -> n.q[i] * c.sv[i])) AS DOUBLE) / c.n DESC, c.cid) AS rnk
+       |      FROM $nodes n, c2 c) WHERE rnk = 1)
+       |  GROUP BY cid)""".stripMargin
+
+  /** Walk seed (w0$sfx): entry members per query with exact cosines;
+    * entry vectors come from the CURRENT node rel (an entry may be an
+    * inserted node in a later wave).
+    */
+  private def entryOracleCte(sfx: String, probes: String, cmin: String,
+      nodes: String, qv: String): String =
+    s"""w0$sfx AS (
+       |  SELECT e.qid, e.vec_id,
+       |         list_cosine_similarity(nb.q::DOUBLE[], qv.q::DOUBLE[]) AS cos
+       |  FROM (SELECT DISTINCT p.qid, m.vec_id
+       |        FROM $probes p JOIN $cmin m ON m.cid = p.cid) e
+       |  JOIN $nodes nb ON nb.vec_id = e.vec_id
+       |  JOIN $qv qv ON qv.qid = e.qid)""".stripMargin
+
+  /** Insert tail past a finished walk (w[[GraphHops]]$sfx): the new
+    * nodes' top-degree links, reciprocal candidates (vector from the
+    * batch rel), affected set, and the re-pruned repairs with vectors.
+    */
+  private def insertTailOracleCtes(sfx: String, gedge: String,
+      batch: String, walk: String): String =
+    s"""newe$sfx AS (
+       |  SELECT qid AS src, vec_id AS nbr_id, cos FROM (
+       |    SELECT qid, vec_id, cos,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM $walk) WHERE rnk <= $GraphDegree),
+       |backc$sfx AS (
+       |  SELECT n.nbr_id AS src, n.src AS nbr_id, b.q AS nbr_q, n.cos
+       |  FROM newe$sfx n JOIN $batch b ON b.vec_id = n.src),
+       |aff$sfx AS (SELECT DISTINCT src FROM backc$sfx),
+       |rep$sfx AS (
+       |  SELECT src, nbr_id, nbr_q, cos FROM (
+       |    SELECT src, nbr_id, nbr_q, cos,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, nbr_id) AS rnk FROM (
+       |      SELECT e.src, e.nbr AS nbr_id, e.nbr_q, e.cos
+       |      FROM $gedge e JOIN aff$sfx a ON a.src = e.src
+       |      UNION ALL
+       |      SELECT src, nbr_id, nbr_q, cos FROM backc$sfx))
+       |  WHERE rnk <= $GraphDegree)""".stripMargin
+
+  private val s32Oracle: String = {
+    def rankedSearch(wv: Int, sfx: String): String =
+      s"""SELECT $wv AS wave, qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM w$GraphHops$sfx) WHERE rnk <= 5""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |corp AS MATERIALIZED (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |qv AS MATERIALIZED (SELECT vec_id AS qid, q FROM base WHERE vec_id < 5),
+       |wv1 AS MATERIALIZED (SELECT vec_id + $GraphWave1Shift AS vec_id, q FROM base WHERE vec_id < 5),
+       |wv2 AS MATERIALIZED (SELECT vec_id + $GraphWave2Shift AS vec_id, q FROM base WHERE vec_id < 5),
+       |n0 AS MATERIALIZED (SELECT vec_id, q FROM corp),
+       |n1 AS MATERIALIZED (SELECT vec_id, q FROM n0 UNION ALL SELECT vec_id, q FROM wv1),
+       |n2 AS MATERIALIZED (SELECT vec_id, q FROM n1 UNION ALL SELECT vec_id, q FROM wv2),
+       |cm0 AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |${cminOracleCte("cm1", "n1")},
+       |${cminOracleCte("cm2", "n2")},
+       |${probeOracleCtes("_s", "qv")},
+       |${entryOracleCte("_s0", "probes_s", "cm0", "n0", "qv")},
+       |${graphHopOracleCtes("_s0", "gedge", "qv")},
+       |wlk_i1 AS (SELECT qid + $GraphWave1Shift AS qid, vec_id, cos
+       |           FROM w${GraphHops}_s0),
+       |${insertTailOracleCtes("_i1", "gedge", "wv1", "wlk_i1")},
+       |g1 AS MATERIALIZED (
+       |  SELECT src, nbr, nbr_q, cos FROM gedge
+       |  WHERE src NOT IN (SELECT src FROM aff_i1)
+       |  UNION ALL
+       |  SELECT src, nbr_id AS nbr, nbr_q, cos FROM rep_i1
+       |  UNION ALL
+       |  SELECT n.src, n.nbr_id AS nbr, nd.q AS nbr_q, n.cos
+       |  FROM newe_i1 n JOIN n0 nd ON nd.vec_id = n.nbr_id),
+       |${entryOracleCte("_s1", "probes_s", "cm1", "n1", "qv")},
+       |${graphHopOracleCtes("_s1", "g1", "qv")},
+       |wlk_i2 AS (SELECT qid + $GraphWave2Shift AS qid, vec_id, cos
+       |           FROM w${GraphHops}_s1),
+       |${insertTailOracleCtes("_i2", "g1", "wv2", "wlk_i2")},
+       |g2 AS MATERIALIZED (
+       |  SELECT src, nbr, nbr_q, cos FROM g1
+       |  WHERE src NOT IN (SELECT src FROM aff_i2)
+       |  UNION ALL
+       |  SELECT src, nbr_id AS nbr, nbr_q, cos FROM rep_i2
+       |  UNION ALL
+       |  SELECT n.src, n.nbr_id AS nbr, nd.q AS nbr_q, n.cos
+       |  FROM newe_i2 n JOIN n1 nd ON nd.vec_id = n.nbr_id),
+       |${entryOracleCte("_s2", "probes_s", "cm2", "n2", "qv")},
+       |${graphHopOracleCtes("_s2", "g2", "qv")}
+       |SELECT wave, qid, vec_id, cos, rnk FROM (
+       |  ${rankedSearch(0, "_s0")}
+       |  UNION ALL
+       |  ${rankedSearch(1, "_s1")}
+       |  UNION ALL
+       |  ${rankedSearch(2, "_s2")})
+       |ORDER BY wave, qid, rnk""".stripMargin
   }
 
   // ---- s31: NN-descent graph refinement (one local-join round) ------------
@@ -3648,6 +3913,7 @@ object Similarity {
        |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_graph_freshness" -> (s32GraphFreshness _),
     "s31_graph_refine" -> (s31GraphRefine _),
     "s30_graph_delete" -> (s30GraphDelete _),
     "s29_graph_insert" -> (s29GraphInsert _),
@@ -3682,6 +3948,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s32_graph_freshness" -> s32Oracle,
     "s31_graph_refine" -> s31Oracle,
     "s30_graph_delete" -> s30Oracle,
     "s29_graph_insert" -> s29Oracle,

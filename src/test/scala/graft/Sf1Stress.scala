@@ -216,6 +216,31 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS30(sf1, 80)
       println(f"[sf1-stress] s30_graph_delete (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s30_graph_delete_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // refinement at production shape: the descent round's local join
+      // is degree^2-bounded per node, linear in the corpus at fixed k
+      def timeS31(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.quantized(spark, dir)
+        graft.ops.Similarity.s31From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS31(sf01, 8)
+      val (f1, t1, n1) = timeS31(sf1, 80)
+      println(f"[sf1-stress] s31_graph_refine (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s31_graph_refine_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the freshness capstone at production shape: the build carries
+      // the knob; walks and maintenance are corpus-independent, so the
+      // ratio prices the build + fixed walk-scheduling overhead
+      def timeS32(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.quantized(spark, dir)
+        graft.ops.Similarity.s32From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS32(sf01, 8)
+      val (f1, t1, n1) = timeS32(sf1, 80)
+      println(f"[sf1-stress] s32_graph_freshness (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s32_graph_freshness_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""

@@ -1249,6 +1249,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "vector arrays must never ride an exchange key")
   }
 
+  test("s32: the freshness composition stays broadcast-only past the pinned walks") {
+    // Post-checkpoint plan: the two searches' rank windows, the final
+    // union and sort. The walks and graph compositions are pinned
+    // (audited via s28Hop/s29/s30); what remains must exchange only
+    // qid-keyed frontier-bounded frames and join nothing by shuffle.
+    val plan = Similarity.queries("s32_graph_freshness")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "the serve path must never go pairwise")
+    assert(shuffleJoinKeys(plan).isEmpty,
+      "every serve-path join must be broadcast")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.forall(_.contains("hashpartitioning(qid")),
+      s"every exchange must lead with qid:\n${hashes.mkString("\n")}")
+  }
+
   test("t51: a training round is join-free — the only corpus exchange keys on the bucket") {
     // The weight vector rides the plan as a 257-element LITERAL array,
     // so margins/errors are row-local: a gradient round over the

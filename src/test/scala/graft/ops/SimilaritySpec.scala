@@ -1069,6 +1069,43 @@ class SimilaritySpec extends AnyFunSuite {
       "no node improved - the descent round is a no-op here")
   }
 
+  test("s32: each wave's search surfaces that wave's inserts — the maintained graph serves fresh") {
+    // The plants make freshness unfakeable: every wave is an exact
+    // re-embedding of the 5 query vectors under shifted ids, so the
+    // wave-k search MUST rank the copies at the top (cos ~1.0) — and
+    // can only do so if the insert linked the new node into the graph
+    // (reciprocal edges) and the walk reaches it THROUGH those edges.
+    // Wave-2 walks run over wave-1's output graph, so both inserts
+    // composing proves maintenance threads, not just applies once.
+    val got = Similarity.queries("s32_graph_freshness")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("wave"), r.getAs[Long]("qid"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    assert(got.length == 75, "5 queries x top-5 x 3 waves (0 = baseline)")
+    val byWq = got.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.sortBy(_._5)).toMap
+    (0L to 4L).foreach { q =>
+      // wave 0 (pre-insert baseline): no shifted id can exist yet
+      assert(byWq((0, q)).forall(_._3 < Similarity.GraphWave1Shift),
+        s"baseline search saw an insert for query $q")
+      val w1 = byWq((1, q))
+      assert(w1.head._3 == Similarity.GraphWave1Shift + q && w1.head._4 > 0.999,
+        s"wave-1 search missed its own insert for query $q: ${w1.head}")
+      // the first wave's copy must NOT have leaked wave 2's id space
+      assert(w1.forall(_._3 < Similarity.GraphWave2Shift),
+        s"wave-1 search saw the future for query $q")
+      val w2 = byWq((2, q))
+      assert(w2(0)._3 == Similarity.GraphWave1Shift + q &&
+        w2(1)._3 == Similarity.GraphWave2Shift + q,
+        s"wave-2 search must rank both copies first (shift order) for query $q: ${w2.take(2).toSeq}")
+      assert(w2(1)._4 > 0.999, s"second copy's cosine collapsed for query $q")
+      // ranks are contiguous and cosines non-increasing (a real top-5)
+      Seq(byWq((0, q)), w1, w2).foreach { w =>
+        assert(w.map(_._5).toSeq == (1 to 5))
+        assert(w.map(_._4).sliding(2).forall(p => p.head >= p.last))
+      }
+    }
+  }
+
   test("s30: delete tombstones and repairs through the hole exactly (scalar replay)") {
     val base = Similarity.quantized(spark, sf)
     val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
