@@ -509,7 +509,86 @@ object Sketch {
       |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       |  FROM documents) WHERE rn <= 4 ORDER BY source, h""".stripMargin
 
+  // ---- sk8: differentially-private group counts ---------------------------
+
+  /** Discrete-Laplace noise scale α = [[DpAlphaNum]]/[[DpAlphaDen]]
+    * (ε = ln 10/9 per count), truncated at ±[[DpMaxNoise]].
+    */
+  private val DpAlphaNum = 9
+  private val DpAlphaDen = 10
+  private[ops] val DpMaxNoise = 13
+
+  /** Threshold ladder for the integer-exact discrete-Laplace sampler:
+    * at α = 9/10 the center mass is (1−α)/(1+α) = 1/19 EXACTLY, so at
+    * scale U = 19·10¹³ every mass is an integer — P(0)·U = 10¹³ and
+    * P(±k)·U = 9^k·10^(13−k) per sign — and the whole inverse CDF is
+    * integer comparisons both engines agree on bit-for-bit. Values
+    * ordered 0, +1, −1, …, +13, −13; the residual tail mass (α¹⁴/(…),
+    * ~0.23%) truncates to 0 (bounded noise — the practical stance of
+    * production DP libraries, which cap both contribution and noise).
+    */
+  private[ops] val DpBounds: Seq[(Long, Long)] = {
+    val masses: Seq[(Long, Long)] = (0 to DpMaxNoise).flatMap { k =>
+      val m = (BigInt(DpAlphaNum).pow(k) * BigInt(DpAlphaDen).pow(DpMaxNoise - k)).toLong
+      if (k == 0) Seq((m, 0L)) else Seq((m, k.toLong), (m, -k.toLong))
+    }
+    masses.scanLeft((0L, 0L)) { case ((acc, _), (m, z)) => (acc + m, z) }
+      .tail.map { case (b, z) => (b, z) }
+  }
+
+  /** Total threshold scale: 19·10¹³ (< 2⁴⁸, so [[h48Sql]] seeds it). */
+  private[ops] val DpScale = 19L * 10000000000000L
+
+  /** The seeded sampler as one generated threshold CASE — row-local,
+    * identical text in both engines.
+    */
+  private def dpNoiseSql(u: String): String =
+    DpBounds.map { case (b, z) => s"WHEN ($u) < $b THEN $z" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** Privacy-preserving reporting over the corpus — per-(lang, source)
+    * document counts under a DIFFERENTIALLY-PRIVATE release: each
+    * count gets discrete-Laplace noise (two-sided geometric, the
+    * integer mechanism of Ghosh-Roughgarden-Sundararajan 2009 — the
+    * count analogue of continuous Laplace) at α = 9/10 and clamps at
+    * zero (post-processing preserves DP). Training-data pipelines
+    * report composition stats over user-contributed corpora; DP is
+    * how those dashboards ship without leaking any single document's
+    * presence.
+    *
+    * Determinism vs privacy: the noise is SEEDED — md5 of the group
+    * key drives an integer-exact inverse-CDF ladder ([[DpBounds]]) —
+    * because the gate needs both engines to draw the SAME noise.
+    * Production swaps the seed for a secure RNG and publishes only
+    * `n_dp`; the mechanism, ladder, and clamping are what this query
+    * pins (the true count and noise ride along here to be checkable).
+    *
+    * Scale shape: one (lang, source)-keyed count rollup — group-
+    * bounded, map-side combined — then the noise CASE is a row-local
+    * projection over ≤groups rows. The DP layer costs nothing at
+    * 100 TB; it's the same topology as the count it protects.
+    */
+  private def sk8DpCounts(s: SparkSession, d: String): DataFrame = {
+    val u = s"(${h48Sql("concat('dp1|', lang, '|', source)")}) % $DpScale"
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", expr(s"CAST(${dpNoiseSql(u)} AS BIGINT)"))
+      .withColumn("n_dp", greatest(lit(0L), col("n") + col("noise")))
+      .orderBy("lang", "source")
+  }
+
+  private val sk8Oracle: String = {
+    val u = s"(${h48Sql("concat('dp1|', lang, '|', source)")}) % $DpScale"
+    s"""SELECT lang, source, n, CAST(${dpNoiseSql(u)} AS BIGINT) AS noise,
+       |       GREATEST(0, n + (${dpNoiseSql(u)})) AS n_dp
+       |FROM (SELECT lang, source, count(*) AS n FROM documents
+       |      GROUP BY lang, source)
+       |ORDER BY lang, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk8_dp_counts" -> (sk8DpCounts _),
     "sk7_sample" -> (sk7Sample _),
     "sk6_kmv_setops" -> (sk6KmvSetops _),
     "sk1_kmv_distinct" -> (sk1KmvDistinct _),
@@ -520,6 +599,7 @@ object Sketch {
   )
 
   val oracles: Map[String, String] = Map(
+    "sk8_dp_counts" -> sk8Oracle,
     "sk7_sample" -> sk7Oracle,
     "sk6_kmv_setops" -> sk6Oracle,
     "sk1_kmv_distinct" -> sk1Oracle,

@@ -123,4 +123,54 @@ class SketchSpec extends AnyFunSuite {
         "a bloom filter has no false negatives")
     }
   }
+
+  test("sk8: DP noise replays the exact discrete-Laplace ladder, and the ladder is sound") {
+    // The threshold ladder itself: masses must be the exact discrete-
+    // Laplace probabilities at alpha = 9/10 scaled by U = 19*10^13 -
+    // P(0)*U = 10^13, P(+-k)*U = 9^k*10^(13-k) per sign - summing to
+    // less than U (the truncated tail goes to 0) and MONOTONE.
+    val bounds = Sketch.DpBounds
+    assert(bounds.head == (10000000000000L, 0L), "center mass must be U/19")
+    assert(bounds.map(_._1) == bounds.map(_._1).sorted, "ladder must ascend")
+    assert(bounds.last._1 < Sketch.DpScale, "tail mass must remain for truncation")
+    (1 to Sketch.DpMaxNoise).foreach { k =>
+      val m = (BigInt(9).pow(k) * BigInt(10).pow(13 - k)).toLong
+      val plus = bounds(2 * k - 1)._1 - bounds(2 * k - 2)._1
+      val minus = bounds(2 * k)._1 - bounds(2 * k - 1)._1
+      assert(plus == m && minus == m, s"mass drifted at |z|=$k")
+      assert(bounds(2 * k - 1)._2 == k.toLong && bounds(2 * k)._2 == -k.toLong)
+    }
+    // Independent scalar replay: java MD5 + the same hex decode +
+    // ladder walk must reproduce every group's noise bit-for-bit.
+    def noiseOf(lang: String, source: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp1|$lang|$source".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = hex.take(12).foldLeft(0L)((a, c) =>
+        a * 16 + (if (c >= 'a') c - 'a' + 10 else c - '0'))
+      val u = h % Sketch.DpScale
+      bounds.collectFirst { case (b, z) if u < b => z }.getOrElse(0L)
+    }
+    val sf001 = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wantN = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.SparkEntry.queries("sk8_dp_counts")(spark, sf001).collect()
+    assert(got.length == wantN.size, "every (lang, source) group reports once")
+    got.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val z = noiseOf(key._1, key._2)
+      assert(r.getAs[Long]("n") == wantN(key), s"true count drifted for $key")
+      assert(r.getAs[Long]("noise") == z, s"noise drifted for $key")
+      assert(math.abs(z) <= Sketch.DpMaxNoise, "noise escaped the truncation bound")
+      assert(r.getAs[Long]("n_dp") == math.max(0L, wantN(key) + z),
+        s"clamped release drifted for $key")
+    }
+    // the mechanism must actually perturb: some noise nonzero, and
+    // both signs appear across the fixture's groups
+    val zs = got.map(_.getAs[Long]("noise"))
+    assert(zs.exists(_ > 0) && zs.exists(_ < 0),
+      "noise degenerate - both signs must appear across groups")
+  }
 }
