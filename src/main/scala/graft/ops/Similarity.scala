@@ -3723,6 +3723,126 @@ object Similarity {
        |      SELECT src, nbr_id, nbr_q, cos FROM backc$sfx))
        |  WHERE rnk <= $GraphDegree)""".stripMargin
 
+  // ---- s33: streaming ingest into the STORED graph index ------------------
+
+  /** s32's semantics through the storage layer — the graph analogue
+    * of s17's streaming IVF ingestion: the standing graph bootstraps
+    * into parquet (nodes + a versioned edge table), the same two
+    * re-embedding waves arrive over a Structured Streaming source,
+    * and each micro-batch runs the REAL insert (walk + link + repair,
+    * [[graphInsertCore]] — no relabel shortcut here: the stream
+    * doesn't know its payload equals the served queries) against the
+    * stored state, appending the batch's rows with a version stamp —
+    * merge-on-read, s21's discipline: an affected node's adjacency is
+    * REWRITTEN under the new version and the read path resolves
+    * latest-version-per-src (a real deployment folds versions down
+    * with s21's compactor; the gate keeps the resolve visible). A
+    * search runs against storage after each wave.
+    *
+    * The payoff is the equality this construction forces: walks are
+    * deterministic and the stored graph equals s32's composed frames
+    * wave for wave, so the OUTPUT IS BIT-IDENTICAL TO s32's — one
+    * oracle serves both (registered so), and the spec asserts
+    * stored == in-plan directly. Restart-survivability is d12/s17's:
+    * parquet + a persisted codebook; a fresh session re-enters the
+    * dir and continues.
+    */
+  private def s33GraphStream(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s33-idx-")
+    try s33WithDir(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  private[graft] def s33WithDir(s: SparkSession, d: String,
+      idxDir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val nodesPath = s"$idxDir/nodes"
+    val edgesPath = s"$idxDir/edges"
+    val cbPath = s"$idxDir/codebook"
+    val base = quantized(s, d)
+    if (!new java.io.File(nodesPath).isDirectory) {
+      saveCodebook(trainCodebook(base, iters = 2), cbPath)
+      val cents0 = collectCents(loadCodebook(s, cbPath))
+      val corpus = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("q"))
+      corpus.write.mode("overwrite").parquet(nodesPath)
+      knnEdges(corpus, cents0, GraphDegree)
+        .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+        .withColumn("ver", lit(0L))
+        .write.mode("overwrite").parquet(edgesPath)
+    }
+    val cents = collectCents(loadCodebook(s, cbPath))
+    // merge-on-read resolve: an insert rewrites an affected node's
+    // whole adjacency under its batch version, so the live graph is
+    // each src's max-version rows (s21's tombstone-free special case;
+    // the compactor folds versions physically when they accumulate)
+    def liveEdges(): DataFrame = {
+      val e = s.read.parquet(edgesPath)
+      e.join(e.groupBy(col("src")).agg(max(col("ver")).as("ver")),
+        Seq("src", "ver"))
+        .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+        .localCheckpoint(true)
+    }
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val snaps = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Double, Int)]()
+    def searchTop(wave: Int): Unit = {
+      val cand = graphWalk(s.read.parquet(nodesPath),
+        liveEdges().select(col("src"), col("nbr_id"), col("nbr_q")), qs, cents)
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      snaps ++= cand.withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5).collect()
+        .map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    }
+    def vecsOf(shift: Long): Seq[NewVec] =
+      base.filter(col("vec_id") < 5).collect()
+        .map(r => NewVec(shift + r.getAs[Long]("vec_id"), r.getSeq[Double](1)))
+        .sortBy(_.vec_id).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-s33-")
+    try {
+      val input = MemoryStream[NewVec](
+        org.apache.spark.sql.Encoders.product[NewVec], s)
+      var batchVer = 0L
+      def drainWave(): Unit = {
+        val q = input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[NewVec], _: Long) =>
+            if (!batch.isEmpty) {
+              batchVer += 1
+              val nodes = s.read.parquet(nodesPath)
+              val edges = liveEdges()
+              val batchDf = batch.toDF().select(col("vec_id"), col("q"))
+                .localCheckpoint(true) // sourced from the stream: pin before reuse
+              val (newE, repaired, affected) =
+                graphInsertCore(nodes, edges, batchDf, cents)
+              val newEQ = nodes
+                .select(col("vec_id").as("nbr_id"), col("q").as("nbr_q"))
+                .join(broadcast(newE.drop("rnk")), Seq("nbr_id"))
+                .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+              // MOR append: ONLY the touched adjacency ships — the
+              // affected nodes' rewritten rows and the new nodes' rows
+              repaired.drop("rnk").unionByName(newEQ)
+                .withColumn("ver", lit(batchVer))
+                .write.mode("append").parquet(edgesPath)
+              batchDf.write.mode("append").parquet(nodesPath)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      searchTop(0)
+      input.addData(vecsOf(GraphWave1Shift)); drainWave(); searchTop(1)
+      input.addData(vecsOf(GraphWave2Shift)); drainWave(); searchTop(2)
+    } finally graft.Fs.deleteRecursively(ckpt)
+    import s.implicits._
+    snaps.toSeq.toDF("wave", "qid", "vec_id", "cos", "rnk")
+      .orderBy("wave", "qid", "rnk")
+  }
+
   private val s32Oracle: String = {
     def rankedSearch(wv: Int, sfx: String): String =
       s"""SELECT $wv AS wave, qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM (
@@ -3913,6 +4033,7 @@ object Similarity {
        |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_graph_stream" -> (s33GraphStream _),
     "s32_graph_freshness" -> (s32GraphFreshness _),
     "s31_graph_refine" -> (s31GraphRefine _),
     "s30_graph_delete" -> (s30GraphDelete _),
@@ -3948,6 +4069,9 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // s33 streams the SAME semantics through storage; determinism
+    // makes the outputs bit-identical, so one oracle serves both
+    "s33_graph_stream" -> s32Oracle,
     "s32_graph_freshness" -> s32Oracle,
     "s31_graph_refine" -> s31Oracle,
     "s30_graph_delete" -> s30Oracle,

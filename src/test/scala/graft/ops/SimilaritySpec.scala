@@ -1106,6 +1106,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s33: the stored streaming ingest equals the in-plan composition bit-for-bit") {
+    // s32 composes the maintained graph in one plan with the relabel
+    // shortcut; s33 streams the same waves through parquet-backed MOR
+    // state and REAL per-batch walks. Walks are deterministic and the
+    // stored graph equals the composed frames wave for wave, so the
+    // two must agree on every row — the stored-equals-in-plan proof
+    // that makes the storage layer trustworthy.
+    def rows(name: String) =
+      Similarity.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Int]("wave"), r.getAs[Long]("qid"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+        .toSeq
+    val stored = rows("s33_graph_stream")
+    val inPlan = rows("s32_graph_freshness")
+    assert(stored.length == 75 && stored == inPlan,
+      "storage layer drifted from the in-plan composition")
+  }
+
   test("s30: delete tombstones and repairs through the hole exactly (scalar replay)") {
     val base = Similarity.quantized(spark, sf)
     val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
