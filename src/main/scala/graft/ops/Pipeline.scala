@@ -1849,7 +1849,58 @@ object Pipeline {
       |       doc_id, pos
       |FROM k ORDER BY epoch, shard, pos_in_shard""".stripMargin
 
+  // ---- p18: active-learning labeling queue ---------------------------------
+
+  /** Labeling budget per source. */
+  private val P18PerSource = 4
+
+  /** The model-in-the-loop weld: t51's TRAINED classifier picks what
+    * to label next — per source, the [[P18PerSource]] docs whose
+    * scores sit closest to the decision midpoint (smallest margin =
+    * maximum uncertainty, ties by doc_id), the textbook
+    * uncertainty-sampling acquisition (Lewis & Gale 1994) every
+    * model-in-the-loop curation pipeline runs between labeling
+    * rounds. Budget is allocated PER SOURCE so a skewed corpus can't
+    * spend the whole round on one domain — the practical stratified
+    * variant. Rank-based acquisition (top-k by uncertainty) rather
+    * than a fixed band: the fixture's trained scores cluster within
+    * ±800 of the midpoint, so any absolute band is either empty or
+    * everything; the rank form is scale-free.
+    *
+    * Scale shape: re-runs t51's training (R bounded passes over the
+    * pinned linear-built feature frame — the trained weights are a
+    * 257-literal; cheap since the r17 rebuild), one doc-keyed join to
+    * recover the source (scores and documents are both corpus-sized;
+    * a keyed equi-join, no broadcast pretense), then the acquisition
+    * is a source-keyed top-k window — group-bounded output, the same
+    * shape as t31's caps.
+    */
+  private def p18LabelQueue(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.ops.Text.queries("t51_quality_clf")(s, d)
+      .select(col("doc_id"), col("score"))
+      .withColumn("margin", abs(col("score") - lit(graft.ops.Text.T51Scale / 2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("margin").asc, col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= P18PerSource)
+      .select(col("source"), col("doc_id"), col("score"), col("margin"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  private val p18Oracle: String =
+    s"""WITH ${graft.ops.Text.t51OracleCtes}
+       |SELECT source, doc_id, score, margin, rnk FROM (
+       |  SELECT d.source, s.doc_id, CAST(s.score AS BIGINT) AS score,
+       |         CAST(abs(s.score - ${graft.ops.Text.T51Scale / 2}) AS BIGINT) AS margin,
+       |         CAST(row_number() OVER (PARTITION BY d.source
+       |           ORDER BY abs(s.score - ${graft.ops.Text.T51Scale / 2}), s.doc_id) AS INT) AS rnk
+       |  FROM sc s JOIN documents d USING (doc_id))
+       |WHERE rnk <= $P18PerSource ORDER BY source, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_label_queue" -> (p18LabelQueue _),
     "p17_epoch_shuffle" -> (p17EpochShuffle _),
     "p16_dedup_cascade" -> (p16DedupCascade _),
     "p15_data_card" -> (p15DataCard _),
@@ -1870,6 +1921,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p18_label_queue" -> p18Oracle,
     "p17_epoch_shuffle" -> p17Oracle,
     "p16_dedup_cascade" -> p16Oracle,
     "p15_data_card" -> p15Oracle,

@@ -1907,7 +1907,11 @@ object Text {
       .orderBy("doc_id")
   }
 
-  private val t51Oracle: String = {
+  /** The t51 training chain as a reusable WITH body ending in
+    * `sc(doc_id, score)` + `lab(doc_id, y)` — p18's labeling queue
+    * replays the identical training before its acquisition step.
+    */
+  private[ops] val t51OracleCtes: String = {
     val ws = wordsSql("text")
     val h = polyHashSql("w", 8)
     val rounds = (1 to T51Rounds).map { k =>
@@ -1927,7 +1931,7 @@ object Text {
          |           ELSE ${fdivD("g.g", "nn.nd")} END AS wt
          |  FROM w${k - 1} w LEFT JOIN g$k g USING (b) CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wl AS (SELECT doc_id, $ws AS ws FROM documents),
+    s"""wl AS (SELECT doc_id, $ws AS ws FROM documents),
        |lab AS (
        |  SELECT doc_id, CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 10
        |           THEN 1 ELSE 0 END AS BIGINT) AS y FROM documents),
@@ -1946,12 +1950,15 @@ object Text {
        |sc AS (
        |  SELECT o.doc_id, GREATEST(0, LEAST($T51Scale, ${T51Scale / 2} +
        |           ${fdivD(fdivD("sum(o.x * w.wt)", "1000"), "4")})) AS score
-       |  FROM occ o JOIN w$T51Rounds w USING (b) GROUP BY o.doc_id)
+       |  FROM occ o JOIN w$T51Rounds w USING (b) GROUP BY o.doc_id)""".stripMargin
+  }
+
+  private val t51Oracle: String =
+    s"""WITH $t51OracleCtes
        |SELECT s.doc_id, CAST(l.y AS INT) AS label, CAST(s.score AS BIGINT) AS score,
        |       CAST(CASE WHEN s.score >= ${T51Scale / 2} THEN 1 ELSE 0 END AS INT) AS pred,
        |       CAST(CASE WHEN (s.score >= ${T51Scale / 2}) = (l.y = 1) THEN 1 ELSE 0 END AS INT) AS correct
        |FROM sc s JOIN lab l USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t51_quality_clf" -> (t51QualityClf _),

@@ -497,4 +497,35 @@ class PipelineSpec extends AnyFunSuite {
     val o2 = got.filter(_._1 == 2).sortBy(r => (r._2, r._3)).map(_._4).toSeq
     assert(o1 != o2, "epoch orders must differ")
   }
+
+  test("p18: the labeling queue is the per-source most-uncertain top-k of t51's scores") {
+    // Independent acquisition replay: take the trained scores from the
+    // (separately scalar-replay-verified) t51 gate, rank per source by
+    // (margin, doc_id) scalar-side, and the queue must match exactly.
+    val scores = graft.ops.Text.queries("t51_quality_clf")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mid = graft.ops.Text.T51Scale / 2
+    val want = srcOf.groupBy(_._2).map { case (src, docs) =>
+      src -> docs.keys.toSeq
+        .map(id => (id, scores(id), math.abs(scores(id) - mid)))
+        .sortBy(t => (t._3, t._1)).take(4)
+        .zipWithIndex.map { case ((id, sc, m), i) => (id, sc, m, i + 1) }
+    }
+    val got = Pipeline.queries("p18_label_queue")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score"), r.getAs[Long]("margin"), r.getAs[Int]("rnk")))
+    val gotBy = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._5).map(t => (t._2, t._3, t._4, t._5)).toSeq).toMap
+    assert(gotBy.keySet == want.keySet, "every source gets labeling budget")
+    want.foreach { case (src, q) =>
+      assert(gotBy(src) == q, s"queue drifted for source $src")
+      // uncertainty ordering is real: margins non-decreasing with rank
+      assert(q.map(_._3).sliding(2).forall(p => p.length < 2 || p.head <= p.last))
+    }
+    // the budget must be spread, not spent on one domain
+    assert(want.size > 1 && got.length == want.size * 4)
+  }
 }
