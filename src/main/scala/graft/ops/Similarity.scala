@@ -3754,7 +3754,7 @@ object Similarity {
   }
 
   private[graft] def s33WithDir(s: SparkSession, d: String,
-      idxDir: String): DataFrame = {
+      idxDir: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     val nodesPath = s"$idxDir/nodes"
@@ -3762,7 +3762,7 @@ object Similarity {
     val cbPath = s"$idxDir/codebook"
     val base = quantized(s, d)
     if (!new java.io.File(nodesPath).isDirectory) {
-      saveCodebook(trainCodebook(base, iters = 2), cbPath)
+      saveCodebook(trainCodebook(base, iters = 2, k = k), cbPath)
       val cents0 = collectCents(loadCodebook(s, cbPath))
       val corpus = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("q"))
       corpus.write.mode("overwrite").parquet(nodesPath)

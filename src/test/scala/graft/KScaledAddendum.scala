@@ -43,11 +43,24 @@ object KScaledAddendum {
         Array[(Long, Seq[Double], Long)]) => org.apache.spark.sql.DataFrame)] = Seq(
       "s31_graph_refine_k_scaled" -> (Similarity.s31From _),
       "s32_graph_freshness_k_scaled" -> (Similarity.s32From _))
+    // s33 through the storage layer: a fresh index dir per rep (the
+    // bootstrap IS part of the unit — stream machinery and searches
+    // re-enter stored state), k scaled through the persisted codebook
+    def runS33(dir: String, k: Int) = timed3 {
+      val idx = java.nio.file.Files.createTempDirectory("graft-s33-k-")
+      try Similarity.s33WithDir(spark, dir, idx.toString, k).count()
+      finally graft.Fs.deleteRecursively(idx)
+    }
     val results = cases.map { case (name, body) =>
       val (f01, t01, n01) = run(sf01, 8, body)
       val (f1, t1, n1) = run(sf1, 80, body)
       println(f"[k-addendum] $name%-28s sf0.1 $t01%7.2fs (first $f01%.2fs)   sf1 $t1%7.2fs (first $f1%.2fs)   ratio ${t1 / t01}%5.2fx")
       (name, f01, t01, n01, f1, t1, n1)
+    } :+ {
+      val (f01, t01, n01) = runS33(sf01, 8)
+      val (f1, t1, n1) = runS33(sf1, 80)
+      println(f"[k-addendum] s33_graph_stream_k_scaled    sf0.1 $t01%7.2fs (first $f01%.2fs)   sf1 $t1%7.2fs (first $f1%.2fs)   ratio ${t1 / t01}%5.2fx")
+      ("s33_graph_stream_k_scaled", f01, t01, n01, f1, t1, n1)
     }
     val json = results.map { case (q, f01, t01, n01, f1, t1, n1) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
