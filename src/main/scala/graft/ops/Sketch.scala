@@ -512,35 +512,61 @@ object Sketch {
   // ---- sk8: differentially-private group counts ---------------------------
 
   /** Discrete-Laplace noise scale α = [[DpAlphaNum]]/[[DpAlphaDen]]
-    * (ε = ln 10/9 per count), truncated at ±[[DpMaxNoise]].
+    * (ε = ln(Den/Num) = ln 2 per count — the textbook DP budget),
+    * truncated at ±[[DpMaxNoise]].
     */
-  private val DpAlphaNum = 9
-  private val DpAlphaDen = 10
-  private[ops] val DpMaxNoise = 13
+  private val DpAlphaNum = 1
+  private val DpAlphaDen = 2
+  private[ops] val DpMaxNoise = 40
 
   /** Threshold ladder for the integer-exact discrete-Laplace sampler:
-    * at α = 9/10 the center mass is (1−α)/(1+α) = 1/19 EXACTLY, so at
-    * scale U = 19·10¹³ every mass is an integer — P(0)·U = 10¹³ and
-    * P(±k)·U = 9^k·10^(13−k) per sign — and the whole inverse CDF is
+    * at α = Num/Den the mass of z = ±k is
+    * (Den−Num)/(Den+Num) · (Num/Den)^k, so at scale
+    * U = (Den+Num)·Den^[[DpMaxNoise]] every mass is the integer
+    * (Den−Num)·Num^k·Den^(max−k) — for α = 1/2 that is P(0)·U = 2⁴⁰
+    * and P(±k)·U = 2^(40−k) per sign — and the whole inverse CDF is
     * integer comparisons both engines agree on bit-for-bit. Values
-    * ordered 0, +1, −1, …, +13, −13; the residual tail mass (α¹⁴/(…),
-    * ~0.23%) truncates to 0 (bounded noise — the practical stance of
-    * production DP libraries, which cap both contribution and noise).
+    * ordered 0, +1, −1, …, +max, −max. The infinite tail beyond ±max
+    * carries EXACTLY 2·Num^(max+1) = 2 units of U (probability
+    * 2/U ≈ 6.1·10⁻¹³), which the ELSE branch folds into 0 — bounded
+    * noise, the production-DP-library stance, with the truncated mass
+    * stated exactly rather than estimated.
     */
   private[ops] val DpBounds: Seq[(Long, Long)] = {
     val masses: Seq[(Long, Long)] = (0 to DpMaxNoise).flatMap { k =>
-      val m = (BigInt(DpAlphaNum).pow(k) * BigInt(DpAlphaDen).pow(DpMaxNoise - k)).toLong
+      val m = ((DpAlphaDen - DpAlphaNum) * BigInt(DpAlphaNum).pow(k) *
+        BigInt(DpAlphaDen).pow(DpMaxNoise - k)).toLong
       if (k == 0) Seq((m, 0L)) else Seq((m, k.toLong), (m, -k.toLong))
     }
     masses.scanLeft((0L, 0L)) { case ((acc, _), (m, z)) => (acc + m, z) }
       .tail.map { case (b, z) => (b, z) }
   }
 
-  /** Total threshold scale: 19·10¹³ (< 2⁴⁸, so [[h48Sql]] seeds it). */
-  private[ops] val DpScale = 19L * 10000000000000L
+  /** Total threshold scale: 3·2⁴⁰. */
+  private[ops] val DpScale: Long =
+    ((DpAlphaDen + DpAlphaNum) * BigInt(DpAlphaDen).pow(DpMaxNoise)).toLong
+
+  /** The seeded uniform u ∈ [0, [[DpScale]]): 96 md5 bits reduced mod
+    * U in exact wide-integer arithmetic (`wideTy` = DECIMAL(15,0) on
+    * Spark — the 37-digit intermediate stays inside DECIMAL(38) — and
+    * HUGEINT on DuckDB). 96 bits, not 48: 2⁴⁸ ≈ 2.56·U, so a 48-bit
+    * reduction would draw the low ~44% of residues 3/2 as often as
+    * the rest — a real skew. At 96 bits each residue appears
+    * ⌊2⁹⁶/U⌋ or ⌊2⁹⁶/U⌋+1 times (per-residue relative bias
+    * ≤ U/2⁹⁶ ≈ 4·10⁻¹⁷ — noted, negligible, and not removable by any
+    * fixed-width hash since U has non-2 factors).
+    */
+  private def dpU96Sql(seedExpr: String, wideTy: String): String = {
+    val md5e = s"md5($seedExpr)"
+    val hi = hexIntSql(md5e, 0, 12)
+    val lo = hexIntSql(md5e, 12, 12)
+    s"CAST((CAST($hi AS $wideTy) * ${1L << 48} + $lo) % $DpScale AS BIGINT)"
+  }
 
   /** The seeded sampler as one generated threshold CASE — row-local,
-    * identical text in both engines.
+    * identical text in both engines. `u` is hoisted to a named column
+    * by both callers (81 branches × an inlined 24-digit hex decode
+    * would be a megabyte of SQL).
     */
   private def dpNoiseSql(u: String): String =
     DpBounds.map { case (b, z) => s"WHEN ($u) < $b THEN $z" }
@@ -556,12 +582,13 @@ object Sketch {
     * how those dashboards ship without leaking any single document's
     * presence.
     *
-    * Determinism vs privacy: the noise is SEEDED — md5 of the group
-    * key drives an integer-exact inverse-CDF ladder ([[DpBounds]]) —
-    * because the gate needs both engines to draw the SAME noise.
-    * Production swaps the seed for a secure RNG and publishes only
-    * `n_dp`; the mechanism, ladder, and clamping are what this query
-    * pins (the true count and noise ride along here to be checkable).
+    * Determinism vs privacy: the noise is SEEDED — 96 md5 bits of the
+    * group key drive an integer-exact inverse-CDF ladder
+    * ([[DpBounds]], uniform seed [[dpU96Sql]]) — because the gate
+    * needs both engines to draw the SAME noise. Production swaps the
+    * seed for a secure RNG and publishes only `n_dp`; the mechanism,
+    * ladder, and clamping are what this query pins (the true count
+    * and noise ride along here to be checkable).
     *
     * Scale shape: one (lang, source)-keyed count rollup — group-
     * bounded, map-side combined — then the noise CASE is a row-local
@@ -569,21 +596,24 @@ object Sketch {
     * 100 TB; it's the same topology as the count it protects.
     */
   private def sk8DpCounts(s: SparkSession, d: String): DataFrame = {
-    val u = s"(${h48Sql("concat('dp1|', lang, '|', source)")}) % $DpScale"
+    val u = dpU96Sql("concat('dp1|', lang, '|', source)", "DECIMAL(15,0)")
     Tables.documents(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("noise", expr(s"CAST(${dpNoiseSql(u)} AS BIGINT)"))
-      .withColumn("n_dp", greatest(lit(0L), col("n") + col("noise")))
+      .withColumn("u", expr(u))
+      .withColumn("noise", expr(s"CAST(${dpNoiseSql("u")} AS BIGINT)"))
+      .select(col("lang"), col("source"), col("n"), col("noise"),
+        greatest(lit(0L), col("n") + col("noise")).as("n_dp"))
       .orderBy("lang", "source")
   }
 
   private val sk8Oracle: String = {
-    val u = s"(${h48Sql("concat('dp1|', lang, '|', source)")}) % $DpScale"
-    s"""SELECT lang, source, n, CAST(${dpNoiseSql(u)} AS BIGINT) AS noise,
-       |       GREATEST(0, n + (${dpNoiseSql(u)})) AS n_dp
-       |FROM (SELECT lang, source, count(*) AS n FROM documents
-       |      GROUP BY lang, source)
+    val u = dpU96Sql("concat('dp1|', lang, '|', source)", "HUGEINT")
+    s"""SELECT lang, source, n, CAST(${dpNoiseSql("u")} AS BIGINT) AS noise,
+       |       GREATEST(0, n + (${dpNoiseSql("u")})) AS n_dp
+       |FROM (SELECT lang, source, n, $u AS u
+       |      FROM (SELECT lang, source, count(*) AS n FROM documents
+       |            GROUP BY lang, source))
        |ORDER BY lang, source""".stripMargin
   }
 

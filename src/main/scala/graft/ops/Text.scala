@@ -1082,10 +1082,11 @@ object Text {
     * Keyed by session UUID (collision-free — an identity hash can
     * recur after GC and hand a later session a frame whose
     * checkpointed blocks died with the original) because the cached
-    * word-table frame's blocks die with its session; entries of
-    * STOPPED sessions are evicted on every cache miss so a long-lived
-    * JVM cycling sessions doesn't retain dead frames while warm hits
-    * stay O(1).
+    * word-table frame's blocks die with its session; a hit verifies
+    * its own entry's session is alive (O(1)), and entries of other
+    * STOPPED sessions are evicted on every cache miss, so a
+    * long-lived JVM cycling sessions doesn't retain dead frames while
+    * warm hits stay O(1).
     */
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), (SparkSession, Seq[(Int, Long, Long, Long, Long)], DataFrame)]
@@ -1094,8 +1095,9 @@ object Text {
     // sessionUUID is private[sql] in the Scala signature but public
     // bytecode; reflection reads the collision-free id without a shim
     // class in Spark's package. Fallback (non-classic session impls):
-    // identity hash — NOT collision-free (two live sessions can share
-    // a hash); stopped-session eviction only clears DEAD entries, so
+    // identity hash — NOT collision-free. A recycled hash colliding
+    // with a DEAD entry is caught by bpeTrained's on-hit liveness
+    // check; two LIVE sessions sharing a hash remains possible, so
     // this path is best-effort and acceptable only because every
     // in-repo caller is a classic SparkSession that takes the UUID
     // branch. Fatal errors (OOM, linkage) propagate.
@@ -1106,13 +1108,22 @@ object Text {
 
   private[ops] def bpeTrained(s: SparkSession, d: String)
       : (Seq[(Int, Long, Long, Long, Long)], DataFrame) = {
-    // evict dead-session entries only on a miss (an insert is coming):
-    // the common warm-hit path stays O(1) instead of paying an
-    // O(entries) isStopped sweep per access
-    if (!bpeMemo.contains((bpeSessionKey(s), d)))
+    val key = (bpeSessionKey(s), d)
+    // a hit must verify its entry's session is ALIVE (one O(1)
+    // isStopped check): under the identity-hash fallback key a
+    // recycled hash can collide with a dead entry, and returning it
+    // would hand out a stopped session's checkpointed frame — evict
+    // and rebuild instead
+    bpeMemo.get(key).foreach { case (sess, _, _) =>
+      if (sess.sparkContext.isStopped) bpeMemo.remove(key)
+    }
+    // evict OTHER dead-session entries only on a miss (an insert is
+    // coming): the warm-hit path stays O(1) instead of paying an
+    // O(entries) sweep per access
+    if (!bpeMemo.contains(key))
       bpeMemo.filterInPlace { case (_, (sess, _, _)) => !sess.sparkContext.isStopped }
     val (_, merges, words) =
-      bpeMemo.getOrElseUpdate((bpeSessionKey(s), d), {
+      bpeMemo.getOrElseUpdate(key, {
         val (m, w) = bpeTrainLoop(s, d); (s, m, w)
       })
     (merges, words)

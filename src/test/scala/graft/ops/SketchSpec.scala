@@ -126,29 +126,33 @@ class SketchSpec extends AnyFunSuite {
 
   test("sk8: DP noise replays the exact discrete-Laplace ladder, and the ladder is sound") {
     // The threshold ladder itself: masses must be the exact discrete-
-    // Laplace probabilities at alpha = 9/10 scaled by U = 19*10^13 -
-    // P(0)*U = 10^13, P(+-k)*U = 9^k*10^(13-k) per sign - summing to
-    // less than U (the truncated tail goes to 0) and MONOTONE.
+    // Laplace probabilities at alpha = 1/2 scaled by U = 3*2^40 -
+    // P(0)*U = 2^40, P(+-k)*U = 2^(40-k) per sign - summing to
+    // EXACTLY U - 2 (the infinite tail beyond +-40 carries exactly 2
+    // units of U, which the ELSE folds into 0) and MONOTONE.
     val bounds = Sketch.DpBounds
-    assert(bounds.head == (10000000000000L, 0L), "center mass must be U/19")
+    assert(bounds.head == (1L << 40, 0L), "center mass must be U/3 = 2^40")
     assert(bounds.map(_._1) == bounds.map(_._1).sorted, "ladder must ascend")
-    assert(bounds.last._1 < Sketch.DpScale, "tail mass must remain for truncation")
+    assert(Sketch.DpScale - bounds.last._1 == 2L,
+      "truncated tail must be exactly 2 units of U")
     (1 to Sketch.DpMaxNoise).foreach { k =>
-      val m = (BigInt(9).pow(k) * BigInt(10).pow(13 - k)).toLong
+      val m = 1L << (40 - k)
       val plus = bounds(2 * k - 1)._1 - bounds(2 * k - 2)._1
       val minus = bounds(2 * k)._1 - bounds(2 * k - 1)._1
       assert(plus == m && minus == m, s"mass drifted at |z|=$k")
       assert(bounds(2 * k - 1)._2 == k.toLong && bounds(2 * k)._2 == -k.toLong)
     }
-    // Independent scalar replay: java MD5 + the same hex decode +
-    // ladder walk must reproduce every group's noise bit-for-bit.
+    // Independent scalar replay: java MD5 + the same hex decode (96
+    // bits: hi 12 hex chars, lo 12) + exact wide reduction + ladder
+    // walk must reproduce every group's noise bit-for-bit.
     def noiseOf(lang: String, source: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"dp1|$lang|$source".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val h = hex.take(12).foldLeft(0L)((a, c) =>
+      def dec(s: String) = s.foldLeft(0L)((a, c) =>
         a * 16 + (if (c >= 'a') c - 'a' + 10 else c - '0'))
-      val u = h % Sketch.DpScale
+      val u = ((BigInt(dec(hex.take(12))) << 48) + dec(hex.slice(12, 24)))
+        .mod(BigInt(Sketch.DpScale)).toLong
       bounds.collectFirst { case (b, z) if u < b => z }.getOrElse(0L)
     }
     val sf001 = "/root/testdata/sf0.01"
