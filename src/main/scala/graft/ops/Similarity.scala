@@ -3743,9 +3743,16 @@ object Similarity {
     * deterministic and the stored graph equals s32's composed frames
     * wave for wave, so the OUTPUT IS BIT-IDENTICAL TO s32's — one
     * oracle serves both (registered so), and the spec asserts
-    * stored == in-plan directly. Restart-survivability is d12/s17's:
-    * parquet + a persisted codebook; a fresh session re-enters the
-    * dir and continues.
+    * stored == in-plan directly. Restart-survivability is d12/s17's
+    * (parquet + a persisted codebook) made real for the WRITE path
+    * too: a re-entering session seeds its version counter from the
+    * stored max(ver) — never colliding with rows a dead session
+    * wrote — and an at-least-once redelivered batch is recognized by
+    * its already-stored vec_ids and skipped (idempotent replay, no
+    * duplicate node rows, no stale-version shadowing). The spec
+    * proves it: stream wave 1, "crash", re-enter re-delivering wave 1
+    * plus a new wave 2 — final stored state and search results are
+    * bit-identical to the single-session run.
     */
   private def s33GraphStream(s: SparkSession, d: String): DataFrame = {
     val idx = java.nio.file.Files.createTempDirectory("graft-s33-idx-")
@@ -3754,7 +3761,8 @@ object Similarity {
   }
 
   private[graft] def s33WithDir(s: SparkSession, d: String,
-      idxDir: String, k: Int = 8): DataFrame = {
+      idxDir: String, k: Int = 8,
+      waves: Seq[Long] = Seq(GraphWave1Shift, GraphWave2Shift)): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     val nodesPath = s"$idxDir/nodes"
@@ -3804,16 +3812,32 @@ object Similarity {
     try {
       val input = MemoryStream[NewVec](
         org.apache.spark.sql.Encoders.product[NewVec], s)
-      var batchVer = 0L
+      // restart-safe version counter: a re-entering session continues
+      // from the stored high-water mark instead of re-issuing ver=1
+      // (which would shadow its own repairs under a dead session's
+      // equal-or-higher versions in the max-ver resolve)
+      var batchVer = s.read.parquet(edgesPath)
+        .agg(max(col("ver"))).head.getLong(0)
       def drainWave(): Unit = {
         val q = input.toDS().writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[NewVec], _: Long) =>
-            if (!batch.isEmpty) {
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[NewVec], _: Long) =>
+            val all = b.toDF().select(col("vec_id"), col("q"))
+              .localCheckpoint(true) // sourced from the stream: pin before reuse
+            val nodes = s.read.parquet(nodesPath)
+            // idempotent replay: an at-least-once source can redeliver
+            // a batch a dead session already ingested — its vec_ids
+            // are in the node table, so drop them (batch-sized
+            // control-plane collect) and skip entirely when nothing
+            // survives: no version bump, no duplicate node rows
+            val seen = nodes
+              .join(broadcast(all.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+              .collect().map(_.getLong(0)).toSet
+            val batchDf = (if (seen.isEmpty) all
+              else all.filter(!col("vec_id").isin(seen.toSeq: _*))
+                .localCheckpoint(true))
+            if (!batchDf.isEmpty) {
               batchVer += 1
-              val nodes = s.read.parquet(nodesPath)
               val edges = liveEdges()
-              val batchDf = batch.toDF().select(col("vec_id"), col("q"))
-                .localCheckpoint(true) // sourced from the stream: pin before reuse
               val (newE, repaired, affected) =
                 graphInsertCore(nodes, edges, batchDf, cents)
               val newEQ = nodes
@@ -3835,8 +3859,9 @@ object Similarity {
         q.awaitTermination()
       }
       searchTop(0)
-      input.addData(vecsOf(GraphWave1Shift)); drainWave(); searchTop(1)
-      input.addData(vecsOf(GraphWave2Shift)); drainWave(); searchTop(2)
+      waves.zipWithIndex.foreach { case (shift, i) =>
+        input.addData(vecsOf(shift)); drainWave(); searchTop(i + 1)
+      }
     } finally graft.Fs.deleteRecursively(ckpt)
     import s.implicits._
     snaps.toSeq.toDF("wave", "qid", "vec_id", "cos", "rnk")

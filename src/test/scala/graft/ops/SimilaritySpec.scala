@@ -1124,6 +1124,60 @@ class SimilaritySpec extends AnyFunSuite {
       "storage layer drifted from the in-plan composition")
   }
 
+  test("s33: a crashed session re-enters the stored graph, replays idempotently, continues") {
+    // Session 1 ingests wave 1 and "dies" (its state stays on disk).
+    // Session 2 re-enters the same dir with wave 1 REDELIVERED (the
+    // at-least-once contract) plus a new wave 2. The redelivered
+    // batch must be recognized (vec_ids already stored) and skipped —
+    // no version bump, no duplicate nodes — and the new wave must
+    // continue from the stored version high-water mark. Proof: final
+    // stored state is bit-identical to a single session streaming
+    // both waves, and the re-entry's searches serve the stored graph.
+    val dirA = java.nio.file.Files.createTempDirectory("graft-s33-restart-a-")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-s33-restart-b-")
+    try {
+      def edgeSet(p: java.nio.file.Path) =
+        spark.read.parquet(s"$p/edges").collect()
+          .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+            r.getAs[Double]("cos"), r.getAs[Long]("ver"),
+            r.getSeq[Double](r.fieldIndex("nbr_q")))).toSet
+      def nodeIds(p: java.nio.file.Path) =
+        spark.read.parquet(s"$p/nodes").collect()
+          .map(_.getAs[Long]("vec_id")).sorted.toSeq
+      def outRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Int]("wave"), r.getAs[Long]("qid"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+        .toSeq
+      Similarity.s33WithDir(spark, sf, dirA.toString,
+        waves = Seq(Similarity.GraphWave1Shift))
+      val reentered = outRows(Similarity.s33WithDir(spark, sf, dirA.toString,
+        waves = Seq(Similarity.GraphWave1Shift, Similarity.GraphWave2Shift)))
+      val ref = outRows(Similarity.s33WithDir(spark, sf, dirB.toString,
+        waves = Seq(Similarity.GraphWave1Shift, Similarity.GraphWave2Shift)))
+      assert(edgeSet(dirA) == edgeSet(dirB),
+        "re-entered stored edges drifted from the single-session run")
+      val nA = nodeIds(dirA)
+      assert(nA == nA.distinct, "redelivered batch duplicated node rows")
+      assert(nA == nodeIds(dirB),
+        "re-entered node table drifted from the single-session run")
+      // versions: wave 1 wrote ver 1 (session 1); the redelivery wrote
+      // nothing; wave 2 continued at ver 2 (session 2)
+      assert(spark.read.parquet(s"$dirA/edges")
+        .agg(org.apache.spark.sql.functions.max("ver")).head.getLong(0) == 2L,
+        "version counter did not continue from the stored high-water mark")
+      // the re-entry's wave-1/wave-2 searches equal the reference's,
+      // and its wave-0 search already sees session 1's ingested wave
+      def wave(rs: Seq[(Int, Long, Long, Double, Int)], w: Int) =
+        rs.filter(_._1 == w).map(t => (t._2, t._3, t._4, t._5))
+      assert(wave(reentered, 1) == wave(ref, 1) && wave(reentered, 2) == wave(ref, 2),
+        "re-entered searches drifted from the single-session run")
+      assert(wave(reentered, 0) == wave(ref, 1),
+        "re-entry search must serve the dead session's ingested wave")
+    } finally {
+      graft.Fs.deleteRecursively(dirA); graft.Fs.deleteRecursively(dirB)
+    }
+  }
+
   test("s30: delete tombstones and repairs through the hole exactly (scalar replay)") {
     val base = Similarity.quantized(spark, sf)
     val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
