@@ -113,6 +113,19 @@ object IndexCompaction {
     }
   }
 
+  /** Fold `dir` to the given RESOLVED content — the semantic
+    * compactor the versioned/tombstoned layouts need (s34's graph
+    * edge table: latest-version-per-src resolve + tombstone drop,
+    * rewritten flat). `folded` may read from `dir`: the swap writes a
+    * sibling temp to completion first, so the source files are intact
+    * while the resolve scans them, and the atomic-rename crash story
+    * above applies unchanged. Output width is sized from the current
+    * files so a compacted file stays one scan task.
+    */
+  def foldSwapped(dir: String, folded: DataFrame,
+      targetBytes: Long = 128L << 20): Unit =
+    writeSwapped(folded, dir, foldWidth(dataFiles(dir), targetBytes))
+
   /** The per-partition cadence driver a partitioned index runs on a
     * timer: ONE listing of `tableDir` finds the partition directories
     * (`band=…/`, `cell=…/`), then each directory whose own file count

@@ -1721,6 +1721,11 @@ object Similarity {
   /** A freshly-embedded vector as it reaches the ingestion stream. */
   final case class NewVec(vec_id: Long, q: Seq[Double])
 
+  /** A delete request as it reaches the maintenance stream — ids
+    * only, the shape a production tombstone feed actually carries.
+    */
+  final case class Tomb(vec_id: Long)
+
   /** The d12 loop for the VECTOR index: embedding waves arrive as a
     * stream, each micro-batch is assigned against the STANDING
     * codebook (the broadcast-literal scan projection — no shuffle to
@@ -3508,6 +3513,22 @@ object Similarity {
     // ids, not a predicate) — delta-sized, broadcast everywhere
     val dead = corpus.filter(col("vec_id") % GraphDeleteMod === GraphDeleteRem)
       .select(col("vec_id").as("dead_id"))
+    graphDeleteCore(corpus, edges, dead).orderBy("src", "rnk")
+  }
+
+  /** The delete-repair core shared by s30 and the stored lifecycle
+    * (s34): given the standing nodes (`vec_id`, `q`), the cos-bearing
+    * pinned adjacency (`src`, `nbr_id`, `nbr_q`, `cos`) and a
+    * tombstone frame (`dead_id`), returns the post-delete re-pruned
+    * adjacency of every affected node (`src`, `nbr_id`, `cos`,
+    * `rnk`). All the scale commitments of the s30 doc hold here: the
+    * dead set broadcasts, repair candidates route through the deleted
+    * hub (degree²-bounded), the candidate frame broadcasts into the
+    * node scan, and the only exchange is the src-keyed fold/rank over
+    * the affected-bounded frame.
+    */
+  private[graft] def graphDeleteCore(corpus: DataFrame, edges: DataFrame,
+      dead: DataFrame): DataFrame = {
     // edges u -> d into the dead set, from surviving u: the repair list
     val intoDead = edges
       .join(broadcast(dead), col("nbr_id") === col("dead_id"))
@@ -3546,7 +3567,6 @@ object Similarity {
       .groupBy(col("src"), col("nbr_id")).agg(max(col("cos")).as("cos"))
       .withColumn("rnk", row_number().over(wAdj))
       .filter(col("rnk") <= GraphDegree)
-      .orderBy("src", "rnk")
   }
 
   private def s30GraphDelete(s: SparkSession, d: String): DataFrame = {
@@ -3760,13 +3780,16 @@ object Similarity {
     finally graft.Fs.deleteRecursively(idx)
   }
 
-  private[graft] def s33WithDir(s: SparkSession, d: String,
-      idxDir: String, k: Int = 8,
-      waves: Seq[Long] = Seq(GraphWave1Shift, GraphWave2Shift)): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.Trigger
+  /** Seed a stored graph index at `idxDir` (nodes parquet + the
+    * versioned edge table at ver 0 + the persisted codebook) unless
+    * one already exists there — the shared bootstrap of the stored
+    * lifecycle gates (s33 ingest, s34 delete). Returns the collected
+    * codebook either way, so a re-entering session probes the SAME
+    * cells the index was built under.
+    */
+  private[graft] def graphBootstrapStored(s: SparkSession, d: String,
+      idxDir: String, k: Int): Array[(Long, Seq[Double], Long)] = {
     val nodesPath = s"$idxDir/nodes"
-    val edgesPath = s"$idxDir/edges"
     val cbPath = s"$idxDir/codebook"
     val base = quantized(s, d)
     if (!new java.io.File(nodesPath).isDirectory) {
@@ -3777,20 +3800,59 @@ object Similarity {
       knnEdges(corpus, cents0, GraphDegree)
         .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
         .withColumn("ver", lit(0L))
-        .write.mode("overwrite").parquet(edgesPath)
+        .write.mode("overwrite").parquet(s"$idxDir/edges")
     }
-    val cents = collectCents(loadCodebook(s, cbPath))
-    // merge-on-read resolve: an insert rewrites an affected node's
-    // whole adjacency under its batch version, so the live graph is
-    // each src's max-version rows (s21's tombstone-free special case;
-    // the compactor folds versions physically when they accumulate)
-    def liveEdges(): DataFrame = {
-      val e = s.read.parquet(edgesPath)
-      e.join(e.groupBy(col("src")).agg(max(col("ver")).as("ver")),
-        Seq("src", "ver"))
-        .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
-        .localCheckpoint(true)
+    collectCents(loadCodebook(s, cbPath))
+  }
+
+  /** The stored graph's READ-path resolve shared by s33/s34: the
+    * live adjacency is each source's max-version rows (an insert or
+    * repair rewrites a node's WHOLE adjacency under its batch
+    * version), minus tombstoned sources and targets when a tombstone
+    * table exists beside the edge table. The target filter is
+    * belt-and-suspenders: every affected survivor's rewrite already
+    * carries no dead targets, but the pathological survivor whose
+    * repair came up EMPTY (no surviving edges, no candidates through
+    * the hubs) has no ver-bumped rows, and without it the stale rows
+    * would win the resolve still pointing at the dead set. One
+    * src-keyed exchange (the version fold); the tombstone joins
+    * broadcast. Callers pin the result per use.
+    */
+  private[graft] def graphLiveEdges(s: SparkSession, idxDir: String): DataFrame = {
+    val e = s.read.parquet(s"$idxDir/edges")
+    val r = e.join(e.groupBy(col("src")).agg(max(col("ver")).as("ver")),
+      Seq("src", "ver"))
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+    if (!new java.io.File(s"$idxDir/tombs").isDirectory) r
+    else {
+      val t = s.read.parquet(s"$idxDir/tombs")
+      r.join(broadcast(t), col("src") === col("dead_id"), "left_anti")
+        .join(broadcast(t.select(col("dead_id").as("dead_nbr"))),
+          col("nbr_id") === col("dead_nbr"), "left_anti")
     }
+  }
+
+  /** The live node set: the stored node table minus tombstones. */
+  private[graft] def graphLiveNodes(s: SparkSession, idxDir: String): DataFrame = {
+    val n = s.read.parquet(s"$idxDir/nodes")
+    if (!new java.io.File(s"$idxDir/tombs").isDirectory) n
+    else n.join(broadcast(s.read.parquet(s"$idxDir/tombs")),
+      col("vec_id") === col("dead_id"), "left_anti")
+  }
+
+  private[graft] def s33WithDir(s: SparkSession, d: String,
+      idxDir: String, k: Int = 8,
+      waves: Seq[Long] = Seq(GraphWave1Shift, GraphWave2Shift)): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val nodesPath = s"$idxDir/nodes"
+    val edgesPath = s"$idxDir/edges"
+    val base = quantized(s, d)
+    val cents = graphBootstrapStored(s, d, idxDir, k)
+    // merge-on-read resolve ([[graphLiveEdges]] — tombstone-free here,
+    // s33 only inserts); pinned per use since each wave appends
+    def liveEdges(): DataFrame =
+      graphLiveEdges(s, idxDir).localCheckpoint(true)
     val qs = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
     val snaps = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Double, Int)]()
@@ -3929,6 +3991,250 @@ object Similarity {
        |ORDER BY wave, qid, rnk""".stripMargin
   }
 
+  // ---- s34: delete + compaction through the STORED graph index ------------
+
+  /** The DELETE half of the stored graph lifecycle — s30's
+    * tombstone+repair driven through s33's versioned edge table
+    * (FreshDiskANN's delete consolidation as a storage protocol, not
+    * just a plan shape): a baseline search runs against the stored
+    * graph, then ONE delete batch arrives over a Structured Streaming
+    * source — the queries' own rank-1 results (the unfakeable flip:
+    * phase 0 provably served those ids, phase 1 provably cannot)
+    * plus the [[GraphDeleteMod]] modulus slice (a production-sized
+    * batch). The micro-batch appends the ids to a tombstone table and
+    * REWRITES every affected survivor's adjacency under a new version
+    * ([[graphDeleteCore]] against the stored state — MOR, only the
+    * touched adjacency ships); the read path resolves
+    * latest-version-per-src and drops tombstoned sources/targets. A
+    * search proves the hole repaired, then the COMPACTOR folds the
+    * version + tombstone layers physically ([[IndexCompaction.foldSwapped]]:
+    * resolve once, atomic sibling swap; dead nodes drop from the node
+    * table, tombstones retire) and a final search against the
+    * compacted files must be bit-identical — required in-gate AND
+    * pinned by the oracle (phase 2 replays phase 1's walk).
+    *
+    * Idempotent replay is s33's, for deletes: a redelivered tombstone
+    * batch is recognized against the stored tombstone table and
+    * skipped — no version bump, no double repair (spec-staged crash:
+    * redelivery is bit-identical to single delivery).
+    *
+    * Scale shape: everything the s30 doc commits to, against
+    * storage — the tombstone batch broadcasts, repair is
+    * degree²-bounded through the deleted hubs, the corpus never
+    * shuffles for maintenance; compaction reads the edge table once
+    * and rewrites it at scan-task width with no exchange beyond the
+    * resolve's own src-keyed fold.
+    */
+  private def s34GraphDeleteStored(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s34-idx-")
+    try s34WithDir(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  private[graft] def s34WithDir(s: SparkSession, d: String, idxDir: String,
+      k: Int = 8, redeliver: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val nodesPath = s"$idxDir/nodes"
+    val edgesPath = s"$idxDir/edges"
+    val tombsPath = s"$idxDir/tombs"
+    val cents = graphBootstrapStored(s, d, idxDir, k)
+    val base = quantized(s, d)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    def tombsDf(): Option[DataFrame] =
+      if (new java.io.File(tombsPath).isDirectory)
+        Some(s.read.parquet(tombsPath)) else None
+    // the shared read path ([[graphLiveEdges]]/[[graphLiveNodes]]):
+    // max-version resolve plus the tombstone source/target drops;
+    // edges pinned per use since each batch appends
+    def liveNodes(): DataFrame = graphLiveNodes(s, idxDir)
+    def liveEdges(): DataFrame =
+      graphLiveEdges(s, idxDir).localCheckpoint(true)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    def searchTop(): Seq[(Long, Long, Double, Int)] =
+      graphWalk(liveNodes(),
+        liveEdges().select(col("src"), col("nbr_id"), col("nbr_q")), qs, cents)
+        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val s0 = searchTop()
+    // the delete batch: what the index just SERVED (each query's
+    // rank-1 id) plus the modulus slice — delete-batch-sized control
+    // plane, exactly what a tombstone feed would carry
+    val top1 = s0.filter(_._4 == 1).map(_._2)
+    val modIds = base.filter(col("vec_id") >= 5 &&
+        col("vec_id") % GraphDeleteMod === GraphDeleteRem)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val deadIds = (top1 ++ modIds).distinct.sorted
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-s34-")
+    var deleteVer = 0L
+    try {
+      val input = MemoryStream[Tomb](
+        org.apache.spark.sql.Encoders.product[Tomb], s)
+      var batchVer = s.read.parquet(edgesPath)
+        .agg(max(col("ver"))).head.getLong(0)
+      def drain(): Unit = {
+        val q = input.toDS().writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Tomb], _: Long) =>
+            val all = b.toDF().select(col("vec_id").as("dead_id"))
+              .localCheckpoint(true)
+            // idempotent replay: ids already tombstoned by a dead
+            // session drop; an all-replay batch writes nothing
+            val dead = tombsDf().fold(all)(t =>
+              all.join(broadcast(t.select(col("dead_id").as("seen_id"))),
+                col("dead_id") === col("seen_id"), "left_anti")
+                .localCheckpoint(true))
+            if (!dead.isEmpty) {
+              batchVer += 1; deleteVer = batchVer
+              val nodes = liveNodes().localCheckpoint(true)
+              val repaired = graphDeleteCore(nodes, liveEdges(), dead)
+              // MOR rewrite of the touched adjacency only, vectors
+              // re-attached from the node table (repair broadcasts)
+              nodes.select(col("vec_id").as("nbr_id"), col("q").as("nbr_q"))
+                .join(broadcast(repaired.drop("rnk")), Seq("nbr_id"))
+                .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+                .withColumn("ver", lit(batchVer))
+                .write.mode("append").parquet(edgesPath)
+              dead.write.mode("append").parquet(tombsPath)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      input.addData(deadIds.map(Tomb(_)))
+      drain()
+      if (redeliver) { input.addData(deadIds.map(Tomb(_))); drain() }
+    } finally graft.Fs.deleteRecursively(ckpt)
+    // phase-1 repair rows read back FROM STORAGE: the gate's claim is
+    // about what the bytes on disk now say, not a plan it remembers
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("nbr_id"))
+    val repairRows = s.read.parquet(edgesPath)
+      .filter(col("ver") === deleteVer)
+      .select(col("src"), col("nbr_id"), col("cos"))
+      .withColumn("rnk", row_number().over(wAdj))
+      .collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rnk"))).toSeq
+    val s1 = searchTop()
+    val deadSet = deadIds.toSet
+    require(s1.forall(t => !deadSet(t._2)),
+      "search after delete surfaced a tombstoned id")
+    // compact: fold the version layers + tombstones down physically —
+    // resolved content pinned FIRST (eager blocks, not files), the
+    // equality requires then compare reads across the swap
+    val preEdges = liveEdges()
+    val preNodes = liveNodes().localCheckpoint(true)
+    IndexCompaction.foldSwapped(edgesPath,
+      liveEdges().withColumn("ver", lit(0L)))
+    IndexCompaction.foldSwapped(nodesPath, liveNodes())
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(tombsPath))
+    val postEdges = liveEdges()
+    require(postEdges.exceptAll(preEdges).isEmpty &&
+      preEdges.exceptAll(postEdges).isEmpty,
+      "compaction changed the resolved edge content")
+    require(liveNodes().exceptAll(preNodes).isEmpty &&
+      preNodes.exceptAll(liveNodes()).isEmpty,
+      "compaction changed the node content")
+    val s2 = searchTop()
+    require(s2 == s1, "search over compacted files drifted")
+    import s.implicits._
+    (s0.map(t => (0, "search", t._1, t._2, t._3, t._4)) ++
+      repairRows.map(t => (1, "repair", t._1, t._2, t._3, t._4)) ++
+      s1.map(t => (1, "search", t._1, t._2, t._3, t._4)) ++
+      s2.map(t => (2, "search", t._1, t._2, t._3, t._4)))
+      .toDF("phase", "kind", "src", "nbr_id", "cos", "rnk")
+      .orderBy("phase", "kind", "src", "rnk")
+  }
+
+  private val s34Oracle: String = {
+    def ranked(walk: String): String =
+      s"""SELECT qid, vec_id, cos, rnk FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM $walk) WHERE rnk <= 5""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |corp AS MATERIALIZED (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |qv AS MATERIALIZED (SELECT vec_id AS qid, q FROM base WHERE vec_id < 5),
+       |${probeOracleCtes("_s", "qv")},
+       |cm0 AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |${entryOracleCte("_s0", "probes_s", "cm0", "corp", "qv")},
+       |${graphHopOracleCtes("_s0", "gedge", "qv")},
+       |srch0 AS MATERIALIZED (${ranked(s"w${GraphHops}_s0")}),
+       |dead AS MATERIALIZED (
+       |  SELECT vec_id AS dead_id FROM srch0 WHERE rnk = 1
+       |  UNION
+       |  SELECT vec_id FROM corp WHERE vec_id % $GraphDeleteMod = $GraphDeleteRem),
+       |intodead AS (
+       |  SELECT e.src, e.nbr AS hub FROM gedge e
+       |  WHERE e.nbr IN (SELECT dead_id FROM dead)
+       |    AND e.src NOT IN (SELECT dead_id FROM dead)),
+       |outofdead AS (
+       |  SELECT e.src AS hub, e.nbr AS cand_id, e.nbr_q AS cand_q FROM gedge e
+       |  WHERE e.src IN (SELECT dead_id FROM dead)
+       |    AND e.nbr NOT IN (SELECT dead_id FROM dead)),
+       |candd AS (
+       |  SELECT c.src, c.cand_id AS nbr_id,
+       |         list_cosine_similarity(c.cand_q::DOUBLE[], b.q::DOUBLE[]) AS cos
+       |  FROM (SELECT DISTINCT i.src, o.cand_id, o.cand_q
+       |        FROM intodead i JOIN outofdead o USING (hub)
+       |        WHERE o.cand_id <> i.src) c
+       |  JOIN base b ON b.vec_id = c.src),
+       |aff AS (SELECT DISTINCT src FROM intodead),
+       |surv AS (
+       |  SELECT e.src, e.nbr AS nbr_id, e.cos FROM gedge e
+       |  WHERE e.src IN (SELECT src FROM aff)
+       |    AND e.nbr NOT IN (SELECT dead_id FROM dead)),
+       |repg AS MATERIALIZED (
+       |  SELECT src, nbr_id, cos, rnk FROM (
+       |    SELECT src, nbr_id, cos,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, nbr_id) AS rnk FROM (
+       |      SELECT src, nbr_id, max(cos) AS cos FROM (
+       |        SELECT src, nbr_id, cos FROM surv
+       |        UNION ALL
+       |        SELECT src, nbr_id, cos FROM candd)
+       |      GROUP BY src, nbr_id))
+       |  WHERE rnk <= $GraphDegree),
+       |n1 AS MATERIALIZED (
+       |  SELECT vec_id, q FROM corp
+       |  WHERE vec_id NOT IN (SELECT dead_id FROM dead)),
+       |g1 AS MATERIALIZED (
+       |  SELECT src, nbr, nbr_q, cos FROM gedge
+       |  WHERE src NOT IN (SELECT dead_id FROM dead)
+       |    AND src NOT IN (SELECT src FROM aff)
+       |  UNION ALL
+       |  SELECT r.src, r.nbr_id AS nbr, n.q AS nbr_q, r.cos
+       |  FROM repg r JOIN corp n ON n.vec_id = r.nbr_id),
+       |cm1 AS (SELECT cid, min(vec_id) AS vec_id FROM corp
+       |        WHERE vec_id NOT IN (SELECT dead_id FROM dead) GROUP BY cid),
+       |${entryOracleCte("_s1", "probes_s", "cm1", "n1", "qv")},
+       |${graphHopOracleCtes("_s1", "g1", "qv")},
+       |srch1 AS MATERIALIZED (${ranked(s"w${GraphHops}_s1")})
+       |SELECT phase, kind, src, nbr_id, cos, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT 0 AS phase, 'search' AS kind, qid AS src, vec_id AS nbr_id, cos, rnk FROM srch0
+       |  UNION ALL
+       |  SELECT 1, 'repair', src, nbr_id, cos, rnk FROM repg
+       |  UNION ALL
+       |  SELECT 1, 'search', qid, vec_id, cos, rnk FROM srch1
+       |  UNION ALL
+       |  SELECT 2, 'search', qid, vec_id, cos, rnk FROM srch1)
+       |ORDER BY phase, kind, src, rnk""".stripMargin
+  }
+
   // ---- s31: NN-descent graph refinement (one local-join round) ------------
 
   /** The IMPROVE step of the graph-index lifecycle — one NN-descent
@@ -4058,6 +4364,7 @@ object Similarity {
        |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s34_graph_delete_stored" -> (s34GraphDeleteStored _),
     "s33_graph_stream" -> (s33GraphStream _),
     "s32_graph_freshness" -> (s32GraphFreshness _),
     "s31_graph_refine" -> (s31GraphRefine _),
@@ -4094,6 +4401,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s34_graph_delete_stored" -> s34Oracle,
     // s33 streams the SAME semantics through storage; determinism
     // makes the outputs bit-identical, so one oracle serves both
     "s33_graph_stream" -> s32Oracle,

@@ -1298,4 +1298,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
       "the bucket rollup must combine map-side")
   }
+
+  test("s34/graphLiveEdges: the stored read path is one src-keyed fold — tombstone drops broadcast") {
+    // The resolve every stored-graph search and maintenance batch
+    // rides: max-version-per-src plus the tombstone source/target
+    // anti-joins. The fold may shuffle (src-led keys only); the
+    // tombstone table is delete-batch-sized and must BROADCAST into
+    // both drops — at 100 TB the edge table must never re-shuffle to
+    // learn what died.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s34-plan-")
+    try {
+      Seq((1L, 2L, Seq(1.0, 0.0), 0.9, 0L), (2L, 1L, Seq(0.5, 0.5), 0.8, 1L))
+        .toDF("src", "nbr_id", "nbr_q", "cos", "ver")
+        .write.parquet(s"$dir/edges")
+      Seq(Tuple1(9L)).toDF("dead_id").write.parquet(s"$dir/tombs")
+      val plan = Similarity.graphLiveEdges(spark, dir.toString)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), "the resolve must stay keyed")
+      assert(shuffleJoinKeys(plan).forall(_.contains("[src#")),
+        "any shuffle join in the resolve must lead with src")
+      val antis = plan.linesIterator.count(_.contains("LeftAnti"))
+      assert(antis >= 2 && plan.contains("BroadcastHashJoin"),
+        s"both tombstone drops must be broadcast anti-joins (saw $antis)")
+      val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(hashes.forall(_.contains("hashpartitioning(src")),
+        s"every exchange must lead with src:\n${hashes.mkString("\n")}")
+    } finally graft.Fs.deleteRecursively(dir)
+  }
 }

@@ -1218,4 +1218,89 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(adopted, "no candidate adopted - the repair path is vacuous")
   }
+
+  test("s34: stored delete lifecycle — tombstone, repair, compact to a clean single-version index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s34-spec-")
+    try {
+      val out = Similarity.s34WithDir(spark, sf, dir.toString).collect()
+        .map(r => (r.getAs[Int]("phase"), r.getAs[String]("kind"),
+          r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rnk"))).toSeq
+      // the full dead set, recomputed from the fixture: every phase-0
+      // rank-1 id (the served-then-deleted flip) plus the modulus slice
+      val served = out.filter(t => t._1 == 0 && t._2 == "search" && t._6 == 1)
+        .map(_._4).toSet
+      val mod = Similarity.quantized(spark, sf).collect().map(_.getLong(0))
+        .filter(v => v >= 5 &&
+          v % Similarity.GraphDeleteMod == Similarity.GraphDeleteRem).toSet
+      val dead = served ++ mod
+      assert(served.nonEmpty && mod.nonEmpty, "both delete sources must fire")
+      // phase-1/2 searches never surface a dead id, and the compacted
+      // files (phase 2) serve the identical walk
+      val s1 = out.filter(t => t._1 == 1 && t._2 == "search")
+        .map(t => (t._3, t._4, t._5, t._6))
+      val s2 = out.filter(t => t._1 == 2).map(t => (t._3, t._4, t._5, t._6))
+      assert(s1.nonEmpty && s1 == s2,
+        "the compacted files must serve the identical walk")
+      assert(s1.forall(t => !dead(t._2)), "a dead id surfaced after delete")
+      // repair rows: contiguous ranks, non-increasing cos, no dead endpoint
+      val rep = out.filter(_._2 == "repair")
+      assert(rep.nonEmpty, "the delete must repair someone")
+      assert(rep.forall(t => !dead(t._3) && !dead(t._4)),
+        "a repair row kept a dead endpoint")
+      rep.groupBy(_._3).values.foreach { rs =>
+        val sorted = rs.sortBy(_._6)
+        assert(sorted.map(_._6).toSeq == (1 to sorted.length) &&
+          sorted.length <= Similarity.GraphDegree)
+        val cs = sorted.map(_._5)
+        assert(cs.zip(cs.tail).forall(p => p._1 >= p._2))
+      }
+      // ON DISK after compaction: one flat version, no tombstone layer,
+      // no dead id as node, source, or target
+      assert(!new java.io.File(s"$dir/tombs").isDirectory, "tombstones must retire")
+      val edges = spark.read.parquet(s"$dir/edges")
+      assert(edges.select("ver").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L),
+        "compaction must fold versions flat")
+      val ends = edges.select("src").collect().map(_.getLong(0)) ++
+        edges.select("nbr_id").collect().map(_.getLong(0))
+      assert(ends.forall(v => !dead(v)), "a dead id survived in the compacted edges")
+      val nodeIds = spark.read.parquet(s"$dir/nodes").collect().map(_.getLong(0)).toSeq
+      assert(nodeIds.forall(v => !dead(v)), "a dead id survived in the node table")
+      assert(nodeIds.distinct.length == nodeIds.length, "compaction duplicated nodes")
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
+  test("s34: a redelivered tombstone batch is recognized and skipped — bit-identical state and output") {
+    // At-least-once delivery: the same tombstone batch arrives twice.
+    // The replay must be recognized against the stored tombstone table
+    // and write NOTHING — no version bump (which would point the gate's
+    // phase-1 repair readback at an empty layer), no duplicate
+    // tombstone rows, no double repair. Proof: gate output and final
+    // stored state are bit-identical to single delivery.
+    val dirA = java.nio.file.Files.createTempDirectory("graft-s34-once-")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-s34-twice-")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Int]("phase"), r.getAs[String]("kind"),
+          r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rnk"))).toSeq
+      val once = rows(Similarity.s34WithDir(spark, sf, dirA.toString))
+      val twice = rows(Similarity.s34WithDir(spark, sf, dirB.toString,
+        redeliver = true))
+      assert(once == twice, "redelivery changed the gate output")
+      def edgeSet(p: java.nio.file.Path) =
+        spark.read.parquet(s"$p/edges").collect()
+          .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+            r.getAs[Double]("cos"), r.getAs[Long]("ver"))).toSet
+      def nodeIds(p: java.nio.file.Path) =
+        spark.read.parquet(s"$p/nodes").collect()
+          .map(_.getAs[Long]("vec_id")).sorted.toSeq
+      assert(edgeSet(dirA) == edgeSet(dirB),
+        "redelivery changed the stored edges")
+      assert(nodeIds(dirA) == nodeIds(dirB),
+        "redelivery changed the stored nodes")
+    } finally {
+      graft.Fs.deleteRecursively(dirA); graft.Fs.deleteRecursively(dirB)
+    }
+  }
 }
