@@ -1090,6 +1090,275 @@ object Relational3 {
        |ORDER BY node_id""".stripMargin
   }
 
+  // ---- q59: incremental PageRank maintenance (the cdc × q54 weld) ----------
+
+  /** Orders placed before this date build the STANDING graph; later
+    * orders arrive as the change feed's insert half.
+    */
+  private val PrCutoff = "2000-01-01"
+
+  /** Standing-pair delete slice — the change feed's delete half. */
+  private[ops] val PrDelMod = 53L
+  private[ops] val PrDelRem = 6L
+
+  /** [[prPairs]] restricted to an order predicate — the slice the
+    * standing graph and the insert feed are each built from.
+    */
+  private[ops] def prPairsWhere(s: SparkSession, d: String,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    Tables.orders(s, d).filter(cond)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+
+  /** The incremental half of q59, factored for the plan audit and the
+    * spec's incremental==full check: given the PINNED standing state
+    * (degree-folded adjacency, degree table) and the change
+    * batch (`ins` pairs admitted as never-seen, `dels` ⊆ standing),
+    * maintain the graph without rebuilding it. Scale shape:
+    *  - the degree delta is a DELTA-sized aggregate; the new degree
+    *    table is one src-keyed resolve of the N-row degree frame —
+    *    the same frame every power round shuffles anyway, so
+    *    maintenance adds no new scale term (a production run with a
+    *    STORED degree table does the broadcast upsert instead);
+    *  - the EDGE table — the 100 TB side — never shuffles: untouched
+    *    adjacency survives through a broadcast anti-join on the
+    *    touched-node set, and only the touched slice (delta-bounded)
+    *    is rebuilt, its joins all broadcast.
+    * Returns (edgesDeg, deg) for the perturbed graph, both pinned.
+    */
+  private[ops] def q59MaintainGraph(edgesDeg0: DataFrame,
+      deg0: DataFrame, ins: DataFrame, dels: DataFrame,
+      pin: Boolean = true): (DataFrame, DataFrame) = {
+    // `pin` pins the reused intermediates (LAZILY — the t40 trick: the
+    // materialization rides the first consuming job instead of costing
+    // a barrier each); the plan audit passes false so the whole
+    // derivation stays one inspectable tree
+    def cp(df: DataFrame) = if (pin) df.localCheckpoint(false) else df
+    // net degree movement per endpoint; groupBy keeps dw=0 rows, so
+    // this frame's key set IS the touched-node set (every endpoint of
+    // an inserted or deleted pair, both edge directions)
+    val degDelta = cp(prEdges(ins).select(col("src"), lit(1L).as("w"))
+      .unionByName(prEdges(dels).select(col("src"), lit(-1L).as("w")))
+      .groupBy("src").agg(sum(col("w")).as("dw")))
+    val touched = cp(degDelta.select("src"))
+    // degree resolve: standing + delta, drop drained nodes (all edges
+    // deleted), admit new endpoints — one keyed exchange of the
+    // rank-frame-sized table
+    val deg1 = cp(deg0.join(degDelta, Seq("src"), "full")
+      .select(col("src"),
+        (coalesce(col("deg"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("deg"))
+      .filter(col("deg") > 0))
+    val deg1T = cp(deg1.join(broadcast(touched), Seq("src"), "left_semi"))
+    // ^ delta-bounded: degrees of touched nodes only
+    // touched adjacency rebuilt: surviving standing edges of touched
+    // sources (semi on the broadcast touched set, anti on the
+    // broadcast deleted-edge set) plus the inserted edges, re-keyed
+    // to the new degrees — every join broadcast, delta-bounded output
+    val rebuilt = edgesDeg0.select(col("src"), col("dst"))
+      .join(broadcast(touched), Seq("src"), "left_semi")
+      .join(broadcast(prEdges(dels)), Seq("src", "dst"), "left_anti")
+      .unionByName(prEdges(ins))
+      .join(broadcast(deg1T), Seq("src"))
+    // untouched adjacency survives verbatim — the standing edge table
+    // is scanned, never shuffled
+    val edgesDeg1 = cp(edgesDeg0
+      .join(broadcast(touched), Seq("src"), "left_anti")
+      .unionByName(rebuilt))
+    (edgesDeg1, deg1)
+  }
+
+  /** Incremental PageRank maintenance — the thrice-asked cdc × q54
+    * weld. A change batch perturbs the trade graph (deletes: the
+    * [[PrDelMod]] modulus slice of standing pairs; inserts: pairs
+    * first traded after [[PrCutoff]], admitted through the never-seen
+    * dedup gate), the graph is maintained INCREMENTALLY
+    * ([[q59MaintainGraph]] — the edge table never shuffles), and the
+    * power iteration WARM-STARTS from the standing rank vector
+    * instead of re-running from scratch.
+    *
+    * Convergence claim, stated honestly: the integer-floor iteration
+    * has NO exact fixed point in general — measured on this fixture,
+    * a from-uniform run lands in a 2-cycle after ~113 rounds and a
+    * warm run reaches a fixed point up to ~33 scaled units away
+    * (floor-quantization noise, ~3·10⁻¹¹ of the mass) — so the gate
+    * pins what IS exact: after the same [[PrRounds]]-round budget on
+    * the SAME maintained graph, the warm iterate's residual
+    * ‖T(r)−r‖₁ (distance-to-fixed-point witness, one extra round) is
+    * strictly smaller than the from-scratch iterate's — measured
+    * 2.3× smaller at sf0.001/0.01/0.1 — with BOTH iterates, BOTH
+    * per-node residuals, and the maintained out-degrees riding every
+    * output row of the DuckDB oracle, which rebuilds the perturbed
+    * graph from scratch and replays both trajectories exactly.
+    * `rank_cold` is literally q54 re-run on the perturbed graph, so
+    * the row-level claim is "the incrementally-maintained graph is
+    * bit-identical to a rebuild, and here is the warm-start dividend
+    * on it".
+    *
+    * Scale: the standing build is q54's (one distinct + 5 rounds);
+    * maintenance is delta-broadcast ([[q59MaintainGraph]]); each
+    * round shuffles only the N-row rank frame against the pinned
+    * edge list. At 100 TB the standing pairs/degrees/ranks are
+    * STORED artifacts (the p8 stance — built in-gate to stay
+    * self-contained) and the whole gate costs one delta pass plus
+    * 2·[[PrRounds]]+2 rank-frame rounds.
+    */
+  /** One power round advancing the warm AND cold vectors together —
+    * one edge join, one dst rollup, two running columns. The cold leg
+    * exists only as q54-from-scratch's comparison point, so it rides
+    * the warm leg's join for free instead of doubling the round jobs.
+    */
+  private[ops] def prRound2(edgesDeg: DataFrame, ranks: DataFrame,
+      teleport: Long): DataFrame =
+    edgesDeg
+      .join(ranks, col("src") === col("node"))
+      .select(col("dst"),
+        expr("rw DIV deg").as("cw"), expr("rc DIV deg").as("cc"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("cw")).as("iw"), sum(col("cc")).as("ic"))
+      .select(col("node"),
+        (lit(teleport) + expr("(85 * iw) DIV 100")).as("rw"),
+        (lit(teleport) + expr("(85 * ic) DIV 100")).as("rc"))
+
+  private def q59PagerankMaint(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit(PrCutoff).cast("timestamp")
+    // ONE pass derives both feed halves: per trading pair, the date it
+    // FIRST traded — standing pairs are those first seen before the
+    // cutoff, and the insert feed is exactly the never-seen pairs
+    // (first traded after), so the admission anti-join q54's two-slice
+    // formulation would need is free
+    val firstTraded = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .agg(min(col("o_orderdate")).as("first_traded"))
+      .localCheckpoint(true)
+    // standing state: pair set, degree-folded edges, ranks after the
+    // q54 round budget — all pinned (stored, in production)
+    val pairs0 = firstTraded.filter(col("first_traded") < cutoff)
+      .select("c", "sk")
+    val deg0 = prEdges(pairs0).groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val edgesDeg0 = prEdges(pairs0).join(deg0, "src").localCheckpoint(true)
+    val n0 = deg0.count()
+    val t0 = (15L * PrMass) / (100L * n0)
+    var standing = deg0.select(col("src").as("node"), lit(PrMass / n0).as("r"))
+    (1 to PrRounds).foreach { _ =>
+      standing = prRound(edgesDeg0, standing, t0).localCheckpoint(false)
+    }
+    // the change batch — delta-bounded both halves
+    val dels = pairs0
+      .filter((col("c") * 31 + col("sk")) % PrDelMod === PrDelRem)
+      .localCheckpoint(true)
+    val ins = firstTraded.filter(col("first_traded") >= cutoff)
+      .select("c", "sk")
+      .localCheckpoint(true)
+    val (edgesDeg1, deg1) = q59MaintainGraph(edgesDeg0, deg0, ins, dels)
+    val n1 = deg1.count()
+    val t1 = (15L * PrMass) / (100L * n1)
+    // warm start: standing ranks carried forward (new nodes seeded at
+    // the uniform init, drained nodes dropped with their degree row);
+    // cold start: q54's own from-scratch init on the same graph. Both
+    // vectors advance through the SAME round job (prRound2)
+    var r2 = deg1.join(standing, col("src") === col("node"), "left")
+      .select(col("src").as("node"),
+        coalesce(col("r"), lit(PrMass / n1)).as("rw"),
+        lit(PrMass / n1).as("rc"))
+    (1 to PrRounds).foreach { _ =>
+      r2 = prRound2(edgesDeg1, r2, t1).localCheckpoint(false)
+    }
+    // residual witness: ONE more application of the round map —
+    // |T(r) − r| per node, exact in both engines
+    val r2next = prRound2(edgesDeg1, r2, t1)
+      .select(col("node").as("node_id"),
+        col("rw").as("rw1"), col("rc").as("rc1"))
+    val out = deg1.select(col("src").as("node_id"), col("deg").as("out_deg"))
+      .join(r2.select(col("node").as("node_id"),
+        col("rw").as("rank_warm"), col("rc").as("rank_cold")), "node_id")
+      .join(r2next, "node_id")
+      .select(col("node_id"), col("out_deg"), col("rank_warm"), col("rank_cold"),
+        abs(col("rw1") - col("rank_warm")).as("res_warm"),
+        abs(col("rc1") - col("rank_cold")).as("res_cold"))
+      .localCheckpoint(false) // lazy: materializes under the sums agg
+
+    // the convergence claim, enforced in-gate: warm-start must sit
+    // strictly closer to the perturbed graph's fixed point than the
+    // from-scratch run at the same round budget
+    val sums = out.agg(sum(col("res_warm")), sum(col("res_cold"))).head
+    require(sums.getLong(0) < sums.getLong(1),
+      s"warm start did not dominate: residual ${sums.getLong(0)} >= ${sums.getLong(1)}")
+    out.orderBy("node_id")
+  }
+
+  /** Unrolled integer power rounds r{p}1..r{p}k over `edges`
+    * (src, dst, deg) with teleport table tp{p}, from a given r{p}0.
+    */
+  private def prRoundsSql(p: String, edges: String, k: Int): String =
+    (1 to k).map { i =>
+      s"""r$p$i AS MATERIALIZED (
+         |  SELECT t.node, tp$p.t + (85 * t.insum) // 100 AS r
+         |  FROM (SELECT e.dst AS node, CAST(sum(q.r // e.deg) AS BIGINT) AS insum
+         |        FROM $edges e JOIN r$p${i - 1} q ON q.node = e.src
+         |        GROUP BY e.dst) t, tp$p)""".stripMargin
+    }.mkString(",\n")
+
+  private val q59Oracle: String =
+    s"""WITH p0 AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_orderdate < TIMESTAMP '$PrCutoff'),
+       |dels AS MATERIALIZED (
+       |  SELECT c, sk FROM p0 WHERE (c * 31 + sk) % $PrDelMod = $PrDelRem),
+       |ins AS MATERIALIZED (
+       |  SELECT c, sk FROM (
+       |    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+       |    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |    WHERE o.o_orderdate >= TIMESTAMP '$PrCutoff') pn
+       |  WHERE NOT EXISTS (SELECT 1 FROM p0 WHERE p0.c = pn.c AND p0.sk = pn.sk)),
+       |p1 AS MATERIALIZED (
+       |  SELECT c, sk FROM p0
+       |  WHERE NOT EXISTS (SELECT 1 FROM dels d WHERE d.c = p0.c AND d.sk = p0.sk)
+       |  UNION ALL SELECT c, sk FROM ins),
+       |e0 AS (SELECT c AS src, sk + $PrSuppBase AS dst FROM p0
+       |       UNION ALL SELECT sk + $PrSuppBase AS src, c AS dst FROM p0),
+       |deg0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+       |edges0 AS MATERIALIZED (
+       |  SELECT e0.src, e0.dst, deg0.deg FROM e0 JOIN deg0 USING (src)),
+       |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg0),
+       |tpB AS (SELECT CAST((15 * $PrMass) // (100 * n) AS BIGINT) AS t FROM n0),
+       |rB0 AS MATERIALIZED (
+       |  SELECT src AS node, CAST($PrMass // n AS BIGINT) AS r FROM deg0, n0),
+       |${prRoundsSql("B", "edges0", PrRounds)},
+       |e1 AS (SELECT c AS src, sk + $PrSuppBase AS dst FROM p1
+       |       UNION ALL SELECT sk + $PrSuppBase AS src, c AS dst FROM p1),
+       |deg1 AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e1 GROUP BY src),
+       |edges1 AS MATERIALIZED (
+       |  SELECT e1.src, e1.dst, deg1.deg FROM e1 JOIN deg1 USING (src)),
+       |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg1),
+       |tpW AS (SELECT CAST((15 * $PrMass) // (100 * n) AS BIGINT) AS t FROM n1),
+       |tpC AS (SELECT t FROM tpW),
+       |rW0 AS MATERIALIZED (
+       |  SELECT d.src AS node, CAST(COALESCE(b.r, $PrMass // n1.n) AS BIGINT) AS r
+       |  FROM deg1 d CROSS JOIN n1 LEFT JOIN rB$PrRounds b ON b.node = d.src),
+       |rC0 AS MATERIALIZED (
+       |  SELECT src AS node, CAST($PrMass // n AS BIGINT) AS r FROM deg1, n1),
+       |${prRoundsSql("W", "edges1", PrRounds + 1)},
+       |${prRoundsSql("C", "edges1", PrRounds + 1)}
+       |SELECT d.src AS node_id, d.deg AS out_deg,
+       |       w.r AS rank_warm, c.r AS rank_cold,
+       |       CAST(abs(w1.r - w.r) AS BIGINT) AS res_warm,
+       |       CAST(abs(c1.r - c.r) AS BIGINT) AS res_cold
+       |FROM deg1 d
+       |JOIN rW$PrRounds w ON w.node = d.src
+       |JOIN rC$PrRounds c ON c.node = d.src
+       |JOIN rW${PrRounds + 1} w1 ON w1.node = d.src
+       |JOIN rC${PrRounds + 1} c1 ON c1.node = d.src
+       |ORDER BY node_id""".stripMargin
+
   // ---- q55: data-quality audit (Deequ-shaped constraint checks) ------------
 
   /** Declarative data-quality audit — the Deequ/Great-Expectations
@@ -1424,6 +1693,7 @@ object Relational3 {
       |FROM st GROUP BY status ORDER BY status""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_pagerank_maint" -> (q59PagerankMaint _),
     "q58_snapshot_diff" -> (q58SnapshotDiff _),
     "q57_concurrency" -> (q57Concurrency _),
     "q56_gap_fill" -> (q56GapFill _),
@@ -1454,6 +1724,7 @@ object Relational3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_pagerank_maint" -> q59Oracle,
     "q58_snapshot_diff" -> q58Oracle,
     "q57_concurrency" -> q57Oracle,
     "q56_gap_fill" -> q56Oracle,

@@ -140,4 +140,96 @@ class PageRankSpec extends AnyFunSuite {
     // the changed count must be exactly the %13 survivors, never fewer
     assert(got("changed")._1 == changed.length.toLong)
   }
+
+  /** Scalar PageRank rounds from an explicit init — q59's warm/cold
+    * replay unit, no shared code with the operator.
+    */
+  private def referenceRounds(pairs: Seq[(Long, Long)],
+      init: Map[Long, Long] => Map[Long, Long], rounds: Int)
+      : (Map[Long, Long], Map[Long, Long], Long) = {
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq((c, s + SuppBase), (s + SuppBase, c))
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val teleport = (15L * Mass) / (100L * n)
+    def round(r: Map[Long, Long]): Map[Long, Long] = {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((src, dst) <- edges) in(dst) += r(src) / deg(src)
+      deg.keys.map(k => k -> (teleport + (85L * in(k)) / 100L)).toMap
+    }
+    val uniform = deg.keys.map(_ -> Mass / n).toMap
+    var r = init(uniform)
+    for (_ <- 1 to rounds) r = round(r)
+    (r, round(r), n) // (iterate, one-more-round residual witness, n)
+  }
+
+  test("q59: warm/cold trajectories and residuals equal the scalar replay; warm dominates") {
+    val spark0 = spark; import spark0.implicits._
+    def pairsOf(where: String) =
+      graft.Tables.orders(spark, sf).filter(where)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(graft.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .as[(Long, Long)].collect().toSeq
+    val p0 = pairsOf("o_orderdate < timestamp '2000-01-01'")
+    val p0set = p0.toSet
+    val dels = p0.filter { case (c, sk) =>
+      (c * 31 + sk) % Relational3.PrDelMod == Relational3.PrDelRem }.toSet
+    val ins = pairsOf("o_orderdate >= timestamp '2000-01-01'")
+      .filter(!p0set(_))
+    assert(dels.nonEmpty && ins.nonEmpty, "both batch halves must fire")
+    val p1 = p0.filterNot(dels) ++ ins
+    // standing ranks: 5 rounds from uniform on the base slice
+    val (standing, _, _) = referenceRounds(p0, identity, 5)
+    val (warm, warm1, _) = referenceRounds(p1,
+      u => u.map { case (k, v) => k -> standing.getOrElse(k, v) }, 5)
+    val (cold, cold1, _) = referenceRounds(p1, identity, 5)
+    val got = graft.SparkEntry.queries("q59_pagerank_maint")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == warm.size, "node set drifted")
+    for ((node, _, rw, rc, resW, resC) <- got) {
+      assert(rw == warm(node), s"warm rank drifted at $node")
+      assert(rc == cold(node), s"cold rank drifted at $node")
+      assert(resW == math.abs(warm1(node) - warm(node)),
+        s"warm residual drifted at $node")
+      assert(resC == math.abs(cold1(node) - cold(node)),
+        s"cold residual drifted at $node")
+    }
+    // the convergence claim the gate enforces, replayed independently
+    assert(got.map(_._5).sum < got.map(_._6).sum,
+      "warm start must sit strictly closer to the fixed point")
+  }
+
+  test("q59: the incrementally-maintained graph equals a from-scratch rebuild exactly") {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val pairs0 = Relational3.prPairsWhere(spark, sf,
+      col("o_orderdate") < cutoff).localCheckpoint(true)
+    val deg0 = Relational3.prEdges(pairs0)
+      .groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val edgesDeg0 = Relational3.prEdges(pairs0).join(deg0, "src")
+      .localCheckpoint(true)
+    val dels = pairs0.filter(
+      (col("c") * 31 + col("sk")) % Relational3.PrDelMod === Relational3.PrDelRem)
+    val ins = Relational3.prPairsWhere(spark, sf, col("o_orderdate") >= cutoff)
+      .join(pairs0, Seq("c", "sk"), "left_anti")
+    val (edgesDeg1, deg1) = Relational3.q59MaintainGraph(
+      edgesDeg0, deg0, ins.localCheckpoint(true), dels.localCheckpoint(true))
+    // from-scratch rebuild of the perturbed graph
+    val pairs1 = pairs0
+      .filter((col("c") * 31 + col("sk")) % Relational3.PrDelMod =!= Relational3.PrDelRem)
+      .unionByName(ins)
+    val degS = Relational3.prEdges(pairs1)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDegS = Relational3.prEdges(pairs1).join(degS, "src")
+    assert(deg1.exceptAll(degS).isEmpty && degS.exceptAll(deg1).isEmpty,
+      "incremental degree table drifted from the rebuild")
+    assert(edgesDeg1.exceptAll(edgesDegS).isEmpty &&
+      edgesDegS.exceptAll(edgesDeg1).isEmpty,
+      "incremental adjacency drifted from the rebuild")
+  }
 }

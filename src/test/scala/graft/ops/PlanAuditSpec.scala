@@ -1299,6 +1299,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "the bucket rollup must combine map-side")
   }
 
+  test("q59: graph maintenance never shuffles the edge table — delta frames broadcast, src-led exchanges only") {
+    // The incremental weld's whole point at 100 TB: the standing
+    // degree-folded edge table (the big frame) is SCANNED — its
+    // untouched half survives through a broadcast anti-join, its
+    // touched slice is rebuilt through broadcast joins — and the only
+    // shuffle joins/exchanges in the derivation lead with src (the
+    // N-row degree resolve and the delta aggregate).
+    import org.apache.spark.sql.functions._
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val pairs0 = Relational3.prPairsWhere(spark, sf,
+      col("o_orderdate") < cutoff).localCheckpoint(true)
+    val deg0 = Relational3.prEdges(pairs0)
+      .groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val edgesDeg0 = Relational3.prEdges(pairs0).join(deg0, "src")
+      .localCheckpoint(true)
+    val dels = pairs0.filter((col("c") * 31 + col("sk"))
+      % Relational3.PrDelMod === Relational3.PrDelRem).localCheckpoint(true)
+    val ins = Relational3.prPairsWhere(spark, sf, col("o_orderdate") >= cutoff)
+      .join(pairs0, Seq("c", "sk"), "left_anti").localCheckpoint(true)
+    val (edgesDeg1, _) = Relational3.q59MaintainGraph(
+      edgesDeg0, deg0, ins, dels, pin = false)
+    val plan = edgesDeg1.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "maintenance must stay keyed")
+    val keys = shuffleJoinKeys(plan)
+    assert(keys.forall(_.contains("[src#")),
+      s"every shuffle join must lead with src:\n${keys.mkString("\n")}")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_.contains("hashpartitioning(src")),
+      s"every exchange must lead with src:\n${hashes.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the touched/tombstone legs must broadcast")
+  }
+
   test("s34/graphLiveEdges: the stored read path is one src-keyed fold — tombstone drops broadcast") {
     // The resolve every stored-graph search and maintenance batch
     // rides: max-version-per-src plus the tombstone source/target
