@@ -3143,12 +3143,17 @@ object Similarity {
     */
   private[graft] def graphWalk(corpus: DataFrame, edges: DataFrame,
       qs0: DataFrame, cents: Array[(Long, Seq[Double], Long)],
-      hops: Int = GraphHops): DataFrame = {
+      hops: Int = GraphHops,
+      cellEntry0: Option[DataFrame] = None): DataFrame = {
     val qs = qs0.localCheckpoint(true) // query-batch-sized, read once per hop
     // entry points: the query's top-2 trained cells, each represented
-    // by its min-id member (control-plane: ≤ queries × nprobe rows)
-    val cellEntry = assignCellsFrom(corpus, cents)
-      .groupBy("cid").agg(min(col("vec_id")).as("vec_id"))
+    // by its min-id member (control-plane: ≤ queries × nprobe rows).
+    // A caller may pass its own (cid, vec_id) entry table — s35's
+    // rebalance supplies one entry PER SUBCELL of a split cell, so a
+    // cid may map to several entries (the probe join fans out, the
+    // DISTINCT folds)
+    val cellEntry = cellEntry0.getOrElse(assignCellsFrom(corpus, cents)
+      .groupBy("cid").agg(min(col("vec_id")).as("vec_id")))
     val entries = ivfProbesOf(qs, cents, nprobe = 2)
       .join(broadcast(cellEntry), col("pcid") === col("cid"))
       .select(col("qid"), col("vec_id")).distinct()
@@ -3755,9 +3760,10 @@ object Similarity {
     * stored state, appending the batch's rows with a version stamp —
     * merge-on-read, s21's discipline: an affected node's adjacency is
     * REWRITTEN under the new version and the read path resolves
-    * latest-version-per-src (a real deployment folds versions down
-    * with s21's compactor; the gate keeps the resolve visible). A
-    * search runs against storage after each wave.
+    * latest-version-per-src (s34 folds the version layers down
+    * physically — [[IndexCompaction.foldSwapped]] on this same edge
+    * table; this gate keeps the resolve visible). A search runs
+    * against storage after each wave.
     *
     * The payoff is the equality this construction forces: walks are
     * deterministic and the stored graph equals s32's composed frames
@@ -4235,6 +4241,229 @@ object Similarity {
        |ORDER BY phase, kind, src, rnk""".stripMargin
   }
 
+  // ---- s35: graph-index rebalance — hot-cell split + local rewire ----------
+
+  /** The ingest burst that overloads one cell: near-copies of vector
+    * 0 (s17/s24's shape — jitter j on dim 2 keeps arithmetic
+    * integer-exact), sized ∝ corpus (max(60, |base|/5)) so the
+    * size-bound plant fires at every sf.
+    */
+  private def s35Burst(s: SparkSession, base: DataFrame): DataFrame = {
+    val nb = math.max(60L, base.count() / 5L)
+    base.filter(col("vec_id") === 0)
+      .crossJoin(s.range(1, nb + 1).select(col("id").as("j")))
+      .select((lit(10000000L) + col("j")).as("vec_id"),
+        expr("transform(q, (x, i) -> x + CAST(IF(i = 1, j, 0) AS DOUBLE))").as("q"))
+  }
+
+  /** REBALANCE the graph index when cell populations skew — the
+    * lifecycle member s24 gives the IVF family, for the graph: the
+    * standing graph's build and refresh cost is bounded by cell size
+    * (knnEdges pairs within probed cells), so a burst piling into one
+    * cell makes that cell's every rebuild |hot|² — and entry
+    * selection offers the whole pile ONE entry point. The rebalance:
+    * detect cells past the s24 size bound (index metadata, ≤k rows,
+    * driver-side), split each by the same deterministic 2-means step
+    * (farthest-point seeding, exact integer distances), then REWIRE
+    * only the split cells' members — each node's adjacency rebuilt
+    * within its SUBCELL (pair work drops |hot|² → |a|²+|b|²) — and
+    * give every subcell its own entry point (min-id member, so a
+    * probe of the parent cell now enters the pile from two sides).
+    * Cold adjacency survives untouched (broadcast anti on the hot
+    * member set); searches run before and after, and the oracle
+    * replays split, rewire, and both walks exactly.
+    *
+    * Scale shape: sizes/hot/seeds are control-plane (≤k rows, two
+    * broadcast seed frames); the rewire join keys on (cid, sub) —
+    * cell-bounded pair work, the very bound rebalancing restores; the
+    * standing edge table never shuffles (anti-join rides the
+    * broadcast hot set). Reference intent: FreshDiskANN's split/merge
+    * maintenance, cited at s30; the IVF twin is s24.
+    */
+  private def s35GraphRebalance(s: SparkSession, d: String): DataFrame =
+    s35WithK(s, d)
+
+  private[graft] def s35WithK(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = quantized(s, d)
+    // trained BEFORE the burst — the stale codebook is the premise
+    val cents = collectCents(trainCodebook(base, iters = 2, k = k))
+    val corpus = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("q"))
+      .unionByName(s35Burst(s, base))
+    val assigned = assignCellsFrom(corpus, cents)
+      .select(col("vec_id"), col("q"), col("cid")).localCheckpoint(true)
+    // standing graph under the stale codebook: the hot cell pays
+    // |hot|² pair work here — the cost rebalancing bounds
+    val gedge = knnEdges(assigned.select("vec_id", "q"), cents, GraphDegree)
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      .localCheckpoint(true)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    def top5(walk: DataFrame): DataFrame = walk
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+      .select(col("qid").as("src"), col("vec_id").as("nbr_id"),
+        col("cos"), col("rnk"))
+    val s0 = top5(graphWalk(assigned.select("vec_id", "q"),
+      gedge.select("src", "nbr_id", "nbr_q"), qs, cents))
+    // hot detection: index metadata, ≤k rows (the s24 bound)
+    val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = sizes.map(_._2).sum
+    val bound = 3 * total / (2 * cents.length)
+    val hotCids = sizes.filter(_._2 > bound).map(_._1).toSeq
+    require(hotCids.nonEmpty, "fixture must overload at least one cell")
+    // one deterministic 2-means step per hot cell (s24's discipline:
+    // farthest-point seeding, exact integer squared distances)
+    val hot = assigned.filter(col("cid").isin(hotCids: _*)).localCheckpoint(true)
+    val aIds = hot.groupBy(col("cid")).agg(min(col("vec_id")).as("vec_id"))
+    val seedA = hot.join(broadcast(aIds), Seq("cid", "vec_id"))
+      .select(col("cid"), col("q").as("qa"))
+    val dA = hot.join(broadcast(seedA), "cid")
+      .withColumn("dist_a", sqDist(col("q"), col("qa")))
+    val seedB = dA.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("dist_a").desc, col("vec_id"))))
+      .filter(col("rn") === 1).select(col("cid"), col("q").as("qb"))
+    val sub = dA.join(broadcast(seedB), "cid")
+      .withColumn("sub", when(col("dist_a") <= sqDist(col("q"), col("qb")),
+        lit(0L)).otherwise(lit(1L)))
+      .select(col("vec_id"), col("q"), col("cid"), col("sub"))
+      .localCheckpoint(true)
+    // rewire: adjacency rebuilt WITHIN each subcell — the pair join
+    // keys on (cid, sub), restoring the cell-size bound
+    val wAdj = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr_id"))
+    val rewired = sub
+      .select(col("cid"), col("sub"), col("vec_id").as("src"), col("q").as("sq"))
+      .join(sub.select(col("cid"), col("sub"),
+        col("vec_id").as("nbr_id"), col("q").as("nbr_q")), Seq("cid", "sub"))
+      .filter(col("src") =!= col("nbr_id"))
+      .select(col("src"), col("nbr_id"), col("nbr_q"),
+        VectorFunctions.cosine_similarity(col("sq"), col("nbr_q")).as("cos"))
+      .withColumn("rnk", row_number().over(wAdj))
+      .filter(col("rnk") <= GraphDegree)
+      .localCheckpoint(true)
+    // cold adjacency untouched; hot adjacency replaced
+    val g1 = gedge
+      .join(broadcast(sub.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+      .unionByName(rewired.drop("rnk"))
+      .localCheckpoint(true)
+    // post-rebalance entries: one per SUBCELL of a split cell (keyed
+    // by the parent cid the probes know), parent minima elsewhere
+    val cellEntry1 = sub.groupBy(col("cid"), col("sub"))
+      .agg(min(col("vec_id")).as("vec_id")).select(col("cid"), col("vec_id"))
+      .unionByName(assigned.filter(!col("cid").isin(hotCids: _*))
+        .groupBy("cid").agg(min(col("vec_id")).as("vec_id")))
+    val s1 = top5(graphWalk(assigned.select("vec_id", "q"),
+      g1.select("src", "nbr_id", "nbr_q"), qs, cents,
+      cellEntry0 = Some(cellEntry1))).localCheckpoint(true)
+    // the rebalanced index must still serve the pile: vector 0's query
+    // resolves to a burst copy at rank 1 (cos ≈ 1 — unfakeable)
+    val q0top = s1.filter(col("src") === 0 && col("rnk") === 1)
+      .head.getAs[Long]("nbr_id")
+    require(q0top >= 10000000L,
+      s"query 0's rank-1 after rebalance is $q0top, not a burst copy")
+    s0.withColumn("phase", lit(0)).withColumn("kind", lit("search"))
+      .unionByName(rewired.select(col("src"), col("nbr_id"), col("cos"), col("rnk"))
+        .withColumn("phase", lit(1)).withColumn("kind", lit("rewire")))
+      .unionByName(s1.withColumn("phase", lit(1)).withColumn("kind", lit("search")))
+      .select(col("phase"), col("kind"), col("src"), col("nbr_id"),
+        col("cos"), col("rnk"))
+      .orderBy("phase", "kind", "src", "rnk")
+  }
+
+  private val s35Oracle: String = {
+    def dist(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> ($x[i] - $y[i]) * ($x[i] - $y[i])))"
+    def ranked(walk: String): String =
+      s"""SELECT qid, vec_id, cos, rnk FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM $walk) WHERE rnk <= 5""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |burst AS MATERIALIZED (
+       |  SELECT 10000000 + j AS vec_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> q[i] + CASE WHEN i = 2 THEN j ELSE 0 END) AS q
+       |  FROM base,
+       |       (SELECT unnest(generate_series(1,
+       |          (SELECT CAST(greatest(60, count(*) // 5) AS BIGINT) FROM base))) AS j)
+       |  WHERE vec_id = 0),
+       |ba AS (
+       |  SELECT vec_id, q, cid FROM (
+       |    SELECT vec_id, q, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rnk
+       |    FROM (SELECT b.vec_id, b.q, c.cid,
+       |                 CAST(list_sum(list_transform(generate_series(1, 64),
+       |                      i -> b.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |          FROM burst b, c2 c)) WHERE rnk = 1),
+       |corp AS MATERIALIZED (
+       |  SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5
+       |  UNION ALL SELECT vec_id, q, cid FROM ba),
+       |$gedgeOracleCtes,
+       |qv AS MATERIALIZED (SELECT vec_id AS qid, q FROM base WHERE vec_id < 5),
+       |${probeOracleCtes("_s", "qv")},
+       |cm0 AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |${entryOracleCte("_s0", "probes_s", "cm0", "corp", "qv")},
+       |${graphHopOracleCtes("_s0", "gedge", "qv")},
+       |srch0 AS MATERIALIZED (${ranked(s"w${GraphHops}_s0")}),
+       |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM corp GROUP BY cid),
+       |kb AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+       |              (SELECT CAST(count(*) AS BIGINT) FROM c2) AS k FROM sz),
+       |hot AS (SELECT cid FROM sz, kb WHERE n > (3 * total) // (2 * k)),
+       |hm AS (SELECT c.* FROM corp c JOIN hot USING (cid)),
+       |sa AS (
+       |  SELECT h.cid, h.q AS qa FROM hm h
+       |  JOIN (SELECT cid, min(vec_id) AS v FROM hm GROUP BY cid) m
+       |    ON h.cid = m.cid AND h.vec_id = m.v),
+       |da AS (
+       |  SELECT h.cid, h.vec_id, h.q, ${dist("h.q", "s.qa")} AS dist_a
+       |  FROM hm h JOIN sa s ON h.cid = s.cid),
+       |sb AS (
+       |  SELECT cid, q AS qb FROM (
+       |    SELECT cid, q,
+       |           row_number() OVER (PARTITION BY cid ORDER BY dist_a DESC, vec_id) AS rn
+       |    FROM da) WHERE rn = 1),
+       |sp AS MATERIALIZED (
+       |  SELECT d.cid, d.vec_id, d.q,
+       |         CASE WHEN d.dist_a <= ${dist("d.q", "b.qb")} THEN 0 ELSE 1 END AS sub
+       |  FROM da d JOIN sb b ON d.cid = b.cid),
+       |rewired AS MATERIALIZED (
+       |  SELECT src, nbr_id, nbr_q, cos, rnk FROM (
+       |    SELECT p.vec_id AS src, o.vec_id AS nbr_id, o.q AS nbr_q,
+       |           list_cosine_similarity(p.q::DOUBLE[], o.q::DOUBLE[]) AS cos,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY list_cosine_similarity(p.q::DOUBLE[], o.q::DOUBLE[]) DESC,
+       |                      o.vec_id) AS rnk
+       |    FROM sp p JOIN sp o
+       |      ON o.cid = p.cid AND o.sub = p.sub AND o.vec_id <> p.vec_id)
+       |  WHERE rnk <= $GraphDegree),
+       |g1 AS MATERIALIZED (
+       |  SELECT src, nbr, nbr_q, cos FROM gedge
+       |  WHERE src NOT IN (SELECT vec_id FROM sp)
+       |  UNION ALL
+       |  SELECT src, nbr_id AS nbr, nbr_q, cos FROM rewired),
+       |cm1 AS (
+       |  SELECT cid, min(vec_id) AS vec_id FROM sp GROUP BY cid, sub
+       |  UNION ALL
+       |  SELECT cid, min(vec_id) AS vec_id FROM corp
+       |  WHERE cid NOT IN (SELECT cid FROM hot) GROUP BY cid),
+       |${entryOracleCte("_s1", "probes_s", "cm1", "corp", "qv")},
+       |${graphHopOracleCtes("_s1", "g1", "qv")},
+       |srch1 AS MATERIALIZED (${ranked(s"w${GraphHops}_s1")})
+       |SELECT phase, kind, src, nbr_id, cos, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT 0 AS phase, 'search' AS kind, qid AS src, vec_id AS nbr_id, cos, rnk FROM srch0
+       |  UNION ALL
+       |  SELECT 1, 'rewire', src, nbr_id, cos, rnk FROM rewired
+       |  UNION ALL
+       |  SELECT 1, 'search', qid, vec_id, cos, rnk FROM srch1)
+       |ORDER BY phase, kind, src, rnk""".stripMargin
+  }
+
   // ---- s31: NN-descent graph refinement (one local-join round) ------------
 
   /** The IMPROVE step of the graph-index lifecycle — one NN-descent
@@ -4364,6 +4593,7 @@ object Similarity {
        |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_graph_rebalance" -> (s35GraphRebalance _),
     "s34_graph_delete_stored" -> (s34GraphDeleteStored _),
     "s33_graph_stream" -> (s33GraphStream _),
     "s32_graph_freshness" -> (s32GraphFreshness _),
@@ -4401,6 +4631,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s35_graph_rebalance" -> s35Oracle,
     "s34_graph_delete_stored" -> s34Oracle,
     // s33 streams the SAME semantics through storage; determinism
     // makes the outputs bit-identical, so one oracle serves both

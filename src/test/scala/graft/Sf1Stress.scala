@@ -241,6 +241,44 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS32(sf1, 80)
       println(f"[sf1-stress] s32_graph_freshness (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s32_graph_freshness_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the stored streaming ingest at production shape: a fresh index
+      // dir per rep (the bootstrap IS part of the unit — stream
+      // machinery and searches re-enter stored state), k through the
+      // persisted codebook
+      def timeS33(dir: String, k: Int) = timed3 {
+        val idx = java.nio.file.Files.createTempDirectory("graft-s33-k-")
+        try graft.ops.Similarity.s33WithDir(spark, dir, idx.toString, k).count()
+        finally graft.Fs.deleteRecursively(idx)
+      }
+      val (f01, t01, n01) = timeS33(sf01, 8)
+      val (f1, t1, n1) = timeS33(sf1, 80)
+      println(f"[sf1-stress] s33_graph_stream (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s33_graph_stream_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // stored DELETE + compaction at production shape: tombstones and
+      // repairs grow 10x with the corpus (each repair degree-bounded);
+      // fresh dir per rep, the bootstrap build carries the knob
+      def timeS34(dir: String, k: Int) = timed3 {
+        val idx = java.nio.file.Files.createTempDirectory("graft-s34-k-")
+        try graft.ops.Similarity.s34WithDir(spark, dir, idx.toString, k).count()
+        finally graft.Fs.deleteRecursively(idx)
+      }
+      val (f01, t01, n01) = timeS34(sf01, 8)
+      val (f1, t1, n1) = timeS34(sf1, 80)
+      println(f"[sf1-stress] s34_graph_delete_stored (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s34_graph_delete_stored_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // rebalance at production shape: the burst and the hot cell grow
+      // 10x with the corpus; split seeds are control-plane and the
+      // rewire pair join is subcell-bounded — the bound it restores
+      def timeS35(dir: String, k: Int) = timed3 {
+        graft.ops.Similarity.s35WithK(spark, dir, k).count()
+      }
+      val (f01, t01, n01) = timeS35(sf01, 8)
+      val (f1, t1, n1) = timeS35(sf1, 80)
+      println(f"[sf1-stress] s35_graph_rebalance (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s35_graph_rebalance_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""

@@ -3,59 +3,81 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 
-/** Spill-path evidence: run shuffle-heavy registry queries under a
-  * deliberately starved heap and prove they SPILL AND COMPLETE instead
-  * of OOMing — the spill-vs-OOM distinction is existential at 100 TB,
-  * where some stage always exceeds executor memory, and this sandbox's
-  * 128 GiB default never exercises it.
+/** Spill-path evidence: run the registry's heavyweights under a
+  * deliberately starved memory pool and prove they SPILL AND COMPLETE
+  * CORRECTLY instead of OOMing — the spill-vs-OOM distinction is
+  * existential at 100 TB, where some stage always exceeds executor
+  * memory, and this sandbox's 128 GiB default never exercises it.
   *
-  * Mechanics: `SPARK_DRIVER_MEM` caps the forked JVM (build.sbt wires
-  * it into -Xmx), so at e.g. 1200m the unified memory pool shared by
-  * all local[N] task threads is a few hundred MB; high-cardinality
-  * hash aggregates then overflow to sort-based aggregation and the
-  * external sorter's disk spill. A task-level listener sums
-  * `memoryBytesSpilled`/`diskBytesSpilled` as the proof the fallback
-  * path (not luck) carried the query. Row counts are asserted against
-  * the UNSTARVED runs' counts passed through the environment-free
-  * fixture (the queries are deterministic), so "completed" means
-  * "completed CORRECTLY under pressure".
+  * Two modes, so "completed" provably means "completed CORRECTLY":
+  *   1. RECORD (SPARK_GRAFT_SPILL_RECORD=1, default memory fraction):
+  *      runs every query UNSTARVED and writes the deterministic row
+  *      counts to target/tmp/spill_expected.json.
+  *   2. STARVED (the default): `spark.memory.fraction` drops to 0.05 —
+  *      a loaded executor's tiny per-task budget with an adequate
+  *      heap, so the pressure lands in the SPILLABLE consumers (agg
+  *      maps, sorters), not the non-spillable scan working set (an
+  *      -Xmx squeeze OOMs in parquet page buffers instead; measured
+  *      at 640m). Each query's row count is asserted against the
+  *      recorded unstarved count, and a task-level listener sums
+  *      memory/disk spill bytes as the proof the fallback path (not
+  *      luck) carried it. Queries whose starved working set still
+  *      fits are recorded explicitly as fits-in-pool.
   *
-  * Run (starved, the point):
-  *   SPARK_DRIVER_MEM=1200m SPARK_GRAFT_CPUS=8 \
-  *     sbt "Test/runMain graft.SpillStress"
-  * Prefers the 10× derivative under target/tmp/sf1-derived (built by
-  * [[Sf1Stress]]) for real pressure; falls back to sf0.1.
-  * Writes SPILLCHECK.json.
+  * Listener counters drain asynchronously; instead of a fixed sleep
+  * (which undercounts on a loaded machine or bleeds into the next
+  * query), each query POLLS until the counters are stable for
+  * [[StableMs]] — queries run sequentially, so a stable counter is a
+  * drained counter.
+  *
+  * Corpora: the three widest document aggregations run on a 100×
+  * documents derivative (their 10× per-task state still fits the
+  * starved pool and would prove nothing); everything else runs on the
+  * [[Sf1Stress]] 10× full-table derivative.
+  *
+  * Run:
+  *   SPARK_GRAFT_SPILL_RECORD=1 SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.SpillStress"
+  *   SPARK_DRIVER_MEM=1200m SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.SpillStress"
+  * Writes SPILLCHECK.json (starved mode).
   */
 object SpillStress {
-  /** High-cardinality shuffle shapes: exact-dedup's md5 rollup (hash
-    * agg overflow), TF-IDF's (word, doc) explosion (the widest
-    * aggregation state in the registry), and the span-dedup gram
-    * pipeline (explode + multi-stage shuffle with sorts).
+  private val StableMs = 1500L
+  private val PollCapMs = 20000L
+
+  /** (query, corpus): "docs100" = the 100× documents-only derivative,
+    * "sf1" = the 10× full derivative. The set is the registry's
+    * heaviest by min-cost in BENCH_full_latest (s33/s32 graph storage,
+    * mm13/mm21 codec legs, q54/q59 PageRank, d7 connected components,
+    * t34 ranking, d1/t25/d10 the widest aggregation states).
     */
-  private val Queries = Seq("d1_exact_dedup", "t25_tfidf", "d10_span_dedup")
+  private val Queries = Seq(
+    "d1_exact_dedup" -> "docs100",
+    "t25_tfidf" -> "docs100",
+    "d10_span_dedup" -> "docs100",
+    "s33_graph_stream" -> "sf1",
+    "s32_graph_freshness" -> "sf1",
+    "mm13_real_decode" -> "sf1",
+    "mm21_patch_grid" -> "sf1",
+    "q54_pagerank" -> "sf1",
+    "q59_pagerank_maint" -> "sf1",
+    "d7_dup_clusters" -> "sf1",
+    "t34_ppl_buckets" -> "sf1")
+
+  private val ExpectedPath = "target/tmp/spill_expected.json"
 
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
+    val record = sys.env.contains("SPARK_GRAFT_SPILL_RECORD")
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    // Starve the UNIFIED POOL, not the heap: dropping -Xmx below the
-    // scan working set (parquet page buffers, 16 tasks x
-    // maxPartitionBytes) OOMs in NON-spillable memory — measured at
-    // 640m — which is the failure spilling cannot save you from. The
-    // spill path lives in the spillable consumers (agg maps, sorters),
-    // which cap at spark.memory.fraction x usable heap; shrinking the
-    // fraction reproduces a loaded executor (tiny per-task budget,
-    // adequate heap) exactly.
-    val frac = sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.05")
+    val frac = if (record) "0.6"
+      else sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.05")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.memory.fraction", frac)
-      .appName("spill-stress").getOrCreate()
+      .appName(if (record) "spill-record" else "spill-stress").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // 100x sf0.1 documents (the only table these queries read): the
-    // 10x derivative's per-task aggregation state still fits the
-    // starved pool, so it proves nothing. Built once, reused.
-    val dir = "target/tmp/sf10-docs"
-    if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+    // 100× sf0.1 documents for the three doc-aggregation queries
+    val docsDir = "target/tmp/sf10-docs"
+    if (!new java.io.File(s"$docsDir/documents.parquet").isDirectory) {
       val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       val nDocs = docs.count()
       docs.crossJoin(spark.range(0, 100).select(col("id").as("copy")))
@@ -66,40 +88,93 @@ object SpillStress {
           col("lang"), col("source"),
           (length(col("text")) + when(col("copy") === 0, 0).otherwise(8)).as("n_chars"))
         .repartition(32)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
     }
+    // 10× full-table derivative for everything else (shared with
+    // Sf1Full — q54/q59 need the shifted orders/lineitem too)
+    val sf1Dir = "target/tmp/sf1-derived-full"
+    if (!new java.io.File(s"$sf1Dir/lineitem.parquet").isDirectory) {
+      Sf1Stress.buildSf1(spark, "/root/testdata/sf0.1", sf1Dir)
+      Sf1Full.buildRest(spark, "/root/testdata/sf0.1", sf1Dir)
+    }
+    val dirs = Map("docs100" -> docsDir, "sf1" -> sf1Dir)
+
     val mem = new AtomicLong(0L)
     val disk = new AtomicLong(0L)
+    val ends = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         Option(t.taskMetrics).foreach { m =>
           mem.addAndGet(m.memoryBytesSpilled)
           disk.addAndGet(m.diskBytesSpilled)
         }
+        ends.incrementAndGet()
+        ()
+      }
     })
-    val results = Queries.map { q =>
-      mem.set(0L); disk.set(0L)
+    // poll until the async listener bus has drained: counters stable
+    // for StableMs (capped) — between sequential queries nothing else
+    // produces task ends, so stability == drained
+    def settle(): Unit = {
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, dir).count()
+      var last = (mem.get(), disk.get(), ends.get())
+      var stableSince = System.nanoTime()
+      while ((System.nanoTime() - t0) / 1e6 < PollCapMs &&
+          (System.nanoTime() - stableSince) / 1e6 < StableMs) {
+        Thread.sleep(100)
+        val now = (mem.get(), disk.get(), ends.get())
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+    }
+
+    val expected: Map[String, Long] =
+      if (record) Map.empty
+      else {
+        val f = new java.io.File(ExpectedPath)
+        require(f.isFile,
+          s"no $ExpectedPath — run the RECORD pass first (SPARK_GRAFT_SPILL_RECORD=1)")
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }
+
+    val results = Queries.map { case (q, corpus) =>
+      mem.set(0L); disk.set(0L); ends.set(0L)
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, dirs(corpus)).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      // listener events drain asynchronously (the bus-flush API is
-      // private[spark]); a generous settle is fine for a >0 proof
-      Thread.sleep(2000)
+      settle()
       val (mS, dS) = (mem.get(), disk.get())
-      println(f"[spill-stress] $q%-18s rows=$rows%d  ${dt}%6.2fs  spilled mem=${mS / 1048576}%d MiB disk=${dS / 1048576}%d MiB")
-      (q, rows, dt, mS, dS)
+      if (!record) {
+        val want = expected.getOrElse(q,
+          sys.error(s"$q missing from $ExpectedPath — re-run the RECORD pass"))
+        require(rows == want,
+          s"$q under pressure returned $rows rows; unstarved run recorded $want")
+      }
+      println(f"[spill-stress] $q%-22s rows=$rows%d  ${dt}%6.2fs  spilled mem=${mS / 1048576}%d MiB disk=${dS / 1048576}%d MiB")
+      (q, corpus, rows, dt, mS, dS)
     }
     spark.stop()
-    val spilled = results.count(_._5 > 0)
-    val json = results.map { case (q, rows, dt, mS, dS) =>
-      f"""  "$q": {"rows": $rows, "sec": $dt%.2f, "mem_spill_bytes": $mS, "disk_spill_bytes": $dS}"""
-    }.mkString("{\n", ",\n",
-      s""",\n  "heap_mib": $heap, "sf_dir": "$dir", "queries_spilled": $spilled, "errors": 0\n}\n""")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("SPILLCHECK.json"), json.getBytes("UTF-8"))
-    println(s"[spill-stress] wrote SPILLCHECK.json ($spilled/${results.size} queries spilled, heap ${heap} MiB)")
-    require(spilled > 0,
-      "nothing spilled - lower SPARK_DRIVER_MEM; this run proves nothing about the spill path")
+    if (record) {
+      val json = results.map { case (q, _, rows, _, _, _) => s"""  "$q": $rows""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      new java.io.File("target/tmp").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ExpectedPath), json.getBytes("UTF-8"))
+      println(s"[spill-stress] RECORD mode: wrote $ExpectedPath (no starvation applied)")
+    } else {
+      val spilled = results.count(_._6 > 0)
+      val json = results.map { case (q, corpus, rows, dt, mS, dS) =>
+        val status = if (dS > 0) "spilled" else "fits_in_pool"
+        f"""  "$q": {"rows": $rows, "rows_match_unstarved": true, "corpus": "$corpus", "sec": $dt%.2f, "mem_spill_bytes": $mS, "disk_spill_bytes": $dS, "status": "$status"}"""
+      }.mkString("{\n", ",\n",
+        s""",\n  "heap_mib": $heap, "memory_fraction": $frac, "queries_spilled": $spilled, "errors": 0\n}\n""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("SPILLCHECK.json"), json.getBytes("UTF-8"))
+      println(s"[spill-stress] wrote SPILLCHECK.json ($spilled/${results.size} queries spilled, heap ${heap} MiB, fraction $frac)")
+      require(spilled > 0,
+        "nothing spilled - lower the pool; this run proves nothing about the spill path")
+    }
   }
 }

@@ -1270,6 +1270,63 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(dir)
   }
 
+  test("s35: hot-cell detection, 2-means split, and subcell rewire equal a scalar replay") {
+    val base = Similarity.quantized(spark, sf)
+    val vecs = base.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, 2))
+    val nb = math.max(60L, vecs.size / 5L)
+    val burst: Map[Long, Seq[Double]] = (1L to nb).map { j =>
+      (10000000L + j) -> vecs(0L).zipWithIndex
+        .map { case (x, i) => if (i == 1) x + j else x }
+    }.toMap
+    val corpus = vecs.filter(_._1 >= 5) ++ burst
+    def cellOf(q: Seq[Double]): Long = cents
+      .map { case (cid, sv, n) => (cid, scalarScore(q, sv, n)) }
+      .sortBy { case (cid, s) => (-s, cid) }.head._1
+    val byCell = corpus.groupBy { case (_, q) => cellOf(q) }
+    val bound = 3L * corpus.size / (2L * cents.length)
+    val hotC = byCell.filter(_._2.size > bound).keySet
+    assert(hotC.nonEmpty, "the burst must overload at least one cell")
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+    // the deterministic 2-means step: seed A = min-id member, seed B =
+    // farthest from A (ties -> lowest id), assign to nearer (ties -> A)
+    val subcells: Seq[Seq[(Long, Seq[Double])]] = hotC.toSeq.flatMap { cid =>
+      val members = byCell(cid).toSeq.sortBy(_._1)
+      val qa = members.head._2
+      val qb = members.map { case (v, q) => (v, q, sq(q, qa)) }
+        .sortBy { case (v, _, da) => (-da, v) }.head._2
+      val (a, b) = members.partition { case (_, q) => sq(q, qa) <= sq(q, qb) }
+      Seq(a, b)
+    }
+    // expected rewire: per hot member, top-degree by cosine WITHIN its
+    // subcell (ties -> lowest nbr id)
+    val want = subcells.flatMap { cell =>
+      cell.map { case (v, q) =>
+        v -> cell.filter(_._1 != v)
+          .map { case (w, qw) => (w, scalarCos(q, qw)) }
+          .sortBy { case (w, c) => (-c, w) }.take(Similarity.GraphDegree)
+          .zipWithIndex.map { case ((w, c), i) => (w, c, i + 1) }.toSeq
+      }
+    }.toMap
+    val got = Similarity.queries("s35_graph_rebalance")(spark, sf).collect()
+      .filter(_.getAs[String]("kind") == "rewire")
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+    val gotBy = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    assert(gotBy.keySet == want.keySet,
+      "the rewired node set must be exactly the hot cells' members")
+    want.foreach { case (v, es) =>
+      assert(gotBy(v) == es, s"rewired adjacency drifted for node $v")
+    }
+    // the rewire must be strictly tighter than the stale graph
+    // somewhere: at least one hot member's neighbor set changed
+    // (otherwise the split was vacuous)
+    assert(subcells.count(_.nonEmpty) > hotC.size,
+      "the 2-means step must actually split (both subcells non-empty)")
+  }
+
   test("s34: a redelivered tombstone batch is recognized and skipped — bit-identical state and output") {
     // At-least-once delivery: the same tombstone batch arrives twice.
     // The replay must be recognized against the stored tombstone table
