@@ -13,12 +13,13 @@ import java.util.concurrent.atomic.AtomicLong
   *   1. RECORD (SPARK_GRAFT_SPILL_RECORD=1, default memory fraction):
   *      runs every query UNSTARVED and writes the deterministic row
   *      counts to target/tmp/spill_expected.json.
-  *   2. STARVED (the default): `spark.memory.fraction` drops to 0.05 —
+  *   2. STARVED (the default): `spark.memory.fraction` drops to 0.1 —
   *      a loaded executor's tiny per-task budget with an adequate
   *      heap, so the pressure lands in the SPILLABLE consumers (agg
   *      maps, sorters), not the non-spillable scan working set (an
-  *      -Xmx squeeze OOMs in parquet page buffers instead; measured
-  *      at 640m). Each query's row count is asserted against the
+  *      -Xmx squeeze OOMs in parquet page buffers instead; this
+  *      query set needs ≥4g — 1200m OOMs non-spillably in the 100×
+  *      scan). Each query's row count is asserted against the
   *      recorded unstarved count, and a task-level listener sums
   *      memory/disk spill bytes as the proof the fallback path (not
   *      luck) carried it. Queries whose starved working set still
@@ -37,7 +38,7 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * Run:
   *   SPARK_GRAFT_SPILL_RECORD=1 SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.SpillStress"
-  *   SPARK_DRIVER_MEM=1200m SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.SpillStress"
+  *   SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.SpillStress"
   * Writes SPILLCHECK.json (starved mode).
   */
 object SpillStress {
@@ -69,10 +70,22 @@ object SpillStress {
     import org.apache.spark.sql.functions._
     val record = sys.env.contains("SPARK_GRAFT_SPILL_RECORD")
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    // 0.1 is the measured floor for this query set: at 0.05 q54's
+    // pair-distinct cannot acquire even its first aggregation page
+    // (AGGREGATE_OUT_OF_MEMORY) — the starvation floor is the hash
+    // agg's minimum page budget, not the data volume. At 0.1 the
+    // wide-state queries still spill tens of GiB.
     val frac = if (record) "0.6"
-      else sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.05")
+      else sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.1")
+    // storageFraction drops with the pool: the gates pin reused frames
+    // via localCheckpoint, and at fraction 0.05 the default 0.5
+    // PROTECTED storage half starves execution below its minimum page
+    // budget — q54's pair distinct then throws AGGREGATE_OUT_OF_MEMORY
+    // instead of spilling (measured). Letting storage yield to disk is
+    // exactly what a loaded executor does.
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.memory.fraction", frac)
+      .config("spark.memory.storageFraction", if (record) "0.5" else "0.1")
       .appName(if (record) "spill-record" else "spill-stress").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // 100× sf0.1 documents for the three doc-aggregation queries
