@@ -2393,11 +2393,19 @@ object Similarity {
     val probes = ivfProbes(base, cents, nprobe = 2, qMax = Long.MaxValue)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr_id"))
+    // the rank exchange carries (qid, nbr_id, cos) ONLY — the top-k
+    // winners rejoin their vectors afterward (one slim node-id-keyed
+    // join of N·degree rows against the corpus). Carrying nbr_q
+    // through the window shuffled ~1 KB per candidate PAIR — at
+    // production shape that exchange dominated every graph build
+    // (measured via S35Decomp: 22 s of s35's 48 s at 10×).
     assignCellsFrom(base, cents)
       .join(probes, col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nbr_id"), col("q").as("nbr_q"),
+      .select(col("qid"), col("vec_id").as("nbr_id"),
         VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
       .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= degree)
+      .join(base.select(col("vec_id").as("nbr_id"), col("q").as("nbr_q")),
+        Seq("nbr_id"))
       .select(col("qid").as("src"), col("nbr_id"), col("nbr_q"),
         col("cos"), col("rnk"))
   }
@@ -4248,13 +4256,20 @@ object Similarity {
     * integer-exact), sized ∝ corpus (max(60, |base|/5)) so the
     * size-bound plant fires at every sf.
     */
-  private def s35Burst(s: SparkSession, base: DataFrame): DataFrame = {
+  private[graft] def s35Burst(s: SparkSession, base: DataFrame): DataFrame = {
     val nb = math.max(60L, base.count() / 5L)
     base.filter(col("vec_id") === 0)
       .crossJoin(s.range(1, nb + 1).select(col("id").as("j")))
       .select((lit(10000000L) + col("j")).as("vec_id"),
         expr("transform(q, (x, i) -> x + CAST(IF(i = 1, j, 0) AS DOUBLE))").as("q"))
   }
+
+  /** Split rounds: enough to fold a pile 2^4 = 16× past the bound
+    * back under it — covers the 10× stress derivative's burst with a
+    * round to spare; a group that stops exceeding the bound stops
+    * splitting, so extra rounds are free.
+    */
+  private[ops] val RebalanceDepth = 4
 
   /** REBALANCE the graph index when cell populations skew — the
     * lifecycle member s24 gives the IVF family, for the graph: the
@@ -4263,18 +4278,25 @@ object Similarity {
     * cell makes that cell's every rebuild |hot|² — and entry
     * selection offers the whole pile ONE entry point. The rebalance:
     * detect cells past the s24 size bound (index metadata, ≤k rows,
-    * driver-side), split each by the same deterministic 2-means step
-    * (farthest-point seeding, exact integer distances), then REWIRE
-    * only the split cells' members — each node's adjacency rebuilt
-    * within its SUBCELL (pair work drops |hot|² → |a|²+|b|²) — and
-    * give every subcell its own entry point (min-id member, so a
-    * probe of the parent cell now enters the pile from two sides).
-    * Cold adjacency survives untouched (broadcast anti on the hot
-    * member set); searches run before and after, and the oracle
-    * replays split, rewire, and both walks exactly.
+    * driver-side), split each by the s24 deterministic 2-means step
+    * (farthest-point seeding, exact integer distances) applied
+    * RECURSIVELY — up to [[RebalanceDepth]] rounds, a group splitting
+    * again only while it still exceeds the bound — then REWIRE only
+    * the split cells' members, each node's adjacency rebuilt within
+    * its final subcell, and give every subcell its own entry point
+    * (min-id member, so a probe of the parent cell enters the pile
+    * from every side). The recursion is the scale point: one split
+    * halves a pile that may have grown 10×, leaving |pile/2|²
+    * rewire pair-work (measured 8.6× at the 10× derivative before
+    * this landed); splitting TO THE BOUND restores Σ|subcell|² ≈
+    * bound · |pile| — linear in the pile, the same contract the
+    * cell-keyed build rests on. Cold adjacency survives untouched
+    * (broadcast anti on the hot member set); searches run before and
+    * after, and the oracle replays every split round, the rewire, and
+    * both walks exactly.
     *
-    * Scale shape: sizes/hot/seeds are control-plane (≤k rows, two
-    * broadcast seed frames); the rewire join keys on (cid, sub) —
+    * Scale shape: group counts/seeds are control-plane (≤ groups
+    * rows, broadcast); the rewire join keys on (cid, path) —
     * cell-bounded pair work, the very bound rebalancing restores; the
     * standing edge table never shuffles (anti-join rides the
     * broadcast hot set). Reference intent: FreshDiskANN's split/merge
@@ -4313,43 +4335,61 @@ object Similarity {
     val bound = 3 * total / (2 * cents.length)
     val hotCids = sizes.filter(_._2 > bound).map(_._1).toSeq
     require(hotCids.nonEmpty, "fixture must overload at least one cell")
-    // one deterministic 2-means step per hot cell (s24's discipline:
-    // farthest-point seeding, exact integer squared distances)
-    val hot = assigned.filter(col("cid").isin(hotCids: _*)).localCheckpoint(true)
-    val aIds = hot.groupBy(col("cid")).agg(min(col("vec_id")).as("vec_id"))
-    val seedA = hot.join(broadcast(aIds), Seq("cid", "vec_id"))
-      .select(col("cid"), col("q").as("qa"))
-    val dA = hot.join(broadcast(seedA), "cid")
-      .withColumn("dist_a", sqDist(col("q"), col("qa")))
-    val seedB = dA.withColumn("rn", row_number().over(
-        Window.partitionBy(col("cid")).orderBy(col("dist_a").desc, col("vec_id"))))
-      .filter(col("rn") === 1).select(col("cid"), col("q").as("qb"))
-    val sub = dA.join(broadcast(seedB), "cid")
-      .withColumn("sub", when(col("dist_a") <= sqDist(col("q"), col("qb")),
-        lit(0L)).otherwise(lit(1L)))
-      .select(col("vec_id"), col("q"), col("cid"), col("sub"))
-      .localCheckpoint(true)
-    // rewire: adjacency rebuilt WITHIN each subcell — the pair join
-    // keys on (cid, sub), restoring the cell-size bound
+    // recursive 2-means (s24's step, applied to the bound): each round
+    // splits every group still past the bound — seed A = min-id
+    // member, seed B = farthest from A, assign to the nearer by exact
+    // integer distance — and passes compliant groups through
+    var sub = assigned.filter(col("cid").isin(hotCids: _*))
+      .withColumn("path", lit("")).localCheckpoint(true)
+    (1 to RebalanceDepth).foreach { _ =>
+      val big = sub.groupBy(col("cid"), col("path")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > bound).select("cid", "path")
+      val grp = sub.join(broadcast(big), Seq("cid", "path"), "left_semi")
+      val pass = sub.join(broadcast(big), Seq("cid", "path"), "left_anti")
+      val aIds = grp.groupBy(col("cid"), col("path")).agg(min(col("vec_id")).as("vec_id"))
+      val seedA = grp.join(broadcast(aIds), Seq("cid", "path", "vec_id"))
+        .select(col("cid"), col("path"), col("q").as("qa"))
+      val dA = grp.join(broadcast(seedA), Seq("cid", "path"))
+        .withColumn("dist_a", sqDist(col("q"), col("qa")))
+      val seedB = dA.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cid"), col("path"))
+            .orderBy(col("dist_a").desc, col("vec_id"))))
+        .filter(col("rn") === 1).select(col("cid"), col("path"), col("q").as("qb"))
+      sub = dA.join(broadcast(seedB), Seq("cid", "path"))
+        .select(col("vec_id"), col("q"), col("cid"),
+          concat(col("path"), when(col("dist_a") <= sqDist(col("q"), col("qb")),
+            lit("a")).otherwise(lit("b"))).as("path"))
+        .unionByName(pass.select(col("vec_id"), col("q"), col("cid"), col("path")))
+        .localCheckpoint(true)
+    }
+    // rewire: adjacency rebuilt WITHIN each final subcell — the pair
+    // join keys on (cid, path), restoring the cell-size bound. The
+    // rank exchange carries (src, nbr_id, cos) ONLY — vectors rejoin
+    // the ≤degree winners from the broadcast pile afterward (carrying
+    // nbr_q through the window shuffled ~1 KB/pair and dominated the
+    // whole gate at 10×; measured via S35Decomp)
     val wAdj = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr_id"))
     val rewired = sub
-      .select(col("cid"), col("sub"), col("vec_id").as("src"), col("q").as("sq"))
-      .join(sub.select(col("cid"), col("sub"),
-        col("vec_id").as("nbr_id"), col("q").as("nbr_q")), Seq("cid", "sub"))
+      .select(col("cid"), col("path"), col("vec_id").as("src"), col("q").as("sq"))
+      .join(sub.select(col("cid"), col("path"),
+        col("vec_id").as("nbr_id"), col("q").as("nbr_q")), Seq("cid", "path"))
       .filter(col("src") =!= col("nbr_id"))
-      .select(col("src"), col("nbr_id"), col("nbr_q"),
+      .select(col("src"), col("nbr_id"),
         VectorFunctions.cosine_similarity(col("sq"), col("nbr_q")).as("cos"))
       .withColumn("rnk", row_number().over(wAdj))
       .filter(col("rnk") <= GraphDegree)
+      .join(broadcast(sub.select(col("vec_id").as("nbr_id"), col("q").as("nbr_q"))),
+        Seq("nbr_id"))
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"), col("rnk"))
       .localCheckpoint(true)
     // cold adjacency untouched; hot adjacency replaced
     val g1 = gedge
       .join(broadcast(sub.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
       .unionByName(rewired.drop("rnk"))
       .localCheckpoint(true)
-    // post-rebalance entries: one per SUBCELL of a split cell (keyed
-    // by the parent cid the probes know), parent minima elsewhere
-    val cellEntry1 = sub.groupBy(col("cid"), col("sub"))
+    // post-rebalance entries: one per final SUBCELL of a split cell
+    // (keyed by the parent cid the probes know), parent minima elsewhere
+    val cellEntry1 = sub.groupBy(col("cid"), col("path"))
       .agg(min(col("vec_id")).as("vec_id")).select(col("cid"), col("vec_id"))
       .unionByName(assigned.filter(!col("cid").isin(hotCids: _*))
         .groupBy("cid").agg(min(col("vec_id")).as("vec_id")))
@@ -4370,6 +4410,45 @@ object Similarity {
         col("cos"), col("rnk"))
       .orderBy("phase", "kind", "src", "rnk")
   }
+
+  /** The unrolled recursive-split rounds sp1..sp[[RebalanceDepth]]:
+    * each round splits every (cid, path) group still past the s24
+    * bound (needs `kb(total, k)` and `sp0(cid, path, vec_id, q)` in
+    * scope) by one deterministic 2-means step, and passes compliant
+    * groups through unchanged.
+    */
+  private def splitRoundCtes(dist: (String, String) => String): String =
+    (1 to RebalanceDepth).map { r =>
+      s"""big$r AS (
+         |  SELECT cid, path FROM (
+         |    SELECT cid, path, count(*) AS n FROM sp${r - 1} GROUP BY cid, path), kb
+         |  WHERE n > (3 * total) // (2 * k)),
+         |sa$r AS (
+         |  SELECT g.cid, g.path, g.q AS qa FROM sp${r - 1} g
+         |  JOIN (SELECT cid, path, min(vec_id) AS v FROM sp${r - 1} GROUP BY cid, path) m
+         |    ON g.cid = m.cid AND g.path = m.path AND g.vec_id = m.v
+         |  JOIN big$r x ON x.cid = g.cid AND x.path = g.path),
+         |da$r AS (
+         |  SELECT h.cid, h.path, h.vec_id, h.q, ${dist("h.q", "s.qa")} AS dist_a
+         |  FROM sp${r - 1} h
+         |  JOIN sa$r s ON s.cid = h.cid AND s.path = h.path),
+         |sb$r AS (
+         |  SELECT cid, path, q AS qb FROM (
+         |    SELECT cid, path, q,
+         |           row_number() OVER (PARTITION BY cid, path
+         |             ORDER BY dist_a DESC, vec_id) AS rn
+         |    FROM da$r) WHERE rn = 1),
+         |sp$r AS MATERIALIZED (
+         |  SELECT d.cid,
+         |         d.path || CASE WHEN d.dist_a <= ${dist("d.q", "b.qb")}
+         |                        THEN 'a' ELSE 'b' END AS path,
+         |         d.vec_id, d.q
+         |  FROM da$r d JOIN sb$r b ON b.cid = d.cid AND b.path = d.path
+         |  UNION ALL
+         |  SELECT h.cid, h.path, h.vec_id, h.q FROM sp${r - 1} h
+         |  WHERE NOT EXISTS (SELECT 1 FROM big$r x
+         |                    WHERE x.cid = h.cid AND x.path = h.path))""".stripMargin
+    }.mkString(",\n")
 
   private val s35Oracle: String = {
     def dist(x: String, y: String) =
@@ -4415,23 +4494,8 @@ object Similarity {
        |kb AS (SELECT CAST(sum(n) AS BIGINT) AS total,
        |              (SELECT CAST(count(*) AS BIGINT) FROM c2) AS k FROM sz),
        |hot AS (SELECT cid FROM sz, kb WHERE n > (3 * total) // (2 * k)),
-       |hm AS (SELECT c.* FROM corp c JOIN hot USING (cid)),
-       |sa AS (
-       |  SELECT h.cid, h.q AS qa FROM hm h
-       |  JOIN (SELECT cid, min(vec_id) AS v FROM hm GROUP BY cid) m
-       |    ON h.cid = m.cid AND h.vec_id = m.v),
-       |da AS (
-       |  SELECT h.cid, h.vec_id, h.q, ${dist("h.q", "s.qa")} AS dist_a
-       |  FROM hm h JOIN sa s ON h.cid = s.cid),
-       |sb AS (
-       |  SELECT cid, q AS qb FROM (
-       |    SELECT cid, q,
-       |           row_number() OVER (PARTITION BY cid ORDER BY dist_a DESC, vec_id) AS rn
-       |    FROM da) WHERE rn = 1),
-       |sp AS MATERIALIZED (
-       |  SELECT d.cid, d.vec_id, d.q,
-       |         CASE WHEN d.dist_a <= ${dist("d.q", "b.qb")} THEN 0 ELSE 1 END AS sub
-       |  FROM da d JOIN sb b ON d.cid = b.cid),
+       |sp0 AS (SELECT c.cid, '' AS path, c.vec_id, c.q FROM corp c JOIN hot USING (cid)),
+       |${splitRoundCtes(dist)},
        |rewired AS MATERIALIZED (
        |  SELECT src, nbr_id, nbr_q, cos, rnk FROM (
        |    SELECT p.vec_id AS src, o.vec_id AS nbr_id, o.q AS nbr_q,
@@ -4439,16 +4503,16 @@ object Similarity {
        |           row_number() OVER (PARTITION BY p.vec_id
        |             ORDER BY list_cosine_similarity(p.q::DOUBLE[], o.q::DOUBLE[]) DESC,
        |                      o.vec_id) AS rnk
-       |    FROM sp p JOIN sp o
-       |      ON o.cid = p.cid AND o.sub = p.sub AND o.vec_id <> p.vec_id)
+       |    FROM sp$RebalanceDepth p JOIN sp$RebalanceDepth o
+       |      ON o.cid = p.cid AND o.path = p.path AND o.vec_id <> p.vec_id)
        |  WHERE rnk <= $GraphDegree),
        |g1 AS MATERIALIZED (
        |  SELECT src, nbr, nbr_q, cos FROM gedge
-       |  WHERE src NOT IN (SELECT vec_id FROM sp)
+       |  WHERE src NOT IN (SELECT vec_id FROM sp$RebalanceDepth)
        |  UNION ALL
        |  SELECT src, nbr_id AS nbr, nbr_q, cos FROM rewired),
        |cm1 AS (
-       |  SELECT cid, min(vec_id) AS vec_id FROM sp GROUP BY cid, sub
+       |  SELECT cid, min(vec_id) AS vec_id FROM sp$RebalanceDepth GROUP BY cid, path
        |  UNION ALL
        |  SELECT cid, min(vec_id) AS vec_id FROM corp
        |  WHERE cid NOT IN (SELECT cid FROM hot) GROUP BY cid),

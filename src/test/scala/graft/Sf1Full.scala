@@ -99,16 +99,41 @@ object Sf1Full {
           None
       }
     }
+    def row(q: String, r: (Double, Double, Long, Double, Double, Long)): String = {
+      val (f01, t01, n01, f1, t1, n1) = r
+      f""""$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
+    }
+    val path = java.nio.file.Paths.get("BENCH_sf1_full.json")
     if (args.isEmpty) {
-      val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
-        f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
-      }.mkString("{\n", ",\n",
-        s""",\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "n_queries": ${results.size}, "errors": $errors\n}\n""")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_sf1_full.json"), json.getBytes("UTF-8"))
+      val json = results.map { case (q, r) => "  " + row(q, r) }
+        .mkString("{\n", ",\n",
+          s""",\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "n_queries": ${results.size}, "errors": $errors\n}\n""")
+      java.nio.file.Files.write(path, json.getBytes("UTF-8"))
       println(s"[sf1-full] wrote BENCH_sf1_full.json (${results.size} queries, $errors errors)")
-    } else
-      println(s"[sf1-full] filtered run (${results.size} queries, $errors errors) — artifact not rewritten")
+    } else {
+      // filtered run MERGES into the standing artifact: each measured
+      // query's line is replaced (or appended before the metadata
+      // tail), n_queries recounted — late additions get sweep rows
+      // without re-running the whole registry
+      val lines = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        .linesIterator.toBuffer
+      results.foreach { case (q, r) =>
+        val entry = s"""  ${row(q, r)},"""
+        val at = lines.indexWhere(_.trim.startsWith(s""""$q":"""))
+        if (at >= 0) lines(at) = entry
+        else {
+          val tailAt = lines.indexWhere(_.trim.startsWith("\"estimator\""))
+          lines.insert(tailAt, entry)
+        }
+      }
+      val n = lines.count(_.trim.matches(""""(cdc|[a-z])[a-z0-9_]*":.*\{.*"""))
+      val merged = lines.map(l =>
+        if (l.trim.startsWith("\"n_queries\"")) l // inline with estimator tail
+        else l).mkString("\n")
+        .replaceAll(""""n_queries": \d+""", s""""n_queries": $n""")
+      java.nio.file.Files.write(path, (merged + "\n").getBytes("UTF-8"))
+      println(s"[sf1-full] merged ${results.size} queries into BENCH_sf1_full.json ($errors errors, now $n entries)")
+    }
     spark.stop()
   }
 }

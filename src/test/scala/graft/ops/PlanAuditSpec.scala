@@ -734,10 +734,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "the pair phase must stay a cell equi-join")
     val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
     assert(hashes.nonEmpty && hashes.forall(h =>
-      h.contains("cid") || h.contains("pcid") || h.contains("qid")),
+      h.contains("cid") || h.contains("pcid") || h.contains("qid") ||
+        h.contains("nbr_id")),
       s"only cell and vector ids may key exchanges:\n${hashes.mkString("\n")}")
     assert(!hashes.exists(h => h.contains("q#") || h.contains("qv#")),
       "vector arrays must never be an exchange key")
+    // the slim-window contract: the rank window (and so the exchange
+    // feeding it) must NOT carry the neighbor vectors — nbr_q attaches
+    // to the ≤degree winners after the window, so no exchange row is
+    // pair-count × vector wide. The window's Output lines are the ones
+    // carrying rnk.
+    val windowOut = plan.linesIterator
+      .filter(l => l.trim.startsWith("Output") && l.contains("rnk#")).toSeq
+    assert(windowOut.nonEmpty && !windowOut.exists(_.contains("nbr_q")),
+      s"the rank window must carry ids and cosines only:\n${windowOut.mkString("\n")}")
   }
 
   test("d14: the bloom probe is a scan filter — bench broadcasts, corpus keys on gram/doc only") {

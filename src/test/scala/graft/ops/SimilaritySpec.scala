@@ -1289,16 +1289,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hotC.nonEmpty, "the burst must overload at least one cell")
     def sq(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
-    // the deterministic 2-means step: seed A = min-id member, seed B =
-    // farthest from A (ties -> lowest id), assign to nearer (ties -> A)
-    val subcells: Seq[Seq[(Long, Seq[Double])]] = hotC.toSeq.flatMap { cid =>
-      val members = byCell(cid).toSeq.sortBy(_._1)
-      val qa = members.head._2
-      val qb = members.map { case (v, q) => (v, q, sq(q, qa)) }
+    // the recursive 2-means: each round, every group still past the
+    // bound splits once (seed A = min-id member, seed B = farthest
+    // from A with ties -> lowest id, assign to nearer with ties -> A);
+    // compliant groups pass through
+    def splitOnce(members: Seq[(Long, Seq[Double])])
+        : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
+      val sorted = members.sortBy(_._1)
+      val qa = sorted.head._2
+      val qb = sorted.map { case (v, q) => (v, q, sq(q, qa)) }
         .sortBy { case (v, _, da) => (-da, v) }.head._2
-      val (a, b) = members.partition { case (_, q) => sq(q, qa) <= sq(q, qb) }
-      Seq(a, b)
+      sorted.partition { case (_, q) => sq(q, qa) <= sq(q, qb) }
     }
+    var groups: Seq[Seq[(Long, Seq[Double])]] = hotC.toSeq.map(byCell(_).toSeq)
+    (1 to Similarity.RebalanceDepth).foreach { _ =>
+      groups = groups.flatMap { g =>
+        if (g.size <= bound) Seq(g)
+        else { val (a, b) = splitOnce(g); Seq(a, b).filter(_.nonEmpty) }
+      }
+    }
+    val subcells = groups
     // expected rewire: per hot member, top-degree by cosine WITHIN its
     // subcell (ties -> lowest nbr id)
     val want = subcells.flatMap { cell =>
