@@ -3899,17 +3899,28 @@ object Similarity {
           .foreachBatch { (b: org.apache.spark.sql.Dataset[NewVec], _: Long) =>
             val all = b.toDF().select(col("vec_id"), col("q"))
               .localCheckpoint(true) // sourced from the stream: pin before reuse
+            val ids = all.select(col("vec_id")).localCheckpoint(true)
             val nodes = s.read.parquet(nodesPath)
-            // idempotent replay: an at-least-once source can redeliver
-            // a batch a dead session already ingested — its vec_ids
-            // are in the node table, so drop them (batch-sized
-            // control-plane collect) and skip entirely when nothing
-            // survives: no version bump, no duplicate node rows
-            val seen = nodes
-              .join(broadcast(all.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-              .collect().map(_.getLong(0)).toSet
-            val batchDf = (if (seen.isEmpty) all
-              else all.filter(!col("vec_id").isin(seen.toSeq: _*))
+            // idempotent replay across BOTH stores, each recognized
+            // against the store it writes (batch-sized control-plane
+            // collects of ids only): the insert decision keys on the
+            // EDGE table — a batch id appears as src exactly when its
+            // insert layer landed — and the node append keys on the
+            // NODE table. A session dying BETWEEN the two appends
+            // (edge layer durable, node rows lost) therefore replays
+            // to the single-delivery state: the edge layer is
+            // recognized and not re-repaired (which would double-rank
+            // the already-written back-edges), while the missing node
+            // rows are healed.
+            val edgeSeen = s.read.parquet(edgesPath)
+              .join(broadcast(ids.select(col("vec_id").as("src"))),
+                Seq("src"), "left_semi")
+              .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+            val nodeSeen = nodes
+              .join(broadcast(ids), Seq("vec_id"), "left_semi")
+              .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+            val batchDf = (if (edgeSeen.isEmpty) all
+              else all.filter(!col("vec_id").isin(edgeSeen.toSeq: _*))
                 .localCheckpoint(true))
             if (!batchDf.isEmpty) {
               batchVer += 1
@@ -3925,7 +3936,11 @@ object Similarity {
               repaired.drop("rnk").unionByName(newEQ)
                 .withColumn("ver", lit(batchVer))
                 .write.mode("append").parquet(edgesPath)
-              batchDf.write.mode("append").parquet(nodesPath)
+            }
+            val nodeNew = (if (nodeSeen.isEmpty) all
+              else all.filter(!col("vec_id").isin(nodeSeen.toSeq: _*)))
+            if (!nodeNew.isEmpty) {
+              nodeNew.write.mode("append").parquet(nodesPath)
               ()
             }
           }
@@ -4106,6 +4121,19 @@ object Similarity {
               batchVer += 1; deleteVer = batchVer
               val nodes = liveNodes().localCheckpoint(true)
               val repaired = graphDeleteCore(nodes, liveEdges(), dead)
+                .localCheckpoint(true) // pinned BEFORE tombs land below
+              // TOMBSTONES FIRST: the tombstone table is the
+              // correctness layer (the read path's source/target
+              // anti-joins make the resolve exact the instant it
+              // lands) while the repair layer below only restores the
+              // affected survivors' degree — so a session dying
+              // between the two appends degrades to thinner adjacency,
+              // never to a dead id surfacing, and the redelivery
+              // recognition (keyed on this table) already sees the
+              // batch. Written the other way round, a crash in the gap
+              // left an orphan repair layer that a redelivery would
+              // not recognize and would re-repair emptily.
+              dead.write.mode("append").parquet(tombsPath)
               // MOR rewrite of the touched adjacency only, vectors
               // re-attached from the node table (repair broadcasts)
               nodes.select(col("vec_id").as("nbr_id"), col("q").as("nbr_q"))
@@ -4113,7 +4141,6 @@ object Similarity {
                 .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
                 .withColumn("ver", lit(batchVer))
                 .write.mode("append").parquet(edgesPath)
-              dead.write.mode("append").parquet(tombsPath)
               ()
             }
           }
@@ -4142,13 +4169,15 @@ object Similarity {
     require(s1.forall(t => !deadSet(t._2)),
       "search after delete surfaced a tombstoned id")
     // compact: fold the version layers + tombstones down physically —
-    // resolved content pinned FIRST (eager blocks, not files), the
-    // equality requires then compare reads across the swap
+    // resolved content pinned FIRST (eager blocks, not files) and that
+    // ONE resolve feeds both the fold input and the post-swap equality
+    // requires (the resolve is the compaction's dominant scan; running
+    // it twice doubled the gate's compaction cost)
     val preEdges = liveEdges()
     val preNodes = liveNodes().localCheckpoint(true)
     IndexCompaction.foldSwapped(edgesPath,
-      liveEdges().withColumn("ver", lit(0L)))
-    IndexCompaction.foldSwapped(nodesPath, liveNodes())
+      preEdges.withColumn("ver", lit(0L)))
+    IndexCompaction.foldSwapped(nodesPath, preNodes)
     graft.Fs.deleteRecursively(java.nio.file.Paths.get(tombsPath))
     val postEdges = liveEdges()
     require(postEdges.exceptAll(preEdges).isEmpty &&
@@ -4264,12 +4293,13 @@ object Similarity {
         expr("transform(q, (x, i) -> x + CAST(IF(i = 1, j, 0) AS DOUBLE))").as("q"))
   }
 
-  /** Split rounds: enough to fold a pile 2^4 = 16× past the bound
-    * back under it — covers the 10× stress derivative's burst with a
-    * round to spare; a group that stops exceeding the bound stops
-    * splitting, so extra rounds are free.
+  /** Split rounds: enough to fold a pile 2^8 = 256× past the bound
+    * back under it. The oracle unrolls all 8 unconditionally (a round
+    * with no over-bound group passes everything through — a no-op);
+    * the Spark loop exits early the first time no group exceeds the
+    * bound, so the clamp costs nothing when depth 1–2 suffices.
     */
-  private[ops] val RebalanceDepth = 4
+  private[ops] val RebalanceDepth = 8
 
   /** REBALANCE the graph index when cell populations skew — the
     * lifecycle member s24 gives the IVF family, for the graph: the
@@ -4341,26 +4371,32 @@ object Similarity {
     // integer distance — and passes compliant groups through
     var sub = assigned.filter(col("cid").isin(hotCids: _*))
       .withColumn("path", lit("")).localCheckpoint(true)
+    var splitting = true
     (1 to RebalanceDepth).foreach { _ =>
-      val big = sub.groupBy(col("cid"), col("path")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > bound).select("cid", "path")
-      val grp = sub.join(broadcast(big), Seq("cid", "path"), "left_semi")
-      val pass = sub.join(broadcast(big), Seq("cid", "path"), "left_anti")
-      val aIds = grp.groupBy(col("cid"), col("path")).agg(min(col("vec_id")).as("vec_id"))
-      val seedA = grp.join(broadcast(aIds), Seq("cid", "path", "vec_id"))
-        .select(col("cid"), col("path"), col("q").as("qa"))
-      val dA = grp.join(broadcast(seedA), Seq("cid", "path"))
-        .withColumn("dist_a", sqDist(col("q"), col("qa")))
-      val seedB = dA.withColumn("rn", row_number().over(
-          Window.partitionBy(col("cid"), col("path"))
-            .orderBy(col("dist_a").desc, col("vec_id"))))
-        .filter(col("rn") === 1).select(col("cid"), col("path"), col("q").as("qb"))
-      sub = dA.join(broadcast(seedB), Seq("cid", "path"))
-        .select(col("vec_id"), col("q"), col("cid"),
-          concat(col("path"), when(col("dist_a") <= sqDist(col("q"), col("qb")),
-            lit("a")).otherwise(lit("b"))).as("path"))
-        .unionByName(pass.select(col("vec_id"), col("q"), col("cid"), col("path")))
-        .localCheckpoint(true)
+      if (splitting) {
+        val big = sub.groupBy(col("cid"), col("path")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > bound).select("cid", "path").localCheckpoint(true)
+        if (big.isEmpty) splitting = false
+        else {
+          val grp = sub.join(broadcast(big), Seq("cid", "path"), "left_semi")
+          val pass = sub.join(broadcast(big), Seq("cid", "path"), "left_anti")
+          val aIds = grp.groupBy(col("cid"), col("path")).agg(min(col("vec_id")).as("vec_id"))
+          val seedA = grp.join(broadcast(aIds), Seq("cid", "path", "vec_id"))
+            .select(col("cid"), col("path"), col("q").as("qa"))
+          val dA = grp.join(broadcast(seedA), Seq("cid", "path"))
+            .withColumn("dist_a", sqDist(col("q"), col("qa")))
+          val seedB = dA.withColumn("rn", row_number().over(
+              Window.partitionBy(col("cid"), col("path"))
+                .orderBy(col("dist_a").desc, col("vec_id"))))
+            .filter(col("rn") === 1).select(col("cid"), col("path"), col("q").as("qb"))
+          sub = dA.join(broadcast(seedB), Seq("cid", "path"))
+            .select(col("vec_id"), col("q"), col("cid"),
+              concat(col("path"), when(col("dist_a") <= sqDist(col("q"), col("qb")),
+                lit("a")).otherwise(lit("b"))).as("path"))
+            .unionByName(pass.select(col("vec_id"), col("q"), col("cid"), col("path")))
+            .localCheckpoint(true)
+        }
+      }
     }
     // rewire: adjacency rebuilt WITHIN each final subcell — the pair
     // join keys on (cid, path), restoring the cell-size bound. The
@@ -4382,9 +4418,18 @@ object Similarity {
         Seq("nbr_id"))
       .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"), col("rnk"))
       .localCheckpoint(true)
-    // cold adjacency untouched; hot adjacency replaced
+    // cold adjacency untouched; hot adjacency replaced — EXCEPT a
+    // singleton subcell's member (farthest-point seeding peels
+    // outliers into their own group), whose within-subcell rewire
+    // would be empty: it keeps its pre-split out-edges, so an outlier
+    // never drops to degree 0, and it remains its subcell's entry
+    val rewireable = sub.join(
+      sub.groupBy(col("cid"), col("path")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("cid", "path"),
+      Seq("cid", "path"), "left_semi")
     val g1 = gedge
-      .join(broadcast(sub.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+      .join(broadcast(rewireable.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
       .unionByName(rewired.drop("rnk"))
       .localCheckpoint(true)
     // post-rebalance entries: one per final SUBCELL of a split cell
@@ -4506,9 +4551,12 @@ object Similarity {
        |    FROM sp$RebalanceDepth p JOIN sp$RebalanceDepth o
        |      ON o.cid = p.cid AND o.path = p.path AND o.vec_id <> p.vec_id)
        |  WHERE rnk <= $GraphDegree),
+       |multi AS (SELECT cid, path FROM sp$RebalanceDepth
+       |          GROUP BY cid, path HAVING count(*) > 1),
        |g1 AS MATERIALIZED (
        |  SELECT src, nbr, nbr_q, cos FROM gedge
-       |  WHERE src NOT IN (SELECT vec_id FROM sp$RebalanceDepth)
+       |  WHERE src NOT IN (SELECT s.vec_id FROM sp$RebalanceDepth s
+       |                    JOIN multi m ON m.cid = s.cid AND m.path = s.path)
        |  UNION ALL
        |  SELECT src, nbr_id AS nbr, nbr_q, cos FROM rewired),
        |cm1 AS (

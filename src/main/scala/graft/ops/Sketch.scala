@@ -576,7 +576,8 @@ object Sketch {
     * document counts under a DIFFERENTIALLY-PRIVATE release: each
     * count gets discrete-Laplace noise (two-sided geometric, the
     * integer mechanism of Ghosh-Roughgarden-Sundararajan 2009 — the
-    * count analogue of continuous Laplace) at α = 9/10 and clamps at
+    * count analogue of continuous Laplace) at α = 1/2 (ε = ln 2,
+    * matching [[DpAlphaNum]]/[[DpAlphaDen]]) and clamps at
     * zero (post-processing preserves DP). Training-data pipelines
     * report composition stats over user-contributed corpora; DP is
     * how those dashboards ship without leaking any single document's

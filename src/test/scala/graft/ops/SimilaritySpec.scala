@@ -1270,6 +1270,61 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(dir)
   }
 
+  test("s33: a crash BETWEEN the edge and node appends replays to the single-delivery state") {
+    // The narrowest crash window: the micro-batch's edge layer is
+    // durable but the session dies before the node append. A naive
+    // redelivery recognition (node table only) would re-repair the
+    // already-written back-edges at a new version; the split
+    // recognition must instead skip the edge write and HEAL the
+    // missing node rows, converging to exactly the single-session
+    // state.
+    import org.apache.spark.sql.functions._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-s33-tear-a-")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-s33-tear-b-")
+    try {
+      Similarity.s33WithDir(spark, sf, dirA.toString,
+        waves = Seq(Similarity.GraphWave1Shift))
+      // stage the torn batch: strip wave 1's node rows, keeping its
+      // ver-1 edge layer (exactly the state a death between the two
+      // appends leaves on disk)
+      val trimmed = spark.read.parquet(s"$dirA/nodes")
+        .filter(col("vec_id") < Similarity.GraphWave1Shift)
+        .localCheckpoint(true)
+      trimmed.write.mode("overwrite").parquet(s"$dirA/nodes")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Int]("wave"), r.getAs[Long]("qid"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+        .toSeq
+      val reentered = rows(Similarity.s33WithDir(spark, sf, dirA.toString,
+        waves = Seq(Similarity.GraphWave1Shift, Similarity.GraphWave2Shift)))
+      val ref = rows(Similarity.s33WithDir(spark, sf, dirB.toString,
+        waves = Seq(Similarity.GraphWave1Shift, Similarity.GraphWave2Shift)))
+      def edgeSet(p: java.nio.file.Path) =
+        spark.read.parquet(s"$p/edges").collect()
+          .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr_id"),
+            r.getAs[Double]("cos"), r.getAs[Long]("ver"))).toSet
+      def nodeIds(p: java.nio.file.Path) =
+        spark.read.parquet(s"$p/nodes").collect()
+          .map(_.getAs[Long]("vec_id")).sorted.toSeq
+      assert(edgeSet(dirA) == edgeSet(dirB),
+        "healing the torn batch must not re-repair the edge layer")
+      val nA = nodeIds(dirA)
+      assert(nA == nA.distinct && nA == nodeIds(dirB),
+        "the torn batch's node rows must be healed exactly once")
+      // wave 1 must NOT have been re-versioned: its layer stays ver 1,
+      // wave 2 continues at ver 2
+      assert(spark.read.parquet(s"$dirA/edges")
+        .agg(max(col("ver"))).head.getLong(0) == 2L,
+        "the healed redelivery must not bump the version counter")
+      def wave(rs: Seq[(Int, Long, Long, Double, Int)], w: Int) =
+        rs.filter(_._1 == w).map(t => (t._2, t._3, t._4, t._5))
+      assert(wave(reentered, 1) == wave(ref, 1) && wave(reentered, 2) == wave(ref, 2),
+        "post-heal searches drifted from the single-session run")
+    } finally {
+      graft.Fs.deleteRecursively(dirA); graft.Fs.deleteRecursively(dirB)
+    }
+  }
+
   test("s35: hot-cell detection, 2-means split, and subcell rewire equal a scalar replay") {
     val base = Similarity.quantized(spark, sf)
     val vecs = base.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
@@ -1310,8 +1365,9 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val subcells = groups
     // expected rewire: per hot member, top-degree by cosine WITHIN its
-    // subcell (ties -> lowest nbr id)
-    val want = subcells.flatMap { cell =>
+    // subcell (ties -> lowest nbr id); a SINGLETON subcell's member
+    // produces no rewire rows — it keeps its pre-split adjacency
+    val want = subcells.filter(_.size > 1).flatMap { cell =>
       cell.map { case (v, q) =>
         v -> cell.filter(_._1 != v)
           .map { case (w, qw) => (w, scalarCos(q, qw)) }
