@@ -4704,7 +4704,426 @@ object Similarity {
        |    GROUP BY src, nbr_id))
        |WHERE rnk <= $GraphDegree ORDER BY src, rnk""".stripMargin
 
+  // ---- s36: filtered graph search (route-through vs strict traversal) -----
+
+  /** Result size per filtered query. */
+  private[ops] val FilteredK = 5
+
+  /** Predicate-aware graph-ANN — the filtered-search mode every
+    * production vector store serves ("top-k neighbors WHERE label =
+    * …"), which the IVF family already has (s15) and graph indexes
+    * famously get wrong. Two traversal policies over the SAME
+    * standing label-blind graph, judged against exact filtered
+    * ground truth in one result:
+    *
+    *  - `routed` — the ACORN stance (Patel et al., SIGMOD 2024) /
+    *    filtered-DiskANN (Gollapudi et al., WWW 2023): the walk
+    *    ROUTES THROUGH non-matching nodes (s28's beam walk,
+    *    unchanged — non-matching nodes score, carry the frontier,
+    *    and keep the graph connected) and the predicate applies at
+    *    RESULT selection. Selectivity costs recall only through
+    *    ranking depth, never through connectivity.
+    *  - `strict` — the naive policy (the one ACORN exists to beat):
+    *    non-matching nodes are invisible — entries are the min
+    *    MATCHING member per (cell, label) and hops drop non-matching
+    *    neighbors before they enter the visited set. At ~10%
+    *    selectivity the matching subgraph fragments and the walk
+    *    strands; the per-row `hit` flags (membership in the exact
+    *    filtered top-[[FilteredK]]) make the recall gap part of the
+    *    oracle-checked output.
+    *
+    * Scale shape: both walks keep s28's contract — the corpus never
+    * shuffles per hop, a hop is one broadcast join of the
+    * queries×beam frontier against the pinned edge table (the label
+    * rides denormalized beside the neighbor vector, so the strict
+    * filter is a broadcast-side predicate, not a new exchange), and
+    * the only hash exchanges are qid-keyed windows/folds over
+    * frontier-bounded frames. The exact-truth leg is the s1 recall
+    * harness (5 broadcast queries over one corpus scan) — an
+    * EVALUATION leg, not the serving path.
+    *
+    * Determinism: s28's integer-exact basis; the label equality is
+    * exact in both engines, so the oracle replays both walks
+    * hop-for-hop.
+    */
+  private[graft] def s36From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val corpus = base.filter(col("vec_id") >= 5)
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("label").as("qlabel"))
+      .localCheckpoint(true)
+    // the standing graph: label-blind build (one graph serves every
+    // predicate — the ACORN premise), neighbor label denormalized
+    val edges = knnEdges(corpus, cents, GraphDegree)
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), Seq("nbr_id"))
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("nbr_label"))
+      .localCheckpoint(true)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    // routed: the unmodified s28 walk, predicate applied at selection
+    val routed = graphWalk(corpus, edges, qs.select(col("qid"), col("qv")), cents)
+      .join(labels, Seq("vec_id"))
+      .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .filter(col("label") === col("qlabel"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= FilteredK)
+      .select(lit("routed").as("mode"), col("qid"), col("qlabel"),
+        col("vec_id"), col("cos"), col("rnk"))
+    // strict: matching-only visibility — filtered entries, filtered hops
+    val cellEntryF = assignCellsFrom(corpus, cents)
+      .groupBy(col("cid"), col("label")).agg(min(col("vec_id")).as("vec_id"))
+    val entriesF = ivfProbesOf(qs.select(col("qid"), col("qv")), cents, nprobe = 2)
+      .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .join(broadcast(cellEntryF),
+        col("pcid") === col("cid") && col("qlabel") === col("label"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    var strictCand = corpus
+      .join(broadcast(entriesF), Seq("vec_id"))
+      .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .localCheckpoint(false)
+    (1 to GraphHops).foreach { _ =>
+      val frontier = strictCand
+        .withColumn("br", row_number().over(wBeam))
+        .filter(col("br") <= GraphBeam)
+        .select(col("qid"), col("vec_id").as("src"))
+      val nbrs = edges
+        .join(broadcast(frontier), Seq("src"))
+        .join(broadcast(qs), Seq("qid"))
+        .filter(col("nbr_label") === col("qlabel"))
+        .select(col("qid"), col("nbr_id").as("vec_id"),
+          VectorFunctions.cosine_similarity(col("nbr_q"), col("qv")).as("cos"))
+      strictCand = strictCand.unionByName(nbrs)
+        .groupBy("qid", "vec_id").agg(max(col("cos")).as("cos"))
+        .localCheckpoint(false)
+    }
+    val strict = strictCand
+      .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= FilteredK)
+      .select(lit("strict").as("mode"), col("qid"), col("qlabel"),
+        col("vec_id"), col("cos"), col("rnk"))
+    // exact filtered ground truth (evaluation leg): brute-force
+    // cosine over the matching corpus, per query
+    val truth = corpus
+      .join(broadcast(qs))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("tcos"))
+      .withColumn("trk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("qid")).orderBy(col("tcos").desc, col("vec_id"))))
+      .filter(col("trk") <= FilteredK)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    routed.unionByName(strict)
+      .join(truth, Seq("qid", "vec_id"), "left")
+      .select(col("mode"), col("qid"), col("qlabel"), col("vec_id"),
+        col("cos"), col("rnk"), coalesce(col("hit"), lit(0)).as("hit"))
+      .orderBy("mode", "qid", "rnk")
+  }
+
+  /** s36's input frame — the quantized basis WITH the filter
+    * attribute (exposed for the k-scaled stress harness).
+    */
+  private[graft] def s36BaseOf(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id"), col("label"),
+      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))").as("q"))
+
+  private def s36GraphFiltered(s: SparkSession, d: String): DataFrame = {
+    val base = s36BaseOf(s, d)
+    s36From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  /** Strict-traversal hop CTEs: [[graphHopOracleCtes]] with the
+    * label-visibility predicate on the neighbor expansion. Needs
+    * `w0$sfx`, `$gedge(src, nbr, nbr_q, nbr_label)`, `$qv(qid, q)`
+    * and `qlab(qid, qlabel)` in scope.
+    */
+  private def strictHopOracleCtes(sfx: String, gedge: String,
+      qv: String): String =
+    (1 to GraphHops).map { k =>
+      s"""f$k$sfx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY cos DESC, vec_id) AS br
+         |    FROM w${k - 1}$sfx) WHERE br <= $GraphBeam),
+         |w$k$sfx AS MATERIALIZED (
+         |  SELECT qid, vec_id, max(cos) AS cos FROM (
+         |    SELECT qid, vec_id, cos FROM w${k - 1}$sfx
+         |    UNION ALL
+         |    SELECT f.qid, e.nbr,
+         |           list_cosine_similarity(e.nbr_q::DOUBLE[], qv.q::DOUBLE[])
+         |    FROM f$k$sfx f
+         |    JOIN qlab l ON l.qid = f.qid
+         |    JOIN $gedge e ON e.src = f.vec_id AND e.nbr_label = l.qlabel
+         |    JOIN $qv qv ON qv.qid = f.qid)
+         |  GROUP BY qid, vec_id)""".stripMargin
+    }.mkString(",\n")
+
+  private val s36Oracle: String = {
+    s"""WITH base AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |corp AS (
+       |  SELECT a.vec_id, a.q, a.cid, b.label
+       |  FROM a3 a JOIN base b ON b.vec_id = a.vec_id WHERE a.vec_id >= 5),
+       |$gedgeOracleCtes,
+       |gedgel AS (
+       |  SELECT e.src, e.nbr, e.nbr_q, c.label AS nbr_label
+       |  FROM gedge e JOIN corp c ON c.vec_id = e.nbr),
+       |qv AS (SELECT vec_id AS qid, q FROM base WHERE vec_id < 5),
+       |qlab AS (SELECT vec_id AS qid, label AS qlabel FROM base WHERE vec_id < 5),
+       |cmin AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |${entryOracleCte("_r", "probes", "cmin", "corp", "qv")},
+       |${graphHopOracleCtes("_r", "gedgel", "qv")},
+       |rtop AS (
+       |  SELECT qid, qlabel, vec_id, cos, rnk FROM (
+       |    SELECT w.qid, l.qlabel, w.vec_id, w.cos,
+       |           row_number() OVER (PARTITION BY w.qid
+       |             ORDER BY w.cos DESC, w.vec_id) AS rnk
+       |    FROM w${GraphHops}_r w
+       |    JOIN corp c ON c.vec_id = w.vec_id
+       |    JOIN qlab l ON l.qid = w.qid AND c.label = l.qlabel)
+       |  WHERE rnk <= $FilteredK),
+       |cminf AS (
+       |  SELECT cid, label, min(vec_id) AS vec_id FROM corp GROUP BY cid, label),
+       |w0_s AS (
+       |  SELECT e.qid, e.vec_id,
+       |         list_cosine_similarity(nb.q::DOUBLE[], qv.q::DOUBLE[]) AS cos
+       |  FROM (SELECT DISTINCT p.qid, m.vec_id
+       |        FROM probes p
+       |        JOIN qlab l ON l.qid = p.qid
+       |        JOIN cminf m ON m.cid = p.cid AND m.label = l.qlabel) e
+       |  JOIN corp nb ON nb.vec_id = e.vec_id
+       |  JOIN qv ON qv.qid = e.qid),
+       |${strictHopOracleCtes("_s", "gedgel", "qv")},
+       |stop AS (
+       |  SELECT qid, qlabel, vec_id, cos, rnk FROM (
+       |    SELECT w.qid, l.qlabel, w.vec_id, w.cos,
+       |           row_number() OVER (PARTITION BY w.qid
+       |             ORDER BY w.cos DESC, w.vec_id) AS rnk
+       |    FROM w${GraphHops}_s w
+       |    JOIN qlab l ON l.qid = w.qid)
+       |  WHERE rnk <= $FilteredK),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT l.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY l.qid
+       |             ORDER BY list_cosine_similarity(c.q::DOUBLE[], qv.q::DOUBLE[]) DESC,
+       |                      c.vec_id) AS trk
+       |    FROM corp c
+       |    JOIN qlab l ON c.label = l.qlabel
+       |    JOIN qv ON qv.qid = l.qid)
+       |  WHERE trk <= $FilteredK)
+       |SELECT r.mode, r.qid, CAST(r.qlabel AS INT) AS qlabel, r.vec_id, r.cos,
+       |       CAST(r.rnk AS INT) AS rnk,
+       |       CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |FROM (
+       |  SELECT 'routed' AS mode, qid, qlabel, vec_id, cos, rnk FROM rtop
+       |  UNION ALL
+       |  SELECT 'strict', qid, qlabel, vec_id, cos, rnk FROM stop) r
+       |LEFT JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+       |ORDER BY r.mode, r.qid, r.rnk""".stripMargin
+  }
+
+  // ---- s37: compressed-traversal graph search + exact rerank ---------------
+
+  /** Candidates whose full-precision vectors the rerank "fetches from
+    * disk" — the s6 refine width.
+    */
+  private[ops] val QuantFetch = 20
+
+  /** DiskANN's actual serving trick (Subramanya et al., NeurIPS
+    * 2019): the beam walk never touches full-precision data — hops
+    * score COMPRESSED neighbor vectors held beside the adjacency
+    * (here s5's absmax int8; DiskANN uses PQ), and only the final
+    * top-[[QuantFetch]] candidate list pays a full-precision fetch
+    * for the exact rerank. This is what makes a billion-vector graph
+    * index servable: the hot loop reads 8× fewer bytes per neighbor
+    * (int8 vs the double working type) and the expensive exact math
+    * runs on [[QuantFetch]] rows per query instead of
+    * hops × beam × degree.
+    *
+    * The graph family's missing compression member: IVF already has
+    * the coarse-quantized scan (s6), ADC (s9) and the funnel (s25);
+    * this gives the walk itself the same treatment — s28 re-read
+    * with int8 hop arithmetic and an s6-shaped refine tail.
+    *
+    * Scale shape: s28's contract verbatim (corpus never shuffles per
+    * hop, one broadcast join per hop against the pinned compressed
+    * edge table, qid-keyed windows over frontier-bounded frames) plus
+    * the rerank: ONE id-keyed join of the queries×[[QuantFetch]]-row
+    * candidate list against the full-precision corpus — the "SSD
+    * fetch", bounded by the result size, never by the walk.
+    *
+    * Determinism: hop scores are integer dot products (≤ 64·127² per
+    * term — exact in BIGINT both engines), the rerank is one IEEE
+    * cosine per fetched candidate with vec_id tie-breaks on every
+    * window — the oracle replays the walk hop-for-hop.
+    */
+  private[graft] def s37From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    // int8 codes beside the float basis (s5's absmax quantization)
+    val coded = base.withColumn("amax",
+        expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q8", expr(
+        """CASE WHEN amax > 0
+          |THEN transform(v, x -> CAST(floor((x / amax) * 127) AS BIGINT))
+          |ELSE transform(v, x -> CAST(0 AS BIGINT)) END""".stripMargin))
+      .drop("amax")
+    val corpus = coded.filter(col("vec_id") >= 5)
+    val qs = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("q8").as("qq8"), col("v").as("qvf"))
+      .localCheckpoint(true)
+    // the stored index: graph topology from the full-precision build
+    // (offline, s19's stance), adjacency carrying ONLY the int8 codes
+    val edges8 = knnEdges(corpus, cents, GraphDegree)
+      .select(col("src"), col("nbr_id"))
+      .join(corpus.select(col("vec_id").as("nbr_id"), col("q8").as("nbr_q8")),
+        Seq("nbr_id"))
+      .select(col("src"), col("nbr_id"), col("nbr_q8"))
+      .localCheckpoint(true)
+    def dot8(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    val cellEntry = assignCellsFrom(corpus, cents)
+      .groupBy("cid").agg(min(col("vec_id")).as("vec_id"))
+    val entries = ivfProbesOf(qs.select(col("qid"), col("qv")), cents, nprobe = 2)
+      .join(broadcast(cellEntry), col("pcid") === col("cid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot8").desc, col("vec_id"))
+    var cand = corpus
+      .join(broadcast(entries), Seq("vec_id"))
+      .join(broadcast(qs.select(col("qid"), col("qq8"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"), dot8("q8", "qq8").as("dot8"))
+      .localCheckpoint(false)
+    (1 to GraphHops).foreach { _ =>
+      val frontier = cand
+        .withColumn("br", row_number().over(wBeam))
+        .filter(col("br") <= GraphBeam)
+        .select(col("qid"), col("vec_id").as("src"))
+      val nbrs = edges8
+        .join(broadcast(frontier), Seq("src"))
+        .join(broadcast(qs.select(col("qid"), col("qq8"))), Seq("qid"))
+        .select(col("qid"), col("nbr_id").as("vec_id"),
+          dot8("nbr_q8", "qq8").as("dot8"))
+      cand = cand.unionByName(nbrs)
+        .groupBy("qid", "vec_id").agg(max(col("dot8")).as("dot8"))
+        .localCheckpoint(false)
+    }
+    // the full-precision fetch + exact rerank (s6's refine shape)
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("crk", row_number().over(wBeam))
+      .filter(col("crk") <= QuantFetch)
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(qs.select(col("qid"), col("qvf"))), Seq("qid"))
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("qvf"), col("v")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= GraphK)
+      .select("qid", "vec_id", "dot8", "cos", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  /** s37's input frame — float basis + quantized build basis
+    * (exposed for the k-scaled stress harness).
+    */
+  private[graft] def s37BaseOf(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id"), col("v"),
+      expr("transform(v, x -> CAST(floor(x * 1000) AS DOUBLE))").as("q"))
+
+  private def s37GraphQuant(s: SparkSession, d: String): DataFrame = {
+    val base = s37BaseOf(s, d)
+    s37From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  /** Int8-scored hop CTEs — [[graphHopOracleCtes]] with the dot8
+    * arithmetic. Needs `w0$sfx(qid, vec_id, dot8)`,
+    * `$gedge8(src, nbr, nbr_q8)` and `qv8(qid, q8)` in scope.
+    */
+  private def quantHopOracleCtes(sfx: String, gedge8: String): String =
+    (1 to GraphHops).map { k =>
+      s"""f$k$sfx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY dot8 DESC, vec_id) AS br
+         |    FROM w${k - 1}$sfx) WHERE br <= $GraphBeam),
+         |w$k$sfx AS MATERIALIZED (
+         |  SELECT qid, vec_id, max(dot8) AS dot8 FROM (
+         |    SELECT qid, vec_id, dot8 FROM w${k - 1}$sfx
+         |    UNION ALL
+         |    SELECT f.qid, e.nbr,
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |                i -> e.nbr_q8[i] * q8.q8[i])) AS BIGINT)
+         |    FROM f$k$sfx f
+         |    JOIN $gedge8 e ON e.src = f.vec_id
+         |    JOIN qv8 q8 ON q8.qid = f.qid)
+         |  GROUP BY qid, vec_id)""".stripMargin
+    }.mkString(",\n")
+
+  private val s37Oracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |corp AS (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |quant8 AS (
+       |  SELECT vec_id,
+       |         CASE WHEN amax > 0
+       |         THEN list_transform(v, x -> CAST(floor((x / amax) * 127) AS BIGINT))
+       |         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q8
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+       |        FROM base)),
+       |gedge8 AS (
+       |  SELECT e.src, e.nbr, qt.q8 AS nbr_q8
+       |  FROM gedge e JOIN quant8 qt ON qt.vec_id = e.nbr),
+       |qv8 AS (SELECT vec_id AS qid, q8 FROM quant8 WHERE vec_id < 5),
+       |qvf AS (SELECT vec_id AS qid, v FROM base WHERE vec_id < 5),
+       |cmin AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |w0_c AS (
+       |  SELECT e.qid, e.vec_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> qt.q8[i] * q8.q8[i])) AS BIGINT) AS dot8
+       |  FROM (SELECT DISTINCT p.qid, m.vec_id
+       |        FROM probes p JOIN cmin m ON m.cid = p.cid) e
+       |  JOIN quant8 qt ON qt.vec_id = e.vec_id
+       |  JOIN qv8 q8 ON q8.qid = e.qid),
+       |${quantHopOracleCtes("_c", "gedge8")},
+       |cfet AS (
+       |  SELECT qid, vec_id, dot8 FROM (
+       |    SELECT qid, vec_id, dot8,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY dot8 DESC, vec_id) AS crk
+       |    FROM w${GraphHops}_c) WHERE crk <= $QuantFetch)
+       |SELECT qid, vec_id, dot8, cos, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT f.qid, f.vec_id, f.dot8,
+       |         list_cosine_similarity(qvf.v, b.v) AS cos,
+       |         row_number() OVER (PARTITION BY f.qid
+       |           ORDER BY list_cosine_similarity(qvf.v, b.v) DESC, f.vec_id) AS rnk
+       |  FROM cfet f
+       |  JOIN base b ON b.vec_id = f.vec_id
+       |  JOIN qvf ON qvf.qid = f.qid)
+       |WHERE rnk <= $GraphK ORDER BY qid, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s37_graph_quant" -> (s37GraphQuant _),
+    "s36_graph_filtered" -> (s36GraphFiltered _),
     "s35_graph_rebalance" -> (s35GraphRebalance _),
     "s34_graph_delete_stored" -> (s34GraphDeleteStored _),
     "s33_graph_stream" -> (s33GraphStream _),
@@ -4743,6 +5162,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s37_graph_quant" -> s37Oracle,
+    "s36_graph_filtered" -> s36Oracle,
     "s35_graph_rebalance" -> s35Oracle,
     "s34_graph_delete_stored" -> s34Oracle,
     // s33 streams the SAME semantics through storage; determinism

@@ -618,7 +618,80 @@ object Sketch {
        |ORDER BY lang, source""".stripMargin
   }
 
+  // ---- sk9: sharded heavy-hitters summary (frequent items) ----------------
+
+  /** Counters kept per shard — also the heavy-hitter threshold
+    * divisor (φ = 1/[[HhK]] of the stream).
+    */
+  private[ops] val HhK = 32
+
+  /** Shard count — the "nodes" of the distributed summary. */
+  private[ops] val HhShards = 16
+
+  /** Frequent items — the classic streaming-summary member the sketch
+    * family still lacked (Misra & Gries 1982; SpaceSaving, Metwally
+    * et al. 2005): which tokens exceed φ = 1/[[HhK]] of the corpus?
+    * Distributed by the key-partitioned layout every Spark summary
+    * should use: tokens hash-shard by a PORTABLE polynomial
+    * ([[Text.polyHashSql]] — the oracle computes the same shard), so
+    * each shard holds its tokens' EXACT counts and keeps only its
+    * top-[[HhK]] as the candidate summary — [[HhShards]]×[[HhK]]
+    * counter rows total, the communication shape of distributed
+    * heavy hitters (each node ships m counters, never a key set).
+    *
+    * The Misra-Gries guarantee survives sharding STRUCTURALLY: any
+    * token with cnt·[[HhK]] > N can be out-ranked within its shard
+    * only by tokens of ≥ its count — themselves heavy, and fewer
+    * than [[HhK]] exist globally (their counts would else sum past
+    * N) — so every true heavy hitter has shard-rank ≤ [[HhK]] and
+    * the candidate set is provably a superset (asserted by the spec,
+    * flagged per row by `is_heavy`).
+    *
+    * Scale shape: ONE corpus exchange — the (token)-keyed count,
+    * map-side combined (tokens explode at the scan; raw text never
+    * shuffles); the shard rank runs over the already-aggregated key
+    * frame, the total re-derives from the counts (no second scan),
+    * and the output is 512 rows regardless of corpus size.
+    */
+  private def sk9HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val cnts = Tables.documents(s, d)
+      .select(explode(Text.wordsCol(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard",
+        expr(s"CAST(${Text.polyHashSql("w", 8)} % $HhShards AS INT)"))
+    val tot = cnts.agg(sum(col("cnt")).as("n"))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("cnt").desc, col("w"))
+    cnts
+      .withColumn("srank", row_number().over(wShard))
+      .filter(col("srank") <= HhK)
+      .join(broadcast(tot))
+      .select(col("shard"), col("w"), col("cnt"), col("srank"),
+        when(col("cnt") * HhK > col("n"), lit(1)).otherwise(lit(0)).as("is_heavy"))
+      .orderBy("shard", "srank")
+  }
+
+  private val sk9Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${Text.wordsSql("text")}) AS w FROM documents),
+       |cnts AS (
+       |  SELECT w, CAST(${Text.polyHashSql("w", 8)} % $HhShards AS INT) AS shard,
+       |         count(*) AS cnt
+       |  FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
+       |ranked AS (
+       |  SELECT shard, w, cnt,
+       |         CAST(row_number() OVER (PARTITION BY shard
+       |           ORDER BY cnt DESC, w) AS INT) AS srank
+       |  FROM cnts)
+       |SELECT r.shard, r.w, r.cnt, r.srank,
+       |       CASE WHEN r.cnt * $HhK > t.n THEN 1 ELSE 0 END AS is_heavy
+       |FROM ranked r, tot t
+       |WHERE r.srank <= $HhK
+       |ORDER BY r.shard, r.srank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk9_heavy_hitters" -> (sk9HeavyHitters _),
     "sk8_dp_counts" -> (sk8DpCounts _),
     "sk7_sample" -> (sk7Sample _),
     "sk6_kmv_setops" -> (sk6KmvSetops _),
@@ -630,6 +703,7 @@ object Sketch {
   )
 
   val oracles: Map[String, String] = Map(
+    "sk9_heavy_hitters" -> sk9Oracle,
     "sk8_dp_counts" -> sk8Oracle,
     "sk7_sample" -> sk7Oracle,
     "sk6_kmv_setops" -> sk6Oracle,

@@ -279,6 +279,33 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS35(sf1, 80)
       println(f"[sf1-stress] s35_graph_rebalance (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s35_graph_rebalance_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // filtered search at production shape: ONE label-blind build
+      // (the knob) serves both traversal policies; the walks' serving
+      // cost is corpus-independent, the truth leg is the linear
+      // evaluation scan
+      def timeS36(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.s36BaseOf(spark, dir)
+        graft.ops.Similarity.s36From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS36(sf01, 8)
+      val (f1, t1, n1) = timeS36(sf1, 80)
+      println(f"[sf1-stress] s36_graph_filtered (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s36_graph_filtered_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // compressed traversal at production shape: build carries the
+      // knob; hops read int8 codes (8x fewer bytes), the rerank fetch
+      // is bounded by queries x QuantFetch — corpus-independent
+      def timeS37(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.s37BaseOf(spark, dir)
+        graft.ops.Similarity.s37From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS37(sf01, 8)
+      val (f1, t1, n1) = timeS37(sf1, 80)
+      println(f"[sf1-stress] s37_graph_quant (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s37_graph_quant_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""

@@ -1373,4 +1373,60 @@ class PlanAuditSpec extends AnyFunSuite {
         s"every exchange must lead with src:\n${hashes.mkString("\n")}")
     } finally graft.Fs.deleteRecursively(dir)
   }
+
+  test("s36: filtered search keeps the walk contract — the predicate adds no exchange") {
+    // Route-through filtering's scale promise: the label is a
+    // broadcast-side predicate on the SAME hop joins s28 runs, never
+    // a new exchange, and the strict variant differs only by that
+    // predicate. Post-checkpoint plan: selection windows (qid), the
+    // result-label fetch (an id-keyed slim join), the truth leg's
+    // broadcast evaluation scan (the one permitted unkeyed join), and
+    // the 25-row truth left-join (broadcast). Nothing may key an
+    // exchange on a vector or a raw label column alone.
+    val plan = Similarity.queries("s36_graph_filtered")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), "no unbounded pair explosion")
+    assert(plan.linesIterator.count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*")) <= 1,
+      "at most one unkeyed join: the 5-query broadcast truth scan")
+    shuffleJoinKeys(plan).foreach { l =>
+      assert(l.contains("vec_id#") || l.contains("qid#"),
+        s"a shuffle join must key on an id: $l")
+    }
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the selection windows must appear")
+    assert(hashes.forall(l => l.contains("hashpartitioning(qid") ||
+      l.contains("hashpartitioning(vec_id")),
+      s"every exchange must lead with qid/vec_id:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("nbr_q") || h.contains("qv#") ||
+      h.contains("q#")),
+      "vector arrays must never ride an exchange key")
+  }
+
+  test("s37: the rerank fetch is an id-keyed bounded join — codes never shuffle") {
+    // Post-checkpoint plan (the walk is pinned; its hops carry s28's
+    // audited shape with int8 arithmetic): the fetch window (qid),
+    // ONE id-keyed join of the 20-per-query candidate list against
+    // the full-precision corpus — DiskANN's SSD read — and the exact
+    // rerank window (qid). No pairwise join anywhere, and neither the
+    // int8 codes nor the float vectors may key an exchange.
+    val plan = Similarity.queries("s37_graph_quant")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the fetch/rerank tail must stay keyed")
+    shuffleJoinKeys(plan).foreach { l =>
+      assert(l.contains("vec_id#") || l.contains("qid#"),
+        s"a shuffle join must key on an id: $l")
+    }
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the fetch and rerank windows must appear")
+    assert(hashes.forall(l => l.contains("hashpartitioning(qid") ||
+      l.contains("hashpartitioning(vec_id")),
+      s"every exchange must lead with qid/vec_id:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("q8") || h.contains("qq8") ||
+      h.contains("qvf") || h.contains("nbr_q8")),
+      "codes and vectors must never ride an exchange key")
+  }
 }

@@ -1426,4 +1426,59 @@ class SimilaritySpec extends AnyFunSuite {
       graft.Fs.deleteRecursively(dirA); graft.Fs.deleteRecursively(dirB)
     }
   }
+
+  test("s36: route-through beats strict traversal, and every result matches the predicate") {
+    val rows = Similarity.queries("s36_graph_filtered")(spark, sf).collect()
+    val labels = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    // predicate correctness: no mode may ever surface a non-matching id
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) == r.getAs[Int]("qlabel"),
+        s"non-matching result ${r.getAs[Long]("vec_id")} for qlabel ${r.getAs[Int]("qlabel")}")
+    }
+    val byMode = rows.groupBy(_.getAs[String]("mode"))
+    assert(byMode.keySet == Set("routed", "strict"))
+    // ranks contiguous from 1 per (mode, qid)
+    byMode.values.foreach(_.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+    })
+    // the ACORN claim this gate exists to demonstrate: routing THROUGH
+    // non-matching nodes recovers recall that matching-only visibility
+    // loses to subgraph fragmentation (measured 17-19 vs 3-5 hits of
+    // 25 across sf0.001/0.01/0.1)
+    def hits(m: String) = byMode(m).map(_.getAs[Int]("hit")).sum
+    assert(hits("routed") > hits("strict"),
+      s"routed=${hits("routed")} must beat strict=${hits("strict")}")
+    // strict visibility strands: it cannot even fill K results for
+    // every query at ~10% selectivity, while the routed walk does
+    assert(byMode("routed").length >= byMode("strict").length)
+  }
+
+  test("s37: compressed traversal + exact rerank — int8 hop scores, full-precision final order") {
+    val rows = Similarity.queries("s37_graph_quant")(spark, sf).collect()
+    assert(rows.length == 50) // 5 queries x 10
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to 10))
+      // the FINAL order is the exact-cosine rerank (non-increasing),
+      // even where the int8 walk scores disagree — the whole point of
+      // the fetch-and-rerank tail
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      // hop scores are integer dot products in the int8 range
+      rs.foreach { r =>
+        val d = r.getAs[Long]("dot8")
+        assert(math.abs(d) <= 64L * 127 * 127, s"dot8 $d outside the int8 bound")
+      }
+    }
+    // recall vs the exact brute-force top-10 (s1): the compressed
+    // walk must stay a useful index, not a random sample
+    val exact = Similarity.queries("s1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val hits = rows.count(r =>
+      exact((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))))
+    assert(hits >= 25, s"recall@10 too low: $hits/50")
+  }
 }

@@ -177,4 +177,32 @@ class SketchSpec extends AnyFunSuite {
     assert(zs.exists(_ > 0) && zs.exists(_ < 0),
       "noise degenerate - both signs must appear across groups")
   }
+
+  test("sk9: the sharded summary provably contains every true heavy hitter") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("sk9_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // scalar ground truth: exact token counts from the raw corpus
+    val counts = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).trim.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val n = counts.values.sum
+    val trueHeavy = counts.filter { case (_, c) => c * 32 > n }.keySet
+    val cand = rows.map(r => r.getAs[String]("w")).toSet
+    // the Misra-Gries superset guarantee, end-to-end
+    assert(trueHeavy.nonEmpty, "fixture must contain at least one heavy hitter")
+    assert(trueHeavy.subsetOf(cand),
+      s"missing heavy hitters: ${(trueHeavy -- cand).take(5)}")
+    // flags are exactly the guarantee's threshold, and counts are exact
+    rows.foreach { r =>
+      val (w, c) = (r.getAs[String]("w"), r.getAs[Long]("cnt"))
+      assert(counts(w) == c, s"count for '$w' not exact: $c vs ${counts(w)}")
+      assert((r.getAs[Int]("is_heavy") == 1) == (c * 32 > n))
+    }
+    // summary stays communication-bounded: <= shards x k rows
+    assert(rows.length <= 16 * 32)
+    rows.groupBy(_.getAs[Int]("shard")).values
+      .foreach(g => assert(g.length <= 32))
+  }
 }
