@@ -285,7 +285,7 @@ object Sf1Stress {
       // cost is corpus-independent, the truth leg is the linear
       // evaluation scan
       def timeS36(dir: String, k: Int) = timed3 {
-        val base = graft.ops.Similarity.s36BaseOf(spark, dir)
+        val base = graft.ops.Similarity.labeledQuantized(spark, dir)
         graft.ops.Similarity.s36From(base, graft.ops.Similarity
           .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
       }
@@ -306,6 +306,19 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS37(sf1, 80)
       println(f"[sf1-stress] s37_graph_quant (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s37_graph_quant_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the assembled serving path at production shape: one build
+      // (the knob), then corpus-independent filtered+compressed
+      // serving with the bounded rerank fetch
+      def timeS38(dir: String, k: Int) = timed3 {
+        val base = graft.ops.Similarity.serveBaseOf(spark, dir)
+        graft.ops.Similarity.s38From(base, graft.ops.Similarity
+          .collectCents(graft.ops.Similarity.trainCodebook(base, iters = 2, k = k))).count()
+      }
+      val (f01, t01, n01) = timeS38(sf01, 8)
+      val (f1, t1, n1) = timeS38(sf1, 80)
+      println(f"[sf1-stress] s38_graph_serve (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s38_graph_serve_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""

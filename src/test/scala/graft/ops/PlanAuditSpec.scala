@@ -1429,4 +1429,29 @@ class PlanAuditSpec extends AnyFunSuite {
       h.contains("qvf") || h.contains("nbr_q8")),
       "codes and vectors must never ride an exchange key")
   }
+
+  test("s38: the assembled serving plan is the union of its members' contracts") {
+    // Filter + compression + rerank in one plan must add NO contract
+    // surface beyond s36/s37's: at most one unkeyed join (the 5-query
+    // broadcast truth scan), shuffle joins on ids only, exchanges on
+    // qid/vec_id, codes and vectors never keys.
+    val plan = Similarity.queries("s38_graph_serve")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), "no unbounded pair explosion")
+    assert(plan.linesIterator.count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*")) <= 1,
+      "at most one unkeyed join: the truth evaluation scan")
+    shuffleJoinKeys(plan).foreach { l =>
+      assert(l.contains("vec_id#") || l.contains("qid#"),
+        s"a shuffle join must key on an id: $l")
+    }
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the selection windows must appear")
+    assert(hashes.forall(l => l.contains("hashpartitioning(qid") ||
+      l.contains("hashpartitioning(vec_id")),
+      s"every exchange must lead with qid/vec_id:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("q8") || h.contains("qq8") ||
+      h.contains("qvf") || h.contains("nbr_q8")),
+      "codes and vectors must never ride an exchange key")
+  }
 }

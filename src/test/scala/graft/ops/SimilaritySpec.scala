@@ -1444,8 +1444,8 @@ class SimilaritySpec extends AnyFunSuite {
     })
     // the ACORN claim this gate exists to demonstrate: routing THROUGH
     // non-matching nodes recovers recall that matching-only visibility
-    // loses to subgraph fragmentation (measured 17-19 vs 3-5 hits of
-    // 25 across sf0.001/0.01/0.1)
+    // loses to subgraph fragmentation (measured hits of 25 across
+    // sf0.001/0.01/0.1: routed 17/19/12 vs strict 4/5/3)
     def hits(m: String) = byMode(m).map(_.getAs[Int]("hit")).sum
     assert(hits("routed") > hits("strict"),
       s"routed=${hits("routed")} must beat strict=${hits("strict")}")
@@ -1480,5 +1480,30 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = rows.count(r =>
       exact((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))))
     assert(hits >= 25, s"recall@10 too low: $hits/50")
+  }
+
+  test("s38: the assembled serving path — filtered, compressed, rescored — still serves its predicate") {
+    val rows = Similarity.queries("s38_graph_serve")(spark, sf).collect()
+    assert(rows.length == 25) // 5 queries x FilteredK
+    val labels = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      // predicate correctness through the whole stack
+      assert(labels(r.getAs[Long]("vec_id")) == r.getAs[Int]("qlabel"))
+      // hop scores stayed in the int8 range
+      assert(math.abs(r.getAs[Long]("dot8")) <= 64L * 127 * 127)
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length))
+      // final order is the exact rerank, not the quantized walk order
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // the composition must not lose the filter's recall story:
+    // measured 16/25 (sf0.001) and 19/25 (sf0.01) — comparable to
+    // s36's routed policy despite int8 traversal
+    val hits = rows.map(_.getAs[Int]("hit")).sum
+    assert(hits >= 10, s"assembled-path recall too low: $hits/25")
   }
 }
