@@ -77,8 +77,24 @@ object Sf1Stress {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$to/documents.parquet")
     embs.crossJoin(copies)
-      .select(Seq((col("vec_id") + col("copy") * nEmbs).as("vec_id")) ++
-        embs.columns.filterNot(_ == "vec_id").map(col): _*)
+      .select(Seq((col("vec_id") + col("copy") * nEmbs).as("vec_id"),
+        // replicas are coordinate-ROTATED (copy k reads dims shifted
+        // by 7k mod 64) — norm- and distribution-preserving, copy 0
+        // keeps the original bits, and the ten copies of a vector are
+        // mutually decorrelated: ten realistic shards, which is what
+        // a 10× embedding corpus looks like. EXACT (or jittered)
+        // clones instead degenerate every derived kNN graph into
+        // disjoint same-vector 10-cliques — 9 near-copies saturate a
+        // degree-8 adjacency at cos ≈ 1 — so graph walks can never
+        // leave their entry cliques (measured: visited sets collapse
+        // to entry + copies and the filtered serving gates return
+        // zero rows). The near-duplicate-field realism the dedup
+        // family needs stays on the DOCUMENTS side (suffix tokens).
+        expr("transform(sequence(0, 63), i -> " +
+          "element_at(embedding, CAST((i + copy * 7) % 64 AS INT) + 1))")
+          .as("embedding")) ++
+        embs.columns.filterNot(c => c == "vec_id" || c == "embedding")
+          .map(col): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$to/embeddings.parquet")
     // events: 10× the change feed over the SAME key space — each copy

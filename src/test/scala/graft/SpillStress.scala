@@ -62,7 +62,12 @@ object SpillStress {
     "q54_pagerank" -> "sf1",
     "q59_pagerank_maint" -> "sf1",
     "d7_dup_clusters" -> "sf1",
-    "t34_ppl_buckets" -> "sf1")
+    "t34_ppl_buckets" -> "sf1",
+    // round-18 continuation: the new graph serving gates — their
+    // in-gate standing-graph builds are the widest states they own
+    "s36_graph_filtered" -> "sf1",
+    "s37_graph_quant" -> "sf1",
+    "s38_graph_serve" -> "sf1")
 
   private val ExpectedPath = "target/tmp/spill_expected.json"
 
