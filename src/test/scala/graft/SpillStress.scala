@@ -75,13 +75,15 @@ object SpillStress {
     import org.apache.spark.sql.functions._
     val record = sys.env.contains("SPARK_GRAFT_SPILL_RECORD")
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    // 0.1 is the measured floor for this query set: at 0.05 q54's
+    // 0.15 is the measured floor for this query set: at 0.05 q54's
     // pair-distinct cannot acquire even its first aggregation page
-    // (AGGREGATE_OUT_OF_MEMORY) — the starvation floor is the hash
-    // agg's minimum page budget, not the data volume. At 0.1 the
-    // wide-state queries still spill tens of GiB.
+    // (AGGREGATE_OUT_OF_MEMORY), and at 0.1 the round-18 graph
+    // serving gates hit the same wall in their walk folds — the
+    // starvation floor is the hash agg's minimum page budget, not
+    // the data volume. At 0.15 the wide-state queries still spill
+    // tens of GiB.
     val frac = if (record) "0.6"
-      else sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.1")
+      else sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.15")
     // storageFraction drops with the pool: the gates pin reused frames
     // via localCheckpoint, and at fraction 0.05 the default 0.5
     // PROTECTED storage half starves execution below its minimum page
@@ -91,6 +93,15 @@ object SpillStress {
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.memory.fraction", frac)
       .config("spark.memory.storageFraction", if (record) "0.5" else "0.1")
+      // starved mode shrinks the page unit too: the OOM floor is the
+      // MINIMUM PAGE a consumer must acquire before it can spill —
+      // a stage chaining several consumers per task (the s36 serving
+      // build: agg + window sort + broadcast build) exceeds the
+      // default page budget at 8 tasks even though every consumer
+      // spills fine once it holds a page. Spark sizes pages down
+      // automatically on small executors; this pins the same
+      // behavior under the artificially starved pool.
+      .config("spark.buffer.pageSize", if (record) "64m" else "2m")
       .appName(if (record) "spill-record" else "spill-stress").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // 100× sf0.1 documents for the three doc-aggregation queries
