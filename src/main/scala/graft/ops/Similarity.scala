@@ -3161,7 +3161,8 @@ object Similarity {
       score: (String, String) => Column =
         (a, b) => VectorFunctions.cosine_similarity(col(a), col(b)),
       corpusVec: String = "q", qVec: String = "qv",
-      nbrVec: String = "nbr_q", nbrPred: Option[Column] = None): DataFrame = {
+      nbrVec: String = "nbr_q", nbrPred: Option[Column] = None,
+      beam: Int = GraphBeam): DataFrame = {
     val qs = qs0.localCheckpoint(true) // query-batch-sized, read once per hop
     // entry points: the query's top-2 trained cells, each represented
     // by its min-id member (control-plane: ≤ queries × nprobe rows).
@@ -3190,7 +3191,7 @@ object Similarity {
     // frontier and the union), and the cut rides the next hop's job
     var cand = cand0.localCheckpoint(false)
     (1 to hops).foreach { _ =>
-      cand = s28Hop(edges, qs, cand, scoreCol, score, nbrVec, qVec, nbrPred)
+      cand = s28Hop(edges, qs, cand, scoreCol, score, nbrVec, qVec, nbrPred, beam)
         .localCheckpoint(false)
     }
     cand
@@ -3213,11 +3214,11 @@ object Similarity {
       score: (String, String) => Column =
         (a, b) => VectorFunctions.cosine_similarity(col(a), col(b)),
       nbrVec: String = "nbr_q", qVec: String = "qv",
-      nbrPred: Option[Column] = None): DataFrame = {
+      nbrPred: Option[Column] = None, beam: Int = GraphBeam): DataFrame = {
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("vec_id"))
     val frontier = cand
-      .withColumn("br", row_number().over(wBeam)).filter(col("br") <= GraphBeam)
+      .withColumn("br", row_number().over(wBeam)).filter(col("br") <= beam)
       .select(col("qid"), col("vec_id").as("src"))
     val expanded = edges
       .join(broadcast(frontier), Seq("src"))
@@ -3251,14 +3252,15 @@ object Similarity {
       scoreSel: (String, String) => String = (n, q) =>
         s"list_cosine_similarity($n::DOUBLE[], $q.q::DOUBLE[])",
       nbrVec: String = "nbr_q",
-      extraJoin: String = "", gedgePred: String = ""): String =
+      extraJoin: String = "", gedgePred: String = "",
+      beam: Int = GraphBeam): String =
     (1 to hops).map { k =>
       s"""f$k$sfx AS (
          |  SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id,
          |           row_number() OVER (PARTITION BY qid
          |             ORDER BY $scoreCol DESC, vec_id) AS br
-         |    FROM w${k - 1}$sfx) WHERE br <= $GraphBeam),
+         |    FROM w${k - 1}$sfx) WHERE br <= $beam),
          |w$k$sfx AS MATERIALIZED (
          |  SELECT qid, vec_id, max($scoreCol) AS $scoreCol FROM (
          |    SELECT qid, vec_id, $scoreCol FROM w${k - 1}$sfx
@@ -3866,12 +3868,19 @@ object Similarity {
     * would win the resolve still pointing at the dead set. One
     * src-keyed exchange (the version fold); the tombstone joins
     * broadcast. Callers pin the result per use.
+    *
+    * `valueCols` selects which stored value columns ride the resolve —
+    * maintenance reads the default (`nbr_q`, `cos`) full-precision
+    * basis, the s39 serving path reads ONLY `nbr_q8` (parquet column
+    * pruning: each path pays for just its own bytes, the DiskANN
+    * hot/cold split expressed as a projection).
     */
-  private[graft] def graphLiveEdges(s: SparkSession, idxDir: String): DataFrame = {
+  private[graft] def graphLiveEdges(s: SparkSession, idxDir: String,
+      valueCols: Seq[String] = Seq("nbr_q", "cos")): DataFrame = {
     val e = s.read.parquet(s"$idxDir/edges")
     val r = e.join(e.groupBy(col("src")).agg(max(col("ver")).as("ver")),
       Seq("src", "ver"))
-      .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+      .select((Seq("src", "nbr_id") ++ valueCols).map(col): _*)
     if (!new java.io.File(s"$idxDir/tombs").isDirectory) r
     else {
       val t = s.read.parquet(s"$idxDir/tombs")
@@ -4328,6 +4337,15 @@ object Similarity {
         expr("transform(q, (x, i) -> x + CAST(IF(i = 1, j, 0) AS DOUBLE))").as("q"))
   }
 
+  /** Last s35 run's q0-reaches-a-burst-copy outcome — the rank-1
+    * check relaxes from require() to a report at off-shape k (recall
+    * vs fixed serving knobs, see the s35 doc), and this field is the
+    * machine-checkable trace of that report: the stress harness
+    * records it in its emitted JSON instead of trusting a stdout line
+    * nothing collects.
+    */
+  @volatile private[graft] var s35LastQ0BurstRank1: Option[Boolean] = None
+
   /** Split rounds: enough to fold a pile 2^8 = 256× past the bound
     * back under it. The oracle unrolls all 8 unconditionally (a round
     * with no over-bound group passes everything through — a no-op);
@@ -4491,6 +4509,7 @@ object Similarity {
     // is reported, not required.
     val q0top = s1.filter(col("src") === 0 && col("rnk") === 1)
       .head.getAs[Long]("nbr_id")
+    s35LastQ0BurstRank1 = Some(q0top >= 10000000L)
     if (cents.length <= 8)
       require(q0top >= 10000000L,
         s"query 0's rank-1 after rebalance is $q0top, not a burst copy")
@@ -5049,11 +5068,13 @@ object Similarity {
     * arithmetic. Needs `w0$sfx(qid, vec_id, dot8)`,
     * `$gedge8(src, nbr, nbr_q8)` and `qv8(qid, q8)` in scope.
     */
-  private def quantHopOracleCtes(sfx: String, gedge8: String): String =
+  private def quantHopOracleCtes(sfx: String, gedge8: String,
+      beam: Int = GraphBeam): String =
     graphHopOracleCtes(sfx, gedge8, "qv8",
       scoreCol = "dot8",
       scoreSel = (n, q) => s"CAST(list_sum(list_transform(generate_series(1, 64), i -> $n[i] * $q.q8[i])) AS BIGINT)",
-      nbrVec = "nbr_q8")
+      nbrVec = "nbr_q8",
+      beam = beam)
 
   private val s37Oracle: String =
     s"""WITH base AS (
@@ -5263,7 +5284,518 @@ object Similarity {
        |WHERE r.rnk <= $FilteredK
        |ORDER BY r.qid, r.rnk""".stripMargin
 
+  // ---- s39: the assembled serving path FROM THE STORED INDEX --------------
+
+  /** Bootstrap the stored SERVE index at `idxDir` unless present —
+    * s33/s34's bootstrap extended with the serving layout: the node
+    * table keeps label + full-precision vector + build basis + int8
+    * codes, and the versioned edge table persists the int8 codes
+    * BESIDE the adjacency (`nbr_q8` next to the maintenance basis
+    * `nbr_q`/`cos` — DiskANN's on-disk layout: compressed codes hot
+    * with the topology, full precision cold in the node table; parquet
+    * column pruning means the serve path reads only `src`, `nbr_id`,
+    * `nbr_q8` while maintenance reads only its own columns). Codes are
+    * stored at the BIGINT width the hop arithmetic needs; their values
+    * are int8 (−127..127), which parquet bit-packs to near-byte width
+    * on disk. Returns the collected codebook.
+    */
+  private[graft] def graphBootstrapServe(s: SparkSession, d: String,
+      idxDir: String, k: Int): Array[(Long, Seq[Double], Long)] = {
+    val nodesPath = s"$idxDir/nodes"
+    val cbPath = s"$idxDir/codebook"
+    if (!new java.io.File(nodesPath).isDirectory) {
+      val base = serveBaseOf(s, d)
+      saveCodebook(trainCodebook(base, iters = 2, k = k), cbPath)
+      val cents0 = collectCents(loadCodebook(s, cbPath))
+      val corpus = base.filter(col("vec_id") >= 5)
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("q8", expr(absmaxQ8Sql("v", "amax", "transform", "BIGINT")))
+        .select(col("vec_id"), col("label"), col("v"), col("q"), col("q8"))
+        .localCheckpoint(true)
+      corpus.write.mode("overwrite").parquet(nodesPath)
+      // label-blind full-precision topology (s19/s36's stance: one
+      // graph serves every predicate), codes attached beside it
+      knnEdges(corpus.select(col("vec_id"), col("q")), cents0, GraphDegree)
+        .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+        .join(corpus.select(col("vec_id").as("nbr_id"), col("q8").as("nbr_q8")),
+          Seq("nbr_id"))
+        .select(col("src"), col("nbr_id"), col("nbr_q"), col("nbr_q8"), col("cos"))
+        .withColumn("ver", lit(0L))
+        .write.mode("overwrite").parquet(s"$idxDir/edges")
+    }
+    collectCents(loadCodebook(s, cbPath))
+  }
+
+  /** One serve of the s38 configuration from the stored index: ONE
+    * [[graphLiveEdges]] resolve (max-version fold + broadcast
+    * tombstone masks) projected to the serving columns, the audited
+    * walk on int8 hop arithmetic, the routed predicate at candidate
+    * selection, the bounded full-precision fetch from the live node
+    * table, the exact rerank, and per-row `hit` flags against exact
+    * filtered ground truth over the LIVE corpus.
+    */
+  private[graft] def s39ServePass(s: SparkSession, idxDir: String, qs: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val nodes = graphLiveNodes(s, idxDir).localCheckpoint(true)
+    val edges8 = graphLiveEdges(s, idxDir, Seq("nbr_q8")).localCheckpoint(true)
+    def dot8(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    val cand = graphWalk(nodes, edges8,
+      qs.select(col("qid"), col("qv"), col("qq8")), cents,
+      scoreCol = "dot8", score = dot8,
+      corpusVec = "q8", qVec = "qq8", nbrVec = "nbr_q8")
+    val wFetch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot8").desc, col("vec_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = nodes
+      .join(broadcast(qs))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("v"), col("qvf")).as("tcos"))
+      .withColumn("trk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("qid")).orderBy(col("tcos").desc, col("vec_id"))))
+      .filter(col("trk") <= FilteredK)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    cand
+      .join(nodes.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .filter(col("label") === col("qlabel"))
+      .withColumn("crk", row_number().over(wFetch))
+      .filter(col("crk") <= QuantFetch)
+      .join(nodes.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(qs.select(col("qid"), col("qvf"))), Seq("qid"))
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("qvf"), col("v")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= FilteredK)
+      .join(truth, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("dot8"),
+        col("cos"), col("rnk"), coalesce(col("hit"), lit(0)).as("hit"))
+  }
+
+  /** The round-18 verdict's missing weld: a production vector store
+    * serves s38's configuration — routed predicate + compressed hops
+    * + exact rerank — FROM the maintained on-disk index, not from an
+    * in-gate build. This gate drives exactly that lifecycle against
+    * s33/s34's storage layout: bootstrap the stored serve index
+    * ([[graphBootstrapServe]] — int8 codes persisted beside the
+    * versioned adjacency), SERVE (phase 0), then a delete batch
+    * lands s34-style (the served rank-1 ids — the unfakeable flip —
+    * plus the [[GraphDeleteMod]] modulus slice; tombstones append
+    * FIRST, then the [[graphDeleteCore]] repair layer under a bumped
+    * version, codes re-attached from the node table), and SERVE
+    * again (phase 1) — the same one-resolve read path now masking
+    * tombstoned sources/targets and folding the repair layer, with a
+    * require() that no dead id surfaces. Delivery/idempotency
+    * mechanics are s33/s34's gated territory; this gate's claim is
+    * the serving weld.
+    *
+    * Scale shape: the serve path reads `src`/`nbr_id`/`nbr_q8` ONLY
+    * (column-pruned resolve — one src-keyed version fold, tombstone
+    * masks broadcast), hops are broadcast joins of the frontier
+    * against that pinned resolve, the fetch is one id-keyed
+    * queries×[[QuantFetch]]-row join against the node table, and the
+    * delete tail is s34's (delta-sized tombstones broadcast,
+    * degree²-bounded repair). Nothing new shuffles; the composition
+    * is the point.
+    *
+    * Determinism: s37's integer hop dots + s36's exact label
+    * equality + one IEEE cosine per fetched candidate, vec_id
+    * tie-breaks throughout — the oracle replays both phases
+    * hop-for-hop including the delete tail.
+    */
+  private def s39GraphServeStored(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s39-idx-")
+    try s39WithDir(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  /** The serve-path query frame (qid, qv, qq8, qvf, qlabel) — shared
+    * by the gate, the spec and the k-scaled stress harness.
+    */
+  private[graft] def s39QueriesOf(s: SparkSession, d: String): DataFrame =
+    serveBaseOf(s, d).filter(col("vec_id") < 5)
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q8", expr(absmaxQ8Sql("v", "amax", "transform", "BIGINT")))
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("q8").as("qq8"),
+        col("v").as("qvf"), col("label").as("qlabel"))
+
+  private[graft] def s39WithDir(s: SparkSession, d: String, idxDir: String,
+      k: Int = 8): DataFrame = {
+    val cents = graphBootstrapServe(s, d, idxDir, k)
+    val qs = s39QueriesOf(s, d).localCheckpoint(true)
+    val srv0 = s39ServePass(s, idxDir, qs, cents).localCheckpoint(true)
+    // the delete batch: what the index just SERVED (rank-1 per query)
+    // plus the modulus slice — delete-batch-sized control plane
+    val top1 = srv0.filter(col("rnk") === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val modIds = s.read.parquet(s"$idxDir/nodes")
+      .filter(col("vec_id") % GraphDeleteMod === GraphDeleteRem)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val deadIds = (top1 ++ modIds).distinct.sorted.toSeq
+    import s.implicits._
+    val dead = deadIds.toDF("dead_id").localCheckpoint(true)
+    // repair computed against the PRE-delete stored state and pinned
+    // BEFORE the tombstones land (s34's crash ordering: the tombstone
+    // table is the correctness layer, the repair only restores degree)
+    val nodes0 = graphLiveNodes(s, idxDir).localCheckpoint(true)
+    val repaired = graphDeleteCore(nodes0.select(col("vec_id"), col("q")),
+      graphLiveEdges(s, idxDir).localCheckpoint(true), dead)
+      .localCheckpoint(true)
+    dead.write.mode("append").parquet(s"$idxDir/tombs")
+    // MOR rewrite of the touched adjacency only — maintenance basis
+    // AND serving codes re-attached from the node table (broadcast)
+    val ver1 = s.read.parquet(s"$idxDir/edges")
+      .agg(max(col("ver"))).head.getLong(0) + 1
+    nodes0.select(col("vec_id").as("nbr_id"), col("q").as("nbr_q"),
+        col("q8").as("nbr_q8"))
+      .join(broadcast(repaired.drop("rnk")), Seq("nbr_id"))
+      .select(col("src"), col("nbr_id"), col("nbr_q"), col("nbr_q8"), col("cos"))
+      .withColumn("ver", lit(ver1))
+      .write.mode("append").parquet(s"$idxDir/edges")
+    val srv1 = s39ServePass(s, idxDir, qs, cents).localCheckpoint(true)
+    val deadSet = deadIds.toSet
+    require(srv1.select(col("vec_id")).collect().forall(r => !deadSet(r.getLong(0))),
+      "stored serve after delete surfaced a tombstoned id")
+    srv0.withColumn("phase", lit(0))
+      .unionByName(srv1.withColumn("phase", lit(1)))
+      .select(col("phase"), col("qid"), col("qlabel"), col("vec_id"),
+        col("dot8"), col("cos"), col("rnk"), col("hit"))
+      .orderBy("phase", "qid", "rnk")
+  }
+
+  private val s39Oracle: String = {
+    def fetchCte(name: String, walk: String): String =
+      s"""$name AS (
+         |  SELECT qid, qlabel, vec_id, dot8 FROM (
+         |    SELECT w.qid, l.qlabel, w.vec_id, w.dot8,
+         |           row_number() OVER (PARTITION BY w.qid
+         |             ORDER BY w.dot8 DESC, w.vec_id) AS crk
+         |    FROM $walk w
+         |    JOIN base c ON c.vec_id = w.vec_id
+         |    JOIN qlab l ON l.qid = w.qid AND c.label = l.qlabel)
+         |  WHERE crk <= $QuantFetch)""".stripMargin
+    def serveCte(name: String, fetch: String, truth: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT r.qid, r.qlabel, r.vec_id, r.dot8, r.cos, r.rnk,
+         |         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM (
+         |    SELECT f.qid, f.qlabel, f.vec_id, f.dot8,
+         |           list_cosine_similarity(qvf.v, b.v) AS cos,
+         |           row_number() OVER (PARTITION BY f.qid
+         |             ORDER BY list_cosine_similarity(qvf.v, b.v) DESC, f.vec_id) AS rnk
+         |    FROM $fetch f
+         |    JOIN base b ON b.vec_id = f.vec_id
+         |    JOIN qvf ON qvf.qid = f.qid) r
+         |  LEFT JOIN $truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+         |  WHERE r.rnk <= $FilteredK)""".stripMargin
+    def truthCte(name: String, extraPred: String): String =
+      s"""$name AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT l.qid, c.vec_id,
+         |           row_number() OVER (PARTITION BY l.qid
+         |             ORDER BY list_cosine_similarity(c.v, qvf.v) DESC,
+         |                      c.vec_id) AS trk
+         |    FROM base c
+         |    JOIN qlab l ON c.label = l.qlabel AND c.vec_id >= 5$extraPred
+         |    JOIN qvf ON qvf.qid = l.qid)
+         |  WHERE trk <= $FilteredK)""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |corp AS MATERIALIZED (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |quant8 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         ${absmaxQ8Sql("v", "amax", "list_transform", "BIGINT")} AS q8
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+       |        FROM base)),
+       |gedge8_0 AS MATERIALIZED (
+       |  SELECT e.src, e.nbr, qt.q8 AS nbr_q8
+       |  FROM gedge e JOIN quant8 qt ON qt.vec_id = e.nbr),
+       |qv8 AS (SELECT vec_id AS qid, q8 FROM quant8 WHERE vec_id < 5),
+       |qvf AS (SELECT vec_id AS qid, v FROM base WHERE vec_id < 5),
+       |qlab AS (SELECT vec_id AS qid, label AS qlabel FROM base WHERE vec_id < 5),
+       |cm0 AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |w0_p0 AS (
+       |  SELECT e.qid, e.vec_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> qt.q8[i] * q8.q8[i])) AS BIGINT) AS dot8
+       |  FROM (SELECT DISTINCT p.qid, m.vec_id
+       |        FROM probes p JOIN cm0 m ON m.cid = p.cid) e
+       |  JOIN quant8 qt ON qt.vec_id = e.vec_id
+       |  JOIN qv8 q8 ON q8.qid = e.qid),
+       |${quantHopOracleCtes("_p0", "gedge8_0")},
+       |${fetchCte("cfet0", s"w${GraphHops}_p0")},
+       |${truthCte("truth0", "")},
+       |${serveCte("srv0", "cfet0", "truth0")},
+       |dead AS MATERIALIZED (
+       |  SELECT vec_id AS dead_id FROM srv0 WHERE rnk = 1
+       |  UNION
+       |  SELECT vec_id FROM corp WHERE vec_id % $GraphDeleteMod = $GraphDeleteRem),
+       |intodead AS (
+       |  SELECT e.src, e.nbr AS hub FROM gedge e
+       |  WHERE e.nbr IN (SELECT dead_id FROM dead)
+       |    AND e.src NOT IN (SELECT dead_id FROM dead)),
+       |outofdead AS (
+       |  SELECT e.src AS hub, e.nbr AS cand_id, e.nbr_q AS cand_q FROM gedge e
+       |  WHERE e.src IN (SELECT dead_id FROM dead)
+       |    AND e.nbr NOT IN (SELECT dead_id FROM dead)),
+       |candd AS (
+       |  SELECT c.src, c.cand_id AS nbr_id,
+       |         list_cosine_similarity(c.cand_q::DOUBLE[], b.q::DOUBLE[]) AS cos
+       |  FROM (SELECT DISTINCT i.src, o.cand_id, o.cand_q
+       |        FROM intodead i JOIN outofdead o USING (hub)
+       |        WHERE o.cand_id <> i.src) c
+       |  JOIN base b ON b.vec_id = c.src),
+       |aff AS (SELECT DISTINCT src FROM intodead),
+       |surv AS (
+       |  SELECT e.src, e.nbr AS nbr_id, e.cos FROM gedge e
+       |  WHERE e.src IN (SELECT src FROM aff)
+       |    AND e.nbr NOT IN (SELECT dead_id FROM dead)),
+       |repg AS MATERIALIZED (
+       |  SELECT src, nbr_id, cos, rnk FROM (
+       |    SELECT src, nbr_id, cos,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, nbr_id) AS rnk FROM (
+       |      SELECT src, nbr_id, max(cos) AS cos FROM (
+       |        SELECT src, nbr_id, cos FROM surv
+       |        UNION ALL
+       |        SELECT src, nbr_id, cos FROM candd)
+       |      GROUP BY src, nbr_id))
+       |  WHERE rnk <= $GraphDegree),
+       |g1_8 AS MATERIALIZED (
+       |  SELECT e.src, e.nbr, e.nbr_q8 FROM gedge8_0 e
+       |  WHERE e.src NOT IN (SELECT dead_id FROM dead)
+       |    AND e.src NOT IN (SELECT src FROM aff)
+       |  UNION ALL
+       |  SELECT r.src, r.nbr_id AS nbr, qt.q8 AS nbr_q8
+       |  FROM repg r JOIN quant8 qt ON qt.vec_id = r.nbr_id),
+       |cm1 AS (SELECT cid, min(vec_id) AS vec_id FROM corp
+       |        WHERE vec_id NOT IN (SELECT dead_id FROM dead) GROUP BY cid),
+       |w0_p1 AS (
+       |  SELECT e.qid, e.vec_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> qt.q8[i] * q8.q8[i])) AS BIGINT) AS dot8
+       |  FROM (SELECT DISTINCT p.qid, m.vec_id
+       |        FROM probes p JOIN cm1 m ON m.cid = p.cid) e
+       |  JOIN quant8 qt ON qt.vec_id = e.vec_id
+       |  JOIN qv8 q8 ON q8.qid = e.qid),
+       |${quantHopOracleCtes("_p1", "g1_8")},
+       |${fetchCte("cfet1", s"w${GraphHops}_p1")},
+       |${truthCte("truth1", "\n      AND c.vec_id NOT IN (SELECT dead_id FROM dead)")},
+       |${serveCte("srv1", "cfet1", "truth1")}
+       |SELECT phase, qid, CAST(qlabel AS INT) AS qlabel, vec_id, dot8, cos,
+       |       CAST(rnk AS INT) AS rnk, hit
+       |FROM (
+       |  SELECT 0 AS phase, qid, qlabel, vec_id, dot8, cos, rnk, hit FROM srv0
+       |  UNION ALL
+       |  SELECT 1, qid, qlabel, vec_id, dot8, cos, rnk, hit FROM srv1)
+       |ORDER BY phase, qid, rnk""".stripMargin
+  }
+
+  // ---- s40: graph serving recall-vs-cost sweep (beam × nprobe) -------------
+
+  /** The sweep grid: beam spans halving/doubling around the
+    * registered [[GraphBeam]] = 16, nprobe spans the s20 ladder.
+    */
+  private[ops] val SweepBeams = Seq(16, 32, 64)
+  private[ops] val SweepNprobes = Seq(1, 2, 4)
+
+  /** s20's recall-vs-cost sweep, for the GRAPH serving path — the
+    * tuning curve the round-18 verdict said the family lacked: the
+    * 10× measurement showed the assembled serving path (s38) at
+    * 14/25 recall under FIXED knobs (nprobe 2, beam 16), and a
+    * production store scales beam/nprobe with the corpus. This gate
+    * makes that decision a single oracle-checked result: the FULL
+    * s38 configuration (int8 hops, routed predicate at selection,
+    * bounded full-precision rerank) swept over beam ∈
+    * [[SweepBeams]] × nprobe ∈ [[SweepNprobes]], each point reporting
+    * `hits` (served rows in the exact filtered top-[[FilteredK]] —
+    * recall@k against one shared ground-truth leg, ≤ 25) and `cands`
+    * (the walk's final visited-set size — the serving cost the knobs
+    * buy recall with: hops × beam × degree edge reads per query).
+    *
+    * Scale shape: ONE standing build (graph + codes, pinned) serves
+    * all nine points; each point is the audited walk (broadcast-only
+    * hops, qid-keyed windows) plus the bounded fetch — so the sweep
+    * costs nine corpus-independent serves, exactly what lets a
+    * deployment re-derive its operating point after a corpus shift
+    * (the 10× harness runs this same sweep on the derivative; see
+    * PLANS.md round 19). Probe selection is 5 control-plane rows per
+    * point; the shared truth leg is the one evaluation scan.
+    *
+    * Determinism: s38's basis per point; the grid is static; the
+    * oracle unrolls all nine walks.
+    */
+  private[graft] def s40From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
+    val s = base.sparkSession
+    val coded = base.withColumn("amax",
+        expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q8", expr(absmaxQ8Sql("v", "amax", "transform", "BIGINT")))
+      .drop("amax")
+    val corpus = coded.filter(col("vec_id") >= 5).localCheckpoint(true)
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val qs = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("q8").as("qq8"), col("v").as("qvf"), col("label").as("qlabel"))
+      .localCheckpoint(true)
+    val edges8 = knnEdges(corpus.select(col("vec_id"), col("q")), cents, GraphDegree)
+      .select(col("src"), col("nbr_id"))
+      .join(corpus.select(col("vec_id").as("nbr_id"), col("q8").as("nbr_q8")),
+        Seq("nbr_id"))
+      .select(col("src"), col("nbr_id"), col("nbr_q8"))
+      .localCheckpoint(true)
+    val cellEntry = assignCellsFrom(corpus.select(col("vec_id"), col("q")), cents)
+      .groupBy("cid").agg(min(col("vec_id")).as("vec_id"))
+      .localCheckpoint(true)
+    def dot8(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    // ONE shared exact-filtered-truth leg (the evaluation scan)
+    val truthIds = corpus
+      .join(broadcast(qs))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("v"), col("qvf")).as("tcos"))
+      .withColumn("trk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("qid")).orderBy(col("tcos").desc, col("vec_id"))))
+      .filter(col("trk") <= FilteredK)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wFetch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot8").desc, col("vec_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val pts = for (b <- SweepBeams; np <- SweepNprobes) yield {
+      val entries = ivfProbesOf(qs.select(col("qid"), col("qv")), cents, np)
+        .join(broadcast(cellEntry), col("pcid") === col("cid"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val cand = graphWalk(corpus, edges8,
+        qs.select(col("qid"), col("qv"), col("qq8")), cents,
+        entries0 = Some(entries),
+        scoreCol = "dot8", score = dot8,
+        corpusVec = "q8", qVec = "qq8", nbrVec = "nbr_q8",
+        beam = b).localCheckpoint(true)
+      val served = cand
+        .join(labels, Seq("vec_id"))
+        .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+        .filter(col("label") === col("qlabel"))
+        .withColumn("crk", row_number().over(wFetch))
+        .filter(col("crk") <= QuantFetch)
+        .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .join(broadcast(qs.select(col("qid"), col("qvf"))), Seq("qid"))
+        .withColumn("cos", VectorFunctions.cosine_similarity(col("qvf"), col("v")))
+        .withColumn("rnk", row_number().over(wExact))
+        .filter(col("rnk") <= FilteredK)
+        .select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val hits = served.count(truthIds)
+      (b, np, hits.toLong, cand.count())
+    }
+    import s.implicits._
+    pts.toDF("beam", "nprobe", "hits", "cands").orderBy("beam", "nprobe")
+  }
+
+  private def s40ServeSweep(s: SparkSession, d: String): DataFrame = {
+    val base = serveBaseOf(s, d)
+    s40From(base, collectCents(trainCodebook(base, iters = 2)))
+  }
+
+  private val s40Oracle: String = {
+    val pointCtes = (for (b <- SweepBeams; np <- SweepNprobes) yield {
+      val sfx = s"_b${b}n$np"
+      s"""e$sfx AS (
+         |  SELECT DISTINCT p.qid, m.vec_id
+         |  FROM probesr p JOIN cmin m ON m.cid = p.cid
+         |  WHERE p.pr <= $np),
+         |w0$sfx AS (
+         |  SELECT e.qid, e.vec_id,
+         |         CAST(list_sum(list_transform(generate_series(1, 64),
+         |              i -> qt.q8[i] * q8.q8[i])) AS BIGINT) AS dot8
+         |  FROM e$sfx e
+         |  JOIN quant8 qt ON qt.vec_id = e.vec_id
+         |  JOIN qv8 q8 ON q8.qid = e.qid),
+         |${quantHopOracleCtes(sfx, "gedge8", beam = b)},
+         |srv$sfx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT f.qid, f.vec_id,
+         |           row_number() OVER (PARTITION BY f.qid
+         |             ORDER BY list_cosine_similarity(qvf.v, b2.v) DESC, f.vec_id) AS rnk
+         |    FROM (
+         |      SELECT qid, qlabel, vec_id, dot8 FROM (
+         |        SELECT w.qid, l.qlabel, w.vec_id, w.dot8,
+         |               row_number() OVER (PARTITION BY w.qid
+         |                 ORDER BY w.dot8 DESC, w.vec_id) AS crk
+         |        FROM w$GraphHops$sfx w
+         |        JOIN base c ON c.vec_id = w.vec_id
+         |        JOIN qlab l ON l.qid = w.qid AND c.label = l.qlabel)
+         |      WHERE crk <= $QuantFetch) f
+         |    JOIN base b2 ON b2.vec_id = f.vec_id
+         |    JOIN qvf ON qvf.qid = f.qid)
+         |  WHERE rnk <= $FilteredK),
+         |pt$sfx AS (
+         |  SELECT $b AS beam, $np AS nprobe,
+         |         (SELECT count(*) FROM srv$sfx s
+         |          JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id) AS hits,
+         |         (SELECT count(*) FROM w$GraphHops$sfx) AS cands)""".stripMargin
+    }).mkString(",\n")
+    val unionAll = (for (b <- SweepBeams; np <- SweepNprobes)
+      yield s"SELECT beam, nprobe, hits, cands FROM pt_b${b}n$np")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |corp AS MATERIALIZED (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |quant8 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         ${absmaxQ8Sql("v", "amax", "list_transform", "BIGINT")} AS q8
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+       |        FROM base)),
+       |gedge8 AS MATERIALIZED (
+       |  SELECT e.src, e.nbr, qt.q8 AS nbr_q8
+       |  FROM gedge e JOIN quant8 qt ON qt.vec_id = e.nbr),
+       |qv8 AS (SELECT vec_id AS qid, q8 FROM quant8 WHERE vec_id < 5),
+       |qvf AS (SELECT vec_id AS qid, v FROM base WHERE vec_id < 5),
+       |qlab AS (SELECT vec_id AS qid, label AS qlabel FROM base WHERE vec_id < 5),
+       |cmin AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |qscr AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base q, c2 c WHERE q.vec_id < 5),
+       |probesr AS (
+       |  SELECT qid, cid, pr FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qscr) WHERE pr <= ${SweepNprobes.max}),
+       |truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT l.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY l.qid
+       |             ORDER BY list_cosine_similarity(c.v, qvf.v) DESC,
+       |                      c.vec_id) AS trk
+       |    FROM base c
+       |    JOIN qlab l ON c.label = l.qlabel AND c.vec_id >= 5
+       |    JOIN qvf ON qvf.qid = l.qid)
+       |  WHERE trk <= $FilteredK),
+       |$pointCtes
+       |SELECT beam, nprobe, hits, cands FROM (
+       |  $unionAll)
+       |ORDER BY beam, nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s40_serve_sweep" -> (s40ServeSweep _),
+    "s39_graph_serve_stored" -> (s39GraphServeStored _),
     "s38_graph_serve" -> (s38GraphServe _),
     "s37_graph_quant" -> (s37GraphQuant _),
     "s36_graph_filtered" -> (s36GraphFiltered _),
@@ -5305,6 +5837,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s40_serve_sweep" -> s40Oracle,
+    "s39_graph_serve_stored" -> s39Oracle,
     "s38_graph_serve" -> s38Oracle,
     "s37_graph_quant" -> s37Oracle,
     "s36_graph_filtered" -> s36Oracle,

@@ -650,8 +650,13 @@ object Sketch {
     * Scale shape: ONE corpus exchange — the (token)-keyed count,
     * map-side combined (tokens explode at the scan; raw text never
     * shuffles); the shard rank runs over the already-aggregated key
-    * frame, the total re-derives from the counts (no second scan),
-    * and the output is 512 rows regardless of corpus size.
+    * frame, and the output is 512 rows regardless of corpus size.
+    * The total re-derives from the counts: in the logical plan `tot`
+    * duplicates the `cnts` subtree, and the single-scan property
+    * holds because AQE's runtime stage reuse dedupes the token-count
+    * shuffle (a ReusedExchange in the FINAL adaptive plan — asserted
+    * in PlanAuditSpec rather than claimed; the initial plan
+    * legitimately prints two scans).
     */
   private def sk9HeavyHitters(s: SparkSession, d: String): DataFrame = {
     val cnts = Tables.documents(s, d)

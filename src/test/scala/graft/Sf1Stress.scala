@@ -162,6 +162,17 @@ object Sf1Stress {
     // are flat — final assignment 0.37 s, pairwise phase 0.21 s.
     // Production trains once per index lifetime (s10's standing
     // codebook), so the training constant amortizes away.
+    // s35's off-shape rank-1 outcome per leg (None = not run): the
+    // relaxed burst-copy check's machine-checkable trace — lands in
+    // the JSON footer so an off-shape recall regression is a recorded
+    // boolean, not a stdout line nothing collects
+    var s35Burst01: Option[Boolean] = None
+    var s35Burst1: Option[Boolean] = None
+    // s40's sweep tables per leg (beam, nprobe, hits, cands): the 10×
+    // table is the knob-recovery evidence and lands in the JSON footer
+    var s40SweepLast: Array[(Int, Int, Long, Long)] = Array.empty
+    var s40Sweep01: Array[(Int, Int, Long, Long)] = Array.empty
+    var s40Sweep1: Array[(Int, Int, Long, Long)] = Array.empty
     def timeD11(dir: String, k: Int): (Double, Double, Long) = timed3 {
       val base = graft.ops.Dedup.d11Base(spark, dir)
       val assigned = graft.ops.Similarity
@@ -292,7 +303,9 @@ object Sf1Stress {
         graft.ops.Similarity.s35WithK(spark, dir, k).count()
       }
       val (f01, t01, n01) = timeS35(sf01, 8)
+      s35Burst01 = graft.ops.Similarity.s35LastQ0BurstRank1
       val (f1, t1, n1) = timeS35(sf1, 80)
+      s35Burst1 = graft.ops.Similarity.s35LastQ0BurstRank1
       println(f"[sf1-stress] s35_graph_rebalance (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s35_graph_rebalance_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     } :+ {
@@ -335,10 +348,76 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS38(sf1, 80)
       println(f"[sf1-stress] s38_graph_serve (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s38_graph_serve_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // stored serving at production shape: fresh index dir per rep
+      // (the bootstrap build carries the knob, s33/s34's stance), then
+      // serve -> delete tail -> masked serve
+      def timeS39(dir: String, k: Int) = timed3 {
+        val idx = java.nio.file.Files.createTempDirectory("graft-s39-k-")
+        try graft.ops.Similarity.s39WithDir(spark, dir, idx.toString, k).count()
+        finally graft.Fs.deleteRecursively(idx)
+      }
+      val (f01, t01, n01) = timeS39(sf01, 8)
+      val (f1, t1, n1) = timeS39(sf1, 80)
+      println(f"[sf1-stress] s39_graph_serve_stored (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s39_graph_serve_stored_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // SERVE-ONLY at production shape: the stored index prebuilds
+      // ONCE per dir OUTSIDE the timer, so this row prices exactly the
+      // serving read path (pruned masked resolve + int8 walk + fetch +
+      // rerank + the truth-evaluation scan) — the de-confounded number
+      // the build-inclusive gate rows can't show
+      def timeS39Serve(dir: String, k: Int) = {
+        val idx = java.nio.file.Files.createTempDirectory("graft-s39-serve-")
+        try {
+          val cents = graft.ops.Similarity.graphBootstrapServe(
+            spark, dir, idx.toString, k)
+          val qs = graft.ops.Similarity.s39QueriesOf(spark, dir)
+            .localCheckpoint(true)
+          timed3(graft.ops.Similarity
+            .s39ServePass(spark, idx.toString, qs, cents).count())
+        } finally graft.Fs.deleteRecursively(idx)
+      }
+      val (f01, t01, n01) = timeS39Serve(sf01, 8)
+      val (f1, t1, n1) = timeS39Serve(sf1, 80)
+      println(f"[sf1-stress] s39_serve_only (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s39_serve_only_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the serving sweep at production shape; the 10x sweep TABLE is
+      // the deliverable (which beam/nprobe recovers registered recall
+      // on the bigger corpus) — captured from the timed reps and
+      // emitted into the JSON footer
+      def runS40(dir: String, k: Int) = {
+        val base = graft.ops.Similarity.serveBaseOf(spark, dir)
+        graft.ops.Similarity.s40From(base, graft.ops.Similarity.collectCents(
+          graft.ops.Similarity.trainCodebook(base, iters = 2, k = k)))
+      }
+      def timeS40(dir: String, k: Int) = timed3 {
+        val rows = runS40(dir, k).collect()
+        s40SweepLast = rows.map(r => (r.getInt(0), r.getInt(1),
+          r.getLong(2), r.getLong(3)))
+        rows.length.toLong
+      }
+      val (f01, t01, n01) = timeS40(sf01, 8)
+      s40Sweep01 = s40SweepLast
+      val (f1, t1, n1) = timeS40(sf1, 80)
+      s40Sweep1 = s40SweepLast
+      s40Sweep1.foreach { case (b, np, hits, cands) =>
+        println(s"[sf1-stress] s40 sweep sf1: beam=$b nprobe=$np hits=$hits/25 cands=$cands")
+      }
+      println(f"[sf1-stress] s40_serve_sweep (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s40_serve_sweep_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
+    def sweepJson(t: Array[(Int, Int, Long, Long)]): String =
+      t.map { case (b, np, h, c) =>
+        s"""{"beam": $b, "nprobe": $np, "hits": $h, "cands": $c}""" }
+        .mkString("[", ", ", "]")
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
-    }.mkString("{\n", ",\n", s""",\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "errors": 0\n}\n""")
+    }.mkString("{\n", ",\n",
+      s""",\n  "s35_q0_burst_rank1": {"sf0_1": ${s35Burst01.map(_.toString).getOrElse("null")}, "sf1": ${s35Burst1.map(_.toString).getOrElse("null")}},""" +
+      s"""\n  "s40_sweep": {"sf0_1": ${sweepJson(s40Sweep01)}, "sf1": ${sweepJson(s40Sweep1)}},""" +
+      s"""\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "errors": 0\n}\n""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_sf1_spot.json"), json.getBytes("UTF-8"))
     spark.stop()

@@ -67,9 +67,50 @@ object SpillStress {
     // in-gate standing-graph builds are the widest states they own
     "s36_graph_filtered" -> "sf1",
     "s37_graph_quant" -> "sf1",
-    "s38_graph_serve" -> "sf1")
+    "s38_graph_serve" -> "sf1",
+    // round-19: tail-only stored-graph rows. The build-inclusive graph
+    // gates above all report near-identical spill because their
+    // dominant spiller IS the same deterministic in-gate knnEdges
+    // build (the per-query counters reset — see the run loop — so
+    // identical bytes mean identical work, not a stale accumulator);
+    // that attests the build five times and the maintenance tails
+    // zero. These rows run s33's ingest and s34's delete+fold against
+    // a RECORD-mode PREBUILT stored index (copied fresh per run — the
+    // gates mutate it), so their spill prices ONLY the walk +
+    // ingest/repair/fold path under starvation.
+    "s33_ingest_tail" -> "sf1",
+    "s34_delete_tail" -> "sf1")
 
   private val ExpectedPath = "target/tmp/spill_expected.json"
+
+  /** The unstarved prebuilt stored graph the tail rows re-enter
+    * (RECORD mode builds it; STARVED mode only copies it).
+    */
+  private val PrebuiltIdx = "target/tmp/spill-graph-idx"
+
+  private def copyRecursively(from: java.nio.file.Path,
+      to: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(from).forEach { p =>
+      val dst = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(dst); ()
+      } else {
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(p, dst)
+        ()
+      }
+    }
+  }
+
+  /** Run `f` against a fresh copy of the prebuilt index. */
+  private def withIdxCopy(f: String => Long): Long = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spill-idx-")
+    try {
+      java.nio.file.Files.delete(tmp) // copy wants to create it
+      copyRecursively(java.nio.file.Paths.get(PrebuiltIdx), tmp)
+      f(tmp.toString)
+    } finally graft.Fs.deleteRecursively(tmp)
+  }
 
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
@@ -81,7 +122,11 @@ object SpillStress {
     // serving gates hit the same wall in their walk folds — the
     // starvation floor is the hash agg's minimum page budget, not
     // the data volume. At 0.15 the wide-state queries still spill
-    // tens of GiB.
+    // tens of GiB. NOTE: fraction and pageSize moved together in
+    // round 18 (0.1/64m -> 0.15/2m) and the floor claim is for the
+    // PAIR — the whole set was re-run green under 0.15/2m, and the
+    // old 0.1 floor was measured under the default page size, so the
+    // two records are not directly comparable knob-for-knob.
     val frac = if (record) "0.6"
       else sys.env.getOrElse("SPARK_GRAFT_MEMFRAC", "0.15")
     // storageFraction drops with the pool: the gates pin reused frames
@@ -127,6 +172,28 @@ object SpillStress {
       Sf1Full.buildRest(spark, "/root/testdata/sf0.1", sf1Dir)
     }
     val dirs = Map("docs100" -> docsDir, "sf1" -> sf1Dir)
+    // the stored graph the tail-only rows re-enter: built UNSTARVED in
+    // RECORD mode (the whole point — the build's spill must not
+    // confound the tails'), required present in starved mode
+    if (record) {
+      if (!new java.io.File(s"$PrebuiltIdx/nodes").isDirectory) {
+        graft.ops.Similarity.graphBootstrapStored(spark, sf1Dir, PrebuiltIdx, 8)
+        ()
+      }
+    } else require(new java.io.File(s"$PrebuiltIdx/nodes").isDirectory,
+      s"no $PrebuiltIdx — run the RECORD pass first (it prebuilds the stored graph)")
+    // tail-only rows dispatch outside the registry: the registered
+    // gates own their bootstrap; these re-enter the prebuilt state
+    def runQuery(q: String, corpus: String): Long = {
+      val dir = dirs(corpus)
+      q match {
+        case "s33_ingest_tail" =>
+          withIdxCopy(idx => graft.ops.Similarity.s33WithDir(spark, dir, idx).count())
+        case "s34_delete_tail" =>
+          withIdxCopy(idx => graft.ops.Similarity.s34WithDir(spark, dir, idx).count())
+        case _ => SparkEntry.queries(q)(spark, dir).count()
+      }
+    }
 
     val mem = new AtomicLong(0L)
     val disk = new AtomicLong(0L)
@@ -170,7 +237,7 @@ object SpillStress {
     val results = Queries.map { case (q, corpus) =>
       mem.set(0L); disk.set(0L); ends.set(0L)
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, dirs(corpus)).count()
+      val rows = runQuery(q, corpus)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       settle()

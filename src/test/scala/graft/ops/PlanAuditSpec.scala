@@ -105,6 +105,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial"), "partial aggregation must precede the shuffle")
   }
 
+  test("sk9: the total's count subtree rides exchange reuse — one corpus scan") {
+    // The sk9 doc commits to a single token-count exchange; `tot`
+    // duplicates the `cnts` subtree in the logical plan, so the claim
+    // holds only through exchange reuse deduping the shuffle — and
+    // under AQE that dedup is a RUNTIME stage decision (the initial
+    // plan legitimately shows two scans), so the assertion runs the
+    // query and audits the FINAL adaptive plan: the total's subtree
+    // must read a ReusedExchange of the token count, leaving exactly
+    // one documents scan.
+    val df = graft.SparkEntry.queries("sk9_heavy_hitters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    val fin = plan.substring(0, plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan.length; case i => i })
+    assert(fin.contains("ReusedExchange"),
+      "the total must reuse the token-count exchange, not rescan")
+    val scans = fin.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan in the final plan, saw $scans")
+  }
+
   test("d2: the verifier block bound reaches the scan — corpus skew cannot enter the pair join") {
     // d2 is the quadratic verifier: its cost contract is that the
     // 100-doc block filter cuts BEFORE the self-join, so a corpus-
@@ -1453,5 +1475,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!hashes.exists(h => h.contains("q8") || h.contains("qq8") ||
       h.contains("qvf") || h.contains("nbr_q8")),
       "codes and vectors must never ride an exchange key")
+  }
+
+  test("s39: the stored serve pass — pruned masked resolve + the s38 contract, nothing new") {
+    // The serving read path must pay ONLY its own bytes and shuffles:
+    // the edge-table resolve reads src/nbr_id/nbr_q8 (never the
+    // maintenance basis nbr_q — column pruning is the DiskANN
+    // hot/cold split here), its fold keys on src, the tombstone masks
+    // broadcast, and past the pinned resolve the plan is s38's: at
+    // most the one unkeyed truth scan, id-keyed shuffle joins,
+    // qid/vec_id exchanges, codes never keys.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s39-plan-")
+    try {
+      val cents = Similarity.graphBootstrapServe(spark, sf, dir.toString, 8)
+      // a tombstone layer so the masked resolve shape is under audit
+      import spark.implicits._
+      Seq(Tuple1(999999L)).toDF("dead_id").write.parquet(s"$dir/tombs")
+      val resolve = Similarity.graphLiveEdges(spark, dir.toString, Seq("nbr_q8"))
+      val rplan = resolve.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!rplan.contains("nbr_q#") && !rplan.contains("cos#"),
+        "the serve resolve must never read the maintenance columns")
+      assert(rplan.linesIterator.count(_.contains("LeftAnti")) >= 2 &&
+        rplan.contains("BroadcastHashJoin"),
+        "both tombstone drops must be broadcast anti-joins")
+      assert(rplan.linesIterator.filter(_.contains("hashpartitioning("))
+        .forall(_.contains("hashpartitioning(src")),
+        "every resolve exchange must lead with src")
+      val qs = Similarity.s39QueriesOf(spark, sf)
+      val plan = Similarity.s39ServePass(spark, dir.toString, qs, cents)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), "no unbounded pair explosion")
+      assert(plan.linesIterator.count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*")) <= 1,
+        "at most one unkeyed join: the truth evaluation scan")
+      shuffleJoinKeys(plan).foreach { l =>
+        assert(l.contains("vec_id#") || l.contains("qid#"),
+          s"a shuffle join must key on an id: $l")
+      }
+      val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(hashes.nonEmpty, "the selection windows must appear")
+      assert(hashes.forall(l => l.contains("hashpartitioning(qid") ||
+        l.contains("hashpartitioning(vec_id")),
+        s"every exchange must lead with qid/vec_id:\n${hashes.mkString("\n")}")
+      assert(!hashes.exists(h => h.contains("q8") || h.contains("qq8") ||
+        h.contains("qvf") || h.contains("nbr_q8")),
+        "codes and vectors must never ride an exchange key")
+    } finally graft.Fs.deleteRecursively(dir)
   }
 }

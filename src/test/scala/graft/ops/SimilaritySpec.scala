@@ -1506,4 +1506,105 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = rows.map(_.getAs[Int]("hit")).sum
     assert(hits >= 10, s"assembled-path recall too low: $hits/25")
   }
+
+  test("s39: phase-0 stored serving is bit-identical to s38's in-plan composition") {
+    // The stored index holds the same topology, codes and labels the
+    // in-gate build derives, and walks are deterministic — so serving
+    // s38's configuration FROM STORAGE must reproduce s38's output
+    // exactly (the s33≡s32 equality, for the serving path).
+    val stored = Similarity.queries("s39_graph_serve_stored")(spark, sf)
+      .collect()
+      .filter(_.getAs[Int]("phase") == 0)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("qlabel"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("dot8"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rnk"), r.getAs[Int]("hit"))).toSeq
+    val inPlan = Similarity.queries("s38_graph_serve")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("qlabel"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("dot8"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rnk"), r.getAs[Int]("hit"))).toSeq
+    assert(stored.nonEmpty && stored == inPlan,
+      "stored serving must equal the in-plan composition bit-for-bit")
+  }
+
+  test("s39: the stored index serves through deletes — tombstone masks + repair fold in the resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s39-spec-")
+    try {
+      val out = Similarity.s39WithDir(spark, sf, dir.toString).collect()
+        .map(r => (r.getAs[Int]("phase"), r.getAs[Long]("qid"),
+          r.getAs[Int]("qlabel"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("dot8"), r.getAs[Double]("cos"),
+          r.getAs[Int]("rnk"), r.getAs[Int]("hit"))).toSeq
+      // the dead set, recomputed from the fixture: phase-0 rank-1 ids
+      // (served-then-deleted — the unfakeable flip) plus the mod slice
+      val served = out.filter(t => t._1 == 0 && t._7 == 1).map(_._4).toSet
+      val mod = Similarity.quantized(spark, sf).collect().map(_.getLong(0))
+        .filter(v => v >= 5 &&
+          v % Similarity.GraphDeleteMod == Similarity.GraphDeleteRem).toSet
+      assert(served.nonEmpty && mod.nonEmpty, "both delete sources must fire")
+      val dead = served ++ mod
+      val p1 = out.filter(_._1 == 1)
+      assert(p1.nonEmpty, "phase 1 must serve")
+      assert(p1.forall(t => !dead(t._4)),
+        "the masked resolve served a tombstoned id")
+      // both phases keep the serving shape: exact-rerank order, label
+      // predicate held, int8 hop scores in range
+      val labels = graft.Tables.embeddings(spark, sf).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+      out.foreach { t =>
+        assert(labels(t._4) == t._3, "a served row broke the predicate")
+        assert(math.abs(t._5) <= 64L * 127 * 127)
+      }
+      out.groupBy(t => (t._1, t._2)).values.foreach { rs =>
+        val sorted = rs.sortBy(_._7)
+        assert(sorted.map(_._7).toSeq == (1 to rs.length))
+        val cs = sorted.map(_._6)
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+          "final order must be the exact rerank")
+      }
+      // ON DISK: the tombstone layer stands beside the two-version
+      // edge table (s39 leaves compaction to s34's gated fold), codes
+      // ride both versions, and the repair layer kept no dead endpoint
+      assert(new java.io.File(s"$dir/tombs").isDirectory)
+      val edges = spark.read.parquet(s"$dir/edges")
+      assert(edges.select("ver").distinct().collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(0L, 1L), "exactly the bootstrap + one delete version")
+      assert(edges.columns.contains("nbr_q8"),
+        "codes must persist beside the adjacency")
+      val rep = edges.filter(org.apache.spark.sql.functions.col("ver") === 1L)
+        .select("src", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rep.nonEmpty, "the delete must repair someone")
+      assert(rep.forall(t => !dead(t._1) && !dead(t._2)),
+        "a repair row kept a dead endpoint")
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
+  test("s40: the serving sweep is a real tuning curve anchored at the registered point") {
+    val rows = Similarity.queries("s40_serve_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"))).toSeq
+    // the full grid, one row per point
+    val grid = for (b <- Similarity.SweepBeams; np <- Similarity.SweepNprobes)
+      yield (b, np)
+    assert(rows.map(t => (t._1, t._2)) == grid.sorted,
+      "one row per grid point, ordered")
+    rows.foreach { t =>
+      assert(t._3 >= 0 && t._3 <= 25, s"hits out of range: $t")
+      assert(t._4 >= t._3, s"visited set smaller than its hits: $t")
+    }
+    // the registered operating point (beam 16, nprobe 2) must
+    // reproduce s38's recall EXACTLY — the sweep is the same serving
+    // path parameterized, not a reimplementation
+    val s38hits = Similarity.queries("s38_graph_serve")(spark, sf).collect()
+      .map(_.getAs[Int]("hit")).sum.toLong
+    assert(rows.find(t => t._1 == 16 && t._2 == 2).get._3 == s38hits,
+      "the (16, 2) sweep point must equal the registered s38 recall")
+    // the knobs must actually buy something: candidate cost varies
+    // across the grid, and the widest point visits at least as many
+    // candidates as the narrowest
+    val costs = rows.map(_._4)
+    assert(costs.distinct.length > 1, "a flat sweep prices nothing")
+    assert(rows.maxBy(t => (t._1, t._2))._4 >= rows.minBy(t => (t._1, t._2))._4)
+  }
 }
