@@ -658,8 +658,16 @@ object Sketch {
     * in PlanAuditSpec rather than claimed; the initial plan
     * legitimately prints two scans).
     */
-  private def sk9HeavyHitters(s: SparkSession, d: String): DataFrame = {
-    val cnts = Tables.documents(s, d)
+  private def sk9HeavyHitters(s: SparkSession, d: String): DataFrame =
+    sk9From(Tables.documents(s, d))
+
+  /** The sk9 summary over an arbitrary documents frame (`text`) —
+    * exposed so the spec can drive it over an adversarially skewed
+    * plant (a ~90%-hot-token shard) where the Misra-Gries superset
+    * guarantee actually earns its keep.
+    */
+  private[graft] def sk9From(docs: DataFrame): DataFrame = {
+    val cnts = docs
       .select(explode(Text.wordsCol(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("shard",

@@ -205,6 +205,66 @@ class PageRankSpec extends AnyFunSuite {
       "warm start must sit strictly closer to the fixed point")
   }
 
+  test("q59: rounds-to-residual-ε — the warm start's dividend in the practitioner's unit") {
+    // The gate pins residuals at a FIXED round budget; the number an
+    // operator actually budgets with is the converse: how many rounds
+    // does each start need to reach a given quality? ε is defined as
+    // exactly the quality the cold start buys with the gate's
+    // 5-round budget (‖T(r)−r‖₁ after 5 cold rounds on the perturbed
+    // graph); the warm start must reach it in strictly fewer rounds.
+    // Scalar replay (the referenceRounds arithmetic), sf0.001.
+    val spark0 = spark; import spark0.implicits._
+    def pairsOf(where: String) =
+      graft.Tables.orders(spark, sf).filter(where)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(graft.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .as[(Long, Long)].collect().toSeq
+    val p0 = pairsOf("o_orderdate < timestamp '2000-01-01'")
+    val p0set = p0.toSet
+    val dels = p0.filter { case (c, sk) =>
+      (c * 31 + sk) % Relational3.PrDelMod == Relational3.PrDelRem }.toSet
+    val ins = pairsOf("o_orderdate >= timestamp '2000-01-01'")
+      .filter(!p0set(_))
+    val p1 = p0.filterNot(dels) ++ ins
+    val edges = p1.flatMap { case (c, s) =>
+      Seq((c, s + SuppBase), (s + SuppBase, c))
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val teleport = (15L * Mass) / (100L * n)
+    def round(r: Map[Long, Long]): Map[Long, Long] = {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((src, dst) <- edges) in(dst) += r(src) / deg(src)
+      deg.keys.map(k => k -> (teleport + (85L * in(k)) / 100L)).toMap
+    }
+    def residual(r: Map[Long, Long]): Long = {
+      val nx = round(r)
+      deg.keys.iterator.map(k => math.abs(nx(k) - r(k))).sum
+    }
+    val uniform: Map[Long, Long] = deg.keys.map(_ -> Mass / n).toMap
+    // ε: the cold budget's quality
+    var rc = uniform
+    for (_ <- 1 to 5) rc = round(rc)
+    val eps = residual(rc)
+    def roundsTo(init: Map[Long, Long], cap: Int = 50): Int = {
+      var r = init; var k = 0
+      while (residual(r) > eps && k < cap) { r = round(r); k += 1 }
+      k
+    }
+    val (standing, _, _) = referenceRounds(p0, identity, 5)
+    val warmRounds = roundsTo(
+      uniform.map { case (k, v) => k -> standing.getOrElse(k, v) })
+    val coldRounds = roundsTo(uniform)
+    println(s"[q59] rounds to residual eps=$eps: warm=$warmRounds cold=$coldRounds (gate budget 5)")
+    assert(coldRounds <= 5, "cold must reach its own budget quality within the budget")
+    assert(warmRounds < coldRounds,
+      s"warm start must reach the cold budget's quality in fewer rounds " +
+        s"($warmRounds vs $coldRounds)")
+  }
+
   test("q59: the incrementally-maintained graph equals a from-scratch rebuild exactly") {
     val cutoff = lit("2000-01-01").cast("timestamp")
     val pairs0 = Relational3.prPairsWhere(spark, sf,

@@ -205,4 +205,44 @@ class SketchSpec extends AnyFunSuite {
     rows.groupBy(_.getAs[Int]("shard")).values
       .foreach(g => assert(g.length <= 32))
   }
+
+  test("sk9: the superset guarantee holds under adversarial skew — a 90%-hot shard plus a flooding tail") {
+    // The fixture corpus is benign (heavies comfortably clear their
+    // shard ranks); this plant is the case Misra-Gries exists for:
+    // one token carries 80% of the stream, two borderline heavies sit
+    // just past the φ = 1/32 threshold, and 20k DISTINCT singleton
+    // tokens flood every shard's ranking (~1250 candidates per
+    // shard). The guarantee must still put every true heavy inside
+    // its shard's top-32, with exact counts and exact flags — while
+    // the summary ships 512 rows, not the 20k-token key set.
+    import org.apache.spark.sql.functions._
+    val nDocs = 20000L
+    val docs = spark.range(0, nDocs).select(concat(
+      lit("hot hot hot hot hot hot hot hot tail"), col("id"),
+      lit(" warm"), col("id") % 2).as("text"))
+    val rows = Sketch.sk9From(docs).collect()
+    val n = 10L * nDocs // 8 hot + 1 unique tail + 1 warm per doc
+    val expected = Map("hot" -> 8L * nDocs,
+      "warm0" -> nDocs / 2, "warm1" -> nDocs / 2)
+    val trueHeavy = expected.filter(_._2 * 32 > n).keySet
+    assert(trueHeavy == Set("hot", "warm0", "warm1"),
+      "plant must make exactly these three heavy")
+    val byToken = rows.map(r => r.getAs[String]("w") ->
+      (r.getAs[Long]("cnt"), r.getAs[Int]("is_heavy"))).toMap
+    trueHeavy.foreach { w =>
+      assert(byToken.contains(w), s"heavy '$w' missing from the summary")
+      assert(byToken(w)._1 == expected(w), s"count for '$w' not exact")
+      assert(byToken(w)._2 == 1, s"'$w' must be flagged heavy")
+    }
+    // every other surfaced candidate is a singleton tail token,
+    // correctly counted and correctly NOT flagged
+    (byToken -- trueHeavy).foreach { case (w, (c, h)) =>
+      assert(w.startsWith("tail") && c == 1L && h == 0,
+        s"unexpected candidate row: $w cnt=$c heavy=$h")
+    }
+    // communication bound under the flood: 512 rows vs 20k+3 keys
+    assert(rows.length <= 16 * 32)
+    rows.groupBy(_.getAs[Int]("shard")).values
+      .foreach(g => assert(g.length <= 32))
+  }
 }
