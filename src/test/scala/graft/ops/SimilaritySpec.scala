@@ -1580,6 +1580,46 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(dir)
   }
 
+  test("s39: compaction folds the serve layout — codes survive, the masked serve is bit-identical") {
+    // Close the stored-serve lifecycle: after the delete phase the
+    // index holds two versions + a tombstone table; s34's physical
+    // fold (resolve once, atomic sibling swap) must carry the SERVING
+    // column through — post-fold, the same serve pass over the clean
+    // single-version files returns bit-identical rows with the
+    // tombstone table retired.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s39-fold-")
+    try {
+      Similarity.s39WithDir(spark, sf, dir.toString).collect()
+      val cents = Similarity.graphBootstrapServe(spark, sf, dir.toString, 8)
+      val qs = Similarity.s39QueriesOf(spark, sf).localCheckpoint(true)
+      def serveRows() = Similarity.s39ServePass(spark, dir.toString, qs, cents)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("qlabel"),
+          r.getAs[Long]("vec_id"), r.getAs[Long]("dot8"),
+          r.getAs[Double]("cos"), r.getAs[Int]("rnk"), r.getAs[Int]("hit")))
+        .sortBy(t => (t._1, t._6)).toSeq
+      val pre = serveRows()
+      val preEdges = Similarity.graphLiveEdges(spark, dir.toString,
+        Seq("nbr_q", "nbr_q8", "cos")).localCheckpoint(true)
+      val preNodes = Similarity.graphLiveNodes(spark, dir.toString)
+        .localCheckpoint(true)
+      IndexCompaction.foldSwapped(s"$dir/edges",
+        preEdges.withColumn("ver", lit(0L)))
+      IndexCompaction.foldSwapped(s"$dir/nodes", preNodes)
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(s"$dir/tombs"))
+      val post = serveRows()
+      assert(pre.nonEmpty && post == pre,
+        "the compacted serve index must serve the identical result")
+      val edges = spark.read.parquet(s"$dir/edges")
+      assert(edges.select("ver").distinct().collect().map(_.getLong(0)).toSeq
+        == Seq(0L), "compaction must fold versions flat")
+      assert(edges.columns.contains("nbr_q8"),
+        "the serving codes must survive the fold")
+      assert(!new java.io.File(s"$dir/tombs").isDirectory)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
   test("s40: the serving sweep is a real tuning curve anchored at the registered point") {
     val rows = Similarity.queries("s40_serve_sweep")(spark, sf).collect()
       .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"),
