@@ -5672,7 +5672,18 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(col("dot8").desc, col("vec_id"))
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    val pts = for (b <- SweepBeams; np <- SweepNprobes) yield {
+    // the nine points are INDEPENDENT serves over the same pinned
+    // build — run them as concurrent Spark jobs (local[32] and a real
+    // cluster both schedule them in parallel; each point's small
+    // stages alone cannot saturate the executors, which made the
+    // sequential sweep pay 9 × per-hop scheduling latency). Each
+    // point is internally deterministic; the grid order of the output
+    // is fixed by construction.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futs = for (b <- SweepBeams; np <- SweepNprobes) yield Future {
       val entries = ivfProbesOf(qs.select(col("qid"), col("qv")), cents, np)
         .join(broadcast(cellEntry), col("pcid") === col("cid"))
         .select(col("qid"), col("vec_id")).distinct()
@@ -5698,6 +5709,7 @@ object Similarity {
       val hits = served.count(truthIds)
       (b, np, hits.toLong, cand.count())
     }
+    val pts = futs.map(Await.result(_, Duration.Inf))
     import s.implicits._
     pts.toDF("beam", "nprobe", "hits", "cands").orderBy("beam", "nprobe")
   }
