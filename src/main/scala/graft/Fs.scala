@@ -38,6 +38,27 @@ object Fs {
     } finally s.close()
   }
 
+  /** Recursive copy of a directory tree. The destination (and any
+    * missing parents) is created; existing destination FILES are an
+    * error — callers copy into fresh scratch dirs. Stream closed.
+    */
+  def copyRecursively(from: Path, to: Path): Unit = {
+    val s = Files.walk(from)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val dst = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) { Files.createDirectories(dst); () }
+        else {
+          Files.createDirectories(dst.getParent)
+          Files.copy(p, dst)
+          ()
+        }
+      }
+    } finally s.close()
+  }
+
   /** The whole tree under `root` (root included), stream closed. */
   def walkSeq(root: Path): Seq[Path] = {
     val s = Files.walk(root)

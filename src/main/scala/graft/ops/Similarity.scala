@@ -3831,29 +3831,55 @@ object Similarity {
     finally graft.Fs.deleteRecursively(idx)
   }
 
+  /** Persist/verify the k a stored index was built under. The
+    * already-built path used to return whatever codebook the dir
+    * held, so a caller re-entering a directory with a DIFFERENT k got
+    * an index trained at another k with no error. A `_k` sidecar pins
+    * it at build; every re-entry must match. (Derived k — codebook
+    * row count — would false-positive the first time a cell came up
+    * empty at tiny sf, so the REQUESTED k is what's pinned.)
+    */
+  private def pinK(idxDir: String, k: Int): Unit = {
+    val f = java.nio.file.Paths.get(idxDir, "_k")
+    if (java.nio.file.Files.exists(f)) {
+      val stored = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      require(stored == k,
+        s"stored index at $idxDir was built with k=$stored, requested k=$k")
+    } else {
+      java.nio.file.Files.write(f,
+        k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
   /** Seed a stored graph index at `idxDir` (nodes parquet + the
     * versioned edge table at ver 0 + the persisted codebook) unless
     * one already exists there — the shared bootstrap of the stored
     * lifecycle gates (s33 ingest, s34 delete). Returns the collected
     * codebook either way, so a re-entering session probes the SAME
-    * cells the index was built under.
+    * cells the index was built under. The pristine build is cached
+    * per JVM ([[graft.IndexSeed]]) — deterministic, so seeding by
+    * copy is bit-identical to building in place, and the per-call
+    * cost is the copy, not the |cell|²-bounded edge build.
     */
   private[graft] def graphBootstrapStored(s: SparkSession, d: String,
       idxDir: String, k: Int): Array[(Long, Seq[Double], Long)] = {
-    val nodesPath = s"$idxDir/nodes"
-    val cbPath = s"$idxDir/codebook"
-    val base = quantized(s, d)
-    if (!new java.io.File(nodesPath).isDirectory) {
-      saveCodebook(trainCodebook(base, iters = 2, k = k), cbPath)
-      val cents0 = collectCents(loadCodebook(s, cbPath))
-      val corpus = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("q"))
-      corpus.write.mode("overwrite").parquet(nodesPath)
-      knnEdges(corpus, cents0, GraphDegree)
-        .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
-        .withColumn("ver", lit(0L))
-        .write.mode("overwrite").parquet(s"$idxDir/edges")
-    }
-    collectCents(loadCodebook(s, cbPath))
+    if (!new java.io.File(s"$idxDir/nodes").isDirectory)
+      graft.IndexSeed.seed(s"graph-stored|$d|$k", idxDir) { dir =>
+        val base = quantized(s, d)
+        saveCodebook(trainCodebook(base, iters = 2, k = k), s"$dir/codebook")
+        val cents0 = collectCents(loadCodebook(s, s"$dir/codebook"))
+        val corpus = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("q"))
+        corpus.write.mode("overwrite").parquet(s"$dir/nodes")
+        knnEdges(corpus, cents0, GraphDegree)
+          .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+          .withColumn("ver", lit(0L))
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        pinK(dir, k)
+      }
+    pinK(idxDir, k)
+    collectCents(loadCodebook(s, s"$idxDir/codebook"))
   }
 
   /** The stored graph's READ-path resolve shared by s33/s34: the
@@ -4337,14 +4363,11 @@ object Similarity {
         expr("transform(q, (x, i) -> x + CAST(IF(i = 1, j, 0) AS DOUBLE))").as("q"))
   }
 
-  /** Last s35 run's q0-reaches-a-burst-copy outcome — the rank-1
-    * check relaxes from require() to a report at off-shape k (recall
-    * vs fixed serving knobs, see the s35 doc), and this field is the
-    * machine-checkable trace of that report: the stress harness
-    * records it in its emitted JSON instead of trusting a stdout line
-    * nothing collects.
-    */
-  @volatile private[graft] var s35LastQ0BurstRank1: Option[Boolean] = None
+  // (the q0-reaches-a-burst-copy outcome is returned by
+  // [[s35WithKFlag]] — it used to live in a shared @volatile field,
+  // which any interleaved s35 invocation could overwrite, so the
+  // stress harness's recorded booleans were attributable only by
+  // luck of scheduling)
 
   /** Split rounds: enough to fold a pile 2^8 = 256× past the bound
     * back under it. The oracle unrolls all 8 unconditionally (a round
@@ -4388,7 +4411,17 @@ object Similarity {
   private def s35GraphRebalance(s: SparkSession, d: String): DataFrame =
     s35WithK(s, d)
 
-  private[graft] def s35WithK(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+  private[graft] def s35WithK(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    s35WithKFlag(s, d, k)._1
+
+  /** [[s35WithK]] plus the q0-burst-rank-1 outcome as a RETURN value
+    * (not shared mutable state): the boolean the stress harness
+    * records in its emitted JSON when the rank-1 check relaxes from
+    * require() to a report at off-shape k (recall vs fixed serving
+    * knobs — see the rebalance doc below).
+    */
+  private[graft] def s35WithKFlag(s: SparkSession, d: String,
+      k: Int = 8): (DataFrame, Boolean) = {
     import org.apache.spark.sql.expressions.Window
     val base = quantized(s, d)
     // trained BEFORE the burst — the stale codebook is the premise
@@ -4509,20 +4542,21 @@ object Similarity {
     // is reported, not required.
     val q0top = s1.filter(col("src") === 0 && col("rnk") === 1)
       .head.getAs[Long]("nbr_id")
-    s35LastQ0BurstRank1 = Some(q0top >= 10000000L)
+    val burstRank1 = q0top >= 10000000L
     if (cents.length <= 8)
-      require(q0top >= 10000000L,
+      require(burstRank1,
         s"query 0's rank-1 after rebalance is $q0top, not a burst copy")
-    else if (q0top < 10000000L)
+    else if (!burstRank1)
       println(s"[s35] off-shape k=${cents.length}: q0 rank-1 $q0top not a burst copy " +
         "(recall, not cost — see doc)")
-    s0.withColumn("phase", lit(0)).withColumn("kind", lit("search"))
+    val out = s0.withColumn("phase", lit(0)).withColumn("kind", lit("search"))
       .unionByName(rewired.select(col("src"), col("nbr_id"), col("cos"), col("rnk"))
         .withColumn("phase", lit(1)).withColumn("kind", lit("rewire")))
       .unionByName(s1.withColumn("phase", lit(1)).withColumn("kind", lit("search")))
       .select(col("phase"), col("kind"), col("src"), col("nbr_id"),
         col("cos"), col("rnk"))
       .orderBy("phase", "kind", "src", "rnk")
+    (out, burstRank1)
   }
 
   /** The unrolled recursive-split rounds sp1..sp[[RebalanceDepth]]:
@@ -5301,29 +5335,30 @@ object Similarity {
     */
   private[graft] def graphBootstrapServe(s: SparkSession, d: String,
       idxDir: String, k: Int): Array[(Long, Seq[Double], Long)] = {
-    val nodesPath = s"$idxDir/nodes"
-    val cbPath = s"$idxDir/codebook"
-    if (!new java.io.File(nodesPath).isDirectory) {
-      val base = serveBaseOf(s, d)
-      saveCodebook(trainCodebook(base, iters = 2, k = k), cbPath)
-      val cents0 = collectCents(loadCodebook(s, cbPath))
-      val corpus = base.filter(col("vec_id") >= 5)
-        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-        .withColumn("q8", expr(absmaxQ8Sql("v", "amax", "transform", "BIGINT")))
-        .select(col("vec_id"), col("label"), col("v"), col("q"), col("q8"))
-        .localCheckpoint(true)
-      corpus.write.mode("overwrite").parquet(nodesPath)
-      // label-blind full-precision topology (s19/s36's stance: one
-      // graph serves every predicate), codes attached beside it
-      knnEdges(corpus.select(col("vec_id"), col("q")), cents0, GraphDegree)
-        .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
-        .join(corpus.select(col("vec_id").as("nbr_id"), col("q8").as("nbr_q8")),
-          Seq("nbr_id"))
-        .select(col("src"), col("nbr_id"), col("nbr_q"), col("nbr_q8"), col("cos"))
-        .withColumn("ver", lit(0L))
-        .write.mode("overwrite").parquet(s"$idxDir/edges")
-    }
-    collectCents(loadCodebook(s, cbPath))
+    if (!new java.io.File(s"$idxDir/nodes").isDirectory)
+      graft.IndexSeed.seed(s"graph-serve|$d|$k", idxDir) { dir =>
+        val base = serveBaseOf(s, d)
+        saveCodebook(trainCodebook(base, iters = 2, k = k), s"$dir/codebook")
+        val cents0 = collectCents(loadCodebook(s, s"$dir/codebook"))
+        val corpus = base.filter(col("vec_id") >= 5)
+          .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+          .withColumn("q8", expr(absmaxQ8Sql("v", "amax", "transform", "BIGINT")))
+          .select(col("vec_id"), col("label"), col("v"), col("q"), col("q8"))
+          .localCheckpoint(true)
+        corpus.write.mode("overwrite").parquet(s"$dir/nodes")
+        // label-blind full-precision topology (s19/s36's stance: one
+        // graph serves every predicate), codes attached beside it
+        knnEdges(corpus.select(col("vec_id"), col("q")), cents0, GraphDegree)
+          .select(col("src"), col("nbr_id"), col("nbr_q"), col("cos"))
+          .join(corpus.select(col("vec_id").as("nbr_id"), col("q8").as("nbr_q8")),
+            Seq("nbr_id"))
+          .select(col("src"), col("nbr_id"), col("nbr_q"), col("nbr_q8"), col("cos"))
+          .withColumn("ver", lit(0L))
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        pinK(dir, k)
+      }
+    pinK(idxDir, k)
+    collectCents(loadCodebook(s, s"$idxDir/codebook"))
   }
 
   /** One serve of the s38 configuration from the stored index: ONE
@@ -5681,8 +5716,16 @@ object Similarity {
     // is fixed by construction.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    // a DEDICATED pool sized to the grid, not the process-global
+    // fork-join pool: each future BLOCKS on Spark actions, which on
+    // the shared pool would silently serialize the sweep on a
+    // low-core host and starve any other global-EC user (and nesting
+    // a global-EC Await inside another would deadlock). Shut down
+    // after the Await so the threads never outlive the sweep.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      SweepBeams.size * SweepNprobes.size)
     implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val futs = for (b <- SweepBeams; np <- SweepNprobes) yield Future {
       val entries = ivfProbesOf(qs.select(col("qid"), col("qv")), cents, np)
         .join(broadcast(cellEntry), col("pcid") === col("cid"))
@@ -5709,7 +5752,9 @@ object Similarity {
       val hits = served.count(truthIds)
       (b, np, hits.toLong, cand.count())
     }
-    val pts = futs.map(Await.result(_, Duration.Inf))
+    val pts =
+      try futs.map(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
     import s.implicits._
     pts.toDF("beam", "nprobe", "hits", "cands").orderBy("beam", "nprobe")
   }
@@ -5805,7 +5850,271 @@ object Similarity {
        |ORDER BY beam, nprobe""".stripMargin
   }
 
+  // ---- s41: the IVF/PQ serving path FROM THE STORED INDEX ------------------
+
+  /** Persist a trained PQ codebook — the `Int => Cb` function as rows
+    * (m, cid, sv, n), ≤ [[pqM]]·[[pqK]] rows of exact integer-sum
+    * doubles; one parquet file is the whole artifact (the coarse
+    * codebook's [[saveCodebook]] stance, per subspace).
+    */
+  private[ops] def savePqCodebook(s: SparkSession, cb: Int => Cb,
+      path: String): Unit = {
+    import s.implicits._
+    (0 until pqM).flatMap(m => cb(m).map { case (cid, sv, n) => (m, cid, sv, n) })
+      .toDF("m", "cid", "sv", "n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Rebuild the `Int => Cb` lookup from [[savePqCodebook]]'s rows —
+    * doubles/longs roundtrip parquet exactly, and the per-subspace
+    * sort restores [[pqTrain]]'s cid order, so a loaded codebook
+    * scores bit-identically to the one that was saved.
+    */
+  private[ops] def loadPqCodebook(s: SparkSession, path: String): Int => Cb = {
+    val rows = s.read.parquet(path).collect().map { r =>
+      (r.getAs[Int]("m"),
+        (r.getAs[Long]("cid"), r.getSeq[Double](r.fieldIndex("sv")),
+          r.getAs[Long]("n")))
+    }
+    m => rows.filter(_._1 == m).map(_._2).sortBy(_._1)
+  }
+
+  /** Bootstrap the stored IVF-PQ SERVE index at `idxDir` unless
+    * present — the s39 layout for the OTHER index family: the coarse
+    * codebook and the per-subspace PQ codebook persist beside ONE
+    * cell table carrying, per vector, the cell id + the [[pqM]] PQ
+    * codes (the hot serving columns — FAISS `IndexIVFPQ`'s inverted
+    * lists) AND the full-precision quantized vector (the cold refine
+    * column — `IndexRefineFlat`'s store), split at read time by
+    * parquet column pruning exactly like s39's edge/node tables. Rows
+    * carry s22's monotone `ver` so the versioned-tombstone mask and
+    * [[IndexCompaction.compactWithVersionedTombstones]] apply
+    * unchanged — this is the same table s17 appends to, s21/s22
+    * tombstone, and the compactor folds, now with the codes the
+    * serving path scans. Cached pristine per JVM ([[graft.IndexSeed]]).
+    */
+  private[graft] def ivfBootstrapServe(s: SparkSession, d: String,
+      idxDir: String, k: Int = 8): Unit = {
+    if (!new java.io.File(s"$idxDir/cells").isDirectory)
+      graft.IndexSeed.seed(s"ivf-serve|$d|$k", idxDir) { dir =>
+        val base = quantized(s, d)
+        saveCodebook(trainCodebook(base, iters = 2, k = k), s"$dir/codebook")
+        val cents = collectCents(loadCodebook(s, s"$dir/codebook"))
+        // trained on the FULL subvector frame (p5/s9's basis — the
+        // query sample rides training, only storage excludes it)
+        val pcb = pqTrain(pqSubs(s, d))
+        savePqCodebook(s, pcb, s"$dir/pqcodebook")
+        pqCodeCols(assignCellsFrom(pqSubCols(base), cents), pcb)
+          .filter(col("vec_id") >= 5)
+          .select(col("vec_id") +: col("q") +: col("cid") +:
+            lit(0L).as("ver") +: (0 until pqM).map(m => col(s"c$m")): _*)
+          .write.mode("overwrite").parquet(s"$dir/cells")
+        pinK(dir, k)
+      }
+    pinK(idxDir, k)
+  }
+
+  /** One serve of p5's assembled configuration (IVF probe → PQ-ADC →
+    * exact rerank) from the stored index: the hot scan reads cell id
+    * + codes ONLY (column pruning — the 64-dim vectors never enter
+    * the ADC stage), masked by s22's versioned broadcast tombstone
+    * anti-join when unapplied tombstones exist; the ADC top-20 get
+    * their full-precision rows back by an id-keyed broadcast join
+    * against the SAME table's cold projection. The only exchanges
+    * are the two qid-keyed top-k windows (p5's contract, preserved
+    * against storage — plan-audited).
+    */
+  private[graft] def s41ServePass(s: SparkSession, idxDir: String,
+      probes: DataFrame, luts: DataFrame, cbP: Int => Cb,
+      qvecs: DataFrame): DataFrame = {
+    val cellsPath = s"$idxDir/cells"
+    val delsPath = s"$idxDir/dels"
+    def masked(proj: DataFrame => DataFrame): DataFrame = {
+      val cells = proj(s.read.parquet(cellsPath))
+      if (IndexCompaction.dataFileCount(delsPath) > 0) {
+        val tombs = s.read.parquet(delsPath)
+          .groupBy("vec_id").agg(max(col("upto")).as("upto"))
+        cells.join(broadcast(tombs),
+          cells("vec_id") === tombs("vec_id") && cells("ver") < tombs("upto"),
+          "left_anti")
+      } else cells
+    }
+    val hot = masked(_.select(col("vec_id") +: col("cid") +: col("ver") +:
+      (0 until pqM).map(m => col(s"c$m")): _*))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("vec_id"))
+    val adc20 = hot
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .join(broadcast(luts), Seq("qid"))
+      .withColumn("adc_score", pqAdcScore(cbP))
+      .withColumn("ar", row_number().over(wAdc)).filter(col("ar") <= 20)
+      .select(col("qid"), col("vec_id"), col("cid").as("cell"), col("adc_score"))
+    val cold = masked(_.select(col("vec_id"), col("ver"), col("q"))).drop("ver")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cold
+      .join(broadcast(adc20), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("q"), col("qv")))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("cell"), col("adc_score"),
+        col("cos"), col("rnk"))
+  }
+
+  /** The round-19 verdict's symmetric capstone: s39 welded the GRAPH
+    * family's serving path to its maintained storage; this is the
+    * same weld for the IVF/PQ family — p5's assembled read path
+    * (probe → ADC → exact refine) served FROM the persisted
+    * cell/code table that s17 appends to, s21/s22 tombstone, and
+    * [[IndexCompaction]] folds, instead of from in-plan frames. The
+    * lifecycle the gate drives: bootstrap ([[ivfBootstrapServe]] —
+    * codes persisted beside the vectors, hot/cold split by column
+    * pruning), SERVE (phase 0 — bit-identical to p5 by construction,
+    * spec-asserted), then a delete batch lands s21-style (the served
+    * rank-1 ids — the unfakeable flip — plus the [[GraphDeleteMod]]
+    * modulus slice, appended as versioned tombstones with
+    * upto = Long.MaxValue), SERVE again (phase 1 — the broadcast mask,
+    * with a require() that no dead id surfaces), the compactor makes
+    * the tombstones physical
+    * ([[IndexCompaction.compactWithVersionedTombstones]] — forced
+    * fold, tombstone table clears), and a final SERVE (phase 2) must
+    * be bit-identical to phase 1 — required in-gate AND pinned by the
+    * oracle (phase 2 replays phase 1's chain).
+    *
+    * Scale shape: p5's own contract against storage — the ADC stage
+    * scans codes only (~nprobe/k of them per query through the
+    * broadcast probe join; at 100 TB the cell table is additionally
+    * partitioned by cid and [[IndexCompaction.compactPartitions]] is
+    * the cadence driver), tombstones broadcast (delete-rate ×
+    * compaction-cadence bounded), the refine is a 20-row-per-query
+    * broadcast point-lookup against the cold column, and the only
+    * exchanges anywhere are the two qid-keyed windows. Deletes cost
+    * O(1) writes; compaction reads the table once at scan-task width.
+    *
+    * Determinism: every stage is p5's integer-exact machinery; the
+    * delete set derives from phase 0's served rows; so all three
+    * phases replay exactly in DuckDB.
+    */
+  private def s41IvfServeStored(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s41-idx-")
+    try s41WithDir(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  private[graft] def s41WithDir(s: SparkSession, d: String, idxDir: String,
+      k: Int = 8): DataFrame = {
+    ivfBootstrapServe(s, d, idxDir, k)
+    val base = quantized(s, d)
+    val cents = collectCents(loadCodebook(s, s"$idxDir/codebook"))
+    val cbP = loadPqCodebook(s, s"$idxDir/pqcodebook")
+    // the query-side control plane: probes, ADC LUTs, full-precision
+    // query vectors — all ≤ 5-row frames, pinned once for all phases
+    val probes = ivfProbes(base, cents, nprobe = 2)
+      .select(col("qid"), col("pcid")).localCheckpoint(true)
+    val luts = pqLuts(pqSubCols(base.filter(col("vec_id") < 5)), cbP)
+      .localCheckpoint(true)
+    val qvecs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv")).localCheckpoint(true)
+    def serve(): DataFrame =
+      s41ServePass(s, idxDir, probes, luts, cbP, qvecs).localCheckpoint(true)
+    val srv0 = serve()
+    // the delete batch: what the index just SERVED (rank-1 per query)
+    // plus the modulus slice — delete-batch-sized control plane
+    val top1 = srv0.filter(col("rnk") === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val modIds = s.read.parquet(s"$idxDir/cells")
+      .filter(col("vec_id") % GraphDeleteMod === GraphDeleteRem)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val deadIds = (top1 ++ modIds).distinct.sorted.toSeq
+    import s.implicits._
+    deadIds.map(id => (id, Long.MaxValue)).toDF("vec_id", "upto")
+      .write.mode("append").parquet(s"$idxDir/dels")
+    val srv1 = serve()
+    val deadSet = deadIds.toSet
+    require(srv1.select(col("vec_id")).collect().forall(r => !deadSet(r.getLong(0))),
+      "stored IVF serve after delete surfaced a tombstoned id")
+    // the compactor makes the mask physical; the serve must not see it
+    require(IndexCompaction.compactWithVersionedTombstones(
+      s, s"$idxDir/cells", s"$idxDir/dels", "vec_id", "ver"),
+      "tombstones must force a fold")
+    require(IndexCompaction.dataFileCount(s"$idxDir/dels") == 0,
+      "applied tombstones must clear")
+    val srv2 = serve()
+    def rowsOf(df: DataFrame) = df.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    require(rowsOf(srv2) == rowsOf(srv1),
+      "post-fold serve differs from the masked serve")
+    srv0.withColumn("phase", lit(0))
+      .unionByName(srv1.withColumn("phase", lit(1)))
+      .unionByName(srv2.withColumn("phase", lit(2)))
+      .select(col("phase"), col("qid"), col("vec_id"), col("cell"),
+        col("adc_score"), col("cos"), col("rnk"))
+      .orderBy("phase", "qid", "rnk")
+  }
+
+  private val s41Oracle: String = {
+    val pivots = (0 until pqM)
+      .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
+    val total = (0 until pqM).map(m => s"t$m").mkString(" + ")
+    def srvCtes(sfx: String, deadPred: String): String =
+      s"""cand$sfx AS (
+         |  SELECT p.qid, x.vec_id, a.cid AS cell, x.m, x.cid AS code
+         |  FROM codes x
+         |  JOIN a3 a ON a.vec_id = x.vec_id
+         |  JOIN probes p ON p.cid = a.cid
+         |  WHERE x.vec_id >= 5$deadPred),
+         |terms$sfx AS (
+         |  SELECT c.qid, c.vec_id, c.cell, c.m,
+         |         CAST(${pqDot8("q.sub", "cb.sv")} AS DOUBLE) / cb.n AS t
+         |  FROM cand$sfx c
+         |  JOIN pc1 cb ON cb.m = c.m AND cb.cid = c.code
+         |  JOIN subs q ON q.m = c.m AND q.vec_id = c.qid),
+         |piv$sfx AS (
+         |  SELECT qid, vec_id, cell,
+         |         $pivots
+         |  FROM terms$sfx GROUP BY qid, vec_id, cell),
+         |adc20$sfx AS (
+         |  SELECT qid, vec_id, cell, adc_score FROM (
+         |    SELECT qid, vec_id, cell, $total AS adc_score,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY $total DESC, vec_id) AS ar
+         |    FROM piv$sfx) WHERE ar <= 20),
+         |srv$sfx AS MATERIALIZED (
+         |  SELECT qid, vec_id, cell, adc_score, cos, rnk FROM (
+         |    SELECT a.qid, a.vec_id, a.cell, a.adc_score,
+         |           list_cosine_similarity(b.q::DOUBLE[], qb.q::DOUBLE[]) AS cos,
+         |           CAST(row_number() OVER (PARTITION BY a.qid
+         |             ORDER BY list_cosine_similarity(b.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+         |                      a.vec_id) AS INT) AS rnk
+         |    FROM adc20$sfx a
+         |    JOIN base b ON b.vec_id = a.vec_id
+         |    JOIN base qb ON qb.vec_id = a.qid)
+         |  WHERE rnk <= 5)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$ivfProbeOracleCtes,
+       |$pqSubsOracleCte,
+       |$pqOracleChain,
+       |${srvCtes("_p0", "")},
+       |dead AS MATERIALIZED (
+       |  SELECT vec_id FROM srv_p0 WHERE rnk = 1
+       |  UNION
+       |  SELECT vec_id FROM a3
+       |  WHERE vec_id >= 5 AND vec_id % $GraphDeleteMod = $GraphDeleteRem),
+       |${srvCtes("_p1", "\n    AND x.vec_id NOT IN (SELECT vec_id FROM dead)")}
+       |SELECT phase, qid, vec_id, cell, adc_score, cos, rnk FROM (
+       |  SELECT 0 AS phase, qid, vec_id, cell, adc_score, cos, rnk FROM srv_p0
+       |  UNION ALL
+       |  SELECT 1, qid, vec_id, cell, adc_score, cos, rnk FROM srv_p1
+       |  UNION ALL
+       |  SELECT 2, qid, vec_id, cell, adc_score, cos, rnk FROM srv_p1)
+       |ORDER BY phase, qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s41_ivf_serve_stored" -> (s41IvfServeStored _),
     "s40_serve_sweep" -> (s40ServeSweep _),
     "s39_graph_serve_stored" -> (s39GraphServeStored _),
     "s38_graph_serve" -> (s38GraphServe _),
@@ -5849,6 +6158,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s41_ivf_serve_stored" -> s41Oracle,
     "s40_serve_sweep" -> s40Oracle,
     "s39_graph_serve_stored" -> s39Oracle,
     "s38_graph_serve" -> s38Oracle,

@@ -299,13 +299,16 @@ object Sf1Stress {
       // rebalance at production shape: the burst and the hot cell grow
       // 10x with the corpus; split seeds are control-plane and the
       // rewire pair join is subcell-bounded — the bound it restores
-      def timeS35(dir: String, k: Int) = timed3 {
-        graft.ops.Similarity.s35WithK(spark, dir, k).count()
+      // the burst outcome is the RETURN value of the run it describes
+      // (not shared mutable state a parallel s35 could overwrite)
+      def timeS35(dir: String, k: Int,
+          rec: Option[Boolean] => Unit) = timed3 {
+        val (df, flag) = graft.ops.Similarity.s35WithKFlag(spark, dir, k)
+        rec(Some(flag))
+        df.count()
       }
-      val (f01, t01, n01) = timeS35(sf01, 8)
-      s35Burst01 = graft.ops.Similarity.s35LastQ0BurstRank1
-      val (f1, t1, n1) = timeS35(sf1, 80)
-      s35Burst1 = graft.ops.Similarity.s35LastQ0BurstRank1
+      val (f01, t01, n01) = timeS35(sf01, 8, s35Burst01 = _)
+      val (f1, t1, n1) = timeS35(sf1, 80, s35Burst1 = _)
       println(f"[sf1-stress] s35_graph_rebalance (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s35_graph_rebalance_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     } :+ {

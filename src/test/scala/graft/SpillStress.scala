@@ -88,26 +88,11 @@ object SpillStress {
     */
   private val PrebuiltIdx = "target/tmp/spill-graph-idx"
 
-  private def copyRecursively(from: java.nio.file.Path,
-      to: java.nio.file.Path): Unit = {
-    java.nio.file.Files.walk(from).forEach { p =>
-      val dst = to.resolve(from.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) {
-        java.nio.file.Files.createDirectories(dst); ()
-      } else {
-        java.nio.file.Files.createDirectories(dst.getParent)
-        java.nio.file.Files.copy(p, dst)
-        ()
-      }
-    }
-  }
-
   /** Run `f` against a fresh copy of the prebuilt index. */
   private def withIdxCopy(f: String => Long): Long = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-spill-idx-")
     try {
-      java.nio.file.Files.delete(tmp) // copy wants to create it
-      copyRecursively(java.nio.file.Paths.get(PrebuiltIdx), tmp)
+      graft.Fs.copyRecursively(java.nio.file.Paths.get(PrebuiltIdx), tmp)
       f(tmp.toString)
     } finally graft.Fs.deleteRecursively(tmp)
   }

@@ -1524,4 +1524,65 @@ class PlanAuditSpec extends AnyFunSuite {
         "codes and vectors must never ride an exchange key")
     } finally graft.Fs.deleteRecursively(dir)
   }
+
+  test("s41: the stored IVF serve pass — hot/cold column split + p5's contract, nothing new") {
+    // The serving read path against the stored cell table must pay
+    // only its own bytes and shuffles: the ADC scan reads cell id +
+    // codes (never the 64-dim vectors — column pruning is the
+    // hot/cold split), the refine scan reads the vectors (never the
+    // codes), the versioned tombstone masks broadcast, and the only
+    // exchanges in the whole plan are p5's two qid-keyed windows.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s41-plan-")
+    try {
+      Similarity.ivfBootstrapServe(spark, sf, dir.toString, 8)
+      // a tombstone layer so the masked read shape is under audit
+      import spark.implicits._
+      Seq((999999L, Long.MaxValue)).toDF("vec_id", "upto")
+        .write.parquet(s"$dir/dels")
+      val base = Similarity.quantized(spark, sf)
+      val cents = Similarity.collectCents(
+        Similarity.loadCodebook(spark, s"$dir/codebook"))
+      val cbP = Similarity.loadPqCodebook(spark, s"$dir/pqcodebook")
+      val probes = Similarity.ivfProbes(base, cents, nprobe = 2)
+        .select(col("qid"), col("pcid"))
+      val luts = Similarity.pqLuts(
+        Similarity.pqSubCols(base.filter(col("vec_id") < 5)), cbP)
+      val qvecs = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"))
+      val plan = Similarity
+        .s41ServePass(spark, dir.toString, probes, luts, cbP, qvecs)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // hot/cold split: no single scan of the cell table reads BOTH
+      // the codes and the vectors
+      val schemas = plan.linesIterator
+        .filter(_.contains("ReadSchema")).filter(_.contains("c0")).toSeq
+      assert(schemas.nonEmpty, "the ADC scan must appear")
+      assert(schemas.forall(!_.contains("q:")),
+        s"the ADC scan must never read the vectors:\n${schemas.mkString("\n")}")
+      val cold = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("q:")).toSeq
+      assert(cold.nonEmpty && cold.forall(!_.contains("c0")),
+        "the refine scan must never read the codes")
+      // both tombstone masks broadcast
+      assert(plan.linesIterator.count(_.contains("LeftAnti")) >= 2 &&
+        plan.contains("BroadcastHashJoin"),
+        "both versioned tombstone masks must be broadcast anti-joins")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), "no unkeyed joins")
+      // every JOIN broadcasts — the corpus-sized sides never exchange
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        "every join in the serve plan must broadcast")
+      // the only exchanges: the two qid-keyed selection windows plus
+      // the per-key max-upto rollup of the (delete-batch-sized)
+      // tombstone table on its way INTO a broadcast
+      val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+      assert(hashes.exists(_.contains("hashpartitioning(qid")),
+        "the selection windows must appear")
+      assert(hashes.forall(l => l.contains("hashpartitioning(qid") ||
+        l.contains("hashpartitioning(vec_id")),
+        s"every exchange must be a qid window or the tombstone rollup:\n${hashes.mkString("\n")}")
+    } finally graft.Fs.deleteRecursively(dir)
+  }
 }

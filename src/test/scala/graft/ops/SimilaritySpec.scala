@@ -1647,4 +1647,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(costs.distinct.length > 1, "a flat sweep prices nothing")
     assert(rows.maxBy(t => (t._1, t._2))._4 >= rows.minBy(t => (t._1, t._2))._4)
   }
+
+  test("s41: phase-0 stored IVF serving is bit-identical to p5's in-plan composition") {
+    // The stored cell table holds the same cells, codes and vectors
+    // p5's in-plan frames derive, and every stage is integer-exact —
+    // so serving p5's configuration FROM STORAGE must reproduce p5's
+    // output exactly (s39's phase-0 equality, for the IVF family).
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("adc_score"), r.getAs[Double]("cos"), r.getAs[Int]("rnk"))
+    val stored = Similarity.queries("s41_ivf_serve_stored")(spark, sf)
+      .collect().filter(_.getAs[Int]("phase") == 0).map(key).toSeq
+    val inPlan = graft.ops.Pipeline.queries("p5_retrieval")(spark, sf)
+      .collect().map(key).toSeq
+    assert(stored.nonEmpty && stored == inPlan,
+      "stored IVF serving must equal the in-plan composition bit-for-bit")
+  }
+
+  test("s41: the stored IVF index serves through deletes and the physical fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s41-spec-")
+    try {
+      val out = Similarity.s41WithDir(spark, sf, dir.toString).collect()
+        .map(r => (r.getAs[Int]("phase"), r.getAs[Long]("qid"),
+          r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Double]("adc_score"), r.getAs[Double]("cos"),
+          r.getAs[Int]("rnk"))).toSeq
+      // the dead set, recomputed from the fixture: phase-0 rank-1 ids
+      // (served-then-deleted — the unfakeable flip) plus the mod slice
+      val served = out.filter(t => t._1 == 0 && t._7 == 1).map(_._3).toSet
+      val mod = Similarity.quantized(spark, sf).collect().map(_.getLong(0))
+        .filter(v => v >= 5 &&
+          v % Similarity.GraphDeleteMod == Similarity.GraphDeleteRem).toSet
+      assert(served.nonEmpty && mod.nonEmpty, "both delete sources must fire")
+      val dead = served ++ mod
+      val p1 = out.filter(_._1 == 1)
+      assert(p1.nonEmpty, "phase 1 must serve")
+      assert(p1.forall(t => !dead(t._3)),
+        "the masked serve surfaced a tombstoned id")
+      // the physical fold must be invisible to the read path
+      val p2 = out.filter(_._1 == 2).map(t => t.copy(_1 = 1))
+      assert(p2 == p1, "post-fold serve must equal the masked serve")
+      // every phase keeps the serving shape: exact-rerank order, dense
+      // ranks per (phase, query)
+      out.groupBy(t => (t._1, t._2)).values.foreach { rs =>
+        val sorted = rs.sortBy(_._7)
+        assert(sorted.map(_._7).toSeq == (1 to rs.length))
+        val cs = sorted.map(_._6)
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+          "final order must be the exact rerank")
+      }
+      // ON DISK after the gate: the tombstones are applied (cleared,
+      // not merely masked), the dead rows are physically gone, and the
+      // serving codes + cold vectors still ride the folded table
+      assert(IndexCompaction.dataFileCount(s"$dir/dels") == 0,
+        "applied tombstones must clear")
+      val cells = spark.read.parquet(s"$dir/cells")
+      val ids = cells.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(dead.forall(!ids(_)), "a dead row survived the physical fold")
+      assert(Seq("q", "cid", "ver", "c0", "c7").forall(cells.columns.contains),
+        "the folded table must keep the hot codes and the cold vectors")
+    } finally graft.Fs.deleteRecursively(dir)
+  }
 }
