@@ -168,6 +168,11 @@ object Sf1Stress {
     // boolean, not a stdout line nothing collects
     var s35Burst01: Option[Boolean] = None
     var s35Burst1: Option[Boolean] = None
+    // s43's sweep tables per leg (hops, beam, hits, cands): with s40's
+    // this answers WHICH axis recovers recall cheaper at 10×
+    var s43SweepLast: Array[(Int, Int, Long, Long)] = Array.empty
+    var s43Sweep01: Array[(Int, Int, Long, Long)] = Array.empty
+    var s43Sweep1: Array[(Int, Int, Long, Long)] = Array.empty
     // s40's sweep tables per leg (beam, nprobe, hits, cands): the 10×
     // table is the knob-recovery evidence and lands in the JSON footer
     var s40SweepLast: Array[(Int, Int, Long, Long)] = Array.empty
@@ -410,16 +415,60 @@ object Sf1Stress {
       }
       println(f"[sf1-stress] s40_serve_sweep (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s40_serve_sweep_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the hops × beam sweep at production shape — the second axis of
+      // the knob-recovery table: does one more hop recover registered
+      // recall cheaper than 4× beam on the 10× corpus?
+      def runS43(dir: String, k: Int) = {
+        val base = graft.ops.Similarity.serveBaseOf(spark, dir)
+        graft.ops.Similarity.s43From(base, graft.ops.Similarity.collectCents(
+          graft.ops.Similarity.trainCodebook(base, iters = 2, k = k)))
+      }
+      def timeS43(dir: String, k: Int) = timed3 {
+        val rows = runS43(dir, k).collect()
+        s43SweepLast = rows.map(r => (r.getInt(0), r.getInt(1),
+          r.getLong(2), r.getLong(3)))
+        rows.length.toLong
+      }
+      val (f01, t01, n01) = timeS43(sf01, 8)
+      s43Sweep01 = s43SweepLast
+      val (f1, t1, n1) = timeS43(sf1, 80)
+      s43Sweep1 = s43SweepLast
+      s43Sweep1.foreach { case (h, b, hits, cands) =>
+        println(s"[sf1-stress] s43 sweep sf1: hops=$h beam=$b hits=$hits/25 cands=$cands")
+      }
+      println(f"[sf1-stress] s43_hops_sweep (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s43_hops_sweep_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the stored IVF/PQ serving weld at production shape: fresh
+      // index dir per rep (bootstrap carries the knob — the JVM seed
+      // cache makes reps 2-3 pay the copy, rep 1 the build), then
+      // serve -> versioned tombstones -> masked serve -> physical
+      // fold -> served again
+      def timeS41(dir: String, k: Int) = timed3 {
+        val idx = java.nio.file.Files.createTempDirectory("graft-s41-k-")
+        try graft.ops.Similarity.s41WithDir(spark, dir, idx.toString, k).count()
+        finally graft.Fs.deleteRecursively(idx)
+      }
+      val (f01, t01, n01) = timeS41(sf01, 8)
+      val (f1, t1, n1) = timeS41(sf1, 80)
+      println(f"[sf1-stress] s41_ivf_serve_stored (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s41_ivf_serve_stored_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     def sweepJson(t: Array[(Int, Int, Long, Long)]): String =
       t.map { case (b, np, h, c) =>
         s"""{"beam": $b, "nprobe": $np, "hits": $h, "cands": $c}""" }
+        .mkString("[", ", ", "]")
+    def hopsJson(t: Array[(Int, Int, Long, Long)]): String =
+      t.map { case (hp, b, h, c) =>
+        s"""{"hops": $hp, "beam": $b, "hits": $h, "cands": $c}""" }
         .mkString("[", ", ", "]")
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
     }.mkString("{\n", ",\n",
       s""",\n  "s35_q0_burst_rank1": {"sf0_1": ${s35Burst01.map(_.toString).getOrElse("null")}, "sf1": ${s35Burst1.map(_.toString).getOrElse("null")}},""" +
       s"""\n  "s40_sweep": {"sf0_1": ${sweepJson(s40Sweep01)}, "sf1": ${sweepJson(s40Sweep1)}},""" +
+      s"""\n  "s43_sweep": {"sf0_1": ${hopsJson(s43Sweep01)}, "sf1": ${hopsJson(s43Sweep1)}},""" +
       s"""\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "errors": 0\n}\n""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_sf1_spot.json"), json.getBytes("UTF-8"))

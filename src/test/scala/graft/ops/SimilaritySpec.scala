@@ -1648,6 +1648,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.maxBy(t => (t._1, t._2))._4 >= rows.minBy(t => (t._1, t._2))._4)
   }
 
+  test("s42: the auto-tuner's choice honors the published curve, and it serves the chosen point") {
+    val out = Similarity.queries("s42_serve_autotune")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"),
+        r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Int]("rnk"))).toSeq
+    // one choice, dense served ranks per query
+    val choice = out.map(t => (t._1, t._2, t._3, t._4)).distinct
+    assert(choice.length == 1, s"the tuner must pick ONE point: $choice")
+    out.groupBy(_._5).values.foreach { rs =>
+      assert(rs.map(_._7).sorted == (1 to rs.length), "served ranks must be dense")
+    }
+    // the choice must be exactly what the RULE says over the published
+    // s40 curve: cheapest point meeting the floor; else best recall,
+    // cheapest first; grid order breaks ties
+    val curve = Similarity.queries("s40_serve_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"))).toSeq
+    val expected = curve.minBy { case (b, np, h, c) =>
+      val meets = h >= Similarity.S42RecallFloor
+      (if (meets) 0 else 1, if (meets) c else -h, c, b, np)
+    }
+    assert(choice.head == expected,
+      s"tuner chose ${choice.head}, the curve says $expected")
+    if (curve.exists(_._3 >= Similarity.S42RecallFloor))
+      assert(choice.head._3 >= Similarity.S42RecallFloor,
+        "a floor-meeting point exists but the tuner picked below the floor")
+  }
+
+  test("s43: the hops sweep prices the second recovery lever on the same serving path") {
+    val rows = Similarity.queries("s43_hops_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("hops"), r.getAs[Int]("beam"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"))).toSeq
+    val grid = for (h <- Similarity.SweepHops; b <- Similarity.S43Beams) yield (h, b)
+    assert(rows.map(t => (t._1, t._2)) == grid.sorted, "one row per grid point, ordered")
+    rows.foreach { t =>
+      assert(t._3 >= 0 && t._3 <= 25, s"hits out of range: $t")
+      assert(t._4 >= t._3, s"visited set smaller than its hits: $t")
+    }
+    // the visited set only accumulates: cost is monotone in BOTH axes
+    Similarity.S43Beams.foreach { b =>
+      val byHops = rows.filter(_._2 == b).sortBy(_._1).map(_._4)
+      assert(byHops.zip(byHops.tail).forall { case (a, c) => a <= c },
+        s"cands must be monotone in hops at beam $b")
+    }
+    Similarity.SweepHops.foreach { h =>
+      val byBeam = rows.filter(_._1 == h).sortBy(_._2).map(_._4)
+      assert(byBeam.zip(byBeam.tail).forall { case (a, c) => a <= c },
+        s"cands must be monotone in beam at hops $h")
+    }
+    // the (hops 4, beam 16) point IS the registered s38 configuration —
+    // the sweep is the same serving path parameterized
+    val s38hits = Similarity.queries("s38_graph_serve")(spark, sf).collect()
+      .map(_.getAs[Int]("hit")).sum.toLong
+    assert(rows.find(t => t._1 == 4 && t._2 == 16).get._3 == s38hits,
+      "the (4, 16) sweep point must equal the registered s38 recall")
+  }
+
   test("s41: phase-0 stored IVF serving is bit-identical to p5's in-plan composition") {
     // The stored cell table holds the same cells, codes and vectors
     // p5's in-plan frames derive, and every stage is integer-exact —
