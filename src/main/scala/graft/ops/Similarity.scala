@@ -5641,6 +5641,13 @@ object Similarity {
   private[ops] val SweepBeams = Seq(16, 32, 64)
   private[ops] val SweepNprobes = Seq(1, 2, 4)
 
+  /** The hops axis the round-19 verdict said s40's grid lacked — s43's
+    * grid (declared here, before the s42 tuner's combined grid
+    * references them at object init).
+    */
+  private[ops] val SweepHops = Seq(2, 4, 6)
+  private[ops] val S43Beams = Seq(16, 64)
+
   /** s20's recall-vs-cost sweep, for the GRAPH serving path — the
     * tuning curve the round-18 verdict said the family lacked: the
     * 10× measurement showed the assembled serving path (s38) at
@@ -5876,48 +5883,61 @@ object Similarity {
     */
   private[ops] val S42RecallFloor = 18L
 
-  /** The round-19 verdict's "auto-tuner over s40's curve": the sweep
-    * PRICES the knobs, but picking the operating point was still a
+  /** The combined tuning grid: s40's beam × nprobe plane (at the
+    * registered 4 hops) UNION s43's hops axis (at the registered
+    * nprobe 2), overlapping points deduplicated — 13 points. Both
+    * measured axes are in the tuner's reach: the 10× tables proved
+    * beam is the decisive recovery lever at scale and extra hops the
+    * cheapest marginal recall on top of it — a tuner restricted to
+    * one plane could never pick the measured-best (hops 6, beam 64).
+    */
+  private[ops] val S42Grid: Seq[(Int, Int, Int)] =
+    ((for (b <- SweepBeams; np <- SweepNprobes) yield (b, np, GraphHops)) ++
+      (for (h <- SweepHops; b <- S43Beams) yield (b, 2, h))).distinct
+
+  /** The round-19 verdict's "auto-tuner over s40's curve": the sweeps
+    * PRICE the knobs, but picking the operating point was still a
     * human reading a table — a deployment wants the point chosen
-    * in-plan. This gate runs the s40 sweep (one standing build, nine
-    * concurrent serves), then CHOOSES the cheapest (beam, nprobe)
+    * in-plan. This gate runs the combined [[S42Grid]] sweep (one
+    * standing build, thirteen concurrent serves spanning BOTH
+    * measured axes), then CHOOSES the cheapest (beam, nprobe, hops)
     * meeting [[S42RecallFloor]] — one row_number window over the
-    * 9-row control-plane curve: points meeting the floor first,
+    * 13-row control-plane curve: points meeting the floor first,
     * cheapest visited-set cost among them; if NO point meets the
     * floor (a corpus this sweep cannot serve at target recall), the
     * best-recall point, cheapest first; grid order breaks exact
     * ties — and SERVES at the chosen point, emitting the choice row
-    * (beam/nprobe/hits/cands) with the point's served top-k rows.
-    * The serve IS the sweep's own run of that point (deterministic,
-    * one build): choosing re-reads 9 rows, never re-walks.
+    * (beam/nprobe/hops/hits/cands) with the point's served top-k
+    * rows. The serve IS the sweep's own run of that point
+    * (deterministic, one build): choosing re-reads 13 rows, never
+    * re-walks.
     *
     * Scale shape: s40's (the sweep is the cost; the choice window is
-    * 9 rows). Determinism: the curve is bit-stable (measured across
-    * runs at both scales, PLANS.md round 19), the rule is total, and
-    * the oracle replays all nine walks, the choice, and the chosen
-    * point's serve.
+    * 13 rows). Determinism: the curves are bit-stable (measured
+    * across runs at both scales, PLANS.md rounds 19-20), the rule is
+    * total, and the oracle replays all thirteen walks, the choice,
+    * and the chosen point's serve.
     */
   private[graft] def s42From(base: DataFrame,
       cents: Array[(Long, Seq[Double], Long)]): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val pts = graphSweepPoints(base, cents,
-      for (b <- SweepBeams; np <- SweepNprobes) yield (b, np, GraphHops))
-    val curve = pts.map(p => (p.beam, p.nprobe, p.hits, p.cands))
-      .toDF("beam", "nprobe", "hits", "cands")
+    val pts = graphSweepPoints(base, cents, S42Grid)
+    val curve = pts.map(p => (p.beam, p.nprobe, p.hops, p.hits, p.cands))
+      .toDF("beam", "nprobe", "hops", "hits", "cands")
     val meets = col("hits") >= lit(S42RecallFloor)
     val wChoice = org.apache.spark.sql.expressions.Window
       .orderBy(meets.desc,
         when(meets, col("cands")).otherwise(-col("hits")).asc,
-        col("cands").asc, col("beam"), col("nprobe"))
+        col("cands").asc, col("beam"), col("nprobe"), col("hops"))
     val chosen = curve.withColumn("pick", row_number().over(wChoice))
       .filter(col("pick") === 1).drop("pick")
     val served = pts
-      .flatMap(p => p.served.map(r => (p.beam, p.nprobe, r._1, r._2, r._3)))
-      .toDF("beam", "nprobe", "qid", "vec_id", "rnk")
-    served.join(broadcast(chosen), Seq("beam", "nprobe"))
-      .select(col("beam"), col("nprobe"), col("hits"), col("cands"),
-        col("qid"), col("vec_id"), col("rnk"))
+      .flatMap(p => p.served.map(r => (p.beam, p.nprobe, p.hops, r._1, r._2, r._3)))
+      .toDF("beam", "nprobe", "hops", "qid", "vec_id", "rnk")
+    served.join(broadcast(chosen), Seq("beam", "nprobe", "hops"))
+      .select(col("beam"), col("nprobe"), col("hops"), col("hits"),
+        col("cands"), col("qid"), col("vec_id"), col("rnk"))
       .orderBy("qid", "rnk")
   }
 
@@ -5927,8 +5947,8 @@ object Similarity {
   }
 
   private val s42Oracle: String = {
-    val pointCtes = (for (b <- SweepBeams; np <- SweepNprobes) yield {
-      val sfx = s"_b${b}n$np"
+    val pointCtes = (for ((b, np, h) <- S42Grid) yield {
+      val sfx = s"_b${b}n${np}h$h"
       s"""e$sfx AS (
          |  SELECT DISTINCT p.qid, m.vec_id
          |  FROM probesr p JOIN cmin m ON m.cid = p.cid
@@ -5940,7 +5960,7 @@ object Similarity {
          |  FROM e$sfx e
          |  JOIN quant8 qt ON qt.vec_id = e.vec_id
          |  JOIN qv8 q8 ON q8.qid = e.qid),
-         |${quantHopOracleCtes(sfx, "gedge8", beam = b)},
+         |${quantHopOracleCtes(sfx, "gedge8", beam = b, hops = h)},
          |srv$sfx AS (
          |  SELECT qid, vec_id, CAST(rnk AS INT) AS rnk FROM (
          |    SELECT f.qid, f.vec_id,
@@ -5951,7 +5971,7 @@ object Similarity {
          |        SELECT w.qid, l.qlabel, w.vec_id, w.dot8,
          |               row_number() OVER (PARTITION BY w.qid
          |                 ORDER BY w.dot8 DESC, w.vec_id) AS crk
-         |        FROM w$GraphHops$sfx w
+         |        FROM w$h$sfx w
          |        JOIN base c ON c.vec_id = w.vec_id
          |        JOIN qlab l ON l.qid = w.qid AND c.label = l.qlabel)
          |      WHERE crk <= $QuantFetch) f
@@ -5959,16 +5979,16 @@ object Similarity {
          |    JOIN qvf ON qvf.qid = f.qid)
          |  WHERE rnk <= $FilteredK),
          |pt$sfx AS (
-         |  SELECT $b AS beam, $np AS nprobe,
+         |  SELECT $b AS beam, $np AS nprobe, $h AS hops,
          |         (SELECT count(*) FROM srv$sfx s
          |          JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id) AS hits,
-         |         (SELECT count(*) FROM w$GraphHops$sfx) AS cands)""".stripMargin
+         |         (SELECT count(*) FROM w$h$sfx) AS cands)""".stripMargin
     }).mkString(",\n")
-    val curveUnion = (for (b <- SweepBeams; np <- SweepNprobes)
-      yield s"SELECT beam, nprobe, hits, cands FROM pt_b${b}n$np")
+    val curveUnion = (for ((b, np, h) <- S42Grid)
+      yield s"SELECT beam, nprobe, hops, hits, cands FROM pt_b${b}n${np}h$h")
       .mkString("\n  UNION ALL\n  ")
-    val servedUnion = (for (b <- SweepBeams; np <- SweepNprobes)
-      yield s"SELECT $b AS beam, $np AS nprobe, qid, vec_id, rnk FROM srv_b${b}n$np")
+    val servedUnion = (for ((b, np, h) <- S42Grid)
+      yield s"SELECT $b AS beam, $np AS nprobe, $h AS hops, qid, vec_id, rnk FROM srv_b${b}n${np}h$h")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -6013,28 +6033,23 @@ object Similarity {
        |curve AS (
        |  $curveUnion),
        |choice AS (
-       |  SELECT beam, nprobe, hits, cands FROM (
-       |    SELECT beam, nprobe, hits, cands,
+       |  SELECT beam, nprobe, hops, hits, cands FROM (
+       |    SELECT beam, nprobe, hops, hits, cands,
        |           row_number() OVER (ORDER BY
        |             (hits >= $S42RecallFloor) DESC,
        |             CASE WHEN hits >= $S42RecallFloor THEN cands
        |                  ELSE -hits END ASC,
-       |             cands ASC, beam, nprobe) AS pick
+       |             cands ASC, beam, nprobe, hops) AS pick
        |    FROM curve) WHERE pick = 1),
        |servall AS (
        |  $servedUnion)
-       |SELECT c.beam, c.nprobe, c.hits, c.cands, s.qid, s.vec_id, s.rnk
-       |FROM servall s JOIN choice c ON c.beam = s.beam AND c.nprobe = s.nprobe
+       |SELECT c.beam, c.nprobe, c.hops, c.hits, c.cands, s.qid, s.vec_id, s.rnk
+       |FROM servall s JOIN choice c
+       |  ON c.beam = s.beam AND c.nprobe = s.nprobe AND c.hops = s.hops
        |ORDER BY s.qid, s.rnk""".stripMargin
   }
 
   // ---- s43: hops × beam sweep — pricing the OTHER recovery lever -----------
-
-  /** The hops axis the round-19 verdict said s40's grid lacked (beam
-    * 64's 2.6× candidate cost was the only measured recovery lever).
-    */
-  private[ops] val SweepHops = Seq(2, 4, 6)
-  private[ops] val S43Beams = Seq(16, 64)
 
   /** s40's recall-vs-cost sweep over the walk's OTHER knob: hops ∈
     * [[SweepHops]] × beam ∈ [[S43Beams]] at the registered nprobe 2 —

@@ -1648,31 +1648,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.maxBy(t => (t._1, t._2))._4 >= rows.minBy(t => (t._1, t._2))._4)
   }
 
-  test("s42: the auto-tuner's choice honors the published curve, and it serves the chosen point") {
+  test("s42: the auto-tuner's choice honors the published curves, and it serves the chosen point") {
     val out = Similarity.queries("s42_serve_autotune")(spark, sf).collect()
-      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"),
+      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"), r.getAs[Int]("hops"),
         r.getAs[Long]("hits"), r.getAs[Long]("cands"),
         r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Int]("rnk"))).toSeq
     // one choice, dense served ranks per query
-    val choice = out.map(t => (t._1, t._2, t._3, t._4)).distinct
+    val choice = out.map(t => (t._1, t._2, t._3, t._4, t._5)).distinct
     assert(choice.length == 1, s"the tuner must pick ONE point: $choice")
-    out.groupBy(_._5).values.foreach { rs =>
-      assert(rs.map(_._7).sorted == (1 to rs.length), "served ranks must be dense")
+    out.groupBy(_._6).values.foreach { rs =>
+      assert(rs.map(_._8).sorted == (1 to rs.length), "served ranks must be dense")
     }
-    // the choice must be exactly what the RULE says over the published
-    // s40 curve: cheapest point meeting the floor; else best recall,
-    // cheapest first; grid order breaks ties
-    val curve = Similarity.queries("s40_serve_sweep")(spark, sf).collect()
-      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"),
+    // the choice must be exactly what the RULE says over the union of
+    // the two PUBLISHED curves (s40's beam × nprobe plane at 4 hops,
+    // s43's hops axis at nprobe 2 — the tuner's grid is their union):
+    // cheapest point meeting the floor; else best recall, cheapest
+    // first; grid order breaks ties
+    val c40 = Similarity.queries("s40_serve_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("nprobe"), 4,
         r.getAs[Long]("hits"), r.getAs[Long]("cands"))).toSeq
-    val expected = curve.minBy { case (b, np, h, c) =>
-      val meets = h >= Similarity.S42RecallFloor
-      (if (meets) 0 else 1, if (meets) c else -h, c, b, np)
+    val c43 = Similarity.queries("s43_hops_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("beam"), 2, r.getAs[Int]("hops"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"))).toSeq
+    val curve = (c40 ++ c43).distinct
+    assert(curve.length == Similarity.S42Grid.length,
+      "the published curves must tile the tuner's grid exactly")
+    val expected = curve.minBy { case (b, np, h, hits, c) =>
+      val meets = hits >= Similarity.S42RecallFloor
+      (if (meets) 0 else 1, if (meets) c else -hits, c, b, np, h)
     }
     assert(choice.head == expected,
-      s"tuner chose ${choice.head}, the curve says $expected")
-    if (curve.exists(_._3 >= Similarity.S42RecallFloor))
-      assert(choice.head._3 >= Similarity.S42RecallFloor,
+      s"tuner chose ${choice.head}, the curves say $expected")
+    if (curve.exists(_._4 >= Similarity.S42RecallFloor))
+      assert(choice.head._4 >= Similarity.S42RecallFloor,
         "a floor-meeting point exists but the tuner picked below the floor")
   }
 
