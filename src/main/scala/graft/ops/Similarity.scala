@@ -6240,7 +6240,7 @@ object Similarity {
     */
   private[graft] def s41ServePass(s: SparkSession, idxDir: String,
       probes: DataFrame, luts: DataFrame, cbP: Int => Cb,
-      qvecs: DataFrame): DataFrame = {
+      qvecs: DataFrame, fetch: Int = 20): DataFrame = {
     val cellsPath = s"$idxDir/cells"
     val delsPath = s"$idxDir/dels"
     def masked(proj: DataFrame => DataFrame): DataFrame = {
@@ -6261,7 +6261,7 @@ object Similarity {
       .join(broadcast(probes), col("cid") === col("pcid"))
       .join(broadcast(luts), Seq("qid"))
       .withColumn("adc_score", pqAdcScore(cbP))
-      .withColumn("ar", row_number().over(wAdc)).filter(col("ar") <= 20)
+      .withColumn("ar", row_number().over(wAdc)).filter(col("ar") <= fetch)
       .select(col("qid"), col("vec_id"), col("cid").as("cell"), col("adc_score"))
     val cold = masked(_.select(col("vec_id"), col("ver"), col("q"))).drop("ver")
     val wTop = org.apache.spark.sql.expressions.Window
@@ -6427,7 +6427,244 @@ object Similarity {
        |ORDER BY phase, qid, rnk""".stripMargin
   }
 
+  // ---- s44: recall-targeted auto-tune over the STORED IVF serve ------------
+
+  /** The IVF serving path's two knobs, priced per point by the rows
+    * each one buys recall with: `nprobe` (how many cells the probe
+    * stage opens — the ADC code-scan volume) and `fetch` (how many
+    * ADC winners the exact rerank refines — the full-precision
+    * read-back volume). Together with s40/s43's beam/nprobe/hops this
+    * completes the serving cost model for BOTH stored index families.
+    */
+  private[ops] val S44Fetches = Seq(5, 10, 20)
+  private[ops] val S44Grid: Seq[(Int, Int)] =
+    for (np <- SweepNprobes; f <- S44Fetches) yield (np, f)
+
+  /** The recall floor the IVF tuner targets (hits of the 25 exact
+    * unfiltered top-[[FilteredK]] rows) — set one hit under the
+    * registered (nprobe 2, fetch 20) operating point's measured band,
+    * the S42RecallFloor recipe on this family's curve.
+    */
+  private[ops] val S44RecallFloor = 18L
+
+  /** One IVF sweep point's knobs and measured outcome. */
+  private[ops] final case class IvfSweepPoint(nprobe: Int, fetch: Int,
+      hits: Long, cands: Long, refines: Long, served: Seq[(Long, Long, Int)])
+
+  /** The sweep engine for the IVF family's STORED serving path
+    * (s42/s40's shape on the other index): ONE pristine bootstrap of
+    * the s41 layout ([[ivfBootstrapServe]] — JVM-seeded, shared with
+    * s41 itself), then each (nprobe, fetch) grid point runs the full
+    * audited serve ([[s41ServePass]] — hot code scan, broadcast
+    * probes/LUTs, bounded exact rerank) as a concurrent Spark job,
+    * returning its recall (`hits`, against ONE shared brute-force
+    * exact-truth leg — the serve's task is unfiltered top-k, so the
+    * truth is too), its cost split by stage (`cands` = code rows the
+    * ADC scan touches; `refines` = full-precision rows the rerank
+    * reads back), and its served top-[[FilteredK]] rows.
+    */
+  private[ops] def ivfSweepPoints(s: SparkSession, d: String,
+      idxDir: String, grid: Seq[(Int, Int)], k: Int = 8): Seq[IvfSweepPoint] = {
+    ivfBootstrapServe(s, d, idxDir, k)
+    val base = quantized(s, d)
+    val cents = collectCents(loadCodebook(s, s"$idxDir/codebook"))
+    val cbP = loadPqCodebook(s, s"$idxDir/pqcodebook")
+    val luts = pqLuts(pqSubCols(base.filter(col("vec_id") < 5)), cbP)
+      .localCheckpoint(true)
+    val qvecs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv")).localCheckpoint(true)
+    val wTruth = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val truthIds = base.filter(col("vec_id") >= 5)
+      .join(broadcast(qvecs))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
+      .withColumn("trk", row_number().over(wTruth))
+      .filter(col("trk") <= FilteredK)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent serves over ONE pristine stored build — concurrent
+    // Spark jobs on a dedicated pool (graphSweepPoints's rationale:
+    // each point's small stages alone cannot saturate the executors,
+    // and the global fork-join pool must never hold blocked actions)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(grid.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futs = for ((np, f) <- grid) yield Future {
+      val probes = ivfProbes(base, cents, nprobe = np)
+        .select(col("qid"), col("pcid")).localCheckpoint(true)
+      // the point's cost, read straight off the stored layout: the
+      // per-query candidate counts give both stages' volumes (the
+      // rerank reads min(fetch, |candidates|) rows per query)
+      val perQ = s.read.parquet(s"$idxDir/cells").select(col("cid"))
+        .join(broadcast(probes), col("cid") === col("pcid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n")).collect()
+        .map(_.getAs[Long]("n"))
+      val served = s41ServePass(s, idxDir, probes, luts, cbP, qvecs, fetch = f)
+        .select(col("qid"), col("vec_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val hits = served.count(t => truthIds((t._1, t._2))).toLong
+      IvfSweepPoint(np, f, hits, perQ.sum,
+        perQ.map(n => math.min(f.toLong, n)).sum, served.toSeq)
+    }
+    try futs.map(Await.result(_, Duration.Inf))
+    finally pool.shutdown()
+  }
+
+  /** s42's auto-tuner for the IVF family's stored serving path — the
+    * symmetric closure of the tuning story: s42 chooses the GRAPH
+    * index's operating point in-plan; this gate does the same for the
+    * persisted IVF/PQ index s41 serves from. It sweeps [[S44Grid]]
+    * (nprobe × fetch, nine concurrent serves of the audited
+    * [[s41ServePass]] over one pristine stored build), then CHOOSES
+    * the cheapest point meeting [[S44RecallFloor]] — cost is the
+    * rows the serve actually touches past the probe, `cands +
+    * refines` (code scans + full-precision read-backs: the two
+    * stages a stored IVF serve pays for) — one row_number window
+    * over the 9-row control-plane curve: floor-meeting points first,
+    * cheapest among them; if none meets the floor, best recall,
+    * cheapest first; grid order breaks exact ties. It SERVES at the
+    * chosen point, emitting the choice row with that point's served
+    * top-k rows (the sweep's own deterministic run — choosing
+    * re-reads 9 rows, never re-probes).
+    *
+    * Scale shape: the sweep is nine bounded serves over ONE stored
+    * build (each is p5's contract against storage — code-only ADC
+    * scan through broadcast probes, broadcast rerank); the truth leg
+    * is the one evaluation scan; the choice window is 9 rows.
+    * Determinism: every stage is s41's integer-exact machinery, the
+    * grid is static, and the oracle replays all nine serves, the
+    * choice, and the chosen point's rows.
+    */
+  private[graft] def s44From(s: SparkSession, d: String,
+      idxDir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val pts = ivfSweepPoints(s, d, idxDir, S44Grid, k)
+    val curve = pts.map(p => (p.nprobe, p.fetch, p.hits, p.cands, p.refines))
+      .toDF("nprobe", "fetch_k", "hits", "cands", "refines")
+    val cost = col("cands") + col("refines")
+    val meets = col("hits") >= lit(S44RecallFloor)
+    val wChoice = org.apache.spark.sql.expressions.Window
+      .orderBy(meets.desc,
+        when(meets, cost).otherwise(-col("hits")).asc,
+        cost.asc, col("nprobe"), col("fetch_k"))
+    val chosen = curve.withColumn("pick", row_number().over(wChoice))
+      .filter(col("pick") === 1).drop("pick")
+    val served = pts
+      .flatMap(p => p.served.map(r => (p.nprobe, p.fetch, r._1, r._2, r._3)))
+      .toDF("nprobe", "fetch_k", "qid", "vec_id", "rnk")
+    served.join(broadcast(chosen), Seq("nprobe", "fetch_k"))
+      .select(col("nprobe"), col("fetch_k"), col("hits"), col("cands"),
+        col("refines"), col("qid"), col("vec_id"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  private def s44IvfServeAutotune(s: SparkSession, d: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-s44-idx-")
+    try s44From(s, d, idx.toString)
+    finally graft.Fs.deleteRecursively(idx)
+  }
+
+  private val s44Oracle: String = {
+    val pivots = (0 until pqM)
+      .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
+    val total = (0 until pqM).map(m => s"t$m").mkString(" + ")
+    val pointCtes = (for ((np, f) <- S44Grid) yield {
+      val sfx = s"_n${np}f$f"
+      s"""cand$sfx AS (
+         |  SELECT p.qid, x.vec_id, x.m, x.cid AS code
+         |  FROM codes x
+         |  JOIN a3 a ON a.vec_id = x.vec_id
+         |  JOIN probesr p ON p.cid = a.cid AND p.pr <= $np
+         |  WHERE x.vec_id >= 5),
+         |terms$sfx AS (
+         |  SELECT c.qid, c.vec_id, c.m,
+         |         CAST(${pqDot8("q.sub", "cb.sv")} AS DOUBLE) / cb.n AS t
+         |  FROM cand$sfx c
+         |  JOIN pc1 cb ON cb.m = c.m AND cb.cid = c.code
+         |  JOIN subs q ON q.m = c.m AND q.vec_id = c.qid),
+         |piv$sfx AS (
+         |  SELECT qid, vec_id,
+         |         $pivots
+         |  FROM terms$sfx GROUP BY qid, vec_id),
+         |adc$sfx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY $total DESC, vec_id) AS ar
+         |    FROM piv$sfx) WHERE ar <= $f),
+         |srv$sfx AS MATERIALIZED (
+         |  SELECT qid, vec_id, CAST(rnk AS INT) AS rnk FROM (
+         |    SELECT a.qid, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.qid
+         |             ORDER BY list_cosine_similarity(b.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+         |                      a.vec_id) AS rnk
+         |    FROM adc$sfx a
+         |    JOIN base b ON b.vec_id = a.vec_id
+         |    JOIN base qb ON qb.vec_id = a.qid)
+         |  WHERE rnk <= $FilteredK),
+         |pt$sfx AS (
+         |  SELECT $np AS nprobe, $f AS fetch_k,
+         |         (SELECT count(*) FROM srv$sfx s
+         |          JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id) AS hits,
+         |         (SELECT count(*) FROM piv$sfx) AS cands,
+         |         (SELECT count(*) FROM adc$sfx) AS refines)""".stripMargin
+    }).mkString(",\n")
+    val curveUnion = (for ((np, f) <- S44Grid)
+      yield s"SELECT nprobe, fetch_k, hits, cands, refines FROM pt_n${np}f$f")
+      .mkString("\n  UNION ALL\n  ")
+    val servedUnion = (for ((np, f) <- S44Grid)
+      yield s"SELECT $np AS nprobe, $f AS fetch_k, qid, vec_id, rnk FROM srv_n${np}f$f")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$pqSubsOracleCte,
+       |$pqOracleChain,
+       |qscr AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base q, c2 c WHERE q.vec_id < 5),
+       |probesr AS (
+       |  SELECT qid, cid, pr FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qscr) WHERE pr <= ${SweepNprobes.max}),
+       |truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qb.vec_id AS qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY qb.vec_id
+       |             ORDER BY list_cosine_similarity(c.q::DOUBLE[], qb.q::DOUBLE[]) DESC,
+       |                      c.vec_id) AS trk
+       |    FROM base c, base qb
+       |    WHERE c.vec_id >= 5 AND qb.vec_id < 5)
+       |  WHERE trk <= $FilteredK),
+       |$pointCtes,
+       |curve AS (
+       |  $curveUnion),
+       |choice AS (
+       |  SELECT nprobe, fetch_k, hits, cands, refines FROM (
+       |    SELECT nprobe, fetch_k, hits, cands, refines,
+       |           row_number() OVER (ORDER BY
+       |             (hits >= $S44RecallFloor) DESC,
+       |             CASE WHEN hits >= $S44RecallFloor THEN cands + refines
+       |                  ELSE -hits END ASC,
+       |             cands + refines ASC, nprobe, fetch_k) AS pick
+       |    FROM curve) WHERE pick = 1),
+       |servall AS (
+       |  $servedUnion)
+       |SELECT c.nprobe, c.fetch_k, c.hits, c.cands, c.refines, s.qid, s.vec_id, s.rnk
+       |FROM servall s JOIN choice c ON c.nprobe = s.nprobe AND c.fetch_k = s.fetch_k
+       |ORDER BY s.qid, s.rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s44_ivf_serve_autotune" -> (s44IvfServeAutotune _),
     "s43_hops_sweep" -> (s43HopsSweep _),
     "s42_serve_autotune" -> (s42ServeAutotune _),
     "s41_ivf_serve_stored" -> (s41IvfServeStored _),
@@ -6474,6 +6711,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s44_ivf_serve_autotune" -> s44Oracle,
     "s43_hops_sweep" -> s43Oracle,
     "s42_serve_autotune" -> s42Oracle,
     "s41_ivf_serve_stored" -> s41Oracle,

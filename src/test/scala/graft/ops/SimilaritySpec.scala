@@ -1773,4 +1773,62 @@ class SimilaritySpec extends AnyFunSuite {
         "the folded table must keep the hot codes and the cold vectors")
     } finally graft.Fs.deleteRecursively(dir)
   }
+
+  test("s44: the IVF tuner's choice honors its own sweep, anchored to the registered serve") {
+    val out = Similarity.queries("s44_ivf_serve_autotune")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("fetch_k"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"), r.getAs[Long]("refines"),
+        r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Int]("rnk"))).toSeq
+    // one choice, dense served ranks per query
+    val choice = out.map(t => (t._1, t._2, t._3, t._4, t._5)).distinct
+    assert(choice.length == 1, s"the tuner must pick ONE point: $choice")
+    out.groupBy(_._6).values.foreach { rs =>
+      assert(rs.map(_._8).sorted == (1 to rs.length), "served ranks must be dense")
+    }
+    // recompute the full curve from the same pristine stored build and
+    // check the RULE: cheapest (cands + refines) point meeting the
+    // floor; else best recall, cheapest first; grid order breaks ties
+    val dir = java.nio.file.Files.createTempDirectory("graft-s44-spec-")
+    val pts = try Similarity.ivfSweepPoints(spark, sf, dir.toString, Similarity.S44Grid)
+      finally graft.Fs.deleteRecursively(dir)
+    val curve = pts.map(p => (p.nprobe, p.fetch, p.hits, p.cands, p.refines))
+    val expected = curve.minBy { case (np, f, hits, c, r) =>
+      val meets = hits >= Similarity.S44RecallFloor
+      (if (meets) 0 else 1, if (meets) c + r else -hits, c + r, np, f)
+    }
+    assert(choice.head == expected,
+      s"tuner chose ${choice.head}, the sweep says $expected")
+    if (curve.exists(_._3 >= Similarity.S44RecallFloor))
+      assert(choice.head._3 >= Similarity.S44RecallFloor,
+        "a floor-meeting point exists but the tuner picked below the floor")
+    // the knobs price what they claim: the ADC scan volume moves with
+    // nprobe ONLY (fetch never re-probes), the refine volume is
+    // monotone in fetch and capped by it
+    Similarity.S44Grid.groupBy(_._1).foreach { case (np, g) =>
+      val cs = g.map(p => curve.find(c => c._1 == np && c._2 == p._2).get._4)
+      assert(cs.distinct.length == 1, s"cands must not move with fetch at nprobe $np")
+    }
+    Similarity.SweepNprobes.foreach { np =>
+      val byF = curve.filter(_._1 == np).sortBy(_._2)
+      val rs = byF.map(_._5)
+      assert(rs.zip(rs.tail).forall { case (a, b) => a <= b },
+        s"refines must be monotone in fetch at nprobe $np")
+      byF.foreach(p => assert(p._5 <= p._2.toLong * 5,
+        "refines must be capped by fetch per query"))
+    }
+    val byNp = Similarity.S44Fetches.map { f =>
+      curve.filter(_._2 == f).sortBy(_._1).map(_._4)
+    }
+    byNp.foreach(cs => assert(cs.zip(cs.tail).forall { case (a, b) => a <= b },
+      "cands must be monotone in nprobe"))
+    // the (registered nprobe 2, fetch 20) sweep point IS s41's phase-0
+    // serve — the sweep parameterizes the audited pass, nothing new
+    val s41p0 = Similarity.queries("s41_ivf_serve_stored")(spark, sf).collect()
+      .filter(_.getAs[Int]("phase") == 0)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Int]("rnk")))
+      .toSeq.sorted
+    val reg = pts.find(p => p.nprobe == 2 && p.fetch == 20).get.served.sorted
+    assert(reg == s41p0,
+      "the (2, 20) sweep point must equal the registered stored serve")
+  }
 }
