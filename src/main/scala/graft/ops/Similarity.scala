@@ -5674,9 +5674,15 @@ object Similarity {
     * Determinism: s38's basis per point; the grid is static; the
     * oracle unrolls all nine walks.
     */
-  /** One sweep point's knob triple and its measured outcome. */
+  /** One sweep point's knob triple and its measured outcome.
+    * `refines` (the full-precision rows the exact rerank reads back —
+    * QuantFetch-capped per query) is priced only when the sweep is
+    * asked for it (s46's cross-family cost basis); the single-family
+    * curves (s40/s42/s43) keep their published cands-only shape.
+    */
   private[ops] final case class SweepPoint(beam: Int, nprobe: Int, hops: Int,
-      hits: Long, cands: Long, served: Seq[(Long, Long, Int)])
+      hits: Long, cands: Long, served: Seq[(Long, Long, Int)],
+      refines: Long = 0L)
 
   /** The sweep engine shared by s40 (beam × nprobe), s42 (the
     * auto-tuner serving from the same grid) and s43 (hops × beam):
@@ -5688,7 +5694,8 @@ object Similarity {
     */
   private[ops] def graphSweepPoints(base: DataFrame,
       cents: Array[(Long, Seq[Double], Long)],
-      grid: Seq[(Int, Int, Int)]): Seq[SweepPoint] = {
+      grid: Seq[(Int, Int, Int)],
+      withRefines: Boolean = false): Seq[SweepPoint] = {
     val coded = base.withColumn("amax",
         expr("array_max(transform(v, x -> abs(x)))"))
       .withColumn("q8", expr(absmaxQ8Sql("v", "amax", "transform", "BIGINT")))
@@ -5768,7 +5775,20 @@ object Similarity {
         .select(col("qid"), col("vec_id"), col("rnk")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       val hits = served.count(t => truthIds((t._1, t._2)))
-      SweepPoint(b, np, h, hits.toLong, cand.count(), served.toSeq)
+      // the refine read-back volume — priced only for the
+      // cross-family cost basis (one tiny count over the
+      // checkpointed visited set; the published single-family
+      // curves never pay it)
+      val refines =
+        if (!withRefines) 0L
+        else cand
+          .join(labels, Seq("vec_id"))
+          .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+          .filter(col("label") === col("qlabel"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => math.min(QuantFetch.toLong, r.getAs[Long]("n"))).sum
+      SweepPoint(b, np, h, hits.toLong, cand.count(), served.toSeq, refines)
     }
     try futs.map(Await.result(_, Duration.Inf))
     finally pool.shutdown()
@@ -6663,7 +6683,437 @@ object Similarity {
        |ORDER BY s.qid, s.rnk""".stripMargin
   }
 
+  // ---- s45: the IVF family priced on the GRAPH family's task ---------------
+
+  /** The missing common denominator between the two families'
+    * published curves: s40/s42/s43 price the graph index and s44 the
+    * stored IVF serve, but on DIFFERENT tasks (label-filtered vs
+    * unfiltered top-k), so their recall-vs-cost rows were never
+    * comparable. This sweep engine re-prices the IVF/PQ read path
+    * (probe → routed label predicate → PQ-ADC → exact refine) on the
+    * graph curves' task, against the SAME exact filtered truth leg —
+    * each (nprobe, fetch) point reporting hits, `cands`
+    * (label-matching code rows the ADC scores) and `refines`
+    * (full-precision rows the rerank reads back). s46 makes the
+    * cross-family comparison in-plan.
+    *
+    * Scale shape: the corpus never shuffles — cell assignment and PQ
+    * codes are scan projections against broadcast literal codebooks,
+    * probes are 5 control-plane rows per point, candidates flow
+    * through one broadcast join with the label predicate applied at
+    * selection (routed, s36's policy), the refine is fetch-bounded;
+    * the only exchanges are the two qid-keyed windows, and the grid
+    * points run as concurrent Spark jobs over one coded-corpus
+    * checkpoint (graphSweepPoints's bounded-pool rationale).
+    * Determinism: s9/p5's integer-exact ADC plus one IEEE division
+    * per (query, subspace, centroid), full-precision rerank — both
+    * engines replay every point bit-for-bit.
+    */
+  private[ops] def ivfFilteredSweepPoints(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)],
+      cbP: Int => Cb, grid: Seq[(Int, Int)]): Seq[IvfSweepPoint] = {
+    val corpus = ivfFilteredCorpus(base, cents, cbP).localCheckpoint(true)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("v").as("qvf"), col("label").as("qlabel"))
+      .localCheckpoint(true)
+    val luts = pqLuts(pqSubCols(base.filter(col("vec_id") < 5)), cbP)
+      .localCheckpoint(true)
+    // ONE shared exact-filtered-truth leg — the graph sweep's, verbatim
+    val truthIds = corpus
+      .join(broadcast(qs))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine_similarity(col("v"), col("qvf")).as("tcos"))
+      .withColumn("trk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("qid")).orderBy(col("tcos").desc, col("vec_id"))))
+      .filter(col("trk") <= FilteredK)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(grid.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futs = for ((np, f) <- grid) yield Future {
+      val cand = ivfFilteredCand(corpus, qs, cents, np).localCheckpoint(true)
+      val perQ = cand.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getAs[Long]("n"))
+      val served = ivfFilteredServeFrom(cand, qs, luts, cbP, f)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val hits = served.count(t => truthIds((t._1, t._2))).toLong
+      IvfSweepPoint(np, f, hits, perQ.sum,
+        perQ.map(n => math.min(f.toLong, n)).sum, served.toSeq)
+    }
+    try futs.map(Await.result(_, Duration.Inf))
+    finally pool.shutdown()
+  }
+
+  /** The sweep's standing coded corpus: cell assignment + PQ codes as
+    * scan projections against the literal codebooks (no shuffle, no
+    * join — s4's recipe), carrying only what serving reads (id,
+    * label, float basis for the rerank, cell, codes).
+    */
+  private[graft] def ivfFilteredCorpus(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)], cbP: Int => Cb): DataFrame =
+    pqCodeCols(assignCellsFrom(pqSubCols(base), cents), cbP)
+      .filter(col("vec_id") >= 5)
+      .select(col("vec_id") +: col("label") +: col("v") +: col("cid") +:
+        (0 until pqM).map(m => col(s"c$m")): _*)
+
+  /** One point's routed candidate frame — label predicate applied AT
+    * selection (s36's policy): the coded corpus meets the broadcast
+    * probes on cell id, then the broadcast 5-row query labels; no
+    * corpus exchange. Exposed (with [[ivfFilteredServeFrom]]) so the
+    * plan contract audits the exact composition the sweep collects.
+    */
+  private[graft] def ivfFilteredCand(corpus: DataFrame, qs: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)], np: Int): DataFrame = {
+    val probes = ivfProbesOf(qs.select(col("qid"), col("qv")), cents, np)
+      .select(col("qid"), col("pcid"))
+    corpus
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .filter(col("label") === col("qlabel"))
+  }
+
+  /** The point's serve over a candidate frame: broadcast-LUT ADC
+    * scoring, fetch-bounded selection, exact rerank — the two
+    * qid-keyed windows are the plan's only exchanges.
+    */
+  private[graft] def ivfFilteredServeFrom(cand: DataFrame, qs: DataFrame,
+      luts: DataFrame, cbP: Int => Cb, f: Int): DataFrame = {
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("vec_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(broadcast(luts), Seq("qid"))
+      .withColumn("adc_score", pqAdcScore(cbP))
+      .withColumn("ar", row_number().over(wAdc)).filter(col("ar") <= f)
+      .join(broadcast(qs.select(col("qid"), col("qvf"))), Seq("qid"))
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("v"), col("qvf")))
+      .withColumn("rnk", row_number().over(wExact)).filter(col("rnk") <= FilteredK)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  private[graft] def s45From(base: DataFrame,
+      cents: Array[(Long, Seq[Double], Long)], cbP: Int => Cb): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    ivfFilteredSweepPoints(base, cents, cbP, S44Grid)
+      .map(p => (p.nprobe, p.fetch, p.hits, p.cands, p.refines))
+      .toDF("nprobe", "fetch_k", "hits", "cands", "refines")
+      .orderBy("nprobe", "fetch_k")
+  }
+
+  private def s45IvfFilteredSweep(s: SparkSession, d: String): DataFrame = {
+    val base = serveBaseOf(s, d)
+    s45From(base, collectCents(trainCodebook(base, iters = 2)),
+      pqTrain(pqSubs(s, d)))
+  }
+
+  /** The IVF point CTEs shared by the s45 and s46 oracles: per
+    * (nprobe, fetch) grid point, the routed label-filtered candidate
+    * set, the pivoted ADC sum (s9's fixed-order shape), the
+    * fetch-bounded refine set, the exact-reranked serve, and the
+    * point row (hits vs the filtered `truth`, cands, refines). Needs
+    * `base(vec_id, label, v, q)`, [[ivfOracleChain]]'s `a3`,
+    * [[pqOracleChain]]'s `codes`/`pc1`, `subs`, `qlab`, `qvf`,
+    * `probesr` and `truth` in scope. ONE generator so both oracles
+    * replay the byte-identical points.
+    */
+  private def ivfFilteredPointCtes(grid: Seq[(Int, Int)]): String = {
+    val pivots = (0 until pqM)
+      .map(m => s"max(CASE WHEN m = $m THEN t END) AS t$m").mkString(",\n         ")
+    val total = (0 until pqM).map(m => s"t$m").mkString(" + ")
+    (for ((np, f) <- grid) yield {
+      val sfx = s"_n${np}f$f"
+      s"""cand$sfx AS (
+         |  SELECT p.qid, x.vec_id, x.m, x.cid AS code
+         |  FROM codes x
+         |  JOIN a3 a ON a.vec_id = x.vec_id
+         |  JOIN probesr p ON p.cid = a.cid AND p.pr <= $np
+         |  JOIN base cb ON cb.vec_id = x.vec_id
+         |  JOIN qlab l ON l.qid = p.qid AND cb.label = l.qlabel
+         |  WHERE x.vec_id >= 5),
+         |terms$sfx AS (
+         |  SELECT c.qid, c.vec_id, c.m,
+         |         CAST(${pqDot8("q.sub", "cb.sv")} AS DOUBLE) / cb.n AS t
+         |  FROM cand$sfx c
+         |  JOIN pc1 cb ON cb.m = c.m AND cb.cid = c.code
+         |  JOIN subs q ON q.m = c.m AND q.vec_id = c.qid),
+         |piv$sfx AS (
+         |  SELECT qid, vec_id,
+         |         $pivots
+         |  FROM terms$sfx GROUP BY qid, vec_id),
+         |adc$sfx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY $total DESC, vec_id) AS ar
+         |    FROM piv$sfx) WHERE ar <= $f),
+         |srv$sfx AS MATERIALIZED (
+         |  SELECT qid, vec_id, CAST(rnk AS INT) AS rnk FROM (
+         |    SELECT a.qid, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.qid
+         |             ORDER BY list_cosine_similarity(b.v, qvf.v) DESC,
+         |                      a.vec_id) AS rnk
+         |    FROM adc$sfx a
+         |    JOIN base b ON b.vec_id = a.vec_id
+         |    JOIN qvf ON qvf.qid = a.qid)
+         |  WHERE rnk <= $FilteredK),
+         |pt$sfx AS (
+         |  SELECT $np AS nprobe, $f AS fetch_k,
+         |         (SELECT count(*) FROM srv$sfx s
+         |          JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id) AS hits,
+         |         (SELECT count(*) FROM piv$sfx) AS cands,
+         |         (SELECT count(*) FROM adc$sfx) AS refines)""".stripMargin
+    }).mkString(",\n")
+  }
+
+  private val s45Oracle: String = {
+    val curveUnion = (for ((np, f) <- S44Grid)
+      yield s"SELECT nprobe, fetch_k, hits, cands, refines FROM pt_n${np}f$f")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |$pqSubsOracleCte,
+       |$pqOracleChain,
+       |qvf AS (SELECT vec_id AS qid, v FROM base WHERE vec_id < 5),
+       |qlab AS (SELECT vec_id AS qid, label AS qlabel FROM base WHERE vec_id < 5),
+       |qscr AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base q, c2 c WHERE q.vec_id < 5),
+       |probesr AS (
+       |  SELECT qid, cid, pr FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qscr) WHERE pr <= ${SweepNprobes.max}),
+       |truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT l.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY l.qid
+       |             ORDER BY list_cosine_similarity(c.v, qvf.v) DESC,
+       |                      c.vec_id) AS trk
+       |    FROM base c
+       |    JOIN qlab l ON c.label = l.qlabel AND c.vec_id >= 5
+       |    JOIN qvf ON qvf.qid = l.qid)
+       |  WHERE trk <= $FilteredK),
+       |${ivfFilteredPointCtes(S44Grid)},
+       |curve AS (
+       |  $curveUnion)
+       |SELECT nprobe, fetch_k, hits, cands, refines FROM curve
+       |ORDER BY nprobe, fetch_k""".stripMargin
+  }
+
+  // ---- s46: the cross-family index advisor ---------------------------------
+
+  /** The capstone the two tuners point at: CHOOSE THE INDEX FAMILY.
+    * s42 picks the graph index's operating point and s45 prices the
+    * IVF/PQ path on the same task against the same truth — so the
+    * union of their curves is one control plane a deployment can
+    * choose a SERVING STACK from, not just a knob setting. This gate
+    * runs both sweeps (the 13-point graph grid [[S42Grid]], with the
+    * refine volume now priced alongside the visited set, and the
+    * 9-point IVF grid [[S44Grid]] — two concurrent harnesses over the
+    * SAME basis and ONE truth-leg definition), unions the 22 rows
+    * into (family, knobs, hits, cands, refines), and one window picks
+    * the cheapest row meeting [[S42RecallFloor]] — cost is `cands +
+    * refines`, the rows a serve touches past its entry stage:
+    * cheap-scored candidates (int8 dot8 walk visits vs PQ-ADC code
+    * scans) plus full-precision rerank read-backs, the directly
+    * comparable terms on both paths. It SERVES at the chosen point
+    * and emits the choice row with the served top-k (the winning
+    * sweep's own deterministic run — choosing re-reads 22 rows,
+    * never re-walks or re-probes).
+    *
+    * Scale shape: both sweeps' (one standing build each, bounded
+    * concurrent serves, control-plane choice window over 22 rows).
+    * Determinism: every point is the respective family's
+    * integer-exact machinery; the oracle replays all 22 serves, the
+    * choice, and the chosen point's rows.
+    */
+  private[graft] def s46From(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val base = serveBaseOf(s, d)
+    val cents = collectCents(trainCodebook(base, iters = 2, k = k))
+    // the two families' sweeps are independent work over the same
+    // basis — run them as two concurrent harnesses (each already
+    // schedules its grid as concurrent Spark jobs on its own
+    // dedicated pool; this outer pool only overlaps the two)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val gF = Future { graphSweepPoints(base, cents, S42Grid, withRefines = true) }
+    val vF = Future {
+      ivfFilteredSweepPoints(base, cents, pqTrain(pqSubs(s, d)), S44Grid)
+    }
+    val (g, v) =
+      try (Await.result(gF, Duration.Inf), Await.result(vF, Duration.Inf))
+      finally pool.shutdown()
+    val curve = (g.map(p => ("graph", p.beam, p.nprobe, p.hops, QuantFetch,
+        p.hits, p.cands, p.refines)) ++
+      v.map(p => ("ivf", 0, p.nprobe, 0, p.fetch, p.hits, p.cands, p.refines)))
+      .toDF("family", "beam", "nprobe", "hops", "fetch_k",
+        "hits", "cands", "refines")
+    val cost = col("cands") + col("refines")
+    val meets = col("hits") >= lit(S42RecallFloor)
+    val wChoice = org.apache.spark.sql.expressions.Window
+      .orderBy(meets.desc,
+        when(meets, cost).otherwise(-col("hits")).asc,
+        cost.asc, col("family"), col("beam"), col("nprobe"),
+        col("hops"), col("fetch_k"))
+    val chosen = curve.withColumn("pick", row_number().over(wChoice))
+      .filter(col("pick") === 1).drop("pick")
+    val served = (g.flatMap(p => p.served.map(r =>
+        ("graph", p.beam, p.nprobe, p.hops, QuantFetch, r._1, r._2, r._3))) ++
+      v.flatMap(p => p.served.map(r =>
+        ("ivf", 0, p.nprobe, 0, p.fetch, r._1, r._2, r._3))))
+      .toDF("family", "beam", "nprobe", "hops", "fetch_k",
+        "qid", "vec_id", "rnk")
+    served.join(broadcast(chosen),
+        Seq("family", "beam", "nprobe", "hops", "fetch_k"))
+      .select(col("family"), col("beam"), col("nprobe"), col("hops"),
+        col("fetch_k"), col("hits"), col("cands"), col("refines"),
+        col("qid"), col("vec_id"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  private def s46IndexAdvisor(s: SparkSession, d: String): DataFrame =
+    s46From(s, d, k = 8)
+
+  private val s46Oracle: String = {
+    val gPointCtes = (for ((b, np, h) <- S42Grid) yield {
+      val sfx = s"_b${b}n${np}h$h"
+      s"""e$sfx AS (
+         |  SELECT DISTINCT p.qid, m.vec_id
+         |  FROM probesr p JOIN cmin m ON m.cid = p.cid
+         |  WHERE p.pr <= $np),
+         |w0$sfx AS (
+         |  SELECT e.qid, e.vec_id,
+         |         CAST(list_sum(list_transform(generate_series(1, 64),
+         |              i -> qt.q8[i] * q8.q8[i])) AS BIGINT) AS dot8
+         |  FROM e$sfx e
+         |  JOIN quant8 qt ON qt.vec_id = e.vec_id
+         |  JOIN qv8 q8 ON q8.qid = e.qid),
+         |${quantHopOracleCtes(sfx, "gedge8", beam = b, hops = h)},
+         |srv$sfx AS (
+         |  SELECT qid, vec_id, CAST(rnk AS INT) AS rnk FROM (
+         |    SELECT f.qid, f.vec_id,
+         |           row_number() OVER (PARTITION BY f.qid
+         |             ORDER BY list_cosine_similarity(qvf.v, b2.v) DESC, f.vec_id) AS rnk
+         |    FROM (
+         |      SELECT qid, qlabel, vec_id, dot8 FROM (
+         |        SELECT w.qid, l.qlabel, w.vec_id, w.dot8,
+         |               row_number() OVER (PARTITION BY w.qid
+         |                 ORDER BY w.dot8 DESC, w.vec_id) AS crk
+         |        FROM w$h$sfx w
+         |        JOIN base c ON c.vec_id = w.vec_id
+         |        JOIN qlab l ON l.qid = w.qid AND c.label = l.qlabel)
+         |      WHERE crk <= $QuantFetch) f
+         |    JOIN base b2 ON b2.vec_id = f.vec_id
+         |    JOIN qvf ON qvf.qid = f.qid)
+         |  WHERE rnk <= $FilteredK),
+         |ref$sfx AS (
+         |  SELECT CAST(coalesce(sum(least(n, $QuantFetch)), 0) AS BIGINT) AS r FROM (
+         |    SELECT w.qid, count(*) AS n
+         |    FROM w$h$sfx w
+         |    JOIN base c ON c.vec_id = w.vec_id
+         |    JOIN qlab l ON l.qid = w.qid AND c.label = l.qlabel
+         |    GROUP BY w.qid)),
+         |pt$sfx AS (
+         |  SELECT $b AS beam, $np AS nprobe, $h AS hops,
+         |         (SELECT count(*) FROM srv$sfx s
+         |          JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id) AS hits,
+         |         (SELECT count(*) FROM w$h$sfx) AS cands,
+         |         (SELECT r FROM ref$sfx) AS refines)""".stripMargin
+    }).mkString(",\n")
+    val curveUnion = ((for ((b, np, h) <- S42Grid)
+      yield s"SELECT 'graph' AS family, beam, nprobe, hops, $QuantFetch AS fetch_k, hits, cands, refines FROM pt_b${b}n${np}h$h") ++
+      (for ((np, f) <- S44Grid)
+        yield s"SELECT 'ivf' AS family, 0 AS beam, nprobe, 0 AS hops, fetch_k, hits, cands, refines FROM pt_n${np}f$f"))
+      .mkString("\n  UNION ALL\n  ")
+    val servedUnion = ((for ((b, np, h) <- S42Grid)
+      yield s"SELECT 'graph' AS family, $b AS beam, $np AS nprobe, $h AS hops, $QuantFetch AS fetch_k, qid, vec_id, rnk FROM srv_b${b}n${np}h$h") ++
+      (for ((np, f) <- S44Grid)
+        yield s"SELECT 'ivf' AS family, 0 AS beam, $np AS nprobe, 0 AS hops, $f AS fetch_k, qid, vec_id, rnk FROM srv_n${np}f$f"))
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfOracleChain,
+       |corp AS MATERIALIZED (SELECT vec_id, q, cid FROM a3 WHERE vec_id >= 5),
+       |$gedgeOracleCtes,
+       |quant8 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         ${absmaxQ8Sql("v", "amax", "list_transform", "BIGINT")} AS q8
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+       |        FROM base)),
+       |gedge8 AS MATERIALIZED (
+       |  SELECT e.src, e.nbr, qt.q8 AS nbr_q8
+       |  FROM gedge e JOIN quant8 qt ON qt.vec_id = e.nbr),
+       |qv8 AS (SELECT vec_id AS qid, q8 FROM quant8 WHERE vec_id < 5),
+       |qvf AS (SELECT vec_id AS qid, v FROM base WHERE vec_id < 5),
+       |qlab AS (SELECT vec_id AS qid, label AS qlabel FROM base WHERE vec_id < 5),
+       |cmin AS (SELECT cid, min(vec_id) AS vec_id FROM corp GROUP BY cid),
+       |$pqSubsOracleCte,
+       |$pqOracleChain,
+       |qscr AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |              i -> q.q[i] * c.sv[i])) AS DOUBLE) / c.n AS score
+       |  FROM base q, c2 c WHERE q.vec_id < 5),
+       |probesr AS (
+       |  SELECT qid, cid, pr FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS pr
+       |    FROM qscr) WHERE pr <= ${SweepNprobes.max}),
+       |truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT l.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY l.qid
+       |             ORDER BY list_cosine_similarity(c.v, qvf.v) DESC,
+       |                      c.vec_id) AS trk
+       |    FROM base c
+       |    JOIN qlab l ON c.label = l.qlabel AND c.vec_id >= 5
+       |    JOIN qvf ON qvf.qid = l.qid)
+       |  WHERE trk <= $FilteredK),
+       |$gPointCtes,
+       |${ivfFilteredPointCtes(S44Grid)},
+       |curve AS (
+       |  $curveUnion),
+       |choice AS (
+       |  SELECT family, beam, nprobe, hops, fetch_k, hits, cands, refines FROM (
+       |    SELECT family, beam, nprobe, hops, fetch_k, hits, cands, refines,
+       |           row_number() OVER (ORDER BY
+       |             (hits >= $S42RecallFloor) DESC,
+       |             CASE WHEN hits >= $S42RecallFloor THEN cands + refines
+       |                  ELSE -hits END ASC,
+       |             cands + refines ASC, family, beam, nprobe, hops, fetch_k) AS pick
+       |    FROM curve) WHERE pick = 1),
+       |servall AS (
+       |  $servedUnion)
+       |SELECT c.family, c.beam, c.nprobe, c.hops, c.fetch_k, c.hits, c.cands,
+       |       c.refines, s.qid, s.vec_id, s.rnk
+       |FROM servall s JOIN choice c
+       |  ON c.family = s.family AND c.beam = s.beam AND c.nprobe = s.nprobe
+       | AND c.hops = s.hops AND c.fetch_k = s.fetch_k
+       |ORDER BY s.qid, s.rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s46_index_advisor" -> (s46IndexAdvisor _),
+    "s45_ivf_filtered_sweep" -> (s45IvfFilteredSweep _),
     "s44_ivf_serve_autotune" -> (s44IvfServeAutotune _),
     "s43_hops_sweep" -> (s43HopsSweep _),
     "s42_serve_autotune" -> (s42ServeAutotune _),
@@ -6711,6 +7161,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s46_index_advisor" -> s46Oracle,
+    "s45_ivf_filtered_sweep" -> s45Oracle,
     "s44_ivf_serve_autotune" -> s44Oracle,
     "s43_hops_sweep" -> s43Oracle,
     "s42_serve_autotune" -> s42Oracle,

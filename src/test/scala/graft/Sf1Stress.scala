@@ -178,6 +178,11 @@ object Sf1Stress {
     var s40SweepLast: Array[(Int, Int, Long, Long)] = Array.empty
     var s40Sweep01: Array[(Int, Int, Long, Long)] = Array.empty
     var s40Sweep1: Array[(Int, Int, Long, Long)] = Array.empty
+    // s46's choice row per scale (family, beam, nprobe, hops, fetch_k,
+    // hits, cands, refines): does the winning family hold at 10×?
+    var s46ChoiceLast: Option[(String, Int, Int, Int, Int, Long, Long, Long)] = None
+    var s46Choice01: Option[(String, Int, Int, Int, Int, Long, Long, Long)] = None
+    var s46Choice1: Option[(String, Int, Int, Int, Int, Long, Long, Long)] = None
     def timeD11(dir: String, k: Int): (Double, Double, Long) = timed3 {
       val base = graft.ops.Dedup.d11Base(spark, dir)
       val assigned = graft.ops.Similarity
@@ -454,6 +459,31 @@ object Sf1Stress {
       val (f1, t1, n1) = timeS41(sf1, 80)
       println(f"[sf1-stress] s41_ivf_serve_stored (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
       "s41_ivf_serve_stored_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
+    } :+ {
+      // the cross-family advisor at production shape: the deliverable
+      // is the CHOICE at each scale — whether the winning family (and
+      // its operating point) HOLDS when the corpus grows 10× at
+      // production k. The choice row is captured from the timed reps
+      // and emitted into the JSON footer.
+      def timeS46(dir: String, k: Int) = timed3 {
+        val rows = graft.ops.Similarity.s46From(spark, dir, k).collect()
+        s46ChoiceLast = rows.headOption.map(r => (r.getString(0), r.getInt(1),
+          r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))
+        rows.length.toLong
+      }
+      val (f01, t01, n01) = timeS46(sf01, 8)
+      s46Choice01 = s46ChoiceLast
+      val (f1, t1, n1) = timeS46(sf1, 80)
+      s46Choice1 = s46ChoiceLast
+      (s46Choice01, s46Choice1) match {
+        case (Some(c01), Some(c1)) => println(
+          s"[sf1-stress] s46 choice sf0.1: $c01   sf1: $c1   " +
+            (if (c01._1 == c1._1) "family HOLDS" else "family FLIPS"))
+        case _ => ()
+      }
+      println(f"[sf1-stress] s46_index_advisor (k 8 -> 80) sf0.1 $t01%7.2fs (first $f01%.2fs, $n01%d rows)   sf1 $t1%7.2fs (first $f1%.2fs, $n1%d rows)   ratio ${t1 / t01}%5.2fx")
+      "s46_index_advisor_k_scaled" -> ((f01, t01, n01, f1, t1, n1))
     }
     def sweepJson(t: Array[(Int, Int, Long, Long)]): String =
       t.map { case (b, np, h, c) =>
@@ -463,12 +493,17 @@ object Sf1Stress {
       t.map { case (hp, b, h, c) =>
         s"""{"hops": $hp, "beam": $b, "hits": $h, "cands": $c}""" }
         .mkString("[", ", ", "]")
+    def choiceJson(c: Option[(String, Int, Int, Int, Int, Long, Long, Long)]): String =
+      c.map { case (fam, b, np, hp, f, h, ca, r) =>
+        s"""{"family": "$fam", "beam": $b, "nprobe": $np, "hops": $hp, "fetch_k": $f, "hits": $h, "cands": $ca, "refines": $r}""" }
+        .getOrElse("null")
     val json = results.map { case (q, (f01, t01, n01, f1, t1, n1)) =>
       f"""  "$q": {"sf0_1_sec": $t01%.3f, "sf0_1_first_sec": $f01%.3f, "sf0_1_rows": $n01, "sf1_sec": $t1%.3f, "sf1_first_sec": $f1%.3f, "sf1_rows": $n1, "ratio": ${t1 / t01}%.2f}"""
     }.mkString("{\n", ",\n",
       s""",\n  "s35_q0_burst_rank1": {"sf0_1": ${s35Burst01.map(_.toString).getOrElse("null")}, "sf1": ${s35Burst1.map(_.toString).getOrElse("null")}},""" +
       s"""\n  "s40_sweep": {"sf0_1": ${sweepJson(s40Sweep01)}, "sf1": ${sweepJson(s40Sweep1)}},""" +
       s"""\n  "s43_sweep": {"sf0_1": ${hopsJson(s43Sweep01)}, "sf1": ${hopsJson(s43Sweep1)}},""" +
+      s"""\n  "s46_choice": {"sf0_1": ${choiceJson(s46Choice01)}, "sf1": ${choiceJson(s46Choice1)}},""" +
       s"""\n  "estimator": "min_of_3; *_first_sec = rep 1 (cold/build)", "scale_factor_ratio": 10, "errors": 0\n}\n""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_sf1_spot.json"), json.getBytes("UTF-8"))

@@ -1585,4 +1585,43 @@ class PlanAuditSpec extends AnyFunSuite {
         s"every exchange must be a qid window or the tombstone rollup:\n${hashes.mkString("\n")}")
     } finally graft.Fs.deleteRecursively(dir)
   }
+  test("s45: the routed IVF sweep point — label predicate at selection, qid-only exchanges") {
+    // The cross-family pricing rests on this plan: the coded corpus
+    // never shuffles (cells/codes are scan projections against
+    // literal codebooks; probes, query labels, LUTs and rerank
+    // queries all broadcast), the label predicate prunes BEFORE the
+    // ADC scoring, and the only exchanges are the two qid-keyed
+    // selection windows — vectors, LUTs and codes never ride an
+    // exchange key.
+    import org.apache.spark.sql.functions._
+    val base = Similarity.serveBaseOf(spark, sf)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, iters = 2))
+    val cbP = Similarity.pqTrain(Similarity.pqSubs(spark, sf))
+    val corpus = Similarity.ivfFilteredCorpus(base, cents, cbP).localCheckpoint(true)
+    val qs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("v").as("qvf"), col("label").as("qlabel"))
+      .localCheckpoint(true)
+    val luts = Similarity.pqLuts(
+      Similarity.pqSubCols(base.filter(col("vec_id") < 5)), cbP)
+      .localCheckpoint(true)
+    val cand = Similarity.ivfFilteredCand(corpus, qs, cents, np = 2)
+    val plan = Similarity.ivfFilteredServeFrom(cand, qs, luts, cbP, f = 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), "no unbounded pair explosion")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "every join is keyed: probes on cell, labels/LUTs/queries on qid")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "every join in the point plan must broadcast — the corpus never exchanges for a join")
+    val hashes = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashes.nonEmpty, "the selection windows must appear")
+    assert(hashes.forall(_.contains("hashpartitioning(qid")),
+      s"every exchange must lead with qid:\n${hashes.mkString("\n")}")
+    assert(!hashes.exists(h => h.contains("qv") || h.contains("sub") ||
+      h.contains("lut") || h.contains("c0")),
+      "vectors, LUTs and codes must never ride an exchange key")
+    assert(plan.contains("label#") && plan.contains("qlabel#"),
+      "the routed label predicate must be visible in the plan")
+  }
 }

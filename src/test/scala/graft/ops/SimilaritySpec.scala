@@ -1831,4 +1831,87 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reg == s41p0,
       "the (2, 20) sweep point must equal the registered stored serve")
   }
+
+  test("s45: the IVF filtered sweep prices the knobs it claims, on the graph family's task") {
+    val out = Similarity.queries("s45_ivf_filtered_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("fetch_k"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"), r.getAs[Long]("refines"))).toSeq
+    assert(out.length == Similarity.S44Grid.length, "one row per grid point")
+    // cands is the ADC scan volume: moves with nprobe only (fetch
+    // never re-probes), monotone in nprobe (cells only accumulate)
+    Similarity.SweepNprobes.foreach { np =>
+      val cs = out.filter(_._1 == np).map(_._4)
+      assert(cs.distinct.length == 1, s"cands must not move with fetch at nprobe $np")
+    }
+    Similarity.S44Fetches.foreach { f =>
+      val cs = out.filter(_._2 == f).sortBy(_._1).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a <= b },
+        "cands must be monotone in nprobe")
+    }
+    // refines is the rerank read-back volume: fetch-capped per query,
+    // monotone in fetch
+    Similarity.SweepNprobes.foreach { np =>
+      val byF = out.filter(_._1 == np).sortBy(_._2)
+      val rs = byF.map(_._5)
+      assert(rs.zip(rs.tail).forall { case (a, b) => a <= b },
+        s"refines must be monotone in fetch at nprobe $np")
+      byF.foreach(p => assert(p._5 <= p._2.toLong * 5,
+        "refines must be capped by fetch per query"))
+    }
+    // the sweep prices THE GRAPH CURVES' TASK: its hits column is
+    // recall against the same exact label-filtered truth s40/s42/s43
+    // grade against (5 queries x top-5), so the rows are directly
+    // comparable across families — s46 makes that comparison in-plan
+    assert(out.forall(p => p._3 >= 0L && p._3 <= 25L),
+      "hits is recall@5 over 5 queries against the filtered truth")
+  }
+
+  test("s46: the cross-family advisor picks the cheapest floor-meeting stack from BOTH curves") {
+    val out = Similarity.queries("s46_index_advisor")(spark, sf).collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[Int]("beam"),
+        r.getAs[Int]("nprobe"), r.getAs[Int]("hops"), r.getAs[Int]("fetch_k"),
+        r.getAs[Long]("hits"), r.getAs[Long]("cands"), r.getAs[Long]("refines"),
+        r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Int]("rnk"))).toSeq
+    val choice = out.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)).distinct
+    assert(choice.length == 1, s"the advisor must pick ONE stack: $choice")
+    out.groupBy(_._9).values.foreach { rs =>
+      assert(rs.map(_._11).sorted == (1 to rs.length), "served ranks must be dense")
+    }
+    // recompute both families' sweeps once over the same basis and
+    // check the RULE over their union: cheapest (cands + refines)
+    // stack meeting the floor; else best recall, cheapest first;
+    // family then grid order breaks exact ties
+    val base = Similarity.serveBaseOf(spark, sf)
+    val cents = Similarity.collectCents(Similarity.trainCodebook(base, iters = 2))
+    val g = Similarity.graphSweepPoints(base, cents, Similarity.S42Grid,
+      withRefines = true)
+    val v = Similarity.ivfFilteredSweepPoints(base, cents,
+      Similarity.pqTrain(Similarity.pqSubs(spark, sf)), Similarity.S44Grid)
+    val union =
+      g.map(p => ("graph", p.beam, p.nprobe, p.hops, 20, p.hits, p.cands, p.refines)) ++
+      v.map(p => ("ivf", 0, p.nprobe, 0, p.fetch, p.hits, p.cands, p.refines))
+    val floor = Similarity.S42RecallFloor
+    val expected = union.minBy { case (fam, b, np, h, f, hits, c, r) =>
+      val meets = hits >= floor
+      (if (meets) 0L else 1L, if (meets) c + r else -hits, c + r, fam, b, np, h, f)
+    }
+    assert(choice.head == expected,
+      s"advisor chose ${choice.head}, the union curve says $expected")
+    if (union.exists(_._6 >= floor))
+      assert(choice.head._6 >= floor,
+        "a floor-meeting stack exists but the advisor picked below it")
+    // the served rows ARE the winning family's own sweep serve at the
+    // chosen point — the advisor never re-walks or re-probes
+    val win = choice.head
+    val srv =
+      (if (win._1 == "graph")
+        g.find(p => p.beam == win._2 && p.nprobe == win._3 && p.hops == win._4).get.served
+      else v.find(p => p.nprobe == win._3 && p.fetch == win._5).get.served).sorted
+    assert(out.map(t => (t._9, t._10, t._11)).sorted == srv,
+      "the advisor must serve the chosen stack's own rows")
+    // the graph leg's refine pricing is QuantFetch-capped per query,
+    // like the IVF leg's fetch cap — the comparable common term
+    g.foreach(p => assert(p.refines <= 20L * 5,
+      "graph refines must be capped by QuantFetch per query"))
+  }
 }
