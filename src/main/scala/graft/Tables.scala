@@ -60,6 +60,37 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventsTs(t(s, d, "events"))
+
+  /** Parallelism floor for COMPUTE-DENSE scan legs (codec encode/
+    * decode, dense pairwise text compare): the fixture ships each
+    * table as ONE parquet row group, so every scan is a single task no
+    * matter what `maxPartitionBytes`/`minPartitionNum` say (a
+    * byte-range split cannot cut inside a row group), and a 10 s codec
+    * leg runs on 1 of 32 cores. Guide §2.5's input-skew remedy: fix at
+    * the source if you can; otherwise repartition immediately after
+    * the read. The repartition is CONDITIONAL on the scan actually
+    * under-delivering, so on a production layout (many files / row
+    * groups, where the scan fans out by itself) this is a no-op — no
+    * payload ever shuffles — while on the fixture it costs one
+    * exchange of the slim document rows (~0.5 MB at sf0.1), orders of
+    * magnitude below the per-row compute it spreads out. Row placement
+    * is not observable in any declared query (keyed aggregates/joins/
+    * windows everywhere; integer-exact arithmetic), so results are
+    * bit-identical — re-verified against the oracle.
+    *
+    * Applied ONLY at the codec/pairwise chokepoints ([[graft.ops
+    * .Multimodal.assets]], d13's suffix build): measured on the full
+    * probe set, a blanket fanOut inside [[documents]] helped the codec
+    * gates 3-4× but cost the light documents-readers (t45 0.76→1.24 s,
+    * p13 0.76→1.25 s min-of-5) — their scan stage is trivial and the
+    * extra exchange re-executes at every self-reference of the
+    * documents subtree.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -544,8 +544,7 @@ object Dedup {
     try {
       val input = MemoryStream[NewDoc](
         org.apache.spark.sql.Encoders.product[NewDoc], s)
-      def drainWave(): Unit = {
-        val q = input.toDS().writeStream
+      val q = input.toDS().writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[NewDoc], _: Long) =>
             if (!batch.isEmpty) {
               nWaves += 1
@@ -586,12 +585,17 @@ object Dedup {
             }
           }
           .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-      }
-      input.addData(wave1.toSeq); drainWave()
-      input.addData(wave2.toSeq); drainWave()
+      // one long-lived query, one micro-batch per delivery wave
+      // (addData + processAllAvailable is the barrier) instead of a
+      // full AvailableNow start/stop per wave — same batches, same
+      // appends, same checkpoint; only the per-wave stream bootstrap
+      // cost drops. The nWaves require below still proves the waves
+      // arrived as separate micro-batches.
+      try {
+        input.addData(wave1.toSeq); q.processAllAvailable()
+        input.addData(wave2.toSeq); q.processAllAvailable()
+      } finally q.stop()
     } finally graft.Fs.deleteRecursively(ckpt)
     require(nWaves == 2,
       s"delivery waves must arrive as separate micro-batches, got $nWaves")
@@ -1202,7 +1206,10 @@ object Dedup {
   private def d13SubstringDedup(s: SparkSession, d: String): DataFrame = {
     val quote = "it was the best of times it was the worst of times " +
       "it was the age of wisdom it was the age of foolishness indeed"
-    val src = Tables.documents(s, d)
+    // fanOut: the gram leg below hashes a 20-word window per word
+    // position (md5 per gram — compute-dense), and the fixture scan is
+    // single-task (one row group); measured 2× on the gate
+    val src = graft.Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
         when(col("doc_id") % 10 === 0, concat(lit(quote + " "), col("text")))
           .otherwise(col("text")).as("text"))

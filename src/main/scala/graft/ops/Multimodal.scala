@@ -66,11 +66,17 @@ final case class MmResized(
   */
 object Multimodal {
 
-  /** Deterministic asset table derived from `documents`. */
+  /** Deterministic asset table derived from `documents`. The reader
+    * rides [[graft.Tables.fanOut]]: every downstream leg is a codec
+    * (encode/decode/resize per row, milliseconds of CPU per asset), so
+    * the scan must not arrive single-task (the fixture is one parquet
+    * row group) — measured 3-4× on mm13/mm15/mm21 (see
+    * OPTIMIZATION_r20.md).
+    */
   def assets(s: SparkSession, d: String): Dataset[MmAsset] = {
     import s.implicits._
     Tables
-      .documents(s, d)
+      .fanOut(Tables.documents(s, d))
       .select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -482,7 +488,7 @@ object Multimodal {
       |  0L, (acc, v) -> acc + v) AS INT)""".stripMargin
 
   private def mm7ImageDedup(s: SparkSession, d: String): DataFrame = {
-    val hashed = imageFps(Tables.documents(s, d)
+    val hashed = imageFps(graft.Tables.fanOut(Tables.documents(s, d))
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"))
       .unionByName(
@@ -619,7 +625,7 @@ object Multimodal {
     * pairwise corpus-wide, nothing driver-side.
     */
   private def mm8AudioDedup(s: SparkSession, d: String): DataFrame = {
-    val audio = Tables.documents(s, d)
+    val audio = graft.Tables.fanOut(Tables.documents(s, d))
       .filter(col("doc_id") % 3 === 1) // the audio modality of assets()
       .select(col("doc_id"), col("text"))
     val planted = audio
@@ -799,7 +805,7 @@ object Multimodal {
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     val wScene = wFrame
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val slices = Tables.documents(s, d)
+    val slices = graft.Tables.fanOut(Tables.documents(s, d))
       .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 16)
       .select(col("doc_id"), col("text"),
         least(lit(12), (length(col("text")) / 16).cast("int")).as("n_slices"))
@@ -1189,7 +1195,7 @@ object Multimodal {
     import org.apache.spark.sql.streaming.Trigger
     val idxFps = s"$idxDir/fps"
     val idxBands = s"$idxDir/bands"
-    val imgs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+    val imgs = graft.Tables.fanOut(Tables.documents(s, d)).filter(col("doc_id") % 3 === 0)
       .select("doc_id", "text")
     def retouch(rows: Array[org.apache.spark.sql.Row], shift: Long) =
       rows.map(r => Dedup.NewDoc(shift + r.getLong(0), "Z" + r.getString(1).substring(1)))
@@ -1214,8 +1220,7 @@ object Multimodal {
     try {
       val input = MemoryStream[Dedup.NewDoc](
         org.apache.spark.sql.Encoders.product[Dedup.NewDoc], s)
-      def drainWave(): Unit = {
-        val q = input.toDS().writeStream
+      val q = input.toDS().writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[Dedup.NewDoc], _: Long) =>
             if (!batch.isEmpty) {
               nWaves += 1
@@ -1249,12 +1254,13 @@ object Multimodal {
             }
           }
           .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-      }
-      input.addData(wave1.toSeq); drainWave()
-      input.addData(wave2.toSeq); drainWave()
+      // one long-lived query, one micro-batch per wave (see d12) —
+      // the per-wave stream bootstrap drops; batches are identical
+      try {
+        input.addData(wave1.toSeq); q.processAllAvailable()
+        input.addData(wave2.toSeq); q.processAllAvailable()
+      } finally q.stop()
     } finally graft.Fs.deleteRecursively(ckpt)
     require(nWaves == 2, s"delivery waves must arrive separately, got $nWaves")
     import s.implicits._

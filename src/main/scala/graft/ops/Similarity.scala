@@ -1794,18 +1794,18 @@ object Similarity {
       snaps ++= out.map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("cid"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
     }
+    // one collect serves both waves' plants (was one job per wave)
+    val plantEmbs = base.filter(col("vec_id") < 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
     def vecsOf(ids: Seq[Long], shift: Long): Seq[NewVec] =
-      base.filter(col("vec_id").isin(ids: _*)).collect()
-        .map(r => NewVec(shift + r.getAs[Long]("vec_id"), r.getSeq[Double](1)))
-        .sortBy(_.vec_id).toSeq
+      ids.map(i => NewVec(shift + i, plantEmbs(i))).sortBy(_.vec_id)
     val wave1 = vecsOf(Seq(0L, 1L, 2L), 8000000L)
     val wave2 = vecsOf(Seq(0L, 3L, 4L), 9000000L)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-s17-")
     try {
       val input = MemoryStream[NewVec](
         org.apache.spark.sql.Encoders.product[NewVec], s)
-      def drainWave(): Unit = {
-        val q = input.toDS().writeStream
+      val q = input.toDS().writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[NewVec], _: Long) =>
             if (!batch.isEmpty) {
               // ingest = one scan projection against the broadcast
@@ -1820,12 +1820,15 @@ object Similarity {
             }
           }
           .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-      }
-      input.addData(wave1); drainWave(); searchTop(1)
-      input.addData(wave2); drainWave(); searchTop(2)
+      // ONE long-lived streaming query serves both waves (addData +
+      // processAllAvailable per wave) instead of a full AvailableNow
+      // start/stop per wave — same batches, same appends, same
+      // checkpoint; only the per-wave stream bootstrap cost drops.
+      try {
+        input.addData(wave1); q.processAllAvailable(); searchTop(1)
+        input.addData(wave2); q.processAllAvailable(); searchTop(2)
+      } finally q.stop()
     } finally graft.Fs.deleteRecursively(ckpt)
     import s.implicits._
     snaps.toSeq.toDF("wave", "qid", "vec_id", "cell", "cos", "rnk")
@@ -1952,10 +1955,11 @@ object Similarity {
       snaps ++= out.map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("cid"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
     }
+    // one collect serves both waves' plants (was one job per wave)
+    val plantEmbs = base.filter(col("vec_id") < 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
     def upsertsOf(ids: Seq[Long], shift: Long): Seq[VecEvent] =
-      base.filter(col("vec_id").isin(ids: _*)).collect()
-        .map(r => VecEvent(shift + r.getAs[Long]("vec_id"), r.getSeq[Double](1), "upsert"))
-        .sortBy(_.vec_id).toSeq
+      ids.map(i => VecEvent(shift + i, plantEmbs(i), "upsert")).sortBy(_.vec_id)
     // wave 1: three plants, including the query's own embedding
     val wave1 = upsertsOf(Seq(0L, 1L, 2L), 8000000L)
     // wave 2: DELETE the rank-1 plant; one unrelated upsert rides along
@@ -1966,8 +1970,7 @@ object Similarity {
     try {
       val input = MemoryStream[VecEvent](
         org.apache.spark.sql.Encoders.product[VecEvent], s)
-      def drainWave(): Unit = {
-        val q = input.toDS().writeStream
+      val q = input.toDS().writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[VecEvent], _: Long) =>
             val b = batch.localCheckpoint(true) // two slices, one upstream eval
             val ups = b.filter(col("op") === "upsert").drop("op")
@@ -1986,12 +1989,12 @@ object Similarity {
             ()
           }
           .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-      }
-      input.addData(wave1); drainWave(); searchTop(1)
-      input.addData(wave2); drainWave(); searchTop(2) // masked delete
+      // one long-lived query, one micro-batch per wave (see s17)
+      try {
+        input.addData(wave1); q.processAllAvailable(); searchTop(1)
+        input.addData(wave2); q.processAllAvailable(); searchTop(2) // masked delete
+      } finally q.stop()
       // periodic maintenance fires: the tombstone becomes physical
       require(IndexCompaction.compactWithTombstones(
         s, cellsPath, delsPath, "vec_id"), "tombstones must force a fold")
@@ -2128,8 +2131,11 @@ object Similarity {
       snaps ++= out.map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("cid"), r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
     }
-    def embOf(id: Long): Seq[Double] =
-      base.filter(col("vec_id") === id).collect()(0).getSeq[Double](1)
+    // one collect serves every plant below (5 driver-side lookups were
+    // 5 separate jobs over the same ≤5 rows)
+    val embs = base.filter(col("vec_id") < 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    def embOf(id: Long): Seq[Double] = embs(id)
     // wave 1: three plants, including query 0's own embedding
     val wave1 = Seq(0L, 1L, 2L).map(i => VecEvent(8000000L + i, embOf(i), "upsert"))
     // wave 2: RE-EMBED the rank-1 plant with query 1's vector; one
@@ -2141,8 +2147,7 @@ object Similarity {
     try {
       val input = MemoryStream[VecEvent](
         org.apache.spark.sql.Encoders.product[VecEvent], s)
-      def drainWave(): Unit = {
-        val q = input.toDS().writeStream
+      val q = input.toDS().writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[VecEvent], bid: Long) =>
             val ver = bid + 1 // corpus load is ver 0
             val b = batch.localCheckpoint(true)
@@ -2161,12 +2166,13 @@ object Similarity {
             ()
           }
           .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-      }
-      input.addData(wave1); drainWave(); searchTop(1)
-      input.addData(wave2); drainWave(); searchTop(2) // masked supersede
+      // one long-lived query, one micro-batch per wave (see s17);
+      // batch ids still run 0, 1 — `ver` is unchanged
+      try {
+        input.addData(wave1); q.processAllAvailable(); searchTop(1)
+        input.addData(wave2); q.processAllAvailable(); searchTop(2) // masked supersede
+      } finally q.stop()
       require(IndexCompaction.compactWithVersionedTombstones(
         s, cellsPath, delsPath, "vec_id", "ver"), "tombstones must force a fold")
       require(IndexCompaction.dataFileCount(delsPath) == 0,
@@ -3162,7 +3168,27 @@ object Similarity {
         (a, b) => VectorFunctions.cosine_similarity(col(a), col(b)),
       corpusVec: String = "q", qVec: String = "qv",
       nbrVec: String = "nbr_q", nbrPred: Option[Column] = None,
-      beam: Int = GraphBeam): DataFrame = {
+      beam: Int = GraphBeam): DataFrame =
+    graphWalkSnaps(corpus, edges, qs0, cents, hops, cellEntry0, entries0,
+      scoreCol, score, corpusVec, qVec, nbrVec, nbrPred, beam)(hops)
+
+  /** [[graphWalk]] with intermediate visited-set snapshots: returns
+    * the walk state after every hop count in `snapAt` (plus `hops`
+    * itself). The walk is a pure fold, so the state after h hops IS
+    * the h-hop walk's result — one walk serves a whole hops axis.
+    */
+  private[graft] def graphWalkSnaps(corpus: DataFrame, edges: DataFrame,
+      qs0: DataFrame, cents: Array[(Long, Seq[Double], Long)],
+      hops: Int = GraphHops,
+      cellEntry0: Option[DataFrame] = None,
+      entries0: Option[DataFrame] = None,
+      scoreCol: String = "cos",
+      score: (String, String) => Column =
+        (a, b) => VectorFunctions.cosine_similarity(col(a), col(b)),
+      corpusVec: String = "q", qVec: String = "qv",
+      nbrVec: String = "nbr_q", nbrPred: Option[Column] = None,
+      beam: Int = GraphBeam,
+      snapAt: Seq[Int] = Nil): Map[Int, DataFrame] = {
     val qs = qs0.localCheckpoint(true) // query-batch-sized, read once per hop
     // entry points: the query's top-2 trained cells, each represented
     // by its min-id member (control-plane: ≤ queries × nprobe rows).
@@ -3187,14 +3213,28 @@ object Similarity {
       .join(broadcast(qs), Seq("qid"))
       .select(col("qid"), col("vec_id"), score(corpusVec, qVec).as(scoreCol))
     // LAZY pins (the q54 trick): hop k plans against a materialized
-    // hop k-1 instead of the doubled lineage (cand feeds both the
-    // frontier and the union), and the cut rides the next hop's job
+    // recent hop instead of the doubled lineage (cand feeds both the
+    // frontier and the union), and the cut rides the next hop's job.
+    // Pinning every SECOND hop (and the last) halves the pin count —
+    // one unpinned level doubles the plan once (bounded), while each
+    // pin is a separate AQE job whose ~40-60 ms driver latency the
+    // sequential gates pay per hop. `snapAt` additionally pins and
+    // RECORDS the visited set after the named hop counts — the walk is
+    // a pure fold, so its state after h hops IS the h-hop walk's
+    // result, which lets a hops-axis sweep serve every point of one
+    // (beam, nprobe) family from a single walk instead of re-walking
+    // the shared prefix per point (the returned map is keyed by hop
+    // count; `hops` itself is always included).
     var cand = cand0.localCheckpoint(false)
-    (1 to hops).foreach { _ =>
+    val snaps = scala.collection.mutable.Map[Int, DataFrame]()
+    (1 to hops).foreach { h =>
       cand = s28Hop(edges, qs, cand, scoreCol, score, nbrVec, qVec, nbrPred, beam)
-        .localCheckpoint(false)
+      if (h % 2 == 0 || h == hops || snapAt.contains(h))
+        cand = cand.localCheckpoint(false)
+      if (snapAt.contains(h)) snaps(h) = cand
     }
-    cand
+    snaps(hops) = cand
+    snaps.toMap
   }
 
   /** One beam hop, exposed pre-checkpoint for the plan audit: take
@@ -3226,7 +3266,17 @@ object Similarity {
     val nbrs = nbrPred.fold(expanded)(p => expanded.filter(p))
       .select(col("qid"), col("nbr_id").as("vec_id"),
         score(nbrVec, qVec).as(scoreCol))
+    // ONE qid-keyed exchange per hop instead of two: the explicit
+    // repartition on qid satisfies BOTH the visited-set fold's
+    // clustering (hash(qid) ⊆ (qid, vec_id) — subset rule) and the
+    // next hop's frontier window (partitionBy qid), so the fold runs
+    // exchange-free on top of it and the window needs only a local
+    // sort. The frame is query-batch-bounded (≤ queries × beam ×
+    // degree — the walk's standing contract), so the keyed exchange
+    // is control-plane sized at any corpus scale, and leaving the
+    // partition count to the conf/AQE keeps it scale-adaptive.
     cand.unionByName(nbrs)
+      .repartition(col("qid"))
       .groupBy("qid", "vec_id").agg(max(col(scoreCol)).as(scoreCol))
   }
 
@@ -3950,9 +4000,13 @@ object Similarity {
         .map(r => (wave, r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
           r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
     }
+    // ONE collect serves every wave (the waves are the same 5 query
+    // vectors under different id shifts — re-collecting per wave paid
+    // a job for bytes already on the driver)
+    val waveBase = base.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1)))
     def vecsOf(shift: Long): Seq[NewVec] =
-      base.filter(col("vec_id") < 5).collect()
-        .map(r => NewVec(shift + r.getAs[Long]("vec_id"), r.getSeq[Double](1)))
+      waveBase.map { case (id, q) => NewVec(shift + id, q) }
         .sortBy(_.vec_id).toSeq
     val ckpt = java.nio.file.Files.createTempDirectory("graft-s33-")
     try {
@@ -3964,12 +4018,12 @@ object Similarity {
       // equal-or-higher versions in the max-ver resolve)
       var batchVer = s.read.parquet(edgesPath)
         .agg(max(col("ver"))).head.getLong(0)
-      def drainWave(): Unit = {
-        val q = input.toDS().writeStream
+      def mkQuery() = {
+        input.toDS().writeStream
           .foreachBatch { (b: org.apache.spark.sql.Dataset[NewVec], _: Long) =>
             val all = b.toDF().select(col("vec_id"), col("q"))
               .localCheckpoint(true) // sourced from the stream: pin before reuse
-            val ids = all.select(col("vec_id")).localCheckpoint(true)
+            val ids = all.select(col("vec_id"))
             val nodes = s.read.parquet(nodesPath)
             // idempotent replay across BOTH stores, each recognized
             // against the store it writes (batch-sized control-plane
@@ -3981,18 +4035,25 @@ object Similarity {
             // to the single-delivery state: the edge layer is
             // recognized and not re-repaired (which would double-rank
             // the already-written back-edges), while the missing node
-            // rows are healed.
-            val edgeSeen = s.read.parquet(edgesPath)
-              .join(broadcast(ids.select(col("vec_id").as("src"))),
-                Seq("src"), "left_semi")
-              .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
-            val nodeSeen = nodes
+            // rows are healed. Both recognitions AND the batch's own
+            // id list ride ONE job: the two stores' id columns and the
+            // batch ids union under a side tag and share the broadcast
+            // semi-join against the batch ids — emptiness of the
+            // admitted slices is then driver-side set arithmetic, not
+            // two more isEmpty jobs.
+            val seen = s.read.parquet(edgesPath)
+              .select(col("src").as("vec_id"), lit(1).as("side"))
+              .unionByName(nodes.select(col("vec_id"), lit(2).as("side")))
+              .unionByName(all.select(col("vec_id"), lit(3).as("side")))
               .join(broadcast(ids), Seq("vec_id"), "left_semi")
-              .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+              .select(col("vec_id"), col("side")).distinct().collect()
+            val edgeSeen = seen.filter(_.getInt(1) == 1).map(_.getLong(0)).toSet
+            val nodeSeen = seen.filter(_.getInt(1) == 2).map(_.getLong(0)).toSet
+            val batchIds = seen.filter(_.getInt(1) == 3).map(_.getLong(0)).toSet
             val batchDf = (if (edgeSeen.isEmpty) all
               else all.filter(!col("vec_id").isin(edgeSeen.toSeq: _*))
                 .localCheckpoint(true))
-            if (!batchDf.isEmpty) {
+            if ((batchIds -- edgeSeen).nonEmpty) {
               batchVer += 1
               val edges = liveEdges()
               val (newE, repaired, affected) =
@@ -4007,22 +4068,31 @@ object Similarity {
                 .withColumn("ver", lit(batchVer))
                 .write.mode("append").parquet(edgesPath)
             }
-            val nodeNew = (if (nodeSeen.isEmpty) all
-              else all.filter(!col("vec_id").isin(nodeSeen.toSeq: _*)))
-            if (!nodeNew.isEmpty) {
+            if ((batchIds -- nodeSeen).nonEmpty) {
+              val nodeNew = (if (nodeSeen.isEmpty) all
+                else all.filter(!col("vec_id").isin(nodeSeen.toSeq: _*)))
               nodeNew.write.mode("append").parquet(nodesPath)
               ()
             }
           }
           .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
       }
+      // ONE long-lived streaming query serves every wave — each wave
+      // is addData + processAllAvailable (a barrier: the micro-batch
+      // containing exactly that wave's rows has committed when it
+      // returns), where the old per-wave AvailableNow query paid a
+      // full stream start/stop (offset log bootstrap, trigger setup,
+      // shutdown) per wave. Batch boundaries, foreachBatch content and
+      // the on-disk layers are identical; restart recognition never
+      // depended on the trigger mode (it keys on the stored tables).
       searchTop(0)
-      waves.zipWithIndex.foreach { case (shift, i) =>
-        input.addData(vecsOf(shift)); drainWave(); searchTop(i + 1)
-      }
+      val q = mkQuery()
+      try {
+        waves.zipWithIndex.foreach { case (shift, i) =>
+          input.addData(vecsOf(shift)); q.processAllAvailable(); searchTop(i + 1)
+        }
+      } finally q.stop()
     } finally graft.Fs.deleteRecursively(ckpt)
     import s.implicits._
     snaps.toSeq.toDF("wave", "qid", "vec_id", "cos", "rnk")
@@ -4250,11 +4320,15 @@ object Similarity {
     IndexCompaction.foldSwapped(nodesPath, preNodes)
     graft.Fs.deleteRecursively(java.nio.file.Paths.get(tombsPath))
     val postEdges = liveEdges()
-    require(postEdges.exceptAll(preEdges).isEmpty &&
-      preEdges.exceptAll(postEdges).isEmpty,
+    // each multiset equality is ONE action (the two except directions
+    // union under one isEmpty) instead of two — same check, half the
+    // driver round-trips
+    require(postEdges.exceptAll(preEdges)
+      .unionByName(preEdges.exceptAll(postEdges)).isEmpty,
       "compaction changed the resolved edge content")
-    require(liveNodes().exceptAll(preNodes).isEmpty &&
-      preNodes.exceptAll(liveNodes()).isEmpty,
+    val postNodes = liveNodes()
+    require(postNodes.exceptAll(preNodes)
+      .unionByName(preNodes.exceptAll(postNodes)).isEmpty,
       "compaction changed the node content")
     val s2 = searchTop()
     require(s2 == s1, "search over compacted files drifted")
@@ -5748,49 +5822,63 @@ object Similarity {
     // low-core host and starve any other global-EC user (and nesting
     // a global-EC Await inside another would deadlock). Shut down
     // after the Await so the threads never outlive the sweep.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(grid.size)
+    // hop-prefix sharing: grid points that differ ONLY in hop count
+    // are the SAME walk read at different depths (the walk is a pure
+    // fold — its state after h hops is the h-hop walk's result), so
+    // each (beam, nprobe) family walks ONCE to its deepest point with
+    // snapshots at every requested depth instead of re-walking the
+    // shared prefix per point. The families stay concurrent futures;
+    // each point's serve/hits/cands/refines legs are unchanged.
+    val byFam = grid.zipWithIndex
+      .groupBy { case ((b, np, _), _) => (b, np) }.toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(byFam.size)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futs = for ((b, np, h) <- grid) yield Future {
+    val futs = for (((b, np), pts) <- byFam) yield Future {
+      val hs = pts.map(_._1._3).distinct
       val entries = ivfProbesOf(qs.select(col("qid"), col("qv")), cents, np)
         .join(broadcast(cellEntry), col("pcid") === col("cid"))
         .select(col("qid"), col("vec_id")).distinct()
-      val cand = graphWalk(corpus, edges8,
+      val snaps = graphWalkSnaps(corpus, edges8,
         qs.select(col("qid"), col("qv"), col("qq8")), cents,
-        hops = h, entries0 = Some(entries),
+        hops = hs.max, entries0 = Some(entries),
         scoreCol = "dot8", score = dot8,
         corpusVec = "q8", qVec = "qq8", nbrVec = "nbr_q8",
-        beam = b).localCheckpoint(true)
-      val served = cand
-        .join(labels, Seq("vec_id"))
-        .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
-        .filter(col("label") === col("qlabel"))
-        .withColumn("crk", row_number().over(wFetch))
-        .filter(col("crk") <= QuantFetch)
-        .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
-        .join(broadcast(qs.select(col("qid"), col("qvf"))), Seq("qid"))
-        .withColumn("cos", VectorFunctions.cosine_similarity(col("qvf"), col("v")))
-        .withColumn("rnk", row_number().over(wExact))
-        .filter(col("rnk") <= FilteredK)
-        .select(col("qid"), col("vec_id"), col("rnk")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      val hits = served.count(t => truthIds((t._1, t._2)))
-      // the refine read-back volume — priced only for the
-      // cross-family cost basis (one tiny count over the
-      // checkpointed visited set; the published single-family
-      // curves never pay it)
-      val refines =
-        if (!withRefines) 0L
-        else cand
+        beam = b, snapAt = hs)
+      pts.map { case ((_, _, h), idx) =>
+        val cand = snaps(h)
+        val served = cand
           .join(labels, Seq("vec_id"))
           .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
           .filter(col("label") === col("qlabel"))
-          .groupBy(col("qid")).agg(count(lit(1)).as("n"))
-          .collect()
-          .map(r => math.min(QuantFetch.toLong, r.getAs[Long]("n"))).sum
-      SweepPoint(b, np, h, hits.toLong, cand.count(), served.toSeq, refines)
+          .withColumn("crk", row_number().over(wFetch))
+          .filter(col("crk") <= QuantFetch)
+          .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .join(broadcast(qs.select(col("qid"), col("qvf"))), Seq("qid"))
+          .withColumn("cos", VectorFunctions.cosine_similarity(col("qvf"), col("v")))
+          .withColumn("rnk", row_number().over(wExact))
+          .filter(col("rnk") <= FilteredK)
+          .select(col("qid"), col("vec_id"), col("rnk")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        val hits = served.count(t => truthIds((t._1, t._2)))
+        // the refine read-back volume — priced only for the
+        // cross-family cost basis (one tiny count over the
+        // checkpointed visited set; the published single-family
+        // curves never pay it)
+        val refines =
+          if (!withRefines) 0L
+          else cand
+            .join(labels, Seq("vec_id"))
+            .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+            .filter(col("label") === col("qlabel"))
+            .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+            .collect()
+            .map(r => math.min(QuantFetch.toLong, r.getAs[Long]("n"))).sum
+        (idx, SweepPoint(b, np, h, hits.toLong, cand.count(), served.toSeq, refines))
+      }
     }
-    try futs.map(Await.result(_, Duration.Inf))
+    try futs.flatMap(Await.result(_, Duration.Inf))
+      .sortBy(_._1).map(_._2)
     finally pool.shutdown()
   }
 
