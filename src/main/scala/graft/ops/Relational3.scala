@@ -1020,7 +1020,19 @@ object Relational3 {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true) // N rows — the loop and the final join reread it
     // out-degree folded into the edge list once; pinned for the loop
-    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    // PARTITIONED AND SORTED BY THE JOIN KEY: an AQE-coalesced
+    // checkpoint records UnknownPartitioning, so without this every
+    // round re-exchanged AND re-sorted the edge table for its join —
+    // the doc's "one partitioner, reused exchange" contract only holds
+    // if the pinned layout is recognizable. The explicit partition
+    // count (the session's shuffle.partitions — conf-derived, so it
+    // scales) keeps AQE from folding the exchange into an
+    // unrecognizable coalesced read; each round now exchanges only the
+    // N-row rank frame plus the dst-keyed contribution rollup.
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val edgesDeg = edges.join(deg, "src")
+      .repartition(nPart, col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
     val n = deg.count() // every node sources an edge (bidirectional)
     val teleport = (15L * PrMass) / (100L * n)
     var ranks = deg.select(col("src").as("node"), lit(PrMass / n).as("r"))
@@ -1275,7 +1287,18 @@ object Relational3 {
     val ins = firstTraded.filter(col("first_traded") >= cutoff)
       .select("c", "sk")
       .localCheckpoint(true)
-    val (edgesDeg1, deg1) = q59MaintainGraph(edgesDeg0, deg0, ins, dels)
+    val (edgesDeg1Raw, deg1) = q59MaintainGraph(edgesDeg0, deg0, ins, dels)
+    // pin the maintained edge list in the round loop's join layout
+    // (src-partitioned + src-sorted, q54's stance): the union that
+    // composes it has no recognizable partitioning, so without this
+    // every warm/cold round re-exchanged AND re-sorted the edge table;
+    // now the table shuffles ONCE into the standing layout a stored
+    // deployment would keep it in, and each of the 2·rounds+2 round
+    // jobs exchanges only the rank frame + the dst rollup.
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val edgesDeg1 = edgesDeg1Raw
+      .repartition(nPart, col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
     val n1 = deg1.count()
     val t1 = (15L * PrMass) / (100L * n1)
     // warm start: standing ranks carried forward (new nodes seeded at
