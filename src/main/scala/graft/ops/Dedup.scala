@@ -1600,7 +1600,12 @@ object Dedup {
     * config re-bands the same frame row-locally; candidate joins key
     * on band strings; counts are tiny rollups.
     */
-  private def d19LshTuning(s: SparkSession, d: String): DataFrame = {
+  /** The lazy single-pass tuning plan plus its pinned inputs — split
+    * out (the p16Lazy pattern) so the plan audit and the plans/r21
+    * evidence can inspect the pre-checkpoint shape; the registered
+    * query pins it eagerly.
+    */
+  private[ops] def d19Lazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val sample = shingleSetDF(s, d).filter(col("doc_id") < 200).persist()
     val truth = sample.select(col("doc_id").as("id_a"), col("shs").as("sa"))
       .join(sample.select(col("doc_id").as("id_b"), col("shs").as("sb")),
@@ -1609,30 +1614,61 @@ object Dedup {
         size(array_union(col("sa"), col("sb"))) >= 0.5)
       .select("id_a", "id_b").persist()
     val sig = minhashSig(sample).persist()
-    val perConfig = Seq(2, 4, 8).map { nb =>
-      val bands = bandsOf(sig, nb)
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-        .persist()
-      val out = cand.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("tp")))
-        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
-        .select(lit(s"${nb}x${numHashes / nb}").as("config"),
-          col("n_cand"), col("n_true"), col("tp"),
-          expr("CASE WHEN n_cand > 0 THEN (tp * 1000) DIV n_cand ELSE 0 END")
-            .as("precision_pm"),
-          expr("CASE WHEN n_true > 0 THEN (tp * 1000) DIV n_true ELSE 0 END")
-            .as("recall_pm"))
-        .localCheckpoint(true)
-      cand.unpersist(blocking = false)
-      out
+    // The config axis is DATA, not a driver loop: every banding is a
+    // row-local re-slice of the one 16-minhash signature, so all three
+    // ride a single exploded (config, band) frame — one candidate
+    // self-join keyed on (config, band) and one grouped rollup replace
+    // three joins, three checkpoint barriers, and nine 1-row aggregates
+    // cross-joined per config. A config that yields zero candidates
+    // still emits its row via the literal config axis (left join).
+    val bandStructs = Seq(2, 4, 8).flatMap { nb =>
+      val rows = numHashes / nb
+      (0 until nb).map { b =>
+        val parts: Seq[Column] = Seq(lit(b), lit(":")) ++
+          (1 to rows).flatMap { r =>
+            val c = col(s"mh${b * rows + r}")
+            if (r == 1) Seq(c) else Seq(lit(","), c)
+          }
+        struct(lit(s"${nb}x$rows").as("config"), concat(parts: _*).as("band"))
+      }
     }
-    val out = perConfig.reduce(_ unionAll _).orderBy("config")
-    Seq(sample, truth, sig).foreach(_.unpersist(blocking = false))
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("cb"))
+      .select(col("doc_id"), col("cb.config").as("config"), col("cb.band").as("band"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.config") === col("y.config") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.config").as("config"),
+        col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .dropDuplicates("config", "id_a", "id_b")
+    val candAgg = cand
+      .join(broadcast(truth.withColumn("is_true", lit(1L))),
+        Seq("id_a", "id_b"), "left")
+      .groupBy("config")
+      .agg(count(lit(1)).as("n_cand"), count(col("is_true")).as("tp"))
+    import s.implicits._
+    val configAxis = Seq(2, 4, 8).map(nb => s"${nb}x${numHashes / nb}")
+      .toDF("config")
+    val out = broadcast(configAxis)
+      .join(candAgg, Seq("config"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("config"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_true"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("config"), col("n_cand"), col("n_true"), col("tp"),
+        expr("CASE WHEN n_cand > 0 THEN (tp * 1000) DIV n_cand ELSE 0 END")
+          .as("precision_pm"),
+        expr("CASE WHEN n_true > 0 THEN (tp * 1000) DIV n_true ELSE 0 END")
+          .as("recall_pm"))
+      .orderBy("config")
+    (out, Seq(sample, truth, sig))
+  }
+
+  private def d19LshTuning(s: SparkSession, d: String): DataFrame = {
+    val (lazyOut, pinned) = d19Lazy(s, d)
+    val out = lazyOut.localCheckpoint(true)
+    pinned.foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -911,20 +911,29 @@ object Multimodal {
     * nothing global, nothing all-pairs.
     */
   private def mm14Keyframes(s: SparkSession, d: String): DataFrame = {
-    val scn = sceneFrames(s, d).localCheckpoint(true) // two consumers
-    val cent = scn
-      .select(col("doc_id"), col("scene_id"), col("fp"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy("doc_id", "scene_id", "j")
-      .agg(sum(expr("shiftright(fp, j) & 1")).as("ones"), count(lit(1)).as("n"))
-      .groupBy("doc_id", "scene_id")
-      .agg(sum(when(col("ones") * 2 > col("n"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
-        .as("centroid_fp"))
-    val wElect = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("scene_id"))
-      .orderBy(col("ham"), col("frame_idx"))
-    scn.join(cent, Seq("doc_id", "scene_id"))
+    // The bit-majority centroid is a pure per-(doc, scene) fold, so it
+    // rides 32 window sums over ONE scene-keyed window instead of a
+    // 32-way bit explode into two grouped aggregations joined back to
+    // the frames: the explode (32× the frame rows), both aggregation
+    // exchanges, the join, and the two-consumer checkpoint all
+    // disappear — and since [[sceneFrames]] leaves the frames
+    // hash-partitioned by doc_id, hash(doc_id) already satisfies the
+    // (doc_id, scene_id) clustering (subset rule), so the election
+    // needs no new exchange at all: centroid, Hamming vote, and the
+    // rank-1 pick are one sort on the standing doc layout.
+    import org.apache.spark.sql.expressions.Window
+    val wScene = Window.partitionBy(col("doc_id"), col("scene_id"))
+    val onesCols = (0 until 32).map(j =>
+      sum(expr(s"shiftright(fp, $j) & 1")).over(wScene).as(s"ones$j"))
+    val centroid = (0 until 32).map(j =>
+      when(col(s"ones$j") * 2 > col("nf"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), $j)")).otherwise(0L))
+      .reduce(_ + _)
+    val wElect = wScene.orderBy(col("ham"), col("frame_idx"))
+    sceneFrames(s, d)
+      .select(Seq(col("doc_id"), col("scene_id"), col("frame_idx"), col("fp"),
+        count(lit(1)).over(wScene).as("nf")) ++ onesCols: _*)
+      .withColumn("centroid_fp", centroid)
       .withColumn("ham", bit_count(expr("fp ^ centroid_fp")).cast("int"))
       .withColumn("rk", row_number().over(wElect))
       .filter(col("rk") === 1)
