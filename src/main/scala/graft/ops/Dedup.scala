@@ -882,12 +882,9 @@ object Dedup {
       broadcastLabels: Boolean = false,
       maxRounds: Int = 50): (DataFrame, Int) = {
     def hint(df: DataFrame): DataFrame = if (broadcastLabels) broadcast(df) else df
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
+    // one propagation+jump round as a pure frame transform — the
+    // convergence flag (chg) rides the same pass, no join-back
+    def round(labels: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(hint(labels.select(col("id").as("src"), col("lbl").as("src_lbl"))), "src")
         .groupBy(col("dst").as("nid"))
@@ -897,20 +894,35 @@ object Dedup {
         .select(col("id"), col("lbl").as("lbl0"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("cand"))
       // pointer jump: follow the candidate to ITS label (label(x) ≤ x
-      // invariantly, so the jump only ever improves); the convergence
-      // flag rides the same pass — no join-back against old labels
-      val next = cand
+      // invariantly, so the jump only ever improves)
+      cand
         .join(hint(labels.select(col("id").as("pid"), col("lbl").as("plbl"))),
           col("cand") === col("pid"), "left")
         .select(col("id"),
           least(col("cand"), coalesce(col("plbl"), col("cand"))).as("lbl"),
           (least(col("cand"), coalesce(col("plbl"), col("cand"))) < col("lbl0"))
             .cast("long").as("chg"))
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // TWO rounds per pin + convergence probe (the walk's pin-halving
+      // treatment): each pin and each driver probe was a separate
+      // ~40-60 ms job, and a converged first round makes the second a
+      // no-op (chg = 0 — the fixpoint is stable under the round map),
+      // so checking only the second round's chg reaches the identical
+      // fixpoint with half the driver round-trips. One unpinned level
+      // re-derives round one's frame per reference inside one job —
+      // bounded, and its identical exchanges dedup (ReusedExchange).
+      val next = round(round(labels).select(col("id"), col("lbl")))
         .localCheckpoint(true)
       val changed = next.agg(sum(col("chg"))).head().getLong(0)
       labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
-      rounds += 1
+      rounds += 2
     }
     (labels, rounds)
   }

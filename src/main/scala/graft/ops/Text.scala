@@ -2111,12 +2111,14 @@ object Text {
   }
 
   private def t34PplBuckets(s: SparkSession, d: String): DataFrame = {
-    val sc = bigramScores(s, d).persist()
-    val out = t34From(sc)
+    // an eager checkpoint, not persist(): the per-doc score frame is
+    // consumed three times (distribution, total, final join) but read
+    // back raw — the columnar cache build cost more than it saved
+    // (same finding as the q54 pin probe)
+    val sc = bigramScores(s, d).localCheckpoint(true)
+    t34From(sc)
       .orderBy("doc_id")
       .localCheckpoint(true)
-    sc.unpersist(blocking = false)
-    out
   }
 
   /** Oracle CTE prefix shared by t32/t34: bigram model + per-doc
