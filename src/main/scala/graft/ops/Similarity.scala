@@ -356,44 +356,13 @@ object Similarity {
         array((0 until 64).map(i => col(s"s$i")): _*).as("sv"), col("n"))
   }
 
-  /** First-iteration assignment with the SEED codebook attached as a
-    * one-row broadcast instead of driver-collected literals: the seed
-    * rows aggregate to a single (svs, ns, cids) row — sorted by cid,
-    * the [[collectCents]] order — that rides a broadcast join, so the
-    * seed scan fuses into the first full training pass instead of
-    * costing its own collect round-trip before the pass can even plan.
-    * Scoring arithmetic is [[assignCellsFrom]]'s column-for-column —
-    * the same [[VectorFunctions.codebook_scores]] call, the same
-    * first-max argmax — so the assignment is bit-identical.
-    */
-  private def assignCellsSeeded(base: DataFrame, k: Int): DataFrame = {
-    require(!base.columns.contains("scores") && !base.columns.contains("cid"),
-      "assignCells input must not already carry 'scores' or 'cid'")
-    val seed1 = seedCodebook(base, k)
-      .agg(sort_array(collect_list(struct(col("cid"), col("sv"), col("n")))).as("cb"))
-      .select(
-        expr("transform(cb, c -> c.sv)").as("_svs"),
-        expr("transform(cb, c -> CAST(c.n AS DOUBLE))").as("_ns"),
-        expr("transform(cb, c -> c.cid)").as("_cids"))
-    base.crossJoin(broadcast(seed1))
-      .withColumn("scores",
-        VectorFunctions.codebook_scores(col("q"), col("_svs"), col("_ns")))
-      .withColumn("cid", element_at(col("_cids"),
-        array_position(col("scores"), array_max(col("scores"))).cast("int")))
-      .drop("scores", "_svs", "_ns", "_cids")
-  }
-
   /** `iters` deterministic Lloyd iterations from the seeded codebook.
     * `k` is the cluster count — the scale knob for every consumer
     * that bounds work per cell (s4 probing, d11's pairwise phase):
     * grow k with the corpus and expected cell size stays constant.
-    * Iteration 1 assigns against the seed via [[assignCellsSeeded]]
-    * (broadcast, in-plan), so training runs `iters` actions total when
-    * the caller collects the result — not `iters + 1`.
     */
   def trainCodebook(base: DataFrame, iters: Int, k: Int = 8): DataFrame =
-    if (iters < 1) seedCodebook(base, k)
-    else (2 to iters).foldLeft(updateCodebook(assignCellsSeeded(base, k))) { (cb, _) =>
+    (1 to iters).foldLeft(seedCodebook(base, k)) { (cb, _) =>
       updateCodebook(assignCells(base, cb))
     }
 
@@ -2430,17 +2399,7 @@ object Similarity {
     */
   private[graft] def knnEdges(base: DataFrame,
       cents: Array[(Long, Seq[Double], Long)], degree: Int = 3): DataFrame = {
-    // The pairwise cosine leg is the compute-dense chokepoint of every
-    // graph build (|cell| × |members| exact cosines on the JOIN's
-    // streaming side, BEFORE the rank exchange can spread anything) —
-    // and the streaming side inherits the scan's partitioning, which on
-    // the single-row-group fixture (or a freshly checkpointed frame) is
-    // ONE task on a 32-core box (measured: a 1.1 s single-task job
-    // inside s35's premise). [[Tables.fanOut]] is the audited remedy
-    // (guide §2.5 input skew): a conditional slim exchange of
-    // (vec_id, q) that is a no-op on any layout that already fans out.
-    val spread = Tables.fanOut(base)
-    val probes = ivfProbes(spread, cents, nprobe = 2, qMax = Long.MaxValue)
+    val probes = ivfProbes(base, cents, nprobe = 2, qMax = Long.MaxValue)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr_id"))
     // the rank exchange carries (qid, nbr_id, cos) ONLY — the top-k
@@ -2449,7 +2408,7 @@ object Similarity {
     // through the window shuffled ~1 KB per candidate PAIR — at
     // production shape that exchange dominated every graph build
     // (measured via S35Decomp: 22 s of s35's 48 s at 10×).
-    assignCellsFrom(spread, cents)
+    assignCellsFrom(base, cents)
       .join(probes, col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr_id"),
         VectorFunctions.cosine_similarity(col("q"), col("qv")).as("cos"))
